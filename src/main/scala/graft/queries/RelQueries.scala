@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{VectorAvg, VectorOps}
+
+/** Tier-C relational surface (SURVEY.md §2.13 Q9–Q32): scans, filters,
+  * joins (broadcast/shuffle/semi/anti/theta), aggregates (group/distinct/
+  * having/rollup), windows (row_number/lag/frames), sorts/limits, set ops,
+  * scalar/date/JSON/array functions, cosine top-k, exact dedup, batch
+  * tumbling windows, and a UDAF centroid query.
+  *
+  * Determinism vs the DuckDB oracle:
+  *  - sums over DOUBLE are cast to DECIMAL per-row before SUM (exact,
+  *    order-independent addition) so partial-aggregation order cannot
+  *    flip a rounded digit;
+  *  - top-k selections order by the already-rounded measure with a total
+  *    tiebreak so both engines pick identical rows;
+  *  - all timestamps are session-TZ UTC.
+  */
+object RelQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact, order-independent sum of a double expression (via decimal). */
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(18,$scale)"))
+
+  // ---------------------------------------------------------------- Q9
+  val q09 = QueryDef(
+    "q09_filter_project",
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'"""),
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+  // ---------------------------------------------------------------- Q10
+  val q10 = QueryDef(
+    "q10_agg_pricing",
+    Some("""SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+            FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")))
+
+  // ---------------------------------------------------------------- Q11
+  val q11 = QueryDef(
+    "q11_join_broadcast",
+    Some("""SELECT n_name, COUNT(*) AS cnt
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name"""),
+    (s, dir) => t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("cnt")))
+
+  // ---------------------------------------------------------------- Q12
+  val q12 = QueryDef(
+    "q12_join_shuffle",
+    Some("""SELECT o_orderstatus,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus"""),
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")))
+
+  // ---------------------------------------------------------------- Q13
+  val q13 = QueryDef(
+    "q13_left_join",
+    Some("""SELECT o_orderstatus,
+                   COUNT(c_custkey) AS cnt_matched, COUNT(*) AS cnt_all
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_orderstatus"""),
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("o_orderstatus")
+      .agg(count(col("c_custkey")).as("cnt_matched"), count(lit(1)).as("cnt_all")))
+
+  // ---------------------------------------------------------------- Q14
+  val q14 = QueryDef(
+    "q14_semi_join",
+    Some("""SELECT c_mktsegment, COUNT(*) AS cnt
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment"""),
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt")))
+
+  // ---------------------------------------------------------------- Q15
+  val q15 = QueryDef(
+    "q15_anti_join",
+    Some("""SELECT p_partkey FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p_partkey AND l_quantity > 40)"""),
+    (s, dir) => t(s, dir, "part")
+      .join(
+        t(s, dir, "lineitem").filter(col("l_quantity") > 40),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey"))
+
+  // ---------------------------------------------------------------- Q16
+  val q16 = QueryDef(
+    "q16_theta_join",
+    Some("""SELECT p_partkey, COUNT(*) AS cnt
+            FROM part JOIN region ON p_size > r_regionkey * 5
+            GROUP BY p_partkey"""),
+    (s, dir) => t(s, dir, "part")
+      .join(broadcast(t(s, dir, "region")), col("p_size") > col("r_regionkey") * 5)
+      .groupBy("p_partkey").agg(count(lit(1)).as("cnt")))
+
+  // ---------------------------------------------------------------- Q17
+  val q17 = QueryDef(
+    "q17_count_distinct",
+    Some("""SELECT COUNT(DISTINCT l_partkey) AS d_part,
+                   COUNT(DISTINCT l_suppkey) AS d_supp
+            FROM lineitem"""),
+    (s, dir) => t(s, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("d_part"),
+        countDistinct(col("l_suppkey")).as("d_supp")))
+
+  // ---------------------------------------------------------------- Q18
+  val q18 = QueryDef(
+    "q18_having",
+    Some("""SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_partkey HAVING COUNT(*) > 40"""),
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 40))
+
+  // ---------------------------------------------------------------- Q19
+  val q19 = QueryDef(
+    "q19_rollup",
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+                   CAST(GROUPING(l_linestatus) AS INTEGER) AS g2,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""),
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g1"),
+        grouping(col("l_linestatus")).cast("int").as("g2"),
+        count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty")))
+
+  // ---------------------------------------------------------------- Q20
+  val q20 = QueryDef(
+    "q20_row_number",
+    Some("""SELECT * FROM (
+              SELECT o_orderstatus, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    })
+
+  // ---------------------------------------------------------------- Q21
+  val q21 = QueryDef(
+    "q21_lag",
+    Some("""SELECT o_custkey, o_orderkey,
+                   ROUND(o_totalprice - LAG(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+            FROM orders"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta"))
+    })
+
+  // ---------------------------------------------------------------- Q22
+  val q22 = QueryDef(
+    "q22_running_sum",
+    Some("""SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+            FROM orders"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+    })
+
+  // ---------------------------------------------------------------- Q23
+  val q23 = QueryDef(
+    "q23_topk",
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+    (s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+      .limit(10))
+
+  // ---------------------------------------------------------------- Q24
+  val q24 = QueryDef(
+    "q24_set_ops",
+    Some("""SELECT
+              (SELECT COUNT(*) FROM (SELECT c_nationkey AS k FROM customer
+                 UNION ALL SELECT s_nationkey FROM supplier)) AS cnt_union_all,
+              (SELECT COUNT(*) FROM (SELECT c_nationkey AS k FROM customer
+                 UNION SELECT s_nationkey FROM supplier)) AS cnt_union,
+              (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+                 INTERSECT SELECT s_nationkey FROM supplier)) AS cnt_intersect,
+              (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+                 EXCEPT SELECT s_nationkey FROM supplier)) AS cnt_except"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val ua = c.union(sp).agg(count(lit(1)).as("cnt_union_all"))
+      val un = c.union(sp).distinct().agg(count(lit(1)).as("cnt_union"))
+      val in = c.intersect(sp).agg(count(lit(1)).as("cnt_intersect"))
+      val ex = c.except(sp).agg(count(lit(1)).as("cnt_except"))
+      ua.crossJoin(un).crossJoin(in).crossJoin(ex)
+    })
+
+  // ---------------------------------------------------------------- Q25
+  val q25 = QueryDef(
+    "q25_date_trunc",
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS total
+            FROM orders GROUP BY 1"""),
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total")))
+
+  // ---------------------------------------------------------------- Q26
+  val q26 = QueryDef(
+    "q26_text_stats",
+    Some("""SELECT lang, COUNT(*) AS cnt,
+                   ROUND(AVG(n_chars), 2) AS avg_chars,
+                   SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS spark_cnt
+            FROM documents GROUP BY lang"""),
+    (s, dir) => t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        sum(when(col("text").like("%spark%"), 1).otherwise(0)).as("spark_cnt")))
+
+  // ---------------------------------------------------------------- Q27
+  val q27 = QueryDef(
+    "q27_json_extract",
+    Some("""SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k
+            FROM events GROUP BY event_type"""),
+    (s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("bigint")).as("total_k")))
+
+  // ---------------------------------------------------------------- Q28
+  val q28 = QueryDef(
+    "q28_cosine_topk",
+    Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 5"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    })
+
+  // ---------------------------------------------------------------- Q29
+  val q29 = QueryDef(
+    "q29_dedup_exact",
+    Some("SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents"),
+    (s, dir) => t(s, dir, "documents")
+      .select("text").distinct()
+      .agg(count(lit(1)).as("distinct_docs")))
+
+  // ---------------------------------------------------------------- Q30
+  val q30 = QueryDef(
+    "q30_tumbling_window",
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+                   event_type, COUNT(*) AS cnt,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+            FROM events GROUP BY 1, 2"""),
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("total_value")))
+
+  // ---------------------------------------------------------------- Q31
+  val q31 = QueryDef(
+    "q31_centroid_topk",
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+                 dims AS (SELECT label, i, AVG(v[i]) AS m
+                          FROM e, range(1, 65) r(i) GROUP BY label, i),
+                 cl AS (SELECT label, list(m ORDER BY i) AS cv FROM dims GROUP BY label),
+                 sims AS (SELECT e.label, e.vec_id,
+                            ROUND(list_cosine_similarity(e.v, cl.cv), 4) AS sim
+                          FROM e JOIN cl USING (label))
+            SELECT label, vec_id, sim FROM (
+              SELECT label, vec_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY label
+                       ORDER BY sim DESC, vec_id) AS rn
+              FROM sims) WHERE rn <= 2"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      val centroids = emb.groupBy("label")
+        .agg(VectorAvg.fn(col("embedding")).as("cv"))
+      val sims = emb.join(broadcast(centroids), "label")
+        .select(col("label"), col("vec_id"),
+          round(VectorOps.cosine(col("v"), col("cv")), 4).as("sim"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("label", "vec_id", "sim")
+    })
+
+  // ---------------------------------------------------------------- Q32
+  val q32 = QueryDef(
+    "q32_scalar_sampler",
+    Some("""SELECT p_partkey,
+                   UPPER(p_type) AS t_up,
+                   TRIM(CONCAT(' ', p_brand, ' ')) AS brand_trim,
+                   SUBSTRING(p_type, 1, 5) AS t_sub,
+                   CONCAT_WS('-', p_brand, p_type) AS brand_type,
+                   ROUND(p_retailprice / 3.0, 2) AS price_r,
+                   ABS(p_size - 25) AS size_abs,
+                   split_part(p_type, ' ', 1) AS t_first,
+                   ([10, 20, 30])[2] AS arr_2
+            FROM part"""),
+    (s, dir) => t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_type")).as("t_up"),
+        trim(concat(lit(" "), col("p_brand"), lit(" "))).as("brand_trim"),
+        substring(col("p_type"), 1, 5).as("t_sub"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        round(col("p_retailprice") / 3.0, 2).as("price_r"),
+        abs(col("p_size") - 25).as("size_abs"),
+        element_at(split(col("p_type"), " "), 1).as("t_first"),
+        element_at(array(lit(10), lit(20), lit(30)), 2).as("arr_2")))
+
+  val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
+    q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+}

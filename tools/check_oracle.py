@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev feedback loop only;
+the library itself has no Python dependency).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (engine result) + oracle_sql.json,
+runs each oracle in DuckDB over the sfDir parquet tables, normalizes both
+sides per SURVEY.md §2.13 (columns sorted by name, floats %.4f half-even,
+decimals as fixed-point strings, timestamps UTC ISO-8601, rows sorted) and
+compares.
+"""
+import sys, os, json, glob, datetime, decimal
+import duckdb
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return "%.4f" % v
+    if isinstance(v, decimal.Decimal):
+        return "%.4f" % float(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+def norm_result(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: engine result missing"); n_fail += 1; continue
+        try:
+            eng = con.execute(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            ecols = [d[0] for d in eng.description]
+            erows = eng.fetchall()
+            ora = con.execute(oracles[name])
+            ocols = [d[0] for d in ora.description]
+            orows = ora.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        ec, er = norm_result(ecols, erows)
+        oc, orr = norm_result(ocols, orows)
+        if ec != oc:
+            print(f"FAIL {name}: columns differ engine={ec} oracle={oc}")
+            n_fail += 1
+        elif er != orr:
+            n_fail += 1
+            print(f"FAIL {name}: rows differ (engine {len(er)} vs oracle {len(orr)})")
+            eset, oset = set(er), set(orr)
+            for r in list(eset - oset)[:3]:
+                print(f"   engine-only: {r}")
+            for r in list(oset - eset)[:3]:
+                print(f"   oracle-only: {r}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(er)} rows)")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
