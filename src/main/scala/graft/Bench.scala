@@ -1,24 +1,75 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Prints ONE bare JSON line to stdout (and mirrors it to
+  * bench_out.json) — r1's line was buried in sbt log prefixes and the
+  * driver recorded `parsed: null`; build.sbt now sets
+  * `run / outputStrategy := StdoutOutput` so forked stdout passes through
+  * unprefixed.
+  *
+  * Methodology (VERDICT r1 "What's wrong" #2): every query is fully
+  * materialized via the noop datasource (all columns evaluated — a bare
+  * `.count()` lets Catalyst prune computed projections), one untimed
+  * warmup pass absorbs JVM/codegen warmup, and the reported number is the
+  * median of 3 timed runs. Failures surface in the JSON instead of being
+  * swallowed.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // warmup: one untimed pass (JIT/codegen caches, FS cache)
+    names.foreach { n =>
+      try materialize(SparkEntry.queries(n)(spark, sfDir))
+      catch { case e: Throwable => errors.getOrElseUpdate(n, e.toString.take(300)) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val times = names.map { n =>
+      val samples = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          materialize(SparkEntry.queries(n)(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(n, e.toString.take(300)); None
+        }
+      }
+      val median =
+        if (samples.isEmpty) -1.0
+        else samples.sorted.apply(samples.size / 2)
+      n -> median
+    }
+
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = times.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = times.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

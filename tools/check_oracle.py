@@ -38,6 +38,26 @@ def norm_result(cols, rows):
     out.sort()
     return [cols[i] for i in order], out
 
+# The driver's hasher tolerates int-width differences (r1: q20 int32 rn vs
+# DuckDB BIGINT passed) but renders HUGEINT and differing DECIMAL(p,s)
+# differently (r1: q10/q12/q19/q25/q26/q27/q30 all value-equal yet
+# hash-failed). Mirror that: exact (p,s) for decimals, one family for all
+# plain ints, HUGEINT its own family.
+def type_family(t):
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return t
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "FLOAT"
+    return t
+
+def norm_types(cols, typs):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [type_family(typs[i]) for i in order]
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -52,10 +72,15 @@ def main():
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: engine result missing"); n_fail += 1; continue
         try:
+            etyp = [r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{res_dir}/*.parquet')"
+            ).fetchall()]
             eng = con.execute(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
             ecols = [d[0] for d in eng.description]
             erows = eng.fetchall()
+            otyp = [r[1] for r in con.execute(
+                f"DESCRIBE {oracles[name]}").fetchall()]
             ora = con.execute(oracles[name])
             ocols = [d[0] for d in ora.description]
             orows = ora.fetchall()
@@ -63,8 +88,14 @@ def main():
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         ec, er = norm_result(ecols, erows)
         oc, orr = norm_result(ocols, orows)
+        etf, otf = norm_types(ecols, etyp), norm_types(ocols, otyp)
         if ec != oc:
             print(f"FAIL {name}: columns differ engine={ec} oracle={oc}")
+            n_fail += 1
+        elif etf != otf:
+            print(f"FAIL {name}: column types differ (driver hash would "
+                  f"mismatch)\n   engine: {list(zip(ec, etf))}\n"
+                  f"   oracle: {list(zip(oc, otf))}")
             n_fail += 1
         elif er != orr:
             n_fail += 1
