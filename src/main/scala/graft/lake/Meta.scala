@@ -26,15 +26,26 @@ final case class DataFileMeta(
     rowCount: Long = 0L,
     sizeBytes: Long = 0L,
     /** v3 row lineage: first row id in this file; rows are
-      * firstRowId .. firstRowId+rowCount-1 in file order. */
-    firstRowId: Long = -1L)
+      * firstRowId .. firstRowId+rowCount-1 in file order. -1 when the file
+      * instead carries an explicit `_row_id` column (explicitRowIds). */
+    firstRowId: Long = -1L,
+    /** Rewritten/updated files persist `_row_id` as a physical column so
+      * lineage survives compaction and CoW (row ids must be preserved when
+      * rows are copied — Iceberg v3 row-lineage semantics). */
+    explicitRowIds: Boolean = false,
+    /** Commit order: the sequence number of the snapshot that added this
+      * file. Governs which equality deletes apply (strictly-older rule). */
+    dataSequenceNumber: Long = 0L)
 
 final case class DeleteFileMeta(
     path: String,
     /** "position" (file_path, pos) or "equality" (equalityCols). */
     kind: String = "position",
     rowCount: Long = 0L,
-    equalityCols: Seq[String] = Nil)
+    equalityCols: Seq[String] = Nil,
+    /** Equality deletes apply only to data files with a strictly lower
+      * sequence number — a key re-inserted after the delete stays live. */
+    dataSequenceNumber: Long = 0L)
 
 final case class Snapshot(
     id: Long,
@@ -42,7 +53,8 @@ final case class Snapshot(
     operation: String,
     dataFiles: Seq[DataFileMeta] = Nil,
     deleteFiles: Seq[DeleteFileMeta] = Nil,
-    summary: Map[String, String] = Map.empty)
+    summary: Map[String, String] = Map.empty,
+    sequenceNumber: Long = 0L)
 
 final case class TableMetadata(
     name: String,
@@ -59,6 +71,7 @@ final case class TableMetadata(
       * -1 is "bricked" exactly like README.md:43-45 describes; see
       * Procedures.repairV3Metadata). */
     nextRowId: Long = -1L,
+    lastSequenceNumber: Long = 0L,
     grants: Map[String, Seq[String]] = Map.empty) {
 
   def currentSnapshot: Option[Snapshot] =

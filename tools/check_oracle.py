@@ -79,9 +79,15 @@ def main():
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
             ecols = [d[0] for d in eng.description]
             erows = eng.fetchall()
+            # multi-statement DML-replay oracles (Q1-Q8): run the prologue,
+            # DESCRIBE only the final SELECT (semicolons never appear inside
+            # string literals in our declared oracle set)
+            stmts = [s for s in oracles[name].split(";") if s.strip()]
+            for s in stmts[:-1]:
+                con.execute(s)
             otyp = [r[1] for r in con.execute(
-                f"DESCRIBE {oracles[name]}").fetchall()]
-            ora = con.execute(oracles[name])
+                f"DESCRIBE {stmts[-1]}").fetchall()]
+            ora = con.execute(stmts[-1])
             ocols = [d[0] for d in ora.description]
             orows = ora.fetchall()
         except Exception as e:
