@@ -1,0 +1,332 @@
+package graft.lake
+
+import java.time.{LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Denied by the grants model (M10) — the Lake-Formation-style permission
+  * check the reference provisions (lake_formation_setup.py:93-171),
+  * enforced here at the dispatch boundary. */
+class AccessDeniedException(msg: String) extends RuntimeException(msg)
+
+class SqlParseException(msg: String) extends RuntimeException(msg)
+
+/** S8: the in-process SQL dispatcher replacing the reference's
+  * ssh→spark-sql channel (upgrade_table.py:59-97). The reference is 100%
+  * SQL-string driven — every capability it ships is a generated statement
+  * — so this is the compatibility surface that lets its statement
+  * sequences replay against the engine:
+  *
+  *   CREATE/DROP TABLE, INSERT VALUES, DELETE, UPDATE,
+  *   ALTER … SET TBLPROPERTIES, CALL rewrite_data_files/expire_snapshots,
+  *   DESCRIBE → engine API;   SELECT → temp views + spark.sql (Catalyst).
+  *
+  * Statement shapes match what the reference emits
+  * (create_demo_table.py:97-137, upgrade_table.py:121-131, README.md:36).
+  * Expressions inside DML (predicates, assignments, VALUES rows) are
+  * parsed by Catalyst via `expr`/`VALUES`, not re-implemented.
+  *
+  * When `principal` is given, table grants gate each statement (ALL
+  * implies everything; UPDATE needs DELETE+INSERT, its MoR decomposition).
+  */
+class LakeSql(val catalog: LakeCatalog) {
+
+  import LakeSql._
+
+  private def spark = catalog.spark
+
+  def run(sql: String, principal: Option[String] = None): DataFrame = {
+    val s = sql.trim.stripSuffix(";").trim
+    val up = s.toUpperCase
+    if (up.startsWith("CREATE TABLE")) create(s, principal)
+    else if (up.startsWith("DROP TABLE")) drop(s, principal)
+    else if (up.startsWith("INSERT INTO")) insert(s, principal)
+    else if (up.startsWith("DELETE FROM")) delete(s, principal)
+    else if (up.startsWith("UPDATE")) update(s, principal)
+    else if (up.startsWith("ALTER TABLE")) alter(s, principal)
+    else if (up.startsWith("CALL")) call(s, principal)
+    else if (up.startsWith("DESCRIBE")) describe(s, principal)
+    else if (up.startsWith("SELECT") || up.startsWith("WITH")) select(s, principal)
+    else throw new SqlParseException(s"unsupported statement: ${s.take(60)}")
+  }
+
+  // ------------------------------------------------------------ statements
+
+  private def create(s: String, p: Option[String]): DataFrame = {
+    val head = """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(""".r
+    val m = head.findFirstMatchIn(s).getOrElse(fail("CREATE TABLE", s))
+    val (db, table) = splitName(m.group(1))
+    val (colsDdl, rest) = balancedParen(s, m.end - 1)
+    val schema = StructType.fromDDL(colsDdl)
+    val partitionBy = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
+      .findFirstMatchIn(rest).map(_.group(1).split(",").map(_.trim).toSeq)
+      .getOrElse(Nil)
+    val props = """(?is)TBLPROPERTIES\s*\(""".r.findFirstMatchIn(rest).map { pm =>
+      parseProps(balancedParen(rest, pm.end - 1)._1)
+    }.getOrElse(Map.empty)
+    catalog.createNamespace(db)
+    catalog.createTable(db, table, schema, partitionBy, props)
+    status(s"Created table $db.$table")
+  }
+
+  private def drop(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("DROP TABLE", s))
+    val ifExists = m.group(1) != null
+    val (db, table) = splitName(m.group(2))
+    requirePerm(p, db, table, "DROP", missingOk = ifExists)
+    val dropped = catalog.dropTable(db, table, ifExists)
+    status(if (dropped) s"Dropped table $db.$table" else s"Table $db.$table did not exist")
+  }
+
+  private def insert(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^INSERT\s+INTO\s+([\w.]+)\s+VALUES\s+(.*)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("INSERT INTO … VALUES", s))
+    val (db, table) = splitName(m.group(1))
+    requirePerm(p, db, table, "INSERT")
+    val t = load(db, table)
+    // Catalyst parses the literal rows (timestamps, decimals, …)
+    val raw = spark.sql(s"SELECT * FROM VALUES ${m.group(2)}")
+    if (raw.schema.size != t.schema.size)
+      throw new SqlParseException(
+        s"INSERT arity ${raw.schema.size} != table arity ${t.schema.size}")
+    val aligned = raw.select(raw.columns.zip(t.schema.fields).map {
+      case (c, f) => col(c).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val t2 = t.append(aligned)
+    status(s"Inserted ${added(t2)} row(s) into $db.$table")
+  }
+
+  private def delete(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("DELETE FROM … WHERE", s))
+    val (db, table) = splitName(m.group(1))
+    requirePerm(p, db, table, "DELETE")
+    load(db, table).delete(expr(m.group(2)))
+    status(s"Deleted from $db.$table")
+  }
+
+  private def update(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("UPDATE … SET … WHERE", s))
+    val (db, table) = splitName(m.group(1))
+    // MoR UPDATE = delete file + appended rewrite (J3)
+    requirePerm(p, db, table, "DELETE")
+    requirePerm(p, db, table, "INSERT")
+    val assignments: Map[String, Column] = topLevelSplit(m.group(2), ',').map { a =>
+      val i = a.indexOf('=')
+      if (i < 0) throw new SqlParseException(s"bad assignment: $a")
+      a.take(i).trim -> expr(a.drop(i + 1).trim)
+    }.toMap
+    load(db, table).update(assignments, expr(m.group(3)))
+    status(s"Updated $db.$table")
+  }
+
+  private def alter(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(""".r
+      .findFirstMatchIn(s).getOrElse(fail("ALTER TABLE … SET TBLPROPERTIES", s))
+    val (db, table) = splitName(m.group(1))
+    requirePerm(p, db, table, "ALTER")
+    val props = parseProps(balancedParen(s, m.end - 1)._1)
+    val t = load(db, table)
+    // 'format-version'='3' is the upgrade statement (upgrade_table.py:128):
+    // it must mint next-row-id, so route through the procedure (M1)
+    val t2 = props.get("format-version") match {
+      case Some(v) =>
+        Procedures.upgradeFormatVersion(t, v.toInt)
+          .setProperties(props - "format-version")
+      case None => t.setProperties(props)
+    }
+    status(s"Altered $db.$table (format-version=${t2.meta.formatVersion})")
+  }
+
+  private def call(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^CALL\s+(?:[\w.]+\.)?(\w+)\s*\(""".r
+      .findFirstMatchIn(s).getOrElse(fail("CALL proc(...)", s))
+    val (argStr, _) = balancedParen(s, m.end - 1)
+    val args = topLevelSplit(argStr, ',').map { a =>
+      val i = a.indexOf("=>")
+      if (i < 0) throw new SqlParseException(s"CALL args must be named: $a")
+      a.take(i).trim.toLowerCase -> a.drop(i + 2).trim
+    }.toMap
+    val (db, table) = splitName(unquote(args.getOrElse("table",
+      throw new SqlParseException("CALL missing table => …"))))
+    requirePerm(p, db, table, "ALTER")
+    val t = load(db, table)
+    m.group(1).toLowerCase match {
+      case "rewrite_data_files" =>
+        // options => map('k','v',…) — F2 map constructor
+        val opts = args.get("options").map(parseMapLiteral).getOrElse(Map.empty)
+        val r = Procedures.rewriteDataFiles(t, opts)
+        import catalog.spark.implicits._
+        Seq((r.rewrittenDataFiles, r.addedDataFiles, r.removedDeleteFiles))
+          .toDF("rewritten_data_files_count", "added_data_files_count",
+            "removed_delete_files_count")
+      case "expire_snapshots" =>
+        val olderThan = args.get("older_than").map(parseTsLiteral)
+          .getOrElse(System.currentTimeMillis())
+        val retainLast = args.get("retain_last").map(_.toInt).getOrElse(1)
+        val r = Procedures.expireSnapshots(t, olderThan, retainLast)
+        import catalog.spark.implicits._
+        Seq((r.expiredSnapshots, r.deletedFiles))
+          .toDF("deleted_snapshots_count", "deleted_files_count")
+      case "repair_v3_metadata" =>
+        val r = Procedures.repairV3Metadata(t)
+        status(s"next-row-id = ${r.meta.nextRowId}")
+      case other => throw new SqlParseException(s"unknown procedure: $other")
+    }
+  }
+
+  private def describe(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^DESCRIBE\s+(?:TABLE\s+)?([\w.]+)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("DESCRIBE", s))
+    val (db, table) = splitName(m.group(1))
+    requirePerm(p, db, table, "DESCRIBE")
+    load(db, table).describe()
+  }
+
+  /** SELECT (and WITH): lake tables referenced as `db.t` are registered
+    * as temp views and the identifiers rewritten, then Catalyst plans the
+    * query — the engine adds MoR semantics at the leaf and Spark does the
+    * rest (SURVEY §3.1 restatement). */
+  private def select(s: String, p: Option[String]): DataFrame = {
+    var rewritten = s
+    for {
+      db <- catalog.listNamespaces()
+      info <- catalog.listTables(db) if info.tableType == "LAKE"
+    } {
+      val ref = s"$db.${info.name}"
+      if (rewritten.contains(ref)) {
+        requirePerm(p, db, info.name, "SELECT")
+        val view = s"${db}__${info.name}"
+        load(db, info.name).read().createOrReplaceTempView(view)
+        rewritten = rewritten.replace(ref, view)
+      }
+    }
+    spark.sql(rewritten)
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private def load(db: String, table: String): LakeTable =
+    catalog.loadTable(db, table).getOrElse(
+      throw new IllegalArgumentException(s"table $db.$table does not exist"))
+
+  private def added(t: LakeTable): String =
+    t.currentSnapshot.flatMap(_.summary.get("added-records")).getOrElse("?")
+
+  private def status(msg: String): DataFrame = {
+    import catalog.spark.implicits._
+    Seq(msg).toDF("status")
+  }
+
+  /** M10 enforcement: a principal needs the permission (or ALL) on the
+    * table; unset principal = administrative caller, unrestricted. A
+    * missing table skips the check — the statement then fails with its
+    * own does-not-exist error. */
+  private def requirePerm(
+      p: Option[String], db: String, table: String, perm: String,
+      missingOk: Boolean = false): Unit =
+    p.foreach { principal =>
+      if (catalog.tableExists(db, table)) {
+        val held = catalog.grantsFor(db, table, principal)
+        if (!held.contains("ALL") && !held.contains(perm))
+          throw new AccessDeniedException(
+            s"principal $principal lacks $perm on $db.$table")
+      }
+    }
+
+  private def fail(what: String, s: String): Nothing =
+    throw new SqlParseException(s"cannot parse $what: ${s.take(80)}")
+}
+
+object LakeSql {
+
+  private[lake] def splitName(name: String): (String, String) = {
+    // accept glue_catalog.db.t, db.t, or bare t (default namespace)
+    val parts = name.split('.')
+    parts.length match {
+      case 1 => ("default", parts(0))
+      case 2 => (parts(0), parts(1))
+      case _ => (parts(parts.length - 2), parts.last)
+    }
+  }
+
+  /** Content of the parenthesized group opening at `open` (s(open) must be
+    * '('), plus everything after the close. */
+  private[lake] def balancedParen(s: String, open: Int): (String, String) = {
+    var depth = 0; var i = open; var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(open + 1, i), s.substring(i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    throw new SqlParseException(s"unbalanced parentheses in: ${s.take(80)}")
+  }
+
+  /** Split on `sep` at paren depth 0, outside quotes. */
+  private[lake] def topLevelSplit(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQuote = false; var start = 0
+    for (i <- 0 until s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `sep` if depth == 0 =>
+          out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** TBLPROPERTIES ('k'='v', …) */
+  private[lake] def parseProps(s: String): Map[String, String] =
+    topLevelSplit(s, ',').map { kv =>
+      val m = """'([^']*)'\s*=\s*'([^']*)'""".r
+        .findFirstMatchIn(kv)
+        .getOrElse(throw new SqlParseException(s"bad property: $kv"))
+      m.group(1) -> m.group(2)
+    }.toMap
+
+  /** map('k1','v1','k2','v2') — the reference's CALL options shape (F2,
+    * upgrade_table.py:124,129). */
+  private[lake] def parseMapLiteral(s: String): Map[String, String] = {
+    val m = """(?is)^map\s*\(""".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new SqlParseException(s"expected map(...): $s"))
+    val items = topLevelSplit(balancedParen(s.trim, m.end - 1)._1, ',')
+      .map(unquote)
+    if (items.size % 2 != 0)
+      throw new SqlParseException(s"map(...) needs an even item count: $s")
+    items.grouped(2).map { case Seq(k, v) => k -> v }.toMap
+  }
+
+  /** TIMESTAMP '2030-01-01 00:00:00' → epoch ms, UTC (F3). */
+  private[lake] def parseTsLiteral(s: String): Long = {
+    val m = """(?is)^TIMESTAMP\s+'([^']*)'$""".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new SqlParseException(s"expected TIMESTAMP '…': $s"))
+    LocalDateTime.parse(m.group(1).replace(' ', 'T'))
+      .toInstant(ZoneOffset.UTC).toEpochMilli
+  }
+
+  private[lake] def unquote(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      t.substring(1, t.length - 1)
+    else t
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.lake.{AccessDeniedException, LakeCatalog, LakeSql}
+
+/** S8 dispatcher, S9/§2.12 verifier, M8/M9 upgrade driver, M10 grants
+  * enforcement, and the demo.sh E2E arc. */
+class OpsSpec extends SparkSpec {
+
+  private def freshSql(): LakeSql = {
+    val wh = Files.createTempDirectory("graft-ops-wh")
+    new LakeSql(new LakeCatalog(spark, wh))
+  }
+
+  test("LakeSql: DDL/DML/SELECT statement sequence drives the engine (S8)") {
+    val sql = freshSql()
+    sql.run("""CREATE TABLE db.t (id INT, category STRING, amount DECIMAL(10,2))
+               PARTITIONED BY (category)
+               TBLPROPERTIES ('format-version'='2',
+                 'write.delete.mode'='merge-on-read',
+                 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.t VALUES (1, 'a', 10.50), (2, 'b', 20.00), (3, 'a', 30.25)")
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.t").head().getLong(0) == 3)
+    sql.run("DELETE FROM db.t WHERE id = 2")
+    sql.run("UPDATE db.t SET amount = amount * 2 WHERE category = 'a'")
+    val rows = sql.run("SELECT id, amount FROM db.t ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString)
+    assert(rows.toSeq == Seq(1 -> "21.00", 3 -> "60.50"))
+    // DESCRIBE (M6) + ALTER + CALL (M2) round-trip
+    assert(sql.run("DESCRIBE db.t").count() == 3)
+    sql.run("ALTER TABLE db.t SET TBLPROPERTIES ('format-version'='3')")
+    val res = sql.run(
+      "CALL lake.system.rewrite_data_files(table => 'db.t', " +
+        "options => map('rewrite-all', 'true'))").head()
+    assert(res.getInt(0) > 0) // rewritten files
+    assert(sql.catalog.loadTable("db", "t").get.deleteFiles.isEmpty)
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.t").head().getLong(0) == 2)
+    sql.run("DROP TABLE IF EXISTS db.t")
+    assert(!sql.catalog.tableExists("db", "t"))
+  }
+
+  test("LakeSql: expire_snapshots CALL with TIMESTAMP literal (M3, F3)") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.e (id INT)")
+    sql.run("INSERT INTO db.e VALUES (1)")
+    sql.run("INSERT INTO db.e VALUES (2)")
+    val r = sql.run(
+      "CALL lake.system.expire_snapshots(table => 'db.e', " +
+        "older_than => TIMESTAMP '2030-01-01 00:00:00', retain_last => 1)").head()
+    assert(r.getInt(0) == 1) // one snapshot expired
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.e").head().getLong(0) == 2)
+  }
+
+  test("grants gate statements at dispatch; ALL implies everything (M10)") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.g (id INT)")
+    sql.run("INSERT INTO db.g VALUES (1), (2)")
+    sql.catalog.grant("db", "g", "reader", Seq("SELECT", "DESCRIBE"))
+    sql.catalog.grant("db", "g", "admin", Seq("ALL"))
+    val reader = Some("reader")
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.g", reader).head().getLong(0) == 2)
+    assert(sql.run("DESCRIBE db.g", reader).count() == 1)
+    assertThrows[AccessDeniedException](
+      sql.run("DELETE FROM db.g WHERE id = 1", reader))
+    assertThrows[AccessDeniedException](
+      sql.run("INSERT INTO db.g VALUES (3)", reader))
+    assertThrows[AccessDeniedException](
+      sql.run("DROP TABLE db.g", reader))
+    sql.run("DELETE FROM db.g WHERE id = 1", Some("admin"))
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.g", reader).head().getLong(0) == 1)
+  }
+
+  test("verifier: short-circuits on strict v2-MoR failure, classifies error (§2.12)") {
+    val sql = freshSql()
+    sql.run("""CREATE TABLE db.v (id INT) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.v VALUES (1), (2), (3)")
+    val strict = new Verifier(sql.catalog, strict = true)
+    assert(strict.verify("db", "v").ok) // no delete files yet
+    sql.run("DELETE FROM db.v WHERE id = 2")
+    val report = strict.verify("db", "v")
+    assert(!report.ok)
+    assert(report.probes.map(_.name) == Seq("describe", "select_limit")) // short-circuit
+    assert(report.probes.last.detail.contains("UNSUPPORTED_V2_DELETES"))
+    assert(report.probes.last.detail.contains("upgrade"))
+    // the engine itself (non-strict) reads fine — the limitation is the reader's
+    assert(new Verifier(sql.catalog, strict = false).verify("db", "v").ok)
+    // missing table
+    assert(!strict.verify("db", "nope").ok)
+  }
+
+  test("upgrader: branch structure, --all filter, dry-run, summary (M8/M9)") {
+    val sql = freshSql()
+    val up = new Upgrader(sql)
+    sql.run("""CREATE TABLE db.v2t (id INT) TBLPROPERTIES ('format-version'='2',
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.v2t VALUES (1), (2)")
+    sql.run("DELETE FROM db.v2t WHERE id = 1")
+    sql.run("CREATE TABLE db.v3t (id INT) TBLPROPERTIES ('format-version'='3')")
+    sql.catalog.registerForeignTable("db", "hive_t", "HIVE")
+
+    assert(up.list("db").toSet == Set("v2t" -> "2", "v3t" -> "3"))
+    // dry-run: plan text, no execution (upgrade_table.py:74-78)
+    val dry = up.upgradeTable("db", "v2t", dryRun = true)
+    assert(dry.action == "dry-run" && dry.detail.contains("ALTER TABLE")
+      && dry.detail.contains("rewrite_data_files"))
+    assert(sql.catalog.loadTable("db", "v2t").get.meta.formatVersion == 2)
+    // skip branch (upgrade_table.py:117-119)
+    assert(up.upgradeTable("db", "hive_t").action == "skipped")
+    assert(up.upgradeTable("db", "missing").action == "failed")
+    // --all only touches non-v3 lake tables (upgrade_table.py:205)
+    val outcomes = up.upgradeAll("db")
+    assert(outcomes.map(_.table) == Seq("db.v2t"))
+    assert(outcomes.head.action == "upgraded" && outcomes.head.ok)
+    val t = sql.catalog.loadTable("db", "v2t").get
+    assert(t.meta.formatVersion == 3 && t.meta.nextRowId >= 0)
+    assert(t.deleteFiles.isEmpty) // compacted
+    // already-v3 branch → compact-only (upgrade_table.py:121-124)
+    assert(up.upgradeTable("db", "v3t").action == "compacted-only")
+    val s = up.summary(outcomes)
+    assert(s.contains("1/1 succeeded"))
+  }
+
+  test("demo arc end-to-end: v2 failure → upgrade → v3 success (demo.sh:50-115)") {
+    val sql = freshSql()
+    val report = new DemoRunner(sql).run()
+    assert(report.ok, "\n" + report.render)
+    // the pivotal moments, by name
+    val byName = report.steps.map(s => s.name -> s.ok).toMap
+    assert(byName("strict-read-fails-on-v2-mor"))
+    assert(byName("upgrade"))
+    assert(byName("strict-read-ok-after-upgrade"))
+    assert(byName("v3-delete-count"))
+  }
+}
