@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for the LLM-data operators (SURVEY.md §2.11
+  * X3-X5): tokenization, shingling, MinHash/LSH banding, SimHash, and
+  * language-ID scoring — all built from codegen-friendly built-ins and
+  * higher-order functions; no UDFs, no driver-side state.
+  *
+  * Scale design: everything here is per-row column math. The sub-quadratic
+  * part of near-dup detection is the *grouping* on band signatures
+  * (candidates = bucket collisions), which shuffles O(rows × bands) small
+  * tuples instead of comparing O(rows²) pairs.
+  */
+object TextOps {
+
+  /** Whitespace word tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word 3-gram shingles (the near-dup unit). */
+  def shingles3(tk: Column): Column =
+    when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ",
+          element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact Jaccard over two distinct-element arrays (the verification step
+    * after LSH candidate generation). Integer-ratio double: deterministic
+    * across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  // ------------------------------------------------- signature hot loops
+  //
+  // MinHash and SimHash signatures are O(items × k) inner loops per row.
+  // As higher-order-function expressions they run interpreted (~µs per
+  // lambda eval → tens of ms per document) and Catalyst's
+  // CollapseProject freely inlines the shingle-building expression into
+  // the k-iteration lambda, multiplying the work by k again. These two
+  // stages therefore run as typed mapPartitions — compiled JVM loops,
+  // evaluated exactly once per row — which is the documented escape
+  // hatch for genuine per-row imperative hot loops. Candidate
+  // generation (the part that must scale) stays declarative: groupBy /
+  // join on the emitted (band, signature) tuples.
+
+  /** Two independent 32-bit hashes of a string, combined per index i as
+    * h1 + i·h2 (classic double hashing) — k hash families for one hash
+    * cost. */
+  @inline private def hash2(s: String): (Long, Long) = (
+    scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong,
+    scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong | 1L)
+
+  /** JVM twin of tokens+shingles3: identical shingle *set* (the HOF form
+    * remains as the declarative cross-check used by the specs; this one
+    * feeds the signature and verification hot loops). */
+  def shingleSet(text: String): Array[String] = {
+    val tk = text.toLowerCase.split(" ", -1)
+    if (tk.length < 3) Array.empty
+    else Array.tabulate(tk.length - 2)(i =>
+      tk(i) + " " + tk(i + 1) + " " + tk(i + 2)).distinct
+  }
+
+  /** (doc_id, text) → one row per (doc_id, band, sig): k minhashes over
+    * the 3-gram shingle set, banded `bands` × `rowsPerBand`. One compiled
+    * pass per document — tokenize, shingle, and hash never re-evaluate. */
+  /** Small inputs arrive as one file split; fan the CPU-bound signature
+    * loop out to all cores. (At scale the source already has enough
+    * splits and this is a no-op.) */
+  private def parallelized(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
+  def minhashBands(
+      docs: DataFrame, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+    parallelized(docs).as[(Long, String)].flatMap { case (id, text) =>
+      val sh = shingleSet(text)
+      if (sh.isEmpty) Nil // can't be a near-dup; would bucket with every other empty doc
+      else {
+        val mins = Array.fill(k)(Long.MaxValue)
+        sh.foreach { s =>
+          val (h1, h2) = hash2(s)
+          var i = 0
+          while (i < k) {
+            val h = h1 + i * h2
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        (0 until bands).map { b =>
+          var sig = 17L
+          var r = 0
+          while (r < rowsPerBand) { sig = sig * 31 + mins(b * rowsPerBand + r); r += 1 }
+          (id, b, sig)
+        }
+      }
+    }.toDF("doc_id", "band", "sig")
+  }
+
+  /** (doc_id, text) → one row per (doc_id, band, sig): 64-bit SimHash
+    * over the shingle set (sign of per-bit ±1 sums of shingle hashes),
+    * banded into `bands` × (64/bands)-bit values. Shingles rather than
+    * raw tokens: shared-vocabulary corpora make whole-doc token sets
+    * collide across unrelated documents. */
+  def simhashBands(docs: DataFrame, bands: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bitsPerBand = 64 / bands
+    parallelized(docs).as[(Long, String)].flatMap { case (id, text) =>
+      val sh = shingleSet(text)
+      if (sh.isEmpty) Nil
+      else simhashRows(id, sh, bands, bitsPerBand)
+    }.toDF("doc_id", "band", "sig")
+  }
+
+  private def simhashRows(
+      id: Long, sh: Array[String], bands: Int, bitsPerBand: Int): Seq[(Long, Int, Long)] = {
+    val counts = new Array[Int](64)
+    sh.foreach { t =>
+      val (h1, h2) = hash2(t)
+      val h = (h1 << 32) | (h2 & 0xffffffffL)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+    }
+    (0 until bands).map { b =>
+      var sig = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        sig = (sig << 1) | (if (counts(b * bitsPerBand + j) > 0) 1L else 0L)
+        j += 1
+      }
+      (id, b, sig)
+    }
+  }
+
+  // ------------------------------------------------------------ lang-ID
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * (X5). Deliberately small and disjoint-ish; the classifier is the
+    * machinery under test, not a linguistics claim. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "en", "que", "se", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "il", "pour", "sur", "au"))
+
+  def stopwordHits(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isInCollection(words)))
+
+  /** argmax over language scores with a fixed preference order
+    * (en > de > es > fr) for deterministic ties; zero hits → "unknown". */
+  def predictedLang(tk: Column): Column = {
+    val h = Stopwords.map { case (lang, words) => lang -> stopwordHits(tk, words) }.toMap
+    when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr") && h("en") > 0, "en")
+      .when(h("de") >= h("es") && h("de") >= h("fr") && h("de") > 0, "de")
+      .when(h("es") >= h("fr") && h("es") > 0, "es")
+      .when(h("fr") > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** The same argmax as a DuckDB SQL expression over a token-list column
+    * `tk` — the oracle side of the lang-ID query. */
+  def predictedLangDuckSql(tk: String): String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter($tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val h = Stopwords.map { case (lang, words) => lang -> hits(words) }.toMap
+    s"""CASE
+        WHEN ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("fr")} AND ${h("en")} > 0 THEN 'en'
+        WHEN ${h("de")} >= ${h("es")} AND ${h("de")} >= ${h("fr")} AND ${h("de")} > 0 THEN 'de'
+        WHEN ${h("es")} >= ${h("fr")} AND ${h("es")} > 0 THEN 'es'
+        WHEN ${h("fr")} > 0 THEN 'fr'
+        ELSE 'unknown' END"""
+  }
+}

@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+
+/** LLM-data-pipeline operators (SURVEY.md §2.11, BASELINE.json north
+  * star): tokenization, sub-quadratic near-dup detection (MinHash/LSH and
+  * SimHash banding, both verified by exact n-gram Jaccard), embedding
+  * similarity, ANN with hyperplane-LSH pre-filtering, language ID, quality
+  * scoring, token statistics, and document fingerprinting.
+  *
+  * 100 TB posture: the near-dup operators shuffle O(rows × bands) band
+  * signatures and compare only bucket collisions — never O(rows²) pairs;
+  * the exact-verification joins touch candidates only. The brute-force
+  * DuckDB oracles ARE quadratic — affordable at the sf0.01 correctness
+  * scale precisely because the engine side doesn't have to be.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Shared DuckDB prologue: doc_id + distinct word-3-gram shingles. */
+  private val DuckShingles =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+       s AS (SELECT doc_id,
+               CASE WHEN len(tk) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                 ELSE []::VARCHAR[] END AS sh
+             FROM t)"""
+
+  /** Brute-force exact near-dup ground truth — the oracle both LSH paths
+    * must reproduce (their candidate generation differs; the verified
+    * output must not). */
+  private val DuckNearDup = DuckShingles +
+    """, p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, ROUND(jac, 4) AS jac FROM p
+       WHERE jac >= 0.8 ORDER BY doc_a, doc_b"""
+
+  /** candidates (doc_a < doc_b) → exact-Jaccard verify ≥ 0.8. Shingle
+    * sets are built only for documents that appear in a candidate pair,
+    * and the set intersection runs as compiled JVM code — the
+    * quadratic-ish verify work touches the collision set, never the
+    * corpus. Integer-ratio double division keeps exact parity with the
+    * DuckDB brute-force oracle. */
+  private def verifyCandidates(
+      s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    import s.implicits._
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    val docsNeeded = t(s, dir, "documents")
+      .join(broadcast(ids), "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, TextOps.shingleSet(text)) }
+      .toDF("doc_id", "sh")
+      .localCheckpoint(true) // consumed by both pair sides
+    val a = docsNeeded.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = docsNeeded.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .map { case (da, db, sa, sb) =>
+        val setA = sa.toSet
+        var inter = 0
+        sb.foreach(x => if (setA(x)) inter += 1)
+        (da, db, inter.toDouble / (setA.size + sb.size - inter))
+      }
+      .toDF("doc_a", "doc_b", "jac_raw")
+      .filter(col("jac_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------- q33 tokenizer
+  val q33 = QueryDef(
+    "q33_tokenize_topk",
+    Some("""SELECT token, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents)
+            WHERE token <> '' GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 20"""),
+    (s, dir) => t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20))
+
+  // --------------------------------------------- q34 MinHash/LSH near-dup
+  // 128 minhashes, 32 bands × 4 rows: P(candidate | jaccard s) =
+  // 1-(1-s⁴)^32 — ≈1 for s ≥ 0.8 (miss ≈ 5·10⁻⁸; planted dups sit at
+  // ~0.99) while background same-vocabulary pairs (s ≪ 0.1) almost never
+  // collide. 2-row bands let ~22k of 12.5M sf0.1 pairs through to the
+  // exact verify; 4-row bands cut that to ≈ the true pairs.
+  val q34 = QueryDef(
+    "q34_minhash_neardup",
+    Some(DuckNearDup),
+    (s, dir) => {
+      val bands = TextOps.minhashBands(
+        t(s, dir, "documents").select("doc_id", "text"), 32, 4)
+      verifyCandidates(s, dir, bucketPairs(bands))
+    })
+
+  /** Candidate pairs from bucket collisions in a single pass: collect
+    * each (band, sig) bucket's member list and emit its pairs directly —
+    * no self-join, so the signature stage runs exactly once. Degenerate
+    * buckets are capped (a pathological signature shared corpus-wide
+    * would otherwise regenerate the quadratic pair space). The result is
+    * local-checkpointed because the verify stage consumes it three times
+    * (two id projections + the pair join) and candidate lists are tiny
+    * relative to the corpus. */
+  private def bucketPairs(bands: DataFrame): DataFrame =
+    bands.groupBy("band", "sig")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(" +
+          "slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+
+  // ------------------------------------------------ q35 SimHash near-dup
+  // 64-bit SimHash, 4 bands × 16 bits, single-bit multiprobe. Band width
+  // must exceed log₂(corpus) or unrelated documents collide by pigeonhole
+  // (8-bit bands ≈ 20 docs/bucket at 5k docs — quadratic verify); 16-bit
+  // buckets stay sparse while the 17 probe variants per band (identity +
+  // each 1-bit flip) recover recall: a pair is caught whenever any band
+  // differs by ≤ 1 bit — guaranteed for hamming ≤ 7 by pigeonhole, and
+  // empirically for the planted dups here. Exact-Jaccard verification
+  // reproduces the same ground-truth oracle as q34.
+  val q35 = QueryDef(
+    "q35_simhash_neardup",
+    Some(DuckNearDup),
+    (s, dir) => {
+      val exploded = TextOps.simhashBands(
+        t(s, dir, "documents").select("doc_id", "text"), 4)
+      // one pass emits the exact row (ex=1) plus the 16 single-bit probe
+      // variants (ex=0); a pair is a candidate when some bucket holds one
+      // doc's exact signature and the other's exact-or-probe — i.e. some
+      // band differs by ≤ 1 bit
+      val tagged = exploded.select(col("doc_id"), col("band"),
+        explode(array(struct(col("sig").as("sig"), lit(1).as("ex")) +:
+          (0 until 16).map(j => struct(
+            col("sig").bitwiseXOR(lit(1L << j)).as("sig"), lit(0).as("ex"))): _*)).as("p"))
+        .select(col("doc_id"), col("band"), col("p.sig").as("sig"), col("p.ex").as("ex"))
+      val cand = tagged.groupBy("band", "sig")
+        .agg(collect_list(struct(col("doc_id"), col("ex"))).as("ms"))
+        .filter(size(col("ms")).between(2, 1000) && expr("exists(ms, m -> m.ex = 1)"))
+        .select(explode(expr(
+          "flatten(transform(filter(ms, y -> y.ex = 1), " +
+            "y -> transform(ms, x -> struct(" +
+            "least(x.doc_id, y.doc_id) AS doc_a, " +
+            "greatest(x.doc_id, y.doc_id) AS doc_b))))")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+        .localCheckpoint(true)
+      verifyCandidates(s, dir, cand)
+    })
+
+  // ------------------------------------- q36 embedding top pair per label
+  val q36 = QueryDef(
+    "q36_embedding_top_pair",
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    list_cosine_similarity(a.v, b.v) AS sim
+                  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY sim DESC, vec_a, vec_b) AS rn FROM p)
+            SELECT label, vec_a, vec_b, ROUND(sim, 4) AS sim
+            FROM r WHERE rn = 1 ORDER BY label"""),
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").select("label", "vec_id", "embedding")
+      // the O(pairs × dims) cosine loop runs typed (compiled); the
+      // blocking join and per-label top-1 stay declarative. Same
+      // sequential double accumulation as the HOF/DuckDB forms, so the
+      // raw doubles (and the top-1 selection on them) agree bit-for-bit.
+      val pairs = e.as("a")
+        .join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        .as[(Int, Long, Long, Seq[Float], Seq[Float])]
+        .map { case (l, va, vb, ea, eb) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < ea.length) {
+            val x = ea(i).toDouble; val y = eb(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          (l, va, vb, dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+        .toDF("label", "vec_a", "vec_b", "sim_raw")
+      val w = Window.partitionBy("label")
+        .orderBy(col("sim_raw").desc, col("vec_a"), col("vec_b"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("label"), col("vec_a"), col("vec_b"),
+          round(col("sim_raw"), 4).as("sim"))
+        .orderBy("label")
+    })
+
+  // --------------------------------------------- q37 ANN (hyperplane LSH)
+  /** 16 independent hash tables × 6 sign bits, planes fixed by seed — the
+    * bucketed scale path for q28's exact brute force. Engine-only entry
+    * (hash-seeded candidates have no cross-engine oracle); AnnSpec asserts
+    * recall against the exact top-k. */
+  val AnnPlanes: Seq[Seq[Seq[Double]]] = {
+    val r = new scala.util.Random(7)
+    Seq.fill(16)(Seq.fill(6)(Seq.fill(64)(r.nextGaussian())))
+  }
+
+  def annSigs(v: Column): Column =
+    transform(typedLit(AnnPlanes), tbl => aggregate(tbl, lit(0L),
+      (acc, plane) => acc * 2 +
+        when(VectorOps.dot(v, plane) > 0, 1L).otherwise(0L)))
+
+  val q37 = QueryDef(
+    "q37_ann_topk",
+    None, // engine-only: candidates depend on engine-seeded hyperplanes
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("vec_id"), col("v"), annSigs(col("v")).as("sigs"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("sigs").as("qsigs"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(q),
+          size(filter(zip_with(col("sigs"), col("qsigs"), (a, b) => a === b),
+            x => x)) > 0)
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    })
+
+  // ----------------------------------------------- q38 language-ID (X5)
+  val q38 = QueryDef(
+    "q38_langid_confusion",
+    Some(s"""WITH t AS (SELECT lang, string_split(lower(text), ' ') AS tk
+                        FROM documents)
+             SELECT lang, ${TextOps.predictedLangDuckSql("tk")} AS predicted,
+                    COUNT(*) AS cnt
+             FROM t GROUP BY lang, predicted ORDER BY lang, predicted"""),
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"),
+        TextOps.predictedLang(TextOps.tokens(col("text"))).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted"))
+
+  // -------------------------------------------- q39 quality scoring (X5)
+  val q39 = QueryDef(
+    "q39_quality_score",
+    Some("""WITH t AS (SELECT lang, text, n_chars,
+                         string_split(lower(text), ' ') AS tk
+                       FROM documents)
+            SELECT lang,
+                   COUNT(*) AS docs,
+                   ROUND(AVG(len(tk)), 2) AS avg_tokens,
+                   ROUND(AVG(len(replace(text, ' ', ''))::DOUBLE / len(tk)), 2) AS avg_word_len,
+                   ROUND(AVG(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'on', 'for')))::DOUBLE / len(tk)), 4) AS stopword_ratio,
+                   ROUND(AVG(n_chars), 2) AS avg_chars
+            FROM t GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val tk = TextOps.tokens(col("text"))
+      val enWords = TextOps.Stopwords.toMap.apply("en")
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), tk.as("tk"),
+          length(regexp_replace(col("text"), " ", "")).as("letters"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          round(avg(size(col("tk"))), 2).as("avg_tokens"),
+          round(avg(col("letters").cast("double") / size(col("tk"))), 2).as("avg_word_len"),
+          round(avg(TextOps.stopwordHits(col("tk"), enWords).cast("double")
+            / size(col("tk"))), 4).as("stopword_ratio"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy("lang")
+    })
+
+  // -------------------------------------------- q40 token counting (X3)
+  val q40 = QueryDef(
+    "q40_token_stats",
+    Some("""SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS re_tokens
+            FROM documents GROUP BY lang ORDER BY lang"""),
+    (s, dir) => t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        sum(size(split(col("text"), " "))).as("ws_tokens"),
+        sum(size(expr("""regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)""")))
+          .as("re_tokens"))
+      .orderBy("lang"))
+
+  // -------------------------------------- q41 document fingerprint (X4)
+  val q41 = QueryDef(
+    "q41_fingerprint",
+    Some("""SELECT lang, COUNT(*) AS docs,
+                   COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS distinct_fp
+            FROM documents GROUP BY lang ORDER BY lang"""),
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), countDistinct(col("fp")).as("distinct_fp"))
+      .orderBy("lang"))
+
+  // ------------------------------------------ q42 session window (§2.10)
+  val q42 = QueryDef(
+    "q42_session_window",
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            m AS (SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS ns
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s2 AS (SELECT user_id, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+            g AS (SELECT user_id, sid, COUNT(*) AS c FROM s2 GROUP BY user_id, sid)
+            SELECT CAST(COUNT(*) AS BIGINT) AS sessions,
+                   ROUND(AVG(c), 2) AS avg_events,
+                   CAST(MAX(c) AS BIGINT) AS max_events
+            FROM g"""),
+    (s, dir) => t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("sessions"),
+        round(avg(col("c")), 2).as("avg_events"),
+        max(col("c")).as("max_events")))
+
+  // ------------------------------------------------- q43 map functions (F11)
+  val q43 = QueryDef(
+    "q43_map_fns",
+    Some("""SELECT p_partkey, p_brand AS brand_v, 2 AS nkeys,
+                   p_brand || '|' || p_type AS vals
+            FROM part ORDER BY p_partkey"""),
+    (s, dir) => {
+      val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          element_at(m, "brand").as("brand_v"),
+          size(map_keys(m)).as("nkeys"),
+          concat_ws("|", map_values(m)).as("vals"))
+        .orderBy("p_partkey")
+    })
+
+  val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
+    q42, q43)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 /** All queries exposed through SparkEntry. Milestones append here. */
 object Registry {
-  def all: Seq[QueryDef] = LakeQueries.defs ++ RelQueries.defs
+  def all: Seq[QueryDef] = LakeQueries.defs ++ RelQueries.defs ++ LlmQueries.defs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     all.map(d => d.name -> d.run).toMap

