@@ -1,0 +1,167 @@
+package graft.lake
+
+import java.nio.file.Paths
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-v2 `TableCatalog` exposing lake tables to Spark SQL under a
+  * catalog name — `spark.sql.catalog.lake = graft.lake.LakeSparkCatalog`
+  * (plus `glue_catalog` for the reference's spelling,
+  * upgrade_table.py:128) makes
+  *
+  *   CREATE TABLE lake.db.t … / DROP TABLE / DESCRIBE / SHOW TABLES /
+  *   SELECT … FROM lake.db.t
+  *
+  * plan natively through Catalyst, with the MoR-aware scan (position/
+  * equality-delete anti-joins) at the leaf via the V1Scan bridge.
+  * Row-level DML (INSERT/DELETE/UPDATE/CALL) stays on the LakeSql
+  * dispatcher — Spark's SupportsRowLevelOperations contract is
+  * deliberately out of scope (SURVEY.md §7.3).
+  *
+  * The warehouse root is read from `spark.graft.warehouse` at every call,
+  * so one registered catalog serves whatever warehouse the session
+  * currently points at (tests swap warehouses per suite).
+  */
+class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "lake"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def cat: LakeCatalog = {
+    val spark = SparkSession.active
+    val wh = spark.conf.getOption(LakeExtensions.WarehouseConf).getOrElse(
+      throw new IllegalStateException(
+        s"${LakeExtensions.WarehouseConf} is not set — point it at the warehouse root"))
+    new LakeCatalog(spark, Paths.get(wh))
+  }
+
+  private def db(ident: Identifier): String = {
+    if (ident.namespace().length != 1)
+      throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    ident.namespace()(0)
+  }
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    cat.listTables(namespace(0))
+      .map(i => Identifier.of(namespace, i.name)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    cat.loadTable(db(ident), ident.name()) match {
+      case Some(t) => new LakeV2Table(t)
+      case None => throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    }
+
+  override def tableExists(ident: Identifier): Boolean =
+    cat.tableExists(db(ident), ident.name())
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val partCols = partitions.toSeq.map { t =>
+      // identity partitioning only, like the reference's PARTITIONED BY (category)
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1)
+        throw new UnsupportedOperationException(s"unsupported partition transform: $t")
+      refs(0).fieldNames().mkString(".")
+    }
+    val props = properties.asScala.toMap -
+      TableCatalog.PROP_PROVIDER - TableCatalog.PROP_LOCATION - TableCatalog.PROP_OWNER
+    cat.createNamespace(db(ident))
+    new LakeV2Table(cat.createTable(db(ident), ident.name(), schema, partCols, props))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = cat.loadTable(db(ident), ident.name()).getOrElse(
+      throw new NoSuchTableException(ident.namespace() :+ ident.name()))
+    val props = changes.collect {
+      case s: TableChange.SetProperty => s.property() -> s.value()
+    }.toMap
+    if (props.size != changes.size)
+      throw new UnsupportedOperationException("only SET TBLPROPERTIES is supported")
+    // the format-version property is the v2→v3 upgrade — mint next-row-id
+    val t2 = props.get("format-version") match {
+      case Some(v) => Procedures.upgradeFormatVersion(t, v.toInt)
+        .setProperties(props - "format-version")
+      case None => t.setProperties(props)
+    }
+    new LakeV2Table(t2)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    cat.dropTable(db(ident), ident.name())
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespace.length == 1 && cat.namespaceExists(namespace(0)))
+      Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String], metadata: JMap[String, String]): Unit =
+    cat.createNamespace(namespace(0))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alter namespace is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    false // namespaces are directories shared with tables; not dropped here
+}
+
+/** Read-only V2 table handle; the scan is the engine's MoR-aware
+  * DataFrame surfaced through the V1Scan bridge (same public bridge the
+  * built-in JDBC source uses). */
+class LakeV2Table(t: LakeTable) extends Table with SupportsRead {
+
+  override def name(): String = t.name
+  override def schema(): StructType = t.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def properties(): JMap[String, String] =
+    (t.meta.props + ("format-version" -> t.meta.formatVersion.toString)).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = t.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = t.schema
+            override def buildScan(): RDD[Row] = t.read().rdd
+          }.asInstanceOf[T]
+      }
+    }
+}

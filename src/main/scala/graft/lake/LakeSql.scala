@@ -37,6 +37,10 @@ class LakeSql(val catalog: LakeCatalog) {
 
   private def spark = catalog.spark
 
+  // let the LakeExtensions resolution rule (if installed) resolve
+  // lake.db.t / glue_catalog.db.t references in SELECTs natively
+  spark.conf.set(LakeExtensions.WarehouseConf, catalog.warehouse.toString)
+
   def run(sql: String, principal: Option[String] = None): DataFrame = {
     val s = sql.trim.stripSuffix(";").trim
     val up = s.toUpperCase
@@ -190,9 +194,12 @@ class LakeSql(val catalog: LakeCatalog) {
   /** SELECT (and WITH): lake tables referenced as `db.t` are registered
     * as temp views and the identifiers rewritten, then Catalyst plans the
     * query — the engine adds MoR semantics at the leaf and Spark does the
-    * rest (SURVEY §3.1 restatement). */
+    * rest (SURVEY §3.1 restatement). Sessions with [[LakeSparkCatalog]]
+    * registered additionally resolve `lake.db.t` / `glue_catalog.db.t`
+    * natively; the dispatcher normalizes those spellings to the bare
+    * form so both setups accept the reference's statements. */
   private def select(s: String, p: Option[String]): DataFrame = {
-    var rewritten = s
+    var rewritten = s.replace("glue_catalog.", "").replace("lake.", "")
     for {
       db <- catalog.listNamespaces()
       info <- catalog.listTables(db) if info.tableType == "LAKE"

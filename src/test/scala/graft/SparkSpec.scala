@@ -8,6 +8,9 @@ object SparkSpec {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")
+    .config("spark.sql.extensions", "graft.lake.LakeExtensions")
+    .config("spark.sql.catalog.lake", "graft.lake.LakeSparkCatalog")
+    .config("spark.sql.catalog.glue_catalog", "graft.lake.LakeSparkCatalog")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,58 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SparkSessionExtensions integration: native `lake.db.t` resolution in
+  * spark.sql (Catalyst sees the MoR scan at the leaf) and the registered
+  * `cosine_sim` SQL function (X1). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("DSv2 catalog: native SELECT/DESCRIBE/SHOW over lake.db.t with MoR applied") {
+    val wh = Files.createTempDirectory("graft-ext-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh)) // sets spark.graft.warehouse
+    sql.run("""CREATE TABLE db.t (id INT, category STRING) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.t VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    sql.run("DELETE FROM db.t WHERE id = 2")
+
+    // native multi-part reference, MoR deletes applied at the leaf
+    val viaLake = spark.sql("SELECT COUNT(*) AS cnt FROM lake.db.t").head().getLong(0)
+    assert(viaLake == 2)
+    // the reference's own catalog spelling (upgrade_table.py:128)
+    assert(spark.sql(
+      "SELECT id FROM glue_catalog.db.t WHERE category = 'a' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // joins/aggregations plan through Catalyst normally
+    val joined = spark.sql(
+      """SELECT a.id FROM lake.db.t a JOIN lake.db.t b ON a.category = b.category
+         AND a.id < b.id""").collect()
+    assert(joined.map(_.getInt(0)).toSeq == Seq(1))
+    // catalog DDL surface
+    assert(spark.sql("SHOW TABLES IN lake.db").collect().map(_.getString(1)).contains("t"))
+    assert(spark.sql("DESCRIBE TABLE lake.db.t").collect()
+      .map(_.getString(0)).toSet.intersect(Set("id", "category")).size == 2)
+    spark.sql("CREATE TABLE lake.db.native_t (x INT) TBLPROPERTIES ('format-version'='2')")
+    assert(sql.catalog.tableExists("db", "native_t"))
+    spark.sql("ALTER TABLE lake.db.native_t SET TBLPROPERTIES ('format-version'='3')")
+    assert(sql.catalog.loadTable("db", "native_t").get.meta.formatVersion == 3)
+    spark.sql("DROP TABLE lake.db.native_t")
+    assert(!sql.catalog.tableExists("db", "native_t"))
+  }
+
+  test("cosine_sim is registered as a native SQL function") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS s1, " +
+        "ROUND(cosine_sim(array(1.0, 0.0), array(1.0, 1.0)), 4) AS s2").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.7071)
+    // works over real embedding columns too
+    graft.Tables(spark, sf, "embeddings").limit(10).createOrReplaceTempView("emb10")
+    val n = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS s FROM emb10").collect()
+    assert(n.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+}
