@@ -17,6 +17,11 @@ object Tables {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
       // default. Read nanos as LongType and truncate to a µs timestamp —
       // same truncation DuckDB applies, so oracle parity holds.
+      // NOTE: the conf is session-wide and stays set — any later read of a
+      // TIMESTAMP(NANOS) parquet in this session types it LongType. The
+      // Verify/Bench/test session builders preset it so the behavior is
+      // uniform from session start (ADVICE r1); it cannot be save/restored
+      // around this call because the scan re-reads it at execution time.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions

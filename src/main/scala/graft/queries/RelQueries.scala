@@ -238,13 +238,23 @@ object RelQueries {
               (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
                  EXCEPT SELECT s_nationkey FROM supplier)) AS cnt_except"""),
     (s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
-      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
-      val ua = c.union(sp).agg(count(lit(1)).as("cnt_union_all"))
-      val un = c.union(sp).distinct().agg(count(lit(1)).as("cnt_union"))
-      val in = c.intersect(sp).agg(count(lit(1)).as("cnt_intersect"))
-      val ex = c.except(sp).agg(count(lit(1)).as("cnt_except"))
-      ua.crossJoin(un).crossJoin(in).crossJoin(ex)
+      // all four set-operation counts from ONE pass: tag each side,
+      // aggregate per key, derive UNION ALL/UNION/INTERSECT/EXCEPT from
+      // the per-side counts — r1 scanned both tables 4× and chained
+      // crossJoins (VERDICT r1 per-query audit)
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("k"), lit(1L).as("nc"), lit(0L).as("ns"))
+      val sp = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("k"), lit(0L).as("nc"), lit(1L).as("ns"))
+      c.unionAll(sp)
+        .groupBy("k").agg(sum("nc").as("nc"), sum("ns").as("ns"))
+        .agg(
+          sum(col("nc") + col("ns")).as("cnt_union_all"),
+          count(lit(1)).as("cnt_union"),
+          sum(when(col("nc") > 0 && col("ns") > 0, 1L).otherwise(0L))
+            .as("cnt_intersect"),
+          sum(when(col("nc") > 0 && col("ns") === 0, 1L).otherwise(0L))
+            .as("cnt_except"))
     })
 
   // ---------------------------------------------------------------- Q25

@@ -50,4 +50,23 @@ class RelQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
   }
+
+  test("q11 dim join broadcasts; q23 fuses into TakeOrdered (plan shape)") {
+    val q11 = Registry.queries("q11_join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q11.contains("BroadcastHashJoin"), q11.take(500))
+    val q23 = Registry.queries("q23_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q23.contains("TakeOrderedAndProject"), q23.take(500))
+  }
+
+  test("q24 computes all four set-op counts in a single pass (≤ 2 shuffles)") {
+    val plan = Registry.queries("q24_set_ops")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"$exchanges shuffles:\n${plan.take(800)}")
+    // and both inputs are scanned exactly once
+    assert("customer\\.parquet".r.findAllIn(plan).size <= 1)
+    assert("supplier\\.parquet".r.findAllIn(plan).size <= 1)
+  }
 }

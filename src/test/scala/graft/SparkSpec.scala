@@ -12,6 +12,7 @@ object SparkSpec {
     .config("spark.sql.catalog.lake", "graft.lake.LakeSparkCatalog")
     .config("spark.sql.catalog.glue_catalog", "graft.lake.LakeSparkCatalog")
     .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
