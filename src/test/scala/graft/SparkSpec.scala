@@ -8,6 +8,8 @@ object SparkSpec {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-test")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-spark-wh").toString)
     .config("spark.sql.extensions", "graft.lake.LakeExtensions")
     .config("spark.sql.catalog.lake", "graft.lake.LakeSparkCatalog")
     .config("spark.sql.catalog.glue_catalog", "graft.lake.LakeSparkCatalog")
