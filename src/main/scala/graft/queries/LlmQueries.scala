@@ -180,28 +180,18 @@ object LlmQueries {
             SELECT label, vec_a, vec_b, ROUND(sim, 4) AS sim
             FROM r WHERE rn = 1 ORDER BY label"""),
     (s, dir) => {
-      import s.implicits._
       val e = t(s, dir, "embeddings").select("label", "vec_id", "embedding")
-      // the O(pairs × dims) cosine loop runs typed (compiled); the
-      // blocking join and per-label top-1 stay declarative. Same
-      // sequential double accumulation as the HOF/DuckDB forms, so the
-      // raw doubles (and the top-1 selection on them) agree bit-for-bit.
+      // fully declarative: the codegen'd CosineSimilarity expression runs
+      // the fused dot/norms loop inside whole-stage codegen right on the
+      // blocked join output — same sequential double accumulation as
+      // DuckDB's list_cosine_similarity, so the raw doubles (and the
+      // top-1 selection on them) agree bit-for-bit
       val pairs = e.as("a")
         .join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.label").as("label"),
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-        .as[(Int, Long, Long, Seq[Float], Seq[Float])]
-        .map { case (l, va, vb, ea, eb) =>
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < ea.length) {
-            val x = ea(i).toDouble; val y = eb(i).toDouble
-            dot += x * y; na += x * x; nb += y * y; i += 1
-          }
-          (l, va, vb, dot / (math.sqrt(na) * math.sqrt(nb)))
-        }
-        .toDF("label", "vec_a", "vec_b", "sim_raw")
+          VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim_raw"))
       val w = Window.partitionBy("label")
         .orderBy(col("sim_raw").desc, col("vec_a"), col("vec_b"))
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
