@@ -10,8 +10,8 @@ import org.apache.spark.sql.{Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, In, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -141,7 +141,12 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
 
 /** Read-only V2 table handle; the scan is the engine's MoR-aware
   * DataFrame surfaced through the V1Scan bridge (same public bridge the
-  * built-in JDBC source uses). */
+  * built-in JDBC source uses). The bridged relation is a
+  * PrunedFilteredScan: column pruning reaches the parquet reader and
+  * equality/IN filters on partition columns prune data files at the
+  * metadata level before any I/O (§4.2). All filters are conservatively
+  * re-applied by Spark above the scan (unhandledFilters default), so the
+  * pushdown is purely an optimization. */
 class LakeV2Table(t: LakeTable) extends Table with SupportsRead {
 
   override def name(): String = t.name
@@ -151,16 +156,55 @@ class LakeV2Table(t: LakeTable) extends Table with SupportsRead {
   override def properties(): JMap[String, String] =
     (t.meta.props + ("format-version" -> t.meta.formatVersion.toString)).asJava
 
+  /** Metadata-level partition predicate from the pushed filters: a file
+    * survives if every partition-column constraint admits its recorded
+    * partition value. */
+  private def partitionPredicate(
+      filters: Array[Filter]): Map[String, String] => Boolean = {
+    val partCols = t.meta.partitionCols.toSet
+    val constraints = filters.collect {
+      case EqualTo(c, v) if partCols.contains(c) => c -> Set(String.valueOf(v))
+      case In(c, vs) if partCols.contains(c) => c -> vs.map(String.valueOf).toSet
+    }
+    pv => constraints.forall { case (c, allowed) =>
+      pv.get(c).forall(allowed.contains)
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // The V1 bridge invokes the relation's no-arg buildScan() and
+      // expects pushed state baked in, so the builder accumulates it.
+      // Every filter is reported back as post-scan (Spark re-evaluates
+      // them all above the scan) — pushdown here is purely metadata file
+      // pruning + column pruning, never a correctness dependency.
+      private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = t.schema
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters; filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = t.schema
+        override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
-            override def schema: StructType = t.schema
-            override def buildScan(): RDD[Row] = t.read().rdd
+            override def schema: StructType = required
+            override def buildScan(): RDD[Row] = {
+              val prunedFiles = t.read(partitionFilter = partitionPredicate(pushed))
+              val narrowed =
+                if (required.isEmpty) prunedFiles.select()
+                else prunedFiles.select(required.fieldNames
+                  .map(org.apache.spark.sql.functions.col).toSeq: _*)
+              narrowed.rdd
+            }
           }.asInstanceOf[T]
       }
     }

@@ -90,6 +90,7 @@ object Upgrader {
   def main(args: Array[String]): Unit = {
     var db = "default"; var tables = Seq.empty[String]
     var all = false; var listOnly = false; var dryRun = false
+    var warehouseArg: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -99,11 +100,14 @@ object Upgrader {
         case "--all" => all = true; i += 1
         case "--list" => listOnly = true; i += 1
         case "--dry-run" => dryRun = true; i += 1
+        case "--warehouse" => warehouseArg = Some(args(i + 1)); i += 2
         case other => sys.error(s"unknown argument: $other")
       }
     }
-    val warehouse = sys.env.getOrElse("GRAFT_WAREHOUSE",
-      sys.error("GRAFT_WAREHOUSE not set"))
+    val warehouse = warehouseArg.orElse(sys.env.get("GRAFT_WAREHOUSE"))
+      .getOrElse(sys.error("set --warehouse or GRAFT_WAREHOUSE"))
+    val hadSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -119,6 +123,7 @@ object Upgrader {
         else tables.map(t => up.upgradeTable(db, t, dryRun))
       println(up.summary(outcomes))
     }
-    spark.stop()
+    // embedded callers (tests) share a live session; only stop our own
+    if (!hadSession) spark.stop()
   }
 }

@@ -43,6 +43,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(!sql.catalog.tableExists("db", "native_t"))
   }
 
+  test("native SQL path prunes partitions at the metadata level") {
+    val wh = Files.createTempDirectory("graft-prune-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.p (id INT, category STRING) PARTITIONED BY (category)")
+    sql.run("INSERT INTO db.p VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // vaporize partition c's data files: a query that prunes on partition
+    // values never touches them; an unpruned scan must fail
+    val t = sql.catalog.loadTable("db", "p").get
+    t.dataFiles.filter(_.partitionValues("category") == "c")
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    val pruned = spark.sql(
+      "SELECT id FROM lake.db.p WHERE category = 'a'").collect()
+    assert(pruned.map(_.getInt(0)).toSeq == Seq(1))
+    val inList = spark.sql(
+      "SELECT id FROM lake.db.p WHERE category IN ('a', 'b') ORDER BY id").collect()
+    assert(inList.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assertThrows[Exception](spark.sql("SELECT COUNT(*) FROM lake.db.p").head())
+  }
+
   test("cosine_sim is registered as a native SQL function") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS s1, " +

@@ -123,6 +123,19 @@ class OpsSpec extends SparkSpec {
     assert(s.contains("1/1 succeeded"))
   }
 
+  test("upgrader CLI main: --list and --all against a warehouse (M9)") {
+    val wh = Files.createTempDirectory("graft-cli-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.c1 (id INT) TBLPROPERTIES ('format-version'='2')")
+    sql.run("INSERT INTO db.c1 VALUES (1), (2)")
+    Upgrader.main(Array("-d", "db", "--list", "--warehouse", wh.toString))
+    Upgrader.main(Array("-d", "db", "--all", "--warehouse", wh.toString))
+    // main must not have stopped the shared session, and the upgrade ran
+    assert(!spark.sparkContext.isStopped)
+    val t = sql.catalog.loadTable("db", "c1").get
+    assert(t.meta.formatVersion == 3 && t.meta.nextRowId >= 0)
+  }
+
   test("demo arc end-to-end: v2 failure → upgrade → v3 success (demo.sh:50-115)") {
     val sql = freshSql()
     val report = new DemoRunner(sql).run()
