@@ -48,8 +48,8 @@ class DmlModelSpec extends SparkSpec {
       var model = Vector.empty[ModelRow]
       var nextId = 0
 
-      for (_ <- 0 until 6) {
-        rnd.nextInt(3) match {
+      for (step <- 0 until 8) {
+        rnd.nextInt(5) match {
           case 0 => // insert 1-4 rows (ids may repeat: no PK semantics)
             val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
               val id = if (rnd.nextBoolean() || nextId == 0) { nextId += 1; nextId }
@@ -73,9 +73,22 @@ class DmlModelSpec extends SparkSpec {
             table = table.update(
               Map("amount" -> (col("amount") + 1000.0)), col("category") === c)
             model = model.map(r => if (r._2 == c) r.copy(_3 = r._3 + 1000.0) else r)
+          case 3 => // equality delete on a present-or-absent id (older-files rule:
+            // all currently visible rows predate this delete; later
+            // re-inserts of the id must survive — the model handles that
+            // naturally by only filtering current state)
+            val id = 1 + rnd.nextInt(math.max(nextId, 1))
+            table = table.addEqualityDeletes(toDf(Seq((id, "x", 0.0))).select("id"), Seq("id"))
+            model = model.filterNot(_._1 == id)
+          case 4 => // maintenance mid-sequence must be invisible to queries
+            if (rnd.nextBoolean()) {
+              val opts = if (rnd.nextBoolean()) Map("rewrite-all" -> "true")
+                else Map("delete-file-threshold" -> "1")
+              table = Procedures.rewriteDataFiles(table, opts).table
+            } else table = Procedures.upgradeFormatVersion(table)
         }
         assert(observed(table) == model.sorted,
-          s"trial=$trial mor=$mor after op: table != model")
+          s"trial=$trial mor=$mor step=$step: table != model")
       }
 
       // maintenance invariance at the final state
