@@ -59,9 +59,12 @@ class LakeSql(val catalog: LakeCatalog) {
   // ------------------------------------------------------------ statements
 
   private def create(s: String, p: Option[String]): DataFrame = {
-    val head = """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(""".r
+    val head = """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(""".r
     val m = head.findFirstMatchIn(s).getOrElse(fail("CREATE TABLE", s))
-    val (db, table) = splitName(m.group(1))
+    val ifNotExists = m.group(1) != null
+    val (db, table) = splitName(m.group(2))
+    if (ifNotExists && catalog.tableExists(db, table))
+      return status(s"Table $db.$table already exists")
     val (colsDdl, rest) = balancedParen(s, m.end - 1)
     val schema = StructType.fromDDL(colsDdl)
     val partitionBy = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
@@ -86,13 +89,19 @@ class LakeSql(val catalog: LakeCatalog) {
   }
 
   private def insert(s: String, p: Option[String]): DataFrame = {
-    val m = """(?is)^INSERT\s+INTO\s+([\w.]+)\s+VALUES\s+(.*)$""".r
-      .findFirstMatchIn(s).getOrElse(fail("INSERT INTO … VALUES", s))
+    val m = """(?is)^INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s+.*|SELECT\s+.*|WITH\s+.*)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("INSERT INTO … VALUES/SELECT", s))
     val (db, table) = splitName(m.group(1))
     requirePerm(p, db, table, "INSERT")
     val t = load(db, table)
-    // Catalyst parses the literal rows (timestamps, decimals, …)
-    val raw = spark.sql(s"SELECT * FROM VALUES ${m.group(2)}")
+    val body = m.group(2)
+    // Catalyst parses the literal rows (timestamps, decimals, …); an
+    // INSERT … SELECT source runs through the SELECT dispatcher so it may
+    // read other lake tables
+    val raw =
+      if (body.toUpperCase.startsWith("VALUES"))
+        spark.sql(s"SELECT * FROM $body")
+      else select(body, p)
     if (raw.schema.size != t.schema.size)
       throw new SqlParseException(
         s"INSERT arity ${raw.schema.size} != table arity ${t.schema.size}")
@@ -104,17 +113,18 @@ class LakeSql(val catalog: LakeCatalog) {
   }
 
   private def delete(s: String, p: Option[String]): DataFrame = {
-    val m = """(?is)^DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$""".r
-      .findFirstMatchIn(s).getOrElse(fail("DELETE FROM … WHERE", s))
+    val m = """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$""".r
+      .findFirstMatchIn(s).getOrElse(fail("DELETE FROM [… WHERE]", s))
     val (db, table) = splitName(m.group(1))
     requirePerm(p, db, table, "DELETE")
-    load(db, table).delete(expr(m.group(2)))
+    val cond = Option(m.group(2)).map(expr).getOrElse(lit(true))
+    load(db, table).delete(cond)
     status(s"Deleted from $db.$table")
   }
 
   private def update(s: String, p: Option[String]): DataFrame = {
-    val m = """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$""".r
-      .findFirstMatchIn(s).getOrElse(fail("UPDATE … SET … WHERE", s))
+    val m = """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+      .findFirstMatchIn(s).getOrElse(fail("UPDATE … SET [… WHERE]", s))
     val (db, table) = splitName(m.group(1))
     // MoR UPDATE = delete file + appended rewrite (J3)
     requirePerm(p, db, table, "DELETE")
@@ -124,7 +134,8 @@ class LakeSql(val catalog: LakeCatalog) {
       if (i < 0) throw new SqlParseException(s"bad assignment: $a")
       a.take(i).trim -> expr(a.drop(i + 1).trim)
     }.toMap
-    load(db, table).update(assignments, expr(m.group(3)))
+    val cond = Option(m.group(3)).map(expr).getOrElse(lit(true))
+    load(db, table).update(assignments, cond)
     status(s"Updated $db.$table")
   }
 

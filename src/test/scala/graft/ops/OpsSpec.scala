@@ -41,6 +41,20 @@ class OpsSpec extends SparkSpec {
     assert(!sql.catalog.tableExists("db", "t"))
   }
 
+  test("LakeSql: IF NOT EXISTS, INSERT..SELECT, and WHERE-less DML") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.src (id INT, category STRING)")
+    sql.run("CREATE TABLE IF NOT EXISTS db.src (id INT, category STRING)") // no-op
+    sql.run("INSERT INTO db.src VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    sql.run("CREATE TABLE db.dst (id INT, category STRING)")
+    sql.run("INSERT INTO db.dst SELECT id, category FROM db.src WHERE category = 'a'")
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.dst").head().getLong(0) == 2)
+    sql.run("UPDATE db.dst SET id = id + 10")
+    assert(sql.run("SELECT MIN(id) AS m FROM db.dst").head().getInt(0) == 11)
+    sql.run("DELETE FROM db.dst")
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.dst").head().getLong(0) == 0)
+  }
+
   test("LakeSql: expire_snapshots CALL with TIMESTAMP literal (M3, F3)") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.e (id INT)")
