@@ -108,6 +108,24 @@ class LakeTableSpec extends SparkSpec {
     assert(t2.deleteFiles.isEmpty)
   }
 
+  test("update that changes the partition column moves rows across partitions") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    for ((name, props) <- Seq("pm_mor" -> morProps, "pm_cow" -> Map.empty[String, String])) {
+      val t = cat.createTable("db", name, schema, Seq("category"), props)
+        .append(df(sixRows: _*))
+        .update(Map("category" -> lit("z")), col("id") === 1)
+      // the moved row is visible with its new partition value…
+      assert(t.read().filter(col("id") === 1).head().getString(1) == "z")
+      // …found by pruning on the new partition, absent from the old one
+      val inZ = t.read(partitionFilter = pv => pv.get("category").contains("z"))
+        .select("id").collect().map(_.getInt(0)).toSeq
+      assert(inZ == Seq(1), s"$name: $inZ")
+      val inA = t.read(partitionFilter = pv => pv.get("category").contains("a"))
+        .select("id").collect().map(_.getInt(0)).sorted.toSeq
+      assert(inA == Seq(2), s"$name: $inA")
+    }
+  }
+
   test("zero-match DML is a no-op commit and leaves no orphan delete files") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t = cat.createTable("db", "t7", schema, props = morProps)
