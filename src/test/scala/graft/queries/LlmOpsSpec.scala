@@ -86,6 +86,12 @@ class LlmOpsSpec extends SparkSpec {
     assert(nCand < n, s"ANN pre-filter pruned nothing ($nCand of $n)")
   }
 
+  test("hash-keyed dedup (16-byte shuffle keys) matches exact distinct (q29 scale variant)") {
+    val exact = RelQueries.q29.run(spark, sf).head().getLong(0)
+    val hashed = RelQueries.dedupHashKeyed(spark, sf).head().getLong(0)
+    assert(hashed == exact, s"hash-keyed dedup $hashed != exact $exact")
+  }
+
   test("approx_count_distinct stays within the declared error bound (G6)") {
     val li = graft.Tables(spark, sf, "lineitem")
     val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)

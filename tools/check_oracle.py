@@ -14,14 +14,19 @@ import sys, os, json, glob, datetime, decimal
 import duckdb
 
 def norm_cell(v):
+    # Strict rendering — no %.4f flattening (the r1/r2 local gate hid the
+    # driver's decimal-representation hash failures behind it). Floats use
+    # shortest round-trip repr; decimals keep their exact scale, so a
+    # trailing-zero or last-ulp difference between engines fails HERE the
+    # way it fails at the driver.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return "%.4f" % v
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return "%.4f" % float(v)
+        return str(v)
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
@@ -95,7 +100,18 @@ def main():
         ec, er = norm_result(ecols, erows)
         oc, orr = norm_result(ocols, orows)
         etf, otf = norm_types(ecols, etyp), norm_types(ocols, otyp)
-        if ec != oc:
+        # r2 hard lesson: int128-backed outputs (DECIMAL(p>18) / HUGEINT)
+        # hash-fail at the driver even when BOTH sides declare the same
+        # type and every cell is byte-identical. Fail them here.
+        wide = [t for t in etf + otf
+                if t == "HUGEINT" or (t.startswith("DECIMAL")
+                    and int(t.split("(")[1].split(",")[0]) > 18)]
+        if wide:
+            print(f"FAIL {name}: wide int128-backed output type(s) {set(wide)} "
+                  "— driver hash rejects these even when value-equal; "
+                  "emit DOUBLE / BIGINT / DECIMAL(<=18) instead")
+            n_fail += 1
+        elif ec != oc:
             print(f"FAIL {name}: columns differ engine={ec} oracle={oc}")
             n_fail += 1
         elif etf != otf:
