@@ -468,12 +468,18 @@ object LakeTable {
   private[lake] val DeleteSchema = StructType(Seq(
     StructField("file_path", StringType), StructField("pos", LongType)))
 
-  /** `_metadata.file_path` is a URI (`file:///…`); metadata stores plain
-    * absolute paths. Normalized in SQL so joins on file path never need a
-    * UDF. (Non-local schemes — s3:// etc. — would be stored as URIs on
-    * both sides and pass through unchanged.) */
+  /** `_metadata.file_path` is a *percent-encoded* URI (`file:///…`;
+    * space → `%20`, `%` → `%25` — Spark's SparkPath keeps the url-encoded
+    * form), while metadata stores plain absolute filesystem paths from
+    * `Files.walk`. Before this decoded (VERDICT r3 #1), a warehouse path
+    * containing a space or `%` made every per-file count lookup miss —
+    * `writeDataFiles` then classified fresh files as zero-row and deleted
+    * them (silent data loss). Normalized in SQL so joins on file path
+    * never need a UDF: strip the local scheme, protect literal `+`
+    * (legal raw in URI paths, but form-decoding maps it to a space), then
+    * percent-decode. */
   private[lake] def normPath(c: Column): Column =
-    regexp_replace(c, "^file:/+", "/")
+    url_decode(regexp_replace(regexp_replace(c, "^file:/+", "/"), "\\+", "%2B"))
 
   private[lake] def listParquetFiles(dir: Path): Seq[Path] = {
     if (!Files.exists(dir)) return Nil

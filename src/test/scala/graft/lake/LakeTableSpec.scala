@@ -175,6 +175,34 @@ class LakeTableSpec extends SparkSpec {
       .head().getAs[Long]("_row_id") == 6L)
   }
 
+  test("warehouse path with space and %: full MoR arc, no silent data loss") {
+    // VERDICT r3 #1: _metadata.file_path is percent-encoded while metadata
+    // stores raw paths; before normPath decoded, every per-file count
+    // lookup missed and writeDataFiles physically deleted fresh files.
+    val wh = Files.createTempDirectory("graft wh%odd ")
+    var ts = 1700000000000L
+    val cat = new LakeCatalog(spark, wh, () => { ts += 1000; ts })
+    cat.createNamespace("db")
+    var t = cat.createTable("db", "odd", schema, Seq("category"),
+      morProps + ("format-version" -> "3"))
+      .append(df(sixRows: _*))
+    assert(ids(t) == Seq(1, 2, 3, 4, 5, 6))
+    assert(t.dataFiles.nonEmpty && t.dataFiles.forall(f =>
+      Files.exists(java.nio.file.Paths.get(f.path))))
+    t = t.delete(col("id") === 2)
+    assert(ids(t) == Seq(1, 3, 4, 5, 6))
+    t = t.update(Map("amount" -> lit(1.0)), col("id") === 3)
+    assert(t.read().filter(col("id") === 3).head().getDouble(2) == 1.0)
+    // fileAttrs broadcast joins (row lineage) must also match on the path
+    assert(t.readWithRowIds().select("_row_id").distinct().count() == 5)
+    // equality-delete sequence scoping joins through fileAttrs too
+    t = t.addEqualityDeletes(df((4, "b", 0.0)).select("id"), Seq("id"))
+    assert(ids(t) == Seq(1, 3, 5, 6))
+    val r = Procedures.rewriteDataFiles(t, Map("rewrite-all" -> "true"))
+    assert(ids(r.table) == Seq(1, 3, 5, 6))
+    assert(r.table.deleteFiles.isEmpty)
+  }
+
   test("Meta.commit bumps versions atomically and detects collisions") {
     val loc = Files.createTempDirectory("graft-meta")
     val m = TableMetadata(name = "x.y", schemaDdl = "id INT")
