@@ -208,19 +208,29 @@ class LakeSql(val catalog: LakeCatalog) {
     * rest (SURVEY §3.1 restatement). Sessions with [[LakeSparkCatalog]]
     * registered additionally resolve `lake.db.t` / `glue_catalog.db.t`
     * natively; the dispatcher normalizes those spellings to the bare
-    * form so both setups accept the reference's statements. */
+    * form so both setups accept the reference's statements.
+    *
+    * Rewriting is identifier-boundary-aware (VERDICT r3 #2): each match
+    * requires a non-identifier character on both sides (so `demo.t`
+    * never fires inside `demo.t2` or `xdemo.t`), an optional catalog
+    * prefix is consumed by the same match (no global prefix strip), names
+    * are tried longest-first, and string literals / backquoted
+    * identifiers are never touched — which also keeps the grants check
+    * keyed to real references only. */
   private def select(s: String, p: Option[String]): DataFrame = {
-    var rewritten = s.replace("glue_catalog.", "").replace("lake.", "")
-    for {
+    val lakeRefs = for {
       db <- catalog.listNamespaces()
       info <- catalog.listTables(db) if info.tableType == "LAKE"
-    } {
-      val ref = s"$db.${info.name}"
-      if (rewritten.contains(ref)) {
-        requirePerm(p, db, info.name, "SELECT")
-        val view = s"${db}__${info.name}"
-        load(db, info.name).read().createOrReplaceTempView(view)
-        rewritten = rewritten.replace(ref, view)
+    } yield (db, info.name)
+    var rewritten = s
+    for ((db, name) <- lakeRefs.sortBy { case (d, n) => -(d.length + n.length) }) {
+      val re = ("(?<![\\w.])(?:(?:glue_catalog|lake)\\.)?" +
+        java.util.regex.Pattern.quote(s"$db.$name") + "(?!\\w)").r
+      if (containsOutsideQuotes(rewritten, re)) {
+        requirePerm(p, db, name, "SELECT")
+        val view = s"${db}__$name"
+        load(db, name).read().createOrReplaceTempView(view)
+        rewritten = mapOutsideQuotes(rewritten, seg => re.replaceAllIn(seg, view))
       }
     }
     spark.sql(rewritten)
@@ -271,6 +281,39 @@ object LakeSql {
       case _ => (parts(parts.length - 2), parts.last)
     }
   }
+
+  /** Split `s` into segments, flagging single-quoted string literals
+    * (with `''` escaping) and backquoted identifiers so rewrites can skip
+    * them. Segments concatenate back to `s` verbatim. */
+  private[lake] def quoteSegments(s: String): Seq[(String, Boolean)] = {
+    val out = Seq.newBuilder[(String, Boolean)]
+    var i = 0; var start = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '`') {
+        if (i > start) out += ((s.substring(start, i), false))
+        var j = i + 1; var closed = false
+        while (j < s.length && !closed) {
+          if (s.charAt(j) == c) {
+            if (c == '\'' && j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+            else closed = true
+          } else j += 1
+        }
+        val end = if (closed) j + 1 else s.length
+        out += ((s.substring(i, end), true))
+        start = end; i = end
+      } else i += 1
+    }
+    if (start < s.length) out += ((s.substring(start), false))
+    out.result()
+  }
+
+  private[lake] def containsOutsideQuotes(
+      s: String, re: scala.util.matching.Regex): Boolean =
+    quoteSegments(s).exists { case (seg, q) => !q && re.findFirstIn(seg).isDefined }
+
+  private[lake] def mapOutsideQuotes(s: String, f: String => String): String =
+    quoteSegments(s).map { case (seg, q) => if (q) seg else f(seg) }.mkString
 
   /** Content of the parenthesized group opening at `open` (s(open) must be
     * '('), plus everything after the close. */

@@ -55,6 +55,39 @@ class OpsSpec extends SparkSpec {
     assert(sql.run("SELECT COUNT(*) AS cnt FROM db.dst").head().getLong(0) == 0)
   }
 
+  test("LakeSql SELECT rewriting is identifier-boundary-aware (VERDICT r3 #2)") {
+    val sql = freshSql()
+    // prefix-sharing names: demo.t and demo.t2 must never corrupt each other
+    sql.run("CREATE TABLE demo.t (id INT)")
+    sql.run("CREATE TABLE demo.t2 (id INT)")
+    sql.run("INSERT INTO demo.t VALUES (1)")
+    sql.run("INSERT INTO demo.t2 VALUES (10), (20)")
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM demo.t2").head().getLong(0) == 2)
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM demo.t").head().getLong(0) == 1)
+    val joined = sql.run(
+      """SELECT a.id AS aid, b.id AS bid FROM demo.t a
+         JOIN demo.t2 b ON b.id = a.id * 10""").head()
+    assert(joined.getInt(0) == 1 && joined.getInt(1) == 10)
+    // prefixed spellings resolve to the same tables, boundary-checked
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM lake.demo.t2").head().getLong(0) == 2)
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM glue_catalog.demo.t").head().getLong(0) == 1)
+    // a string literal containing 'lake.' or a table name must pass through
+    val lit = sql.run(
+      "SELECT 'lake.demo.t is great' AS msg, COUNT(*) AS cnt FROM demo.t2").head()
+    assert(lit.getString(0) == "lake.demo.t is great" && lit.getLong(1) == 2)
+    // grants key off real references only: a principal with SELECT on
+    // demo.t2 but not demo.t can query t2 (no substring phantom-match)…
+    sql.catalog.grant("demo", "t2", "reader2", Seq("SELECT"))
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM demo.t2", Some("reader2"))
+      .head().getLong(0) == 2)
+    // …and is still denied on demo.t itself
+    assertThrows[AccessDeniedException](
+      sql.run("SELECT COUNT(*) AS cnt FROM demo.t", Some("reader2")))
+    // a literal mentioning the denied table must not trigger the check
+    assert(sql.run("SELECT 'demo.t' AS s, COUNT(*) AS cnt FROM demo.t2",
+      Some("reader2")).head().getLong(1) == 2)
+  }
+
   test("LakeSql: expire_snapshots CALL with TIMESTAMP literal (M3, F3)") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.e (id INT)")
