@@ -71,19 +71,38 @@ class LlmOpsSpec extends SparkSpec {
       .orderBy(col("sim").desc, col("vec_id")).limit(5)
       .collect().map(_.getLong(0)).toSet
 
-    val ann = LlmQueries.q37.run(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val annDf = LlmQueries.q37.run(spark, sfDir)
+    val ann = annDf.collect().map(_.getLong(0)).toSet
     val recall = (exact & ann).size / 5.0
     assert(recall >= 0.4, s"ANN recall $recall too low (exact=$exact ann=$ann)")
 
-    // the pre-filter must actually prune: candidate set ≪ corpus
+    // the candidate stage must be a (bucketed) hash join, never a
+    // nested-loop signature compare (VERDICT r3 #3)
+    val plan = annDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop ANN plan:\n$plan")
+
+    // the bucket join must actually prune: candidate set ≪ corpus
     val sigs = e.select(col("vec_id"), LlmQueries.annSigs(col("v")).as("sigs"))
-    val qs = sigs.filter(col("vec_id") === 0).select(col("sigs").as("qsigs"))
-    val nCand = sigs.filter(col("vec_id") =!= 0).crossJoin(broadcast(qs))
-      .filter(size(filter(zip_with(col("sigs"), col("qsigs"), (x, y) => x === y),
-        b => b)) > 0)
-      .count()
+    val cSig = sigs.select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val qSig = cSig.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("tbl"), col("sig"))
+    val nCand = cSig.join(broadcast(qSig), Seq("tbl", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("vec_id").distinct().count()
     val n = e.count() - 1
     assert(nCand < n, s"ANN pre-filter pruned nothing ($nCand of $n)")
+    assert(ann.subsetOf(
+      cSig.join(broadcast(qSig), Seq("tbl", "sig"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet))
+
+    // batched: one corpus pass serves several queries, k rows per query
+    val batch = LlmQueries.annTopK(spark, sfDir, col("vec_id") < 4, 3)
+    val perQ = batch.groupBy("qid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perQ.keySet == Set(0L, 1L, 2L, 3L))
+    assert(perQ.values.forall(_ <= 3) && perQ.values.exists(_ == 3L), s"$perQ")
+    assert(!batch.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
   }
 
   test("hash-keyed dedup (16-byte shuffle keys) matches exact distinct (q29 scale variant)") {
