@@ -289,8 +289,7 @@ class LakeTable(
       snapshots = meta.snapshots :+ snap,
       currentSnapshotId = snap.id,
       lastSequenceNumber = snap.sequenceNumber)
-    Meta.commit(location, m)
-    new LakeTable(spark, location, m, clock)
+    new LakeTable(spark, location, Meta.commit(location, m), clock)
   }
 
   /** INSERT INTO / append: new snapshot adding data files (S4). */
@@ -436,16 +435,11 @@ class LakeTable(
 
   /** ALTER TABLE … SET TBLPROPERTIES (generic); format-version changes go
     * through Procedures.upgradeFormatVersion. */
-  def setProperties(kv: Map[String, String]): LakeTable = {
-    val m = meta.copy(props = meta.props ++ kv)
-    Meta.commit(location, m)
-    new LakeTable(spark, location, m, clock)
-  }
+  def setProperties(kv: Map[String, String]): LakeTable =
+    withMeta(meta.copy(props = meta.props ++ kv))
 
-  private[lake] def withMeta(m: TableMetadata): LakeTable = {
-    Meta.commit(location, m)
-    new LakeTable(spark, location, m, clock)
-  }
+  private[lake] def withMeta(m: TableMetadata): LakeTable =
+    new LakeTable(spark, location, Meta.commit(location, m), clock)
 
   /** DESCRIBE (M6): (col_name, data_type) rows. */
   def describe(): DataFrame = {

@@ -173,6 +173,7 @@ object Procedures {
     val deadFiles = expired.flatMap(s =>
       s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet -- liveFiles
     deadFiles.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expired.foreach(Meta.deleteManifest) // manifests are 1:1 with snapshots
 
     val table = t.withMeta(m.copy(snapshots = kept))
     ExpireResult(table, expired.size, deadFiles.size)

@@ -118,6 +118,14 @@ class ProceduresSpec extends SparkSpec {
     // old-only files are gone; current snapshot's files survive
     assert(oldFiles.forall(p => !Files.exists(Paths.get(p))))
     assert(r.table.dataFiles.forall(p => Files.exists(Paths.get(p.path))))
+    // expired snapshots' manifests are GC'd; the survivor's remains
+    val expiredManifests = compacted.meta.snapshots
+      .filterNot(s => r.table.meta.snapshots.map(_.id).contains(s.id))
+      .flatMap(_.manifestPath)
+    assert(expiredManifests.nonEmpty)
+    assert(expiredManifests.forall(p => !Files.exists(Paths.get(p))))
+    assert(r.table.meta.snapshots.flatMap(_.manifestPath)
+      .forall(p => Files.exists(Paths.get(p))))
     assert(content(r.table) == expected)
     // no-op when nothing qualifies
     assert(Procedures.expireSnapshots(r.table, 0L, 1).expiredSnapshots == 0)
