@@ -273,7 +273,11 @@ class LakeTable(
     Some((metas, total))
   }
 
-  private def newSnapshot(
+  /** Snapshot constructor stamping the table's injected clock — every
+    * commit path (DML, append, compaction) must go through this so
+    * snapshot timestamps are monotone under a fixture clock and
+    * expire_snapshots cutoffs classify them consistently. */
+  private[lake] def newSnapshot(
       op: String,
       data: Seq[DataFileMeta],
       deletes: Seq[DeleteFileMeta],
@@ -292,8 +296,10 @@ class LakeTable(
     new LakeTable(spark, location, Meta.commit(location, m), clock)
   }
 
-  /** INSERT INTO / append: new snapshot adding data files (S4). */
-  def append(df: DataFrame): LakeTable = {
+  /** INSERT INTO / append: new snapshot adding data files (S4).
+    * `extraProps` lands in the same atomic commit as the data — used by
+    * the streaming sink to record its batch id exactly-once. */
+  def append(df: DataFrame, extraProps: Map[String, String] = Map.empty): LakeTable = {
     val start = if (meta.nextRowId >= 0) meta.nextRowId else meta.computedNextRowId
     val files = writeDataFiles(df, start, nextSeq)
     val written = files.map(_.rowCount).sum
@@ -301,7 +307,10 @@ class LakeTable(
       newSnapshot("append", dataFiles ++ files, deleteFiles,
         Map("added-data-files" -> files.size.toString,
           "added-records" -> written.toString)),
-      m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
+      m => {
+        val m2 = if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m
+        if (extraProps.isEmpty) m2 else m2.copy(props = m2.props ++ extraProps)
+      })
   }
 
   // ------------------------------------------------------------------- DML

@@ -131,6 +131,25 @@ class ProceduresSpec extends SparkSpec {
     assert(Procedures.expireSnapshots(r.table, 0L, 1).expiredSnapshots == 0)
   }
 
+  test("compaction commits through the table clock: monotone timestamps, expirable") {
+    // VERDICT r3 wrong #4: a wall-clock compaction snapshot sorts out of
+    // order against fixture-clock commits and confuses expiry cutoffs.
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = morTable(cat, "clk1") // snapshots at +1s, +2s, +3s (fixture clock)
+    val expected = content(t) // capture before expiry GCs the old files
+    val compacted = Procedures.rewriteDataFiles(t, Map("rewrite-all" -> "true")).table
+    val stamps = compacted.meta.snapshots.sortBy(_.id).map(_.timestampMs)
+    assert(stamps == stamps.sorted, s"non-monotone snapshot timestamps: $stamps")
+    assert(stamps.last == 1700000000000L + 4000, s"compaction ignored clock: $stamps")
+    // a cutoff between the last DML and the compaction expires exactly
+    // the three DML snapshots and keeps the compaction one
+    val r = Procedures.expireSnapshots(compacted,
+      olderThanMs = 1700000000000L + 3500, retainLast = 1)
+    assert(r.expiredSnapshots == 3)
+    assert(r.table.meta.snapshots.map(_.operation) == Seq("replace"))
+    assert(content(r.table) == expected)
+  }
+
   test("repairV3Metadata re-mints a missing next-row-id (M7, README.md:43-45)") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val v3 = Procedures.upgradeFormatVersion(morTable(cat, "r1t"))

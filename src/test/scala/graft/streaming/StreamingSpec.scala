@@ -71,4 +71,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("sink is idempotent on micro-batch redelivery (VERDICT r3 #3 restart case)") {
+    val wh = Files.createTempDirectory("graft-stream-idem")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    cat.createTable("db", "idem", schema)
+    val sink = StreamIngest.commitBatch(cat, "db", "idem") _
+    val b0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(mkEvents(10), 1), schema)
+
+    sink(b0, 0L)
+    assert(cat.loadTable("db", "idem").get.read().count() == 10)
+    // restart re-delivers the same batchId: must be a no-op, not a dup
+    sink(b0, 0L)
+    val t1 = cat.loadTable("db", "idem").get
+    assert(t1.read().count() == 10, "redelivered batch landed twice")
+    assert(t1.meta.snapshots.size == 1)
+    assert(t1.meta.props(StreamIngest.LastBatchProp) == "0")
+    // the next batch commits normally and advances the high-water mark
+    sink(b0, 1L)
+    val t2 = cat.loadTable("db", "idem").get
+    assert(t2.read().count() == 20)
+    assert(t2.meta.props(StreamIngest.LastBatchProp) == "1")
+  }
 }
