@@ -65,6 +65,33 @@ object DemoFixture {
 
   def apply(spark: SparkSession): States = cache.computeIfAbsent(spark, build(_))
 
+  /** SQL statement list driving the same state machine through the
+    * dispatcher — the reference's actual compatibility surface
+    * (create_demo_table.py:97-137 emits these strings over spark-sql).
+    * The UPDATE is the bare reference statement; the engine's assignment
+    * cast to the column type rounds HALF_UP, which the DuckDB oracle
+    * mirrors with an explicit ROUND (same note as LakeQueries.replay). */
+  def sqlStatements(table: String): Seq[String] = {
+    val values = Products.map { case (id, n, c, a) =>
+      s"($id, '$n', '$c', $a, TIMESTAMP '2026-01-01 00:00:00')"
+    }.mkString(", ")
+    Seq(
+      s"""CREATE TABLE $table (
+            id INT, name STRING, category STRING,
+            amount DECIMAL(10,2), created_at TIMESTAMP)
+          PARTITIONED BY (category)
+          TBLPROPERTIES ('format-version'='2',
+            'write.delete.mode'='merge-on-read',
+            'write.update.mode'='merge-on-read')""",
+      s"INSERT INTO $table VALUES $values",
+      s"DELETE FROM $table WHERE id IN (2, 4, 6)",
+      s"UPDATE $table SET amount = amount * 1.1 WHERE category = 'electronics'",
+      s"DELETE FROM $table WHERE id = 1",
+      s"CALL lake.system.rewrite_data_files(table => '$table', " +
+        "options => map('rewrite-all', 'true'))",
+      s"ALTER TABLE $table SET TBLPROPERTIES ('format-version'='3')")
+  }
+
   private def build(spark: SparkSession): States = {
     val wh = Files.createTempDirectory("graft-demo-wh")
     // deterministic, strictly increasing snapshot clock
@@ -96,3 +123,28 @@ object DemoFixture {
     States(cat, s1, s2, s3, s4, s5, s6)
   }
 }
+
+/** The demo state machine driven end-to-end through [[graft.lake.LakeSql]]
+  * statement dispatch instead of the engine API — so the reference's real
+  * interface (SQL strings in) sits behind the CORRECTNESS hash gate
+  * (VERDICT r3 next #7), not just behind ScalaTest. Memoized per session
+  * like [[DemoFixture]]. */
+object SqlDemoFixture {
+
+  val TableName = "demo.v2_sql_demo"
+
+  private val cache = new ConcurrentHashMap[SparkSession, graft.lake.LakeSql]()
+
+  def apply(spark: SparkSession): graft.lake.LakeSql =
+    cache.computeIfAbsent(spark, build(_))
+
+  private def build(spark: SparkSession): graft.lake.LakeSql = {
+    val wh = Files.createTempDirectory("graft-sqldemo-wh")
+    var now = DemoFixture.FixedTs.getTime
+    val clock = () => { now += 1000L; now }
+    val sql = new graft.lake.LakeSql(new LakeCatalog(spark, wh, clock))
+    DemoFixture.sqlStatements(TableName).foreach(sql.run(_))
+    sql
+  }
+}
+

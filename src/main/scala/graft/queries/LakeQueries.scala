@@ -96,5 +96,16 @@ object LakeQueries {
     Some(replay("demo_q08", 5, "SELECT * FROM demo_q08 ORDER BY id LIMIT 5")),
     (s, _) => DemoFixture(s).upgraded.read().orderBy("id").limit(5))
 
-  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08)
+  // Q45: the whole DML arc replayed as SQL *statements* through LakeSql
+  // dispatch (create/insert/delete/update/call/alter), final state read
+  // back via dispatcher SELECT — the reference's actual SQL-in interface
+  // behind the hash gate (VERDICT r3 next #7). Same DuckDB replay oracle
+  // as q06: the dispatcher route must land byte-identical to the API route.
+  val q45 = QueryDef(
+    "q45_sql_dispatcher",
+    Some(replay("demo_q45", 5, "SELECT * FROM demo_q45 ORDER BY id")),
+    (s, _) => SqlDemoFixture(s)
+      .run(s"SELECT * FROM ${SqlDemoFixture.TableName} ORDER BY id"))
+
+  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45)
 }
