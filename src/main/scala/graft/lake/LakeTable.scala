@@ -182,14 +182,27 @@ class LakeTable(
     else {
       // Strictly-older rule (Iceberg equality-delete semantics): the
       // delete hides only rows whose data file predates the delete commit.
+      // One anti-join per equality-COLUMN-SET, not per delete file
+      // (VERDICT r3 next #8): all files sharing a column set union their
+      // rows tagged with their commit's sequence number, reduced to the
+      // max sequence per key — a delete at a higher sequence hides every
+      // data file a lower one did, so per-key max loses nothing — and a
+      // long DML history costs one broadcast join instead of N.
       val withSeq = afterPos
         .join(broadcast(fileAttrs(files)), afterPos(FileCol) === col(AttrPath), "left")
-      val cleaned = eqDeletes.foldLeft(withSeq) { (df, ef) =>
-        val del = spark.read.parquet(ef.path).select(ef.equalityCols.map(col): _*)
-        val cond = ef.equalityCols.map(c => df(c) <=> del(c)).reduce(_ && _) &&
-          df(AttrSeq) < lit(ef.dataSequenceNumber)
-        df.join(broadcast(del), cond, "left_anti")
-      }
+      val cleaned = eqDeletes.groupBy(_.equalityCols).toSeq
+        .sortBy(_._1.mkString(","))
+        .foldLeft(withSeq) { case (df, (cols, efs)) =>
+          val del = efs.map { ef =>
+            spark.read.parquet(ef.path).select(cols.map(col): _*)
+              .withColumn(DelSeqCol, lit(ef.dataSequenceNumber))
+          }.reduce(_ unionByName _)
+            .groupBy(cols.map(col): _*)
+            .agg(max(col(DelSeqCol)).as(DelSeqCol))
+          val cond = cols.map(c => df(c) <=> del(c)).reduce(_ && _) &&
+            df(AttrSeq) < del(DelSeqCol)
+          df.join(broadcast(del), cond, "left_anti")
+        }
       cleaned.drop(AttrPath, AttrSeq, AttrFirst)
     }
   }
@@ -467,6 +480,7 @@ object LakeTable {
   private[lake] val AttrPath = "__attr_path"
   private[lake] val AttrSeq = "__attr_seq"
   private[lake] val AttrFirst = "__attr_first"
+  private[lake] val DelSeqCol = "__del_seq"
 
   private[lake] val DeleteSchema = StructType(Seq(
     StructField("file_path", StringType), StructField("pos", LongType)))

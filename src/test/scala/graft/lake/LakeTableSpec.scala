@@ -155,6 +155,30 @@ class LakeTableSpec extends SparkSpec {
     assert(t3.meta.snapshots.size == t2.meta.snapshots.size)
   }
 
+  test("N equality-delete files collapse to one anti-join per column set") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "eqn", schema, props = morProps)
+      .append(df((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)))
+    // two id-deletes at different sequences, interleaved with appends so
+    // the strictly-older rule stays observable per file
+    t = t.addEqualityDeletes(df((1, "x", 0.0)).select("id"), Seq("id"))
+    t = t.append(df((1, "a", 11.0), (4, "c", 40.0)))        // id=1 re-insert survives
+    t = t.addEqualityDeletes(df((2, "x", 0.0)).select("id"), Seq("id"))
+    // a third delete on a DIFFERENT column set
+    t = t.addEqualityDeletes(df((0, "b", 0.0)).select("category"), Seq("category"))
+    assert(ids(t) == Seq(1, 4))
+    assert(t.read().filter(col("id") === 1).head().getDouble(2) == 11.0)
+    // 3 equality files, 2 column sets → exactly 2 anti-joins in the plan
+    assert(t.deleteFiles.count(_.kind == "equality") == 3)
+    val plan = t.read().queryExecution.executedPlan.toString
+    val antiJoins = "LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins == 2, s"expected 2 anti-joins (one per column set):\n$plan")
+    // re-deleting id=1 at a later sequence hides the re-insert too
+    // (max-sequence reduction must keep the newest delete per key)
+    t = t.addEqualityDeletes(df((1, "x", 0.0)).select("id"), Seq("id"))
+    assert(ids(t) == Seq(4))
+  }
+
   test("v3 row lineage: ids assigned on append, preserved across update") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t0 = cat.createTable("db", "t9", schema,
