@@ -87,25 +87,47 @@ class Upgrader(sql: LakeSql) {
 /** M9 CLI: `-d <db> [-t <table> | --tables a,b,c | --all | --list]
   * [--dry-run]` over the warehouse at $GRAFT_WAREHOUSE. */
 object Upgrader {
+
+  private val Usage =
+    """usage: upgrader -d <db> (-t <table> | --tables a,b,c | --all | --list)
+      |       [--dry-run] [--warehouse <dir>]
+      |the warehouse directory comes from --warehouse or $GRAFT_WAREHOUSE""".stripMargin
+
+  /** Friendly config failure (the reference validates required config
+    * keys up front with named errors, internal/config.py:43-62 — this is
+    * its CLI analogue; no raw stack traces for misconfiguration). */
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"$msg\n$Usage")
+
   def main(args: Array[String]): Unit = {
     var db = "default"; var tables = Seq.empty[String]
     var all = false; var listOnly = false; var dryRun = false
     var warehouseArg: Option[String] = None
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) fail(s"missing value for $flag")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-d" | "--database" => db = args(i + 1); i += 2
-        case "-t" | "--table" => tables = Seq(args(i + 1)); i += 2
-        case "--tables" => tables = args(i + 1).split(",").map(_.trim).toSeq; i += 2
+        case f @ ("-d" | "--database") => db = value(f); i += 2
+        case f @ ("-t" | "--table") => tables = Seq(value(f)); i += 2
+        case f @ "--tables" =>
+          tables = value(f).split(",").map(_.trim).filter(_.nonEmpty).toSeq; i += 2
         case "--all" => all = true; i += 1
         case "--list" => listOnly = true; i += 1
         case "--dry-run" => dryRun = true; i += 1
-        case "--warehouse" => warehouseArg = Some(args(i + 1)); i += 2
-        case other => sys.error(s"unknown argument: $other")
+        case f @ "--warehouse" => warehouseArg = Some(value(f)); i += 2
+        case other => fail(s"unknown argument: $other")
       }
     }
+    if (!listOnly && !all && tables.isEmpty)
+      fail("nothing to do: pass -t <table>, --tables, --all or --list")
     val warehouse = warehouseArg.orElse(sys.env.get("GRAFT_WAREHOUSE"))
-      .getOrElse(sys.error("set --warehouse or GRAFT_WAREHOUSE"))
+      .getOrElse(fail(
+        "no warehouse configured: pass --warehouse <dir> or set GRAFT_WAREHOUSE"))
+    if (!java.nio.file.Files.isDirectory(Paths.get(warehouse)))
+      fail(s"warehouse is not a directory: $warehouse")
     val hadSession = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()

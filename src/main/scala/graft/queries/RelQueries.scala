@@ -337,9 +337,13 @@ object RelQueries {
       .agg(countDistinct(col("text")).as("distinct_docs")))
 
   /** Engine-only scale variant of q29: dedup on a 128-bit hash pair —
-    * the shuffle carries 16-byte keys, not document payloads. */
+    * the shuffle carries 16-byte keys, not document payloads. NULL texts
+    * are filtered out first: countDistinct(text) skips them but
+    * xxhash64(NULL) yields the (non-null) seed, which would count one
+    * phantom document (ADVICE r3). */
   def dedupHashKeyed(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .filter(col("text").isNotNull)
       .agg(countDistinct(xxhash64(col("text")), xxhash64(reverse(col("text"))))
         .as("distinct_docs"))
 

@@ -183,6 +183,21 @@ class OpsSpec extends SparkSpec {
     assert(t.meta.formatVersion == 3 && t.meta.nextRowId >= 0)
   }
 
+  test("upgrader CLI validates configuration with friendly errors (config.py parity)") {
+    def msg(args: Array[String]): String =
+      intercept[IllegalArgumentException](Upgrader.main(args)).getMessage
+    assert(msg(Array("--bogus")).contains("unknown argument: --bogus"))
+    assert(msg(Array("--bogus")).contains("usage:"))
+    assert(msg(Array("-d")).contains("missing value for -d"))
+    assert(msg(Array("-d", "db", "--warehouse", "/tmp/x")) // no action flag
+      .contains("nothing to do"))
+    val wh = Files.createTempDirectory("graft-cli-vwh")
+    assert(msg(Array("-d", "db", "--list",
+      "--warehouse", wh.resolve("nope").toString)).contains("not a directory"))
+    if (!sys.env.contains("GRAFT_WAREHOUSE"))
+      assert(msg(Array("-d", "db", "--list")).contains("GRAFT_WAREHOUSE"))
+  }
+
   test("demo arc end-to-end: v2 failure → upgrade → v3 success (demo.sh:50-115)") {
     val sql = freshSql()
     val report = new DemoRunner(sql).run()

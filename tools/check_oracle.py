@@ -10,7 +10,7 @@ sides per SURVEY.md §2.13 (columns sorted by name, floats %.4f half-even,
 decimals as fixed-point strings, timestamps UTC ISO-8601, rows sorted) and
 compares.
 """
-import sys, os, json, glob, datetime, decimal
+import sys, os, json, glob, datetime, decimal, re
 import duckdb
 
 def norm_cell(v):
@@ -103,9 +103,14 @@ def main():
         # r2 hard lesson: int128-backed outputs (DECIMAL(p>18) / HUGEINT)
         # hash-fail at the driver even when BOTH sides declare the same
         # type and every cell is byte-identical. Fail them here.
+        # regex, not split: a parenless "DECIMAL" (or malformed DESCRIBE
+        # output) must classify as non-wide, not crash the whole gate
+        def _decimal_precision(t):
+            m = re.match(r"DECIMAL\((\d+)", t)
+            return int(m.group(1)) if m else 0
         wide = [t for t in etf + otf
                 if t == "HUGEINT" or (t.startswith("DECIMAL")
-                    and int(t.split("(")[1].split(",")[0]) > 18)]
+                    and _decimal_precision(t) > 18)]
         if wide:
             print(f"FAIL {name}: wide int128-backed output type(s) {set(wide)} "
                   "— driver hash rejects these even when value-equal; "
