@@ -215,6 +215,45 @@ object LlmQueries {
       (acc, plane) => acc * 2 +
         when(VectorOps.dot(v, plane) > 0, 1L).otherwise(0L)))
 
+  /** Compiled twin of [[annSigs]] — same planes, same sequential double
+    * accumulation, bit-identical signatures (asserted in LlmOpsSpec).
+    * The HOF version evaluates 96 interpreted lambda dot products per row
+    * (~µs/element — the measured 100× blowup class from SCALING.md's
+    * imperative-islands note; at sf0.1 it costs 8× the exact scan), so
+    * the hot path runs the 16×6×dim loop as one typed map stage. */
+  def annSigsCompiled(
+      s: SparkSession, vecs: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    import s.implicits._
+    val planes: Array[Array[Array[Double]]] =
+      AnnPlanes.map(_.map(_.toArray).toArray).toArray
+    vecs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        val sigs = new Array[Long](planes.length)
+        var ti = 0
+        while (ti < planes.length) {
+          val tbl = planes(ti)
+          var sig = 0L
+          var pi = 0
+          while (pi < tbl.length) {
+            val plane = tbl(pi)
+            var dot = 0.0
+            var i = 0
+            val n = math.min(v.length, plane.length)
+            while (i < n) { dot += v(i) * plane(i); i += 1 }
+            sig = sig * 2 + (if (dot > 0) 1L else 0L)
+            pi += 1
+          }
+          sigs(ti) = sig
+          ti += 1
+        }
+        (id, sigs.toSeq)
+      }
+      .toDF(idCol, "sigs")
+  }
+
   /** ANN candidate generation + exact re-rank as a *bucket equi-join*
     * (VERDICT r3 #3). "Some hash table's signature matches" is literally
     * equality on the (table index, signature) pair, so both sides explode
@@ -229,18 +268,23 @@ object LlmQueries {
   def annTopK(s: SparkSession, dir: String, queryPred: Column, k: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
       .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
-      .select(col("vec_id"), col("v"), annSigs(col("v")).as("sigs"))
+      .select(col("vec_id"), col("v"))
     val queries = e.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sigs").as("qsigs"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
       .localCheckpoint(true) // small batch, reused for buckets and re-rank
-    val cSig = e.select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
-    val qSig = queries.select(col("qid"), posexplode(col("qsigs")).as(Seq("tbl", "sig")))
-    val cand = cSig.join(broadcast(qSig.select("qid", "tbl", "sig")), Seq("tbl", "sig"))
+    // signature stages run compiled; the query side recomputes its own
+    // few signatures rather than filtering the corpus pass (whose whole
+    // expensive map would re-run inside that subtree)
+    val cSig = annSigsCompiled(s, e, "vec_id", "v")
+      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val qSig = annSigsCompiled(s, queries, "qid", "qv")
+      .select(col("qid"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+    val cand = cSig.join(broadcast(qSig), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val scored = e.select("vec_id", "v") // column pruning drops the sig pass here
+    val scored = e
       .join(broadcast(cand), "vec_id")
-      .join(broadcast(queries.select("qid", "qv")), "qid")
+      .join(broadcast(queries), "qid")
       .select(col("qid"), col("vec_id"),
         VectorOps.cosine(col("v"), col("qv")).as("sim_raw"))
     val w = Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("vec_id"))

@@ -81,6 +81,14 @@ class LlmOpsSpec extends SparkSpec {
     val plan = annDf.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop ANN plan:\n$plan")
 
+    // the compiled signature stage must agree bit-for-bit with the
+    // declarative HOF spec it replaces on the hot path
+    val hofSigs = e.select(col("vec_id"), LlmQueries.annSigs(col("v")).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val compiled = LlmQueries.annSigsCompiled(spark, e, "vec_id", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(compiled == hofSigs, "compiled and HOF signatures diverge")
+
     // the bucket join must actually prune: candidate set ≪ corpus
     val sigs = e.select(col("vec_id"), LlmQueries.annSigs(col("v")).as("sigs"))
     val cSig = sigs.select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
