@@ -27,14 +27,18 @@ final case class MediaFeature(
   * video as opaque `BINARY` columns processed partition-batched on
   * executors.
   *
-  * The decode step is a clearly-marked STUB: this container ships no
-  * image/audio codecs, so `decode` derives features deterministically
-  * from the payload bytes. Everything around it — the binary+metadata
-  * schema, the typed `Dataset` encoders, `mapPartitions` batching (one
-  * iterator per partition, codec state initialized once per partition,
-  * zero driver involvement), and the downstream aggregations — is the
-  * real 100 TB shape: swap `decode` for a JPEG/PCM decoder and nothing
-  * else changes.
+  * The decode step really parses uncompressed container headers in pure
+  * JVM code — BMP images (width/height from the DIB header) and
+  * RIFF/WAVE audio (sample rate, channels, sample count from the
+  * fmt/data chunks) — so the feature path is live end-to-end for those
+  * formats. Compressed codecs (JPEG/MP4/…) are not shipped in this
+  * container; payloads that match no known magic fall back to a
+  * clearly-marked deterministic stand-in. Everything around decode — the
+  * binary+metadata schema, the typed `Dataset` encoders, `mapPartitions`
+  * batching (one iterator per partition, codec state initialized once
+  * per partition, zero driver involvement), and the downstream
+  * aggregations — is the real 100 TB shape: add a JPEG/PCM decoder
+  * branch and nothing else changes.
   */
 object Multimodal {
 
@@ -46,15 +50,53 @@ object Multimodal {
       lit(kind).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB decode — deterministic fake in place of a codec call. */
-  private[functions] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
-    // a real implementation would decode the container/frame headers here
-    val n = payload.length
-    val w = 64 + (n % 577)           // fake width
-    val h = 64 + ((n * 31) % 419)    // fake height
-    val frames = if (kind == "video") 1 + n % 120 else 1
-    (w, h, frames)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** BMP: 'BM' magic, int32-LE width at 18, height at 22 (negative =
+    * top-down row order → abs). Returns (width, height, 1 frame). */
+  private def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some((le32(b, 18), math.abs(le32(b, 22)), 1))
+    else None
+
+  /** RIFF/WAVE: chunk walk for `fmt ` (channels, sample rate, block
+    * align) and `data` (payload size). Mapped into the feature tuple as
+    * (sample_rate, channels, sample_count) — "frames" are PCM frames. */
+  private def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def tag(off: Int, s: String): Boolean =
+      off + 4 <= b.length && s.indices.forall(i => b(off + i) == s.charAt(i))
+    if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
+    var i = 12
+    var rate = 0; var channels = 0; var blockAlign = 0; var dataSize = 0
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (tag(i, "fmt ") && i + 22 <= b.length) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        if (i + 22 <= b.length) blockAlign = le16(b, i + 20)
+      } else if (tag(i, "data")) dataSize = size
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0) None
+    else Some((rate, channels,
+      if (blockAlign > 0) dataSize / blockAlign else 0))
   }
+
+  /** Header decode: real for BMP/WAV; STUB fallback (deterministic fake
+    * in place of a codec call) for formats whose codecs this container
+    * doesn't ship. */
+  private[functions] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+    decodeBmp(payload).orElse(decodeWav(payload)).getOrElse {
+      val n = payload.length
+      val w = 64 + (n % 577)           // fake width
+      val h = 64 + ((n * 31) % 419)    // fake height
+      val frames = if (kind == "video") 1 + n % 120 else 1
+      (w, h, frames)
+    }
 
   /** Partition-batched decode/feature-extract: one executor-side pass,
     * per-partition codec initialization, streaming iterator in/out. */

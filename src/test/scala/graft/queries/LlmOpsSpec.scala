@@ -128,6 +128,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(relErr <= 3 * rsd, s"approx=$approx exact=$exact relErr=$relErr")
   }
 
+  test("multimodal decode parses real BMP and WAV headers (pure JVM)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 54-byte BMP header: 'BM', width=640 @18, height=-480 @22 (top-down)
+    val bmp = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte)
+    bmp.putInt(2, 54); bmp.putInt(10, 54); bmp.putInt(14, 40)
+    bmp.putInt(18, 640); bmp.putInt(22, -480); bmp.putShort(26, 1)
+    bmp.putShort(28, 24)
+    // canonical 44-byte WAV header + 8 bytes of PCM data:
+    // stereo 16-bit 44100 Hz → blockAlign 4, data 8 bytes = 2 frames
+    val wav = ByteBuffer.allocate(52).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes); wav.putInt(4, 44); wav.position(8)
+    wav.put("WAVEfmt ".getBytes); wav.putInt(16, 16)
+    wav.putShort(20, 1); wav.putShort(22, 2); wav.putInt(24, 44100)
+    wav.putInt(28, 44100 * 4); wav.putShort(32, 4); wav.putShort(34, 16)
+    wav.position(36); wav.put("data".getBytes); wav.putInt(40, 8)
+
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", bmp.array()),
+        Row(2L, "audio", wav.array()),
+        Row(3L, "image", "not a known container".getBytes)), 1),
+      StructType(Seq(
+        StructField("media_id", LongType), StructField("kind", StringType),
+        StructField("payload", BinaryType))))
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 640 && feats(1L).height == 480)
+    assert(feats(1L).frames == 1)
+    assert(feats(2L).width == 44100, "WAV sample rate")
+    assert(feats(2L).height == 2, "WAV channels")
+    assert(feats(2L).frames == 2, "WAV PCM frame count")
+    // unknown containers still flow through the deterministic fallback
+    assert(feats(3L).width >= 64 && feats(3L).height >= 64)
+  }
+
   test("multimodal: binary payload → partition-batched decode → feature aggs") {
     val docs = graft.Tables(spark, sf, "documents")
     val media = Multimodal.payloadFrom(docs, "doc_id", "text", "image")
