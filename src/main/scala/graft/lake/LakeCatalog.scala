@@ -137,7 +137,8 @@ class LakeCatalog(
     val loc = tableLocation(db, table)
     Meta.currentVersion(loc) match {
       case Some(v) =>
-        Meta.load(loc).map { m =>
+        // header-only: a listing projection must not read manifests
+        Meta.loadHeaders(loc).map { m =>
           TableInfo(table, db, loc.toString, m.tableType,
             m.formatVersion.toString,
             Meta.metadataDir(loc).resolve(s"v$v.metadata.json").toString)
@@ -180,13 +181,18 @@ class LakeCatalog(
     }
 
   def grantsFor(db: String, table: String, principal: String): Seq[String] =
-    loadTable(db, table).map(_.meta.grants.getOrElse(principal, Nil)).getOrElse(Nil)
+    Meta.loadHeaders(tableLocation(db, table))
+      .map(_.grants.getOrElse(principal, Nil)).getOrElse(Nil)
 
+  /** Grant/revoke are metadata-header edits; header-only load + commit
+    * round-trips without touching any manifest (commit re-persists only
+    * snapshots lacking a manifestPath, and loaded headers all have one). */
   private def withTableMeta(db: String, table: String)(
       f: TableMetadata => TableMetadata): Unit = {
-    val t = loadTable(db, table).getOrElse(
+    val loc = tableLocation(db, table)
+    val m = Meta.loadHeaders(loc).getOrElse(
       throw new IllegalArgumentException(s"table $db.$table does not exist"))
-    Meta.commit(t.location, f(t.meta))
+    Meta.commit(loc, f(m))
   }
 }
 

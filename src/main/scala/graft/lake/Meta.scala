@@ -134,10 +134,19 @@ object Meta {
   }
 
   def load(tableLocation: Path): Option[TableMetadata] =
+    loadHeaders(tableLocation).map(m =>
+      m.copy(snapshots = m.snapshots.map(materialize)))
+
+  /** Header-only load: snapshot file lists stay unmaterialized (empty,
+    * with `manifestPath` set). Catalog listings, format-version lookups
+    * and grants checks never plan a scan, so they must not pay a
+    * manifest read per snapshot — a 1000-table namespace listing is then
+    * O(tables) small-JSON reads. Re-committing a header-only metadata is
+    * safe: commit only writes manifests for snapshots *without* a path. */
+  def loadHeaders(tableLocation: Path): Option[TableMetadata] =
     currentVersion(tableLocation).map { v =>
-      val m = fromJson(new String(
+      fromJson(new String(
         Files.readAllBytes(versionFile(tableLocation, v)), StandardCharsets.UTF_8))
-      m.copy(snapshots = m.snapshots.map(materialize))
     }
 
   private def materialize(s: Snapshot): Snapshot = s.manifestPath match {

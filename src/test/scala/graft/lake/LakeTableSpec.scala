@@ -291,6 +291,21 @@ class LakeTableSpec extends SparkSpec {
       cat.dropTable("db", "lake1", ifExists = false))
   }
 
+  test("catalog listings and grants load headers only, without manifest reads") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "h1", schema).append(df(sixRows: _*))
+    val headers = Meta.loadHeaders(t.location).get
+    assert(headers.snapshots.nonEmpty)
+    assert(headers.snapshots.forall(s =>
+      s.dataFiles.isEmpty && s.manifestPath.isDefined))
+    // the grant round-trip goes through header-only load + commit and
+    // must not lose the file listing the manifests carry
+    cat.grant("db", "h1", "p", Seq("SELECT"))
+    assert(cat.grantsFor("db", "h1", "p") == Seq("SELECT"))
+    assert(cat.tableInfo("db", "h1").get.formatVersion == "2")
+    assert(cat.loadTable("db", "h1").get.read().count() == 6)
+  }
+
   test("grants are idempotent and revocable (M10)") {
     val cat = freshCatalog(); cat.createNamespace("db")
     cat.createTable("db", "g1", schema)
