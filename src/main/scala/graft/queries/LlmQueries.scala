@@ -282,6 +282,15 @@ object LlmQueries {
     val cand = cSig.join(broadcast(qSig), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
+    exactRerank(e, queries, cand, k)
+  }
+
+  /** Shared exact-cosine re-rank tail of the ANN paths: candidates join
+    * back to corpus vectors (broadcast: candidates ≪ corpus), the
+    * codegen'd cosine scores them against the broadcast query batch, one
+    * window picks per-query top-k. */
+  private def exactRerank(
+      e: DataFrame, queries: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val scored = e
       .join(broadcast(cand), "vec_id")
       .join(broadcast(queries), "qid")
@@ -442,6 +451,103 @@ object LlmQueries {
         .orderBy("qid", "vec_id")
     })
 
+  // ------------------------------------------- q47 IVF ANN (second path)
+  /** IVF-style coarse quantizer next to hyperplane LSH (q37): K fixed
+    * centroid vectors (deterministic — the K lowest vec_ids stand in for
+    * a k-means codebook; swap in trained centroids and nothing else
+    * changes), every corpus vector assigned to its nearest centroid in
+    * one compiled pass, queries probe their nProbe nearest centroids and
+    * re-rank only those buckets exactly. Candidate volume ≈ nProbe/K of
+    * the corpus; at scale the bucket id is a stored partition column, so
+    * probes prune at the scan. */
+  val IvfK = 64
+  val IvfProbes = 16
+
+  /** (id, bucket) rows: each vector's `nProbe` nearest centroids by
+    * cosine, compiled (K dot products per row — same imperative-island
+    * rationale as [[annSigsCompiled]]). */
+  def ivfAssignCompiled(
+      s: SparkSession, vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    import s.implicits._
+    val cNorms = centroids.map(ct => math.sqrt(ct.map(x => x * x).sum))
+    vecs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vSeq) =>
+        val v = vSeq.toArray
+        var vn = 0.0; var i = 0
+        while (i < v.length) { vn += v(i) * v(i); i += 1 }
+        val vNorm = math.sqrt(vn)
+        val sims = new Array[Double](centroids.length)
+        var c = 0
+        while (c < centroids.length) {
+          val ct = centroids(c)
+          var dot = 0.0; var j = 0
+          val n = math.min(v.length, ct.length)
+          while (j < n) { dot += v(j) * ct(j); j += 1 }
+          sims(c) =
+            if (vNorm == 0 || cNorms(c) == 0) -2.0
+            else dot / (vNorm * cNorms(c))
+          c += 1
+        }
+        sims.indices.sortBy(b => (-sims(b), b)).take(nProbe).map(b => (id, b))
+      }.toDF(idCol, "bucket")
+  }
+
+  def ivfTopK(s: SparkSession, dir: String, queryPred: Column, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    // codebook: driver-side K vectors (metadata-scale, like a broadcast)
+    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < IvfK)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val queries = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint(true)
+    val corpusBuckets = ivfAssignCompiled(s, e, "vec_id", "v", centroids, 1)
+    val qProbes = ivfAssignCompiled(s, queries, "qid", "qv", centroids, IvfProbes)
+    val cand = corpusBuckets.join(broadcast(qProbes), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    exactRerank(e, queries, cand, k)
+  }
+
+  val q47 = QueryDef(
+    "q47_ivf_topk",
+    None, // engine-only: buckets depend on the engine-chosen codebook
+    (s, dir) => ivfTopK(s, dir, col("vec_id") === 0, 5)
+      .select(col("vec_id"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id")))
+
+  // --------------------------------------- q46 embedding-cosine near-dup
+  // The dedup mode over embeddings rather than text (north star): same
+  // label-blocked pair generation as q36, thresholded instead of top-1 —
+  // the candidate set for near-duplicate record elimination. The filter
+  // runs on the raw double (identical sequential accumulation on both
+  // engines → bit-exact at the threshold boundary); rounding is display
+  // only. 100 TB: the label block bounds pair fan-out exactly like q36,
+  // and the ANN bucket join (q37) is the unblocked-corpus path.
+  val q46 = QueryDef(
+    "q46_embedding_neardup",
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                    list_cosine_similarity(a.v, b.v) AS sim
+                  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT label, vec_a, vec_b, ROUND(sim, 4) AS sim
+            FROM p WHERE sim >= 0.35 ORDER BY label, vec_a, vec_b"""),
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").select("label", "vec_id", "embedding")
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+        .filter(col("sim_raw") >= 0.35)
+        .select(col("label"), col("vec_a"), col("vec_b"),
+          round(col("sim_raw"), 4).as("sim"))
+        .orderBy("label", "vec_a", "vec_b")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44)
+    q42, q43, q44, q46, q47)
 }

@@ -113,6 +113,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(!batch.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
   }
 
+  test("IVF: near-identical vectors share a bucket; q47 prunes and hash-joins") {
+    // the IVF guarantee: a true near-duplicate of the query has the same
+    // nearest centroid, so bucket probing finds it without a corpus scan
+    val rnd = new scala.util.Random(3)
+    val base = (0L until 200L).map(i => i -> Seq.fill(64)(rnd.nextGaussian()))
+    val planted = (0L until 5L).map { i =>
+      (300L + i) -> base(i.toInt)._2.map(_ + rnd.nextGaussian() * 0.01)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (base ++ planted).map { case (id, v) => Row(id, v) }, 4),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+    val centroids = df.filter(col("vec_id") < LlmQueries.IvfK)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val bucketOf = LlmQueries.ivfAssignCompiled(spark, df, "vec_id", "v", centroids, 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(bucketOf(300L + i) == bucketOf(i.toLong),
+        s"planted near-dup $i landed in a different bucket")
+    }
+
+    // on the test corpus: valid top-k shape, hash-join plan, real pruning
+    val res = LlmQueries.q47.run(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop IVF plan:\n$plan")
+    val got = res.collect()
+    assert(got.length == 5)
+    val e = graft.Tables(spark, sf, "embeddings")
+      .withColumn("v", graft.functions.VectorOps.toDoubleVec(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    val cents = e.filter(col("vec_id") < LlmQueries.IvfK)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val nCand = LlmQueries.ivfAssignCompiled(spark, e, "vec_id", "v", cents, 1)
+      .join(broadcast(LlmQueries.ivfAssignCompiled(spark,
+        e.filter(col("vec_id") === 0).select(col("vec_id").as("qid"), col("v").as("qv")),
+        "qid", "qv", cents, LlmQueries.IvfProbes)), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("vec_id").distinct().count()
+    val n = e.count() - 1
+    assert(nCand < n, s"IVF probing pruned nothing ($nCand of $n)")
+  }
+
   test("hash-keyed dedup (16-byte shuffle keys) matches exact distinct (q29 scale variant)") {
     val exact = RelQueries.q29.run(spark, sf).head().getLong(0)
     val hashed = RelQueries.dedupHashKeyed(spark, sf).head().getLong(0)
