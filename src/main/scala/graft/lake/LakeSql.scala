@@ -224,8 +224,20 @@ class LakeSql(val catalog: LakeCatalog) {
     } yield (db, info.name)
     var rewritten = s
     for ((db, name) <- lakeRefs.sortBy { case (d, n) => -(d.length + n.length) }) {
-      val re = ("(?<![\\w.])(?:(?:glue_catalog|lake)\\.)?" +
-        java.util.regex.Pattern.quote(s"$db.$name") + "(?!\\w)").r
+      val base = "(?<![\\w.])(?:(?:glue_catalog|lake)\\.)?" +
+        java.util.regex.Pattern.quote(s"$db.$name")
+      // time travel first (the plain pattern would split the clause):
+      // `db.t VERSION AS OF <id>` → a view over that snapshot's scan
+      val tt = (base + "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)(?!\\w)").r
+      rewritten = mapOutsideQuotes(rewritten, seg =>
+        tt.replaceAllIn(seg, m => {
+          requirePerm(p, db, name, "SELECT")
+          val snapId = m.group(1).toLong
+          val view = s"${db}__${name}__v$snapId"
+          load(db, name).readSnapshot(snapId).createOrReplaceTempView(view)
+          view
+        }))
+      val re = (base + "(?!\\w)").r
       if (containsOutsideQuotes(rewritten, re)) {
         requirePerm(p, db, name, "SELECT")
         val view = s"${db}__$name"

@@ -136,10 +136,41 @@ class LakeTable(
       withRowIds: Boolean = false): DataFrame =
     readLiveFiles(dataFiles.filter(f => partitionFilter(f.partitionValues)), withRowIds)
 
+  /** Time travel: scan the table as of `snapshotId` — that snapshot's
+    * data files with that snapshot's delete files applied (same MoR
+    * semantics the current-state scan uses). Fails with a clear error
+    * for unknown/expired snapshots. */
+  def readSnapshot(snapshotId: Long): DataFrame = {
+    val snap = meta.snapshots.find(_.id == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${meta.name} has no snapshot $snapshotId " +
+          s"(known: ${meta.snapshots.map(_.id).mkString(", ")}; " +
+          "it may have been expired)"))
+    readLiveFiles(snap.dataFiles, withRowIds = false, deletes = snap.deleteFiles)
+      .select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Snapshot log projection (DESCRIBE HISTORY analogue): one row per
+    * snapshot with id, commit time, operation, sequence number and the
+    * operation summary. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    meta.snapshots.sortBy(_.id)
+      .map(s => (s.id, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.sequenceNumber, s.summary.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString(", ")))
+      .toDF("snapshot_id", "committed_at", "operation", "sequence_number", "summary")
+  }
+
   /** Live rows of an explicit data-file subset (compaction reads only the
     * rewrite set; deletes still applied). */
   private[lake] def readLiveFiles(
-      files: Seq[DataFileMeta], withRowIds: Boolean): DataFrame = {
+      files: Seq[DataFileMeta], withRowIds: Boolean): DataFrame =
+    readLiveFiles(files, withRowIds, deleteFiles)
+
+  private[lake] def readLiveFiles(
+      files: Seq[DataFileMeta], withRowIds: Boolean,
+      deletes: Seq[DeleteFileMeta]): DataFrame = {
     if (files.isEmpty) {
       val extra = Seq(StructField(FileCol, StringType), StructField(PosCol, LongType)) ++
         (if (withRowIds) Seq(StructField(RowIdCol, LongType)) else Nil)
@@ -161,11 +192,13 @@ class LakeTable(
         ).flatten
         parts.reduce(_ unionByName _)
       }
-    applyDeletes(base, files)
+    applyDeletes(base, files, deletes)
   }
 
-  private def applyDeletes(base: DataFrame, files: Seq[DataFileMeta]): DataFrame = {
-    val posDeletes = deleteFiles.filter(_.kind == "position")
+  private def applyDeletes(
+      base: DataFrame, files: Seq[DataFileMeta],
+      deletes: Seq[DeleteFileMeta]): DataFrame = {
+    val posDeletes = deletes.filter(_.kind == "position")
     val afterPos =
       if (posDeletes.isEmpty) base
       else {
@@ -177,7 +210,7 @@ class LakeTable(
           base(FileCol) === del("file_path") && base(PosCol) === del("pos"),
           "left_anti")
       }
-    val eqDeletes = deleteFiles.filter(_.kind == "equality")
+    val eqDeletes = deletes.filter(_.kind == "equality")
     if (eqDeletes.isEmpty) afterPos
     else {
       // Strictly-older rule (Iceberg equality-delete semantics): the

@@ -227,6 +227,28 @@ class LakeTableSpec extends SparkSpec {
     assert(r.table.deleteFiles.isEmpty)
   }
 
+  test("time travel: readSnapshot replays any retained state; history lists the log") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t1 = cat.createTable("db", "tt", schema, props = morProps)
+      .append(df(sixRows: _*))                     // snapshot 1
+    val t2 = t1.delete(col("id").isin(2, 4))       // snapshot 2 (MoR delete)
+    val t3 = t2.append(df((7, "d", 70.0)))         // snapshot 3
+    assert(ids(t3) == Seq(1, 3, 5, 6, 7))
+    // each retained snapshot replays exactly, deletes scoped per snapshot
+    assert(t3.readSnapshot(1).select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3, 4, 5, 6))
+    assert(t3.readSnapshot(2).select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 3, 5, 6))
+    assert(t3.readSnapshot(3).count() == 5)
+    val bad = intercept[IllegalArgumentException](t3.readSnapshot(99))
+    assert(bad.getMessage.contains("no snapshot 99"))
+    // history projection: ordered log with operations and summaries
+    val h = t3.history().collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(_.getString(2)).toSeq == Seq("append", "delete", "append"))
+    assert(h(1).getString(4).contains("deleted-records=2"))
+  }
+
   test("Meta.commit bumps versions atomically and detects collisions") {
     val loc = Files.createTempDirectory("graft-meta")
     val m = TableMetadata(name = "x.y", schemaDdl = "id INT")

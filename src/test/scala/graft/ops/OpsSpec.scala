@@ -88,6 +88,23 @@ class OpsSpec extends SparkSpec {
       Some("reader2")).head().getLong(1) == 2)
   }
 
+  test("LakeSql: VERSION AS OF time travel through the dispatcher") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.tt (id INT)")
+    sql.run("INSERT INTO db.tt VALUES (1), (2), (3)") // snapshot 1
+    sql.run("DELETE FROM db.tt WHERE id = 2")         // snapshot 2
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.tt").head().getLong(0) == 2)
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.tt VERSION AS OF 1")
+      .head().getLong(0) == 3)
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.tt VERSION AS OF 2")
+      .head().getLong(0) == 2)
+    // both spellings in one query: current state joined to history
+    val both = sql.run(
+      """SELECT (SELECT COUNT(*) FROM db.tt VERSION AS OF 1) AS old_cnt,
+                COUNT(*) AS cur_cnt FROM db.tt""").head()
+    assert(both.getLong(0) == 3 && both.getLong(1) == 2)
+  }
+
   test("LakeSql: expire_snapshots CALL with TIMESTAMP literal (M3, F3)") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.e (id INT)")
