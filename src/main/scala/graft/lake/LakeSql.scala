@@ -140,21 +140,38 @@ class LakeSql(val catalog: LakeCatalog) {
   }
 
   private def alter(s: String, p: Option[String]): DataFrame = {
-    val m = """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(""".r
-      .findFirstMatchIn(s).getOrElse(fail("ALTER TABLE … SET TBLPROPERTIES", s))
-    val (db, table) = splitName(m.group(1))
+    val head = """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(.*)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("ALTER TABLE …", s))
+    val (db, table) = splitName(head.group(1))
     requirePerm(p, db, table, "ALTER")
-    val props = parseProps(balancedParen(s, m.end - 1)._1)
     val t = load(db, table)
-    // 'format-version'='3' is the upgrade statement (upgrade_table.py:128):
-    // it must mint next-row-id, so route through the procedure (M1)
-    val t2 = props.get("format-version") match {
-      case Some(v) =>
-        Procedures.upgradeFormatVersion(t, v.toInt)
-          .setProperties(props - "format-version")
-      case None => t.setProperties(props)
+    val rest = head.group(2).trim
+    val setProps = """(?is)^SET\s+TBLPROPERTIES\s*\(""".r.findFirstMatchIn(rest)
+    val addCols = """(?is)^ADD\s+COLUMNS?\s+\(?(.*?)\)?\s*$""".r.findFirstMatchIn(rest)
+    val dropCol = """(?is)^DROP\s+COLUMNS?\s+(\w+)\s*$""".r.findFirstMatchIn(rest)
+    (setProps, addCols, dropCol) match {
+      case (Some(pm), _, _) =>
+        val props = parseProps(balancedParen(rest, pm.end - 1)._1)
+        // 'format-version'='3' is the upgrade statement
+        // (upgrade_table.py:128): it must mint next-row-id, so route
+        // through the procedure (M1)
+        val t2 = props.get("format-version") match {
+          case Some(v) =>
+            Procedures.upgradeFormatVersion(t, v.toInt)
+              .setProperties(props - "format-version")
+          case None => t.setProperties(props)
+        }
+        status(s"Altered $db.$table (format-version=${t2.meta.formatVersion})")
+      case (_, Some(am), _) =>
+        val added = StructType.fromDDL(am.group(1))
+        added.fields.foldLeft(t)((acc, f) => acc.addColumn(f.name, f.dataType))
+        status(s"Added ${added.size} column(s) to $db.$table")
+      case (_, _, Some(dm)) =>
+        t.dropColumn(dm.group(1))
+        status(s"Dropped column ${dm.group(1)} from $db.$table")
+      case _ =>
+        fail("ALTER TABLE … SET TBLPROPERTIES | ADD COLUMN(S) | DROP COLUMN", s)
     }
-    status(s"Altered $db.$table (format-version=${t2.meta.formatVersion})")
   }
 
   private def call(s: String, p: Option[String]): DataFrame = {
@@ -190,6 +207,12 @@ class LakeSql(val catalog: LakeCatalog) {
       case "repair_v3_metadata" =>
         val r = Procedures.repairV3Metadata(t)
         status(s"next-row-id = ${r.meta.nextRowId}")
+      case "rollback_to_snapshot" =>
+        val snapId = unquote(args.getOrElse("snapshot_id",
+          throw new SqlParseException("rollback needs snapshot_id => …"))).toLong
+        val r = t.rollbackTo(snapId)
+        status(s"rolled back $db.$table to snapshot $snapId " +
+          s"(new snapshot ${r.currentSnapshot.get.id})")
       case other => throw new SqlParseException(s"unknown procedure: $other")
     }
   }

@@ -493,6 +493,43 @@ class LakeTable(
   def setProperties(kv: Map[String, String]): LakeTable =
     withMeta(meta.copy(props = meta.props ++ kv))
 
+  /** ALTER TABLE … ADD COLUMN — metadata-only: existing parquet files
+    * simply lack the column and the schema-projected scan null-fills it
+    * (Iceberg's add-column semantics). New writes carry it physically. */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): LakeTable = {
+    if (schema.fieldNames.contains(name))
+      throw new IllegalArgumentException(s"column $name already exists on ${meta.name}")
+    withMeta(meta.copy(
+      schemaDdl = StructType(schema.fields :+ StructField(name, dataType)).toDDL))
+  }
+
+  /** ALTER TABLE … DROP COLUMN — metadata-only: the scan projects the
+    * narrowed schema and parquet ignores the extra physical column. The
+    * partition spec and live equality-delete columns must survive. */
+  def dropColumn(name: String): LakeTable = {
+    if (!schema.fieldNames.contains(name))
+      throw new IllegalArgumentException(s"no column $name on ${meta.name}")
+    if (meta.partitionCols.contains(name))
+      throw new IllegalArgumentException(s"cannot drop partition column $name")
+    if (deleteFiles.exists(_.equalityCols.contains(name)))
+      throw new IllegalArgumentException(
+        s"cannot drop $name: live equality-delete files reference it (compact first)")
+    withMeta(meta.copy(
+      schemaDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL))
+  }
+
+  /** Roll the table back to a retained snapshot: a NEW commit whose
+    * content is the old snapshot's file lists — history is preserved
+    * (time travel still sees everything), only the current pointer
+    * moves. */
+  def rollbackTo(snapshotId: Long): LakeTable = {
+    val snap = meta.snapshots.find(_.id == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${meta.name} has no snapshot $snapshotId"))
+    commitSnapshot(newSnapshot("rollback", snap.dataFiles, snap.deleteFiles,
+      Map("rolled-back-to" -> snapshotId.toString)))
+  }
+
   private[lake] def withMeta(m: TableMetadata): LakeTable =
     new LakeTable(spark, location, Meta.commit(location, m), clock)
 

@@ -227,6 +227,46 @@ class LakeTableSpec extends SparkSpec {
     assert(r.table.deleteFiles.isEmpty)
   }
 
+  test("schema evolution: add/drop column are metadata-only commits") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "ev", schema, Seq("category"), morProps)
+      .append(df(sixRows: _*))
+    val filesBefore = t.dataFiles.map(_.path).toSet
+    t = t.addColumn("note", StringType)
+    // old files are untouched; the scan null-fills the new column
+    assert(t.dataFiles.map(_.path).toSet == filesBefore)
+    assert(t.read().filter(col("note").isNull).count() == 6)
+    assertThrows[IllegalArgumentException](t.addColumn("note", StringType))
+    // new appends carry the column physically
+    val wide = StructType(schema.fields :+ StructField("note", StringType))
+    t = t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7, "d", 70.0, "hi")), 1), wide))
+    assert(t.read().filter(col("note") === "hi").count() == 1)
+    assert(t.read().count() == 7)
+    // guards: partition columns and unknown columns can't drop
+    assertThrows[IllegalArgumentException](t.dropColumn("category"))
+    assertThrows[IllegalArgumentException](t.dropColumn("nope"))
+    t = t.dropColumn("note")
+    assert(!t.schema.fieldNames.contains("note"))
+    assert(t.read().columns.toSeq == schema.fieldNames.toSeq)
+    assert(t.read().count() == 7)
+  }
+
+  test("rollback restores a previous snapshot's content as a new commit") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t1 = cat.createTable("db", "rb", schema, props = morProps)
+      .append(df(sixRows: _*))          // snapshot 1
+    val t2 = t1.delete(col("id") <= 3)  // snapshot 2
+    assert(ids(t2) == Seq(4, 5, 6))
+    val t3 = t2.rollbackTo(1)
+    assert(ids(t3) == Seq(1, 2, 3, 4, 5, 6))
+    assert(t3.currentSnapshot.get.operation == "rollback")
+    // history is preserved: the rolled-past state stays time-travelable
+    assert(t3.meta.snapshots.size == 3)
+    assert(t3.readSnapshot(2).count() == 3)
+    assertThrows[IllegalArgumentException](t3.rollbackTo(99))
+  }
+
   test("time travel: readSnapshot replays any retained state; history lists the log") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t1 = cat.createTable("db", "tt", schema, props = morProps)

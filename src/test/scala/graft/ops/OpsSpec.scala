@@ -88,6 +88,23 @@ class OpsSpec extends SparkSpec {
       Some("reader2")).head().getLong(1) == 2)
   }
 
+  test("LakeSql: ADD/DROP COLUMN and the rollback procedure") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.ev (id INT)")
+    sql.run("INSERT INTO db.ev VALUES (1), (2)")        // snapshot 1
+    sql.run("ALTER TABLE db.ev ADD COLUMN note STRING") // metadata-only
+    sql.run("INSERT INTO db.ev VALUES (3, 'x')")        // snapshot 2
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.ev WHERE note IS NULL")
+      .head().getLong(0) == 2)
+    sql.run("ALTER TABLE db.ev DROP COLUMN note")
+    assert(sql.run("SELECT * FROM db.ev").columns.toSeq == Seq("id"))
+    sql.run("DELETE FROM db.ev WHERE id = 1")           // snapshot 3
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.ev").head().getLong(0) == 2)
+    sql.run("CALL lake.system.rollback_to_snapshot(" +
+      "table => 'db.ev', snapshot_id => '2')")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.ev").head().getLong(0) == 3)
+  }
+
   test("LakeSql: VERSION AS OF time travel through the dispatcher") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.tt (id INT)")
