@@ -85,10 +85,13 @@ object TextOps {
         val mins = Array.fill(k)(Long.MaxValue)
         sh.foreach { s =>
           val (h1, h2) = hash2(s)
+          // h1 + i·h2 built incrementally — identical values under Long
+          // wraparound, one add instead of a multiply per family
+          var h = h1
           var i = 0
           while (i < k) {
-            val h = h1 + i * h2
             if (h < mins(i)) mins(i) = h
+            h += h2
             i += 1
           }
         }
