@@ -198,7 +198,9 @@ class LakeV2Table(t: LakeTable) extends Table with SupportsRead {
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
             override def buildScan(): RDD[Row] = {
-              val prunedFiles = t.read(partitionFilter = partitionPredicate(pushed))
+              val prunedFiles = t.read(
+                partitionFilter = partitionPredicate(pushed),
+                fileFilter = StatsPruning.filePredicate(t.schema, pushed.toSeq))
               val narrowed =
                 if (required.isEmpty) prunedFiles.select()
                 else prunedFiles.select(required.fieldNames

@@ -85,7 +85,8 @@ class LakeTable(
     */
   def read(
       strict: Boolean = false,
-      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+      partitionFilter: Map[String, String] => Boolean = _ => true,
+      fileFilter: DataFileMeta => Boolean = _ => true): DataFrame = {
     if (strict && meta.formatVersion == 2 && deleteFiles.nonEmpty)
       throw new UnsupportedV2DeletesException(
         s"table ${meta.name} is format-version 2 with ${deleteFiles.size} " +
@@ -95,7 +96,8 @@ class LakeTable(
       throw new MissingRowLineageException(
         s"table ${meta.name} is format-version 3 but metadata has no " +
           "next-row-id; run repairV3Metadata")
-    readWithCoords(partitionFilter).select(schema.fieldNames.map(col): _*)
+    readWithCoords(partitionFilter, fileFilter = fileFilter)
+      .select(schema.fieldNames.map(col): _*)
   }
 
   /** Scan with the v3 `_row_id` lineage column. */
@@ -133,8 +135,11 @@ class LakeTable(
     * rewritten files, firstRowId + row_index otherwise). */
   private[lake] def readWithCoords(
       partitionFilter: Map[String, String] => Boolean = _ => true,
-      withRowIds: Boolean = false): DataFrame =
-    readLiveFiles(dataFiles.filter(f => partitionFilter(f.partitionValues)), withRowIds)
+      withRowIds: Boolean = false,
+      fileFilter: DataFileMeta => Boolean = _ => true): DataFrame =
+    readLiveFiles(
+      dataFiles.filter(f => partitionFilter(f.partitionValues) && fileFilter(f)),
+      withRowIds)
 
   /** Time travel: scan the table as of `snapshotId` — that snapshot's
     * data files with that snapshot's delete files applied (same MoR
@@ -276,6 +281,9 @@ class LakeTable(
     // empty partitions can leave zero-row part files — drop them physically
     val (kept, empty) = paths.partition(p => counts.getOrElse(p.toString, 0L) > 0)
     empty.foreach(Files.deleteIfExists(_))
+    // file-skipping bounds from the footers just written (driver-side,
+    // bounded by this commit's file count, no data read)
+    val hadoopConf = spark.sessionState.newHadoopConf()
     var rowId = firstRowId
     kept.map { p =>
       val n = counts.getOrElse(p.toString, 0L)
@@ -284,6 +292,7 @@ class LakeTable(
         partitionValues = partitionValuesFromPath(p),
         rowCount = n,
         sizeBytes = Files.size(p),
+        stats = StatsPruning.collectStats(hadoopConf, p, schema),
         firstRowId = if (withRowIdCol) -1L else rowId,
         explicitRowIds = withRowIdCol,
         dataSequenceNumber = seq)

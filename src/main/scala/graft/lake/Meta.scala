@@ -24,11 +24,19 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   * + snapshot count), never O(snapshots × files); carried-over snapshots
   * just re-reference their existing manifest path.
   */
+/** Per-file column bounds lifted from the parquet footer at write time
+  * (no data read) — the Iceberg data-skipping analogue. Values are
+  * rendered as strings; interpretation is typed by the table schema.
+  * Absent entries (complex/decimal/temporal columns, footer stats
+  * missing) mean "unknown" and never cause a skip. */
+final case class ColStats(min: String, max: String)
+
 final case class DataFileMeta(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
     rowCount: Long = 0L,
     sizeBytes: Long = 0L,
+    stats: Map[String, ColStats] = Map.empty,
     /** v3 row lineage: first row id in this file; rows are
       * firstRowId .. firstRowId+rowCount-1 in file order. -1 when the file
       * instead carries an explicit `_row_id` column (explicitRowIds). */

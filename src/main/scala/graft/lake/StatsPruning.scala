@@ -1,0 +1,134 @@
+package graft.lake
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.column.statistics.{
+  BinaryStatistics, DoubleStatistics, FloatStatistics, IntStatistics,
+  LongStatistics}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** File-level data skipping on per-file column min/max (SURVEY P5's
+  * metadata-pruning idea extended from partition values to value ranges —
+  * the Iceberg `lower_bounds`/`upper_bounds` analogue).
+  *
+  * Collection reads only parquet FOOTERS (driver-side, per newly written
+  * file — bounded by the commit's file count, same metadata scale as the
+  * file listing itself). Skipping is strictly conservative: a file is
+  * dropped only when its recorded bounds PROVE no row can match; missing
+  * stats keep the file, and Spark re-applies every filter above the scan,
+  * so pruning is never a correctness dependency. Parquet's own row-group
+  * stats still prune within surviving files; this layer saves opening
+  * files at all — the lever that matters at 100 TB file counts. */
+object StatsPruning {
+
+  /** Columns eligible for stats: totally ordered primitives whose string
+    * rendering round-trips exactly. Temporal/decimal types are skipped
+    * (their parquet physical values need logical-type interpretation). */
+  private def eligible(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType |
+         FloatType | DoubleType | StringType | BooleanType => true
+    case _ => false
+  }
+
+  /** Footer-only stats collection for one written file. */
+  def collectStats(
+      conf: Configuration, file: java.nio.file.Path,
+      schema: StructType): Map[String, ColStats] = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try {
+      val acc = scala.collection.mutable.Map[String, (String, String)]()
+      var statless = Set.empty[String] // any chunk without stats → unknown
+      for {
+        block <- reader.getFooter.getBlocks.asScala
+        chunk <- block.getColumns.asScala
+        name = chunk.getPath.toDotString
+        dt <- byName.get(name) if eligible(dt)
+      } {
+        val s = chunk.getStatistics
+        val bounds: Option[(String, String)] = s match {
+          case null => None
+          case st if !st.hasNonNullValue => None // all-null or no stats
+          case st: BinaryStatistics =>
+            Some((st.genericGetMin.toStringUsingUTF8,
+              st.genericGetMax.toStringUsingUTF8))
+          case st @ (_: IntStatistics | _: LongStatistics |
+                     _: DoubleStatistics | _: FloatStatistics) =>
+            Some((String.valueOf(st.genericGetMin), String.valueOf(st.genericGetMax)))
+          case _ => None
+        }
+        bounds match {
+          case None => statless += name
+          case Some((lo, hi)) =>
+            val merged = acc.get(name) match {
+              case None => (lo, hi)
+              case Some((plo, phi)) =>
+                (if (compare(dt, lo, plo) < 0) lo else plo,
+                  if (compare(dt, hi, phi) > 0) hi else phi)
+            }
+            acc(name) = merged
+        }
+      }
+      (acc -- statless).map { case (n, (lo, hi)) => n -> ColStats(lo, hi) }.toMap
+    } finally reader.close()
+  }
+
+  private def compare(dt: DataType, a: String, b: String): Int = dt match {
+    case StringType => a.compareTo(b)
+    case BooleanType => a.toBoolean.compareTo(b.toBoolean)
+    case FloatType | DoubleType => a.toDouble.compareTo(b.toDouble)
+    case _ => a.toLong.compareTo(b.toLong) // byte/short/int/long
+  }
+
+  private def render(v: Any): Option[String] = v match {
+    case null => None
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case other => Some(other.toString)
+  }
+
+  /** File-skip predicate from pushed source filters. Only constraints
+    * that can PROVE emptiness against [min, max] are used:
+    * EqualTo/In/ranges on stats-eligible top-level columns. Everything
+    * else keeps the file. */
+  def filePredicate(
+      schema: StructType, filters: Seq[Filter]): DataFileMeta => Boolean = {
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+
+    def dtOf(c: String): Option[DataType] = types.get(c).filter(eligible)
+
+    // (column, survives-given-bounds) checks compiled once per scan
+    val checks: Seq[(String, DataType, (String, String) => Boolean)] =
+      filters.flatMap {
+        case EqualTo(c, v) => for (dt <- dtOf(c); s <- render(v))
+          yield (c, dt, (lo: String, hi: String) =>
+            compare(dt, s, lo) >= 0 && compare(dt, s, hi) <= 0)
+        case In(c, vs) => for (dt <- dtOf(c)) yield {
+          val ss = vs.toSeq.flatMap(render)
+          (c, dt, (lo: String, hi: String) => ss.isEmpty || ss.exists(s =>
+            compare(dt, s, lo) >= 0 && compare(dt, s, hi) <= 0))
+        }
+        case GreaterThan(c, v) => for (dt <- dtOf(c); s <- render(v))
+          yield (c, dt, (_: String, hi: String) => compare(dt, hi, s) > 0)
+        case GreaterThanOrEqual(c, v) => for (dt <- dtOf(c); s <- render(v))
+          yield (c, dt, (_: String, hi: String) => compare(dt, hi, s) >= 0)
+        case LessThan(c, v) => for (dt <- dtOf(c); s <- render(v))
+          yield (c, dt, (lo: String, _: String) => compare(dt, lo, s) < 0)
+        case LessThanOrEqual(c, v) => for (dt <- dtOf(c); s <- render(v))
+          yield (c, dt, (lo: String, _: String) => compare(dt, lo, s) <= 0)
+        case _ => None // unsupported shapes never skip
+      }
+
+    f => checks.forall { case (c, _, survives) =>
+      f.stats.get(c) match {
+        case None => true // unknown bounds → conservative keep
+        case Some(ColStats(lo, hi)) => survives(lo, hi)
+      }
+    }
+  }
+}

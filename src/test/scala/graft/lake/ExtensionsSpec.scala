@@ -62,6 +62,24 @@ class ExtensionsSpec extends SparkSpec {
     assertThrows[Exception](spark.sql("SELECT COUNT(*) FROM lake.db.p").head())
   }
 
+  test("native SQL path skips files by min/max stats at the metadata level") {
+    val wh = Files.createTempDirectory("graft-stats-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.s (id INT, v DOUBLE)")
+    sql.run("INSERT INTO db.s VALUES (1, 1.0), (2, 2.0)")     // file: id ∈ [1, 2]
+    sql.run("INSERT INTO db.s VALUES (10, 1.0), (11, 2.0)")   // file: id ∈ [10, 11]
+    // vaporize the high-id file: a range query the stats exclude it from
+    // must succeed without touching it; an unpruned scan must fail
+    val t = sql.catalog.loadTable("db", "s").get
+    t.dataFiles.filter(_.stats("id").min == "10")
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(spark.sql("SELECT id FROM lake.db.s WHERE id < 5 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(spark.sql("SELECT id FROM lake.db.s WHERE id <= 2 AND id >= 1 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assertThrows[Exception](spark.sql("SELECT COUNT(*) FROM lake.db.s").head())
+  }
+
   test("cosine_sim is registered as a native SQL function") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS s1, " +

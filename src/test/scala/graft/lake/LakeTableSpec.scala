@@ -227,6 +227,30 @@ class LakeTableSpec extends SparkSpec {
     assert(r.table.deleteFiles.isEmpty)
   }
 
+  test("file-level min/max stats skip files a range predicate excludes") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNull}
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "sk", schema, props = morProps)
+    t = t.append(df((1, "a", 1.0), (2, "a", 2.0)))     // file 1: id ∈ [1, 2]
+    t = t.append(df((10, "b", 10.0), (11, "b", 11.0))) // file 2: id ∈ [10, 11]
+    assert(t.dataFiles.size == 2)
+    // bounds lifted from the parquet footers at write time
+    assert(t.dataFiles.flatMap(_.stats.get("id")).map(s => (s.min, s.max)).toSet
+      == Set(("1", "2"), ("10", "11")))
+    assert(t.dataFiles.flatMap(_.stats.get("category")).map(s => (s.min, s.max)).toSet
+      == Set(("a", "a"), ("b", "b")))
+    val pruned = t.read(
+      fileFilter = StatsPruning.filePredicate(schema, Seq(GreaterThan("id", 5))))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 11))
+    // string bounds prune too
+    assert(t.read(fileFilter = StatsPruning.filePredicate(
+      schema, Seq(EqualTo("category", "a")))).inputFiles.length == 1)
+    // conservative: unsupported filter shapes never skip
+    assert(t.read(fileFilter = StatsPruning.filePredicate(
+      schema, Seq(IsNull("category")))).inputFiles.length == 2)
+  }
+
   test("schema evolution: add/drop column are metadata-only commits") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "ev", schema, Seq("category"), morProps)
