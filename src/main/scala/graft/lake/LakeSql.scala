@@ -49,6 +49,7 @@ class LakeSql(val catalog: LakeCatalog) {
     else if (up.startsWith("INSERT INTO")) insert(s, principal)
     else if (up.startsWith("DELETE FROM")) delete(s, principal)
     else if (up.startsWith("UPDATE")) update(s, principal)
+    else if (up.startsWith("MERGE INTO")) mergeStmt(s, principal)
     else if (up.startsWith("ALTER TABLE")) alter(s, principal)
     else if (up.startsWith("CALL")) call(s, principal)
     else if (up.startsWith("DESCRIBE")) describe(s, principal)
@@ -137,6 +138,48 @@ class LakeSql(val catalog: LakeCatalog) {
     val cond = Option(m.group(3)).map(expr).getOrElse(lit(true))
     load(db, table).update(assignments, cond)
     status(s"Updated $db.$table")
+  }
+
+  /** MERGE INTO t USING s ON cond
+    *   [WHEN MATCHED THEN UPDATE SET a = expr, … | WHEN MATCHED THEN DELETE]
+    *   [WHEN NOT MATCHED THEN INSERT *]
+    * Both sides are lake tables with explicit aliases; expressions use
+    * the qualified refs. MERGE decomposes to DELETE+INSERT on the target
+    * (same grants rule as UPDATE) and SELECT on the source. */
+  private def mergeStmt(s: String, p: Option[String]): DataFrame = {
+    val m = ("""(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
+      """USING\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s*(WHEN\s+.*)$""").r
+      .findFirstMatchIn(s).getOrElse(
+        fail("MERGE INTO t a USING s b ON … WHEN …", s))
+    val (db, table) = splitName(m.group(1)); val tAlias = m.group(2)
+    val (sdb, stable) = splitName(m.group(3)); val sAlias = m.group(4)
+    val cond = m.group(5); val clauses = m.group(6)
+    requirePerm(p, db, table, "DELETE")
+    requirePerm(p, db, table, "INSERT")
+    requirePerm(p, sdb, stable, "SELECT")
+    val updClause =
+      """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)(?:\s+WHEN\s+NOT\s+MATCHED.*)?$""".r
+        .findFirstMatchIn(clauses).map(_.group(1))
+    val delClause =
+      """(?is)WHEN\s+MATCHED\s+THEN\s+DELETE""".r.findFirstMatchIn(clauses).isDefined
+    val insertAll =
+      """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
+        .findFirstMatchIn(clauses).isDefined
+    val whenMatched: Option[MergeMatched] = updClause.map { a =>
+      MergeMatched.Update(topLevelSplit(a, ',').map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) throw new SqlParseException(s"bad MERGE assignment: $kv")
+        kv.take(i).trim -> expr(kv.drop(i + 1).trim)
+      }.toMap)
+    }.orElse(if (delClause) Some(MergeMatched.Delete) else None)
+    if (whenMatched.isEmpty && !insertAll)
+      fail("MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED", s)
+    val t2 = load(db, table).merge(
+      load(sdb, stable).read(), expr(cond), whenMatched, insertAll,
+      targetAlias = tAlias, sourceAlias = sAlias)
+    val sum = t2.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+    status(s"Merged into $db.$table (matched=${sum.getOrElse("matched-records", "0")}, " +
+      s"inserted=${sum.getOrElse("inserted-records", "0")})")
   }
 
   private def alter(s: String, p: Option[String]): DataFrame = {

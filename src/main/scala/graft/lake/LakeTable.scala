@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * (/root/reference/README.md:5-7). */
 class UnsupportedV2DeletesException(msg: String) extends RuntimeException(msg)
 
+/** WHEN MATCHED action of a MERGE: update with assignments or delete. */
+sealed trait MergeMatched
+object MergeMatched {
+  final case class Update(assignments: Map[String, Column]) extends MergeMatched
+  case object Delete extends MergeMatched
+}
+
 /** Thrown for a v3 table whose metadata was never assigned `next-row-id`
   * (/root/reference/README.md:43-45 — the "bricked table" case). */
 class MissingRowLineageException(msg: String) extends RuntimeException(msg)
@@ -475,6 +482,78 @@ class LakeTable(
           m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
       }
     } finally live.unpersist()
+  }
+
+  /** MERGE INTO (upsert): one atomic commit combining a position-delete
+    * file for matched target rows, rewritten rows for WHEN MATCHED
+    * UPDATE, and appended source rows for WHEN NOT MATCHED INSERT.
+    *
+    * The target is exposed under alias `t` and the source under `s`, so
+    * `on` and assignment expressions use qualified refs
+    * (`col("t.id") === col("s.id")`, `col("s.amount")`). Multiple source
+    * rows matching one target row is an error (ambiguous update — the
+    * standard MERGE cardinality rule). INSERT takes the source's
+    * target-schema columns by name. v3 lineage: updated rows keep their
+    * `_row_id`; inserted rows mint new ids.
+    *
+    * Scale: the matched side flows as (coords + joined columns) through
+    * an ordinary equi-join on the merge key (shuffle or broadcast by
+    * size); the cardinality check is a metadata-thin aggregate over the
+    * matched coords only. */
+  def merge(
+      source: DataFrame,
+      on: Column,
+      whenMatched: Option[MergeMatched] = None,
+      insertNotMatched: Boolean = false,
+      targetAlias: String = "t",
+      sourceAlias: String = "s"): LakeTable = {
+    val seq = nextSeq
+    val keepIds = meta.formatVersion >= 3 && meta.nextRowId >= 0
+    val tgt = readWithCoords(withRowIds = keepIds).alias(targetAlias)
+    val src = source.alias(sourceAlias)
+    val matched = tgt.join(src, on, "inner").cache()
+    try {
+      val matchedCoords = matched
+        .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+      val dups = matchedCoords.groupBy("file_path", "pos").count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dups > 0)
+        throw new IllegalArgumentException(
+          "MERGE: multiple source rows match the same target row " +
+            "(ambiguous update); deduplicate the source on the merge key")
+
+      val delOpt =
+        if (whenMatched.isEmpty) None
+        else writeDeleteFiles(matchedCoords, seq)
+      val rewritten: Seq[DataFileMeta] = whenMatched match {
+        case Some(MergeMatched.Update(as)) if delOpt.isDefined =>
+          val outCols = schema.fields.map { f =>
+            as.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(s"$targetAlias.${f.name}").as(f.name))
+          } ++ (if (keepIds) Seq(col(RowIdCol)) else Nil)
+          writeDataFiles(matched.select(outCols.toSeq: _*), -1L, seq,
+            withRowIdCol = keepIds)
+        case _ => Nil // Delete (or nothing matched): no rewrite
+      }
+      val start = if (meta.nextRowId >= 0) meta.nextRowId else meta.computedNextRowId
+      val inserted: Seq[DataFileMeta] =
+        if (!insertNotMatched) Nil
+        else {
+          val newRows = src.join(tgt, on, "left_anti")
+            .select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          writeDataFiles(newRows, start, seq)
+        }
+      val nIns = inserted.map(_.rowCount).sum
+      if (delOpt.isEmpty && inserted.isEmpty) return this
+      val (delMeta, nMatched) = delOpt.getOrElse((Nil, 0L))
+      commitSnapshot(
+        newSnapshot("merge", dataFiles ++ rewritten ++ inserted,
+          deleteFiles ++ delMeta,
+          Map("matched-records" -> nMatched.toString,
+            "inserted-records" -> nIns.toString)),
+        m => if (m.nextRowId >= 0) m.copy(nextRowId = start + nIns) else m)
+    } finally matched.unpersist()
   }
 
   /** Equality deletes (J2, v2 spec completeness): rows matching any tuple

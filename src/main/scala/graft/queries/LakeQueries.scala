@@ -107,5 +107,55 @@ object LakeQueries {
     (s, _) => SqlDemoFixture(s)
       .run(s"SELECT * FROM ${SqlDemoFixture.TableName} ORDER BY id"))
 
-  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45)
+  // Q48: MERGE INTO behind the hash gate — the engine's one-commit upsert
+  // (update matched amounts + insert the unmatched row) must land exactly
+  // where DuckDB's equivalent UPDATE…FROM + INSERT replay lands.
+  private val mergeFixture =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, graft.lake.LakeTable]()
+
+  private def q48Table(s: org.apache.spark.sql.SparkSession): graft.lake.LakeTable =
+    mergeFixture.computeIfAbsent(s, { spark =>
+      import org.apache.spark.sql.Row
+      val wh = java.nio.file.Files.createTempDirectory("graft-merge-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val cat = new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now })
+      cat.createNamespace("demo")
+      def rows(rs: Seq[(Int, String, String, String)]) =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rs.map { case (id, n, c, a) =>
+            Row(id, n, c, new java.math.BigDecimal(a), DemoFixture.FixedTs)
+          }, 1), DemoFixture.Schema)
+      val t0 = cat.createTable("demo", "merge_demo", DemoFixture.Schema,
+        Seq("category"), Map(
+          "write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read"))
+        .append(rows(DemoFixture.Products))
+      t0.merge(
+        rows(Seq(
+          (2, "Product B", "electronics", "249.99"),
+          (7, "Product G", "electronics", "111.11"),
+          (11, "Product K", "toys", "59.99"))),
+        org.apache.spark.sql.functions.col("t.id") ===
+          org.apache.spark.sql.functions.col("s.id"),
+        Some(graft.lake.MergeMatched.Update(
+          Map("amount" -> org.apache.spark.sql.functions.col("s.amount")))),
+        insertNotMatched = true)
+    })
+
+  val q48 = QueryDef(
+    "q48_merge_upsert",
+    Some("""CREATE OR REPLACE TABLE demo_q48 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q48 VALUES """ + ValuesSql + """;
+            UPDATE demo_q48 SET amount = v.amount
+              FROM (VALUES (2, CAST(249.99 AS DECIMAL(10,2))),
+                           (7, CAST(111.11 AS DECIMAL(10,2)))) v(id, amount)
+              WHERE demo_q48.id = v.id;
+            INSERT INTO demo_q48 VALUES
+              (11, 'Product K', 'toys', 59.99, TIMESTAMP '2026-01-01 00:00:00');
+            SELECT * FROM demo_q48 ORDER BY id"""),
+    (s, _) => q48Table(s).read().orderBy("id"))
+
+  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48)
 }

@@ -251,6 +251,42 @@ class LakeTableSpec extends SparkSpec {
       schema, Seq(IsNull("category")))).inputFiles.length == 2)
   }
 
+  test("MERGE: one-commit upsert with lineage preserved and cardinality guard") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t0 = cat.createTable("db", "mg", schema,
+      props = morProps + ("format-version" -> "3"))
+      .append(df(sixRows: _*))
+    val idsBefore = t0.readWithRowIds().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // upsert: update amount for ids 2 and 4, insert id 99
+    val src = df((2, "a", 200.0), (4, "b", 400.0), (99, "z", 990.0))
+    val t1 = t0.merge(src, col("t.id") === col("s.id"),
+      Some(MergeMatched.Update(Map("amount" -> col("s.amount")))),
+      insertNotMatched = true)
+    val got = t1.read().collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1 -> 10.0, 2 -> 200.0, 3 -> 30.0, 4 -> 400.0,
+      5 -> 50.0, 6 -> 60.0, 99 -> 990.0))
+    assert(t1.currentSnapshot.get.operation == "merge")
+    assert(t1.meta.snapshots.size == t0.meta.snapshots.size + 1) // one commit
+    // updated rows keep their lineage ids; the insert minted a fresh one
+    val idsAfter = t1.readWithRowIds().select("id", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(idsAfter(2) == idsBefore(2) && idsAfter(4) == idsBefore(4))
+    assert(idsAfter(99) == 6L && t1.meta.nextRowId == 7L)
+    // WHEN MATCHED DELETE + INSERT
+    val t2 = t1.merge(df((99, "z", 0.0), (100, "q", 1.0)),
+      col("t.id") === col("s.id"),
+      Some(MergeMatched.Delete), insertNotMatched = true)
+    assert(ids(t2).contains(100) && !ids(t2).contains(99))
+    // ambiguous source (two rows match one target) must throw
+    assertThrows[IllegalArgumentException](
+      t2.merge(df((1, "a", 1.0), (1, "b", 2.0)), col("t.id") === col("s.id"),
+        Some(MergeMatched.Update(Map("amount" -> col("s.amount"))))))
+    // no-op merge commits nothing
+    assert(t2.merge(df((777, "x", 0.0)), col("t.id") === col("s.id"),
+      Some(MergeMatched.Delete)).meta.snapshots.size == t2.meta.snapshots.size)
+  }
+
   test("schema evolution: add/drop column are metadata-only commits") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "ev", schema, Seq("category"), morProps)

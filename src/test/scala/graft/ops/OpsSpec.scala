@@ -88,6 +88,26 @@ class OpsSpec extends SparkSpec {
       Some("reader2")).head().getLong(1) == 2)
   }
 
+  test("LakeSql: MERGE INTO statement (update + insert arms)") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.tgt (id INT, amount DOUBLE)")
+    sql.run("INSERT INTO db.tgt VALUES (1, 10.0), (2, 20.0)")
+    sql.run("CREATE TABLE db.src (id INT, amount DOUBLE)")
+    sql.run("INSERT INTO db.src VALUES (2, 222.0), (3, 33.0)")
+    val st = sql.run(
+      """MERGE INTO db.tgt a USING db.src b ON a.id = b.id
+         WHEN MATCHED THEN UPDATE SET amount = b.amount
+         WHEN NOT MATCHED THEN INSERT *""").head().getString(0)
+    assert(st.contains("matched=1") && st.contains("inserted=1"), st)
+    val rows = sql.run("SELECT id, amount FROM db.tgt ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toSeq
+    assert(rows == Seq(1 -> 10.0, 2 -> 222.0, 3 -> 33.0))
+    // delete arm
+    sql.run("""MERGE INTO db.tgt a USING db.src b ON a.id = b.id
+               WHEN MATCHED THEN DELETE""")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.tgt").head().getLong(0) == 1)
+  }
+
   test("LakeSql: ADD/DROP COLUMN and the rollback procedure") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.ev (id INT)")
