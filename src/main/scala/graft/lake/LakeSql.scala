@@ -250,6 +250,10 @@ class LakeSql(val catalog: LakeCatalog) {
       case "repair_v3_metadata" =>
         val r = Procedures.repairV3Metadata(t)
         status(s"next-row-id = ${r.meta.nextRowId}")
+      case "remove_orphan_files" =>
+        val n = Procedures.removeOrphanFiles(t)
+        import catalog.spark.implicits._
+        Seq(n).toDF("deleted_orphan_files_count")
       case "rollback_to_snapshot" =>
         val snapId = unquote(args.getOrElse("snapshot_id",
           throw new SqlParseException("rollback needs snapshot_id => …"))).toLong

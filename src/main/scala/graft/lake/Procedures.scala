@@ -80,6 +80,10 @@ object Procedures {
     *  - `delete-file-threshold` = N: rewrite data files referenced by ≥ N
     *    delete files (default 1 — any file with deletes)
     *  - `target-file-size-bytes`: output sizing (default 128 MiB)
+    *  - `sort-order` = "col1,col2": range-partition + sort the rewrite by
+    *    these columns, so output files carry disjoint value ranges and
+    *    the per-file min/max stats (StatsPruning) skip them surgically
+    *    on range predicates — compaction doubles as data clustering
     *
     * Rewritten files have deletes applied and (v3) `_row_id` preserved;
     * delete files whose remaining references all point at rewritten files
@@ -121,7 +125,14 @@ object Procedures {
       (if (keepIds) Seq(col(RowIdCol)) else Nil)
     val totalBytes = rewriteSet.map(_.sizeBytes).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val compacted = live.select(outCols: _*).repartition(nOut)
+    val sortCols = options.get("sort-order")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val projected = live.select(outCols: _*)
+    val compacted =
+      if (sortCols.isEmpty) projected.repartition(nOut)
+      else projected
+        .repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
 
     val seq = t.meta.lastSequenceNumber + 1
     val newData =
@@ -146,6 +157,20 @@ object Procedures {
     val table = t.commitSnapshot(snap)
     RewriteResult(table, rewriteSet.size, newData.size,
       t.deleteFiles.size - keptDeletes.size)
+  }
+
+  /** Remove parquet files under the table's data/deletes directories that
+    * no snapshot references — leftovers of crashed or aborted commits
+    * (Iceberg's `remove_orphan_files`). Metadata-scale: a directory walk
+    * diffed against the snapshot log; the metadata dir is never touched. */
+  def removeOrphanFiles(t: LakeTable): Int = {
+    val referenced = t.meta.snapshots.flatMap(s =>
+      s.dataFiles.map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+    val candidates = listParquetFiles(t.location.resolve("data")) ++
+      listParquetFiles(t.location.resolve("deletes"))
+    val orphans = candidates.filterNot(p => referenced.contains(p.toString))
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.size
   }
 
   /** M3: `CALL expire_snapshots(table, older_than, retain_last)`

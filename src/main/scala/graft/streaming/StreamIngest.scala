@@ -56,6 +56,46 @@ object StreamIngest {
       .foreachBatch(commitBatch(catalog, db, table) _)
       .start()
 
+  /** Streaming windowed counts MATERIALIZED in a lake table via MERGE
+    * upserts: update-mode emits each changed (window, type) row with its
+    * current TOTAL count, and the micro-batch merges it — matched window
+    * rows update, new ones insert — in one atomic commit. Totals-upsert
+    * is idempotent by value, so a redelivered batch converges instead of
+    * double-counting; the aggregation state stays watermark-bounded in
+    * the engine while the table always holds the latest materialized
+    * view. Target schema: (win_start TIMESTAMP, event_type STRING,
+    * cnt BIGINT). */
+  def upsertWindowedCounts(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      table: String,
+      tsCol: String,
+      typeCol: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"),
+        col(typeCol).as("event_type"), col("cnt"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        catalog.loadTable(db, table).foreach { t =>
+          t.merge(batch,
+            col("t.win_start") === col("s.win_start") &&
+              col("t.event_type") === col("s.event_type"),
+            Some(graft.lake.MergeMatched.Update(
+              Map("cnt" -> col("s.cnt")))),
+            insertNotMatched = true)
+        }
+      }
+      .start()
+
   /** Watermarked 1-hour tumbling counts per event type (the streaming
     * twin of q30's batch window). Late data beyond the watermark is
     * dropped by the engine; the aggregation state is bounded. */

@@ -150,6 +150,42 @@ class ProceduresSpec extends SparkSpec {
     assert(content(r.table) == expected)
   }
 
+  test("sort-ordered compaction clusters files so stats skip ranges") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "so", schema, props = morProps)
+    // interleaved appends: both files span the whole id range
+    t = t.append(df((1, "a", 1.0), (100, "a", 2.0)))
+    t = t.append(df((2, "b", 3.0), (101, "b", 4.0)))
+    def prunedCount(tt: LakeTable) = tt.read(fileFilter =
+      StatsPruning.filePredicate(schema, Seq(GreaterThan("id", 50))))
+      .inputFiles.length
+    assert(prunedCount(t) == 2, "unclustered files should not be skippable")
+    val half = t.dataFiles.map(_.sizeBytes).sum / 2 + 1
+    val r = Procedures.rewriteDataFiles(t, Map(
+      "rewrite-all" -> "true", "sort-order" -> "id",
+      "target-file-size-bytes" -> half.toString))
+    assert(r.addedDataFiles >= 2)
+    // range partitioning makes id bounds disjoint → the range skips files
+    assert(prunedCount(r.table) < r.table.dataFiles.size)
+    assert(r.table.read().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 100, 101))
+  }
+
+  test("remove_orphan_files deletes only unreferenced files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = morTable(cat, "or1")
+    val orphan = t.location.resolve("data").resolve("orphan.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    val before = content(t)
+    assert(Procedures.removeOrphanFiles(t) == 1)
+    assert(!Files.exists(orphan))
+    assert(t.dataFiles.forall(f => Files.exists(Paths.get(f.path))))
+    assert(t.deleteFiles.forall(f => Files.exists(Paths.get(f.path))))
+    assert(content(t) == before)
+    assert(Procedures.removeOrphanFiles(t) == 0) // idempotent
+  }
+
   test("repairV3Metadata re-mints a missing next-row-id (M7, README.md:43-45)") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val v3 = Procedures.upgradeFormatVersion(morTable(cat, "r1t"))

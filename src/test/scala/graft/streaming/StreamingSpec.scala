@@ -72,6 +72,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed counts materialize into a lake table via MERGE upserts") {
+    val srcDir = Files.createTempDirectory("graft-ups-src")
+    val rows = mkEvents(90)
+    rows.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      spark.createDataFrame(spark.sparkContext.parallelize(chunk, 1), schema)
+        .write.parquet(s"$srcDir/chunk$i")
+    }
+    val flat = Files.createTempDirectory("graft-ups-flat")
+    // the file source orders micro-batches by modification time; stamp
+    // chunks in event-time order so the watermark never classifies a
+    // whole chunk as late (out-of-order arrival beyond the watermark is
+    // dropped by design — that's what the watermark means)
+    Files.walk(srcDir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+      val chunk = p.getParent.getFileName.toString // chunk0 / chunk1 / chunk2
+      val dst = flat.resolve(s"$chunk-${p.getFileName}")
+      Files.copy(p, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(
+        1700000000000L + chunk.last.toInt * 60000L))
+    }
+    val wh = Files.createTempDirectory("graft-ups-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    cat.createTable("db", "win", StructType(Seq(
+      StructField("win_start", TimestampType),
+      StructField("event_type", StringType),
+      StructField("cnt", LongType))))
+    val q = StreamIngest.upsertWindowedCounts(
+      spark, flat.toString, schema, cat, "db", "win", "ts", "event_type")
+    q.processAllAvailable(); q.stop()
+    val got = cat.loadTable("db", "win").get.read()
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch, "materialized upsert view != batch answer")
+    // windows updated across batches went through the MERGE path
+    val t = cat.loadTable("db", "win").get
+    assert(t.meta.snapshots.exists(_.operation == "merge"))
+  }
+
   test("sink is idempotent on micro-batch redelivery (VERDICT r3 #3 restart case)") {
     val wh = Files.createTempDirectory("graft-stream-idem")
     val cat = new LakeCatalog(spark, wh)
