@@ -606,6 +606,21 @@ class LakeTable(
       schemaDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL))
   }
 
+  /** Partition-spec evolution (metadata-only, Iceberg-style): future
+    * writes partition by `cols`; files written under earlier specs keep
+    * their recorded partition values, and pruning stays correct because
+    * the DSv2 partition predicate is conservative — a file with no
+    * recorded value for a constrained column is always kept (its rows
+    * are re-filtered above the scan). Stats-based skipping covers the
+    * pre-evolution files where partition pruning can't. */
+  def setPartitionSpec(cols: Seq[String]): LakeTable = {
+    cols.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(s"partition column $c not in schema")
+    }
+    withMeta(meta.copy(partitionCols = cols))
+  }
+
   /** Roll the table back to a retained snapshot: a NEW commit whose
     * content is the old snapshot's file lists — history is preserved
     * (time travel still sees everything), only the current pointer

@@ -26,11 +26,17 @@ import org.apache.spark.sql.types._
 object StatsPruning {
 
   /** Columns eligible for stats: totally ordered primitives whose string
-    * rendering round-trips exactly. Temporal/decimal types are skipped
-    * (their parquet physical values need logical-type interpretation). */
+    * rendering round-trips exactly, plus date/timestamp (compared on
+    * their parquet physical epoch-day / epoch-micro values; INT96
+    * legacy timestamps carry no usable stats and fall back to
+    * conservative keep — write with
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` to make
+    * timestamp skipping effective). Decimals are skipped (physical
+    * values need scale interpretation). */
   private def eligible(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | ShortType | ByteType |
-         FloatType | DoubleType | StringType | BooleanType => true
+         FloatType | DoubleType | StringType | BooleanType |
+         DateType | TimestampType => true
     case _ => false
   }
 
@@ -52,14 +58,24 @@ object StatsPruning {
         dt <- byName.get(name) if eligible(dt)
       } {
         val s = chunk.getStatistics
-        val bounds: Option[(String, String)] = s match {
-          case null => None
-          case st if !st.hasNonNullValue => None // all-null or no stats
-          case st: BinaryStatistics =>
+        // the statistics class must MATCH the Spark type's expected
+        // physical encoding — e.g. an INT96 timestamp surfaces binary
+        // stats whose bytes are not epoch-ordered; typed mismatches
+        // classify as unknown, never as bounds
+        val bounds: Option[(String, String)] = (dt, s) match {
+          case (_, null) => None
+          case (_, st) if !st.hasNonNullValue => None // all-null or no stats
+          case (StringType, st: BinaryStatistics) =>
             Some((st.genericGetMin.toStringUsingUTF8,
               st.genericGetMax.toStringUsingUTF8))
-          case st @ (_: IntStatistics | _: LongStatistics |
-                     _: DoubleStatistics | _: FloatStatistics) =>
+          case (TimestampType, st: LongStatistics) => // epoch micros
+            Some((String.valueOf(st.genericGetMin), String.valueOf(st.genericGetMax)))
+          case (DateType, st: IntStatistics) => // epoch days
+            Some((String.valueOf(st.genericGetMin), String.valueOf(st.genericGetMax)))
+          case (IntegerType | LongType | ShortType | ByteType |
+                DoubleType | FloatType,
+              st @ (_: IntStatistics | _: LongStatistics |
+                    _: DoubleStatistics | _: FloatStatistics)) =>
             Some((String.valueOf(st.genericGetMin), String.valueOf(st.genericGetMax)))
           case _ => None
         }
@@ -86,10 +102,21 @@ object StatsPruning {
     case _ => a.toLong.compareTo(b.toLong) // byte/short/int/long
   }
 
-  private def render(v: Any): Option[String] = v match {
-    case null => None
-    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-    case other => Some(other.toString)
+  /** Render a pushed filter value into the stats' string domain —
+    * temporal values convert to the same physical epoch units the
+    * footer bounds use. Unconvertible shapes → None → no skip. */
+  private def render(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (_, null) => None
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some((t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L).toString)
+    case (TimestampType, i: java.time.Instant) =>
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+    case (TimestampType, _) => None
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toString)
+    case (DateType, ld: java.time.LocalDate) => Some(ld.toEpochDay.toString)
+    case (DateType, _) => None
+    case (_, s: org.apache.spark.unsafe.types.UTF8String) => Some(s.toString)
+    case (_, other) => Some(other.toString)
   }
 
   /** File-skip predicate from pushed source filters. Only constraints
@@ -105,21 +132,21 @@ object StatsPruning {
     // (column, survives-given-bounds) checks compiled once per scan
     val checks: Seq[(String, DataType, (String, String) => Boolean)] =
       filters.flatMap {
-        case EqualTo(c, v) => for (dt <- dtOf(c); s <- render(v))
+        case EqualTo(c, v) => for (dt <- dtOf(c); s <- render(dt, v))
           yield (c, dt, (lo: String, hi: String) =>
             compare(dt, s, lo) >= 0 && compare(dt, s, hi) <= 0)
         case In(c, vs) => for (dt <- dtOf(c)) yield {
-          val ss = vs.toSeq.flatMap(render)
+          val ss = vs.toSeq.flatMap(render(dt, _))
           (c, dt, (lo: String, hi: String) => ss.isEmpty || ss.exists(s =>
             compare(dt, s, lo) >= 0 && compare(dt, s, hi) <= 0))
         }
-        case GreaterThan(c, v) => for (dt <- dtOf(c); s <- render(v))
+        case GreaterThan(c, v) => for (dt <- dtOf(c); s <- render(dt, v))
           yield (c, dt, (_: String, hi: String) => compare(dt, hi, s) > 0)
-        case GreaterThanOrEqual(c, v) => for (dt <- dtOf(c); s <- render(v))
+        case GreaterThanOrEqual(c, v) => for (dt <- dtOf(c); s <- render(dt, v))
           yield (c, dt, (_: String, hi: String) => compare(dt, hi, s) >= 0)
-        case LessThan(c, v) => for (dt <- dtOf(c); s <- render(v))
+        case LessThan(c, v) => for (dt <- dtOf(c); s <- render(dt, v))
           yield (c, dt, (lo: String, _: String) => compare(dt, lo, s) < 0)
-        case LessThanOrEqual(c, v) => for (dt <- dtOf(c); s <- render(v))
+        case LessThanOrEqual(c, v) => for (dt <- dtOf(c); s <- render(dt, v))
           yield (c, dt, (lo: String, _: String) => compare(dt, lo, s) <= 0)
         case _ => None // unsupported shapes never skip
       }

@@ -15,6 +15,8 @@ object SparkSpec {
     .config("spark.sql.catalog.glue_catalog", "graft.lake.LakeSparkCatalog")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
+    // INT64 micros so timestamp columns carry orderable footer stats
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

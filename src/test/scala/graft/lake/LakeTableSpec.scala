@@ -251,6 +251,48 @@ class LakeTableSpec extends SparkSpec {
       schema, Seq(IsNull("category")))).inputFiles.length == 2)
   }
 
+  test("timestamp stats skip files on pushed time-range predicates") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val tsSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("ts", TimestampType)))
+    def tsDf(rows: (Int, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, s) =>
+        Row(i, java.sql.Timestamp.from(java.time.Instant.parse(s)))
+      }, 1), tsSchema)
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "tsk", tsSchema)
+    t = t.append(tsDf(1 -> "2026-01-01T00:00:00Z", 2 -> "2026-01-01T01:00:00Z"))
+    t = t.append(tsDf(3 -> "2026-06-01T00:00:00Z", 4 -> "2026-06-01T01:00:00Z"))
+    assert(t.dataFiles.flatMap(_.stats.get("ts")).size == 2,
+      s"timestamp stats missing: ${t.dataFiles.map(_.stats)}")
+    val cut = java.sql.Timestamp.from(java.time.Instant.parse("2026-03-01T00:00:00Z"))
+    val pruned = t.read(fileFilter = StatsPruning.filePredicate(
+      tsSchema, Seq(GreaterThan("ts", cut))))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+  }
+
+  test("partition-spec evolution: old files stay readable and conservatively pruned") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "pe", schema) // unpartitioned
+      .append(df((1, "a", 1.0), (2, "b", 2.0)))
+    val oldFiles = t.dataFiles.map(_.path).toSet
+    t = t.setPartitionSpec(Seq("category"))
+    assertThrows[IllegalArgumentException](t.setPartitionSpec(Seq("nope")))
+    t = t.append(df((3, "a", 3.0), (4, "b", 4.0)))
+    // new files carry partition values; pre-evolution files have none
+    assert(t.dataFiles.filterNot(f => oldFiles.contains(f.path))
+      .forall(_.partitionValues.contains("category")))
+    assert(t.dataFiles.filter(f => oldFiles.contains(f.path))
+      .forall(_.partitionValues.isEmpty))
+    assert(ids(t) == Seq(1, 2, 3, 4))
+    // conservative pruning (the DSv2 rule): unknown partition value → keep
+    val pruned = t.read(partitionFilter = pv => pv.get("category").forall(_ == "a"))
+    assert(pruned.inputFiles.length == oldFiles.size + 1)
+    assert(pruned.filter(col("category") === "a").select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
+
   test("MERGE: one-commit upsert with lineage preserved and cardinality guard") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t0 = cat.createTable("db", "mg", schema,
