@@ -60,6 +60,19 @@ class LakeSql(val catalog: LakeCatalog) {
   // ------------------------------------------------------------ statements
 
   private def create(s: String, p: Option[String]): DataFrame = {
+    // CTAS: schema comes from the SELECT, data lands as the first append
+    val ctas =
+      """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+((?:SELECT|WITH)\s+.*)$""".r
+    ctas.findFirstMatchIn(s).foreach { cm =>
+      val (db, table) = splitName(cm.group(2))
+      if (cm.group(1) != null && catalog.tableExists(db, table))
+        return status(s"Table $db.$table already exists")
+      val src = select(cm.group(3), p)
+      catalog.createNamespace(db)
+      val t = catalog.createTable(db, table, src.schema)
+      t.append(src)
+      return status(s"Created table $db.$table as select")
+    }
     val head = """(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(""".r
     val m = head.findFirstMatchIn(s).getOrElse(fail("CREATE TABLE", s))
     val ifNotExists = m.group(1) != null

@@ -88,6 +88,20 @@ class OpsSpec extends SparkSpec {
       Some("reader2")).head().getLong(1) == 2)
   }
 
+  test("LakeSql: CREATE TABLE AS SELECT") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.base (id INT, category STRING)")
+    sql.run("INSERT INTO db.base VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    sql.run("CREATE TABLE db.derived AS SELECT id, category FROM db.base WHERE category = 'a'")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.derived").head().getLong(0) == 2)
+    // the new table is a full lake table: DML works on it
+    sql.run("DELETE FROM db.derived WHERE id = 1")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.derived").head().getLong(0) == 1)
+    // IF NOT EXISTS short-circuits
+    sql.run("CREATE TABLE IF NOT EXISTS db.derived AS SELECT * FROM db.base")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.derived").head().getLong(0) == 1)
+  }
+
   test("LakeSql: MERGE INTO statement (update + insert arms)") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.tgt (id INT, amount DOUBLE)")
