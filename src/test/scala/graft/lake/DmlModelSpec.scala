@@ -49,7 +49,7 @@ class DmlModelSpec extends SparkSpec {
       var nextId = 0
 
       for (step <- 0 until 8) {
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 => // insert 1-4 rows (ids may repeat: no PK semantics)
             val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
               val id = if (rnd.nextBoolean() || nextId == 0) { nextId += 1; nextId }
@@ -86,6 +86,24 @@ class DmlModelSpec extends SparkSpec {
                 else Map("delete-file-threshold" -> "1")
               table = Procedures.rewriteDataFiles(table, opts).table
             } else table = Procedures.upgradeFormatVersion(table)
+          case 5 => // MERGE upsert on id (unique source keys by construction)
+            val srcIds = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              if (rnd.nextBoolean() && nextId > 0) 1 + rnd.nextInt(nextId)
+              else { nextId += 1; nextId }
+            }.distinct
+            val srcRows = srcIds.map(id =>
+              (id, cats(rnd.nextInt(3)), (rnd.nextInt(1000) + 1).toDouble))
+            table = table.merge(toDf(srcRows), col("t.id") === col("s.id"),
+              Some(MergeMatched.Update(Map(
+                "category" -> col("s.category"), "amount" -> col("s.amount")))),
+              insertNotMatched = true)
+            // model: every row with a matched id takes the source values
+            // (ids may be duplicated in the table — all copies update);
+            // unmatched source rows insert
+            val byId = srcRows.map(r => r._1 -> r).toMap
+            val matchedIds = model.map(_._1).toSet
+            model = model.map(r => byId.getOrElse(r._1, r)) ++
+              srcRows.filterNot(r => matchedIds.contains(r._1))
         }
         assert(observed(table) == model.sorted,
           s"trial=$trial mor=$mor step=$step: table != model")

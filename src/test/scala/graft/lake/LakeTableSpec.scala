@@ -251,6 +251,35 @@ class LakeTableSpec extends SparkSpec {
       schema, Seq(IsNull("category")))).inputFiles.length == 2)
   }
 
+  test("stats pruning never changes results (random predicates property)") {
+    import org.apache.spark.sql.sources._
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val rnd = new scala.util.Random(11)
+    var t = cat.createTable("db", "prop", schema, props = morProps)
+    for (_ <- 0 until 4) { // several files with random, overlapping ranges
+      val rows = (0 until 1 + rnd.nextInt(5)).map(_ =>
+        (rnd.nextInt(100), s"c${rnd.nextInt(3)}", rnd.nextInt(50).toDouble))
+      t = t.append(df(rows: _*))
+    }
+    val preds: Seq[(Filter, org.apache.spark.sql.Column)] = Seq.fill(12) {
+      val v = rnd.nextInt(100)
+      rnd.nextInt(4) match {
+        case 0 => (GreaterThan("id", v), col("id") > v)
+        case 1 => (LessThan("id", v), col("id") < v)
+        case 2 => (EqualTo("id", v), col("id") === v)
+        case 3 =>
+          val c = s"c${rnd.nextInt(3)}"
+          (EqualTo("category", c), col("category") === c)
+      }
+    }
+    for ((f, c) <- preds) {
+      val full = t.read().filter(c).collect().map(_.toString).sorted.toSeq
+      val pruned = t.read(fileFilter = StatsPruning.filePredicate(schema, Seq(f)))
+        .filter(c).collect().map(_.toString).sorted.toSeq
+      assert(pruned == full, s"pruning changed results for $f")
+    }
+  }
+
   test("timestamp stats skip files on pushed time-range predicates") {
     import org.apache.spark.sql.sources.GreaterThan
     val tsSchema = StructType(Seq(
