@@ -522,37 +522,84 @@ class LakeTable(
           "MERGE: multiple source rows match the same target row " +
             "(ambiguous update); deduplicate the source on the merge key")
 
-      val delOpt =
-        if (whenMatched.isEmpty) None
-        else writeDeleteFiles(matchedCoords, seq)
-      val rewritten: Seq[DataFileMeta] = whenMatched match {
-        case Some(MergeMatched.Update(as)) if delOpt.isDefined =>
-          val outCols = schema.fields.map { f =>
-            as.get(f.name).map(_.cast(f.dataType).as(f.name))
-              .getOrElse(col(s"$targetAlias.${f.name}").as(f.name))
-          } ++ (if (keepIds) Seq(col(RowIdCol)) else Nil)
-          writeDataFiles(matched.select(outCols.toSeq: _*), -1L, seq,
-            withRowIdCol = keepIds)
-        case _ => Nil // Delete (or nothing matched): no rewrite
+      // WHEN MATCHED UPDATE output: target row with assignments applied
+      def updatedRows(as: Map[String, Column]): DataFrame = {
+        val outCols = schema.fields.map { f =>
+          as.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(s"$targetAlias.${f.name}").as(f.name))
+        } ++ (if (keepIds) Seq(col(RowIdCol)) else Nil)
+        matched.select(outCols.toSeq: _*)
       }
+      // implicit-id accounting (v2 / unminted v3): rewritten rows take
+      // [start, start+nRw), inserts continue from there — disjoint ranges
+      // keep a later v3 upgrade's computedNextRowId collision-free
       val start = if (meta.nextRowId >= 0) meta.nextRowId else meta.computedNextRowId
-      val inserted: Seq[DataFileMeta] =
+      def writeInserts(from: Long): Seq[DataFileMeta] =
         if (!insertNotMatched) Nil
-        else {
-          val newRows = src.join(tgt, on, "left_anti")
+        else writeDataFiles(
+          src.join(tgt, on, "left_anti")
             .select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-          writeDataFiles(newRows, start, seq)
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*),
+          from, seq)
+
+      if (isMorUpdate) {
+        // MoR: matched coords → one position-delete file; updates append
+        val delOpt =
+          if (whenMatched.isEmpty) None
+          else writeDeleteFiles(matchedCoords, seq)
+        val rewritten: Seq[DataFileMeta] = whenMatched match {
+          case Some(MergeMatched.Update(as)) if delOpt.isDefined =>
+            writeDataFiles(updatedRows(as), start, seq, withRowIdCol = keepIds)
+          case _ => Nil // Delete (or nothing matched): no rewrite
         }
-      val nIns = inserted.map(_.rowCount).sum
-      if (delOpt.isEmpty && inserted.isEmpty) return this
-      val (delMeta, nMatched) = delOpt.getOrElse((Nil, 0L))
-      commitSnapshot(
-        newSnapshot("merge", dataFiles ++ rewritten ++ inserted,
-          deleteFiles ++ delMeta,
-          Map("matched-records" -> nMatched.toString,
-            "inserted-records" -> nIns.toString)),
-        m => if (m.nextRowId >= 0) m.copy(nextRowId = start + nIns) else m)
+        val nRw = if (keepIds) 0L else rewritten.map(_.rowCount).sum
+        val inserted = writeInserts(start + nRw)
+        val nIns = inserted.map(_.rowCount).sum
+        if (delOpt.isEmpty && inserted.isEmpty) return this
+        val (delMeta, nMatched) = delOpt.getOrElse((Nil, 0L))
+        commitSnapshot(
+          newSnapshot("merge", dataFiles ++ rewritten ++ inserted,
+            deleteFiles ++ delMeta,
+            Map("matched-records" -> nMatched.toString,
+              "inserted-records" -> nIns.toString)),
+          m => if (m.nextRowId >= 0) m.copy(nextRowId = start + nIns) else m)
+      } else {
+        // CoW: rewrite only the files containing matched rows — a merge
+        // on a copy-on-write table must NOT mint delete files (they would
+        // break strict v2 readers, the failure this engine exists to fix)
+        val affectedPaths = matchedCoords.select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+        val (affectedMeta, keep) = dataFiles.partition(f =>
+          affectedPaths.contains(f.path))
+        val nMatched = matched.count()
+        val rewritten: Seq[DataFileMeta] =
+          if (affectedMeta.isEmpty) Nil
+          else {
+            val affectedRows = tgt.join(broadcast(fileAttrs(affectedMeta)),
+              col(FileCol) === col(AttrPath), "left_semi")
+            val survivors = affectedRows
+              .join(broadcast(matchedCoords),
+                col(FileCol) === col("file_path") && col(PosCol) === col("pos"),
+                "left_anti")
+              .select((schema.fieldNames.map(n => col(s"$targetAlias.$n").as(n)) ++
+                (if (keepIds) Seq(col(RowIdCol)) else Nil)).toSeq: _*)
+            val replacement = whenMatched match {
+              case Some(MergeMatched.Update(as)) => survivors.unionByName(updatedRows(as))
+              case _ => survivors // Delete (or no matched action)
+            }
+            writeDataFiles(replacement, start, seq, withRowIdCol = keepIds)
+          }
+        val nRw = if (keepIds) 0L else rewritten.map(_.rowCount).sum
+        val inserted = writeInserts(start + nRw)
+        val nIns = inserted.map(_.rowCount).sum
+        if (affectedMeta.isEmpty && inserted.isEmpty) return this
+        commitSnapshot(
+          newSnapshot("merge", keep ++ rewritten ++ inserted, deleteFiles,
+            Map("matched-records" -> nMatched.toString,
+              "inserted-records" -> nIns.toString,
+              "rewritten-files" -> affectedMeta.size.toString)),
+          m => if (m.nextRowId >= 0) m.copy(nextRowId = start + nIns) else m)
+      }
     } finally matched.unpersist()
   }
 

@@ -358,6 +358,30 @@ class LakeTableSpec extends SparkSpec {
       Some(MergeMatched.Delete)).meta.snapshots.size == t2.meta.snapshots.size)
   }
 
+  test("MERGE on a copy-on-write table rewrites files, mints no delete files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t0 = cat.createTable("db", "mgc", schema, Seq("category")) // CoW default
+      .append(df(sixRows: _*))
+    val untouched = t0.dataFiles.filter(_.partitionValues("category") == "c")
+    val t1 = t0.merge(df((1, "a", 100.0), (7, "d", 70.0)),
+      col("t.id") === col("s.id"),
+      Some(MergeMatched.Update(Map("amount" -> col("s.amount")))),
+      insertNotMatched = true)
+    val got = t1.read().collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1 -> 100.0, 2 -> 20.0, 3 -> 30.0, 4 -> 40.0,
+      5 -> 50.0, 6 -> 60.0, 7 -> 70.0))
+    // the CoW invariant the strict-reader story depends on: no delete files
+    assert(t1.deleteFiles.isEmpty)
+    t1.read(strict = true).collect() // a strict v2 reader stays happy
+    // only partition a's file was rewritten; c's carried over byte-identical
+    assert(untouched.map(_.path).toSet.subsetOf(t1.dataFiles.map(_.path).toSet))
+    // delete arm: matched rows vanish without delete files
+    val t2 = t1.merge(df((2, "x", 0.0)), col("t.id") === col("s.id"),
+      Some(MergeMatched.Delete))
+    assert(ids(t2) == Seq(1, 3, 4, 5, 6, 7))
+    assert(t2.deleteFiles.isEmpty)
+  }
+
   test("schema evolution: add/drop column are metadata-only commits") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "ev", schema, Seq("category"), morProps)
