@@ -668,6 +668,28 @@ class LakeTable(
     withMeta(meta.copy(partitionCols = cols))
   }
 
+  /** Tag a retained snapshot with a stable name (Iceberg tag): readable
+    * via [[readTag]] and protected from expire_snapshots until dropped. */
+  def tagSnapshot(name: String, snapshotId: Long): LakeTable = {
+    if (!meta.snapshots.exists(_.id == snapshotId))
+      throw new IllegalArgumentException(
+        s"table ${meta.name} has no snapshot $snapshotId to tag")
+    if (meta.tags.contains(name))
+      throw new IllegalArgumentException(s"tag $name already exists")
+    withMeta(meta.copy(tags = meta.tags + (name -> snapshotId)))
+  }
+
+  def dropTag(name: String): LakeTable = {
+    if (!meta.tags.contains(name))
+      throw new IllegalArgumentException(s"no tag $name on ${meta.name}")
+    withMeta(meta.copy(tags = meta.tags - name))
+  }
+
+  /** Time travel by tag name. */
+  def readTag(name: String): DataFrame =
+    readSnapshot(meta.tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag $name on ${meta.name}")))
+
   /** Roll the table back to a retained snapshot: a NEW commit whose
     * content is the old snapshot's file lists — history is preserved
     * (time travel still sees everything), only the current pointer

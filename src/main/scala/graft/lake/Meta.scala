@@ -94,7 +94,10 @@ final case class TableMetadata(
       * Procedures.repairV3Metadata). */
     nextRowId: Long = -1L,
     lastSequenceNumber: Long = 0L,
-    grants: Map[String, Seq[String]] = Map.empty) {
+    grants: Map[String, Seq[String]] = Map.empty,
+    /** Named snapshot refs (Iceberg tags): tag name → snapshot id.
+      * Tagged snapshots are protected from expire_snapshots. */
+    tags: Map[String, Long] = Map.empty) {
 
   def currentSnapshot: Option[Snapshot] =
     snapshots.find(_.id == currentSnapshotId)

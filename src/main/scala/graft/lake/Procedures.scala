@@ -185,7 +185,7 @@ object Procedures {
     val m = t.meta
     val ordered = m.snapshots.sortBy(_.id)
     val retainedIds = ordered.takeRight(math.max(retainLast, 1)).map(_.id).toSet +
-      m.currentSnapshotId
+      m.currentSnapshotId ++ m.tags.values // tagged snapshots never expire
     val (expired, kept) = ordered.partition(s =>
       s.timestampMs < olderThanMs && !retainedIds.contains(s.id))
     if (expired.isEmpty) return ExpireResult(t, 0, 0)

@@ -407,6 +407,28 @@ class LakeTableSpec extends SparkSpec {
     assert(t.read().count() == 7)
   }
 
+  test("tags: named snapshot refs survive expiry and read by name") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "tag", schema, props = morProps)
+      .append(df(sixRows: _*))          // snapshot 1
+    t = t.tagSnapshot("baseline", 1)
+    assertThrows[IllegalArgumentException](t.tagSnapshot("baseline", 1))
+    assertThrows[IllegalArgumentException](t.tagSnapshot("x", 99))
+    t = t.delete(col("id") <= 3)        // snapshot 2
+    t = t.append(df((7, "d", 70.0)))    // snapshot 3
+    assert(t.readTag("baseline").count() == 6)
+    // expiry must retain the tagged snapshot (and its files) even though
+    // it is old enough to expire
+    val r = Procedures.expireSnapshots(t, olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(r.table.meta.snapshots.map(_.id).sorted == Seq(1L, 3L)) // 2 expired
+    assert(r.table.readTag("baseline").count() == 6)
+    // dropping the tag releases it for future expiry
+    val t2 = r.table.dropTag("baseline")
+    val r2 = Procedures.expireSnapshots(t2, Long.MaxValue, retainLast = 1)
+    assert(r2.table.meta.snapshots.map(_.id) == Seq(3L))
+    assertThrows[IllegalArgumentException](r2.table.readTag("baseline"))
+  }
+
   test("rollback restores a previous snapshot's content as a new commit") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t1 = cat.createTable("db", "rb", schema, props = morProps)
