@@ -309,7 +309,22 @@ class LakeSql(val catalog: LakeCatalog) {
     for ((db, name) <- lakeRefs.sortBy { case (d, n) => -(d.length + n.length) }) {
       val base = "(?<![\\w.])(?:(?:glue_catalog|lake)\\.)?" +
         java.util.regex.Pattern.quote(s"$db.$name")
-      // time travel first (the plain pattern would split the clause):
+      // metadata tables first (`db.t.history` would otherwise be split
+      // by the plain rewrite into `view.history`): Iceberg's metadata
+      // table spellings resolve to driver-side projections
+      for ((suffix, make) <- Seq[(String, LakeTable => DataFrame)](
+        "history" -> (_.history()),
+        "snapshots" -> (_.history()),
+        "files" -> (_.filesMetadata()))) {
+        val mre = (base + "\\." + suffix + "(?!\\w)").r
+        if (containsOutsideQuotes(rewritten, mre)) {
+          requirePerm(p, db, name, "SELECT")
+          val view = s"${db}__${name}__$suffix"
+          make(load(db, name)).createOrReplaceTempView(view)
+          rewritten = mapOutsideQuotes(rewritten, seg => mre.replaceAllIn(seg, view))
+        }
+      }
+      // time travel next (the plain pattern would split the clause):
       // `db.t VERSION AS OF <id>` → a view over that snapshot's scan
       val tt = (base + "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)(?!\\w)").r
       rewritten = mapOutsideQuotes(rewritten, seg =>

@@ -162,6 +162,20 @@ class LakeTable(
       .select(schema.fieldNames.map(col): _*)
   }
 
+  /** Current data-file listing as a queryable projection (the Iceberg
+    * `db.t.files` metadata table): path, partition values, row count,
+    * size and per-column bounds rendered as strings. Driver-side
+    * metadata, no data jobs. */
+  def filesMetadata(): DataFrame = {
+    import spark.implicits._
+    dataFiles
+      .map(f => (f.path, f.partitionValues, f.rowCount, f.sizeBytes,
+        f.stats.toSeq.sortBy(_._1)
+          .map { case (c, s) => s"$c:[${s.min},${s.max}]" }.mkString(", ")))
+      .toDF("file_path", "partition", "record_count", "file_size_in_bytes",
+        "column_bounds")
+  }
+
   /** Snapshot log projection (DESCRIBE HISTORY analogue): one row per
     * snapshot with id, commit time, operation, sequence number and the
     * operation summary. */

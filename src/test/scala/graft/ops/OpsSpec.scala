@@ -139,6 +139,27 @@ class OpsSpec extends SparkSpec {
     assert(sql.run("SELECT COUNT(*) AS c FROM db.ev").head().getLong(0) == 3)
   }
 
+  test("LakeSql: metadata tables — db.t.history / .snapshots / .files") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.mt (id INT)")
+    sql.run("INSERT INTO db.mt VALUES (1), (2)")
+    sql.run("INSERT INTO db.mt VALUES (3)")
+    val hist = sql.run(
+      "SELECT operation, snapshot_id FROM db.mt.history ORDER BY snapshot_id")
+      .collect()
+    assert(hist.map(_.getString(0)).toSeq == Seq("append", "append"))
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.mt.snapshots").head().getLong(0) == 2)
+    val files = sql.run(
+      "SELECT file_path, record_count, column_bounds FROM db.mt.files").collect()
+    assert(files.map(_.getLong(1)).sum == 3)
+    assert(files.forall(_.getString(2).contains("id:[")))
+    // metadata tables join with the data table in one statement
+    val joined = sql.run(
+      """SELECT (SELECT COUNT(*) FROM db.mt.files) AS nfiles,
+                COUNT(*) AS rows FROM db.mt""").head()
+    assert(joined.getLong(0) == files.length && joined.getLong(1) == 3)
+  }
+
   test("LakeSql: VERSION AS OF time travel through the dispatcher") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.tt (id INT)")
