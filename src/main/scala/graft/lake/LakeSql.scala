@@ -47,6 +47,8 @@ class LakeSql(val catalog: LakeCatalog) {
     if (up.startsWith("CREATE TABLE")) create(s, principal)
     else if (up.startsWith("DROP TABLE")) drop(s, principal)
     else if (up.startsWith("INSERT INTO")) insert(s, principal)
+    else if (up.startsWith("INSERT OVERWRITE")) insertOverwrite(s, principal)
+    else if (up.startsWith("TRUNCATE TABLE")) truncateStmt(s, principal)
     else if (up.startsWith("DELETE FROM")) delete(s, principal)
     else if (up.startsWith("UPDATE")) update(s, principal)
     else if (up.startsWith("MERGE INTO")) mergeStmt(s, principal)
@@ -124,6 +126,34 @@ class LakeSql(val catalog: LakeCatalog) {
     }.toSeq: _*)
     val t2 = t.append(aligned)
     status(s"Inserted ${added(t2)} row(s) into $db.$table")
+  }
+
+  private def insertOverwrite(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+(VALUES\s+.*|SELECT\s+.*|WITH\s+.*)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("INSERT OVERWRITE … VALUES/SELECT", s))
+    val (db, table) = splitName(m.group(1))
+    // overwrite = replace everything: the UPDATE decomposition rule
+    requirePerm(p, db, table, "DELETE")
+    requirePerm(p, db, table, "INSERT")
+    val t = load(db, table)
+    val body = m.group(2)
+    val raw =
+      if (body.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM $body")
+      else select(body, p)
+    val aligned = raw.select(raw.columns.zip(t.schema.fields).map {
+      case (c, f) => col(c).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val t2 = t.overwrite(aligned)
+    status(s"Overwrote $db.$table (${added(t2)} row(s))")
+  }
+
+  private def truncateStmt(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^TRUNCATE\s+TABLE\s+([\w.]+)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("TRUNCATE TABLE", s))
+    val (db, table) = splitName(m.group(1))
+    requirePerm(p, db, table, "DELETE")
+    load(db, table).truncate()
+    status(s"Truncated $db.$table")
   }
 
   private def delete(s: String, p: Option[String]): DataFrame = {

@@ -389,6 +389,25 @@ class LakeTable(
       })
   }
 
+  /** INSERT OVERWRITE: one commit replacing the table's content with
+    * `df` — old files stay owned by prior snapshots (time travel works;
+    * expiry GCs them later). */
+  def overwrite(df: DataFrame): LakeTable = {
+    val start = if (meta.nextRowId >= 0) meta.nextRowId else meta.computedNextRowId
+    val files = writeDataFiles(df, start, nextSeq)
+    val written = files.map(_.rowCount).sum
+    commitSnapshot(
+      newSnapshot("overwrite", files, Nil,
+        Map("added-records" -> written.toString,
+          "replaced-data-files" -> dataFiles.size.toString)),
+      m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
+  }
+
+  /** TRUNCATE TABLE: a commit with no live files. */
+  def truncate(): LakeTable =
+    commitSnapshot(newSnapshot("truncate", Nil, Nil,
+      Map("removed-data-files" -> dataFiles.size.toString)))
+
   // ------------------------------------------------------------------- DML
 
   /** DELETE FROM … WHERE cond (M4): merge-on-read writes a position-delete

@@ -88,6 +88,22 @@ class OpsSpec extends SparkSpec {
       Some("reader2")).head().getLong(1) == 2)
   }
 
+  test("LakeSql: INSERT OVERWRITE and TRUNCATE TABLE") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.ow (id INT)")
+    sql.run("INSERT INTO db.ow VALUES (1), (2), (3)")
+    sql.run("INSERT OVERWRITE db.ow VALUES (9)")
+    assert(sql.run("SELECT id FROM db.ow").collect().map(_.getInt(0)).toSeq == Seq(9))
+    // the replaced state stays time-travelable until expiry
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.ow VERSION AS OF 1")
+      .head().getLong(0) == 3)
+    sql.run("TRUNCATE TABLE db.ow")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.ow").head().getLong(0) == 0)
+    // table remains writable after truncate
+    sql.run("INSERT INTO db.ow VALUES (5)")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.ow").head().getLong(0) == 1)
+  }
+
   test("LakeSql: CREATE TABLE AS SELECT") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.base (id INT, category STRING)")
