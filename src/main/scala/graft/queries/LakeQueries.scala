@@ -143,6 +143,59 @@ object LakeQueries {
         insertNotMatched = true)
     })
 
+  // Q49: INSERT OVERWRITE (SELECT body across tables) + TRUNCATE behind
+  // the hash gate. DuckDB has neither statement, so the oracle replays
+  // their decomposition — DELETE-all + INSERT…SELECT / DELETE-all — on
+  // plain tables; the engine route runs the real statements through the
+  // dispatcher and must land byte-identical.
+  private val owFixture =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, graft.lake.LakeSql]()
+
+  private def q49Sql(s: org.apache.spark.sql.SparkSession): graft.lake.LakeSql =
+    owFixture.computeIfAbsent(s, { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-ow-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val sql = new graft.lake.LakeSql(
+        new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now }))
+      val cols = "id INT, name STRING, category STRING, " +
+        "amount DECIMAL(10,2), created_at TIMESTAMP"
+      Seq(
+        s"CREATE TABLE demo.ow_src ($cols)",
+        s"INSERT INTO demo.ow_src VALUES $ValuesSql",
+        s"CREATE TABLE demo.ow_dst ($cols)",
+        "INSERT INTO demo.ow_dst VALUES " +
+          "(99, 'Stale', 'misc', 1.00, TIMESTAMP '2026-01-01 00:00:00')",
+        "INSERT OVERWRITE demo.ow_dst SELECT id, name, category, amount, " +
+          "created_at FROM demo.ow_src WHERE category = 'electronics'",
+        "TRUNCATE TABLE demo.ow_src",
+        "INSERT INTO demo.ow_src VALUES " +
+          "(12, 'Product L', 'toys', 5.00, TIMESTAMP '2026-01-01 00:00:00')"
+      ).foreach(sql.run(_))
+      sql
+    })
+
+  val q49 = QueryDef(
+    "q49_overwrite_truncate",
+    Some("""CREATE OR REPLACE TABLE demo_q49s (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q49s VALUES """ + ValuesSql + """;
+            CREATE OR REPLACE TABLE demo_q49d (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q49d VALUES
+              (99, 'Stale', 'misc', 1.00, TIMESTAMP '2026-01-01 00:00:00');
+            DELETE FROM demo_q49d;
+            INSERT INTO demo_q49d SELECT id, name, category, amount,
+              created_at FROM demo_q49s WHERE category = 'electronics';
+            DELETE FROM demo_q49s;
+            INSERT INTO demo_q49s VALUES
+              (12, 'Product L', 'toys', 5.00, TIMESTAMP '2026-01-01 00:00:00');
+            SELECT * FROM demo_q49d UNION ALL
+            SELECT * FROM demo_q49s ORDER BY id"""),
+    (s, _) => q49Sql(s).run(
+      "SELECT * FROM demo.ow_dst UNION ALL " +
+        "SELECT * FROM demo.ow_src ORDER BY id"))
+
   val q48 = QueryDef(
     "q48_merge_upsert",
     Some("""CREATE OR REPLACE TABLE demo_q48 (id INTEGER, name VARCHAR,
@@ -157,5 +210,5 @@ object LakeQueries {
             SELECT * FROM demo_q48 ORDER BY id"""),
     (s, _) => q48Table(s).read().orderBy("id"))
 
-  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48)
+  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49)
 }
