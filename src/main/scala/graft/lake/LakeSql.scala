@@ -355,6 +355,19 @@ class LakeSql(val catalog: LakeCatalog) {
         }
       }
       // time travel next (the plain pattern would split the clause):
+      // `db.t TIMESTAMP AS OF '<ts>'` resolves to the snapshot current at
+      // that instant. The literal itself is a quoted segment, so this one
+      // pattern runs over the full string and guards on the *match start*
+      // being outside quotes instead of using the segment mapper.
+      val tta = (base + "\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)'").r
+      rewritten = replaceWhereStartUnquoted(rewritten, tta, m => {
+        requirePerm(p, db, name, "SELECT")
+        val t = load(db, name)
+        val snapId = t.snapshotIdAsOf(parseTsLiteral(s"TIMESTAMP '${m.group(1)}'"))
+        val view = s"${db}__${name}__t$snapId"
+        t.readSnapshot(snapId).createOrReplaceTempView(view)
+        view
+      })
       // `db.t VERSION AS OF <id>` → a view over that snapshot's scan
       val tt = (base + "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)(?!\\w)").r
       rewritten = mapOutsideQuotes(rewritten, seg =>
@@ -454,6 +467,26 @@ object LakeSql {
 
   private[lake] def mapOutsideQuotes(s: String, f: String => String): String =
     quoteSegments(s).map { case (seg, q) => if (q) seg else f(seg) }.mkString
+
+  /** Full-string regex replace for patterns that legitimately *end* inside
+    * a quoted literal (e.g. `TIMESTAMP AS OF '…'`): a match fires only if
+    * it *starts* in an unquoted segment, so occurrences embedded entirely
+    * within string literals are left untouched. */
+  private[lake] def replaceWhereStartUnquoted(
+      s: String,
+      re: scala.util.matching.Regex,
+      f: scala.util.matching.Regex.Match => String): String = {
+    val unquotedRanges = {
+      var off = 0
+      quoteSegments(s).flatMap { case (seg, q) =>
+        val r = if (q) None else Some((off, off + seg.length)); off += seg.length; r
+      }
+    }
+    re.replaceAllIn(s, m =>
+      if (unquotedRanges.exists { case (a, b) => m.start >= a && m.start < b })
+        scala.util.matching.Regex.quoteReplacement(f(m))
+      else scala.util.matching.Regex.quoteReplacement(m.matched))
+  }
 
   /** Content of the parenthesized group opening at `open` (s(open) must be
     * '('), plus everything after the close. */

@@ -162,6 +162,15 @@ class LakeTable(
       .select(schema.fieldNames.map(col): _*)
   }
 
+  /** Time travel by timestamp: the snapshot current as of `tsMillis`
+    * (latest commit at or before it), Iceberg's `TIMESTAMP AS OF` rule. */
+  def snapshotIdAsOf(tsMillis: Long): Long =
+    meta.snapshots.filter(_.timestampMs <= tsMillis)
+      .sortBy(s => (s.timestampMs, s.id)).lastOption.map(_.id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table ${meta.name} has no snapshot at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)}"))
+
   /** Current data-file listing as a queryable projection (the Iceberg
     * `db.t.files` metadata table): path, partition values, row count,
     * size and per-column bounds rendered as strings. Driver-side

@@ -104,6 +104,41 @@ class OpsSpec extends SparkSpec {
     assert(sql.run("SELECT COUNT(*) AS c FROM db.ow").head().getLong(0) == 1)
   }
 
+  test("LakeSql: INSERT OVERWRITE a partitioned table") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.owp (id INT, category STRING) PARTITIONED BY (category)")
+    sql.run("INSERT INTO db.owp VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    sql.run("INSERT OVERWRITE db.owp VALUES (10, 'c'), (11, 'a')")
+    assert(sql.run("SELECT id FROM db.owp ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(10, 11))
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.owp WHERE category = 'c'")
+      .head().getLong(0) == 1)
+  }
+
+  test("LakeSql: TIMESTAMP AS OF resolves the snapshot current at that instant") {
+    val wh = Files.createTempDirectory("graft-ops-tt-wh")
+    var now = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+    val cat = new LakeCatalog(spark, wh, () => { now += 60000L; now })
+    val sql = new LakeSql(cat)
+    sql.run("CREATE TABLE db.tt (id INT)")
+    sql.run("INSERT INTO db.tt VALUES (1)")
+    sql.run("INSERT INTO db.tt VALUES (2)")
+    sql.run("INSERT INTO db.tt VALUES (3)")
+    // commit instant of the second append, rendered as a SQL timestamp literal
+    val t = cat.loadTable("db", "tt").get
+    val ts2 = t.history().orderBy("snapshot_id")
+      .collect()(1).getTimestamp(1).toInstant
+    val lit = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(ts2)
+    assert(sql.run(s"SELECT COUNT(*) AS c FROM db.tt TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) == 2)
+    // before the first commit → clear error
+    val e = intercept[IllegalArgumentException] {
+      sql.run("SELECT * FROM db.tt TIMESTAMP AS OF '2020-01-01 00:00:00'")
+    }
+    assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
   test("LakeSql: CREATE TABLE AS SELECT") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.base (id INT, category STRING)")
