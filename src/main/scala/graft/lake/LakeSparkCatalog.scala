@@ -70,6 +70,22 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
       case None => throw new NoSuchTableException(ident.namespace() :+ ident.name())
     }
 
+  /** `SELECT … FROM lake.db.t VERSION AS OF <id>` — Catalyst resolves the
+    * clause through this overload; the version string is a snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    cat.loadTable(db(ident), ident.name()) match {
+      case Some(t) => new LakeV2Table(t, Some(version.toLong))
+      case None => throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    }
+
+  /** `TIMESTAMP AS OF` — Spark hands the instant in microseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    cat.loadTable(db(ident), ident.name()) match {
+      case Some(t) =>
+        new LakeV2Table(t, Some(t.snapshotIdAsOf(timestamp / 1000L)))
+      case None => throw new NoSuchTableException(ident.namespace() :+ ident.name())
+    }
+
   override def tableExists(ident: Identifier): Boolean =
     cat.tableExists(db(ident), ident.name())
 
@@ -147,9 +163,11 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
   * metadata level before any I/O (§4.2). All filters are conservatively
   * re-applied by Spark above the scan (unhandledFilters default), so the
   * pushdown is purely an optimization. */
-class LakeV2Table(t: LakeTable) extends Table with SupportsRead {
+class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
+    extends Table with SupportsRead {
 
-  override def name(): String = t.name
+  override def name(): String =
+    t.name + pinnedSnapshot.map(id => s"@$id").getOrElse("")
   override def schema(): StructType = t.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -198,9 +216,15 @@ class LakeV2Table(t: LakeTable) extends Table with SupportsRead {
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
             override def buildScan(): RDD[Row] = {
-              val prunedFiles = t.read(
-                partitionFilter = partitionPredicate(pushed),
-                fileFilter = StatsPruning.filePredicate(t.schema, pushed.toSeq))
+              // pinned (time-travel) reads scan the historical snapshot
+              // verbatim — metadata pruning applies to current-state
+              // scans only; column pruning still narrows the reader
+              val prunedFiles = pinnedSnapshot match {
+                case Some(id) => t.readSnapshot(id)
+                case None => t.read(
+                  partitionFilter = partitionPredicate(pushed),
+                  fileFilter = StatsPruning.filePredicate(t.schema, pushed.toSeq))
+              }
               val narrowed =
                 if (required.isEmpty) prunedFiles.select()
                 else prunedFiles.select(required.fieldNames

@@ -43,6 +43,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(!sql.catalog.tableExists("db", "native_t"))
   }
 
+  test("DSv2 catalog: VERSION AS OF and TIMESTAMP AS OF plan natively") {
+    val wh = Files.createTempDirectory("graft-tt2-wh")
+    var now = java.time.Instant.parse("2026-02-01T00:00:00Z").toEpochMilli
+    val sql = new LakeSql(new LakeCatalog(spark, wh, () => { now += 60000L; now }))
+    sql.run("CREATE TABLE db.ttn (id INT)")
+    sql.run("INSERT INTO db.ttn VALUES (1)")
+    sql.run("INSERT INTO db.ttn VALUES (2)")
+    sql.run("DELETE FROM db.ttn WHERE id = 1")
+    assert(spark.sql("SELECT id FROM lake.db.ttn").collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+    val snaps = sql.catalog.loadTable("db", "ttn").get
+      .history().orderBy("snapshot_id").collect()
+    val append2 = snaps(1).getLong(0)
+    assert(spark.sql(s"SELECT id FROM lake.db.ttn VERSION AS OF $append2 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    val lit = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(snaps(1).getTimestamp(1).toInstant)
+    assert(spark.sql(s"SELECT id FROM lake.db.ttn TIMESTAMP AS OF '$lit' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
   test("native SQL path prunes partitions at the metadata level") {
     val wh = Files.createTempDirectory("graft-prune-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
