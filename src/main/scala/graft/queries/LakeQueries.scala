@@ -196,6 +196,17 @@ object LakeQueries {
       "SELECT * FROM demo.ow_dst UNION ALL " +
         "SELECT * FROM demo.ow_src ORDER BY id"))
 
+  // Q50: time travel behind the hash gate — the dispatcher's VERSION AS OF
+  // reads snapshot 1 (the initial append) of the fully-mutated q45 table;
+  // the oracle replays only the first two statements, so the hash matches
+  // exactly when the historical state survives the later DELETE/UPDATE/
+  // compaction/upgrade commits untouched.
+  val q50 = QueryDef(
+    "q50_time_travel",
+    Some(replay("demo_q50", 2, "SELECT * FROM demo_q50 ORDER BY id")),
+    (s, _) => SqlDemoFixture(s).run(
+      s"SELECT * FROM ${SqlDemoFixture.TableName} VERSION AS OF 1 ORDER BY id"))
+
   val q48 = QueryDef(
     "q48_merge_upsert",
     Some("""CREATE OR REPLACE TABLE demo_q48 (id INTEGER, name VARCHAR,
@@ -210,5 +221,6 @@ object LakeQueries {
             SELECT * FROM demo_q48 ORDER BY id"""),
     (s, _) => q48Table(s).read().orderBy("id"))
 
-  val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49)
+  val defs: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50)
 }
