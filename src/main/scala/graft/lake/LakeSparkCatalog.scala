@@ -128,7 +128,11 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
     cat.dropTable(db(ident), ident.name())
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+    // same contract as Iceberg's directory-keyed HadoopCatalog: table
+    // identity IS its path, so rename would invalidate every absolute
+    // file reference in the snapshot history
+    throw new UnsupportedOperationException(
+      "rename is not supported by a path-keyed catalog (Iceberg HadoopCatalog rule)")
 
   // ------------------------------------------------------------ namespaces
 
