@@ -257,6 +257,13 @@ class OpsSpec extends SparkSpec {
       sql.run("DROP TABLE db.g", reader))
     sql.run("DELETE FROM db.g WHERE id = 1", Some("admin"))
     assert(sql.run("SELECT COUNT(*) AS cnt FROM db.g", reader).head().getLong(0) == 1)
+    // overwrite/truncate decompose to DELETE(+INSERT): reader lacks both
+    assertThrows[AccessDeniedException](
+      sql.run("INSERT OVERWRITE db.g VALUES (9)", reader))
+    assertThrows[AccessDeniedException](
+      sql.run("TRUNCATE TABLE db.g", reader))
+    sql.run("TRUNCATE TABLE db.g", Some("admin"))
+    assert(sql.run("SELECT COUNT(*) AS cnt FROM db.g", reader).head().getLong(0) == 0)
   }
 
   test("verifier: short-circuits on strict v2-MoR failure, classifies error (§2.12)") {
