@@ -35,7 +35,7 @@ class DmlModelSpec extends SparkSpec {
 
   test("random DML ≡ in-memory model; invariant under compact + upgrade") {
     val cats = Array("a", "b", "c")
-    for (trial <- 0 until 2) {
+    for (trial <- 0 until 3) {
       val rnd = new scala.util.Random(42 + trial)
       val mor = trial % 2 == 0
       val wh = Files.createTempDirectory(s"graft-prop-$trial")
@@ -48,8 +48,8 @@ class DmlModelSpec extends SparkSpec {
       var model = Vector.empty[ModelRow]
       var nextId = 0
 
-      for (step <- 0 until 8) {
-        rnd.nextInt(6) match {
+      for (step <- 0 until 10) {
+        rnd.nextInt(8) match {
           case 0 => // insert 1-4 rows (ids may repeat: no PK semantics)
             val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
               val id = if (rnd.nextBoolean() || nextId == 0) { nextId += 1; nextId }
@@ -104,6 +104,25 @@ class DmlModelSpec extends SparkSpec {
             val matchedIds = model.map(_._1).toSet
             model = model.map(r => byId.getOrElse(r._1, r)) ++
               srcRows.filterNot(r => matchedIds.contains(r._1))
+          case 6 => // INSERT OVERWRITE: live state becomes exactly the new rows
+            val prevModel = model
+            val prevSnap = table.currentSnapshot.map(_.id)
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              { nextId += 1 }
+              (nextId, cats(rnd.nextInt(3)), (rnd.nextInt(1000) + 1).toDouble)
+            }
+            table = table.overwrite(toDf(rows))
+            model = rows.toVector
+            // the replaced state stays time-travelable
+            prevSnap.foreach { id =>
+              val past = table.readSnapshot(id).collect()
+                .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+              assert(past == prevModel.sorted,
+                s"trial=$trial step=$step: overwrite broke time travel")
+            }
+          case 7 => // TRUNCATE: empty live state, table stays writable
+            table = table.truncate()
+            model = Vector.empty
         }
         assert(observed(table) == model.sorted,
           s"trial=$trial mor=$mor step=$step: table != model")
