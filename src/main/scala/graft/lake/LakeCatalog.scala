@@ -95,7 +95,7 @@ class LakeCatalog(
     val loc = tableLocation(db, table)
     Files.createDirectories(loc)
     Meta.commit(loc, m)
-    new LakeTable(spark, loc, m, clock)
+    new LakeTable(spark, loc, m, clock, loadedVersion = Some(1))
   }
 
   /** DROP TABLE [IF EXISTS] (S3): removes data, metadata and the catalog
@@ -113,7 +113,8 @@ class LakeCatalog(
   /** Load the current state of a lake table (S5). */
   def loadTable(db: String, table: String): Option[LakeTable] = {
     val loc = tableLocation(db, table)
-    Meta.load(loc).map(m => new LakeTable(spark, loc, m, clock))
+    val v = Meta.currentVersion(loc)
+    Meta.load(loc).map(m => new LakeTable(spark, loc, m, clock, v))
   }
 
   /** Register a non-lake catalog entry — models the Glue records with
@@ -190,9 +191,10 @@ class LakeCatalog(
   private def withTableMeta(db: String, table: String)(
       f: TableMetadata => TableMetadata): Unit = {
     val loc = tableLocation(db, table)
+    val v = Meta.currentVersion(loc)
     val m = Meta.loadHeaders(loc).getOrElse(
       throw new IllegalArgumentException(s"table $db.$table does not exist"))
-    Meta.commit(loc, f(m))
+    Meta.commit(loc, f(m), v)
   }
 }
 

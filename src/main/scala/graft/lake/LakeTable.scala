@@ -61,7 +61,11 @@ class LakeTable(
     val spark: SparkSession,
     val location: Path,
     val meta: TableMetadata,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    // metadata version this handle was loaded at; commits CAS against it
+    // (None = version-agnostic handle, e.g. freshly created — commit
+    // still guards against racing the same target file)
+    private val loadedVersion: Option[Int] = None) {
 
   import LakeTable._
 
@@ -378,8 +382,14 @@ class LakeTable(
       snapshots = meta.snapshots :+ snap,
       currentSnapshotId = snap.id,
       lastSequenceNumber = snap.sequenceNumber)
-    new LakeTable(spark, location, Meta.commit(location, m), clock)
+    committed(Meta.commit(location, m, loadedVersion))
   }
+
+  /** Next handle after a successful commit: it owns the version the
+    * commit just created, so chained operations keep CAS-ing forward. */
+  private def committed(m: TableMetadata): LakeTable =
+    new LakeTable(spark, location, m, clock,
+      loadedVersion.map(_ + 1).orElse(Meta.currentVersion(location)))
 
   /** INSERT INTO / append: new snapshot adding data files (S4).
     * `extraProps` lands in the same atomic commit as the data — used by
@@ -745,7 +755,7 @@ class LakeTable(
   }
 
   private[lake] def withMeta(m: TableMetadata): LakeTable =
-    new LakeTable(spark, location, Meta.commit(location, m), clock)
+    committed(Meta.commit(location, m, loadedVersion))
 
   /** DESCRIBE (M6): (col_name, data_type) rows. */
   def describe(): DataFrame = {

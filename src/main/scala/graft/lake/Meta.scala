@@ -24,6 +24,11 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   * + snapshot count), never O(snapshots × files); carried-over snapshots
   * just re-reference their existing manifest path.
   */
+/** A commit based on a stale metadata version lost the optimistic-
+  * concurrency race: another writer advanced the table since this handle
+  * loaded. Reload the table and retry. */
+class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
 /** Per-file column bounds lifted from the parquet footer at write time
   * (no data read) — the Iceberg data-skipping analogue. Values are
   * rendered as strings; interpretation is typed by the table schema.
@@ -175,11 +180,26 @@ object Meta {
     * committed metadata with manifest paths assigned — callers must adopt
     * it so later commits from the same in-memory table don't re-persist
     * old snapshots' file lists. Fails if a concurrent commit won the
-    * pointer race (optimistic, single-writer expected). */
-  def commit(tableLocation: Path, m: TableMetadata): TableMetadata = {
+    * pointer race (optimistic, single-writer expected).
+    *
+    * `expectedVersion` is the optimistic-concurrency guard (Iceberg's
+    * atomic-swap rule): when set, the commit refuses unless the table is
+    * still at that metadata version — a handle that loaded v5 cannot
+    * silently base v7 on stale state after another writer landed v6
+    * (lost update). Callers catch [[CommitConflictException]], reload,
+    * and retry. */
+  def commit(
+      tableLocation: Path,
+      m: TableMetadata,
+      expectedVersion: Option[Int] = None): TableMetadata = {
     val dir = metadataDir(tableLocation)
     Files.createDirectories(dir)
     val base = currentVersion(tableLocation).getOrElse(0)
+    expectedVersion.filter(_ != base).foreach { v =>
+      throw new CommitConflictException(
+        s"stale table handle: loaded at metadata v$v but the table is " +
+          s"now at v$base — reload the table and retry the operation")
+    }
     val next = base + 1
     val target = versionFile(tableLocation, next)
     if (Files.exists(target))

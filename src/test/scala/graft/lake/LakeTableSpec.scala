@@ -480,6 +480,30 @@ class LakeTableSpec extends SparkSpec {
     assertThrows[IllegalStateException](Meta.commit(loc, m))
   }
 
+  test("stale handle commits are rejected (optimistic concurrency)") {
+    val wh = Files.createTempDirectory("graft-cas-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val schema = StructType(Seq(StructField("id", IntegerType)))
+    cat.createTable("db", "cas", schema)
+    def rows(ids: Int*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_)), 1), schema)
+    // two independent handles of the same table
+    val a = cat.loadTable("db", "cas").get
+    val b = cat.loadTable("db", "cas").get
+    val a2 = a.append(rows(1))
+    // b is now stale: its commit must not silently drop a's append
+    val e = intercept[CommitConflictException](b.append(rows(2)))
+    assert(e.getMessage.contains("reload"))
+    assert(a2.read().count() == 1)
+    // reload-and-retry succeeds and sees both writes
+    val b2 = cat.loadTable("db", "cas").get.append(rows(2))
+    assert(b2.read().count() == 2)
+    // a2 is stale now too (b2's commit advanced the table past it)
+    val a3Err = intercept[CommitConflictException](a2.append(rows(3)))
+    assert(a3Err.getMessage.contains("stale"))
+  }
+
   test("metadata JSON is O(snapshot headers): 100-commit loop, manifests carry files") {
     // VERDICT r3 missing #1: commit cost must not be O(snapshots × files).
     val loc = Files.createTempDirectory("graft-manifests")
