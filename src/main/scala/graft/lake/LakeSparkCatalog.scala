@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, In, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, In, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -21,13 +22,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * upgrade_table.py:128) makes
   *
   *   CREATE TABLE lake.db.t … / DROP TABLE / DESCRIBE / SHOW TABLES /
-  *   SELECT … FROM lake.db.t
+  *   SELECT … FROM lake.db.t / INSERT INTO / INSERT OVERWRITE /
+  *   VERSION AS OF / TIMESTAMP AS OF
   *
   * plan natively through Catalyst, with the MoR-aware scan (position/
-  * equality-delete anti-joins) at the leaf via the V1Scan bridge.
-  * Row-level DML (INSERT/DELETE/UPDATE/CALL) stays on the LakeSql
-  * dispatcher — Spark's SupportsRowLevelOperations contract is
-  * deliberately out of scope (SURVEY.md §7.3).
+  * equality-delete anti-joins) at the leaf via the V1Scan bridge and
+  * writes via the V1Write bridge. Row-level DML (DELETE/UPDATE/MERGE/
+  * CALL) stays on the LakeSql dispatcher — Spark's
+  * SupportsRowLevelOperations contract is deliberately out of scope
+  * (SURVEY.md §7.3).
   *
   * The warehouse root is read from `spark.graft.warehouse` at every call,
   * so one registered catalog serves whatever warehouse the session
@@ -168,13 +171,37 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
   * re-applied by Spark above the scan (unhandledFilters default), so the
   * pushdown is purely an optimization. */
 class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     t.name + pinnedSnapshot.map(id => s"@$id").getOrElse("")
   override def schema(): StructType = t.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** `INSERT INTO lake.db.t …` appends; `INSERT OVERWRITE` (Spark calls
+    * `truncate()` on the builder) replaces the live file set. The write
+    * commits from a handle reloaded at execution time, so it CAS-es
+    * against the version current then, not at analysis. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              if (pinnedSnapshot.isDefined)
+                throw new UnsupportedOperationException(
+                  "cannot write to a time-travel (snapshot-pinned) table")
+              val cur = t.reloaded()
+              if (replace || overwrite) cur.overwrite(data) else cur.append(data)
+            }
+          }
+      }
+    }
   override def properties(): JMap[String, String] =
     (t.meta.props + ("format-version" -> t.meta.formatVersion.toString)).asJava
 

@@ -391,6 +391,15 @@ class LakeTable(
     new LakeTable(spark, location, m, clock,
       loadedVersion.map(_ + 1).orElse(Meta.currentVersion(location)))
 
+  /** Fresh handle at the table's current on-disk state (same clock) —
+    * deferred-execution writers (DSv2) reload at execution time so their
+    * commit CAS-es against the version current *then*, not at analysis. */
+  def reloaded(): LakeTable =
+    new LakeTable(spark, location,
+      Meta.load(location).getOrElse(
+        throw new IllegalStateException(s"table at $location no longer exists")),
+      clock, Meta.currentVersion(location))
+
   /** INSERT INTO / append: new snapshot adding data files (S4).
     * `extraProps` lands in the same atomic commit as the data — used by
     * the streaming sink to record its batch id exactly-once. */

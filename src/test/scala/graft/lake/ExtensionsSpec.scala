@@ -43,6 +43,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(!sql.catalog.tableExists("db", "native_t"))
   }
 
+  test("DSv2 catalog: INSERT INTO / INSERT OVERWRITE write natively") {
+    val wh = Files.createTempDirectory("graft-w2-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.w (id INT, category STRING) PARTITIONED BY (category)")
+    spark.sql("INSERT INTO lake.db.w VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO lake.db.w VALUES (3, 'a')")
+    assert(spark.sql("SELECT id FROM lake.db.w ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // partition pruning still works over natively-written files
+    assert(spark.sql("SELECT id FROM lake.db.w WHERE category = 'a' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    spark.sql("INSERT OVERWRITE lake.db.w VALUES (9, 'c')")
+    assert(spark.sql("SELECT id FROM lake.db.w").collect()
+      .map(_.getInt(0)).toSeq == Seq(9))
+    // the replaced state remains time-travelable through the engine
+    val t = sql.catalog.loadTable("db", "w").get
+    assert(t.readSnapshot(2).count() == 3)
+  }
+
   test("DSv2 catalog: VERSION AS OF and TIMESTAMP AS OF plan natively") {
     val wh = Files.createTempDirectory("graft-tt2-wh")
     var now = java.time.Instant.parse("2026-02-01T00:00:00Z").toEpochMilli
