@@ -74,12 +74,18 @@ object Multimodal {
     var rate = 0; var channels = 0; var blockAlign = 0; var dataSize = 0
     while (i + 8 <= b.length) {
       val size = le32(b, i + 4)
+      // This path takes untrusted opaque payloads: a negative or
+      // Int-overflowing declared chunk size must mean "not a valid WAV"
+      // (fall back to the stand-in), never a stuck or thrown task
+      if (size < 0) return None
       if (tag(i, "fmt ") && i + 22 <= b.length) {
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
         if (i + 22 <= b.length) blockAlign = le16(b, i + 20)
       } else if (tag(i, "data")) dataSize = size
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      val next = i.toLong + 8L + size.toLong + (size & 1) // word-aligned
+      if (next > Int.MaxValue) return None
+      i = next.toInt
     }
     if (rate <= 0 || channels <= 0) None
     else Some((rate, channels,
@@ -90,7 +96,10 @@ object Multimodal {
     * in place of a codec call) for formats whose codecs this container
     * doesn't ship. */
   private[functions] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
-    decodeBmp(payload).orElse(decodeWav(payload)).getOrElse {
+    // Try: any malformed container that still escapes the parsers'
+    // structural checks degrades to the stand-in like unknown formats do
+    scala.util.Try(decodeBmp(payload).orElse(decodeWav(payload)))
+      .toOption.flatten.getOrElse {
       val n = payload.length
       val w = 64 + (n % 577)           // fake width
       val h = 64 + ((n * 31) % 419)    // fake height

@@ -72,6 +72,15 @@ object StatsPruning {
             Some((String.valueOf(st.genericGetMin), String.valueOf(st.genericGetMax)))
           case (DateType, st: IntStatistics) => // epoch days
             Some((String.valueOf(st.genericGetMin), String.valueOf(st.genericGetMax)))
+          // parquet-mr propagates NaN through min/max, so a file holding
+          // {NaN, 1.0} can record lo=hi=NaN; NaN compares greater than
+          // everything and would make skipping drop matching rows.
+          // NaN-touched float/double bounds are unknowable → statless
+          // (the reason Iceberg ignores float/double bounds entirely)
+          case (_, st: FloatStatistics)
+              if st.genericGetMin.isNaN || st.genericGetMax.isNaN => None
+          case (_, st: DoubleStatistics)
+              if st.genericGetMin.isNaN || st.genericGetMax.isNaN => None
           case (IntegerType | LongType | ShortType | ByteType |
                 DoubleType | FloatType,
               st @ (_: IntStatistics | _: LongStatistics |
