@@ -367,9 +367,20 @@ class LakeSql(val catalog: LakeCatalog) {
     val idRe = """[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+""".r
     val lakeRefs = quoteSegments(s).collect { case (seg, false) => seg }
       .flatMap(seg => idRe.findAllIn(seg).toSeq)
-      .flatMap(chain => chain.split('.').sliding(2).collect {
-        case Array(d, t) => (d, t)
-      })
+      .flatMap { chain =>
+        // One probe per chain (VERDICT r5 #3): a table ref always starts
+        // at segment 0, or segment 1 when spelled with a catalog prefix
+        // (which the rewrite regex consumes anyway). Longer tails are
+        // metadata-table suffixes or qualified columns — never the `db`
+        // of the pair — so sliding over every adjacent pair only buys
+        // wasted path probes.
+        val segs = chain.split('.')
+        val body =
+          if (segs.length >= 3 && (segs(0) == "glue_catalog" || segs(0) == "lake"))
+            segs.drop(1)
+          else segs
+        if (body.length >= 2) Seq((body(0), body(1))) else Seq.empty
+      }
       .distinct
       // every candidate is \w+ segments (the identifier regex), so the
       // probe is a safe path resolution; non-tables return None

@@ -178,12 +178,19 @@ class ProceduresSpec extends SparkSpec {
     val orphan = t.location.resolve("data").resolve("orphan.parquet")
     Files.write(orphan, Array[Byte](1, 2, 3))
     val before = content(t)
-    assert(Procedures.removeOrphanFiles(t) == 1)
+    // The default cutoff (now − 3 days) must leave a freshly written file
+    // alone — that age guard is what protects in-flight commits from
+    // being swept as orphans (ADVICE r5 #4).
+    assert(Procedures.removeOrphanFiles(t) == 0)
+    assert(Files.exists(orphan))
+    // With a future cutoff the fresh orphan is eligible and deleted.
+    val futureCutoff = System.currentTimeMillis() + 1000L
+    assert(Procedures.removeOrphanFiles(t, olderThanMs = futureCutoff) == 1)
     assert(!Files.exists(orphan))
     assert(t.dataFiles.forall(f => Files.exists(Paths.get(f.path))))
     assert(t.deleteFiles.forall(f => Files.exists(Paths.get(f.path))))
     assert(content(t) == before)
-    assert(Procedures.removeOrphanFiles(t) == 0) // idempotent
+    assert(Procedures.removeOrphanFiles(t, olderThanMs = futureCutoff) == 0) // idempotent
   }
 
   test("repairV3Metadata re-mints a missing next-row-id (M7, README.md:43-45)") {

@@ -41,6 +41,31 @@ class OpsSpec extends SparkSpec {
     assert(!sql.catalog.tableExists("db", "t"))
   }
 
+  test("LakeSql: catalog-prefixed 3-part names cost one probe (VERDICT r5 #3)") {
+    val wh = Files.createTempDirectory("graft-ops-wh")
+    var probes = 0
+    val cat = new LakeCatalog(spark, wh) {
+      override def tableInfo(db: String, table: String) = {
+        probes += 1; super.tableInfo(db, table)
+      }
+    }
+    val sql = new LakeSql(cat)
+    sql.run("CREATE TABLE db.t (id INT)")
+    sql.run("INSERT INTO db.t VALUES (1), (2)")
+    probes = 0
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.t").head().getLong(0) == 2)
+    val plainProbes = probes
+    probes = 0
+    assert(sql.run("SELECT COUNT(*) AS c FROM glue_catalog.db.t")
+      .head().getLong(0) == 2)
+    // the catalog prefix is consumed by the rewrite regex; it must not
+    // buy an extra (db, t)-shaped path probe over the 2-part spelling
+    assert(probes == plainProbes)
+    probes = 0
+    assert(sql.run("SELECT COUNT(*) AS c FROM lake.db.t").head().getLong(0) == 2)
+    assert(probes == plainProbes)
+  }
+
   test("LakeSql: IF NOT EXISTS, INSERT..SELECT, and WHERE-less DML") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.src (id INT, category STRING)")

@@ -37,6 +37,25 @@ def norm_cell(v):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
+def decimal_render_hazards(cols, rows):
+    """Cells the driver may hash differently even when both local sides
+    agree byte-for-byte: DECIMAL values whose exact-scale rendering
+    differs from the float shortest-repr of the same value (trailing-zero
+    decimals like 5.00 -> "5.0", or >17-significant-digit scales). The
+    driver's q51 red tracked exactly one such cell across rounds 4-5
+    (VERDICT r5 #1) while the strict compare here passed."""
+    out = []
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, decimal.Decimal):
+                try:
+                    f = repr(float(v))
+                except (ValueError, OverflowError):
+                    f = None
+                if str(v) != f:
+                    out.append((cols[i], str(v)))
+    return sorted(set(out))
+
 def norm_result(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -135,6 +154,12 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {name} ({len(er)} rows)")
+            hazards = decimal_render_hazards(ecols, erows)
+            if hazards:
+                print(f"   WARN {name}: decimal cell(s) whose rendering "
+                      f"differs from float shortest-repr — the driver may "
+                      f"hash these divergently even though this gate "
+                      f"passed: {hazards[:5]}")
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
