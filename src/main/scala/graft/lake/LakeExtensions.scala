@@ -22,6 +22,13 @@ class LakeExtensions extends (SparkSessionExtensions => Unit) {
 object LakeExtensions {
   val WarehouseConf = "spark.graft.warehouse"
 
+  /** Optional session principal for the DSv2 path: when set, the table
+    * grants model (M10, lake_formation_setup.py:93-145) gates native
+    * `lake.db.t` reads and writes exactly as it gates dispatcher
+    * statements; unset, the registered catalog stays the administrative
+    * surface it was through round 5. */
+  val PrincipalConf = "spark.graft.principal"
+
   /** The codegen'd fused-loop cosine expression — the same node the
     * DataFrame API (VectorOps.cosine) plans. */
   private[lake] val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -175,6 +175,20 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
 
   override def name(): String =
     t.name + pinnedSnapshot.map(id => s"@$id").getOrElse("")
+
+  /** Grants hook on the native path (VERDICT r4 #8 / r5 next #5): reads
+    * need SELECT, appends INSERT, overwrites DELETE+INSERT — the same
+    * rules [[LakeSql.requirePerm]] applies to dispatcher statements. A
+    * session with no [[LakeExtensions.PrincipalConf]] set is
+    * unrestricted (administrative default). */
+  private def requirePerm(perm: String): Unit =
+    SparkSession.active.conf.getOption(LakeExtensions.PrincipalConf)
+      .foreach { principal =>
+        val held = t.meta.grants.getOrElse(principal, Nil)
+        if (!held.contains("ALL") && !held.contains(perm))
+          throw new AccessDeniedException(
+            s"principal $principal lacks $perm on ${t.name}")
+      }
   override def schema(): StructType = t.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -196,6 +210,8 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
               if (pinnedSnapshot.isDefined)
                 throw new UnsupportedOperationException(
                   "cannot write to a time-travel (snapshot-pinned) table")
+              if (replace || overwrite) requirePerm("DELETE")
+              requirePerm("INSERT")
               val cur = t.reloaded()
               if (replace || overwrite) cur.overwrite(data) else cur.append(data)
             }
@@ -220,7 +236,8 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    requirePerm("SELECT")
     new ScanBuilder
       with SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -265,4 +282,5 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
           }.asInstanceOf[T]
       }
     }
+  }
 }

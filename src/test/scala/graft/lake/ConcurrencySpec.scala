@@ -1,0 +1,157 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, rng}
+
+import graft.SparkSpec
+
+/** End-to-end property test of the optimistic-concurrency commit model
+  * (Meta.commit's expectedVersion CAS, VERDICT r4 #7 / r5 next #4): two
+  * table handles loaded at the same version interleave ScalaCheck-
+  * generated DML and maintenance. The contract under test:
+  *
+  *  - an operation through a handle that is still at the table's current
+  *    version commits normally;
+  *  - an operation through a stale handle (the other handle committed
+  *    since it loaded) NEVER lands silently — it either surfaces
+  *    [[CommitConflictException]] or was a provable no-op (nothing to
+  *    commit), and the failed attempt leaves the on-disk version
+  *    untouched;
+  *  - reload-and-retry after a conflict always succeeds, and the final
+  *    table state equals the in-memory model of the ops applied in their
+  *    successful-commit order (a serializable history).
+  */
+class ConcurrencySpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("category", StringType),
+    StructField("amount", DoubleType)))
+
+  private type ModelRow = (Int, String, Double)
+
+  private def toDf(rows: Seq[ModelRow]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, c, a) => Row(i, c, a) }, 1),
+      schema)
+
+  private def observed(t: LakeTable): Seq[ModelRow] =
+    t.read().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+
+  // Op scripts are ScalaCheck-generated (fixed seed: failures reproduce).
+  // Ints are raw material; the interpreter below maps them onto the
+  // model-visible ids so deletes/updates aim at rows the acting handle
+  // can actually see.
+  private sealed trait Op
+  private case class Append(n: Int, catIdx: Int, amount: Int) extends Op
+  private case class Delete(pick: Int) extends Op
+  private case class Update(pick: Int, amount: Int) extends Op
+  private case object Compact extends Op
+
+  private val genOp: Gen[(Int, Op)] = for {
+    handle <- Gen.choose(0, 1)
+    op <- Gen.frequency(
+      4 -> (for {
+        n <- Gen.choose(1, 3); c <- Gen.choose(0, 2); a <- Gen.choose(1, 999)
+      } yield Append(n, c, a): Op),
+      3 -> Gen.choose(0, 1000).map(Delete(_): Op),
+      3 -> (for {
+        p <- Gen.choose(0, 1000); a <- Gen.choose(1, 999)
+      } yield Update(p, a): Op),
+      1 -> Gen.const(Compact: Op))
+  } yield (handle, op)
+
+  private def script(seed: Long, len: Int): List[(Int, Op)] =
+    Gen.listOfN(len, genOp)
+      .apply(Gen.Parameters.default, rng.Seed(seed))
+      .getOrElse(sys.error("ScalaCheck generator failed to produce a script"))
+
+  test("interleaved handles: lost updates surface as CommitConflictException; " +
+    "reload-retry converges to the serializable history") {
+    val cats = Array("a", "b", "c")
+    for (trial <- 0 until 4) {
+      val mor = trial % 2 == 0
+      val wh = Files.createTempDirectory(s"graft-cc-$trial")
+      val cat = new LakeCatalog(spark, wh)
+      cat.createNamespace("db")
+      val props = if (mor) Map(
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read") else Map.empty[String, String]
+      val seeded = cat.createTable("db", "t", schema, Seq("category"), props)
+        .append(toDf((1 to 6).map(i => (i, cats(i % 3), i * 10.0))))
+      var model = Vector.tabulate(6)(i => (i + 1, cats((i + 1) % 3), (i + 1) * 10.0))
+      var nextId = 6
+
+      val loc = seeded.location
+      def diskV: Int = Meta.currentVersion(loc).getOrElse(0)
+      val handles = Array(seeded, seeded)
+      val handleV = Array(diskV, diskV) // version each handle was loaded at
+      var conflicts = 0
+
+      // Interpret one op against a handle; returns the new handle and the
+      // model transform it implies. The transform is by-value (ids), so it
+      // is identical whether the op lands first-try or after reload-retry.
+      def run(h: LakeTable, op: Op): (LakeTable, Vector[ModelRow] => Vector[ModelRow]) =
+        op match {
+          case Append(n, c, a) =>
+            val rows = (0 until n).map { k =>
+              nextId += 1; (nextId, cats((c + k) % 3), a.toDouble + k)
+            }
+            (h.append(toDf(rows)), m => m ++ rows)
+          case Delete(pick) =>
+            if (model.isEmpty) (h, identity)
+            else {
+              val id = model(pick % model.size)._1
+              (h.delete(col("id") === id), m => m.filterNot(_._1 == id))
+            }
+          case Update(pick, a) =>
+            if (model.isEmpty) (h, identity)
+            else {
+              val id = model(pick % model.size)._1
+              (h.update(Map("amount" -> lit(a.toDouble)), col("id") === id),
+                m => m.map(r => if (r._1 == id) (r._1, r._2, a.toDouble) else r))
+            }
+          case Compact =>
+            (Procedures.rewriteDataFiles(h, Map("rewrite-all" -> "true")).table,
+              identity)
+        }
+
+      for (((hi, op), step) <- script(42L + trial, 14).zipWithIndex) {
+        val before = diskV
+        val fresh = handleV(hi) == before
+        if (fresh) {
+          val (nt, f) = run(handles(hi), op)
+          handles(hi) = nt; handleV(hi) = diskV; model = f(model)
+        } else {
+          // Stale handle: the attempt must never silently commit. Either
+          // it conflicts, or it proves a no-op (e.g. DELETE matching
+          // nothing in its stale view) — in both cases disk is untouched.
+          val attempted =
+            try { run(handles(hi), op); false }
+            catch { case _: CommitConflictException => conflicts += 1; true }
+          assert(diskV == before,
+            s"trial $trial step $step: stale-handle attempt moved the table " +
+              s"v$before -> v$diskV (mor=$mor, op=$op, conflicted=$attempted)")
+          val (nt, f) = run(handles(hi).reloaded(), op)
+          handles(hi) = nt; handleV(hi) = diskV; model = f(model)
+        }
+      }
+
+      assert(conflicts > 0,
+        s"trial $trial: script produced no conflicts — property untested")
+      val fin = handles(0).reloaded()
+      assert(observed(fin) == model.sorted,
+        s"trial $trial (mor=$mor): final state diverged from the model")
+      // the history is a clean linear chain: distinct, strictly
+      // increasing snapshot ids — nothing lost or forked
+      val ids = fin.meta.snapshots.map(_.id)
+      assert(ids == ids.sorted && ids.distinct.size == ids.size)
+    }
+  }
+}

@@ -120,6 +120,30 @@ class ExtensionsSpec extends SparkSpec {
     assertThrows[Exception](spark.sql("SELECT COUNT(*) FROM lake.db.s").head())
   }
 
+  test("DSv2 catalog: session principal gates native reads and writes (M10)") {
+    val wh = Files.createTempDirectory("graft-gr-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.g (id INT)")
+    sql.run("INSERT INTO db.g VALUES (1), (2)")
+    sql.catalog.grant("db", "g", "alice", Seq("SELECT"))
+    try {
+      spark.conf.set(LakeExtensions.PrincipalConf, "alice")
+      assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.g").head().getLong(0) == 2)
+      // SELECT-only principal cannot write natively
+      intercept[AccessDeniedException] {
+        spark.sql("INSERT INTO lake.db.g VALUES (3)")
+      }
+      // a principal with no grants at all cannot read
+      spark.conf.set(LakeExtensions.PrincipalConf, "mallory")
+      intercept[AccessDeniedException] {
+        spark.sql("SELECT * FROM lake.db.g").collect()
+      }
+    } finally spark.conf.unset(LakeExtensions.PrincipalConf)
+    // no principal set → the catalog stays administrative (unrestricted)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.g").head().getLong(0) == 2)
+    assert(sql.catalog.loadTable("db", "g").get.read().count() == 2)
+  }
+
   test("cosine_sim is registered as a native SQL function") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS s1, " +
