@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, In, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -170,8 +170,47 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
   * metadata level before any I/O (§4.2). All filters are conservatively
   * re-applied by Spark above the scan (unhandledFilters default), so the
   * pushdown is purely an optimization. */
+object LakeV2Table {
+  /** DSv2 metadata columns: each row's physical coordinates, the same
+    * `(file, position)` pair the MoR machinery keys on (Iceberg's
+    * `_file`/`_pos`). They double as the rowId for native DELETE. */
+  val FilePathMeta = "_file_path"
+  val PosMeta = "_pos"
+}
+
 class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns with SupportsRowLevelOperations {
+  import LakeV2Table._
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = FilePathMeta
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    },
+    new MetadataColumn {
+      override def name(): String = PosMeta
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+    })
+
+  /** Native row-level DML entry: DELETE runs as a distributed
+    * position-delete delta write ([[LakeDeleteOperation]]); UPDATE and
+    * MERGE stay on the LakeSql dispatcher. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (info.command() != RowLevelOperation.Command.DELETE)
+      throw new UnsupportedOperationException(
+        s"native ${info.command()} is not supported — use the LakeSql dispatcher")
+    if (pinnedSnapshot.isDefined)
+      throw new UnsupportedOperationException(
+        "cannot run DML against a time-travel (snapshot-pinned) table")
+    requirePerm("DELETE")
+    () => new LakeDeleteOperation(t)
+  }
 
   override def name(): String =
     t.name + pinnedSnapshot.map(id => s"@$id").getOrElse("")
@@ -267,9 +306,24 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
               // pinned (time-travel) reads scan the historical snapshot
               // verbatim — metadata pruning applies to current-state
               // scans only; column pruning still narrows the reader
-              val prunedFiles = pinnedSnapshot match {
-                case Some(id) => t.readSnapshot(id)
-                case None => t.read(
+              val wantsCoords = required.fieldNames
+                .exists(n => n == FilePathMeta || n == PosMeta)
+              val prunedFiles = (pinnedSnapshot, wantsCoords) match {
+                case (Some(_), true) =>
+                  throw new UnsupportedOperationException(
+                    "metadata columns are not available on time-travel scans")
+                case (Some(id), false) => t.readSnapshot(id)
+                case (None, true) =>
+                  // rowId path (native DELETE) and explicit metadata-col
+                  // selects read the same MoR scan plus coordinates
+                  t.readWithCoords(
+                    partitionFilter = partitionPredicate(pushed),
+                    fileFilter = StatsPruning.filePredicate(t.schema, pushed.toSeq))
+                    .withColumn(FilePathMeta,
+                      org.apache.spark.sql.functions.col(LakeTable.FileCol))
+                    .withColumn(PosMeta,
+                      org.apache.spark.sql.functions.col(LakeTable.PosCol))
+                case (None, false) => t.read(
                   partitionFilter = partitionPredicate(pushed),
                   fileFilter = StatsPruning.filePredicate(t.schema, pushed.toSeq))
               }

@@ -216,6 +216,48 @@ object LakeQueries {
     Some(owReplay("demo_q51", "SELECT * FROM demo_q51s ORDER BY id")),
     (s, _) => q49Sql(s).run("SELECT * FROM demo.ow_src ORDER BY id"))
 
+  // Q52: NATIVE row-level DELETE behind the hash gate — the statement
+  // runs through spark.sql on the registered DSv2 catalog
+  // (SupportsRowLevelOperations → WriteDelta → distributed
+  // position-delete writers), not the LakeSql dispatcher; the oracle
+  // replays the same DELETE on a plain DuckDB table.
+  private val ndFixture =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.nio.file.Path]()
+
+  private def q52Wh(s: org.apache.spark.sql.SparkSession): java.nio.file.Path =
+    ndFixture.computeIfAbsent(s, { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-nd-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val sql = new graft.lake.LakeSql(
+        new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now }))
+      sql.run("CREATE TABLE demo.nd (id INT, name STRING, category STRING, " +
+        "amount DECIMAL(10,2), created_at TIMESTAMP)")
+      sql.run(s"INSERT INTO demo.nd VALUES $ValuesSql")
+      // the driver's Verify/Bench sessions don't pre-register the DSv2
+      // catalog the way the test harness does; catalogs instantiate
+      // lazily on first reference, so a runtime conf set suffices
+      spark.conf.set("spark.sql.catalog.lake", "graft.lake.LakeSparkCatalog")
+      spark.conf.set(graft.lake.LakeExtensions.WarehouseConf, wh.toString)
+      spark.sql("DELETE FROM lake.demo.nd WHERE category = 'electronics'")
+      wh
+    })
+
+  val q52 = QueryDef(
+    "q52_native_delete",
+    Some("""CREATE OR REPLACE TABLE demo_q52 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q52 VALUES """ + ValuesSql + """;
+            DELETE FROM demo_q52 WHERE category = 'electronics';
+            SELECT * FROM demo_q52 ORDER BY id"""),
+    (s, _) => {
+      val wh = q52Wh(s)
+      // another fixture's LakeCatalog may have repointed the warehouse
+      // conf since the fixture ran; the DSv2 catalog reads it per call
+      s.conf.set(graft.lake.LakeExtensions.WarehouseConf, wh.toString)
+      s.sql("SELECT * FROM lake.demo.nd ORDER BY id")
+    })
+
   // Q50: time travel behind the hash gate — the dispatcher's VERSION AS OF
   // reads snapshot 1 (the initial append) of the fully-mutated q45 table;
   // the oracle replays only the first two statements, so the hash matches
@@ -242,5 +284,5 @@ object LakeQueries {
     (s, _) => q48Table(s).read().orderBy("id"))
 
   val defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52)
 }

@@ -120,6 +120,45 @@ class ExtensionsSpec extends SparkSpec {
     assertThrows[Exception](spark.sql("SELECT COUNT(*) FROM lake.db.s").head())
   }
 
+  test("DSv2 catalog: native DELETE FROM lands a MoR position-delete commit") {
+    val wh = Files.createTempDirectory("graft-rld-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.rd (id INT, category STRING) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.rd VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, 'c')")
+    val before = sql.catalog.loadTable("db", "rd").get
+
+    spark.sql("DELETE FROM lake.db.rd WHERE category = 'a'")
+
+    val after = sql.catalog.loadTable("db", "rd").get
+    // one new MoR delete snapshot: data files untouched, position deletes added
+    assert(after.meta.snapshots.size == before.meta.snapshots.size + 1)
+    assert(after.meta.snapshots.last.operation == "delete")
+    assert(after.dataFiles.map(_.path).toSet == before.dataFiles.map(_.path).toSet)
+    assert(after.deleteFiles.nonEmpty)
+    assert(after.deleteFiles.map(_.rowCount).sum == 2)
+    assert(spark.sql("SELECT id FROM lake.db.rd ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 4))
+    // the dispatcher reads the same state (one engine, two surfaces)
+    assert(sql.run("SELECT id FROM db.rd ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 4))
+    // deleting nothing commits nothing
+    spark.sql("DELETE FROM lake.db.rd WHERE id = 99")
+    assert(sql.catalog.loadTable("db", "rd").get.meta.snapshots.size
+      == after.meta.snapshots.size)
+  }
+
+  test("DSv2 catalog: _file_path/_pos metadata columns select natively") {
+    val wh = Files.createTempDirectory("graft-mc-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.mc (id INT)")
+    sql.run("INSERT INTO db.mc VALUES (1), (2), (3)")
+    val rows = spark.sql(
+      "SELECT id, _file_path, _pos FROM lake.db.mc ORDER BY id").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getString(1).nonEmpty && r.getLong(2) >= 0))
+  }
+
   test("DSv2 catalog: session principal gates native reads and writes (M10)") {
     val wh = Files.createTempDirectory("graft-gr-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
