@@ -6,57 +6,82 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.ParquetFileWriter
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Native `DELETE FROM lake.db.t WHERE …` through Spark SQL
-  * (SupportsRowLevelOperations / SupportsDelta — VERDICT r5 next #8,
-  * reference statement surface `internal/create_demo_table.py:130`).
+/** Native row-level DML — `DELETE FROM` / `UPDATE` / `MERGE INTO` typed
+  * against the registered DSv2 catalog (`SupportsRowLevelOperations` /
+  * `SupportsDelta`; VERDICT r5 next #8, reference statement surface
+  * `internal/create_demo_table.py:130-133`).
   *
-  * Catalyst's RewriteDeleteFromTable rewrites the statement into a
-  * WriteDelta plan: it scans the table through [[LakeDeleteOperation
-  * .newScanBuilder]] with the delete condition pushed/filtered, projects
-  * each matched row down to the [[rowId]] columns — the `(_file_path,
-  * _pos)` physical coordinates the MoR scan already exposes as DSv2
-  * metadata columns — and feeds them to per-partition [[LakeDeltaWriter]]s.
-  * Each writer streams its coordinates straight into a position-delete
-  * parquet file under `deletes/` (parquet-hadoop writer, no
-  * driver-side collection — the delta volume stays distributed exactly
-  * like the dispatcher's writeDeleteFiles path), and the driver-side
-  * [[LakeDeltaBatchWrite.commit]] lands ONE MoR "delete" snapshot from a
-  * handle reloaded at commit time, so it CAS-es against the metadata
-  * version current then (same optimistic-concurrency rule as every other
-  * commit path).
+  * Catalyst rewrites the statement into a WriteDelta plan: the table is
+  * scanned through [[LakeRowLevelOperation.newScanBuilder]] (the ordinary
+  * MoR-aware scan), each affected row is projected down to its
+  * `(_file_path, _pos)` rowId — the physical coordinates the scan exposes
+  * as DSv2 metadata columns — and streamed to per-partition
+  * [[LakeDeltaWriter]]s:
   *
-  * DELETE only: UPDATE/MERGE keep using the LakeSql dispatcher, which
-  * remains the fallback surface for all three statements.
+  *  - DELETEd coordinates land in a position-delete parquet file;
+  *  - UPDATEd rows land in a rewrite data file (v3: with their `_row_id`
+  *    carried through the scan's metadata projection, preserving lineage
+  *    exactly like the dispatcher's MoR update);
+  *  - MERGE-inserted rows land in a plain data file whose v3 row-id
+  *    range is minted at commit time.
+  *
+  * Nothing data-scale touches the driver: coordinates and rows flow
+  * executor→parquet directly (Spark's own `ParquetWriteSupport` encodes
+  * `InternalRow`s, so files are byte-compatible with session writes),
+  * and the driver-side [[LakeDeltaBatchWrite.commit]] lands ONE MoR
+  * snapshot from a handle reloaded at commit time — CAS-ing against the
+  * metadata version current then, the same optimistic-concurrency rule
+  * as every other commit path. The LakeSql dispatcher remains the
+  * fallback surface for all three statements (and the only one for CoW
+  * write modes — the native path is always merge-on-read).
   */
-private[lake] class LakeDeleteOperation(t: LakeTable) extends SupportsDelta {
+private[lake] class LakeRowLevelOperation(
+    t: LakeTable, cmd: RowLevelOperation.Command) extends SupportsDelta {
 
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.DELETE
+  private def v3 = t.meta.formatVersion >= 3
+
+  override def command(): RowLevelOperation.Command = cmd
 
   /** The operation reads through the table's ordinary MoR-aware scan —
-    * Spark asks it for the rowId metadata columns by name. */
+    * Spark asks it for the rowId/metadata columns by name. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeV2Table(t).newScanBuilder(options)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val rowSchema = info.schema()
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
-        override def toBatch: DeltaBatchWrite = new LakeDeltaBatchWrite(t)
+        override def toBatch: DeltaBatchWrite =
+          new LakeDeltaBatchWrite(t, cmd, rowSchema)
       }
     }
+  }
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column(LakeV2Table.FilePathMeta),
       Expressions.column(LakeV2Table.PosMeta))
+
+  /** v3 updates/merges carry each matched row's `_row_id` through the
+    * plan so rewritten rows keep their lineage ids. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (cmd != RowLevelOperation.Command.DELETE && v3)
+      Array(Expressions.column(LakeTable.RowIdCol))
+    else Array.empty
 }
 
 private[lake] object LakeDeltaWriter {
@@ -69,96 +94,269 @@ private[lake] object LakeDeltaWriter {
     .named("position_delete")
 }
 
-/** Serializable per-task factory: all a writer needs is the target
-  * directory; files are uniquely named per (partition, task) attempt. */
-private[lake] case class LakeDeltaWriterFactory(deletesDir: String, runId: String)
+/** Serializable writer config: everything an executor needs to produce
+  * files byte-compatible with the session's own parquet writes. */
+private[lake] case class LakeDeltaWriteConf(
+    deletesDir: String,
+    dataDir: String,
+    runId: String,
+    /** JSON of the row schema Spark feeds to update()/insert(). */
+    rowSchemaJson: String,
+    /** Whether update rows carry a `_row_id` metadata value to persist. */
+    withRowIds: Boolean,
+    /** Effective session values for every conf key ParquetWriteSupport
+      * and its schema converter read at init, mirrored so executor-
+      * written files match driver-written ones. */
+    parquetConf: Map[String, String])
+
+private[lake] case class LakeDeltaWriterFactory(conf: LakeDeltaWriteConf)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new LakeDeltaWriter(
-      s"$deletesDir/$runId-$partitionId-$taskId.parquet")
+    new LakeDeltaWriter(conf, s"${conf.runId}-$partitionId-$taskId")
 }
 
-private[lake] case class LakeDeltaCommit(path: String, rows: Long)
-    extends WriterCommitMessage
+private[lake] case class LakeDeltaCommit(
+    deletePath: String, deleteRows: Long,
+    rowIdDataPath: String, rowIdDataRows: Long,
+    plainDataPath: String, plainDataRows: Long) extends WriterCommitMessage
 
-/** Executor-side delta writer: buffers nothing — each deleted row's
-  * `(_file_path, _pos)` id lands directly in the task's parquet file.
-  * The writer is opened lazily so tasks with no matches write no file. */
-private[lake] class LakeDeltaWriter(path: String) extends DeltaWriter[InternalRow] {
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group] = null
-  private val factory = new SimpleGroupFactory(LakeDeltaWriter.DeleteFileType)
-  private var rows = 0L
+/** Executor-side delta writer: buffers nothing — deleted coordinates,
+  * rewritten rows, and inserted rows stream straight into (at most)
+  * three parquet files. Writers open lazily, so a task that matches
+  * nothing writes nothing. */
+private[lake] class LakeDeltaWriter(conf: LakeDeltaWriteConf, suffix: String)
+    extends DeltaWriter[InternalRow] {
+
+  private val rowSchema =
+    DataType.fromJson(conf.rowSchemaJson).asInstanceOf[StructType]
+
+  // --- position-delete file (simple fixed schema: parquet Group API)
+  private var delWriter: ParquetWriter[org.apache.parquet.example.data.Group] = null
+  private val delFactory = new SimpleGroupFactory(LakeDeltaWriter.DeleteFileType)
+  private val delPath = s"${conf.deletesDir}/$suffix.parquet"
+  private var delRows = 0L
+
+  // --- data files (arbitrary Spark schema: Spark's own WriteSupport)
+  private var updWriter: ParquetWriter[InternalRow] = null
+  private val updPath = s"${conf.dataDir}/$suffix-u.parquet"
+  private var updRows = 0L
+  private var insWriter: ParquetWriter[InternalRow] = null
+  private val insPath = s"${conf.dataDir}/$suffix-i.parquet"
+  private var insRows = 0L
+  private val joined = new JoinedRow()
+
+  private class RowBuilder(path: org.apache.hadoop.fs.Path)
+      extends ParquetWriter.Builder[InternalRow, RowBuilder](path) {
+    override def self(): RowBuilder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport().asInstanceOf[WriteSupport[InternalRow]]
+  }
+
+  private def openRowWriter(path: String, schema: StructType): ParquetWriter[InternalRow] = {
+    val c = new Configuration()
+    ParquetWriteSupport.setSchema(schema, c)
+    // the conf keys ParquetFileFormat.prepareWrite sets before handing
+    // this WriteSupport to tasks — mirrored from the session so the
+    // files are indistinguishable from driver-written ones
+    conf.parquetConf.foreach { case (k, v) => c.set(k, v) }
+    new RowBuilder(new org.apache.hadoop.fs.Path(path))
+      .withConf(c)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+  }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
-    if (writer == null) {
-      val conf = new Configuration()
-      conf.set(org.apache.parquet.hadoop.example.GroupWriteSupport.PARQUET_EXAMPLE_SCHEMA,
+    if (delWriter == null) {
+      val c = new Configuration()
+      c.set(org.apache.parquet.hadoop.example.GroupWriteSupport.PARQUET_EXAMPLE_SCHEMA,
         LakeDeltaWriter.DeleteFileType.toString)
-      writer = ExampleParquetWriter
-        .builder(new org.apache.hadoop.fs.Path(path))
-        .withConf(conf)
+      delWriter = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(delPath))
+        .withConf(c)
         .withType(LakeDeltaWriter.DeleteFileType)
         .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
         .build()
     }
-    val g = factory.newGroup()
+    val g = delFactory.newGroup()
     // copy out of the reused row immediately
     g.append("file_path", id.getUTF8String(0).toString)
     g.append("pos", id.getLong(1))
-    writer.write(g)
-    rows += 1L
+    delWriter.write(g)
+    delRows += 1L
   }
 
-  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    throw new IOException("delta UPDATE is not supported; use the LakeSql dispatcher")
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(metadata, id) // the old version's coordinates
+    if (conf.withRowIds) {
+      if (updWriter == null)
+        updWriter = openRowWriter(updPath,
+          StructType(rowSchema.fields :+ StructField(LakeTable.RowIdCol, LongType)))
+      joined.apply(row,
+        new GenericInternalRow(Array[Any](metadata.getLong(0))))
+      updWriter.write(joined)
+    } else {
+      if (updWriter == null) updWriter = openRowWriter(updPath, rowSchema)
+      updWriter.write(row)
+    }
+    updRows += 1L
+  }
 
-  override def insert(row: InternalRow): Unit =
-    throw new IOException("delta INSERT is not supported; use the LakeSql dispatcher")
+  override def insert(row: InternalRow): Unit = {
+    if (insWriter == null) insWriter = openRowWriter(insPath, rowSchema)
+    insWriter.write(row)
+    insRows += 1L
+  }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    LakeDeltaCommit(if (rows > 0) path else null, rows)
+    if (delWriter != null) delWriter.close()
+    if (updWriter != null) updWriter.close()
+    if (insWriter != null) insWriter.close()
+    LakeDeltaCommit(
+      if (delRows > 0) delPath else null, delRows,
+      if (updRows > 0) updPath else null, updRows,
+      if (insRows > 0) insPath else null, insRows)
   }
 
   override def abort(): Unit = {
-    if (writer != null) writer.close()
-    Files.deleteIfExists(Paths.get(path))
+    Seq(delWriter, updWriter, insWriter).foreach(w => if (w != null) w.close())
+    Seq(delPath, updPath, insPath).foreach(p =>
+      Files.deleteIfExists(Paths.get(p)))
   }
 
   override def close(): Unit = ()
 }
 
-/** Driver-side commit: the written delete files become one MoR "delete"
-  * snapshot. The handle is reloaded here — at commit time — so the CAS
-  * guard rejects the write if another commit landed since analysis. */
-private[lake] class LakeDeltaBatchWrite(t: LakeTable) extends DeltaBatchWrite {
+/** Driver-side commit: the delta files become one MoR snapshot. The
+  * handle is reloaded here — at commit time — so the CAS guard rejects
+  * the write if another commit landed since analysis. */
+private[lake] class LakeDeltaBatchWrite(
+    t: LakeTable, cmd: RowLevelOperation.Command, rowSchema: StructType)
+    extends DeltaBatchWrite {
 
   Files.createDirectories(t.location.resolve("deletes"))
+  private val dataDir = t.location.resolve("data").resolve(UUID.randomUUID().toString)
+  Files.createDirectories(dataDir)
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    LakeDeltaWriterFactory(
-      t.location.resolve("deletes").toString, UUID.randomUUID().toString)
+  private val withRowIds =
+    cmd != RowLevelOperation.Command.DELETE && t.meta.formatVersion >= 3
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val written = messages.collect {
-      case LakeDeltaCommit(p, n) if p != null && n > 0 => (p, n)
-    }
-    if (written.isEmpty) return // nothing matched: no empty snapshot
-    val cur = t.reloaded()
-    val seq = cur.meta.lastSequenceNumber + 1
-    val metas = written.map { case (p, n) =>
-      DeleteFileMeta(p, "position", n, dataSequenceNumber = seq)
-    }.toSeq
-    cur.commitSnapshot(cur.newSnapshot("delete", cur.dataFiles,
-      cur.deleteFiles ++ metas,
-      Map("deleted-records" -> written.map(_._2).sum.toString)))
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    import org.apache.spark.sql.internal.SQLConf
+    val sqlConf = SQLConf.get
+    // every entry ParquetWriteSupport / SparkToParquetSchemaConverter
+    // read at init (disassembled from 4.1.2) — effective session values,
+    // EXCEPT the rebase modes: session default EXCEPTION asks the
+    // *write path* to fail on pre-Gregorian values, which a fresh
+    // executor-side Configuration can't adjudicate; CORRECTED writes
+    // proleptic-Gregorian as-is, matching modern session writes
+    val entries = Seq(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+      SQLConf.SESSION_LOCAL_TIMEZONE)
+    val mirrored = entries.map(e =>
+      e.key -> sqlConf.getConfString(e.key, e.defaultValueString)).toMap +
+      (SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key -> "CORRECTED") +
+      (SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key -> "CORRECTED")
+    LakeDeltaWriterFactory(LakeDeltaWriteConf(
+      deletesDir = t.location.resolve("deletes").toString,
+      dataDir = dataDir.toString,
+      runId = UUID.randomUUID().toString,
+      rowSchemaJson = rowSchema.json,
+      withRowIds = withRowIds,
+      parquetConf = mirrored))
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val cs = messages.collect { case c: LakeDeltaCommit => c }
+    val nDel = cs.map(_.deleteRows).sum
+    val nUpd = cs.map(_.rowIdDataRows).sum
+    val nIns = cs.map(_.plainDataRows).sum
+    if (nDel + nUpd + nIns == 0) { cleanupIfEmpty(); return }
+
+    val cur = t.reloaded()
+    val seq = cur.meta.lastSequenceNumber + 1
+    val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+
+    val delMetas = cs.collect {
+      case c if c.deletePath != null =>
+        DeleteFileMeta(c.deletePath, "position", c.deleteRows,
+          dataSequenceNumber = seq)
+    }.toSeq
+
+    def dataMeta(path: String, rows: Long, firstRowId: Long,
+        explicit: Boolean): DataFileMeta =
+      DataFileMeta(
+        path = path,
+        // no partition/stat metadata is recorded for delta-written files:
+        // both prune conservatively (absent ⇒ file always survives)
+        partitionValues = Map.empty,
+        rowCount = rows,
+        sizeBytes = Files.size(Paths.get(path)),
+        stats = StatsPruning.collectStats(hadoopConf, Paths.get(path), cur.schema),
+        firstRowId = firstRowId,
+        explicitRowIds = explicit,
+        dataSequenceNumber = seq)
+
+    // v3 rewrites carry their lineage ids in an explicit column
+    val updMetas = cs.collect {
+      case c if c.rowIdDataPath != null =>
+        dataMeta(c.rowIdDataPath, c.rowIdDataRows,
+          firstRowId = if (withRowIds) -1L else 0L, explicit = withRowIds)
+    }.toSeq
+    // plain files (v2 rewrites, merge inserts) mint fresh disjoint ranges
+    val plainFiles = cs.collect {
+      case c if c.plainDataPath != null => (c.plainDataPath, c.plainDataRows)
+    }.toSeq
+    val start =
+      if (cur.meta.nextRowId >= 0) cur.meta.nextRowId
+      else cur.meta.computedNextRowId
+    var rowId = start
+    val v2UpdMetas = if (withRowIds) Nil else updMetas // already built above
+    val plainMetas = plainFiles.map { case (p, n) =>
+      val m = dataMeta(p, n, rowId, explicit = false); rowId += n; m
+    }
+    // v2 update files also need minted ranges — rebuild them in sequence
+    val updFinal =
+      if (withRowIds) updMetas
+      else v2UpdMetas.map { m =>
+        val withId = m.copy(firstRowId = rowId); rowId += m.rowCount; withId
+      }
+    val minted = rowId - start
+
+    val (opName, summary) = cmd match {
+      case RowLevelOperation.Command.DELETE =>
+        ("delete", Map("deleted-records" -> nDel.toString))
+      case RowLevelOperation.Command.UPDATE =>
+        ("update", Map("updated-records" -> (nUpd + nIns).toString))
+      case _ =>
+        ("merge", Map("matched-records" -> nDel.toString,
+          "inserted-records" -> nIns.toString))
+    }
+    cur.commitSnapshot(
+      cur.newSnapshot(opName, cur.dataFiles ++ updFinal ++ plainMetas,
+        cur.deleteFiles ++ delMetas, summary),
+      m => if (m.nextRowId >= 0 && minted > 0) m.copy(nextRowId = start + minted)
+        else m)
+    cleanupIfEmpty()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
-      case LakeDeltaCommit(p, _) if p != null =>
-        Files.deleteIfExists(Paths.get(p))
+      case c: LakeDeltaCommit =>
+        Seq(c.deletePath, c.rowIdDataPath, c.plainDataPath).foreach(p =>
+          if (p != null) Files.deleteIfExists(Paths.get(p)))
       case _ => ()
     }
+    cleanupIfEmpty()
+  }
+
+  /** Drop the per-write data dir when no task wrote a data file. */
+  private def cleanupIfEmpty(): Unit = {
+    if (Files.isDirectory(dataDir) &&
+      !Files.list(dataDir).iterator().hasNext)
+      Files.deleteIfExists(dataDir)
+  }
 }

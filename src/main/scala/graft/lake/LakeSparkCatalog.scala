@@ -183,33 +183,44 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
     with SupportsMetadataColumns with SupportsRowLevelOperations {
   import LakeV2Table._
 
-  override def metadataColumns(): Array[MetadataColumn] = Array(
+  private def metaCol(n: String, dt: org.apache.spark.sql.types.DataType) =
     new MetadataColumn {
-      override def name(): String = FilePathMeta
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
+      override def name(): String = n
+      override def dataType(): org.apache.spark.sql.types.DataType = dt
       override def isNullable: Boolean = false
-    },
-    new MetadataColumn {
-      override def name(): String = PosMeta
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.LongType
-      override def isNullable: Boolean = false
-    })
+    }
 
-  /** Native row-level DML entry: DELETE runs as a distributed
-    * position-delete delta write ([[LakeDeleteOperation]]); UPDATE and
-    * MERGE stay on the LakeSql dispatcher. */
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val coords = Array(
+      metaCol(FilePathMeta, org.apache.spark.sql.types.StringType),
+      metaCol(PosMeta, org.apache.spark.sql.types.LongType))
+    // v3 row lineage is selectable too (Iceberg's _file/_pos/_row_id)
+    if (t.meta.formatVersion >= 3 && t.meta.nextRowId >= 0)
+      coords :+ metaCol(LakeTable.RowIdCol, org.apache.spark.sql.types.LongType)
+    else coords
+  }
+
+  /** Native row-level DML entry: DELETE/UPDATE/MERGE run as distributed
+    * delta writes ([[LakeRowLevelOperation]]) on merge-on-read tables;
+    * copy-on-write modes stay on the LakeSql dispatcher (a delta write
+    * would mint the very delete files CoW exists to avoid). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    if (info.command() != RowLevelOperation.Command.DELETE)
-      throw new UnsupportedOperationException(
-        s"native ${info.command()} is not supported — use the LakeSql dispatcher")
     if (pinnedSnapshot.isDefined)
       throw new UnsupportedOperationException(
         "cannot run DML against a time-travel (snapshot-pinned) table")
+    val modeKey = info.command() match {
+      case RowLevelOperation.Command.DELETE => "write.delete.mode"
+      case _ => "write.update.mode"
+    }
+    if (t.meta.props.getOrElse(modeKey, "copy-on-write") != "merge-on-read")
+      throw new UnsupportedOperationException(
+        s"native ${info.command()} needs $modeKey=merge-on-read — " +
+          "copy-on-write DML runs through the LakeSql dispatcher")
     requirePerm("DELETE")
-    () => new LakeDeleteOperation(t)
+    if (info.command() != RowLevelOperation.Command.DELETE)
+      requirePerm("INSERT") // rewrites/inserts add data files, like the dispatcher
+    () => new LakeRowLevelOperation(t, info.command())
   }
 
   override def name(): String =
@@ -306,7 +317,8 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
               // pinned (time-travel) reads scan the historical snapshot
               // verbatim — metadata pruning applies to current-state
               // scans only; column pruning still narrows the reader
-              val wantsCoords = required.fieldNames
+              val wantsRowIds = required.fieldNames.contains(LakeTable.RowIdCol)
+              val wantsCoords = wantsRowIds || required.fieldNames
                 .exists(n => n == FilePathMeta || n == PosMeta)
               val prunedFiles = (pinnedSnapshot, wantsCoords) match {
                 case (Some(_), true) =>
@@ -314,10 +326,12 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
                     "metadata columns are not available on time-travel scans")
                 case (Some(id), false) => t.readSnapshot(id)
                 case (None, true) =>
-                  // rowId path (native DELETE) and explicit metadata-col
-                  // selects read the same MoR scan plus coordinates
+                  // rowId path (native row-level DML) and explicit
+                  // metadata-col selects read the same MoR scan plus
+                  // coordinates (and v3 lineage ids when asked)
                   t.readWithCoords(
                     partitionFilter = partitionPredicate(pushed),
+                    withRowIds = wantsRowIds,
                     fileFilter = StatsPruning.filePredicate(t.schema, pushed.toSeq))
                     .withColumn(FilePathMeta,
                       org.apache.spark.sql.functions.col(LakeTable.FileCol))

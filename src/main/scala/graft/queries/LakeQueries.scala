@@ -231,17 +231,56 @@ object LakeQueries {
       var now = DemoFixture.FixedTs.getTime
       val sql = new graft.lake.LakeSql(
         new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now }))
+      val morProps = " TBLPROPERTIES ('write.delete.mode'='merge-on-read', " +
+        "'write.update.mode'='merge-on-read')"
       sql.run("CREATE TABLE demo.nd (id INT, name STRING, category STRING, " +
-        "amount DECIMAL(10,2), created_at TIMESTAMP)")
+        "amount DECIMAL(10,2), created_at TIMESTAMP)" + morProps)
       sql.run(s"INSERT INTO demo.nd VALUES $ValuesSql")
+      sql.run("CREATE TABLE demo.nu (id INT, name STRING, category STRING, " +
+        "amount DECIMAL(10,2), created_at TIMESTAMP)" + morProps)
+      sql.run(s"INSERT INTO demo.nu VALUES $ValuesSql")
+      sql.run("CREATE TABLE demo.nm (id INT, name STRING, category STRING, " +
+        "amount DECIMAL(10,2), created_at TIMESTAMP)" + morProps)
+      sql.run(s"INSERT INTO demo.nm VALUES $ValuesSql")
       // the driver's Verify/Bench sessions don't pre-register the DSv2
       // catalog the way the test harness does; catalogs instantiate
       // lazily on first reference, so a runtime conf set suffices
       spark.conf.set("spark.sql.catalog.lake", "graft.lake.LakeSparkCatalog")
       spark.conf.set(graft.lake.LakeExtensions.WarehouseConf, wh.toString)
       spark.sql("DELETE FROM lake.demo.nd WHERE category = 'electronics'")
+      // q53: Spark's UPDATE assignment casts (13,3)→(10,2) HALF_UP; the
+      // DuckDB replay spells that as CAST(ROUND(.., 2) ..) (q03's proven
+      // cross-engine pair)
+      spark.sql("UPDATE lake.demo.nu SET amount = amount * 1.1 " +
+        "WHERE category = 'electronics'")
+      // q54: upsert against an inline source view
+      spark.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(2, java.math.BigDecimal.valueOf(24999, 2)),
+          org.apache.spark.sql.Row(99, java.math.BigDecimal.valueOf(575, 2))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("amount",
+            org.apache.spark.sql.types.DecimalType(10, 2)))))
+        .createOrReplaceTempView("nm_src")
+      spark.sql("""MERGE INTO lake.demo.nm t USING nm_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET amount = s.amount
+        WHEN NOT MATCHED THEN INSERT (id, name, category, amount, created_at)
+          VALUES (s.id, 'Product Z', 'misc', s.amount,
+            TIMESTAMP '2026-01-01 00:00:00')""")
       wh
     })
+
+  /** Shared runner: repoint the session at the fixture warehouse (another
+    * fixture's LakeCatalog may have moved the conf since) and read one
+    * native table's final state. */
+  private def nativeRead(
+      s: org.apache.spark.sql.SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    val wh = q52Wh(s)
+    s.conf.set(graft.lake.LakeExtensions.WarehouseConf, wh.toString)
+    s.sql(s"SELECT * FROM lake.demo.$table ORDER BY id")
+  }
 
   val q52 = QueryDef(
     "q52_native_delete",
@@ -250,13 +289,34 @@ object LakeQueries {
             INSERT INTO demo_q52 VALUES """ + ValuesSql + """;
             DELETE FROM demo_q52 WHERE category = 'electronics';
             SELECT * FROM demo_q52 ORDER BY id"""),
-    (s, _) => {
-      val wh = q52Wh(s)
-      // another fixture's LakeCatalog may have repointed the warehouse
-      // conf since the fixture ran; the DSv2 catalog reads it per call
-      s.conf.set(graft.lake.LakeExtensions.WarehouseConf, wh.toString)
-      s.sql("SELECT * FROM lake.demo.nd ORDER BY id")
-    })
+    (s, _) => nativeRead(s, "nd"))
+
+  // Q53: native UPDATE (WriteDelta update deltas: position deletes +
+  // rewritten rows from executor-side writers)
+  val q53 = QueryDef(
+    "q53_native_update",
+    Some("""CREATE OR REPLACE TABLE demo_q53 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q53 VALUES """ + ValuesSql + """;
+            UPDATE demo_q53 SET amount = CAST(ROUND(amount * 1.1, 2)
+              AS DECIMAL(10,2)) WHERE category = 'electronics';
+            SELECT * FROM demo_q53 ORDER BY id"""),
+    (s, _) => nativeRead(s, "nu"))
+
+  // Q54: native MERGE INTO (matched updates + not-matched inserts in one
+  // delta write commit)
+  val q54 = QueryDef(
+    "q54_native_merge",
+    Some("""CREATE OR REPLACE TABLE demo_q54 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q54 VALUES """ + ValuesSql + """;
+            UPDATE demo_q54 SET amount = v.amount
+              FROM (VALUES (2, CAST(249.99 AS DECIMAL(10,2)))) v(id, amount)
+              WHERE demo_q54.id = v.id;
+            INSERT INTO demo_q54 VALUES (99, 'Product Z', 'misc', 5.75,
+              TIMESTAMP '2026-01-01 00:00:00');
+            SELECT * FROM demo_q54 ORDER BY id"""),
+    (s, _) => nativeRead(s, "nm"))
 
   // Q50: time travel behind the hash gate — the dispatcher's VERSION AS OF
   // reads snapshot 1 (the initial append) of the fully-mutated q45 table;
@@ -284,5 +344,6 @@ object LakeQueries {
     (s, _) => q48Table(s).read().orderBy("id"))
 
   val defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
+      q53, q54)
 }

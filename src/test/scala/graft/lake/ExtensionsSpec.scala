@@ -148,6 +148,63 @@ class ExtensionsSpec extends SparkSpec {
       == after.meta.snapshots.size)
   }
 
+  test("DSv2 catalog: native UPDATE rewrites rows in one MoR commit, keeps v3 lineage") {
+    val wh = Files.createTempDirectory("graft-rlu-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.ru (id INT, category STRING, amount DECIMAL(10,2))
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.ru VALUES (1, 'a', 10.25), (2, 'b', 20.75), (3, 'a', 30.25)")
+    sql.run("ALTER TABLE db.ru SET TBLPROPERTIES ('format-version'='3')")
+    val rowIdsBefore = sql.catalog.loadTable("db", "ru").get.readWithRowIds()
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+
+    spark.sql("UPDATE lake.db.ru SET amount = amount * 2 WHERE category = 'a'")
+
+    val after = sql.catalog.loadTable("db", "ru").get
+    assert(after.meta.snapshots.last.operation == "update")
+    assert(spark.sql("SELECT id, amount FROM lake.db.ru ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString).toSeq
+      == Seq(1 -> "20.50", 2 -> "20.75", 3 -> "60.50"))
+    // v3 row lineage: updated rows keep their _row_id (M1 contract)
+    val rowIdsAfter = after.readWithRowIds()
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(rowIdsAfter == rowIdsBefore,
+      s"lineage broke: before=$rowIdsBefore after=$rowIdsAfter")
+    // dispatcher DML composes with natively-updated state on one table
+    sql.run("DELETE FROM db.ru WHERE id = 2")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.ru").head().getLong(0) == 2)
+  }
+
+  test("DSv2 catalog: native MERGE INTO upserts (delete+insert deltas, minted v3 ids)") {
+    val wh = Files.createTempDirectory("graft-rlm-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.rm (id INT, amount DECIMAL(10,2))
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.rm VALUES (1, 10.25), (2, 20.75)")
+    sql.run("ALTER TABLE db.rm SET TBLPROPERTIES ('format-version'='3')")
+    val nextBefore = sql.catalog.loadTable("db", "rm").get.meta.nextRowId
+
+    spark.sql("CREATE TABLE lake.db.rmsrc (id INT, amount DECIMAL(10,2))")
+    spark.sql("INSERT INTO lake.db.rmsrc VALUES (2, 99.25), (9, 5.75)")
+    spark.sql("""MERGE INTO lake.db.rm t USING lake.db.rmsrc s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET amount = s.amount
+      WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amount)""")
+
+    val after = sql.catalog.loadTable("db", "rm").get
+    assert(after.meta.snapshots.last.operation == "merge")
+    assert(spark.sql("SELECT id, amount FROM lake.db.rm ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString).toSeq
+      == Seq(1 -> "10.25", 2 -> "99.25", 9 -> "5.75"))
+    // inserted rows minted fresh lineage ids past the old high-water mark
+    assert(after.meta.nextRowId > nextBefore)
+    val ids = after.readWithRowIds().collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(ids.values.toSet.size == 3, s"duplicate _row_id in $ids")
+    assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
+  }
+
   test("DSv2 catalog: _file_path/_pos metadata columns select natively") {
     val wh = Files.createTempDirectory("graft-mc-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
