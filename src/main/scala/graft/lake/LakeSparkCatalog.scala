@@ -23,14 +23,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   *   CREATE TABLE lake.db.t … / DROP TABLE / DESCRIBE / SHOW TABLES /
   *   SELECT … FROM lake.db.t / INSERT INTO / INSERT OVERWRITE /
-  *   VERSION AS OF / TIMESTAMP AS OF
+  *   VERSION AS OF / TIMESTAMP AS OF /
+  *   DELETE FROM / UPDATE / MERGE INTO (merge-on-read tables)
   *
   * plan natively through Catalyst, with the MoR-aware scan (position/
-  * equality-delete anti-joins) at the leaf via the V1Scan bridge and
-  * writes via the V1Write bridge. Row-level DML (DELETE/UPDATE/MERGE/
-  * CALL) stays on the LakeSql dispatcher — Spark's
-  * SupportsRowLevelOperations contract is deliberately out of scope
-  * (SURVEY.md §7.3).
+  * equality-delete anti-joins) at the leaf via the V1Scan bridge, writes
+  * via the V1Write bridge, and row-level DML via SupportsRowLevelOperations
+  * delta writes ([[LakeRowLevelOperation]]). CALL procedures and
+  * copy-on-write DML stay on the LakeSql dispatcher.
   *
   * The warehouse root is read from `spark.graft.warehouse` at every call,
   * so one registered catalog serves whatever warehouse the session

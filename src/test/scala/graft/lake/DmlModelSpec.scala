@@ -65,12 +65,25 @@ class DmlModelSpec extends SparkSpec {
               model = model.filterNot(_._1 <= cut)
             } else {
               val c = cats(rnd.nextInt(3))
-              table = table.delete(col("category") === c)
+              // MoR trials route half the deletes through the NATIVE
+              // SupportsRowLevelOperations path — same model, so the
+              // two DML surfaces are differentially fuzzed against each
+              // other as well as against the oracle
+              if (mor && rnd.nextBoolean()) {
+                spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
+                spark.sql(s"DELETE FROM lake.db.t WHERE category = '$c'")
+                table = table.reloaded()
+              } else table = table.delete(col("category") === c)
               model = model.filterNot(_._2 == c)
             }
           case 2 => // update amount where category matches
             val c = cats(rnd.nextInt(3))
-            table = table.update(
+            if (mor && rnd.nextBoolean()) {
+              spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
+              spark.sql(
+                s"UPDATE lake.db.t SET amount = amount + 1000.0 WHERE category = '$c'")
+              table = table.reloaded()
+            } else table = table.update(
               Map("amount" -> (col("amount") + 1000.0)), col("category") === c)
             model = model.map(r => if (r._2 == c) r.copy(_3 = r._3 + 1000.0) else r)
           case 3 => // equality delete on a present-or-absent id (older-files rule:

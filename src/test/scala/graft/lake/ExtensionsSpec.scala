@@ -205,6 +205,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
   }
 
+  test("DSv2 catalog: native DML on a partitioned table — correct state, conservative pruning") {
+    val wh = Files.createTempDirectory("graft-rlp-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.rp (id INT, category STRING, amount DECIMAL(10,2))
+      PARTITIONED BY (category)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.rp VALUES (1, 'a', 1.25), (2, 'b', 2.25), " +
+      "(3, 'a', 3.25), (4, 'c', 4.25)")
+    spark.sql("DELETE FROM lake.db.rp WHERE category = 'a' AND id = 1")
+    spark.sql("UPDATE lake.db.rp SET amount = amount + 1 WHERE category = 'b'")
+    assert(spark.sql("SELECT id, amount FROM lake.db.rp ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString).toSeq
+      == Seq(2 -> "3.25", 3 -> "3.25", 4 -> "4.25"))
+    // partition predicates still prune untouched partitions at the
+    // metadata level (delta-written rewrite files carry no partition
+    // values, so they conservatively survive every partition filter)
+    assert(spark.sql("SELECT id FROM lake.db.rp WHERE category = 'c'").collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+    val t = sql.catalog.loadTable("db", "rp").get
+    // the delete coords only ever reference files of the matched partitions
+    val touched = t.deleteFiles.map(_.path)
+    assert(touched.nonEmpty)
+    val delTargets = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(touched: _*).select("file_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    val byPartition = t.dataFiles.filter(f =>
+      f.partitionValues.get("category").exists(Set("a", "b"))).map(_.path).toSet
+    assert(delTargets.subsetOf(byPartition),
+      s"delete coords touched unmatched partitions: ${delTargets -- byPartition}")
+  }
+
   test("DSv2 catalog: _file_path/_pos metadata columns select natively") {
     val wh = Files.createTempDirectory("graft-mc-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
