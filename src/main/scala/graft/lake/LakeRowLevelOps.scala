@@ -354,9 +354,10 @@ private[lake] class LakeDeltaBatchWrite(
   }
 
   /** Drop the per-write data dir when no task wrote a data file. */
-  private def cleanupIfEmpty(): Unit = {
-    if (Files.isDirectory(dataDir) &&
-      !Files.list(dataDir).iterator().hasNext)
-      Files.deleteIfExists(dataDir)
-  }
+  private def cleanupIfEmpty(): Unit =
+    if (Files.isDirectory(dataDir)) {
+      val s = Files.list(dataDir)
+      val empty = try !s.iterator().hasNext finally s.close()
+      if (empty) Files.deleteIfExists(dataDir)
+    }
 }

@@ -176,6 +176,13 @@ object LakeV2Table {
     * `_file`/`_pos`). They double as the rowId for native DELETE. */
   val FilePathMeta = "_file_path"
   val PosMeta = "_pos"
+
+  /** Test observability: the filters Catalyst pushed into the most
+    * recent scan build (thread-confined enough for the single-session
+    * test harness). Lets specs assert that a native DML condition
+    * reached the metadata file-pruning layer rather than only being
+    * applied above the scan. */
+  @volatile private[lake] var lastPushedFilters: Seq[String] = Nil
 }
 
 class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
@@ -300,7 +307,9 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
       private var required: StructType = t.schema
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        pushed = filters; filters
+        pushed = filters
+        LakeV2Table.lastPushedFilters = filters.map(_.toString).toSeq
+        filters
       }
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =

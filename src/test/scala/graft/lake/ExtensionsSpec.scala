@@ -214,7 +214,12 @@ class ExtensionsSpec extends SparkSpec {
         'write.update.mode'='merge-on-read')""")
     sql.run("INSERT INTO db.rp VALUES (1, 'a', 1.25), (2, 'b', 2.25), " +
       "(3, 'a', 3.25), (4, 'c', 4.25)")
+    LakeV2Table.lastPushedFilters = Nil
     spark.sql("DELETE FROM lake.db.rp WHERE category = 'a' AND id = 1")
+    // the DML condition must reach the scan's pushdown layer (partition
+    // + stats file pruning), not merely filter above it
+    assert(LakeV2Table.lastPushedFilters.exists(_.contains("category")),
+      s"DELETE pushed nothing: ${LakeV2Table.lastPushedFilters}")
     spark.sql("UPDATE lake.db.rp SET amount = amount + 1 WHERE category = 'b'")
     assert(spark.sql("SELECT id, amount FROM lake.db.rp ORDER BY id").collect()
       .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString).toSeq
