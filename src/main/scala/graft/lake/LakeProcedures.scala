@@ -1,0 +1,143 @@
+package graft.lake
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native `CALL lake.system.<proc>(…)` procedures (Spark 4's DSv2
+  * ProcedureCatalog) — the same maintenance surface the LakeSql
+  * dispatcher exposes (`CALL rewrite_data_files/expire_snapshots/…`,
+  * reference: README.md:25-38), typed directly at a `spark-sql` prompt.
+  * Spark binds named arguments (`table => 'db.t'`) to the declared
+  * parameters, so the reference's own CALL spelling works verbatim with
+  * the catalog prefix.
+  *
+  * Procedures execute driver-side (they orchestrate metadata commits;
+  * any heavy lifting — compaction rewrites — launches distributed Spark
+  * jobs inside [[Procedures]] exactly as the dispatcher path does) and
+  * return their result rows through a [[LocalScan]].
+  */
+private[lake] object LakeProcedures {
+
+  private val TableParam =
+    ProcedureParameter.in("table", StringType).build()
+
+  def load(cat: LakeCatalog, name: String,
+      principal: Option[String]): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "rewrite_data_files" => Some(proc(cat, principal, "rewrite_data_files",
+        Seq(TableParam,
+          ProcedureParameter.in("options", MapType(StringType, StringType))
+            .defaultValue("map()").build()),
+        StructType(Seq(
+          StructField("rewritten_data_files_count", IntegerType),
+          StructField("added_data_files_count", IntegerType),
+          StructField("removed_delete_files_count", IntegerType))),
+        (t, in) => {
+          val r = Procedures.rewriteDataFiles(t, mapArg(in, 1))
+          Array(row(r.rewrittenDataFiles, r.addedDataFiles, r.removedDeleteFiles))
+        }))
+      case "expire_snapshots" => Some(proc(cat, principal, "expire_snapshots",
+        Seq(TableParam,
+          ProcedureParameter.in("older_than", TimestampType)
+            .defaultValue("NULL").build(),
+          ProcedureParameter.in("retain_last", IntegerType)
+            .defaultValue("1").build()),
+        StructType(Seq(
+          StructField("deleted_snapshots_count", IntegerType),
+          StructField("deleted_files_count", IntegerType))),
+        (t, in) => {
+          val olderThan =
+            if (in.isNullAt(1)) System.currentTimeMillis()
+            else in.getLong(1) / 1000L // micros → millis
+          val r = Procedures.expireSnapshots(t, olderThan, in.getInt(2))
+          Array(row(r.expiredSnapshots, r.deletedFiles))
+        }))
+      case "remove_orphan_files" => Some(proc(cat, principal, "remove_orphan_files",
+        Seq(TableParam,
+          ProcedureParameter.in("older_than", TimestampType)
+            .defaultValue("NULL").build()),
+        StructType(Seq(StructField("deleted_orphan_files_count", IntegerType))),
+        (t, in) => {
+          val n =
+            if (in.isNullAt(1)) Procedures.removeOrphanFiles(t)
+            else Procedures.removeOrphanFiles(t, in.getLong(1) / 1000L)
+          Array(row(n))
+        }))
+      case "repair_v3_metadata" => Some(proc(cat, principal, "repair_v3_metadata",
+        Seq(TableParam),
+        StructType(Seq(StructField("status", StringType))),
+        (t, _) => {
+          val r = Procedures.repairV3Metadata(t)
+          Array(row(UTF8String.fromString(s"next-row-id = ${r.meta.nextRowId}")))
+        }))
+      case "rollback_to_snapshot" => Some(proc(cat, principal, "rollback_to_snapshot",
+        Seq(TableParam,
+          ProcedureParameter.in("snapshot_id", LongType).build()),
+        StructType(Seq(StructField("status", StringType))),
+        (t, in) => {
+          val id = in.getLong(1)
+          val r = t.rollbackTo(id)
+          Array(row(UTF8String.fromString(
+            s"rolled back to snapshot $id (new snapshot ${r.currentSnapshot.get.id})")))
+        }))
+      case _ => None
+    }
+
+  def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
+    "remove_orphan_files", "repair_v3_metadata", "rollback_to_snapshot")
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  private def mapArg(in: InternalRow, i: Int): Map[String, String] = {
+    if (in.isNullAt(i)) return Map.empty
+    val m = in.getMap(i)
+    (0 until m.numElements()).map(j =>
+      m.keyArray().getUTF8String(j).toString ->
+        m.valueArray().getUTF8String(j).toString).toMap
+  }
+
+  /** One fixed-signature procedure: `bind` is identity (Spark aligns the
+    * CALL's named/positional args to `params` and applies defaults), and
+    * `call` loads the table fresh, enforces ALTER for the session
+    * principal (the dispatcher's rule for CALL), runs the body, and
+    * wraps the result rows in a LocalScan. */
+  private def proc(
+      cat: LakeCatalog,
+      principal: Option[String],
+      procName: String,
+      params: Seq[ProcedureParameter],
+      resultSchema: StructType,
+      body: (LakeTable, InternalRow) => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft lake procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft lake procedure $procName"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val (db, table) = LakeSql.splitName(input.getUTF8String(0).toString)
+            principal.foreach { pr =>
+              val held = cat.grantsFor(db, table, pr)
+              if (!held.contains("ALL") && !held.contains("ALTER"))
+                throw new AccessDeniedException(
+                  s"principal $pr lacks ALTER on $db.$table")
+            }
+            val t = cat.loadTable(db, table).getOrElse(
+              throw new IllegalArgumentException(s"no such table: $db.$table"))
+            val out = body(t, input)
+            java.util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = resultSchema
+              override def rows(): Array[InternalRow] = out
+            }).iterator()
+          }
+        }
+    }
+}

@@ -24,19 +24,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   CREATE TABLE lake.db.t … / DROP TABLE / DESCRIBE / SHOW TABLES /
   *   SELECT … FROM lake.db.t / INSERT INTO / INSERT OVERWRITE /
   *   VERSION AS OF / TIMESTAMP AS OF /
-  *   DELETE FROM / UPDATE / MERGE INTO (merge-on-read tables)
+  *   DELETE FROM / UPDATE / MERGE INTO (merge-on-read tables) /
+  *   CALL lake.system.<procedure>(…)
   *
   * plan natively through Catalyst, with the MoR-aware scan (position/
   * equality-delete anti-joins) at the leaf via the V1Scan bridge, writes
-  * via the V1Write bridge, and row-level DML via SupportsRowLevelOperations
-  * delta writes ([[LakeRowLevelOperation]]). CALL procedures and
-  * copy-on-write DML stay on the LakeSql dispatcher.
+  * via the V1Write bridge, row-level DML via SupportsRowLevelOperations
+  * delta writes ([[LakeRowLevelOperation]]), and maintenance procedures
+  * via ProcedureCatalog ([[LakeProcedures]]). Copy-on-write DML stays on
+  * the LakeSql dispatcher.
   *
   * The warehouse root is read from `spark.graft.warehouse` at every call,
   * so one registered catalog serves whatever warehouse the session
   * currently points at (tests swap warehouses per suite).
   */
-class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
+class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = "lake"
 
@@ -91,6 +94,26 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     cat.tableExists(db(ident), ident.name())
+
+  // ------------------------------------------------------------ procedures
+
+  /** Native `CALL lake.system.<proc>(table => 'db.t', …)` — the same
+    * maintenance procedures the dispatcher's CALL grammar runs
+    * ([[LakeProcedures]]). */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    val principal =
+      SparkSession.active.conf.getOption(LakeExtensions.PrincipalConf)
+    val known = ident.namespace().toSeq == Seq("system")
+    (if (known) LakeProcedures.load(cat, ident.name(), principal) else None)
+      .getOrElse(throw new RuntimeException(
+        s"unknown procedure: ${(ident.namespace() :+ ident.name()).mkString(".")}" +
+          s" (known: system.{${LakeProcedures.names.mkString(", ")}})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      LakeProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   override def createTable(
       ident: Identifier,

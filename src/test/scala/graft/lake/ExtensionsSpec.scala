@@ -282,6 +282,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.catalog.loadTable("db", "g").get.read().count() == 2)
   }
 
+  test("DSv2 catalog: native CALL runs maintenance procedures (M2/M3 surface)") {
+    val wh = Files.createTempDirectory("graft-pc-wh")
+    var now = java.time.Instant.parse("2026-03-01T00:00:00Z").toEpochMilli
+    val sql = new LakeSql(new LakeCatalog(spark, wh, () => { now += 60000L; now }))
+    sql.run("""CREATE TABLE db.pc (id INT, category STRING) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.pc VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    sql.run("DELETE FROM db.pc WHERE id = 2")
+    assert(sql.catalog.loadTable("db", "pc").get.deleteFiles.nonEmpty)
+
+    // the reference's own CALL spelling, typed natively at spark.sql
+    val r = spark.sql("CALL lake.system.rewrite_data_files(table => 'db.pc', " +
+      "options => map('rewrite-all', 'true'))").head()
+    assert(r.getInt(0) > 0)
+    assert(sql.catalog.loadTable("db", "pc").get.deleteFiles.isEmpty)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.pc").head().getLong(0) == 2)
+
+    // expire everything but the newest snapshot, then GC'd files are gone
+    val before = sql.catalog.loadTable("db", "pc").get.meta.snapshots.size
+    val ex = spark.sql("CALL lake.system.expire_snapshots(table => 'db.pc', " +
+      s"older_than => TIMESTAMP '2026-03-02 00:00:00')").head()
+    assert(ex.getInt(0) == before - 1)
+    assert(sql.catalog.loadTable("db", "pc").get.meta.snapshots.size == 1)
+
+    // orphan GC through the native surface (future cutoff deletes fresh)
+    val orphan = sql.catalog.tableLocation("db", "pc")
+      .resolve("data").resolve("orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1))
+    val og = spark.sql("CALL lake.system.remove_orphan_files(table => 'db.pc', " +
+      "older_than => TIMESTAMP '2027-01-01 00:00:00')").head()
+    assert(og.getInt(0) == 1 && !java.nio.file.Files.exists(orphan))
+
+    // unknown procedure fails cleanly (Spark wraps it as a routine-load
+    // failure; our known-procedures list rides in the cause)
+    val e = intercept[Exception](
+      spark.sql("CALL lake.system.nope(table => 'db.pc')"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") || msgs.contains("rewrite_data_files"))
+  }
+
   test("cosine_sim is registered as a native SQL function") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS s1, " +
