@@ -70,11 +70,27 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
       .map(i => Identifier.of(namespace, i.name)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // `lake.db.t.history` arrives as Identifier([db, t], history) —
+    // Iceberg's metadata-table spelling, resolved before real tables
+    if (ident.namespace().length == 2) {
+      val Array(dbName, tblName) = ident.namespace()
+      val kind = ident.name().toLowerCase
+      val make: Option[LakeTable => org.apache.spark.sql.DataFrame] = kind match {
+        case "history" | "snapshots" => Some(_.history())
+        case "files" => Some(_.filesMetadata())
+        case _ => None
+      }
+      return make.flatMap(f => cat.loadTable(dbName, tblName).map { t =>
+        new LakeMetaV2Table(s"${t.name}.$kind", t, f): Table
+      }).getOrElse(
+        throw new NoSuchTableException(ident.namespace() :+ ident.name()))
+    }
     cat.loadTable(db(ident), ident.name()) match {
       case Some(t) => new LakeV2Table(t)
       case None => throw new NoSuchTableException(ident.namespace() :+ ident.name())
     }
+  }
 
   /** `SELECT … FROM lake.db.t VERSION AS OF <id>` — Catalyst resolves the
     * clause through this overload; the version string is a snapshot id. */
@@ -206,6 +222,46 @@ object LakeV2Table {
     * reached the metadata file-pruning layer rather than only being
     * applied above the scan. */
   @volatile private[lake] var lastPushedFilters: Seq[String] = Nil
+}
+
+/** Read-only V2 handle for a metadata table (`lake.db.t.history` /
+  * `.snapshots` / `.files`): driver-side snapshot-header projections
+  * (metadata-scale — no data file is opened), bridged through V1Scan
+  * like the main scan. SELECT on the base table gates access when a
+  * session principal is set. */
+class LakeMetaV2Table(
+    tableName: String, base: LakeTable,
+    make: LakeTable => org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+
+  private lazy val df = make(base)
+
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    SparkSession.active.conf.getOption(LakeExtensions.PrincipalConf)
+      .foreach { principal =>
+        val held = base.meta.grants.getOrElse(principal, Nil)
+        if (!held.contains("ALL") && !held.contains("SELECT"))
+          throw new AccessDeniedException(
+            s"principal $principal lacks SELECT on ${base.name}")
+      }
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = df.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan(): RDD[Row] = df.rdd
+          }.asInstanceOf[T]
+      }
+    }
+  }
 }
 
 class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)

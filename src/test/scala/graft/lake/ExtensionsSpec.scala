@@ -323,6 +323,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") || msgs.contains("rewrite_data_files"))
   }
 
+  test("DSv2 catalog: metadata tables lake.db.t.history/snapshots/files resolve natively") {
+    val wh = Files.createTempDirectory("graft-mt-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.mt (id INT)")
+    sql.run("INSERT INTO db.mt VALUES (1), (2)")
+    sql.run("INSERT INTO db.mt VALUES (3)")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.mt.history")
+      .head().getLong(0) == 2)
+    assert(spark.sql(
+      "SELECT operation FROM lake.db.mt.snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq == Seq("append", "append"))
+    assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.mt.files")
+      .head().getLong(0)
+      == sql.catalog.loadTable("db", "mt").get.dataFiles.size)
+    // the base table still resolves normally next to its metadata tables
+    assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.mt").head().getLong(0) == 3)
+  }
+
   test("cosine_sim is registered as a native SQL function") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS s1, " +
