@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.nio.charset.StandardCharsets
 
 import com.fasterxml.jackson.databind.json.JsonMapper
@@ -202,9 +202,14 @@ object Meta {
     }
     val next = base + 1
     val target = versionFile(tableLocation, next)
+    // fast path only — the authoritative arbiter is the CREATE_NEW write
+    // below (two racing writers can both pass this check AND both pass
+    // the expectedVersion check; exactly one may own the version file)
     if (Files.exists(target))
-      throw new IllegalStateException(
-        s"concurrent commit detected: $target already exists")
+      throw new CommitConflictException(
+        s"concurrent commit detected: $target already exists — reload " +
+          "the table and retry")
+    val freshManifests = scala.collection.mutable.ArrayBuffer.empty[Path]
     val withManifests = m.copy(snapshots = m.snapshots.map { s =>
       if (s.manifestPath.isDefined) s
       else {
@@ -214,12 +219,29 @@ object Meta {
         Files.write(mp, mapper.writeValueAsString(data)
           .getBytes(StandardCharsets.UTF_8))
         manifestCache.put(mp.toString, data)
+        freshManifests += mp
         s.copy(manifestPath = Some(mp.toString))
       }
     })
     val headersOnly = withManifests.copy(snapshots =
       withManifests.snapshots.map(_.copy(dataFiles = Nil, deleteFiles = Nil)))
-    Files.write(target, toJson(headersOnly).getBytes(StandardCharsets.UTF_8))
+    // CREATE_NEW makes the filesystem the single-winner arbiter: a racer
+    // that lost the version slot fails atomically here (TOCTOU-free),
+    // surfaces as the retryable conflict class, and never clobbers the
+    // winner's metadata — the lost-update hole a plain overwrite leaves
+    // between the exists/expectedVersion checks and the write
+    try Files.write(target, toJson(headersOnly).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: FileAlreadyExistsException =>
+        // the loser's freshly written manifests would otherwise orphan
+        freshManifests.foreach { mp =>
+          manifestCache.remove(mp.toString); Files.deleteIfExists(mp)
+        }
+        throw new CommitConflictException(
+          s"concurrent commit detected: metadata v$next was written by " +
+            "another writer during this commit — reload the table and retry")
+    }
     val tmp = dir.resolve(s".version-hint.$next.tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, hintFile(tableLocation), StandardCopyOption.ATOMIC_MOVE,

@@ -72,6 +72,47 @@ class ConcurrencySpec extends SparkSpec {
       .apply(Gen.Parameters.default, rng.Seed(seed))
       .getOrElse(sys.error("ScalaCheck generator failed to produce a script"))
 
+  test("racing threads: the version-file write is the single-winner arbiter " +
+    "(no silent overwrite between the CAS check and the write)") {
+    // Both racers pass the expectedVersion check before either writes —
+    // a barrier right at commit entry forces the TOCTOU window. Without
+    // the CREATE_NEW write, both would land v2 and one update would be
+    // silently lost; with it, exactly one wins per iteration.
+    val wh = Files.createTempDirectory("graft-race")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    var t = cat.createTable("db", "race", schema)
+      .append(toDf(Seq((1, "a", 1.0))))
+    for (iter <- 0 until 8) {
+      val base = Meta.currentVersion(t.location).get
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+      val threads = (0 until 2).map { i =>
+        val snap = t.meta.copy(props = t.meta.props + (s"racer-$iter" -> i.toString))
+        new Thread(() => {
+          try {
+            barrier.await()
+            Meta.commit(t.location, snap, Some(base))
+            results.add(Right(i))
+          } catch { case e: Throwable => results.add(Left(e)) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val (losers, winners) = results.toArray(Array.empty[Either[Throwable, Int]])
+        .partition(_.isLeft)
+      assert(winners.size == 1,
+        s"iter $iter: ${winners.size} racers both believe they committed")
+      assert(losers.forall(_.left.exists(_.isInstanceOf[CommitConflictException])),
+        s"iter $iter: loser failed with the wrong class: $losers")
+      // the on-disk state is exactly the winner's (nothing interleaved)
+      assert(Meta.currentVersion(t.location).get == base + 1)
+      val winnerIdx = winners.head.toOption.get
+      t = t.reloaded()
+      assert(t.meta.props.get(s"racer-$iter").contains(winnerIdx.toString),
+        s"iter $iter: disk state is not the winner's commit")
+    }
+  }
+
   test("interleaved handles: lost updates surface as CommitConflictException; " +
     "reload-retry converges to the serializable history") {
     val cats = Array("a", "b", "c")
