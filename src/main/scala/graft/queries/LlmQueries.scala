@@ -563,6 +563,44 @@ object LlmQueries {
         .orderBy("label", "vec_a", "vec_b")
     })
 
+  // ------------------- q55 composite training-data pipeline (north star)
+  /** The canonical pre-training cleanup arc as ONE declarative plan:
+    * quality gate (token-count floor) → exact dedup keeping the earliest
+    * doc per text → per-language corpus stats. The dedup window
+    * partitions on the 128-bit xxhash pair of the text, not the text
+    * itself — at 100 TB the shuffle carries 16-byte keys instead of
+    * document payloads (same trick as [[RelQueries.dedupHashKeyed]]);
+    * output is identical to text-keyed dedup absent a 128-bit collision,
+    * and the DuckDB oracle partitions on the raw text to prove it. */
+  val q55 = QueryDef(
+    "q55_pipeline",
+    Some("""WITH t AS (SELECT doc_id, lang,
+                         len(string_split(lower(text), ' ')) AS n_tokens, text
+                       FROM documents WHERE text IS NOT NULL),
+                 f AS (SELECT * FROM t WHERE n_tokens >= 5),
+                 d AS (SELECT *, row_number() OVER
+                         (PARTITION BY text ORDER BY doc_id) AS rn FROM f)
+            SELECT lang, COUNT(*) AS docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(n_tokens), 2) AS avg_tokens
+            FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens") >= 5)
+      val w = Window
+        .partitionBy(xxhash64(col("text"), lit(1)), xxhash64(col("text"), lit(2)))
+        .orderBy(col("doc_id"))
+      base.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"))
+        .orderBy("lang")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q46, q47)
+    q42, q43, q44, q46, q47, q55)
 }
