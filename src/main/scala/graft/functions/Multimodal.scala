@@ -27,18 +27,18 @@ final case class MediaFeature(
   * video as opaque `BINARY` columns processed partition-batched on
   * executors.
   *
-  * The decode step really parses uncompressed container headers in pure
-  * JVM code — BMP images (width/height from the DIB header) and
-  * RIFF/WAVE audio (sample rate, channels, sample count from the
-  * fmt/data chunks) — so the feature path is live end-to-end for those
-  * formats. Compressed codecs (JPEG/MP4/…) are not shipped in this
-  * container; payloads that match no known magic fall back to a
-  * clearly-marked deterministic stand-in. Everything around decode — the
-  * binary+metadata schema, the typed `Dataset` encoders, `mapPartitions`
-  * batching (one iterator per partition, codec state initialized once
-  * per partition, zero driver involvement), and the downstream
-  * aggregations — is the real 100 TB shape: add a JPEG/PCM decoder
-  * branch and nothing else changes.
+  * The decode step is real for every format the JVM can decode without
+  * external libraries: BMP images and RIFF/WAVE audio via hand-parsed
+  * headers (width/height from the DIB header; sample rate, channels,
+  * sample count from the fmt/data chunks), and compressed JPEG / PNG /
+  * GIF via the JDK's own `javax.imageio.ImageIO` (headless-safe, no
+  * Toolkit). Codecs the JDK doesn't ship (MP4/H.264/Opus/…) fall back
+  * to a clearly-marked deterministic stand-in. Everything around
+  * decode — the binary+metadata schema, the typed `Dataset` encoders,
+  * `mapPartitions` batching (one iterator per partition, codec state
+  * initialized once per partition, zero driver involvement), and the
+  * downstream aggregations — is the real 100 TB shape: add a video
+  * decoder branch and nothing else changes.
   */
 object Multimodal {
 
@@ -92,13 +92,29 @@ object Multimodal {
       if (blockAlign > 0) dataSize / blockAlign else 0))
   }
 
-  /** Header decode: real for BMP/WAV; STUB fallback (deterministic fake
-    * in place of a codec call) for formats whose codecs this container
-    * doesn't ship. */
+  /** Compressed images (JPEG / PNG / GIF) through the JDK's ImageIO —
+    * a full decode, not a header peek (magic-gated so arbitrary bytes
+    * never reach the codec search). ImageIO.read returns null when no
+    * reader claims the stream; Option covers it. */
+  private def decodeImage(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    val jpeg = b.length > 3 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+    val png = b.length > 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    val gif = b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    if (!(jpeg || png || gif)) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+      .map(img => (img.getWidth, img.getHeight, 1))
+  }
+
+  /** Decode: real for BMP/WAV (hand-parsed headers) and JPEG/PNG/GIF
+    * (JDK ImageIO); STUB fallback (deterministic fake in place of a
+    * codec call) only for formats the JVM cannot decode unaided. */
   private[functions] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
     // Try: any malformed container that still escapes the parsers'
     // structural checks degrades to the stand-in like unknown formats do
-    scala.util.Try(decodeBmp(payload).orElse(decodeWav(payload)))
+    scala.util.Try(decodeBmp(payload).orElse(decodeWav(payload))
+        .orElse(decodeImage(payload)))
       .toOption.flatten.getOrElse {
       val n = payload.length
       val w = 64 + (n % 577)           // fake width

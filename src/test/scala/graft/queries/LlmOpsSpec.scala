@@ -202,11 +202,24 @@ class LlmOpsSpec extends SparkSpec {
     wav.putInt(28, 44100 * 4); wav.putShort(32, 4); wav.putShort(34, 16)
     wav.position(36); wav.put("data".getBytes); wav.putInt(40, 8)
 
+    // real compressed images round-tripped through the JDK encoder —
+    // the decode side is the exact production path for JPEG/PNG bytes
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         Row(1L, "image", bmp.array()),
         Row(2L, "audio", wav.array()),
-        Row(3L, "image", "not a known container".getBytes)), 1),
+        Row(3L, "image", "not a known container".getBytes),
+        Row(4L, "image", encoded("png", 320, 200)),
+        Row(5L, "image", encoded("jpg", 123, 45))), 1),
       StructType(Seq(
         StructField("media_id", LongType), StructField("kind", StringType),
         StructField("payload", BinaryType))))
@@ -219,6 +232,9 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats(2L).frames == 2, "WAV PCM frame count")
     // unknown containers still flow through the deterministic fallback
     assert(feats(3L).width >= 64 && feats(3L).height >= 64)
+    // compressed formats decode for real through JDK ImageIO on executors
+    assert(feats(4L).width == 320 && feats(4L).height == 200, "PNG dims")
+    assert(feats(5L).width == 123 && feats(5L).height == 45, "JPEG dims")
   }
 
   test("multimodal: binary payload → partition-batched decode → feature aggs") {
