@@ -509,13 +509,41 @@ object LlmQueries {
       }.toDF(idCol, "bucket")
   }
 
+  /** Lloyd-refined codebook: seed with the K lowest vec_ids, then
+    * `iters` k-means rounds — each is one compiled nearest-centroid
+    * assignment pass plus a declarative per-(bucket, dim) mean with
+    * map-side partial aggregation, so the shuffle carries O(K·d) per
+    * partition and the driver only ever collects the K·d centroid cells
+    * (64×64 here — metadata-scale). Empty buckets keep their previous
+    * centroid. Trained once per (session, dir) and cached: a real
+    * codebook balances bucket occupancy on skewed corpora, which is
+    * what keeps nProbe/K candidate volume honest at 100 TB. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]()
+
+  def trainedCodebook(s: SparkSession, dir: String, e: DataFrame,
+      iters: Int = 2): Array[Array[Double]] =
+    codebookCache.computeIfAbsent((s, dir), { _ =>
+      var cents: Array[Array[Double]] = e.filter(col("vec_id") < IvfK)
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      for (_ <- 0 until iters) {
+        val assigned = ivfAssignCompiled(s, e, "vec_id", "v", cents, 1)
+        val means = assigned.join(e, "vec_id")
+          .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("bucket", "pos").agg(avg("x").as("m"))
+          .collect() // ≤ K·d rows
+        val next = cents.map(_.clone)
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
+      }
+      cents
+    })
+
   def ivfTopK(s: SparkSession, dir: String, queryPred: Column, k: Int): DataFrame = {
     val e = t(s, dir, "embeddings")
       .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
       .select(col("vec_id"), col("v"))
-    // codebook: driver-side K vectors (metadata-scale, like a broadcast)
-    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < IvfK)
-      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val centroids = trainedCodebook(s, dir, e)
     val queries = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
       .localCheckpoint(true)

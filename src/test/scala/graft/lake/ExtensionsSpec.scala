@@ -323,6 +323,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") || msgs.contains("rewrite_data_files"))
   }
 
+  test("DSv2 catalog: native DML composes with ADD COLUMN schema evolution") {
+    val wh = Files.createTempDirectory("graft-se-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.se (id INT, amount DECIMAL(10,2)) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.se VALUES (1, 10.25), (2, 20.75)")
+    // metadata-only evolution: old files lack the column (null-filled)
+    sql.run("ALTER TABLE db.se ADD COLUMN note STRING")
+    sql.run("INSERT INTO db.se VALUES (3, 30.25, 'new')")
+    // native UPDATE rewrites an old-file row under the evolved schema
+    spark.sql("UPDATE lake.db.se SET note = 'patched' WHERE id = 1")
+    assert(spark.sql("SELECT id, note FROM lake.db.se ORDER BY id").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toSeq
+      == Seq(1 -> Some("patched"), 2 -> None, 3 -> Some("new")))
+    // and native DELETE still anti-joins across mixed-schema files
+    spark.sql("DELETE FROM lake.db.se WHERE note IS NULL")
+    assert(spark.sql("SELECT id FROM lake.db.se ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
   test("DSv2 catalog: metadata tables lake.db.t.history/snapshots/files resolve natively") {
     val wh = Files.createTempDirectory("graft-mt-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
