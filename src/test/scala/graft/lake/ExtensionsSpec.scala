@@ -323,6 +323,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") || msgs.contains("rewrite_data_files"))
   }
 
+  test("DSv2 catalog: native DML fans out over multi-partition scans (many delta writers)") {
+    val wh = Files.createTempDirectory("graft-mp-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    // a real multi-file table: lineitem at sf0.001 (6000 rows), loaded
+    // through the engine across several write tasks
+    graft.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .repartition(4)
+      .createOrReplaceTempView("li_src")
+    sql.run("CREATE TABLE db.li AS SELECT * FROM li_src")
+    sql.run("ALTER TABLE db.li SET TBLPROPERTIES (" +
+      "'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')")
+    val t0 = sql.catalog.loadTable("db", "li").get
+    assert(t0.dataFiles.size > 1, "fixture must span multiple data files")
+    val total = spark.sql("SELECT COUNT(*) AS c FROM lake.db.li").head().getLong(0)
+    val matching = spark.sql(
+      "SELECT COUNT(*) AS c FROM lake.db.li WHERE l_quantity < 10").head().getLong(0)
+    assert(matching > 100, s"want a delete spanning many rows, got $matching")
+
+    spark.sql("DELETE FROM lake.db.li WHERE l_quantity < 10")
+
+    val t1 = sql.catalog.loadTable("db", "li").get
+    assert(t1.deleteFiles.map(_.rowCount).sum == matching)
+    // several scan tasks each wrote their own position-delete file and
+    // the single commit carries all of them
+    assert(t1.deleteFiles.size > 1,
+      s"expected multiple delta writers, got ${t1.deleteFiles.size} file(s)")
+    assert(t1.meta.snapshots.size == t0.meta.snapshots.size + 1)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.li").head().getLong(0)
+      == total - matching)
+    // update across the same fan-out: every row >= 40 rewritten with +1
+    val n40 = spark.sql(
+      "SELECT COUNT(*) AS c FROM lake.db.li WHERE l_quantity >= 40").head().getLong(0)
+    val sumBefore = spark.sql(
+      "SELECT CAST(SUM(l_quantity) AS DOUBLE) AS s FROM lake.db.li").head().getDouble(0)
+    spark.sql("UPDATE lake.db.li SET l_quantity = l_quantity + 1 " +
+      "WHERE l_quantity >= 40")
+    assert(n40 > 100)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS c FROM lake.db.li WHERE l_quantity >= 41").head().getLong(0)
+      == n40)
+    assert(math.abs(spark.sql(
+      "SELECT CAST(SUM(l_quantity) AS DOUBLE) AS s FROM lake.db.li").head().getDouble(0)
+      - (sumBefore + n40)) < 1e-6)
+  }
+
   test("DSv2 catalog: native DML composes with ADD COLUMN schema evolution") {
     val wh = Files.createTempDirectory("graft-se-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
