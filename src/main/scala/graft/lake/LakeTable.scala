@@ -404,17 +404,45 @@ class LakeTable(
     * `extraProps` lands in the same atomic commit as the data — used by
     * the streaming sink to record its batch id exactly-once. */
   def append(df: DataFrame, extraProps: Map[String, String] = Map.empty): LakeTable = {
-    val start = if (meta.nextRowId >= 0) meta.nextRowId else meta.computedNextRowId
-    val files = writeDataFiles(df, start, nextSeq)
-    val written = files.map(_.rowCount).sum
-    commitSnapshot(
-      newSnapshot("append", dataFiles ++ files, deleteFiles,
-        Map("added-data-files" -> files.size.toString,
-          "added-records" -> written.toString)),
-      m => {
-        val m2 = if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m
-        if (extraProps.isEmpty) m2 else m2.copy(props = m2.props ++ extraProps)
-      })
+    val written0 = writeDataFiles(df, 0L, 0L) // stamps re-based per attempt
+    val written = written0.map(_.rowCount).sum
+    // Commit with REBASE on conflict (Iceberg's retry semantics): an
+    // append's data files don't depend on table state — lineage ids and
+    // sequence numbers are metadata stamps, not file contents — so a
+    // concurrent commit only requires re-stamping them from a fresh
+    // handle and retrying the (ms-scale) metadata commit. Without this,
+    // a busy table starves slow appenders: any writer landing inside the
+    // data-write window (100s of ms) would force the whole write to be
+    // redone (observed as streaming-sink livelock under tag churn).
+    var h = this
+    var attempts = 8
+    while (true) {
+      val start =
+        if (h.meta.nextRowId >= 0) h.meta.nextRowId else h.meta.computedNextRowId
+      val seq = h.nextSeq
+      var rid = start
+      val files = written0.map { f =>
+        val m = f.copy(firstRowId = rid, dataSequenceNumber = seq)
+        rid += f.rowCount
+        m
+      }
+      try {
+        return h.commitSnapshot(
+          h.newSnapshot("append", h.dataFiles ++ files, h.deleteFiles,
+            Map("added-data-files" -> files.size.toString,
+              "added-records" -> written.toString)),
+          m => {
+            val m2 = if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m
+            if (extraProps.isEmpty) m2 else m2.copy(props = m2.props ++ extraProps)
+          })
+      } catch {
+        case e: CommitConflictException =>
+          attempts -= 1
+          if (attempts <= 0) throw e
+          h = h.reloaded()
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** INSERT OVERWRITE: one commit replacing the table's content with

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
-import graft.lake.LakeCatalog
+import graft.lake.{CommitConflictException, LakeCatalog}
 
 /** §2.10 streaming ingest: Structured Streaming file source → lake table.
   *
@@ -22,6 +22,28 @@ object StreamIngest {
     * single-writer model). */
   val LastBatchProp = "streaming.last-batch-id"
 
+  /** Reload-and-retry around a CAS-guarded sink commit: a maintenance
+    * writer (compaction, expiry) landing between the sink's table load
+    * and its commit makes the handle stale → CommitConflictException.
+    * Concurrent ingest + maintenance is the NORMAL state of a 100 TB
+    * table, so the sink retries from a fresh load (each `body` reloads)
+    * rather than failing the whole streaming query; both sink bodies are
+    * idempotent (batch-id gate / by-value merge), so a retry after the
+    * conflict converges. Bounded: a pathological commit storm surfaces
+    * the last conflict instead of spinning. */
+  private def retryingCommit[A](attempts: Int = 5)(body: => A): A = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Idempotent micro-batch commit (VERDICT r3 #3 wrong-list): on
     * restart/retry Structured Streaming re-delivers the last uncommitted
     * micro-batch with the SAME batchId, so the sink records the committed
@@ -31,11 +53,13 @@ object StreamIngest {
     * to exactly-once. */
   def commitBatch(catalog: LakeCatalog, db: String, table: String)(
       batch: DataFrame, batchId: Long): Unit =
-    catalog.loadTable(db, table).foreach { t =>
-      val alreadyCommitted =
-        t.meta.props.get(LastBatchProp).exists(_.toLong >= batchId)
-      if (!alreadyCommitted)
-        t.append(batch, Map(LastBatchProp -> batchId.toString))
+    retryingCommit() {
+      catalog.loadTable(db, table).foreach { t =>
+        val alreadyCommitted =
+          t.meta.props.get(LastBatchProp).exists(_.toLong >= batchId)
+        if (!alreadyCommitted)
+          t.append(batch, Map(LastBatchProp -> batchId.toString))
+      }
     }
 
   /** Raw ingest: every micro-batch becomes one append snapshot on
@@ -85,13 +109,15 @@ object StreamIngest {
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        catalog.loadTable(db, table).foreach { t =>
-          t.merge(batch,
-            col("t.win_start") === col("s.win_start") &&
-              col("t.event_type") === col("s.event_type"),
-            Some(graft.lake.MergeMatched.Update(
-              Map("cnt" -> col("s.cnt")))),
-            insertNotMatched = true)
+        retryingCommit() {
+          catalog.loadTable(db, table).foreach { t =>
+            t.merge(batch,
+              col("t.win_start") === col("s.win_start") &&
+                col("t.event_type") === col("s.event_type"),
+              Some(graft.lake.MergeMatched.Update(
+                Map("cnt" -> col("s.cnt")))),
+              insertNotMatched = true)
+          }
         }
       }
       .start()

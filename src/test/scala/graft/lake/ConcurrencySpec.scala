@@ -169,18 +169,27 @@ class ConcurrencySpec extends SparkSpec {
         if (fresh) {
           val (nt, f) = run(handles(hi), op)
           handles(hi) = nt; handleV(hi) = diskV; model = f(model)
-        } else {
-          // Stale handle: the attempt must never silently commit. Either
-          // it conflicts, or it proves a no-op (e.g. DELETE matching
-          // nothing in its stale view) — in both cases disk is untouched.
-          val attempted =
-            try { run(handles(hi), op); false }
-            catch { case _: CommitConflictException => conflicts += 1; true }
-          assert(diskV == before,
-            s"trial $trial step $step: stale-handle attempt moved the table " +
-              s"v$before -> v$diskV (mor=$mor, op=$op, conflicted=$attempted)")
-          val (nt, f) = run(handles(hi).reloaded(), op)
-          handles(hi) = nt; handleV(hi) = diskV; model = f(model)
+        } else op match {
+          case _: Append =>
+            // appends read no table state: a stale handle REBASES onto
+            // fresh metadata and lands without clobbering anything
+            val (nt, f) = run(handles(hi), op)
+            assert(diskV == before + 1,
+              s"trial $trial step $step: stale append rebased to v$diskV, " +
+                s"expected v${before + 1}")
+            handles(hi) = nt; handleV(hi) = diskV; model = f(model)
+          case _ =>
+            // state-dependent ops must never silently commit from a stale
+            // view: either they conflict, or they prove a no-op (DELETE
+            // matching nothing) — in both cases disk is untouched.
+            val attempted =
+              try { run(handles(hi), op); false }
+              catch { case _: CommitConflictException => conflicts += 1; true }
+            assert(diskV == before,
+              s"trial $trial step $step: stale-handle attempt moved the table " +
+                s"v$before -> v$diskV (mor=$mor, op=$op, conflicted=$attempted)")
+            val (nt, f) = run(handles(hi).reloaded(), op)
+            handles(hi) = nt; handleV(hi) = diskV; model = f(model)
         }
       }
 

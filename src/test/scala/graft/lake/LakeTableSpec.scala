@@ -480,28 +480,32 @@ class LakeTableSpec extends SparkSpec {
     assertThrows[IllegalStateException](Meta.commit(loc, m))
   }
 
-  test("stale handle commits are rejected (optimistic concurrency)") {
+  test("stale handle commits: appends rebase, state-dependent DML is rejected") {
     val wh = Files.createTempDirectory("graft-cas-wh")
     val cat = new LakeCatalog(spark, wh)
     cat.createNamespace("db")
     val schema = StructType(Seq(StructField("id", IntegerType)))
-    cat.createTable("db", "cas", schema)
+    cat.createTable("db", "cas", schema,
+      props = Map("write.delete.mode" -> "merge-on-read"))
     def rows(ids: Int*) = spark.createDataFrame(
       spark.sparkContext.parallelize(ids.map(Row(_)), 1), schema)
     // two independent handles of the same table
     val a = cat.loadTable("db", "cas").get
     val b = cat.loadTable("db", "cas").get
     val a2 = a.append(rows(1))
-    // b is now stale: its commit must not silently drop a's append
-    val e = intercept[CommitConflictException](b.append(rows(2)))
+    // b is stale, but an append reads no table state: it REBASES onto the
+    // fresh metadata (data files reused, lineage/sequence re-stamped) and
+    // lands WITHOUT dropping a's commit — Iceberg's append-retry rule
+    val b2 = b.append(rows(2))
+    assert(b2.read().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(b2.meta.snapshots.size == 2, "rebase must not replace a's snapshot")
+    // state-DEPENDENT DML from a stale handle still hard-fails: a2's
+    // delete coordinates were planned against a world b2 has outrun
+    val e = intercept[CommitConflictException](a2.delete(col("id") === 1))
     assert(e.getMessage.contains("reload"))
-    assert(a2.read().count() == 1)
-    // reload-and-retry succeeds and sees both writes
-    val b2 = cat.loadTable("db", "cas").get.append(rows(2))
-    assert(b2.read().count() == 2)
-    // a2 is stale now too (b2's commit advanced the table past it)
-    val a3Err = intercept[CommitConflictException](a2.append(rows(3)))
-    assert(a3Err.getMessage.contains("stale"))
+    // reload-and-retry converges
+    val c = cat.loadTable("db", "cas").get.delete(col("id") === 1)
+    assert(c.read().collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
   test("metadata JSON is O(snapshot headers): 100-commit loop, manifests carry files") {

@@ -137,4 +137,46 @@ class StreamingSpec extends SparkSpec {
     assert(t2.read().count() == 20)
     assert(t2.meta.props(StreamIngest.LastBatchProp) == "1")
   }
+
+  test("sink survives concurrent maintenance commits (reload-retry on conflict)") {
+    // Continuous ingest + compaction is the normal state of a big table:
+    // the sink's CAS-guarded commits race a compactor thread and must
+    // converge to exactly-once instead of failing the streaming query.
+    val wh = Files.createTempDirectory("graft-stream-race")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    cat.createTable("db", "race", schema)
+    val sink = StreamIngest.commitBatch(cat, "db", "race") _
+    val b = spark.createDataFrame(
+      spark.sparkContext.parallelize(mkEvents(5), 1), schema)
+    sink(b, 0L) // seed so the compactor has files to rewrite
+
+    // fast metadata-only maintenance commits (snapshot tags, ~ms each)
+    // land INSIDE the sink's load→write→commit window (~100s of ms), so
+    // the sink's first attempt is stale nearly every batch — the
+    // conflict-retry path is what's under test
+    @volatile var stop = false
+    @volatile var maintenance = 0
+    val tagger = new Thread(() => {
+      var i = 0
+      while (!stop) {
+        try {
+          val t = cat.loadTable("db", "race").get
+          t.tagSnapshot(s"t$i", t.currentSnapshot.get.id)
+          maintenance += 1; i += 1
+        } catch {
+          case _: graft.lake.CommitConflictException => () // stale: reload next loop
+        }
+        Thread.sleep(2)
+      }
+    })
+    tagger.start()
+    try (1L to 12L).foreach(i => sink(b, i))
+    finally { stop = true; tagger.join() }
+
+    val t = cat.loadTable("db", "race").get
+    assert(t.read().count() == 13 * 5, "a racing batch was lost or doubled")
+    assert(t.meta.props(StreamIngest.LastBatchProp) == "12")
+    assert(maintenance > 0, "maintenance never committed — race untested")
+  }
 }
