@@ -168,6 +168,60 @@ object LlmQueries {
       verifyCandidates(s, dir, cand)
     })
 
+  // ------------------------------- q56 n-gram Jaccard via prefix filtering
+  // Exact (deterministic) Jaccard-0.8 join, AllPairs/PPJoin family: order
+  // each document's shingles by ascending corpus document frequency and
+  // index only its first k − ⌈0.8k⌉ + 1 shingles. Any pair with
+  // jac ≥ 0.8 must collide on some prefix shingle (pigeonhole: missing
+  // all of A's prefix caps the overlap below ⌈0.8·|A|⌉ ≤ the overlap
+  // jac ≥ 0.8 requires), so unlike the MinHash/SimHash paths there is no
+  // recall-vs-cost dial — candidate loss is impossible, not just
+  // improbable. Rare-first ordering keeps posting buckets near-singleton
+  // (word-3-grams are mostly corpus-unique); the length filter
+  // min(k) ≥ ⌈0.8·max(k)⌉ (jac ≤ |A|/|B| for |A| ≤ |B|) prunes inside the
+  // bucket before any pair materializes. 100 TB posture: the only
+  // corpus-scale shuffles are the document-frequency aggregate and the
+  // per-doc prefix window — both O(total shingles) — and the candidate
+  // join touches ~0.2k postings per doc, never O(rows²).
+  val q56 = QueryDef(
+    "q56_ngram_jaccard",
+    Some(DuckNearDup),
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
+        .toDF("doc_id", "sh")
+      verifyCandidates(s, dir, prefixCandidates(docs))
+    })
+
+  /** (doc_id, sh: Array[String]) → lossless candidate pairs (doc_a < doc_b)
+    * for Jaccard ≥ 0.8, by rare-first prefix filtering (q56 Scaladoc). */
+  private[queries] def prefixCandidates(docs: DataFrame): DataFrame = {
+    val posting = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("k"),
+        explode(col("sh")).as("shingle"))
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+    posting.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("k") - ceil(col("k") * 0.8) + 1)
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("k"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> filter(transform(" +
+          "slice(ms, i + 2, size(ms) - i - 1), " +
+          "y -> struct(least(x.doc_id, y.doc_id) AS doc_a, " +
+          "greatest(x.doc_id, y.doc_id) AS doc_b, " +
+          "least(x.k, y.k) AS kmin, greatest(x.k, y.k) AS kmax)), " +
+          "p -> p.kmin >= CAST(ceil(p.kmax * 0.8D) AS INT))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
   // ------------------------------------- q36 embedding top pair per label
   val q36 = QueryDef(
     "q36_embedding_top_pair",
@@ -630,5 +684,5 @@ object LlmQueries {
     })
 
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q46, q47, q55)
+    q42, q43, q44, q46, q47, q55, q56)
 }

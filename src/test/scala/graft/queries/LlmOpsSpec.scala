@@ -59,6 +59,19 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.subsetOf(shCand), s"SimHash missed ${truth -- shCand}")
+
+    // n-gram Jaccard prefix filtering (q56): lossless by construction —
+    // candidates MUST cover truth (not just w.h.p. like the LSH paths)
+    // while staying far below the 990-pair cross product
+    import spark.implicits._
+    val docsSh = (base ++ dups).toDF("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, txt) => (id, TextOps.shingleSet(txt)) }
+      .toDF("doc_id", "sh")
+    val pfCand = LlmQueries.prefixCandidates(docsSh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(pfCand), s"prefix filter missed ${truth -- pfCand}")
+    assert(pfCand.size < 200, s"prefix-filter candidate explosion: ${pfCand.size}")
   }
 
   test("ANN hyperplane-LSH: recall vs exact top-5, candidates pruned (q37 scale path)") {
