@@ -196,18 +196,29 @@ object LlmQueries {
     })
 
   /** (doc_id, sh: Array[String]) → lossless candidate pairs (doc_a < doc_b)
-    * for Jaccard ≥ 0.8, by rare-first prefix filtering (q56 Scaladoc). */
+    * for Jaccard ≥ 0.8, by rare-first prefix filtering (q56 Scaladoc).
+    *
+    * Every shuffle key is the shingle's xxhash64 — 8-byte keys instead of
+    * ~60-byte 3-gram strings across all four exchanges (df count, df
+    * join, per-doc rarity window, posting buckets). A hash collision
+    * merges two shingles into one global-order class, which can only ADD
+    * candidates the exact verify discards; the prefix pigeonhole
+    * argument runs on order classes, so no true pair is ever lost
+    * (property-tested in NearDupPropertySpec). The narrow all-long
+    * posting projection is checkpointed because df-count and df-join
+    * both consume it — one shingle pass, not two. */
   private[queries] def prefixCandidates(docs: DataFrame): DataFrame = {
     val posting = docs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("k"),
         explode(col("sh")).as("shingle"))
-    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id")
-      .orderBy(col("df"), col("shingle"))
-    posting.join(dfreq, "shingle")
+      .select(col("doc_id"), col("k"), xxhash64(col("shingle")).as("h"))
+      .localCheckpoint(true)
+    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    posting.join(dfreq, "h")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("k") - ceil(col("k") * 0.8) + 1)
-      .groupBy("shingle")
+      .groupBy("h")
       .agg(collect_list(struct(col("doc_id"), col("k"))).as("ms"))
       .filter(size(col("ms")) >= 2)
       .select(explode(expr(
@@ -216,7 +227,10 @@ object LlmQueries {
           "y -> struct(least(x.doc_id, y.doc_id) AS doc_a, " +
           "greatest(x.doc_id, y.doc_id) AS doc_b, " +
           "least(x.k, y.k) AS kmin, greatest(x.k, y.k) AS kmax)), " +
-          "p -> p.kmin >= CAST(ceil(p.kmax * 0.8D) AS INT))))")).as("p"))
+          // doc_a < doc_b also drops the self-pair a within-doc hash
+          // collision would otherwise emit
+          "p -> p.doc_a < p.doc_b AND " +
+          "p.kmin >= CAST(ceil(p.kmax * 0.8D) AS INT))))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .localCheckpoint(true)
