@@ -250,6 +250,77 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats(5L).width == 123 && feats(5L).height == 45, "JPEG dims")
   }
 
+  test("audio features: real PCM16 / G.711 μ-law / A-law sample decode") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wavBytes(fmtTag: Int, channels: Int, rate: Int, bits: Int,
+        data: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + data.length); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(fmtTag.toShort); bb.putShort(channels.toShort); bb.putInt(rate)
+      val blockAlign = math.max(1, channels * (bits / 8))
+      bb.putInt(rate * blockAlign); bb.putShort(blockAlign.toShort)
+      bb.putShort(bits.toShort)
+      bb.put("data".getBytes); bb.putInt(data.length); bb.put(data)
+      bb.array()
+    }
+    // reference G.711 encoders (public spec) — round-trip partners for
+    // the production decoders
+    def linear2ulaw(pcm: Int): Byte = {
+      var s = pcm; val sign = if (s < 0) { s = -s; 0x80 } else 0
+      if (s > 32635) s = 32635
+      s += 0x84
+      var exp = 7; var mask = 0x4000
+      while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+      (~(sign | (exp << 4) | ((s >> (exp + 3)) & 0x0f))).toByte
+    }
+    def linear2alaw(pcm: Int): Byte = {
+      var s = pcm; val sign = if (s >= 0) 0x80 else { s = -s; 0 }
+      if (s > 32767) s = 32767
+      var exp = 7; var mask = 0x4000
+      while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mant = if (exp == 0) (s >> 4) & 0x0f else (s >> (exp + 3)) & 0x0f
+      ((sign | (exp << 4) | mant) ^ 0x55).toByte
+    }
+
+    val n = 1000
+    val sine = Array.tabulate(n)(i =>
+      (16384 * math.sin(2 * math.Pi * i * 10 / n)).toInt)
+    val pcm16 = new Array[Byte](2 * n)
+    sine.indices.foreach { i =>
+      pcm16(2 * i) = (sine(i) & 0xff).toByte
+      pcm16(2 * i + 1) = ((sine(i) >> 8) & 0xff).toByte
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "audio", wavBytes(1, 1, 8000, 16, pcm16)),
+        Row(2L, "audio", wavBytes(7, 1, 8000, 8, sine.map(linear2ulaw))),
+        Row(3L, "audio", wavBytes(6, 1, 8000, 8, sine.map(linear2alaw))),
+        Row(4L, "audio", "not audio at all".getBytes)), 1),
+      StructType(Seq(
+        StructField("media_id", LongType), StructField("kind", StringType),
+        StructField("payload", BinaryType))))
+    val f = Multimodal.extractAudioFeatures(spark, media)
+      .collect().map(a => a.media_id -> a).toMap
+
+    // PCM16 ground truth: sine RMS = A/√2, peak = A (normalized /32768)
+    val want = 16384.0 / 32768
+    assert(f(1L).decoded && f(1L).sample_rate == 8000 && f(1L).n_samples == n)
+    assert(math.abs(f(1L).rms - want / math.sqrt(2)) < 0.005, s"pcm rms ${f(1L).rms}")
+    assert(math.abs(f(1L).peak - want) < 0.01, s"pcm peak ${f(1L).peak}")
+    // companded variants must reproduce the waveform stats within G.711
+    // quantization error (~0.4% of full scale at these amplitudes)
+    for (id <- Seq(2L, 3L)) {
+      assert(f(id).decoded, s"media $id should decode")
+      assert(math.abs(f(id).rms - f(1L).rms) < 0.01,
+        s"media $id rms ${f(id).rms} vs pcm ${f(1L).rms}")
+      assert(math.abs(f(id).peak - f(1L).peak) < 0.02,
+        s"media $id peak ${f(id).peak}")
+    }
+    // non-audio stays in the pipeline, clearly labeled
+    assert(!f(4L).decoded && f(4L).n_samples == 16)
+  }
+
   test("multimodal: binary payload → partition-batched decode → feature aggs") {
     val docs = graft.Tables(spark, sf, "documents")
     val media = Multimodal.payloadFrom(docs, "doc_id", "text", "image")
