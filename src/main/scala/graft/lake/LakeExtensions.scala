@@ -15,8 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * and point `spark.graft.warehouse` at the warehouse root.
   */
 class LakeExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(LakeExtensions.cosineSim)
+    // SELECTs on lake.db.t run on LakeTable.read()'s native plan
+    // (vectorized + codegen) instead of the V1Scan row bridge
+    ext.injectOptimizerRule(NativeReadRule)
+  }
 }
 
 object LakeExtensions {

@@ -269,6 +269,10 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
     with SupportsMetadataColumns with SupportsRowLevelOperations {
   import LakeV2Table._
 
+  // NativeReadRule swaps eligible SQL reads onto LakeTable.read()'s plan
+  private[lake] def lakeTable: LakeTable = t
+  private[lake] def pinned: Option[Long] = pinnedSnapshot
+
   private def metaCol(n: String, dt: org.apache.spark.sql.types.DataType) =
     new MetadataColumn {
       override def name(): String = n

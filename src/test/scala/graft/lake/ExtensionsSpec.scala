@@ -83,6 +83,37 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
   }
 
+  test("SQL reads run the native plan: codegen'd parquet scan, no V1 row bridge") {
+    val wh = Files.createTempDirectory("graft-native-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.n (id INT, category STRING) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.n VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, 'c')")
+    sql.run("DELETE FROM db.n WHERE id = 2") // MoR anti-join must survive
+
+    val df = spark.sql("SELECT id FROM lake.db.n WHERE category = 'a' ORDER BY id")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    val physical = df.queryExecution.executedPlan.toString
+    // NativeReadRule spliced LakeTable.read()'s plan: vectorized parquet
+    // scans inside whole-stage codegen (AQE renders codegen stages as
+    // "*(n)" prefixes) instead of the row-converting V1 bridge
+    // (VERDICT r5 #4), with the outer predicate pushed into the scan
+    assert(physical.contains("*("), s"no codegen span:\n$physical")
+    assert(physical.contains("FileScan parquet"), s"no native parquet scan:\n$physical")
+    assert(physical.contains("PushedFilters: [IsNotNull(category), EqualTo(category,a)]"),
+      s"filter did not reach the parquet scan:\n$physical")
+    assert(!physical.contains("RowDataSourceScan"), s"V1 bridge leaked in:\n$physical")
+    // and it is the same answer the bridge-free API path gives
+    val api = sql.catalog.loadTable("db", "n").get.read()
+      .filter(col("category") === "a").select("id").orderBy("id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(api == Seq(1, 3))
+
+    // time travel keeps the bridge (historical manifests replay verbatim)
+    val tt = spark.sql("SELECT id FROM lake.db.n VERSION AS OF 1")
+    assert(tt.collect().length == 4)
+  }
+
   test("native SQL path prunes partitions at the metadata level") {
     val wh = Files.createTempDirectory("graft-prune-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
