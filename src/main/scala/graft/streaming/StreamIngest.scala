@@ -7,6 +7,16 @@ import org.apache.spark.sql.types.StructType
 
 import graft.lake.{CommitConflictException, LakeCatalog}
 
+/** Open-session state for [[StreamIngest.sessionize]] (epoch millis). */
+final case class SessionState(start: Long, lastSeen: Long, events: Long)
+
+/** One closed session emitted by [[StreamIngest.sessionize]]. */
+final case class SessionOut(
+    key: String,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long)
+
 /** §2.10 streaming ingest: Structured Streaming file source → lake table.
   *
   * The reference has no streaming surface; this is the north-star
@@ -121,6 +131,66 @@ object StreamIngest {
         }
       }
       .start()
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — the §2.10
+    * custom-state showcase and the streaming twin of q42's batch
+    * gaps-and-islands sessions. One [[SessionState]] per key; a session
+    * closes when the event-time watermark passes `lastSeen + gap`
+    * (EventTimeTimeout), so state is watermark-bounded: no key keeps
+    * state past one idle gap. Within a batch, events are processed in
+    * time order and a gap splits the batch into multiple emitted
+    * sessions — the state never holds more than the single open tail
+    * session. Late rows beyond the watermark are dropped by the engine
+    * before the state function sees them. */
+  def sessionize(
+      spark: SparkSession,
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gapMinutes: Int): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+    stream
+      // project first: a cast AFTER withWatermark would mint a fresh
+      // attribute without the event-time tag and fail the streaming check
+      .select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.events))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            times.foreach { t =>
+              open = open match {
+                case Some(s) if t <= s.lastSeen + gapMs =>
+                  Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    events = s.events + 1))
+                case Some(s) => // in-batch gap: close, start the next
+                  closed += SessionOut(key, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastSeen), s.events)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Watermarked 1-hour tumbling counts per event type (the streaming
     * twin of q30's batch window). Late data beyond the watermark is

@@ -114,6 +114,43 @@ class StreamingSpec extends SparkSpec {
     assert(t.meta.snapshots.exists(_.operation == "merge"))
   }
 
+  test("sessionize: flatMapGroupsWithState closes sessions on watermark timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    def t(min: Long) = Timestamp.from(base.plusSeconds(min * 60))
+
+    val input = MemoryStream[(Timestamp, String)]
+    val sessions = StreamIngest.sessionize(
+      spark, input.toDF.toDF("ts", "user"), "ts", "user", gapMinutes = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      // u1: two events 10 min apart (one session); u2: single event;
+      // u1 again at min 100 — a 90-min gap splits into a second session
+      input.addData((t(0), "u1"), (t(10), "u1"), (t(5), "u2"))
+      q.processAllAvailable()
+      input.addData((t(100), "u1"))
+      q.processAllAvailable()
+      // push the watermark far past every lastSeen+gap, then one more
+      // trigger so the EventTimeTimeout fires for all remaining state
+      input.addData((t(1000), "u3"))
+      q.processAllAvailable()
+      input.addData((t(2000), "u3"))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      // u1's first session: [0, 10] with 2 events (closed either by the
+      // in-batch gap at min 100 or by timeout); second session [100, 100]
+      assert(out.contains(("u1", t(0), t(10), 2L)), s"missing u1 session 1 in $out")
+      assert(out.contains(("u1", t(100), t(100), 1L)), s"missing u1 session 2 in $out")
+      assert(out.contains(("u2", t(5), t(5), 1L)), s"missing u2 session in $out")
+    } finally q.stop()
+  }
+
   test("sink is idempotent on micro-batch redelivery (VERDICT r3 #3 restart case)") {
     val wh = Files.createTempDirectory("graft-stream-idem")
     val cat = new LakeCatalog(spark, wh)
