@@ -112,6 +112,21 @@ class ExtensionsSpec extends SparkSpec {
     // time travel keeps the bridge (historical manifests replay verbatim)
     val tt = spark.sql("SELECT id FROM lake.db.n VERSION AS OF 1")
     assert(tt.collect().length == 4)
+
+    // self-join: each relation substitutes independently — fresh exprIds
+    // per splice, no ambiguous-attribute analysis failures
+    val selfJoin = spark.sql(
+      """SELECT a.id AS ai, b.id AS bi FROM lake.db.n a
+         JOIN lake.db.n b ON a.category = b.category AND a.id < b.id
+         ORDER BY ai, bi""").collect()
+    assert(selfJoin.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 3)))
+
+    // lake relation inside a subquery expression substitutes too
+    val sub = spark.sql(
+      """SELECT id FROM lake.db.n
+         WHERE id IN (SELECT MAX(id) FROM lake.db.n WHERE category = 'a')""")
+      .collect().map(_.getInt(0)).toSeq
+    assert(sub == Seq(3))
   }
 
   test("native SQL path prunes partitions at the metadata level") {
