@@ -62,8 +62,26 @@ object LlmQueries {
       .map { case (id, text) => (id, TextOps.shingleSet(text)) }
       .toDF("doc_id", "sh")
       .localCheckpoint(true) // consumed by both pair sides
-    val a = docsNeeded.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = docsNeeded.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    exactJaccard(s, docsNeeded, cand)
+  }
+
+  /** q56's verify: the shingle sets were already materialized for
+    * candidate generation — verify joins against them instead of
+    * re-shingling candidate documents from raw text. */
+  private def verifyOnShingles(
+      s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame = {
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    exactJaccard(s, docsSh.join(broadcast(ids), "doc_id"), cand)
+  }
+
+  /** Exact string-shingle Jaccard ≥ 0.8 over candidate pairs; compiled
+    * set intersection, broadcast pair sides. */
+  private def exactJaccard(
+      s: SparkSession, shingled: DataFrame, cand: DataFrame): DataFrame = {
+    import s.implicits._
+    val a = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     cand.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
       .as[(Long, Long, Seq[String], Seq[String])]
@@ -179,58 +197,94 @@ object LlmQueries {
   // improbable. Rare-first ordering keeps posting buckets near-singleton
   // (word-3-grams are mostly corpus-unique); the length filter
   // min(k) ≥ ⌈0.8·max(k)⌉ (jac ≤ |A|/|B| for |A| ≤ |B|) prunes inside the
-  // bucket before any pair materializes. 100 TB posture: the only
-  // corpus-scale shuffles are the document-frequency aggregate and the
-  // per-doc prefix window — both O(total shingles) — and the candidate
-  // join touches ~0.2k postings per doc, never O(rows²).
+  // bucket before any pair materializes. 100 TB posture: one hashing
+  // pass, one O(total shingles) heavy-hitter aggregate, doc-local prefix
+  // selection, and a bucket group over ~0.2k postings per doc — never
+  // O(rows²); see prefixCandidates for the skew bound.
   val q56 = QueryDef(
     "q56_ngram_jaccard",
     Some(DuckNearDup),
     (s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docsSh = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) => (id, TextOps.shingleSet(text)) }
         .toDF("doc_id", "sh")
-      verifyCandidates(s, dir, prefixCandidates(docs))
+        .localCheckpoint(true) // ONE shingle pass serves prefix AND verify
+      verifyOnShingles(s, docsSh, prefixCandidates(docsSh))
     })
 
   /** (doc_id, sh: Array[String]) → lossless candidate pairs (doc_a < doc_b)
     * for Jaccard ≥ 0.8, by rare-first prefix filtering (q56 Scaladoc).
     *
-    * Every shuffle key is the shingle's xxhash64 — 8-byte keys instead of
-    * ~60-byte 3-gram strings across all four exchanges (df count, df
-    * join, per-doc rarity window, posting buckets). A hash collision
-    * merges two shingles into one global-order class, which can only ADD
-    * candidates the exact verify discards; the prefix pigeonhole
-    * argument runs on order classes, so no true pair is ever lost
-    * (property-tested in NearDupPropertySpec). The narrow all-long
-    * posting projection is checkpointed because df-count and df-join
-    * both consume it — one shingle pass, not two. */
+    * Shingles become 8-byte xxhash64 classes — a collision merges two
+    * global-order classes, which can only ADD candidates the exact
+    * verify discards; the prefix pigeonhole argument runs on order
+    * classes, so no true pair is ever lost (property-tested in
+    * NearDupPropertySpec).
+    *
+    * The global order is (df, hash), with df known exactly for every
+    * class appearing in ≥ [[DfFloor]] documents (a broadcast map of the
+    * Zipf head, ≤ totalShingles/DfFloor entries — raise DfFloor with
+    * corpus size) and treated as 0 below the floor. Ordering classes
+    * with unknown-but-small df among themselves by hash is still a
+    * consistent corpus-global total order, so losslessness holds — and
+    * every below-floor bucket has < DfFloor members by construction, a
+    * hard skew bound. Plan shape: one checkpointed pass hashes the
+    * corpus, one aggregate builds the df head, prefixes are selected
+    * doc-locally against the broadcast, and the only remaining corpus
+    * shuffle is the bucket group over ~20% of postings. No df join, no
+    * per-doc window. */
+  private val DfFloor = 8
+
   private[queries] def prefixCandidates(docs: DataFrame): DataFrame = {
-    val posting = docs.filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("k"),
-        explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("k"), xxhash64(col("shingle")).as("h"))
-      .localCheckpoint(true)
-    val dfreq = posting.groupBy("h").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
-    posting.join(dfreq, "h")
-      .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("k") - ceil(col("k") * 0.8) + 1)
+    val s = docs.sparkSession
+    import s.implicits._
+    // `docs` arrives checkpointed (q56) or tiny (tests): deriving the
+    // hash view twice (df count + prefix pass) is a cheap re-transform,
+    // not a re-shingle
+    val hashed = docs.filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), x => xxhash64(x))).as("hs"))
+    val dfHead = hashed.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= DfFloor)
+      .select(col("h"), col("df")).as[(Long, Long)].collect().toMap
+    val bDf = s.sparkContext.broadcast(dfHead)
+    hashed.as[(Long, Seq[Long])]
+      .flatMap { case (id, hs) =>
+        val dfOf = bDf.value
+        val k = hs.length
+        val pLen = k - math.ceil(k * 0.8).toInt + 1
+        hs.sortBy(h => (dfOf.getOrElse(h, 0L), h)).take(pLen).zipWithIndex
+          .map { case (h, pos) => (h, id, k, pos) }
+      }
+      .toDF("h", "doc_id", "k", "pos")
       .groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("k"))).as("ms"))
+      .agg(collect_list(struct(col("doc_id"), col("k"), col("pos"))).as("ms"))
       .filter(size(col("ms")) >= 2)
+      // In-bucket pair filters, all exact integer arithmetic:
+      //  - doc_a < doc_b (also drops the self-pair a within-doc hash
+      //    collision would otherwise emit);
+      //  - length: jac ≥ 0.8 ⇒ min(k) ≥ ⌈0.8·max(k)⌉ ⇔ 5·min ≥ 4·max;
+      //  - PPJoin positional bound: a collision at sorted positions
+      //    (pa, pb) caps the overlap at 1 + min(ka−pa−1, kb−pb−1), which
+      //    must reach α = ⌈4(ka+kb)/9⌉ (= ⌈t/(1+t)·(ka+kb)⌉ at t=0.8) ⇔
+      //    4(ka+kb) ≤ 9(1 + min(…)). Sound: the smallest common class
+      //    sits in both prefixes and every common class at-or-after it,
+      //    so for a TRUE pair that collision passes the bound.
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> filter(transform(" +
           "slice(ms, i + 2, size(ms) - i - 1), " +
-          "y -> struct(least(x.doc_id, y.doc_id) AS doc_a, " +
-          "greatest(x.doc_id, y.doc_id) AS doc_b, " +
-          "least(x.k, y.k) AS kmin, greatest(x.k, y.k) AS kmax)), " +
-          // doc_a < doc_b also drops the self-pair a within-doc hash
-          // collision would otherwise emit
-          "p -> p.doc_a < p.doc_b AND " +
-          "p.kmin >= CAST(ceil(p.kmax * 0.8D) AS INT))))")).as("p"))
+          "y -> IF(x.doc_id < y.doc_id, " +
+          "named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, " +
+          "'ka', x.k, 'kb', y.k, 'pa', x.pos, 'pb', y.pos), " +
+          "named_struct('doc_a', y.doc_id, 'doc_b', x.doc_id, " +
+          "'ka', y.k, 'kb', x.k, 'pa', y.pos, 'pb', x.pos))), " +
+          "p -> p.doc_a < p.doc_b " +
+          "AND least(p.ka, p.kb) * 5 >= greatest(p.ka, p.kb) * 4 " +
+          "AND (p.ka + p.kb) * 4 <= " +
+          "(1 + least(p.ka - p.pa - 1, p.kb - p.pb - 1)) * 9)))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .localCheckpoint(true)
