@@ -715,6 +715,64 @@ class LakeTable(
       Map("equality-delete-records" -> n.toString)))
   }
 
+  /** CDC-style equality upsert (Iceberg's streaming-upsert pattern): ONE
+    * commit adds `rows` as data files AND an equality-delete file over
+    * `keyCols`, so any OLDER row with a matching key disappears at scan
+    * time — the new files share the commit's sequence number and survive
+    * their own delete (strictly-older rule). The upsert never reads the
+    * table: O(batch) per commit regardless of table size, which is what
+    * a 100 TB streaming upsert needs (MERGE joins the target every
+    * batch); the deferred merge is paid at scan (J2's one-broadcast-join-
+    * per-column-set) and reclaimed by compaction. Commits REBASE on
+    * conflict like append — a rebased delete applies to whatever is
+    * strictly older at its commit, so concurrent upserts converge to
+    * last-committer-wins per key, which IS upsert semantics. Re-applying
+    * the same batch converges by value too (the redelivered delete hides
+    * the first copy), so streaming redelivery needs no batch-id gate.
+    * Caller contract: at most one row per key per batch. */
+  def upsertByKey(rows: DataFrame, keyCols: Seq[String]): LakeTable = {
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"upsert keys must be schema columns: $keyCols")
+    val written0 = writeDataFiles(rows, 0L, 0L) // stamps re-based per attempt
+    val written = written0.map(_.rowCount).sum
+    if (written == 0) return this
+    val delDir = location.resolve("deletes")
+    Files.createDirectories(delDir)
+    val delPath = delDir.resolve(UUID.randomUUID().toString)
+    rows.select(keyCols.map(col): _*).distinct()
+      .coalesce(1).write.parquet(delPath.toString)
+    val delCount = spark.read.parquet(delPath.toString).count()
+    val delFiles = listParquetFiles(delPath)
+    var h = this
+    var attempts = 8
+    while (true) {
+      val start =
+        if (h.meta.nextRowId >= 0) h.meta.nextRowId else h.meta.computedNextRowId
+      val seq = h.nextSeq
+      var rid = start
+      val files = written0.map { f =>
+        val m = f.copy(firstRowId = rid, dataSequenceNumber = seq)
+        rid += f.rowCount
+        m
+      }
+      val delMeta = delFiles.map(p =>
+        DeleteFileMeta(p.toString, "equality", delCount, keyCols, seq))
+      try {
+        return h.commitSnapshot(
+          h.newSnapshot("upsert", h.dataFiles ++ files, h.deleteFiles ++ delMeta,
+            Map("added-records" -> written.toString,
+              "equality-delete-records" -> delCount.toString)),
+          m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
+      } catch {
+        case e: CommitConflictException =>
+          attempts -= 1
+          if (attempts <= 0) throw e
+          h = h.reloaded()
+      }
+    }
+    sys.error("unreachable")
+  }
+
   // -------------------------------------------------------------- metadata
 
   /** ALTER TABLE … SET TBLPROPERTIES (generic); format-version changes go

@@ -132,6 +132,35 @@ object StreamIngest {
       }
       .start()
 
+  /** Streaming equality-delete upserts — the scale path next to
+    * [[upsertWindowedCounts]]'s MERGE: each micro-batch lands as ONE
+    * snapshot (new data files + an equality-delete file over `keyCols`)
+    * via [[graft.lake.LakeTable.upsertByKey]], WITHOUT reading the
+    * target. MERGE joins the table every batch — O(table); this is
+    * O(batch), the only shape that holds when the table is 100 TB and
+    * batches are megabytes. Redelivered batches converge by value (the
+    * replayed delete hides the first copy), so no batch-id gate is
+    * needed; conflict retries rebase inside upsertByKey itself, with the
+    * sink's retry loop covering metadata races around it. */
+  def upsertByKeyStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      table: String,
+      keyCols: Seq[String]): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        retryingCommit() {
+          catalog.loadTable(db, table).foreach(_.upsertByKey(batch, keyCols))
+        }
+      }
+      .start()
+
   /** Streaming sessionization via `flatMapGroupsWithState` — the §2.10
     * custom-state showcase and the streaming twin of q42's batch
     * gaps-and-islands sessions. One [[SessionState]] per key; a session

@@ -155,6 +155,35 @@ class LakeTableSpec extends SparkSpec {
     assert(t3.meta.snapshots.size == t2.meta.snapshots.size)
   }
 
+  test("upsertByKey: one commit, no target read, converges on redelivery") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t0 = cat.createTable("db", "ups", schema, props = morProps)
+      .append(df((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)))
+    val batch = df((2, "a", 21.0), (4, "c", 40.0)) // update id=2, insert id=4
+    val t1 = t0.upsertByKey(batch, Seq("id"))
+
+    // exactly one snapshot: data files + equality-delete file together
+    assert(t1.meta.snapshots.size == t0.meta.snapshots.size + 1)
+    assert(t1.deleteFiles.count(_.kind == "equality") == 1)
+    assert(ids(t1) == Seq(1, 2, 3, 4))
+    assert(t1.read().filter(col("id") === 2).head().getDouble(2) == 21.0)
+    // prior state stays time-travelable
+    val prev = t1.readSnapshot(t0.meta.snapshots.last.id)
+    assert(prev.filter(col("id") === 2).head().getDouble(2) == 20.0)
+
+    // redelivered batch converges by value: same rows, one more snapshot
+    val t2 = t1.upsertByKey(batch, Seq("id"))
+    assert(ids(t2) == Seq(1, 2, 3, 4))
+    assert(t2.read().filter(col("id") === 2).collect().map(_.getDouble(2)).toSeq
+      == Seq(21.0))
+
+    // compaction materializes the merged state and clears delete files
+    val t3 = Procedures.rewriteDataFiles(t2).table
+    assert(t3.deleteFiles.isEmpty)
+    assert(ids(t3) == Seq(1, 2, 3, 4))
+    assert(t3.read().filter(col("id") === 2).head().getDouble(2) == 21.0)
+  }
+
   test("N equality-delete files collapse to one anti-join per column set") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "eqn", schema, props = morProps)

@@ -114,6 +114,42 @@ class StreamingSpec extends SparkSpec {
     assert(t.meta.snapshots.exists(_.operation == "merge"))
   }
 
+  test("streaming equality-delete upserts: O(batch) snapshots, last write wins") {
+    val kvSchema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", DoubleType)))
+    def kvDf(rows: (Int, Double)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, v) => Row(k, v) }, 1),
+      kvSchema)
+    val flat = Files.createTempDirectory("graft-equps-flat")
+    // batch 0: keys 1..3; batch 1: updates 2, inserts 4 (mtime-ordered)
+    Seq(Seq((1, 1.0), (2, 2.0), (3, 3.0)), Seq((2, 22.0), (4, 4.0)))
+      .zipWithIndex.foreach { case (rows, i) =>
+        val dir = Files.createTempDirectory(s"graft-equps-b$i")
+        kvDf(rows: _*).write.parquet(s"$dir/p")
+        Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+          val dst = flat.resolve(s"b$i-${p.getFileName}")
+          Files.copy(p, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+      }
+    val wh = Files.createTempDirectory("graft-equps-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    cat.createTable("db", "kv", kvSchema,
+      props = Map("write.delete.mode" -> "merge-on-read"))
+    val q = StreamIngest.upsertByKeyStream(
+      spark, flat.toString, kvSchema, cat, "db", "kv", Seq("k"))
+    q.processAllAvailable(); q.stop()
+
+    val t = cat.loadTable("db", "kv").get
+    val got = t.read().collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(got == Set((1, 1.0), (2, 22.0), (3, 3.0), (4, 4.0)), s"got $got")
+    // each micro-batch = one upsert snapshot, never a target-reading join
+    assert(t.meta.snapshots.count(_.operation == "upsert") == 2)
+    assert(t.deleteFiles.count(_.kind == "equality") == 2)
+  }
+
   test("sessionize: flatMapGroupsWithState closes sessions on watermark timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
