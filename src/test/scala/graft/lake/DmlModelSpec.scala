@@ -49,7 +49,7 @@ class DmlModelSpec extends SparkSpec {
       var nextId = 0
 
       for (step <- 0 until 10) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // insert 1-4 rows (ids may repeat: no PK semantics)
             val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
               val id = if (rnd.nextBoolean() || nextId == 0) { nextId += 1; nextId }
@@ -136,6 +136,17 @@ class DmlModelSpec extends SparkSpec {
           case 7 => // TRUNCATE: empty live state, table stays writable
             table = table.truncate()
             model = Vector.empty
+          case 8 => // equality upsert by id (unique source keys): every
+            // older copy of a key disappears, the new row lands — one
+            // commit, no target read (M31)
+            val srcIds = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              if (rnd.nextBoolean() && nextId > 0) 1 + rnd.nextInt(nextId)
+              else { nextId += 1; nextId }
+            }.distinct
+            val srcRows = srcIds.map(id =>
+              (id, cats(rnd.nextInt(3)), (rnd.nextInt(1000) + 1).toDouble))
+            table = table.upsertByKey(toDf(srcRows), Seq("id"))
+            model = model.filterNot(r => srcIds.contains(r._1)) ++ srcRows
         }
         assert(observed(table) == model.sorted,
           s"trial=$trial mor=$mor step=$step: table != model")
