@@ -44,3 +44,25 @@ object LakeExtensions {
     })
 }
 
+
+/** The uniform session-principal grants rule (M27), shared by every
+  * native surface — scan splice, DSv2 scan/write builders, metadata
+  * tables, procedures. ONE definition, so a change to grant semantics
+  * (a new grant kind, the ALL rule, the principal source) cannot
+  * silently diverge between gates. */
+private[lake] object Grants {
+
+  /** Core rule: the principal needs ALL or `perm` on the table. */
+  def check(principal: String, held: Seq[String], perm: String, name: String): Unit =
+    if (!held.contains("ALL") && !held.contains(perm))
+      throw new AccessDeniedException(s"principal $principal lacks $perm on $name")
+
+  /** No [[LakeExtensions.PrincipalConf]] principal configured →
+    * unrestricted administrative session; otherwise check the table's
+    * grants. */
+  def require(session: org.apache.spark.sql.SparkSession,
+      t: LakeTable, perm: String): Unit =
+    session.conf.getOption(LakeExtensions.PrincipalConf).foreach { p =>
+      check(p, t.meta.grants.getOrElse(p, Nil), perm, t.name)
+    }
+}

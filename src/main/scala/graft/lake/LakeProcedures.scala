@@ -124,12 +124,8 @@ private[lake] object LakeProcedures {
           override def isDeterministic: Boolean = false
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val (db, table) = LakeSql.splitName(input.getUTF8String(0).toString)
-            principal.foreach { pr =>
-              val held = cat.grantsFor(db, table, pr)
-              if (!held.contains("ALL") && !held.contains("ALTER"))
-                throw new AccessDeniedException(
-                  s"principal $pr lacks ALTER on $db.$table")
-            }
+            principal.foreach(pr =>
+              Grants.check(pr, cat.grantsFor(db, table, pr), "ALTER", s"$db.$table"))
             val t = cat.loadTable(db, table).getOrElse(
               throw new IllegalArgumentException(s"no such table: $db.$table"))
             val out = body(t, input)

@@ -228,8 +228,15 @@ private[lake] class LakeDeltaWriter(conf: LakeDeltaWriteConf, suffix: String)
 }
 
 /** Driver-side commit: the delta files become one MoR snapshot. The
-  * handle is reloaded here — at commit time — so the CAS guard rejects
-  * the write if another commit landed since analysis. */
+  * commit goes through the ANALYSIS-TIME handle `t`, never a reloaded
+  * one: the delta coordinates were computed against `t`'s file set, so
+  * if any commit landed since (a compaction rewriting the referenced
+  * files, another DML), Meta.commit's expectedVersion CAS must reject
+  * with CommitConflictException — reloading here would CAS against the
+  * NEW version and let a position-delete file referencing rewritten
+  * (dead) paths commit as a silent no-op, losing the delete. Same
+  * stale-handle contract the dispatcher DML path enforces
+  * (ConcurrencySpec: state-dependent DML never lands silently). */
 private[lake] class LakeDeltaBatchWrite(
     t: LakeTable, cmd: RowLevelOperation.Command, rowSchema: StructType)
     extends DeltaBatchWrite {
@@ -276,7 +283,7 @@ private[lake] class LakeDeltaBatchWrite(
     val nIns = cs.map(_.plainDataRows).sum
     if (nDel + nUpd + nIns == 0) { cleanupIfEmpty(); return }
 
-    val cur = t.reloaded()
+    val cur = t // analysis-time handle: see class Scaladoc
     val seq = cur.meta.lastSequenceNumber + 1
     val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
 
@@ -290,8 +297,10 @@ private[lake] class LakeDeltaBatchWrite(
         explicit: Boolean): DataFileMeta =
       DataFileMeta(
         path = path,
-        // no partition/stat metadata is recorded for delta-written files:
-        // both prune conservatively (absent ⇒ file always survives)
+        // delta-written files record real footer stats (skipping keeps
+        // working over updated regions) but no partition values — the
+        // writers aren't partition-split — so partition pruning keeps
+        // them conservatively (absent ⇒ file always survives)
         partitionValues = Map.empty,
         rowCount = rows,
         sizeBytes = Files.size(Paths.get(path)),

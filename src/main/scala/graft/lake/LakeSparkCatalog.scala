@@ -242,13 +242,7 @@ class LakeMetaV2Table(
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    SparkSession.active.conf.getOption(LakeExtensions.PrincipalConf)
-      .foreach { principal =>
-        val held = base.meta.grants.getOrElse(principal, Nil)
-        if (!held.contains("ALL") && !held.contains("SELECT"))
-          throw new AccessDeniedException(
-            s"principal $principal lacks SELECT on ${base.name}")
-      }
+    Grants.require(SparkSession.active, base, "SELECT")
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = df.schema
@@ -318,17 +312,10 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
 
   /** Grants hook on the native path (VERDICT r4 #8 / r5 next #5): reads
     * need SELECT, appends INSERT, overwrites DELETE+INSERT — the same
-    * rules [[LakeSql.requirePerm]] applies to dispatcher statements. A
-    * session with no [[LakeExtensions.PrincipalConf]] set is
-    * unrestricted (administrative default). */
+    * rules [[LakeSql.requirePerm]] applies to dispatcher statements.
+    * Shared rule lives in [[Grants]]. */
   private def requirePerm(perm: String): Unit =
-    SparkSession.active.conf.getOption(LakeExtensions.PrincipalConf)
-      .foreach { principal =>
-        val held = t.meta.grants.getOrElse(principal, Nil)
-        if (!held.contains("ALL") && !held.contains(perm))
-          throw new AccessDeniedException(
-            s"principal $principal lacks $perm on ${t.name}")
-      }
+    Grants.require(SparkSession.active, t, perm)
   override def schema(): StructType = t.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,

@@ -52,14 +52,26 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
 
-  /** Grant gate identical to the bridged ScanBuilder's. */
+  /** Grant gate identical to the bridged ScanBuilder's ([[Grants]]). */
   private def requireSelect(t: LakeV2Table): Unit =
-    session.conf.getOption(LakeExtensions.PrincipalConf).foreach { principal =>
-      val held = t.lakeTable.meta.grants.getOrElse(principal, Nil)
-      if (!held.contains("ALL") && !held.contains("SELECT"))
-        throw new AccessDeniedException(
-          s"principal $principal lacks SELECT on ${t.lakeTable.name}")
+    Grants.require(session, t.lakeTable, "SELECT")
+
+  /** Catalyst-internal literal → the external string Spark's Hive-style
+    * partition paths carry. None for types whose rendering is not
+    * byte-identical to the path form (timestamps, decimals, floats) —
+    * those constraints simply don't prune. */
+  private def partValue(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (_, null) => None
+      case (StringType, s: org.apache.spark.unsafe.types.UTF8String) => Some(s.toString)
+      case (BooleanType, b: Boolean) => Some(b.toString)
+      case (ByteType | ShortType | IntegerType | LongType, n) => Some(n.toString)
+      case (DateType, days: Int) =>
+        Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+      case _ => None
     }
+  }
 
   /** Catalyst conjunct → v1 source filter, for the comparison shapes
     * [[StatsPruning.filePredicate]] understands (attr-vs-literal; values
@@ -91,9 +103,25 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
     val lake = t.lakeTable
     val translated = preds.flatMap(toSource)
     val partCols = lake.meta.partitionCols.toSet
-    val constraints = translated.collect {
-      case v1.EqualTo(c, v) if partCols.contains(c) => c -> Set(String.valueOf(v))
-      case v1.In(c, vs) if partCols.contains(c) => c -> vs.map(String.valueOf).toSet
+    // Partition constraints compare against HIVE-PATH-RENDERED strings
+    // (partitionValuesFromPath), so catalyst-internal literal values must
+    // render to that external form: dates are epoch-day Ints internally
+    // ("20454" would never equal "2026-01-01" and every matching file
+    // would be wrongly pruned). Types partValue can't render safely keep
+    // the file — and an IN-list constraint applies only if EVERY element
+    // renders, else pruning on the renderable subset would drop files
+    // matching the others.
+    val constraints = preds.flatMap {
+      case cexp.EqualTo(a: Attribute, Literal(v, dt)) if partCols.contains(a.name) =>
+        partValue(v, dt).map(s => a.name -> Set(s))
+      case cexp.EqualTo(Literal(v, dt), a: Attribute) if partCols.contains(a.name) =>
+        partValue(v, dt).map(s => a.name -> Set(s))
+      case cexp.In(a: Attribute, vs) if partCols.contains(a.name) &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.map(_.asInstanceOf[Literal])
+        val rendered = lits.flatMap(l => partValue(l.value, l.dataType))
+        if (rendered.size == lits.size) Some(a.name -> rendered.toSet) else None
+      case _ => None
     }
     val partPred: Map[String, String] => Boolean =
       pv => constraints.forall { case (c, allowed) =>

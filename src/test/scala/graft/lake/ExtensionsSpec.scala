@@ -129,6 +129,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(sub == Seq(3))
   }
 
+  test("native reads: date-partition pruning renders external values (no wrong prune)") {
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft-dp-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("d", DateType)))
+    val t0 = cat.createTable("db", "dp", schema, partitionBy = Seq("d"))
+    t0.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1, java.sql.Date.valueOf("2026-01-01")),
+        org.apache.spark.sql.Row(2, java.sql.Date.valueOf("2026-02-01"))), 1),
+      schema))
+    spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
+    // catalyst's internal DateType literal is an epoch-day Int — pruning
+    // must compare the EXTERNAL "2026-01-01" path rendering, or the
+    // matching partition itself gets pruned and the result is empty
+    val got = spark.sql(
+      "SELECT id FROM lake.db.dp WHERE d = DATE '2026-01-01'").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1))
+    // and the prune is real: vaporize the other partition's file — the
+    // filtered query must succeed without touching it
+    val t = cat.loadTable("db", "dp").get
+    t.dataFiles.filter(_.partitionValues.get("d").contains("2026-02-01"))
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f.path)))
+    assert(spark.sql("SELECT id FROM lake.db.dp WHERE d = DATE '2026-01-01'")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("native SQL path prunes partitions at the metadata level") {
     val wh = Files.createTempDirectory("graft-prune-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
@@ -302,6 +331,37 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT id, _file_path, _pos FROM lake.db.mc ORDER BY id").collect()
     assert(rows.length == 3)
     assert(rows.forall(r => r.getString(1).nonEmpty && r.getLong(2) >= 0))
+  }
+
+  test("native DML commit CAS-es against the analysis-time handle (no silent lost delete)") {
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft-cas-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.cas (id INT, category STRING) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.cas VALUES (1, 'a'), (2, 'b')")
+    val t = sql.catalog.loadTable("db", "cas").get // "analysis-time" handle
+
+    // a position-delete delta targeting t's file, as a delta writer would
+    val coords = t.readWithCoords().filter(col("id") === 1)
+      .select(col(LakeTable.FileCol).as("file_path"), col(LakeTable.PosCol).as("pos"))
+    val delDir = Files.createTempDirectory("graft-cas-del")
+    coords.coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delFile = Files.walk(delDir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get.toString
+    val write = new LakeDeltaBatchWrite(t,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE, t.schema)
+    val msg = LakeDeltaCommit(delFile, 1L, null, 0L, null, 0L)
+
+    // a compaction lands BETWEEN the DML scan and its commit: the delta's
+    // coordinates reference files the rewrite just replaced — committing
+    // would be a silent no-op delete, so the CAS must reject instead
+    Procedures.rewriteDataFiles(t.reloaded(), Map("rewrite-all" -> "true"))
+    intercept[CommitConflictException] {
+      write.commit(Array(msg))
+    }
+    // nothing landed: both rows still visible, delete never applied
+    assert(sql.catalog.loadTable("db", "cas").get.read().count() == 2)
   }
 
   test("DSv2 catalog: session principal gates native reads and writes (M10)") {
