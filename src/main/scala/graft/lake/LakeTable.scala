@@ -403,19 +403,23 @@ class LakeTable(
   /** INSERT INTO / append: new snapshot adding data files (S4).
     * `extraProps` lands in the same atomic commit as the data — used by
     * the streaming sink to record its batch id exactly-once. */
-  def append(df: DataFrame, extraProps: Map[String, String] = Map.empty): LakeTable = {
-    val written0 = writeDataFiles(df, 0L, 0L) // stamps re-based per attempt
-    val written = written0.map(_.rowCount).sum
-    // Commit with REBASE on conflict (Iceberg's retry semantics): an
-    // append's data files don't depend on table state — lineage ids and
-    // sequence numbers are metadata stamps, not file contents — so a
-    // concurrent commit only requires re-stamping them from a fresh
-    // handle and retrying the (ms-scale) metadata commit. Without this,
-    // a busy table starves slow appenders: any writer landing inside the
-    // data-write window (100s of ms) would force the whole write to be
-    // redone (observed as streaming-sink livelock under tag churn).
+  /** Shared rebase-on-conflict commit loop for append-class writes
+    * (append, upsertByKey — Iceberg's retry semantics): the written
+    * data files don't depend on table state — lineage ids and sequence
+    * numbers are metadata stamps, not file contents — so a concurrent
+    * commit only requires re-stamping them from a fresh handle and
+    * retrying the (ms-scale) metadata commit. Without this, a busy
+    * table starves slow appenders: any writer landing inside the
+    * data-write window (100s of ms) would force the whole write to be
+    * redone (observed as streaming-sink livelock under tag churn). If
+    * every attempt conflicts, the written files are left for
+    * remove_orphan_files (whose age cutoff protects in-flight writers).
+    * Each attempt gets (fresh handle, re-stamped files, rowId start,
+    * sequence number). */
+  private def rebaseCommit(written0: Seq[DataFileMeta], attempts0: Int = 8)(
+      attempt: (LakeTable, Seq[DataFileMeta], Long, Long) => LakeTable): LakeTable = {
     var h = this
-    var attempts = 8
+    var attempts = attempts0
     while (true) {
       val start =
         if (h.meta.nextRowId >= 0) h.meta.nextRowId else h.meta.computedNextRowId
@@ -426,16 +430,8 @@ class LakeTable(
         rid += f.rowCount
         m
       }
-      try {
-        return h.commitSnapshot(
-          h.newSnapshot("append", h.dataFiles ++ files, h.deleteFiles,
-            Map("added-data-files" -> files.size.toString,
-              "added-records" -> written.toString)),
-          m => {
-            val m2 = if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m
-            if (extraProps.isEmpty) m2 else m2.copy(props = m2.props ++ extraProps)
-          })
-      } catch {
+      try return attempt(h, files, start, seq)
+      catch {
         case e: CommitConflictException =>
           attempts -= 1
           if (attempts <= 0) throw e
@@ -443,6 +439,21 @@ class LakeTable(
       }
     }
     sys.error("unreachable")
+  }
+
+  def append(df: DataFrame, extraProps: Map[String, String] = Map.empty): LakeTable = {
+    val written0 = writeDataFiles(df, 0L, 0L) // stamps re-based per attempt
+    val written = written0.map(_.rowCount).sum
+    rebaseCommit(written0) { (h, files, start, _) =>
+      h.commitSnapshot(
+        h.newSnapshot("append", h.dataFiles ++ files, h.deleteFiles,
+          Map("added-data-files" -> files.size.toString,
+            "added-records" -> written.toString)),
+        m => {
+          val m2 = if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m
+          if (extraProps.isEmpty) m2 else m2.copy(props = m2.props ++ extraProps)
+        })
+    }
   }
 
   /** INSERT OVERWRITE: one commit replacing the table's content with
@@ -743,34 +754,15 @@ class LakeTable(
       .coalesce(1).write.parquet(delPath.toString)
     val delCount = spark.read.parquet(delPath.toString).count()
     val delFiles = listParquetFiles(delPath)
-    var h = this
-    var attempts = 8
-    while (true) {
-      val start =
-        if (h.meta.nextRowId >= 0) h.meta.nextRowId else h.meta.computedNextRowId
-      val seq = h.nextSeq
-      var rid = start
-      val files = written0.map { f =>
-        val m = f.copy(firstRowId = rid, dataSequenceNumber = seq)
-        rid += f.rowCount
-        m
-      }
+    rebaseCommit(written0) { (h, files, start, seq) =>
       val delMeta = delFiles.map(p =>
         DeleteFileMeta(p.toString, "equality", delCount, keyCols, seq))
-      try {
-        return h.commitSnapshot(
-          h.newSnapshot("upsert", h.dataFiles ++ files, h.deleteFiles ++ delMeta,
-            Map("added-records" -> written.toString,
-              "equality-delete-records" -> delCount.toString)),
-          m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
-      } catch {
-        case e: CommitConflictException =>
-          attempts -= 1
-          if (attempts <= 0) throw e
-          h = h.reloaded()
-      }
+      h.commitSnapshot(
+        h.newSnapshot("upsert", h.dataFiles ++ files, h.deleteFiles ++ delMeta,
+          Map("added-records" -> written.toString,
+            "equality-delete-records" -> delCount.toString)),
+        m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
     }
-    sys.error("unreachable")
   }
 
   // -------------------------------------------------------------- metadata
