@@ -53,6 +53,7 @@ class ConcurrencySpec extends SparkSpec {
   private case class Delete(pick: Int) extends Op
   private case class Update(pick: Int, amount: Int) extends Op
   private case object Compact extends Op
+  private case class Upsert(pick: Int, n: Int, amount: Int) extends Op
 
   private val genOp: Gen[(Int, Op)] = for {
     handle <- Gen.choose(0, 1)
@@ -64,6 +65,9 @@ class ConcurrencySpec extends SparkSpec {
       3 -> (for {
         p <- Gen.choose(0, 1000); a <- Gen.choose(1, 999)
       } yield Update(p, a): Op),
+      2 -> (for {
+        p <- Gen.choose(0, 1000); n <- Gen.choose(1, 2); a <- Gen.choose(1, 999)
+      } yield Upsert(p, n, a): Op),
       1 -> Gen.const(Compact: Op))
   } yield (handle, op)
 
@@ -161,6 +165,17 @@ class ConcurrencySpec extends SparkSpec {
           case Compact =>
             (Procedures.rewriteDataFiles(h, Map("rewrite-all" -> "true")).table,
               identity)
+          case Upsert(pick, n, a) =>
+            // one existing key (update) + fresh keys (insert); the model
+            // transform removes every older copy of each key and adds the
+            // rows — applied to the SERIALIZED model, so a rebased upsert
+            // deleting the OTHER handle's rows is captured exactly
+            val existing = if (model.isEmpty) Nil else Seq(model(pick % model.size)._1)
+            val freshIds = (0 until n).map { _ => nextId += 1; nextId }
+            val rows = (existing ++ freshIds).distinct.zipWithIndex
+              .map { case (id, k) => (id, cats((id + k) % 3), a.toDouble + k) }
+            (h.upsertByKey(toDf(rows), Seq("id")),
+              m => m.filterNot(r => rows.exists(_._1 == r._1)) ++ rows)
         }
 
       for (((hi, op), step) <- script(42L + trial, 14).zipWithIndex) {
@@ -170,9 +185,11 @@ class ConcurrencySpec extends SparkSpec {
           val (nt, f) = run(handles(hi), op)
           handles(hi) = nt; handleV(hi) = diskV; model = f(model)
         } else op match {
-          case _: Append =>
-            // appends read no table state: a stale handle REBASES onto
-            // fresh metadata and lands without clobbering anything
+          case _: Append | _: Upsert =>
+            // append-class writes read no table state: a stale handle
+            // REBASES onto fresh metadata and lands without clobbering
+            // anything (an upsert's equality delete applies to whatever
+            // is strictly older at ITS commit — last-committer-wins)
             val (nt, f) = run(handles(hi), op)
             assert(diskV == before + 1,
               s"trial $trial step $step: stale append rebased to v$diskV, " +
