@@ -323,14 +323,14 @@ private[lake] class LakeDeltaBatchWrite(
       if (cur.meta.nextRowId >= 0) cur.meta.nextRowId
       else cur.meta.computedNextRowId
     var rowId = start
-    val v2UpdMetas = if (withRowIds) Nil else updMetas // already built above
     val plainMetas = plainFiles.map { case (p, n) =>
       val m = dataMeta(p, n, rowId, explicit = false); rowId += n; m
     }
-    // v2 update files also need minted ranges — rebuild them in sequence
+    // v2 update files also need minted ranges (v3 ones carry explicit
+    // ids); minting order: plain files first, then v2 update files
     val updFinal =
       if (withRowIds) updMetas
-      else v2UpdMetas.map { m =>
+      else updMetas.map { m =>
         val withId = m.copy(firstRowId = rowId); rowId += m.rowCount; withId
       }
     val minted = rowId - start

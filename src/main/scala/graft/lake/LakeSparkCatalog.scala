@@ -92,11 +92,19 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `SELECT … FROM lake.db.t VERSION AS OF <id>` — Catalyst resolves the
-    * clause through this overload; the version string is a snapshot id. */
+  /** `SELECT … FROM lake.db.t VERSION AS OF <id-or-tag>` — Catalyst
+    * resolves the clause through this overload; a numeric argument is a
+    * snapshot id, anything else resolves as a snapshot tag (Iceberg's
+    * branch/tag time travel), with a diagnostic listing the table's tags
+    * instead of a raw NumberFormatException. */
   override def loadTable(ident: Identifier, version: String): Table =
     cat.loadTable(db(ident), ident.name()) match {
-      case Some(t) => new LakeV2Table(t, Some(version.toLong))
+      case Some(t) =>
+        val snapId = version.toLongOption.orElse(t.meta.tags.get(version))
+          .getOrElse(throw new IllegalArgumentException(
+            s"VERSION AS OF '$version': not a snapshot id or tag on " +
+              s"${t.name} (tags: ${t.meta.tags.keys.mkString(", ")})"))
+        new LakeV2Table(t, Some(snapId))
       case None => throw new NoSuchTableException(ident.namespace() :+ ident.name())
     }
 
@@ -152,22 +160,30 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = cat.loadTable(db(ident), ident.name()).getOrElse(
       throw new NoSuchTableException(ident.namespace() :+ ident.name()))
+    // same gate the dispatcher's ALTER applies (M27 — the native DDL
+    // surface must not bypass the grants model)
+    Grants.require(SparkSession.active, t, "ALTER")
     val props = changes.collect {
       case s: TableChange.SetProperty => s.property() -> s.value()
     }.toMap
     if (props.size != changes.size)
       throw new UnsupportedOperationException("only SET TBLPROPERTIES is supported")
     // the format-version property is the v2→v3 upgrade — mint next-row-id
+    // and land the remaining properties in the SAME commit (a two-commit
+    // ALTER could be half-applied if a concurrent writer lands between)
     val t2 = props.get("format-version") match {
-      case Some(v) => Procedures.upgradeFormatVersion(t, v.toInt)
-        .setProperties(props - "format-version")
+      case Some(v) => Procedures.upgradeFormatVersion(t, v.toInt,
+        extraProps = props - "format-version")
       case None => t.setProperties(props)
     }
     new LakeV2Table(t2)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    cat.loadTable(db(ident), ident.name())
+      .foreach(t => Grants.require(SparkSession.active, t, "DROP"))
     cat.dropTable(db(ident), ident.name())
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     // same contract as Iceberg's directory-keyed HadoopCatalog: table
@@ -183,6 +199,9 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
+    // namespaces are single-level: an existing leaf has no children
+    // (SupportsNamespaces contract: empty array, not an error)
+    else if (namespace.length == 1 && cat.namespaceExists(namespace(0))) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
@@ -191,8 +210,14 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
     else throw new NoSuchNamespaceException(namespace)
 
   override def createNamespace(
-      namespace: Array[String], metadata: JMap[String, String]): Unit =
+      namespace: Array[String], metadata: JMap[String, String]): Unit = {
+    // reject nested namespaces instead of silently creating a truncated
+    // one (`CREATE NAMESPACE lake.a.b` must not materialize plain `a`)
+    if (namespace.length != 1)
+      throw new UnsupportedOperationException(
+        s"nested namespaces are not supported: ${namespace.mkString(".")}")
     cat.createNamespace(namespace(0))
+  }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alter namespace is not supported")
@@ -301,6 +326,14 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
       throw new UnsupportedOperationException(
         s"native ${info.command()} needs $modeKey=merge-on-read — " +
           "copy-on-write DML runs through the LakeSql dispatcher")
+    // UPDATE/MERGE carry each matched row's _row_id through the plan; a
+    // v3 table with unminted lineage would otherwise die later with an
+    // unresolved-metadata-column analysis error instead of this pointer
+    if (info.command() != RowLevelOperation.Command.DELETE &&
+        t.meta.formatVersion >= 3 && t.meta.nextRowId < 0)
+      throw new MissingRowLineageException(
+        s"${t.name} is format-version 3 but metadata has no next-row-id; " +
+          "run repair_v3_metadata before UPDATE/MERGE")
     requirePerm("DELETE")
     if (info.command() != RowLevelOperation.Command.DELETE)
       requirePerm("INSERT") // rewrites/inserts add data files, like the dispatcher
@@ -350,13 +383,24 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
 
   /** Metadata-level partition predicate from the pushed filters: a file
     * survives if every partition-column constraint admits its recorded
-    * partition value. */
+    * partition value. Values render through
+    * [[PartitionFilterValues.external]] — raw `String.valueOf` would
+    * mismatch the hive-path form for temporal types
+    * (`java.sql.Timestamp.toString` carries a trailing ".0") and
+    * over-prune every matching file, turning a DML statement into a
+    * silent no-op. A constraint whose value (or, for IN, ANY element)
+    * can't render is dropped entirely — partial IN pruning would drop
+    * files matching the unrenderable elements. */
   private def partitionPredicate(
       filters: Array[Filter]): Map[String, String] => Boolean = {
     val partCols = t.meta.partitionCols.toSet
-    val constraints = filters.collect {
-      case EqualTo(c, v) if partCols.contains(c) => c -> Set(String.valueOf(v))
-      case In(c, vs) if partCols.contains(c) => c -> vs.map(String.valueOf).toSet
+    val constraints = filters.flatMap {
+      case EqualTo(c, v) if partCols.contains(c) =>
+        PartitionFilterValues.external(v).map(s => c -> Set(s))
+      case In(c, vs) if partCols.contains(c) =>
+        val rendered = vs.toSeq.flatMap(PartitionFilterValues.external)
+        if (rendered.size == vs.length) Some(c -> rendered.toSet) else None
+      case _ => None
     }
     pv => constraints.forall { case (c, allowed) =>
       pv.get(c).forall(allowed.contains)
@@ -428,6 +472,48 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
             }
           }.asInstanceOf[T]
       }
+    }
+  }
+}
+
+/** Hive-path renderings of filter values for metadata-level partition
+  * pruning, covering BOTH value domains a constraint can arrive in:
+  * catalyst-internal literals (NativeReadRule's splice) and v1-external
+  * source-filter values (the bridged/DML ScanBuilder). Pruning at this
+  * level is load-bearing — a file dropped here is never re-checked by
+  * the filter above the scan — so any value that is not byte-identical
+  * to `partitionValuesFromPath`'s rendering returns None and the
+  * constraint simply doesn't prune. One definition for both paths: the
+  * internal-value bug class was fixed on the splice side first and the
+  * external copy drifted (review r6), exactly what sharing prevents. */
+private[lake] object PartitionFilterValues {
+
+  /** v1 source-filter (external) values: java.sql / java.time types. */
+  def external(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case n: java.lang.Byte => Some(n.toString)
+    case n: java.lang.Short => Some(n.toString)
+    case n: java.lang.Integer => Some(n.toString)
+    case n: java.lang.Long => Some(n.toString)
+    case d: java.sql.Date => Some(d.toString)          // "2026-01-01"
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None // timestamps/floats/decimals: conservative, no prune
+  }
+
+  /** Catalyst-internal literal values (dates are epoch-day Ints). */
+  def internal(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (_, null) => None
+      case (StringType, s: org.apache.spark.unsafe.types.UTF8String) => Some(s.toString)
+      case (BooleanType, b: Boolean) => Some(b.toString)
+      case (ByteType | ShortType | IntegerType | LongType, n) => Some(n.toString)
+      case (DateType, days: Int) =>
+        Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+      case _ => None
     }
   }
 }

@@ -133,8 +133,16 @@ object Meta {
   def toJson(m: TableMetadata): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
 
-  def fromJson(s: String): TableMetadata =
-    mapper.readValue(s, classOf[TableMetadata])
+  def fromJson(s: String): TableMetadata = {
+    val m = mapper.readValue(s, classOf[TableMetadata])
+    // Jackson + erased Map[String, Long] yields boxed Integers for small
+    // ids at runtime — normalize here, or every tag consumer on a
+    // RELOADED handle (readTag, VERSION AS OF, expiry protection) hits
+    // ClassCastException the moment an id fits in 32 bits
+    m.copy(tags = m.tags.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+      k -> v.asInstanceOf[Number].longValue
+    })
+  }
 
   def metadataDir(tableLocation: Path): Path = tableLocation.resolve("metadata")
   private def versionFile(tableLocation: Path, v: Int): Path =

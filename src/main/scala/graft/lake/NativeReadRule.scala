@@ -56,22 +56,10 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
   private def requireSelect(t: LakeV2Table): Unit =
     Grants.require(session, t.lakeTable, "SELECT")
 
-  /** Catalyst-internal literal → the external string Spark's Hive-style
-    * partition paths carry. None for types whose rendering is not
-    * byte-identical to the path form (timestamps, decimals, floats) —
-    * those constraints simply don't prune. */
-  private def partValue(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] = {
-    import org.apache.spark.sql.types._
-    (dt, v) match {
-      case (_, null) => None
-      case (StringType, s: org.apache.spark.unsafe.types.UTF8String) => Some(s.toString)
-      case (BooleanType, b: Boolean) => Some(b.toString)
-      case (ByteType | ShortType | IntegerType | LongType, n) => Some(n.toString)
-      case (DateType, days: Int) =>
-        Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
-      case _ => None
-    }
-  }
+  /** Catalyst-internal literal → hive-path string; shared with the
+    * bridged scan's external-value path via [[PartitionFilterValues]]. */
+  private def partValue(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] =
+    PartitionFilterValues.internal(v, dt)
 
   /** Catalyst conjunct → v1 source filter, for the comparison shapes
     * [[StatsPruning.filePredicate]] understands (attr-vs-literal; values

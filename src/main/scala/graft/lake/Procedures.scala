@@ -28,9 +28,13 @@ object Procedures {
     * Metadata-only commit that bumps the format version AND mints
     * `next-row-id` — the field whose absence bricks a v3 table
     * (/root/reference/README.md:41-45). Idempotent when already v3. */
-  def upgradeFormatVersion(t: LakeTable, target: Int = 3): LakeTable = {
+  /** `extraProps` land in the SAME metadata commit as the upgrade, so an
+    * ALTER carrying format-version plus other properties is atomic. */
+  def upgradeFormatVersion(t: LakeTable, target: Int = 3,
+      extraProps: Map[String, String] = Map.empty): LakeTable = {
     val m = t.meta
-    if (m.formatVersion == target) return t
+    if (m.formatVersion == target)
+      return if (extraProps.isEmpty) t else t.setProperties(extraProps)
     if (target < m.formatVersion)
       throw new IllegalArgumentException(
         s"cannot downgrade ${m.name} from v${m.formatVersion} to v$target")
@@ -40,7 +44,7 @@ object Procedures {
     t.withMeta(m.copy(
       formatVersion = 3,
       nextRowId = minted,
-      props = m.props + ("format-version" -> "3")))
+      props = m.props ++ extraProps + ("format-version" -> "3")))
   }
 
   /** M7: "metadata surgery" (/root/reference/README.md:43-45) — recompute

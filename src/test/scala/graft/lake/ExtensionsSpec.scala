@@ -364,6 +364,82 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.catalog.loadTable("db", "cas").get.read().count() == 2)
   }
 
+  test("timestamp-partitioned native DML is not over-pruned into a silent no-op") {
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft-tsp-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("ts", TimestampType)))
+    cat.createTable("db", "tp", schema, partitionBy = Seq("ts"),
+      props = Map("write.delete.mode" -> "merge-on-read"))
+      .append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(1, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+          org.apache.spark.sql.Row(2, java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))), 1),
+        schema))
+    spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
+    // java.sql.Timestamp.toString carries a trailing ".0" that never
+    // equals the hive-path rendering — such constraints must be skipped
+    // (conservative full scan), not applied (prune-everything no-op)
+    spark.sql("DELETE FROM lake.db.tp WHERE ts = TIMESTAMP '2026-01-01 00:00:00'")
+    val left = cat.loadTable("db", "tp").get.read()
+      .collect().map(_.getInt(0)).toSeq
+    assert(left == Seq(2), s"DELETE was a silent no-op or over-deleted: $left")
+  }
+
+  test("native ALTER/DROP are grant-gated; namespace contracts hold") {
+    val wh = Files.createTempDirectory("graft-ddl-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.gd (id INT)")
+    sql.catalog.grant("db", "gd", "alice", Seq("SELECT"))
+    try {
+      spark.conf.set(LakeExtensions.PrincipalConf, "alice")
+      intercept[AccessDeniedException] {
+        spark.sql("ALTER TABLE lake.db.gd SET TBLPROPERTIES('k'='v')")
+      }
+      intercept[AccessDeniedException] { spark.sql("DROP TABLE lake.db.gd") }
+    } finally spark.conf.unset(LakeExtensions.PrincipalConf)
+    assert(sql.catalog.tableExists("db", "gd"))
+    // an existing leaf namespace lists zero children, not an error
+    assert(spark.sql("SHOW NAMESPACES IN lake.db").collect().isEmpty)
+    // nested namespace creation is rejected, never truncated to 'a'
+    intercept[Exception] { spark.sql("CREATE NAMESPACE lake.a.b") }
+    assert(!sql.catalog.namespaceExists("a"))
+  }
+
+  test("VERSION AS OF resolves snapshot tags, with a diagnostic for unknowns") {
+    val wh = Files.createTempDirectory("graft-tag-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.tg (id INT)")
+    sql.run("INSERT INTO db.tg VALUES (1), (2)")
+    val t1 = sql.catalog.loadTable("db", "tg").get
+    t1.tagSnapshot("rel", t1.currentSnapshot.get.id)
+    sql.run("INSERT INTO db.tg VALUES (3)")
+    spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
+    assert(spark.sql("SELECT id FROM lake.db.tg VERSION AS OF 'rel'")
+      .collect().length == 2)
+    val err = intercept[Exception] {
+      spark.sql("SELECT id FROM lake.db.tg VERSION AS OF 'nope'").collect()
+    }
+    assert(err.getMessage.contains("rel"), s"diagnostic should list tags: $err")
+  }
+
+  test("bricked v3 table: native UPDATE fails with the repair pointer") {
+    val wh = Files.createTempDirectory("graft-brick-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.bk (id INT, category STRING) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.bk VALUES (1, 'a')")
+    val v3 = Procedures.upgradeFormatVersion(sql.catalog.loadTable("db", "bk").get)
+    v3.withMeta(v3.meta.copy(nextRowId = -1L)) // the README bricked state
+    spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
+    val err = intercept[MissingRowLineageException] {
+      spark.sql("UPDATE lake.db.bk SET category = 'b' WHERE id = 1")
+    }
+    assert(err.getMessage.contains("repair_v3_metadata"))
+  }
+
   test("DSv2 catalog: session principal gates native reads and writes (M10)") {
     val wh = Files.createTempDirectory("graft-gr-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
