@@ -41,9 +41,24 @@ class LakeSql(val catalog: LakeCatalog) {
   // lake.db.t / glue_catalog.db.t references in SELECTs natively
   spark.conf.set(LakeExtensions.WarehouseConf, catalog.warehouse.toString)
 
+  /** Temp views the lake-ref rewriter registered during the CURRENT
+    * statement. Dropped when run() returns: spark.sql analyzes eagerly,
+    * so the statement's own plan stays resolved — but a LEFTOVER view
+    * would let a later caller name it directly, bypassing the SELECT
+    * grants check and reading the stale snapshot it was built from. */
+  private val createdViews = scala.collection.mutable.ListBuffer.empty[String]
+
   def run(sql: String, principal: Option[String] = None): DataFrame = {
     val s = sql.trim.stripSuffix(";").trim
     val up = s.toUpperCase
+    try dispatch(s, up, principal)
+    finally {
+      createdViews.foreach(v => catalog.spark.catalog.dropTempView(v))
+      createdViews.clear()
+    }
+  }
+
+  private def dispatch(s: String, up: String, principal: Option[String]): DataFrame = {
     if (up.startsWith("CREATE TABLE")) create(s, principal)
     else if (up.startsWith("DROP TABLE")) drop(s, principal)
     else if (up.startsWith("INSERT INTO")) insert(s, principal)
@@ -174,18 +189,24 @@ class LakeSql(val catalog: LakeCatalog) {
   }
 
   private def update(s: String, p: Option[String]): DataFrame = {
-    val m = """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+    val m = """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*)$""".r
       .findFirstMatchIn(s).getOrElse(fail("UPDATE … SET [… WHERE]", s))
     val (db, table) = splitName(m.group(1))
     // MoR UPDATE = delete file + appended rewrite (J3)
     requirePerm(p, db, table, "DELETE")
     requirePerm(p, db, table, "INSERT")
-    val assignments: Map[String, Column] = topLevelSplit(m.group(2), ',').map { a =>
+    // split SET from WHERE at the first UNQUOTED keyword — a regex split
+    // would bite on a WHERE inside an assignment's string literal
+    val rest = m.group(2)
+    val wi = indexOfUnquoted(rest, "WHERE")
+    val (setPart, condPart) =
+      if (wi < 0) (rest, None) else (rest.take(wi), Some(rest.drop(wi + 5)))
+    val assignments: Map[String, Column] = topLevelSplit(setPart, ',').map { a =>
       val i = a.indexOf('=')
       if (i < 0) throw new SqlParseException(s"bad assignment: $a")
       a.take(i).trim -> expr(a.drop(i + 1).trim)
     }.toMap
-    val cond = Option(m.group(3)).map(parsePredicate(_, p)).getOrElse(lit(true))
+    val cond = condPart.map(parsePredicate(_, p)).getOrElse(lit(true))
     load(db, table).update(assignments, cond)
     status(s"Updated $db.$table")
   }
@@ -248,10 +269,12 @@ class LakeSql(val catalog: LakeCatalog) {
         // 'format-version'='3' is the upgrade statement
         // (upgrade_table.py:128): it must mint next-row-id, so route
         // through the procedure (M1)
+        // one commit for upgrade + remaining properties — two commits
+        // could be half-applied if a concurrent writer lands between
         val t2 = props.get("format-version") match {
           case Some(v) =>
-            Procedures.upgradeFormatVersion(t, v.toInt)
-              .setProperties(props - "format-version")
+            Procedures.upgradeFormatVersion(t, v.toInt,
+              extraProps = props - "format-version")
           case None => t.setProperties(props)
         }
         status(s"Altered $db.$table (format-version=${t2.meta.formatVersion})")
@@ -403,6 +426,7 @@ class LakeSql(val catalog: LakeCatalog) {
           requirePerm(p, db, name, "SELECT")
           val view = s"${db}__${name}__$suffix"
           make(load(db, name)).createOrReplaceTempView(view)
+          createdViews += view;
           rewritten = mapOutsideQuotes(rewritten, seg => mre.replaceAllIn(seg, view))
         }
       }
@@ -418,6 +442,7 @@ class LakeSql(val catalog: LakeCatalog) {
         val snapId = t.snapshotIdAsOf(parseTsLiteral(s"TIMESTAMP '${m.group(1)}'"))
         val view = s"${db}__${name}__t$snapId"
         t.readSnapshot(snapId).createOrReplaceTempView(view)
+          createdViews += view;
         view
       })
       // `db.t VERSION AS OF <id>` → a view over that snapshot's scan
@@ -428,6 +453,7 @@ class LakeSql(val catalog: LakeCatalog) {
           val snapId = m.group(1).toLong
           val view = s"${db}__${name}__v$snapId"
           load(db, name).readSnapshot(snapId).createOrReplaceTempView(view)
+          createdViews += view;
           view
         }))
       val re = (base + "(?!\\w)").r
@@ -435,6 +461,7 @@ class LakeSql(val catalog: LakeCatalog) {
         requirePerm(p, db, name, "SELECT")
         val view = s"${db}__$name"
         load(db, name).read().createOrReplaceTempView(view)
+          createdViews += view;
         rewritten = mapOutsideQuotes(rewritten, seg => re.replaceAllIn(seg, view))
       }
     }
@@ -490,12 +517,25 @@ object LakeSql {
   /** Split `s` into segments, flagging single-quoted string literals
     * (with `''` escaping) and backquoted identifiers so rewrites can skip
     * them. Segments concatenate back to `s` verbatim. */
+  /** First position of an unquoted word-boundary keyword, -1 if none. */
+  private[lake] def indexOfUnquoted(s: String, kw: String): Int = {
+    var off = 0
+    for ((seg, quoted) <- quoteSegments(s)) {
+      if (!quoted) {
+        val m = ("(?i)(?<![\\w])" + kw + "(?![\\w])").r.findFirstMatchIn(seg)
+        if (m.isDefined) return off + m.get.start
+      }
+      off += seg.length
+    }
+    -1
+  }
+
   private[lake] def quoteSegments(s: String): Seq[(String, Boolean)] = {
     val out = Seq.newBuilder[(String, Boolean)]
     var i = 0; var start = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'' || c == '`') {
+      if (c == '\'' || c == '`' || c == '"') {
         if (i > start) out += ((s.substring(start, i), false))
         var j = i + 1; var closed = false
         while (j < s.length && !closed) {

@@ -485,9 +485,23 @@ class LakeTable(
   /** UPDATE … SET assignments WHERE cond (M5): MoR emits one commit with a
     * position-delete file + appended rewritten rows (J3); CoW rewrites the
     * affected files in place. v3 rewritten rows keep their `_row_id`. */
-  def update(assignments: Map[String, Column], cond: Column): LakeTable =
-    if (isMorUpdate) morDelete(cond, Some(assignments))
-    else cowRewrite(cond, Some(assignments))
+  def update(assignments: Map[String, Column], cond: Column): LakeTable = {
+    val as = resolveAssignments(assignments)
+    if (isMorUpdate) morDelete(cond, Some(as)) else cowRewrite(cond, Some(as))
+  }
+
+  /** SET-clause targets resolved against the schema case-insensitively
+    * (Spark SQL's default resolution); an unknown target fails loudly —
+    * silently dropping it would rewrite every affected file with
+    * unchanged values and report success (review r6). */
+  private def resolveAssignments(as: Map[String, Column]): Map[String, Column] = {
+    val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    as.map { case (k, v) =>
+      byLower.getOrElse(k.toLowerCase, throw new IllegalArgumentException(
+        s"assignment targets unknown column '$k' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})")) -> v
+    }
+  }
 
   private def applyAssignments(
       df: DataFrame, as: Map[String, Column], keepRowId: Boolean): DataFrame = {
@@ -620,15 +634,21 @@ class LakeTable(
     try {
       val matchedCoords = matched
         .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
-      val dups = matchedCoords.groupBy("file_path", "pos").count()
-        .filter(col("count") > 1).limit(1).count()
-      if (dups > 0)
-        throw new IllegalArgumentException(
-          "MERGE: multiple source rows match the same target row " +
-            "(ambiguous update); deduplicate the source on the merge key")
+      // cardinality guard only when a matched ACTION exists — standard
+      // MERGE semantics forbid ambiguous update/delete, not insert-only
+      // merges whose source happens to multi-match
+      if (whenMatched.isDefined) {
+        val dups = matchedCoords.groupBy("file_path", "pos").count()
+          .filter(col("count") > 1).limit(1).count()
+        if (dups > 0)
+          throw new IllegalArgumentException(
+            "MERGE: multiple source rows match the same target row " +
+              "(ambiguous update); deduplicate the source on the merge key")
+      }
 
       // WHEN MATCHED UPDATE output: target row with assignments applied
-      def updatedRows(as: Map[String, Column]): DataFrame = {
+      def updatedRows(rawAs: Map[String, Column]): DataFrame = {
+        val as = resolveAssignments(rawAs)
         val outCols = schema.fields.map { f =>
           as.get(f.name).map(_.cast(f.dataType).as(f.name))
             .getOrElse(col(s"$targetAlias.${f.name}").as(f.name))
@@ -671,9 +691,14 @@ class LakeTable(
       } else {
         // CoW: rewrite only the files containing matched rows — a merge
         // on a copy-on-write table must NOT mint delete files (they would
-        // break strict v2 readers, the failure this engine exists to fix)
-        val affectedPaths = matchedCoords.select("file_path").distinct()
-          .collect().map(_.getString(0)).toSet
+        // break strict v2 readers, the failure this engine exists to fix).
+        // No WHEN MATCHED action ⇒ matched rows are untouched: rewrite
+        // NOTHING (an unconditional rewrite here silently deleted every
+        // matched row on insert-only merges — review r6)
+        val affectedPaths =
+          if (whenMatched.isEmpty) Set.empty[String]
+          else matchedCoords.select("file_path").distinct()
+            .collect().map(_.getString(0)).toSet
         val (affectedMeta, keep) = dataFiles.partition(f =>
           affectedPaths.contains(f.path))
         val nMatched = matched.count()
@@ -690,7 +715,7 @@ class LakeTable(
                 (if (keepIds) Seq(col(RowIdCol)) else Nil)).toSeq: _*)
             val replacement = whenMatched match {
               case Some(MergeMatched.Update(as)) => survivors.unionByName(updatedRows(as))
-              case _ => survivors // Delete (or no matched action)
+              case _ => survivors // Delete (empty-whenMatched never rewrites)
             }
             writeDataFiles(replacement, start, seq, withRowIdCol = keepIds)
           }
@@ -712,6 +737,10 @@ class LakeTable(
     * of `values` over `cols` — in data files older than this commit — are
     * dropped at scan time via anti-join. */
   def addEqualityDeletes(values: DataFrame, cols: Seq[String]): LakeTable = {
+    // a committed equality delete on a nonexistent column would make
+    // every later read (and the compaction that could remove it) throw
+    require(cols.nonEmpty && cols.forall(schema.fieldNames.contains),
+      s"equality-delete columns must be schema columns: $cols")
     val seq = nextSeq
     val delDir = location.resolve("deletes")
     Files.createDirectories(delDir)
@@ -907,8 +936,11 @@ object LakeTable {
       .flatMap { seg =>
         val i = seg.indexOf('=')
         if (i < 0) None
+        // hive-path escaping leaves '+' unescaped while URLDecoder
+        // form-decodes it to a space — pre-escape like normPath does, or
+        // a value like "a+b" records as "a b" and pruning drops the file
         else Some(seg.substring(PartPrefix.length, i) ->
-          URLDecoder.decode(seg.substring(i + 1), "UTF-8"))
+          URLDecoder.decode(seg.substring(i + 1).replace("+", "%2B"), "UTF-8"))
       }.toMap
   }
 }

@@ -213,10 +213,12 @@ object Meta {
     // fast path only — the authoritative arbiter is the CREATE_NEW write
     // below (two racing writers can both pass this check AND both pass
     // the expectedVersion check; exactly one may own the version file)
-    if (Files.exists(target))
+    if (Files.exists(target)) {
+      adoptOrphans(tableLocation)
       throw new CommitConflictException(
         s"concurrent commit detected: $target already exists — reload " +
           "the table and retry")
+    }
     val freshManifests = scala.collection.mutable.ArrayBuffer.empty[Path]
     val withManifests = m.copy(snapshots = m.snapshots.map { s =>
       if (s.manifestPath.isDefined) s
@@ -246,6 +248,7 @@ object Meta {
         freshManifests.foreach { mp =>
           manifestCache.remove(mp.toString); Files.deleteIfExists(mp)
         }
+        adoptOrphans(tableLocation)
         throw new CommitConflictException(
           s"concurrent commit detected: metadata v$next was written by " +
             "another writer during this commit — reload the table and retry")
@@ -255,6 +258,43 @@ object Meta {
     Files.move(tmp, hintFile(tableLocation), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     withManifests
+  }
+
+  /** Recovery from a writer that died between the CREATE_NEW metadata
+    * write and the hint move: the vN+1 file exists durably but the hint
+    * still names vN, so every later commit computes next = N+1, finds
+    * the orphan, and conflicts forever — a bricked table. Both conflict
+    * paths call this to advance the hint to the highest existing
+    * version file; the dead writer's commit becomes current (it WAS
+    * durably written — this is write-ahead recovery, not data
+    * invention), the thrower's reload-retry then lands on top. Racing a
+    * LIVE writer about to move its own hint is safe: both move to the
+    * same value, and a rare interleaving that briefly regresses the
+    * hint self-heals on the next commit attempt (which finds the newer
+    * orphan and re-advances). */
+  private def adoptOrphans(tableLocation: Path): Unit = {
+    val dir = metadataDir(tableLocation)
+    val VFile = """v(\d+)\.metadata\.json""".r
+    val latest = {
+      val s = Files.list(dir)
+      try {
+        var best = 0
+        val it = s.iterator()
+        while (it.hasNext) {
+          it.next().getFileName.toString match {
+            case VFile(n) => best = math.max(best, n.toInt)
+            case _ =>
+          }
+        }
+        best
+      } finally s.close()
+    }
+    if (currentVersion(tableLocation).getOrElse(0) < latest) {
+      val tmp = dir.resolve(s".version-hint.adopt.$latest.tmp")
+      Files.write(tmp, latest.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, hintFile(tableLocation), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** GC hook for expire_snapshots: drop an expired snapshot's manifest

@@ -155,6 +155,67 @@ class LakeTableSpec extends SparkSpec {
     assert(t3.meta.snapshots.size == t2.meta.snapshots.size)
   }
 
+  test("insert-only MERGE leaves matched rows untouched (CoW and MoR)") {
+    for (props <- Seq(Map.empty[String, String], morProps)) {
+      val cat = freshCatalog(); cat.createNamespace("db")
+      val t0 = cat.createTable("db", "iom", schema, props = props)
+        .append(df((1, "a", 10.0), (2, "b", 20.0)))
+      // source multi-matches target id=1 AND has no WHEN MATCHED action:
+      // legal insert-only merge — no cardinality error, no lost rows
+      val src = df((1, "a", 99.0), (1, "a", 98.0), (3, "c", 30.0))
+      val t1 = t0.merge(src, col("t.id") === col("s.id"),
+        whenMatched = None, insertNotMatched = true)
+      val got = t1.read().collect()
+        .map(r => (r.getInt(0), r.getDouble(2))).toSet
+      assert(got == Set((1, 10.0), (2, 20.0), (3, 30.0)),
+        s"mor=${props.nonEmpty}: matched rows must survive, got $got")
+    }
+  }
+
+  test("partition values with '+' survive the path round-trip") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "plus", schema, Seq("category"))
+      .append(df((1, "a+b", 1.0), (2, "plain", 2.0)))
+    val pv = t.dataFiles.flatMap(_.partitionValues.get("category")).toSet
+    assert(pv == Set("a+b", "plain"), s"recorded $pv") // not "a b"
+    assert(t.read(partitionFilter = _.get("category").forall(_ == "a+b"))
+      .count() == 1)
+  }
+
+  test("unknown assignment / equality-delete columns fail loudly") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "val", schema, props = morProps)
+      .append(df((1, "a", 1.0)))
+    intercept[IllegalArgumentException] {
+      t.update(Map("amonut" -> lit(2.0)), col("id") === 1) // typo
+    }
+    // case-insensitive resolution (Spark SQL default) still works
+    val up = t.update(Map("AMOUNT" -> lit(5.0)), col("id") === 1)
+    assert(up.read().head().getDouble(2) == 5.0)
+    intercept[IllegalArgumentException] {
+      up.addEqualityDeletes(df((1, "a", 0.0)).select(col("id").as("idd")), Seq("idd"))
+    }
+  }
+
+  test("an orphaned metadata version file is adopted, not a permanent brick") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "orph", schema).append(df((1, "a", 1.0)))
+    // simulate a writer that died between CREATE_NEW and the hint move:
+    // a valid vN+1 file exists, hint still points at vN
+    val loc = t.location
+    val v = Meta.currentVersion(loc).get
+    val orphanMeta = t.meta.copy(props = t.meta.props + ("orphan-marker" -> "yes"))
+    java.nio.file.Files.write(
+      Meta.metadataDir(loc).resolve(s"v${v + 1}.metadata.json"),
+      Meta.toJson(orphanMeta).getBytes("UTF-8"))
+    // the next commit adopts the orphan and retries on top of it
+    val t2 = t.reloaded().append(df((2, "b", 2.0)))
+    assert(t2.read().count() == 2)
+    assert(t2.meta.props.get("orphan-marker").contains("yes"),
+      "the durably-written orphan commit must become part of history")
+    assert(Meta.currentVersion(loc).get == v + 2)
+  }
+
   test("upsertByKey: one commit, no target read, converges on redelivery") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t0 = cat.createTable("db", "ups", schema, props = morProps)

@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.Files
 
 import graft.SparkSpec
-import graft.lake.{AccessDeniedException, LakeCatalog, LakeSql}
+import graft.lake.{AccessDeniedException, LakeCatalog, LakeSql, Meta}
 
 /** S8 dispatcher, S9/§2.12 verifier, M8/M9 upgrade driver, M10 grants
   * enforcement, and the demo.sh E2E arc. */
@@ -111,6 +111,33 @@ class OpsSpec extends SparkSpec {
     // a literal mentioning the denied table must not trigger the check
     assert(sql.run("SELECT 'demo.t' AS s, COUNT(*) AS cnt FROM demo.t2",
       Some("reader2")).head().getLong(1) == 2)
+  }
+
+  test("LakeSql: parser hardening — literals, leftover views, atomic ALTER") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.ph (id INT, note STRING)")
+    sql.run("INSERT INTO db.ph VALUES (1, 'x'), (2, 'y')")
+    // a WHERE inside an assignment's string literal must not split SET
+    sql.run("UPDATE db.ph SET note = 'see WHERE clause docs' WHERE id = 1")
+    val notes = sql.run("SELECT note FROM db.ph WHERE id = 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(notes == Seq("see WHERE clause docs"))
+    // a table name inside a DOUBLE-quoted literal is a value, not a ref
+    val lit = sql.run("""SELECT count(*) AS c FROM db.ph WHERE note = "db.ph"""")
+      .head().getLong(0)
+    assert(lit == 0)
+    // rewriter temp views die with their statement: a later caller
+    // cannot name db__ph directly (grants/staleness bypass)
+    assertThrows[Exception](sql.run("SELECT * FROM db__ph").collect())
+    // ALTER with format-version + another property is ONE commit
+    val loc = sql.catalog.loadTable("db", "ph").get.location
+    val vBefore = Meta.currentVersion(loc).get
+    sql.run("""ALTER TABLE db.ph SET TBLPROPERTIES (
+      'format-version'='3', 'write.update.mode'='merge-on-read')""")
+    val after = sql.catalog.loadTable("db", "ph").get
+    assert(after.meta.formatVersion == 3)
+    assert(after.meta.props.get("write.update.mode").contains("merge-on-read"))
+    assert(Meta.currentVersion(loc).get == vBefore + 1, "ALTER must be one commit")
   }
 
   test("LakeSql: INSERT OVERWRITE and TRUNCATE TABLE") {
