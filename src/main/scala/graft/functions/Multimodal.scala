@@ -73,38 +73,52 @@ object Multimodal {
   /** BMP: 'BM' magic, int32-LE width at 18, height at 22 (negative =
     * top-down row order → abs). Returns (width, height, 1 frame). */
   private def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int)] =
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      Some((le32(b, 18), math.abs(le32(b, 22)), 1))
-    else None
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val w = le32(b, 18); val h = math.abs(le32(b, 22))
+      if (w > 0 && h > 0) Some((w, h, 1)) else None // malformed → stand-in
+    } else None
 
-  /** RIFF/WAVE: chunk walk for `fmt ` (channels, sample rate, block
-    * align) and `data` (payload size). Mapped into the feature tuple as
-    * (sample_rate, channels, sample_count) — "frames" are PCM frames. */
-  private def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+  /** One hardened RIFF/WAVE chunk walk shared by the header decode and
+    * the sample decode — the two copies had already drifted (different
+    * fmt-length guards); any future hardening lands once. Untrusted
+    * opaque payloads: a negative or Int-overflowing declared chunk size
+    * means "not a valid WAV" (stand-in fallback), never a stuck or
+    * thrown task. */
+  private final case class WavLayout(
+      fmtTag: Int, channels: Int, rate: Int, bits: Int, blockAlign: Int,
+      dataOff: Int, dataLen: Int)
+
+  private def walkWav(b: Array[Byte]): Option[WavLayout] = {
     def tag(off: Int, s: String): Boolean =
       off + 4 <= b.length && s.indices.forall(i => b(off + i) == s.charAt(i))
     if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
     var i = 12
-    var rate = 0; var channels = 0; var blockAlign = 0; var dataSize = 0
+    var fmtTag = 0; var rate = 0; var channels = 0; var bits = 0
+    var blockAlign = 0; var dataOff = -1; var dataLen = 0
     while (i + 8 <= b.length) {
       val size = le32(b, i + 4)
-      // This path takes untrusted opaque payloads: a negative or
-      // Int-overflowing declared chunk size must mean "not a valid WAV"
-      // (fall back to the stand-in), never a stuck or thrown task
       if (size < 0) return None
-      if (tag(i, "fmt ") && i + 22 <= b.length) {
+      if (tag(i, "fmt ") && i + 24 <= b.length) {
+        fmtTag = le16(b, i + 8)
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
-        if (i + 22 <= b.length) blockAlign = le16(b, i + 20)
-      } else if (tag(i, "data")) dataSize = size
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (tag(i, "data")) {
+        dataOff = i + 8
+        dataLen = math.max(0, math.min(size, b.length - dataOff))
+      }
       val next = i.toLong + 8L + size.toLong + (size & 1) // word-aligned
       if (next > Int.MaxValue) return None
       i = next.toInt
     }
     if (rate <= 0 || channels <= 0) None
-    else Some((rate, channels,
-      if (blockAlign > 0) dataSize / blockAlign else 0))
+    else Some(WavLayout(fmtTag, channels, rate, bits, blockAlign, dataOff, dataLen))
   }
+
+  private def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] =
+    walkWav(b).map(w => (w.rate, w.channels,
+      if (w.blockAlign > 0) w.dataLen / w.blockAlign else 0))
 
   /** G.711 μ-law byte → 16-bit-scale linear sample (the public CCITT
     * spec's segment/mantissa arithmetic; ±32124 full scale). */
@@ -133,48 +147,28 @@ object Multimodal {
     * chunk walk as [[decodeWav]]: malformed sizes mean "not audio",
     * never a stuck or thrown task. */
   private[functions] def decodeAudio(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
-    def tag(off: Int, s: String): Boolean =
-      off + 4 <= b.length && s.indices.forall(i => b(off + i) == s.charAt(i))
-    if (!(tag(0, "RIFF") && tag(8, "WAVE"))) return None
-    var i = 12
-    var fmtTag = 0; var rate = 0; var channels = 0; var bits = 0
-    var dataOff = -1; var dataLen = 0
-    while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (size < 0) return None
-      if (tag(i, "fmt ") && i + 24 <= b.length) {
-        fmtTag = le16(b, i + 8)
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        bits = le16(b, i + 22)
-      } else if (tag(i, "data")) {
-        dataOff = i + 8
-        dataLen = math.min(size, b.length - dataOff)
+    walkWav(b).filter(_.dataOff >= 0).flatMap { w =>
+      val (rate, channels, dataOff, dataLen) = (w.rate, w.channels, w.dataOff, w.dataLen)
+      (w.fmtTag, w.bits) match {
+        case (1, 16) =>
+          val n = dataLen / 2
+          Some((rate, channels, Array.tabulate(n) { j =>
+            le16(b, dataOff + 2 * j).toShort / 32768.0
+          }))
+        case (1, 8) => // 8-bit PCM is unsigned with midpoint 128
+          Some((rate, channels, Array.tabulate(dataLen) { j =>
+            ((b(dataOff + j) & 0xff) - 128) / 128.0
+          }))
+        case (6, _) =>
+          Some((rate, channels, Array.tabulate(dataLen) { j =>
+            alawToLinear(b(dataOff + j)) / 32768.0
+          }))
+        case (7, _) =>
+          Some((rate, channels, Array.tabulate(dataLen) { j =>
+            ulawToLinear(b(dataOff + j)) / 32768.0
+          }))
+        case _ => None // compressed tags the JVM can't expand unaided
       }
-      val next = i.toLong + 8L + size.toLong + (size & 1)
-      if (next > Int.MaxValue) return None
-      i = next.toInt
-    }
-    if (rate <= 0 || channels <= 0 || dataOff < 0) return None
-    (fmtTag, bits) match {
-      case (1, 16) =>
-        val n = dataLen / 2
-        Some((rate, channels, Array.tabulate(n) { j =>
-          le16(b, dataOff + 2 * j).toShort / 32768.0
-        }))
-      case (1, 8) => // 8-bit PCM is unsigned with midpoint 128
-        Some((rate, channels, Array.tabulate(dataLen) { j =>
-          ((b(dataOff + j) & 0xff) - 128) / 128.0
-        }))
-      case (6, _) =>
-        Some((rate, channels, Array.tabulate(dataLen) { j =>
-          alawToLinear(b(dataOff + j)) / 32768.0
-        }))
-      case (7, _) =>
-        Some((rate, channels, Array.tabulate(dataLen) { j =>
-          ulawToLinear(b(dataOff + j)) / 32768.0
-        }))
-      case _ => None // compressed tags the JVM can't expand unaided
     }
   }
 
@@ -203,8 +197,8 @@ object Multimodal {
         .orElse(decodeImage(payload)))
       .toOption.flatten.getOrElse {
       val n = payload.length
-      val w = 64 + (n % 577)           // fake width
-      val h = 64 + ((n * 31) % 419)    // fake height
+      val w = 64 + (n % 577)                       // fake width
+      val h = 64 + ((n.toLong * 31) % 419).toInt   // fake height (no Int overflow)
       val frames = if (kind == "video") 1 + n % 120 else 1
       (w, h, frames)
     }

@@ -27,6 +27,12 @@ object Salting {
       buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // right/full would emit `buckets` copies of every unmatched
+    // replicated-side row — enforce the documented inner/left scope
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin is only correct for inner/left join types, got $joinType")
     val saltCol = "__salt"
     val salted = skewed.withColumn(saltCol,
       pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(buckets)).cast("int"))

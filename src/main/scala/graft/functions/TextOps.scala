@@ -56,7 +56,10 @@ object TextOps {
     * remains as the declarative cross-check used by the specs; this one
     * feeds the signature and verification hot loops). */
   def shingleSet(text: String): Array[String] = {
-    val tk = text.toLowerCase.split(" ", -1)
+    // Locale.ROOT: the HOF twin uses Spark's locale-independent lower();
+    // a tr_TR-default executor would otherwise shingle "TITLE" as "tıtle"
+    // and signatures would diverge machine-by-machine
+    val tk = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
     if (tk.length < 3) Array.empty
     else Array.tabulate(tk.length - 2)(i =>
       tk(i) + " " + tk(i + 1) + " " + tk(i + 2)).distinct
@@ -111,6 +114,10 @@ object TextOps {
     * raw tokens: shared-vocabulary corpora make whole-doc token sets
     * collide across unrelated documents. */
   def simhashBands(docs: DataFrame, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands): 0 divides by zero, >64 makes " +
+        "every signature 0 (corpus-wide bucket collision), non-divisors " +
+        "silently drop the top hash bits")
     val spark = docs.sparkSession
     import spark.implicits._
     val bitsPerBand = 64 / bands

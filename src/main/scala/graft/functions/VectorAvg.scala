@@ -27,6 +27,11 @@ object VectorAvg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
       while (i < a.length) { s(i) = a(i).toDouble; i += 1 }
       VecBuf(s, 1L)
     } else {
+      // ragged input must fail loudly: indexing by the first-seen length
+      // would crash obscurely on shorter rows and silently truncate
+      // longer ones (wrong centroid)
+      require(a.length == b.sums.length,
+        s"vector_avg: dimension mismatch (${a.length} vs ${b.sums.length})")
       var i = 0
       while (i < b.sums.length) { b.sums(i) += a(i).toDouble; i += 1 }
       VecBuf(b.sums, b.count + 1L)
@@ -37,6 +42,9 @@ object VectorAvg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
     if (x.count == 0L) y
     else if (y.count == 0L) x
     else {
+      require(x.sums.length == y.sums.length,
+        s"vector_avg: dimension mismatch across partitions " +
+          s"(${x.sums.length} vs ${y.sums.length})")
       var i = 0
       while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
       VecBuf(x.sums, x.count + y.count)

@@ -67,7 +67,8 @@ class DemoRunner(sql: LakeSql, db: String = "demo", table: String = "v2_mor_demo
     // verify_in_databricks.py:57-112 — all probes pass post-upgrade
     val afterUpgrade = verifier.verify(db, table)
     steps += DemoStep("strict-read-ok-after-upgrade", afterUpgrade.ok,
-      afterUpgrade.probes.map(p => s"${p.name}:ok").mkString(" | "))
+      afterUpgrade.probes.map(p => s"${p.name}:${if (p.ok) "ok" else p.detail}")
+        .mkString(" | "))
 
     // test_v3_mor_deletes.py:37-49 — v3 MoR delete, counts drop 7 → 6
     val before = count()

@@ -60,16 +60,24 @@ object StreamIngest {
     * id as a table property in the same atomic snapshot commit as the
     * data, and drops any batch at-or-below it. Append + property move
     * together, so a crash between them is impossible and replays converge
-    * to exactly-once. */
+    * to exactly-once.
+    *
+    * A missing target table must FAIL the batch, not ack it: a silent
+    * no-op would advance the streaming checkpoint and drop the
+    * micro-batch irrecoverably while the query reports healthy. */
+  private def targetTable(catalog: LakeCatalog, db: String, table: String) =
+    catalog.loadTable(db, table).getOrElse(throw new IllegalStateException(
+      s"streaming sink target $db.$table does not exist — failing the " +
+        "batch so the checkpoint does not advance past dropped data"))
+
   def commitBatch(catalog: LakeCatalog, db: String, table: String)(
       batch: DataFrame, batchId: Long): Unit =
     retryingCommit() {
-      catalog.loadTable(db, table).foreach { t =>
-        val alreadyCommitted =
-          t.meta.props.get(LastBatchProp).exists(_.toLong >= batchId)
-        if (!alreadyCommitted)
-          t.append(batch, Map(LastBatchProp -> batchId.toString))
-      }
+      val t = targetTable(catalog, db, table)
+      val alreadyCommitted =
+        t.meta.props.get(LastBatchProp).exists(_.toLong >= batchId)
+      if (!alreadyCommitted)
+        t.append(batch, Map(LastBatchProp -> batchId.toString))
     }
 
   /** Raw ingest: every micro-batch becomes one append snapshot on
@@ -120,15 +128,14 @@ object StreamIngest {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         retryingCommit() {
-          catalog.loadTable(db, table).foreach { t =>
-            t.merge(batch,
-              col("t.win_start") === col("s.win_start") &&
-                col("t.event_type") === col("s.event_type"),
-              Some(graft.lake.MergeMatched.Update(
-                Map("cnt" -> col("s.cnt")))),
-              insertNotMatched = true)
-          }
+          targetTable(catalog, db, table).merge(batch,
+            col("t.win_start") === col("s.win_start") &&
+              col("t.event_type") === col("s.event_type"),
+            Some(graft.lake.MergeMatched.Update(
+              Map("cnt" -> col("s.cnt")))),
+            insertNotMatched = true)
         }
+        ()
       }
       .start()
 
@@ -156,8 +163,9 @@ object StreamIngest {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         retryingCommit() {
-          catalog.loadTable(db, table).foreach(_.upsertByKey(batch, keyCols))
+          targetTable(catalog, db, table).upsertByKey(batch, keyCols)
         }
+        ()
       }
       .start()
 
@@ -185,6 +193,10 @@ object StreamIngest {
       // attribute without the event-time tag and fail the streaming check
       .select(col(keyCol).cast("string").as("k"),
         col(tsCol).cast("timestamp").as("ts"))
+      // null event times pass the watermark filter (they compare as
+      // neither late nor on-time) and would NPE in the state function
+      // forever — a permanent poison pill across restarts
+      .filter(col("k").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", s"$gapMinutes minutes")
       .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
