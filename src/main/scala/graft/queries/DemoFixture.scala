@@ -3,7 +3,6 @@ package graft.queries
 import java.nio.file.Files
 import java.sql.Timestamp
 import java.time.Instant
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -61,9 +60,9 @@ object DemoFixture {
       compacted: LakeTable,     // q05
       upgraded: LakeTable)      // q06
 
-  private val cache = new ConcurrentHashMap[SparkSession, States]()
+  private val cache = new SessionMemo[States]
 
-  def apply(spark: SparkSession): States = cache.computeIfAbsent(spark, build(_))
+  def apply(spark: SparkSession): States = cache(spark)(build)
 
   /** SQL statement list driving the same state machine through the
     * dispatcher — the reference's actual compatibility surface
@@ -133,10 +132,10 @@ object SqlDemoFixture {
 
   val TableName = "demo.v2_sql_demo"
 
-  private val cache = new ConcurrentHashMap[SparkSession, graft.lake.LakeSql]()
+  private val cache = new SessionMemo[graft.lake.LakeSql]
 
   def apply(spark: SparkSession): graft.lake.LakeSql =
-    cache.computeIfAbsent(spark, build(_))
+    cache(spark)(build)
 
   private def build(spark: SparkSession): graft.lake.LakeSql = {
     val wh = Files.createTempDirectory("graft-sqldemo-wh")

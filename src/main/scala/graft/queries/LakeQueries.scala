@@ -111,11 +111,10 @@ object LakeQueries {
   // (update matched amounts + insert the unmatched row) must land exactly
   // where DuckDB's equivalent UPDATE…FROM + INSERT replay lands.
   private val mergeFixture =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession, graft.lake.LakeTable]()
+    new SessionMemo[graft.lake.LakeTable]
 
   private def q48Table(s: org.apache.spark.sql.SparkSession): graft.lake.LakeTable =
-    mergeFixture.computeIfAbsent(s, { spark =>
+    mergeFixture(s) { spark =>
       import org.apache.spark.sql.Row
       val wh = java.nio.file.Files.createTempDirectory("graft-merge-wh")
       var now = DemoFixture.FixedTs.getTime
@@ -141,7 +140,7 @@ object LakeQueries {
         Some(graft.lake.MergeMatched.Update(
           Map("amount" -> org.apache.spark.sql.functions.col("s.amount")))),
         insertNotMatched = true)
-    })
+    }
 
   // Q49: INSERT OVERWRITE (SELECT body across tables) + TRUNCATE behind
   // the hash gate. DuckDB has neither statement, so the oracle replays
@@ -149,11 +148,10 @@ object LakeQueries {
   // plain tables; the engine route runs the real statements through the
   // dispatcher and must land byte-identical.
   private val owFixture =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession, graft.lake.LakeSql]()
+    new SessionMemo[graft.lake.LakeSql]
 
   private def q49Sql(s: org.apache.spark.sql.SparkSession): graft.lake.LakeSql =
-    owFixture.computeIfAbsent(s, { spark =>
+    owFixture(s) { spark =>
       val wh = java.nio.file.Files.createTempDirectory("graft-ow-wh")
       var now = DemoFixture.FixedTs.getTime
       val sql = new graft.lake.LakeSql(
@@ -179,7 +177,7 @@ object LakeQueries {
           "(12, 'Product L', 'toys', 5.25, TIMESTAMP '2026-01-01 00:00:00')"
       ).foreach(sql.run(_))
       sql
-    })
+    }
 
   /** DuckDB replay of the q49 fixture's overwrite/truncate decomposition
     * against plain per-query tables, ending in `fin`. Split into two
@@ -222,11 +220,10 @@ object LakeQueries {
   // position-delete writers), not the LakeSql dispatcher; the oracle
   // replays the same DELETE on a plain DuckDB table.
   private val ndFixture =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession, java.nio.file.Path]()
+    new SessionMemo[java.nio.file.Path]
 
   private def q52Wh(s: org.apache.spark.sql.SparkSession): java.nio.file.Path =
-    ndFixture.computeIfAbsent(s, { spark =>
+    ndFixture(s) { spark =>
       val wh = java.nio.file.Files.createTempDirectory("graft-nd-wh")
       var now = DemoFixture.FixedTs.getTime
       val sql = new graft.lake.LakeSql(
@@ -270,7 +267,7 @@ object LakeQueries {
           VALUES (s.id, 'Product Z', 'misc', s.amount,
             TIMESTAMP '2026-01-01 00:00:00')""")
       wh
-    })
+    }
 
   /** Shared runner: repoint the session at the fixture warehouse (another
     * fixture's LakeCatalog may have moved the conf since) and read one

@@ -43,7 +43,7 @@ object LlmQueries {
                    / len(list_distinct(a.sh || b.sh)) AS jac
                FROM s a JOIN s b ON a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, ROUND(jac, 4) AS jac FROM p
-       WHERE jac >= 0.8 ORDER BY doc_a, doc_b"""
+       WHERE NOT isnan(jac) AND jac >= 0.8 ORDER BY doc_a, doc_b"""
 
   /** candidates (doc_a < doc_b) → exact-Jaccard verify ≥ 0.8. Shingle
     * sets are built only for documents that appear in a candidate pair,
@@ -160,15 +160,17 @@ object LlmQueries {
     "q35_simhash_neardup",
     Some(DuckNearDup),
     (s, dir) => {
+      val simBands = 4
+      val bitsPerBand = 64 / simBands // probe count MUST track band width
       val exploded = TextOps.simhashBands(
-        t(s, dir, "documents").select("doc_id", "text"), 4)
-      // one pass emits the exact row (ex=1) plus the 16 single-bit probe
-      // variants (ex=0); a pair is a candidate when some bucket holds one
-      // doc's exact signature and the other's exact-or-probe — i.e. some
-      // band differs by ≤ 1 bit
+        t(s, dir, "documents").select("doc_id", "text"), simBands)
+      // one pass emits the exact row (ex=1) plus one single-bit probe
+      // variant per band bit (ex=0); a pair is a candidate when some
+      // bucket holds one doc's exact signature and the other's
+      // exact-or-probe — i.e. some band differs by ≤ 1 bit
       val tagged = exploded.select(col("doc_id"), col("band"),
         explode(array(struct(col("sig").as("sig"), lit(1).as("ex")) +:
-          (0 until 16).map(j => struct(
+          (0 until bitsPerBand).map(j => struct(
             col("sig").bitwiseXOR(lit(1L << j)).as("sig"), lit(0).as("ex"))): _*)).as("p"))
         .select(col("doc_id"), col("band"), col("p.sig").as("sig"), col("p.ex").as("ex"))
       val cand = tagged.groupBy("band", "sig")
@@ -242,19 +244,24 @@ object LlmQueries {
     import s.implicits._
     // `docs` arrives checkpointed (q56) or tiny (tests): deriving the
     // hash view twice (df count + prefix pass) is a cheap re-transform,
-    // not a re-shingle
+    // not a re-shingle. k stays the STRING shingle count — a hash
+    // collision can shrink the class array, and filters computed from
+    // the class count could then prune a true pair; with string-k the
+    // prefix length and both in-bucket filters are never tighter than
+    // the exact string-side PPJoin bounds (merges within a doc only
+    // make class positions smaller), so collisions still only ADD
+    // candidates and losslessness is exact, not just whp.
     val hashed = docs.filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("sh")).as("k"),
         array_distinct(transform(col("sh"), x => xxhash64(x))).as("hs"))
     val dfHead = hashed.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= DfFloor)
       .select(col("h"), col("df")).as[(Long, Long)].collect().toMap
     val bDf = s.sparkContext.broadcast(dfHead)
-    hashed.as[(Long, Seq[Long])]
-      .flatMap { case (id, hs) =>
+    hashed.as[(Long, Int, Seq[Long])]
+      .flatMap { case (id, k, hs) =>
         val dfOf = bDf.value
-        val k = hs.length
         val pLen = k - math.ceil(k * 0.8).toInt + 1
         hs.sortBy(h => (dfOf.getOrElse(h, 0L), h)).take(pLen).zipWithIndex
           .map { case (h, pos) => (h, id, k, pos) }
@@ -291,6 +298,18 @@ object LlmQueries {
   }
 
   // ------------------------------------- q36 embedding top pair per label
+  /** Label-blocked embedding pairs with the codegen'd cosine — the ONE
+    * pair-generation both q36 (top-1 per label) and q46 (threshold
+    * filter) consume, so their oracle-paired plans stay provably
+    * identical. */
+  private def labelPairs(e: DataFrame): DataFrame =
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+
   val q36 = QueryDef(
     "q36_embedding_top_pair",
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -302,18 +321,13 @@ object LlmQueries {
             SELECT label, vec_a, vec_b, ROUND(sim, 4) AS sim
             FROM r WHERE rn = 1 ORDER BY label"""),
     (s, dir) => {
-      val e = t(s, dir, "embeddings").select("label", "vec_id", "embedding")
       // fully declarative: the codegen'd CosineSimilarity expression runs
       // the fused dot/norms loop inside whole-stage codegen right on the
       // blocked join output — same sequential double accumulation as
       // DuckDB's list_cosine_similarity, so the raw doubles (and the
       // top-1 selection on them) agree bit-for-bit
-      val pairs = e.as("a")
-        .join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.label").as("label"),
-          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+      val pairs = labelPairs(
+        t(s, dir, "embeddings").select("label", "vec_id", "embedding"))
       val w = Window.partitionBy("label")
         .orderBy(col("sim_raw").desc, col("vec_a"), col("vec_b"))
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -701,12 +715,7 @@ object LlmQueries {
             SELECT label, vec_a, vec_b, ROUND(sim, 4) AS sim
             FROM p WHERE sim >= 0.35 ORDER BY label, vec_a, vec_b"""),
     (s, dir) => {
-      val e = t(s, dir, "embeddings").select("label", "vec_id", "embedding")
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.label").as("label"),
-          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+      labelPairs(t(s, dir, "embeddings").select("label", "vec_id", "embedding"))
         .filter(col("sim_raw") >= 0.35)
         .select(col("label"), col("vec_a"), col("vec_b"),
           round(col("sim_raw"), 4).as("sim"))
@@ -740,8 +749,13 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), col("text"),
           size(TextOps.tokens(col("text"))).as("n_tokens"))
         .filter(col("n_tokens") >= 5)
+      // two INDEPENDENT inputs for ~128-bit keys: xxhash64(text, 1) and
+      // xxhash64(text, 2) chain the same 64-bit state (the literal is
+      // folded into the running hash), so any XXH64(text) collision
+      // collides BOTH — reverse(text) breaks the dependence, same trick
+      // as RelQueries.dedupHashKeyed
       val w = Window
-        .partitionBy(xxhash64(col("text"), lit(1)), xxhash64(col("text"), lit(2)))
+        .partitionBy(xxhash64(col("text")), xxhash64(reverse(col("text"))))
         .orderBy(col("doc_id"))
       base.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .groupBy("lang")
