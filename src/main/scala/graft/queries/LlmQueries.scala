@@ -722,6 +722,50 @@ object LlmQueries {
         .orderBy("label", "vec_a", "vec_b")
     })
 
+  // ------------------ q57 benchmark contamination (train/test overlap)
+  // The decontamination step of a training pipeline: score each training
+  // document by the fraction of its 3-gram shingles that appear ANYWHERE
+  // in a held-out benchmark corpus (here the deterministic doc_id % 10
+  // slice), and flag docs above 50% containment. Distinct from dedup:
+  // containment is asymmetric (a training doc embedding one benchmark
+  // item among other text still flags) and the reference set is a
+  // different corpus, not the doc's own. Plan shape: one shuffle builds
+  // the distinct benchmark shingle set, candidates explode to postings
+  // and equi-join it (broadcast or shuffle by size — never a cross
+  // product), then a per-doc aggregate forms the integer-ratio fraction
+  // both engines compute identically. 100 TB: the benchmark side is the
+  // small one by construction (held-out sets are ≪ training corpora);
+  // a bloom filter over its shingles is the documented pre-join trim.
+  val q57 = QueryDef(
+    "q57_contamination",
+    Some(DuckShingles +
+      """, bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 0),
+         cand AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 0),
+         m AS (SELECT c.doc_id, COUNT(*) AS total, COUNT(b.g) AS hit
+               FROM cand c LEFT JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+         SELECT doc_id, ROUND(hit::DOUBLE / total, 4) AS contamination
+         FROM m WHERE hit::DOUBLE / total >= 0.5 ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val shingled = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
+        .toDF("doc_id", "sh")
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(true) // both sides of the split read it
+      val bench = shingled.filter(col("doc_id") % 10 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      val cand = shingled.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      cand.join(bench.withColumn("hit", lit(1)), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total"), count(col("hit")).as("hit"))
+        .filter(col("hit").cast("double") / col("total") >= 0.5)
+        .select(col("doc_id"),
+          round(col("hit").cast("double") / col("total"), 4).as("contamination"))
+        .orderBy("doc_id")
+    })
+
   // ------------------- q55 composite training-data pipeline (north star)
   /** The canonical pre-training cleanup arc as ONE declarative plan:
     * quality gate (token-count floor) → exact dedup keeping the earliest
@@ -766,5 +810,5 @@ object LlmQueries {
     })
 
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q46, q47, q55, q56)
+    q42, q43, q44, q46, q47, q55, q56, q57)
 }
