@@ -45,16 +45,23 @@ class LakeSql(val catalog: LakeCatalog) {
     * statement. Dropped when run() returns: spark.sql analyzes eagerly,
     * so the statement's own plan stays resolved — but a LEFTOVER view
     * would let a later caller name it directly, bypassing the SELECT
-    * grants check and reading the stale snapshot it was built from. */
-  private val createdViews = scala.collection.mutable.ListBuffer.empty[String]
+    * grants check and reading the stale snapshot it was built from.
+    * Thread-local (ADVICE r6): two threads run()-ing on one instance must
+    * not have thread A's cleanup drop the view thread B just registered
+    * but hasn't analyzed yet. (The view NAMES are still session-global —
+    * deterministic `db__t` — so concurrent statements over the same table
+    * race on view contents exactly as they did pre-cleanup; same-snapshot
+    * contents make that race benign.) */
+  private val createdViews: ThreadLocal[scala.collection.mutable.ListBuffer[String]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.ListBuffer.empty[String])
 
   def run(sql: String, principal: Option[String] = None): DataFrame = {
     val s = sql.trim.stripSuffix(";").trim
     val up = s.toUpperCase
     try dispatch(s, up, principal)
     finally {
-      createdViews.foreach(v => catalog.spark.catalog.dropTempView(v))
-      createdViews.clear()
+      createdViews.get().foreach(v => catalog.spark.catalog.dropTempView(v))
+      createdViews.get().clear()
     }
   }
 
@@ -426,7 +433,7 @@ class LakeSql(val catalog: LakeCatalog) {
           requirePerm(p, db, name, "SELECT")
           val view = s"${db}__${name}__$suffix"
           make(load(db, name)).createOrReplaceTempView(view)
-          createdViews += view;
+          createdViews.get() += view;
           rewritten = mapOutsideQuotes(rewritten, seg => mre.replaceAllIn(seg, view))
         }
       }
@@ -442,7 +449,7 @@ class LakeSql(val catalog: LakeCatalog) {
         val snapId = t.snapshotIdAsOf(parseTsLiteral(s"TIMESTAMP '${m.group(1)}'"))
         val view = s"${db}__${name}__t$snapId"
         t.readSnapshot(snapId).createOrReplaceTempView(view)
-          createdViews += view;
+          createdViews.get() += view;
         view
       })
       // `db.t VERSION AS OF <id>` → a view over that snapshot's scan
@@ -453,7 +460,7 @@ class LakeSql(val catalog: LakeCatalog) {
           val snapId = m.group(1).toLong
           val view = s"${db}__${name}__v$snapId"
           load(db, name).readSnapshot(snapId).createOrReplaceTempView(view)
-          createdViews += view;
+          createdViews.get() += view;
           view
         }))
       val re = (base + "(?!\\w)").r
@@ -461,7 +468,7 @@ class LakeSql(val catalog: LakeCatalog) {
         requirePerm(p, db, name, "SELECT")
         val view = s"${db}__$name"
         load(db, name).read().createOrReplaceTempView(view)
-          createdViews += view;
+          createdViews.get() += view;
         rewritten = mapOutsideQuotes(rewritten, seg => re.replaceAllIn(seg, view))
       }
     }

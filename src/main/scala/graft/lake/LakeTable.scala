@@ -391,9 +391,14 @@ class LakeTable(
     new LakeTable(spark, location, m, clock,
       loadedVersion.map(_ + 1).orElse(Meta.currentVersion(location)))
 
-  /** Fresh handle at the table's current on-disk state (same clock) —
-    * deferred-execution writers (DSv2) reload at execution time so their
-    * commit CAS-es against the version current *then*, not at analysis. */
+  /** Fresh handle at the table's current on-disk state (same clock).
+    * NOTE (r6): DSv2 row-level writers deliberately do NOT reload before
+    * committing — they commit through the analysis-time handle, so a
+    * table that advanced between analysis and execution surfaces
+    * [[CommitConflictException]] instead of silently applying position
+    * deletes computed against row positions that no longer exist
+    * (LakeRowLevelOps commit path). reloaded() is for callers that WANT
+    * latest-state semantics: catalog lookups, retry loops, maintenance. */
   def reloaded(): LakeTable =
     new LakeTable(spark, location,
       Meta.load(location).getOrElse(
@@ -769,8 +774,19 @@ class LakeTable(
     * last-committer-wins per key, which IS upsert semantics. Re-applying
     * the same batch converges by value too (the redelivered delete hides
     * the first copy), so streaming redelivery needs no batch-id gate.
-    * Caller contract: at most one row per key per batch. */
+    * Caller contract: at most one row per key per batch.
+    *
+    * MoR-only (ADVICE r6): the whole point of the operation is the minted
+    * equality-delete file, and a copy-on-write table must never carry
+    * delete files — they break the strict v2 readers CoW mode exists for
+    * (same contract merge() enforces on its CoW branch). */
   def upsertByKey(rows: DataFrame, keyCols: Seq[String]): LakeTable = {
+    if (!isMorDelete)
+      throw new IllegalStateException(
+        s"upsertByKey on ${meta.name}: equality-delete upserts require " +
+          "write.delete.mode=merge-on-read (a copy-on-write table must not " +
+          "carry delete files — strict v2 readers reject them); set the " +
+          "property or use merge() for copy-on-write upserts")
     require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
       s"upsert keys must be schema columns: $keyCols")
     val written0 = writeDataFiles(rows, 0L, 0L) // stamps re-based per attempt

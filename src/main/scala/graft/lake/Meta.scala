@@ -235,15 +235,19 @@ object Meta {
     })
     val headersOnly = withManifests.copy(snapshots =
       withManifests.snapshots.map(_.copy(dataFiles = Nil, deleteFiles = Nil)))
-    // CREATE_NEW makes the filesystem the single-winner arbiter: a racer
-    // that lost the version slot fails atomically here (TOCTOU-free),
-    // surfaces as the retryable conflict class, and never clobbers the
-    // winner's metadata — the lost-update hole a plain overwrite leaves
-    // between the exists/expectedVersion checks and the write
-    try Files.write(target, toJson(headersOnly).getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
+    // Publish via write-to-tmp + hard-link: the link creation is the
+    // single-winner arbiter (atomic, fails if the version slot is taken —
+    // same TOCTOU-free arbitration CREATE_NEW gave), AND the version file
+    // can never be observed partially written: a writer dying mid-write
+    // tears only its private tmp file, never vN+1, so adoptOrphans can
+    // trust any version file it finds (ADVICE r6: a torn CREATE_NEW write
+    // + adoption would brick the table on JSON parse).
+    val mtmp = dir.resolve(s".v$next-${java.util.UUID.randomUUID()}.tmp")
+    Files.write(mtmp, toJson(headersOnly).getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(target, mtmp)
     catch {
       case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(mtmp)
         // the loser's freshly written manifests would otherwise orphan
         freshManifests.foreach { mp =>
           manifestCache.remove(mp.toString); Files.deleteIfExists(mp)
@@ -253,6 +257,7 @@ object Meta {
           s"concurrent commit detected: metadata v$next was written by " +
             "another writer during this commit — reload the table and retry")
     }
+    Files.deleteIfExists(mtmp)
     val tmp = dir.resolve(s".version-hint.$next.tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, hintFile(tableLocation), StandardCopyOption.ATOMIC_MOVE,
@@ -260,18 +265,26 @@ object Meta {
     withManifests
   }
 
-  /** Recovery from a writer that died between the CREATE_NEW metadata
-    * write and the hint move: the vN+1 file exists durably but the hint
-    * still names vN, so every later commit computes next = N+1, finds
-    * the orphan, and conflicts forever — a bricked table. Both conflict
-    * paths call this to advance the hint to the highest existing
+  /** Recovery from a writer that died between publishing the metadata
+    * version file and the hint move: the vN+1 file exists durably but the
+    * hint still names vN, so every later commit computes next = N+1,
+    * finds the orphan, and conflicts forever — a bricked table. Both
+    * conflict paths call this to advance the hint to the highest existing
     * version file; the dead writer's commit becomes current (it WAS
     * durably written — this is write-ahead recovery, not data
     * invention), the thrower's reload-retry then lands on top. Racing a
     * LIVE writer about to move its own hint is safe: both move to the
     * same value, and a rare interleaving that briefly regresses the
     * hint self-heals on the next commit attempt (which finds the newer
-    * orphan and re-advances). */
+    * orphan and re-advances).
+    *
+    * Adoption is parse-gated (ADVICE r6 medium): the candidate must round
+    * -trip through [[fromJson]] before the hint moves. Our own writer can
+    * no longer leave a torn version file (commit publishes via hard-link
+    * from a fully-written tmp), but an external or pre-fix writer could;
+    * adopting garbage would flip a conflict-forever table (reads at vN
+    * still fine) into a nothing-works table (every load parse-fails).
+    * Unparseable latest ⇒ skip adoption, keep throwing the conflict. */
   private def adoptOrphans(tableLocation: Path): Unit = {
     val dir = metadataDir(tableLocation)
     val VFile = """v(\d+)\.metadata\.json""".r
@@ -290,10 +303,28 @@ object Meta {
       } finally s.close()
     }
     if (currentVersion(tableLocation).getOrElse(0) < latest) {
-      val tmp = dir.resolve(s".version-hint.adopt.$latest.tmp")
-      Files.write(tmp, latest.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, hintFile(tableLocation), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      val parses = try {
+        fromJson(new String(Files.readAllBytes(
+          versionFile(tableLocation, latest)), StandardCharsets.UTF_8))
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+      if (parses) {
+        // Unique tmp per adopter: concurrent losers adopting the same
+        // version must not share a tmp path (the slower one's move would
+        // throw NoSuchFileException — a non-conflict exception escaping a
+        // retry loop, ADVICE r6). And if the move itself still fails,
+        // degrade to no-op: another adopter advancing the hint already
+        // achieved the goal.
+        val tmp = dir.resolve(
+          s".version-hint.adopt.${java.util.UUID.randomUUID()}.tmp")
+        try {
+          Files.write(tmp, latest.toString.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, hintFile(tableLocation),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        } catch {
+          case scala.util.control.NonFatal(_) => Files.deleteIfExists(tmp)
+        }
+      }
     }
   }
 

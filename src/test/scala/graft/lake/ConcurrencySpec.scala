@@ -178,7 +178,14 @@ class ConcurrencySpec extends SparkSpec {
               m => m.filterNot(r => rows.exists(_._1 == r._1)) ++ rows)
         }
 
-      for (((hi, op), step) <- script(42L + trial, 14).zipWithIndex) {
+      for (((hi, rawOp), step) <- script(42L + trial, 14).zipWithIndex) {
+        // equality upserts are MoR-only (CoW tables must not carry delete
+        // files); on CoW trials the generated Upsert becomes the append it
+        // would otherwise start with, keeping the script's commit cadence
+        val op = rawOp match {
+          case Upsert(p, n, a) if !mor => Append(n, p % 3, a)
+          case o => o
+        }
         val before = diskV
         val fresh = handleV(hi) == before
         if (fresh) {

@@ -145,8 +145,18 @@ class DmlModelSpec extends SparkSpec {
             }.distinct
             val srcRows = srcIds.map(id =>
               (id, cats(rnd.nextInt(3)), (rnd.nextInt(1000) + 1).toDouble))
-            table = table.upsertByKey(toDf(srcRows), Seq("id"))
-            model = model.filterNot(r => srcIds.contains(r._1)) ++ srcRows
+            if (mor) {
+              table = table.upsertByKey(toDf(srcRows), Seq("id"))
+              model = model.filterNot(r => srcIds.contains(r._1)) ++ srcRows
+            } else {
+              // CoW tables must never mint delete files: the guard throws
+              // and the table is untouched (model unchanged). The rnd
+              // draws above still happen, keeping the trial's op sequence
+              // identical to the MoR twin's.
+              intercept[IllegalStateException] {
+                table.upsertByKey(toDf(srcRows), Seq("id"))
+              }
+            }
         }
         assert(observed(table) == model.sorted,
           s"trial=$trial mor=$mor step=$step: table != model")

@@ -216,6 +216,36 @@ class LakeTableSpec extends SparkSpec {
     assert(Meta.currentVersion(loc).get == v + 2)
   }
 
+  test("a TORN orphan version file is never adopted (reads keep working)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "torn", schema).append(df((1, "a", 1.0)))
+    val loc = t.location
+    val v = Meta.currentVersion(loc).get
+    // a writer (external/pre-fix) died mid-write: vN+1 is truncated JSON.
+    // Adopting it would flip a conflict (reads at vN fine) into a table
+    // where every load parse-fails — adoption must be parse-gated.
+    java.nio.file.Files.write(
+      Meta.metadataDir(loc).resolve(s"v${v + 1}.metadata.json"),
+      """{"name": "db.torn", "tableType": "LA""".getBytes("UTF-8"))
+    val ex = intercept[CommitConflictException] {
+      t.reloaded().append(df((2, "b", 2.0)))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(Meta.currentVersion(loc).get == v, "hint must not move to garbage")
+    assert(t.reloaded().read().count() == 1, "reads at vN must keep working")
+  }
+
+  test("upsertByKey is refused on a copy-on-write table") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "cowup", schema) // CoW by default
+      .append(df((1, "a", 1.0)))
+    val ex = intercept[IllegalStateException] {
+      t.upsertByKey(df((1, "a", 2.0)), Seq("id"))
+    }
+    assert(ex.getMessage.contains("merge-on-read"))
+    assert(t.reloaded().deleteFiles.isEmpty)
+  }
+
   test("upsertByKey: one commit, no target read, converges on redelivery") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t0 = cat.createTable("db", "ups", schema, props = morProps)
