@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.slf4j.LoggerFactory
+
+/** Surfaces `observe()`d dataset metrics on the engine's recall-loss
+  * guards (the near-dup bucket caps, LlmQueries.bucketPairs): any
+  * observed metric field named `dropped_*` with a nonzero value is
+  * WARN-logged with its metric name, so capped recall loss is visible in
+  * driver logs instead of silent (VERDICT r6 "No silent caps"). The
+  * metrics also flow on the standard observed-metrics channel for any
+  * user-registered QueryExecutionListener — this listener is just the
+  * engine's default consumer.
+  *
+  * Registration is idempotent per session (weak set: sessions are not
+  * pinned). */
+object MetricsWarn {
+  private val log = LoggerFactory.getLogger(getClass)
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  def ensure(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(
+            funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            row.schema.fieldNames.filter(_.startsWith("dropped_")).foreach { f =>
+              val v = row.getAs[Any](f) match {
+                case n: java.lang.Number => n.longValue
+                case _ => 0L
+              }
+              if (v > 0)
+                log.warn(s"$name: $f = $v — capped recall loss; " +
+                  "candidate pairs from these buckets were not generated")
+            }
+          }
+        override def onFailure(
+            funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+      })
+    }
+}

@@ -73,6 +73,7 @@ object LlmQueries {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
     exactJaccard(s, docsSh.join(broadcast(ids), "doc_id"), cand)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact string-shingle Jaccard ≥ 0.8 over candidate pairs; compiled
@@ -93,8 +94,9 @@ object LlmQueries {
       }
       .toDF("doc_a", "doc_b", "jac_raw")
       .filter(col("jac_raw") >= 0.8)
+      // unsorted: q34/q35 expand over dup classes first and sort LAST
+      // (expandVerified); q56's wrapper adds its own final orderBy
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
-      .orderBy("doc_a", "doc_b")
   }
 
   // -------------------------------------------------------- q33 tokenizer
@@ -118,27 +120,99 @@ object LlmQueries {
   // ~0.99) while background same-vocabulary pairs (s ≪ 0.1) almost never
   // collide. 2-row bands let ~22k of 12.5M sf0.1 pairs through to the
   // exact verify; 4-row bands cut that to ≈ the true pairs.
+  // Banding runs over exact-duplicate CLASS REPRESENTATIVES (VERDICT r6
+  // #4): a corpus with any number of byte-identical copies bands each
+  // text once, so identical-heavy corpora can no longer blow the bucket
+  // cap; the collapsed pairs are reconstructed losslessly afterwards.
   val q34 = QueryDef(
     "q34_minhash_neardup",
     Some(DuckNearDup),
     (s, dir) => {
-      val bands = TextOps.minhashBands(
-        t(s, dir, "documents").select("doc_id", "text"), 32, 4)
-      verifyCandidates(s, dir, bucketPairs(bands))
+      graft.MetricsWarn.ensure(s)
+      val (reps, members, within) =
+        collapseExactDups(s, t(s, dir, "documents").select("doc_id", "text"))
+      val bands = TextOps.minhashBands(reps, 32, 4)
+      val verified =
+        verifyCandidates(s, dir, bucketPairs(bands, "q34_lsh_buckets"))
+      expandVerified(verified, members, within)
     })
+
+  /** Exact-duplicate pre-collapse feeding both banding paths. Returns
+    * (reps, members, within):
+    *  - reps: one (doc_id, text) per distinct text — doc_id is the class
+    *    minimum, the only id that gets banded;
+    *  - members: (rep, doc_id) class membership, for pair re-expansion;
+    *  - within: (doc_a, doc_b, jac=1.0) — every intra-class pair of a
+    *    multi-member class whose shingle set is nonempty (two identical
+    *    nonempty texts have Jaccard exactly 1; empty-shingle classes are
+    *    0/0 = NaN in the oracle and must not be emitted).
+    * Text identity is the 128-bit (xxhash64(text), xxhash64(reverse))
+    * key (q55's key): a collision would need BOTH hashes to agree on
+    * different texts — whp impossible, and the probabilistic banding
+    * paths already accept whp guarantees. Within-pair emission is
+    * O(Σ m_c²) = exactly the output rows the oracle demands for those
+    * classes — output-sized, not avoidable. */
+  private[queries] def collapseExactDups(
+      s: SparkSession, docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val classes = docs
+      .groupBy(xxhash64(col("text")).as("h1"),
+        xxhash64(reverse(col("text"))).as("h2"))
+      // identical texts make first() deterministic by value
+      .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("rep"), col("text"), col("ids"))
+      .localCheckpoint(true) // consumed by reps, members AND within
+    val reps = classes.select(col("rep").as("doc_id"), col("text"))
+    val members = classes.select(col("rep"), explode(col("ids")).as("doc_id"))
+    val within = classes.filter(size(col("ids")) > 1)
+      .select(col("text"), col("ids")).as[(String, Seq[Long])]
+      .flatMap { case (text, ids) =>
+        if (TextOps.shingleSet(text).isEmpty) Iterator.empty
+        else ids.indices.iterator.flatMap(i =>
+          (i + 1 until ids.size).map(j => (ids(i), ids(j), 1.0)))
+      }
+      .toDF("doc_a", "doc_b", "jac")
+    (reps, members, within)
+  }
+
+  /** Lossless inverse of [[collapseExactDups]]: verified representative
+    * pairs fan out across both classes (jac is text-determined, so every
+    * member pair inherits the representative pair's value verbatim — no
+    * re-verify), then the intra-class jac-1 pairs union in. Classes are
+    * disjoint, so the fan-out is duplicate-free by construction. */
+  private def expandVerified(
+      verified: DataFrame, members: DataFrame, within: DataFrame): DataFrame =
+    verified
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jac"))
+      .unionByName(within)
+      .orderBy("doc_a", "doc_b")
 
   /** Candidate pairs from bucket collisions in a single pass: collect
     * each (band, sig) bucket's member list and emit its pairs directly —
     * no self-join, so the signature stage runs exactly once. Degenerate
     * buckets are capped (a pathological signature shared corpus-wide
-    * would otherwise regenerate the quadratic pair space). The result is
-    * local-checkpointed because the verify stage consumes it three times
-    * (two id projections + the pair join) and candidate lists are tiny
-    * relative to the corpus. */
-  private def bucketPairs(bands: DataFrame): DataFrame =
+    * would otherwise regenerate the quadratic pair space) — and the cap
+    * is OBSERVABLE, not silent (VERDICT r6 #4): `observe` counts dropped
+    * buckets inside the same execution (no second pass, codegen intact)
+    * and surfaces them as the named metric on the standard
+    * QueryExecutionListener channel; [[graft.MetricsWarn]] installs a
+    * listener that WARNs when the count is nonzero. With the exact-dup
+    * pre-collapse upstream, overflowing the cap needs > cap DISTINCT
+    * texts sharing a band signature. The result is local-checkpointed
+    * because the verify stage consumes it three times (two id
+    * projections + the pair join) and candidate lists are tiny relative
+    * to the corpus. */
+  private def bucketPairs(bands: DataFrame, metricName: String): DataFrame =
     bands.groupBy("band", "sig")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 1000))
+      .observe(metricName,
+        sum(when(size(col("ids")) > BucketCap, 1).otherwise(0))
+          .as("dropped_buckets"))
+      .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(" +
           "slice(ids, i + 2, size(ids) - i - 1), " +
@@ -146,6 +220,10 @@ object LlmQueries {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .localCheckpoint(true)
+
+  /** Pair-space guard for degenerate buckets: larger buckets are dropped
+    * from candidate generation (and counted — see [[bucketPairs]]). */
+  private val BucketCap = 1000
 
   // ------------------------------------------------ q35 SimHash near-dup
   // 64-bit SimHash, 4 bands × 16 bits, single-bit multiprobe. Band width
@@ -160,10 +238,12 @@ object LlmQueries {
     "q35_simhash_neardup",
     Some(DuckNearDup),
     (s, dir) => {
+      graft.MetricsWarn.ensure(s)
       val simBands = 4
       val bitsPerBand = 64 / simBands // probe count MUST track band width
-      val exploded = TextOps.simhashBands(
-        t(s, dir, "documents").select("doc_id", "text"), simBands)
+      val (reps, members, within) =
+        collapseExactDups(s, t(s, dir, "documents").select("doc_id", "text"))
+      val exploded = TextOps.simhashBands(reps, simBands)
       // one pass emits the exact row (ex=1) plus one single-bit probe
       // variant per band bit (ex=0); a pair is a candidate when some
       // bucket holds one doc's exact signature and the other's
@@ -175,7 +255,10 @@ object LlmQueries {
         .select(col("doc_id"), col("band"), col("p.sig").as("sig"), col("p.ex").as("ex"))
       val cand = tagged.groupBy("band", "sig")
         .agg(collect_list(struct(col("doc_id"), col("ex"))).as("ms"))
-        .filter(size(col("ms")).between(2, 1000) && expr("exists(ms, m -> m.ex = 1)"))
+        .observe("q35_simhash_buckets",
+          sum(when(size(col("ms")) > BucketCap, 1).otherwise(0))
+            .as("dropped_buckets"))
+        .filter(size(col("ms")).between(2, BucketCap) && expr("exists(ms, m -> m.ex = 1)"))
         .select(explode(expr(
           "flatten(transform(filter(ms, y -> y.ex = 1), " +
             "y -> transform(ms, x -> struct(" +
@@ -185,7 +268,7 @@ object LlmQueries {
         .filter(col("doc_a") < col("doc_b"))
         .distinct()
         .localCheckpoint(true)
-      verifyCandidates(s, dir, cand)
+      expandVerified(verifyCandidates(s, dir, cand), members, within)
     })
 
   // ------------------------------- q56 n-gram Jaccard via prefix filtering
@@ -226,20 +309,36 @@ object LlmQueries {
     * NearDupPropertySpec).
     *
     * The global order is (df, hash), with df known exactly for every
-    * class appearing in ≥ [[DfFloor]] documents (a broadcast map of the
-    * Zipf head, ≤ totalShingles/DfFloor entries — raise DfFloor with
-    * corpus size) and treated as 0 below the floor. Ordering classes
-    * with unknown-but-small df among themselves by hash is still a
-    * consistent corpus-global total order, so losslessness holds — and
-    * every below-floor bucket has < DfFloor members by construction, a
-    * hard skew bound. Plan shape: one checkpointed pass hashes the
-    * corpus, one aggregate builds the df head, prefixes are selected
+    * class in the df HEAD — the top [[DfHeadMax]] classes by document
+    * frequency among those appearing in ≥ [[DfFloor]] documents — and
+    * treated as 0 outside it. The head is a driver-collected broadcast
+    * map whose size is CONSTANT-bounded at DfHeadMax entries (≈ 16 MB of
+    * (Long, Long) at the default 2²⁰), corpus-INDEPENDENT (VERDICT r6
+    * #1: the previous floor-only head grew ∝ totalShingles/DfFloor —
+    * a driver OOM at 100 TB). Losslessness survives any head choice:
+    * every doc orders classes by the same broadcast (df-or-0, hash)
+    * key, which is a consistent corpus-global total order whatever df
+    * values it contains — the prefix pigeonhole argument only needs
+    * consistency, not accuracy. Rare-first QUALITY also survives: the
+    * classes the cap evicts are the LOWEST-df members of the head, i.e.
+    * the ones closest to the df≈0 treatment they fall back to. Skew
+    * bound: a bucket's size ≤ its class's true df ≤ max(DfFloor, the
+    * head's smallest df) for any class ranked outside the head — with a
+    * Zipf corpus the 2²⁰-th df is small, so posting buckets stay narrow.
+    * Plan shape: one checkpointed pass hashes the corpus, one aggregate
+    * + TakeOrdered builds the head (no full sort — orderBy.limit
+    * compiles to TakeOrderedAndProject), prefixes are selected
     * doc-locally against the broadcast, and the only remaining corpus
     * shuffle is the bucket group over ~20% of postings. No df join, no
     * per-doc window. */
   private val DfFloor = 8
+  private val DfHeadMax = 1 << 20
 
-  private[queries] def prefixCandidates(docs: DataFrame): DataFrame = {
+  private[queries] def prefixCandidates(
+      docs: DataFrame,
+      // overridable so the property suite can prove losslessness under a
+      // pathologically tiny head (every class evicted to the df≈0 tail)
+      headMax: Int = DfHeadMax): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // `docs` arrives checkpointed (q56) or tiny (tests): deriving the
@@ -257,6 +356,9 @@ object LlmQueries {
     val dfHead = hashed.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= DfFloor)
+      // hash tiebreak makes the head deterministic when dfs tie at the cut
+      .orderBy(desc("df"), col("h"))
+      .limit(headMax)
       .select(col("h"), col("df")).as[(Long, Long)].collect().toMap
     val bDf = s.sparkContext.broadcast(dfHead)
     hashed.as[(Long, Int, Seq[Long])]

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, rng}
 
 import graft.SparkSpec
@@ -74,6 +75,73 @@ class NearDupPropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(truth.subsetOf(cand),
         s"seed $seed: prefix filter lost ${truth -- cand} of ${truth.size} true pairs")
+      // The df head is capped corpus-independently at scale (VERDICT r6
+      // #1); losslessness must survive ANY head choice. headMax = 1 is
+      // the pathological extreme: all but one class fall back to the
+      // df≈0 hash-ordered tail, exactly what a 100 TB corpus's tail
+      // classes see.
+      val candTinyHead = LlmQueries.prefixCandidates(docsSh, headMax = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.subsetOf(candTinyHead),
+        s"seed $seed: capped df-head lost ${truth -- candTinyHead} true pairs")
     }
+  }
+
+  test("banding paths survive >1000 identical documents " +
+    "(exact-dup pre-collapse; dropped-bucket metric stays 0)") {
+    import spark.implicits._
+    // 1100 byte-identical copies would share every band signature: without
+    // the exact-dup pre-collapse the 1000-member bucket cap silently drops
+    // ALL of this corpus's pairs (VERDICT r6 #4). With it, the text bands
+    // once and the 1100·1099/2 intra-class pairs are reconstructed.
+    val nCopies = 1100
+    val base = (0 until 12).map(i => s"tok$i").mkString(" ")
+    val copies = (0L until nCopies.toLong).map(i => (i, base))
+    // a near-dup pair across DIFFERENT texts must still flow through the
+    // banding + verify path: 100 tokens, last mutated — 97 shared of 101
+    // distinct shingles, jac ≈ 0.9604 ≥ 0.8
+    val nd1 = (5000L, (0 until 100).map(i => s"w$i").mkString(" "))
+    val nd2 = (5001L, ((0 until 99).map(i => s"w$i") :+ "wx").mkString(" "))
+    val corpus = copies :+ nd1 :+ nd2
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-big")
+    corpus.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    // capture the observed dropped-bucket metrics for this run
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.endsWith("_buckets"))
+            seen.merge(name, row.getAs[Long]("dropped_buckets"), Math.max(_, _))
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val expectedWithin = nCopies.toLong * (nCopies - 1) / 2
+      for (q <- Seq(LlmQueries.q34, LlmQueries.q35)) {
+        val out = q.run(spark, dir.toString)
+        val n = out.count()
+        assert(n == expectedWithin + 1,
+          s"${q.name}: got $n pairs, want $expectedWithin identical + 1 near-dup")
+        assert(out.filter(col("doc_a") === 5000L && col("doc_b") === 5001L)
+          .head().getDouble(2) > 0.8, s"${q.name}: near-dup pair lost")
+        assert(out.filter(col("jac") === 1.0).count() == expectedWithin,
+          s"${q.name}: intra-class pairs must all carry jac = 1.0")
+      }
+      // the listener sees metrics asynchronously; poll until delivered
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !(seen.containsKey("q34_lsh_buckets") &&
+          seen.containsKey("q35_simhash_buckets"))) Thread.sleep(100)
+      assert(seen.containsKey("q34_lsh_buckets") &&
+        seen.containsKey("q35_simhash_buckets"),
+        s"bucket metrics not observed: ${seen.keySet()}")
+      assert(seen.values().stream().allMatch(_ == 0L),
+        s"pre-collapsed corpus must drop no buckets: $seen")
+    } finally spark.listenerManager.unregister(listener)
   }
 }
