@@ -28,6 +28,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
+      // native CoW row-level DML REQUIRES the extensions (the ReplaceData
+      // scan is a NativeReadRule splice — q58-q60)
+      .config("spark.sql.extensions", "graft.lake.LakeExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

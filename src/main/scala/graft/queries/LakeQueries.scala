@@ -266,6 +266,24 @@ object LakeQueries {
         WHEN NOT MATCHED THEN INSERT (id, name, category, amount, created_at)
           VALUES (s.id, 'Product Z', 'misc', s.amount,
             TIMESTAMP '2026-01-01 00:00:00')""")
+      // q58-q60: the copy-on-write twins — SAME statements, tables
+      // created WITHOUT the merge-on-read properties, so Catalyst takes
+      // the group-based ReplaceData rewrite (NativeReadRule splice +
+      // LakeCowBatchWrite group swap) instead of WriteDelta, and no
+      // delete file is ever minted (strict-reader contract)
+      for (n <- Seq("cd", "cu", "cm")) {
+        sql.run(s"CREATE TABLE demo.$n (id INT, name STRING, " +
+          "category STRING, amount DECIMAL(10,2), created_at TIMESTAMP)")
+        sql.run(s"INSERT INTO demo.$n VALUES $ValuesSql")
+      }
+      spark.sql("DELETE FROM lake.demo.cd WHERE category = 'electronics'")
+      spark.sql("UPDATE lake.demo.cu SET amount = amount * 1.1 " +
+        "WHERE category = 'electronics'")
+      spark.sql("""MERGE INTO lake.demo.cm t USING nm_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET amount = s.amount
+        WHEN NOT MATCHED THEN INSERT (id, name, category, amount, created_at)
+          VALUES (s.id, 'Product Z', 'misc', s.amount,
+            TIMESTAMP '2026-01-01 00:00:00')""")
       wh
     }
 
@@ -315,6 +333,43 @@ object LakeQueries {
             SELECT * FROM demo_q54 ORDER BY id"""),
     (s, _) => nativeRead(s, "nm"))
 
+  // Q58-Q60: native COPY-ON-WRITE row-level DML behind the hash gate
+  // (VERDICT r6 next #2) — the same statements as q52-q54 but on CoW
+  // tables, so they run the group-based ReplaceData rewrite: whole-file
+  // rewrites, zero delete files (ExtensionsSpec asserts the file-level
+  // contract; these assert end-state value parity against DuckDB).
+  val q58 = QueryDef(
+    "q58_native_cow_delete",
+    Some("""CREATE OR REPLACE TABLE demo_q58 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q58 VALUES """ + ValuesSql + """;
+            DELETE FROM demo_q58 WHERE category = 'electronics';
+            SELECT * FROM demo_q58 ORDER BY id"""),
+    (s, _) => nativeRead(s, "cd"))
+
+  val q59 = QueryDef(
+    "q59_native_cow_update",
+    Some("""CREATE OR REPLACE TABLE demo_q59 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q59 VALUES """ + ValuesSql + """;
+            UPDATE demo_q59 SET amount = CAST(ROUND(amount * 1.1, 2)
+              AS DECIMAL(10,2)) WHERE category = 'electronics';
+            SELECT * FROM demo_q59 ORDER BY id"""),
+    (s, _) => nativeRead(s, "cu"))
+
+  val q60 = QueryDef(
+    "q60_native_cow_merge",
+    Some("""CREATE OR REPLACE TABLE demo_q60 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q60 VALUES """ + ValuesSql + """;
+            UPDATE demo_q60 SET amount = v.amount
+              FROM (VALUES (2, CAST(249.99 AS DECIMAL(10,2)))) v(id, amount)
+              WHERE demo_q60.id = v.id;
+            INSERT INTO demo_q60 VALUES (99, 'Product Z', 'misc', 5.75,
+              TIMESTAMP '2026-01-01 00:00:00');
+            SELECT * FROM demo_q60 ORDER BY id"""),
+    (s, _) => nativeRead(s, "cm"))
+
   // Q50: time travel behind the hash gate — the dispatcher's VERSION AS OF
   // reads snapshot 1 (the initial append) of the fully-mutated q45 table;
   // the oracle replays only the first two statements, so the hash matches
@@ -342,5 +397,5 @@ object LakeQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54)
+      q53, q54, q58, q59, q60)
 }

@@ -280,6 +280,96 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
   }
 
+  test("DSv2 catalog: native CoW DELETE rewrites groups, mints NO delete file") {
+    val wh = Files.createTempDirectory("graft-cowd-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.cd (id INT, category STRING)") // CoW by default
+    sql.run("INSERT INTO db.cd VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    sql.run("INSERT INTO db.cd VALUES (10, 'x'), (11, 'y')")
+    val before = sql.catalog.loadTable("db", "cd").get
+    // the tiny VALUES inserts split one file per row: 3 + 2
+    assert(before.dataFiles.size == 5)
+
+    spark.sql("DELETE FROM lake.db.cd WHERE category = 'a'")
+
+    val after = sql.catalog.loadTable("db", "cd").get
+    assert(after.meta.snapshots.last.operation == "delete")
+    // the CoW contract: no delete files, ever — strict v2 readers work
+    assert(after.deleteFiles.isEmpty)
+    assert(after.read(strict = true).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(2, 10, 11))
+    // group scope: files whose category stats exclude 'a' (the b/x/y
+    // rows) were never rewritten — their paths survive verbatim
+    val beforePaths = before.dataFiles.map(_.path).toSet
+    val afterPaths = after.dataFiles.map(_.path).toSet
+    assert(afterPaths.intersect(beforePaths).size == 3,
+      s"stats-pruned files should be carried over: $beforePaths -> $afterPaths")
+    // both SQL surfaces read the same state
+    assert(sql.run("SELECT id FROM db.cd ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 10, 11))
+    // a DELETE that matches nothing commits nothing (and rewrites nothing)
+    spark.sql("DELETE FROM lake.db.cd WHERE category = 'zzz'")
+    val noop = sql.catalog.loadTable("db", "cd").get
+    assert(noop.meta.snapshots.size == after.meta.snapshots.size,
+      "no-match CoW DELETE must not commit")
+    assert(noop.dataFiles.map(_.path).toSet == afterPaths)
+  }
+
+  test("DSv2 catalog: native CoW UPDATE preserves v3 lineage, no delete files") {
+    val wh = Files.createTempDirectory("graft-cowu-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.cu (id INT, category STRING, amount DECIMAL(10,2))")
+    sql.run("INSERT INTO db.cu VALUES (1, 'a', 10.25), (2, 'b', 20.75), (3, 'a', 30.25)")
+    sql.run("ALTER TABLE db.cu SET TBLPROPERTIES ('format-version'='3')")
+    val rowIdsBefore = sql.catalog.loadTable("db", "cu").get.readWithRowIds()
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+
+    spark.sql("UPDATE lake.db.cu SET amount = amount * 2 WHERE category = 'a'")
+
+    val after = sql.catalog.loadTable("db", "cu").get
+    assert(after.meta.snapshots.last.operation == "update")
+    assert(after.deleteFiles.isEmpty)
+    assert(spark.sql("SELECT id, amount FROM lake.db.cu ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString).toSeq
+      == Seq(1 -> "20.50", 2 -> "20.75", 3 -> "60.50"))
+    // v3 lineage: EVERY row of the rewritten group (updated AND untouched
+    // survivors) keeps its _row_id — the CoW copy preserves lineage
+    val rowIdsAfter = after.readWithRowIds()
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(rowIdsAfter == rowIdsBefore,
+      s"lineage broke: before=$rowIdsBefore after=$rowIdsAfter")
+  }
+
+  test("DSv2 catalog: native CoW MERGE upserts; inserts mint fresh v3 ids") {
+    val wh = Files.createTempDirectory("graft-cowm-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.cm (id INT, amount DECIMAL(10,2))")
+    sql.run("INSERT INTO db.cm VALUES (1, 10.25), (2, 20.75)")
+    sql.run("ALTER TABLE db.cm SET TBLPROPERTIES ('format-version'='3')")
+    val nextBefore = sql.catalog.loadTable("db", "cm").get.meta.nextRowId
+
+    spark.sql("CREATE TABLE lake.db.cmsrc (id INT, amount DECIMAL(10,2))")
+    spark.sql("INSERT INTO lake.db.cmsrc VALUES (2, 99.25), (9, 5.75)")
+    spark.sql("""MERGE INTO lake.db.cm t USING lake.db.cmsrc s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET amount = s.amount
+      WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amount)""")
+
+    val after = sql.catalog.loadTable("db", "cm").get
+    assert(after.meta.snapshots.last.operation == "merge")
+    assert(after.deleteFiles.isEmpty)
+    assert(spark.sql("SELECT id, amount FROM lake.db.cm ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString).toSeq
+      == Seq(1 -> "10.25", 2 -> "99.25", 9 -> "5.75"))
+    assert(after.meta.nextRowId > nextBefore)
+    val ids = after.readWithRowIds().collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(ids.values.toSet.size == 3, s"duplicate _row_id in $ids")
+    assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
+    // matched + survivor rows kept their original ids
+    assert(ids(1) < nextBefore && ids(2) < nextBefore,
+      s"rewritten rows must keep lineage: $ids")
+  }
+
   test("DSv2 catalog: native DML on a partitioned table — correct state, conservative pruning") {
     val wh = Files.createTempDirectory("graft-rlp-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
