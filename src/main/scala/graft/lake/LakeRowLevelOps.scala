@@ -65,7 +65,24 @@ private[lake] class LakeRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
     val rowSchema = info.schema()
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new DeltaWrite {
+      override def build(): DeltaWrite = new DeltaWrite
+          with RequiresDistributionAndOrdering {
+        // Cluster rewritten/inserted rows by partition value so each
+        // partition's rows land in one task → the partition-split
+        // writers open ~1 file per partition instead of one per
+        // (task × partition) (VERDICT r6 next #3). DELETE deltas carry
+        // only coordinates — no partition columns to cluster by.
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (t.meta.partitionCols.isEmpty ||
+              cmd == RowLevelOperation.Command.DELETE)
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            t.meta.partitionCols.map(c =>
+              Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toBatch: DeltaBatchWrite =
           new LakeDeltaBatchWrite(t, cmd, rowSchema)
       }
@@ -153,7 +170,104 @@ private[lake] case class LakeDeltaWriteConf(
     /** Effective session values for every conf key ParquetWriteSupport
       * and its schema converter read at init, mirrored so executor-
       * written files match driver-written ones. */
-    parquetConf: Map[String, String])
+    parquetConf: Map[String, String],
+    /** The table's partition columns: data-file writers split their
+      * output per partition value so the written files carry partition
+      * values and stay prunable (VERDICT r6 next #3). */
+    partitionCols: Seq[String] = Nil)
+
+/** One data file written by a task: path, row count, and the partition
+  * values it records (hive-decoded external form, same domain as
+  * [[LakeTable.partitionValuesFromPath]]). */
+private[lake] case class DataFilePart(
+    path: String, rows: Long, partitionValues: Map[String, String])
+
+/** Internal-value → hive-decoded-external partition rendering for the
+  * executor-side writers. The rendered string MUST be byte-identical to
+  * what [[LakeTable.partitionValuesFromPath]] records for dispatcher
+  * writes (Spark's hive-path encode → URLDecoder decode round-trip), or
+  * partition pruning would wrongly drop/keep files — so only the types
+  * with a proven-stable rendering are rendered (the same conservative
+  * domain as [[PartitionFilterValues]]); anything else records NO value
+  * for that column, which pruning treats as "always survives". */
+private[lake] object PartitionRender {
+  import org.apache.spark.sql.types._
+
+  val HiveDefault = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Per-partition-column renderers resolved against the write schema.
+    * A column missing from the schema (impossible in practice) or with
+    * an unrenderable type yields constant None — all values merge into
+    * one unannotated file, correct and conservative. */
+  def renderers(schema: StructType,
+      partCols: Seq[String]): Seq[(String, InternalRow => Option[String])] =
+    partCols.map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      val render: InternalRow => Option[String] =
+        if (i < 0) _ => None
+        else schema.fields(i).dataType match {
+          case StringType => r =>
+            Some(if (r.isNullAt(i)) HiveDefault else r.getUTF8String(i).toString)
+          case BooleanType => r =>
+            Some(if (r.isNullAt(i)) HiveDefault else r.getBoolean(i).toString)
+          case ByteType => r =>
+            Some(if (r.isNullAt(i)) HiveDefault else r.getByte(i).toString)
+          case ShortType => r =>
+            Some(if (r.isNullAt(i)) HiveDefault else r.getShort(i).toString)
+          case IntegerType => r =>
+            Some(if (r.isNullAt(i)) HiveDefault else r.getInt(i).toString)
+          case LongType => r =>
+            Some(if (r.isNullAt(i)) HiveDefault else r.getLong(i).toString)
+          case DateType => r =>
+            Some(if (r.isNullAt(i)) HiveDefault
+            else java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString)
+          case _ => _ => None // timestamps/decimals/floats: no rendering
+        }
+      c -> render
+    }
+}
+
+/** A group of lazily-opened parquet writers, one per distinct rendered
+  * partition-value tuple — the executor side of partition-value-aware
+  * delta/CoW writes. Open-writer count per task is bounded by the
+  * distinct partition values the task sees; the Write declares a
+  * CLUSTERED-by-partition-columns required distribution, so Spark
+  * routes each partition's rows to one task and the expected count is
+  * ~1 (same contract Iceberg's fanout-free writers rely on). */
+private[lake] final class PartitionedRowWriters(
+    parquetConf: Map[String, String], dir: String, filePrefix: String,
+    schema: StructType, partCols: Seq[String]) {
+
+  private val renders = PartitionRender.renderers(schema, partCols)
+  private final class Open(val path: String, val pv: Map[String, String]) {
+    val writer: ParquetWriter[InternalRow] =
+      LakeDeltaWriter.openRowWriter(parquetConf, path, schema)
+    var rows: Long = 0L
+  }
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[Seq[Option[String]], Open]
+
+  def write(row: InternalRow): Unit = {
+    val key: Seq[Option[String]] = renders.map(_._2(row))
+    val o = open.getOrElseUpdate(key, {
+      val pv = renders.map(_._1).zip(key)
+        .collect { case (c, Some(v)) => c -> v }.toMap
+      new Open(s"$dir/$filePrefix-${open.size}.parquet", pv)
+    })
+    o.writer.write(row)
+    o.rows += 1L
+  }
+
+  def totalRows: Long = open.valuesIterator.map(_.rows).sum
+
+  def commit(): Seq[DataFilePart] = open.values.toSeq.map { o =>
+    o.writer.close(); DataFilePart(o.path, o.rows, o.pv)
+  }
+
+  def abort(): Unit = open.values.foreach { o =>
+    o.writer.close(); Files.deleteIfExists(Paths.get(o.path))
+  }
+}
 
 private[lake] case class LakeDeltaWriterFactory(conf: LakeDeltaWriteConf)
     extends DeltaWriterFactory {
@@ -163,8 +277,8 @@ private[lake] case class LakeDeltaWriterFactory(conf: LakeDeltaWriteConf)
 
 private[lake] case class LakeDeltaCommit(
     deletePath: String, deleteRows: Long,
-    rowIdDataPath: String, rowIdDataRows: Long,
-    plainDataPath: String, plainDataRows: Long) extends WriterCommitMessage
+    rowIdFiles: Seq[DataFilePart],
+    plainFiles: Seq[DataFilePart]) extends WriterCommitMessage
 
 /** Executor-side delta writer: buffers nothing — deleted coordinates,
   * rewritten rows, and inserted rows stream straight into (at most)
@@ -182,17 +296,17 @@ private[lake] class LakeDeltaWriter(conf: LakeDeltaWriteConf, suffix: String)
   private val delPath = s"${conf.deletesDir}/$suffix.parquet"
   private var delRows = 0L
 
-  // --- data files (arbitrary Spark schema: Spark's own WriteSupport)
-  private var updWriter: ParquetWriter[InternalRow] = null
-  private val updPath = s"${conf.dataDir}/$suffix-u.parquet"
-  private var updRows = 0L
-  private var insWriter: ParquetWriter[InternalRow] = null
-  private val insPath = s"${conf.dataDir}/$suffix-i.parquet"
-  private var insRows = 0L
+  // --- data files (arbitrary Spark schema: Spark's own WriteSupport),
+  // partition-split so the written files carry partition values
+  private lazy val updWriters = new PartitionedRowWriters(
+    conf.parquetConf, conf.dataDir, s"$suffix-u",
+    if (conf.withRowIds)
+      StructType(rowSchema.fields :+ StructField(LakeTable.RowIdCol, LongType))
+    else rowSchema,
+    conf.partitionCols)
+  private lazy val insWriters = new PartitionedRowWriters(
+    conf.parquetConf, conf.dataDir, s"$suffix-i", rowSchema, conf.partitionCols)
   private val joined = new JoinedRow()
-
-  private def openRowWriter(path: String, schema: StructType): ParquetWriter[InternalRow] =
-    LakeDeltaWriter.openRowWriter(conf.parquetConf, path, schema)
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     if (delWriter == null) {
@@ -217,39 +331,26 @@ private[lake] class LakeDeltaWriter(conf: LakeDeltaWriteConf, suffix: String)
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(metadata, id) // the old version's coordinates
     if (conf.withRowIds) {
-      if (updWriter == null)
-        updWriter = openRowWriter(updPath,
-          StructType(rowSchema.fields :+ StructField(LakeTable.RowIdCol, LongType)))
       joined.apply(row,
         new GenericInternalRow(Array[Any](metadata.getLong(0))))
-      updWriter.write(joined)
-    } else {
-      if (updWriter == null) updWriter = openRowWriter(updPath, rowSchema)
-      updWriter.write(row)
-    }
-    updRows += 1L
+      updWriters.write(joined)
+    } else updWriters.write(row)
   }
 
-  override def insert(row: InternalRow): Unit = {
-    if (insWriter == null) insWriter = openRowWriter(insPath, rowSchema)
-    insWriter.write(row)
-    insRows += 1L
-  }
+  override def insert(row: InternalRow): Unit = insWriters.write(row)
 
   override def commit(): WriterCommitMessage = {
     if (delWriter != null) delWriter.close()
-    if (updWriter != null) updWriter.close()
-    if (insWriter != null) insWriter.close()
     LakeDeltaCommit(
       if (delRows > 0) delPath else null, delRows,
-      if (updRows > 0) updPath else null, updRows,
-      if (insRows > 0) insPath else null, insRows)
+      updWriters.commit(), insWriters.commit())
   }
 
   override def abort(): Unit = {
-    Seq(delWriter, updWriter, insWriter).foreach(w => if (w != null) w.close())
-    Seq(delPath, updPath, insPath).foreach(p =>
-      Files.deleteIfExists(Paths.get(p)))
+    if (delWriter != null) delWriter.close()
+    Files.deleteIfExists(Paths.get(delPath))
+    updWriters.abort()
+    insWriters.abort()
   }
 
   override def close(): Unit = ()
@@ -283,13 +384,14 @@ private[lake] class LakeDeltaBatchWrite(
       runId = UUID.randomUUID().toString,
       rowSchemaJson = rowSchema.json,
       withRowIds = withRowIds,
-      parquetConf = LakeDeltaWriter.mirroredParquetConf()))
+      parquetConf = LakeDeltaWriter.mirroredParquetConf(),
+      partitionCols = t.meta.partitionCols))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val cs = messages.collect { case c: LakeDeltaCommit => c }
     val nDel = cs.map(_.deleteRows).sum
-    val nUpd = cs.map(_.rowIdDataRows).sum
-    val nIns = cs.map(_.plainDataRows).sum
+    val nUpd = cs.flatMap(_.rowIdFiles).map(_.rows).sum
+    val nIns = cs.flatMap(_.plainFiles).map(_.rows).sum
     if (nDel + nUpd + nIns == 0) { cleanupIfEmpty(); return }
 
     val cur = t // analysis-time handle: see class Scaladoc
@@ -302,38 +404,34 @@ private[lake] class LakeDeltaBatchWrite(
           dataSequenceNumber = seq)
     }.toSeq
 
-    def dataMeta(path: String, rows: Long, firstRowId: Long,
+    // delta-written files record real footer stats (skipping keeps
+    // working over updated regions) AND partition values (the writers
+    // are partition-split — VERDICT r6 next #3), so partition pruning
+    // stays exact over natively-updated regions
+    def dataMeta(f: DataFilePart, firstRowId: Long,
         explicit: Boolean): DataFileMeta =
       DataFileMeta(
-        path = path,
-        // delta-written files record real footer stats (skipping keeps
-        // working over updated regions) but no partition values — the
-        // writers aren't partition-split — so partition pruning keeps
-        // them conservatively (absent ⇒ file always survives)
-        partitionValues = Map.empty,
-        rowCount = rows,
-        sizeBytes = Files.size(Paths.get(path)),
-        stats = StatsPruning.collectStats(hadoopConf, Paths.get(path), cur.schema),
+        path = f.path,
+        partitionValues = f.partitionValues,
+        rowCount = f.rows,
+        sizeBytes = Files.size(Paths.get(f.path)),
+        stats = StatsPruning.collectStats(hadoopConf, Paths.get(f.path), cur.schema),
         firstRowId = firstRowId,
         explicitRowIds = explicit,
         dataSequenceNumber = seq)
 
     // v3 rewrites carry their lineage ids in an explicit column
-    val updMetas = cs.collect {
-      case c if c.rowIdDataPath != null =>
-        dataMeta(c.rowIdDataPath, c.rowIdDataRows,
-          firstRowId = if (withRowIds) -1L else 0L, explicit = withRowIds)
-    }.toSeq
+    val updMetas = cs.flatMap(_.rowIdFiles).map(f =>
+      dataMeta(f, firstRowId = if (withRowIds) -1L else 0L,
+        explicit = withRowIds)).toSeq
     // plain files (v2 rewrites, merge inserts) mint fresh disjoint ranges
-    val plainFiles = cs.collect {
-      case c if c.plainDataPath != null => (c.plainDataPath, c.plainDataRows)
-    }.toSeq
+    val plainFiles = cs.flatMap(_.plainFiles).toSeq
     val start =
       if (cur.meta.nextRowId >= 0) cur.meta.nextRowId
       else cur.meta.computedNextRowId
     var rowId = start
-    val plainMetas = plainFiles.map { case (p, n) =>
-      val m = dataMeta(p, n, rowId, explicit = false); rowId += n; m
+    val plainMetas = plainFiles.map { f =>
+      val m = dataMeta(f, rowId, explicit = false); rowId += f.rows; m
     }
     // v2 update files also need minted ranges (v3 ones carry explicit
     // ids); minting order: plain files first, then v2 update files
@@ -364,8 +462,9 @@ private[lake] class LakeDeltaBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case c: LakeDeltaCommit =>
-        Seq(c.deletePath, c.rowIdDataPath, c.plainDataPath).foreach(p =>
-          if (p != null) Files.deleteIfExists(Paths.get(p)))
+        if (c.deletePath != null) Files.deleteIfExists(Paths.get(c.deletePath))
+        (c.rowIdFiles ++ c.plainFiles).foreach(f =>
+          Files.deleteIfExists(Paths.get(f.path)))
       case _ => ()
     }
     cleanupIfEmpty()
@@ -444,7 +543,21 @@ private[lake] class LakeCowRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val rowSchema = info.schema()
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with RequiresDistributionAndOrdering {
+        // rewritten rows carry every column on all commands (CoW writes
+        // whole rows, unlike the delta DELETE) — cluster by partition
+        // value so each partition lands in one task's writer
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (t.meta.partitionCols.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            t.meta.partitionCols.map(c =>
+              Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toBatch: BatchWrite =
           new LakeCowBatchWrite(t, cmd, rowSchema, () => scopePred)
       }
@@ -468,8 +581,8 @@ private[lake] class LakeCowRowLevelOperation(
 }
 
 private[lake] case class LakeCowCommit(
-    preservedPath: String, preservedRows: Long,
-    mintedPath: String, mintedRows: Long) extends WriterCommitMessage
+    preserved: Seq[DataFilePart],
+    minted: Seq[DataFilePart]) extends WriterCommitMessage
 
 private[lake] case class LakeCowWriterFactory(conf: LakeDeltaWriteConf)
     extends DataWriterFactory {
@@ -489,47 +602,34 @@ private[lake] class LakeCowWriter(conf: LakeDeltaWriteConf, suffix: String)
   private val rowSchema =
     DataType.fromJson(conf.rowSchemaJson).asInstanceOf[StructType]
 
-  private var presWriter: ParquetWriter[InternalRow] = null
-  private val presPath = s"${conf.dataDir}/$suffix-p.parquet"
-  private var presRows = 0L
-  private var mintWriter: ParquetWriter[InternalRow] = null
-  private val mintPath = s"${conf.dataDir}/$suffix-m.parquet"
-  private var mintRows = 0L
+  private lazy val presWriters = new PartitionedRowWriters(
+    conf.parquetConf, conf.dataDir, s"$suffix-p",
+    StructType(rowSchema.fields :+ StructField(LakeTable.RowIdCol, LongType)),
+    conf.partitionCols)
+  private lazy val mintWriters = new PartitionedRowWriters(
+    conf.parquetConf, conf.dataDir, s"$suffix-m", rowSchema, conf.partitionCols)
   private val joined = new JoinedRow()
 
-  override def write(row: InternalRow): Unit = {
-    if (mintWriter == null)
-      mintWriter = LakeDeltaWriter.openRowWriter(conf.parquetConf, mintPath, rowSchema)
-    mintWriter.write(row)
-    mintRows += 1L
-  }
+  override def write(row: InternalRow): Unit = mintWriters.write(row)
 
   /** Two-arg form: Spark's DataAndMetadataWritingSparkTask feeds
     * (metadataRow, dataRow) when the plan carries projected metadata —
-    * here the single `_row_id` attribute. Null metadata = a row with no
-    * target provenance (merge insert) → minted file. */
+    * `_row_id` on v3, `_file_path` on v2 (see requiredMetadataAttributes).
+    * Null metadata = a row with no target provenance (merge insert) →
+    * minted file. */
   override def write(metadata: InternalRow, row: InternalRow): Unit =
     if (!conf.withRowIds || metadata == null || metadata.isNullAt(0)) write(row)
     else {
-      if (presWriter == null)
-        presWriter = LakeDeltaWriter.openRowWriter(conf.parquetConf, presPath,
-          StructType(rowSchema.fields :+ StructField(LakeTable.RowIdCol, LongType)))
       joined.apply(row, new GenericInternalRow(Array[Any](metadata.getLong(0))))
-      presWriter.write(joined)
-      presRows += 1L
+      presWriters.write(joined)
     }
 
-  override def commit(): WriterCommitMessage = {
-    if (presWriter != null) presWriter.close()
-    if (mintWriter != null) mintWriter.close()
-    LakeCowCommit(
-      if (presRows > 0) presPath else null, presRows,
-      if (mintRows > 0) mintPath else null, mintRows)
-  }
+  override def commit(): WriterCommitMessage =
+    LakeCowCommit(presWriters.commit(), mintWriters.commit())
 
   override def abort(): Unit = {
-    Seq(presWriter, mintWriter).foreach(w => if (w != null) w.close())
-    Seq(presPath, mintPath).foreach(p => Files.deleteIfExists(Paths.get(p)))
+    presWriters.abort()
+    mintWriters.abort()
   }
 
   override def close(): Unit = ()
@@ -559,22 +659,22 @@ private[lake] class LakeCowBatchWrite(
       runId = UUID.randomUUID().toString,
       rowSchemaJson = rowSchema.json,
       withRowIds = withRowIds,
-      parquetConf = LakeDeltaWriter.mirroredParquetConf()))
+      parquetConf = LakeDeltaWriter.mirroredParquetConf(),
+      partitionCols = t.meta.partitionCols))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val cs = messages.collect { case c: LakeCowCommit => c }
     val cur = t // analysis-time handle: see class Scaladoc
     // the EXACT predicate the spliced scan selected its files with
     val (scope, keep) = cur.dataFiles.partition(scopePred())
-    val nPres = cs.map(_.preservedRows).sum
-    val nMint = cs.map(_.mintedRows).sum
-    val written = nPres + nMint
+    val presFiles = cs.flatMap(_.preserved).toSeq
+    val mintFiles = cs.flatMap(_.minted).toSeq
+    val nMint = mintFiles.map(_.rows).sum
+    val written = presFiles.map(_.rows).sum + nMint
 
     def dropWritten(): Unit = {
-      cs.foreach { c =>
-        Seq(c.preservedPath, c.mintedPath).foreach(p =>
-          if (p != null) Files.deleteIfExists(Paths.get(p)))
-      }
+      (presFiles ++ mintFiles).foreach(f =>
+        Files.deleteIfExists(Paths.get(f.path)))
       cleanupIfEmpty()
     }
     // Statically-empty scope with nothing written: nothing to do. (A
@@ -592,30 +692,28 @@ private[lake] class LakeCowBatchWrite(
 
     val seq = cur.meta.lastSequenceNumber + 1
     val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
-    def dataMeta(path: String, rows: Long, firstRowId: Long,
+    // rewritten files carry footer stats AND partition values (the
+    // writers are partition-split), so pruning stays exact post-rewrite
+    def dataMeta(f: DataFilePart, firstRowId: Long,
         explicit: Boolean): DataFileMeta =
       DataFileMeta(
-        path = path,
-        partitionValues = Map.empty, // same gap as the delta writers
-        rowCount = rows,
-        sizeBytes = Files.size(Paths.get(path)),
-        stats = StatsPruning.collectStats(hadoopConf, Paths.get(path), cur.schema),
+        path = f.path,
+        partitionValues = f.partitionValues,
+        rowCount = f.rows,
+        sizeBytes = Files.size(Paths.get(f.path)),
+        stats = StatsPruning.collectStats(hadoopConf, Paths.get(f.path), cur.schema),
         firstRowId = firstRowId,
         explicitRowIds = explicit,
         dataSequenceNumber = seq)
 
-    val presMetas = cs.collect {
-      case c if c.preservedPath != null =>
-        dataMeta(c.preservedPath, c.preservedRows, firstRowId = -1L, explicit = true)
-    }.toSeq
+    val presMetas = presFiles.map(f =>
+      dataMeta(f, firstRowId = -1L, explicit = true))
     val start =
       if (cur.meta.nextRowId >= 0) cur.meta.nextRowId
       else cur.meta.computedNextRowId
     var rowId = start
-    val mintMetas = cs.collect {
-      case c if c.mintedPath != null => (c.mintedPath, c.mintedRows)
-    }.toSeq.map { case (p, n) =>
-      val m = dataMeta(p, n, rowId, explicit = false); rowId += n; m
+    val mintMetas = mintFiles.map { f =>
+      val m = dataMeta(f, rowId, explicit = false); rowId += f.rows; m
     }
     val minted = rowId - start
 
@@ -647,8 +745,8 @@ private[lake] class LakeCowBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case c: LakeCowCommit =>
-        Seq(c.preservedPath, c.mintedPath).foreach(p =>
-          if (p != null) Files.deleteIfExists(Paths.get(p)))
+        (c.preserved ++ c.minted).foreach(f =>
+          Files.deleteIfExists(Paths.get(f.path)))
       case _ => ()
     }
     cleanupIfEmpty()
