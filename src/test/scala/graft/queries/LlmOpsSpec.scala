@@ -321,6 +321,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(!f(4L).decoded && f(4L).n_samples == 16)
   }
 
+  test("dsum guards the 2^53 exactness bound at runtime") {
+    import spark.implicits._
+    // individual values must fit DECIMAL(18,6) (< 1e12); the bound is on
+    // the SUM (Spark widens the accumulator), so overflow it by count
+    val under = Seq.fill(90)(9.9e11).toDF("x")
+      .agg(RelQueries.dsum(org.apache.spark.sql.functions.col("x")).as("s"))
+    assert(under.head().getDouble(0) == 8.91e13)
+    val over = Seq.fill(92)(9.9e11).toDF("x")
+      .agg(RelQueries.dsum(org.apache.spark.sql.functions.col("x")).as("s"))
+    val e = intercept[Exception] { over.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("2^53")), s"wrong failure: $e")
+  }
+
+  test("q57: bloom pre-trim sits below the benchmark equi-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = LlmQueries.q57.run(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // the UDF bloom filter must trim postings INSIDE a join input, not
+    // above the join (where it would be too late to cut join traffic)
+    val trimmed = joins.exists(j =>
+      Seq(j.left, j.right).exists(side =>
+        side.collect {
+          case f: Filter if f.condition.toString.contains("UDF") => f
+        }.nonEmpty))
+    assert(trimmed, s"no bloom filter below a join:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("multimodal: binary payload → partition-batched decode → feature aggs") {
     val docs = graft.Tables(spark, sf, "documents")
     val media = Multimodal.payloadFrom(docs, "doc_id", "text", "image")
