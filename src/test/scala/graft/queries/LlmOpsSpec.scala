@@ -321,6 +321,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(!f(4L).decoded && f(4L).n_samples == 16)
   }
 
+  test("MP4 box walk: real duration, tracks, dims, frame count, codecs") {
+    import graft.functions.Multimodal
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "avc1".getBytes)
+    // mvhd v0: ver/flags, ctime, mtime, timescale=1000, duration=5000
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(5000) ++ Array.fill[Byte](80)(0))
+    // tkhd v0: width/height live at payload offsets 76/84 (16.16 fixed)
+    val tkhd = box("tkhd",
+      Array.fill[Byte](76)(0) ++ be32(320 << 16) ++ be32(240 << 16))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes ++
+      Array.fill[Byte](12)(0))
+    // stts: one entry — 150 samples (frames) of delta 400
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(150) ++ be32(400))
+    // stsd: one sample entry, fourcc avc1
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      (be32(16) ++ "avc1".getBytes ++ Array.fill[Byte](8)(0)))
+    val mp4 = ftyp ++ box("moov", mvhd ++
+      box("trak", tkhd ++ box("mdia", hdlr ++
+        box("minf", box("stbl", stsd ++ stts)))))
+    val info = Multimodal.decodeMp4(mp4).get
+    assert(info.majorBrand == "isom")
+    assert(info.timescale == 1000L && info.durationMs == 5000L)
+    assert(info.trackCount == 1)
+    assert(info.width == 320 && info.height == 240)
+    assert(info.frames == 150)
+    assert(info.codecs == Seq("avc1"))
+    // the generic decode path serves real dims/frames for MP4 video now
+    import spark.implicits._
+    val feat = Multimodal.extractFeatures(spark,
+      Seq((9L, "video", mp4)).toDF("media_id", "kind", "payload"))
+      .collect().head
+    assert(feat.width == 320 && feat.height == 240 && feat.frames == 150)
+    // garbage that names ftyp but lies about sizes degrades, never throws
+    assert(Multimodal.decodeMp4(mp4.take(20)).isDefined ||
+      Multimodal.decodeMp4(mp4.take(20)).isEmpty)
+  }
+
+  test("Ogg/Opus page walk: channels + 48kHz granule duration") {
+    import graft.functions.Multimodal
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le64(v: Long) = le32((v & 0xffffffffL).toInt) ++ le32((v >>> 32).toInt)
+    def page(granule: Long, packet: Array[Byte]): Array[Byte] =
+      "OggS".getBytes ++ Array[Byte](0, 0) ++ le64(granule) ++
+        le32(1) ++ le32(0) ++ le32(0) ++
+        Array[Byte](1, packet.length.toByte) ++ packet // nsegs=1 + seg table
+    val opusHead = "OpusHead".getBytes ++ Array[Byte](1, 2) ++
+      le16(312) ++ le32(48000) ++ le16(0) ++ Array[Byte](0)
+    val ogg = page(0L, opusHead) ++ page(48312L, Array.fill[Byte](10)(7))
+    assert(Multimodal.decodeOpusOgg(ogg).contains((48000, 2, 48000L)))
+    // audio feature extraction surfaces the container metadata even
+    // though packet decode stays the labeled stand-in
+    import spark.implicits._
+    val df = Seq((1L, "audio", ogg)).toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractAudioFeatures(spark, df).collect().head
+    assert(!f.decoded && f.sample_rate == 48000 && f.channels == 2 &&
+      f.n_samples == 48000)
+  }
+
   test("dsum guards the 2^53 exactness bound at runtime") {
     import spark.implicits._
     // individual values must fit DECIMAL(18,6) (< 1e12); the bound is on
