@@ -33,8 +33,12 @@ object MetricsWarn {
                 case n: java.lang.Number => n.longValue
                 case _ => 0L
               }
+              // ERROR level, deliberately: capped recall loss changes
+              // ANSWERS, and the at-scale runner (Bench) sets the log
+              // level to ERROR — a WARN would be silent exactly where
+              // caps can realistically trigger (review r7)
               if (v > 0)
-                log.warn(s"$name: $f = $v — capped recall loss; " +
+                log.error(s"$name: $f = $v — capped recall loss; " +
                   "candidate pairs from these buckets were not generated")
             }
           }

@@ -225,7 +225,12 @@ object Multimodal {
     final class Trak {
       var video = false; var w = 0; var h = 0; var samples = 0
     }
-    def walk(start: Long, end: Long, trak: Trak): Unit = {
+    // Real files nest ≤ ~6 deep (moov/trak/mdia/minf/stbl); a crafted
+    // payload of thousands of nested containers would otherwise drive
+    // the recursion to StackOverflowError — which is NOT NonFatal, so it
+    // would escape decode()'s Try and kill the task instead of degrading
+    def walk(start: Long, end: Long, trak: Trak, depth: Int = 0): Unit = {
+      if (depth > 16) return
       var i = start
       while (i + 8 <= end) {
         val size0 = be32(b, i.toInt).toLong & 0xffffffffL
@@ -239,10 +244,10 @@ object Multimodal {
         val p = (i + hdr).toInt
         val boxEnd = i + size
         typ match {
-          case "moov" | "mdia" | "minf" | "stbl" => walk(p, boxEnd, trak)
+          case "moov" | "mdia" | "minf" | "stbl" => walk(p, boxEnd, trak, depth + 1)
           case "trak" =>
             val t = new Trak
-            walk(p, boxEnd, t)
+            walk(p, boxEnd, t, depth + 1)
             tracks += 1
             if (t.video && t.w > 0 && width == 0) {
               width = t.w; height = t.h; frames = t.samples

@@ -46,12 +46,12 @@ class LakeSql(val catalog: LakeCatalog) {
     * so the statement's own plan stays resolved — but a LEFTOVER view
     * would let a later caller name it directly, bypassing the SELECT
     * grants check and reading the stale snapshot it was built from.
-    * Thread-local (ADVICE r6): two threads run()-ing on one instance must
-    * not have thread A's cleanup drop the view thread B just registered
-    * but hasn't analyzed yet. (The view NAMES are still session-global —
-    * deterministic `db__t` — so concurrent statements over the same table
-    * race on view contents exactly as they did pre-cleanup; same-snapshot
-    * contents make that race benign.) */
+    * Thread-local list + per-statement-unique view NAMES (`…_sN` via
+    * [[LakeSql.viewEpoch]]): names are session-global, so with
+    * deterministic names one statement's cleanup could drop a view a
+    * concurrent statement had registered but not yet analyzed — with
+    * unique names, cleanup provably touches only its own views and
+    * concurrent run() calls are safe. */
   private val createdViews: ThreadLocal[scala.collection.mutable.ListBuffer[String]] =
     ThreadLocal.withInitial(() => scala.collection.mutable.ListBuffer.empty[String])
 
@@ -417,6 +417,14 @@ class LakeSql(val catalog: LakeCatalog) {
       .filter { case (db, name) =>
         catalog.tableInfo(db, name).exists(_.tableType == "LAKE")
       }
+    // Per-STATEMENT unique view names (review r7): temp-view names are
+    // session-global, so with deterministic names one thread's cleanup
+    // could drop the view a concurrent statement just registered but
+    // hadn't analyzed — a hard TABLE_OR_VIEW_NOT_FOUND, not a benign
+    // content race. A statement-scoped suffix makes every registered
+    // name unobservable to other statements; cleanup then provably only
+    // touches its own views.
+    val stmtSfx = s"_s${LakeSql.viewEpoch.incrementAndGet()}"
     var rewritten = s
     for ((db, name) <- lakeRefs.sortBy { case (d, n) => -(d.length + n.length) }) {
       val base = "(?<![\\w.])(?:(?:glue_catalog|lake)\\.)?" +
@@ -431,7 +439,7 @@ class LakeSql(val catalog: LakeCatalog) {
         val mre = (base + "\\." + suffix + "(?!\\w)").r
         if (containsOutsideQuotes(rewritten, mre)) {
           requirePerm(p, db, name, "SELECT")
-          val view = s"${db}__${name}__$suffix"
+          val view = s"${db}__${name}__$suffix$stmtSfx"
           make(load(db, name)).createOrReplaceTempView(view)
           createdViews.get() += view;
           rewritten = mapOutsideQuotes(rewritten, seg => mre.replaceAllIn(seg, view))
@@ -447,7 +455,7 @@ class LakeSql(val catalog: LakeCatalog) {
         requirePerm(p, db, name, "SELECT")
         val t = load(db, name)
         val snapId = t.snapshotIdAsOf(parseTsLiteral(s"TIMESTAMP '${m.group(1)}'"))
-        val view = s"${db}__${name}__t$snapId"
+        val view = s"${db}__${name}__t$snapId$stmtSfx"
         t.readSnapshot(snapId).createOrReplaceTempView(view)
           createdViews.get() += view;
         view
@@ -458,7 +466,7 @@ class LakeSql(val catalog: LakeCatalog) {
         tt.replaceAllIn(seg, m => {
           requirePerm(p, db, name, "SELECT")
           val snapId = m.group(1).toLong
-          val view = s"${db}__${name}__v$snapId"
+          val view = s"${db}__${name}__v$snapId$stmtSfx"
           load(db, name).readSnapshot(snapId).createOrReplaceTempView(view)
           createdViews.get() += view;
           view
@@ -466,7 +474,7 @@ class LakeSql(val catalog: LakeCatalog) {
       val re = (base + "(?!\\w)").r
       if (containsOutsideQuotes(rewritten, re)) {
         requirePerm(p, db, name, "SELECT")
-        val view = s"${db}__$name"
+        val view = s"${db}__$name$stmtSfx"
         load(db, name).read().createOrReplaceTempView(view)
           createdViews.get() += view;
         rewritten = mapOutsideQuotes(rewritten, seg => re.replaceAllIn(seg, view))
@@ -510,6 +518,9 @@ class LakeSql(val catalog: LakeCatalog) {
 }
 
 object LakeSql {
+  /** Statement counter feeding the per-statement temp-view suffix. */
+  private[lake] val viewEpoch = new java.util.concurrent.atomic.AtomicLong()
+
 
   private[lake] def splitName(name: String): (String, String) = {
     // accept glue_catalog.db.t, db.t, or bare t (default namespace)

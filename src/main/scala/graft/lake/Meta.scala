@@ -241,21 +241,38 @@ object Meta {
     // can never be observed partially written: a writer dying mid-write
     // tears only its private tmp file, never vN+1, so adoptOrphans can
     // trust any version file it finds (ADVICE r6: a torn CREATE_NEW write
-    // + adoption would brick the table on JSON parse).
+    // + adoption would brick the table on JSON parse). On a filesystem
+    // without hard links the write degrades to the CREATE_NEW protocol —
+    // same arbitration, atomicity lost, and adoption stays parse-gated
+    // so a torn file degrades to retryable conflicts, never a brick.
+    // Any other failure cleans up this commit's files and rethrows
+    // (review r7: a non-EEXIST link error must not leak tmp + manifests).
     val mtmp = dir.resolve(s".v$next-${java.util.UUID.randomUUID()}.tmp")
-    Files.write(mtmp, toJson(headersOnly).getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(target, mtmp)
-    catch {
+    val bytes = toJson(headersOnly).getBytes(StandardCharsets.UTF_8)
+    def loserCleanup(): Unit = {
+      Files.deleteIfExists(mtmp)
+      // the loser's freshly written manifests would otherwise orphan
+      freshManifests.foreach { mp =>
+        manifestCache.remove(mp.toString); Files.deleteIfExists(mp)
+      }
+    }
+    try {
+      Files.write(mtmp, bytes)
+      try Files.createLink(target, mtmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          Files.write(target, bytes, StandardOpenOption.CREATE_NEW)
+      }
+    } catch {
       case _: FileAlreadyExistsException =>
-        Files.deleteIfExists(mtmp)
-        // the loser's freshly written manifests would otherwise orphan
-        freshManifests.foreach { mp =>
-          manifestCache.remove(mp.toString); Files.deleteIfExists(mp)
-        }
+        loserCleanup()
         adoptOrphans(tableLocation)
         throw new CommitConflictException(
           s"concurrent commit detected: metadata v$next was written by " +
             "another writer during this commit — reload the table and retry")
+      case scala.util.control.NonFatal(e) =>
+        loserCleanup()
+        throw e
     }
     Files.deleteIfExists(mtmp)
     val tmp = dir.resolve(s".version-hint.$next.tmp")

@@ -2,6 +2,8 @@ package graft.lake
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -205,7 +207,23 @@ object Procedures {
       !referenced.contains(p.toString) &&
         Files.getLastModifiedTime(p).toMillis < olderThanMs)
     orphans.foreach(Files.deleteIfExists(_))
-    orphans.size
+    // commit-protocol tmp files (.vN-uuid.tmp / .version-hint.*.tmp) are
+    // left behind only by a writer dying mid-commit; invisible to every
+    // reader (dot-files, never matched as version files) but swept here
+    // for hygiene once past the same age bar
+    val metaDir = Meta.metadataDir(t.location)
+    val tmps =
+      if (!Files.isDirectory(metaDir)) Nil
+      else {
+        val s = Files.list(metaDir)
+        try s.iterator().asScala.toList.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") && n.endsWith(".tmp") &&
+            Files.getLastModifiedTime(p).toMillis < olderThanMs
+        } finally s.close()
+      }
+    tmps.foreach(Files.deleteIfExists(_))
+    orphans.size + tmps.size
   }
 
   /** M3: `CALL expire_snapshots(table, older_than, retain_last)`

@@ -312,10 +312,15 @@ object LlmQueries {
     * class in the df HEAD — the top [[DfHeadMax]] classes by document
     * frequency among those appearing in ≥ [[DfFloor]] documents — and
     * treated as 0 outside it. The head is a driver-collected broadcast
-    * map whose size is CONSTANT-bounded at DfHeadMax entries (≈ 16 MB of
-    * (Long, Long) at the default 2²⁰), corpus-INDEPENDENT (VERDICT r6
-    * #1: the previous floor-only head grew ∝ totalShingles/DfFloor —
-    * a driver OOM at 100 TB). Losslessness survives any head choice:
+    * map whose size is CONSTANT-bounded at DfHeadMax entries,
+    * corpus-INDEPENDENT (VERDICT r6 #1: the previous floor-only head
+    * grew ∝ totalShingles/DfFloor — a driver OOM at 100 TB). Honest
+    * budget: 2²⁰ entries in an immutable Map[Long, Long] is ~100-150 MB
+    * of boxed keys/values + node overhead (NOT 16 MB of raw longs) —
+    * still a fixed, configured constant that a driver sized for Spark
+    * metadata holds comfortably; a packed primitive-array head (sorted
+    * key array + binary search) is the drop-in if that budget ever
+    * matters. Losslessness survives any head choice:
     * every doc orders classes by the same broadcast (df-or-0, hash)
     * key, which is a consistent corpus-global total order whatever df
     * values it contains — the prefix pigeonhole argument only needs

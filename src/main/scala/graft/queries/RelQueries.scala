@@ -52,7 +52,10 @@ object RelQueries {
   private[queries] def dsum(c: Column): Column = {
     val r = round(sum(c.cast("decimal(18,6)")), 2)
     val bound = lit(new java.math.BigDecimal("90071992547409.92")) // 2^53/100
-    when(abs(r) <= bound, r)
+    // isNull first: an all-NULL group sums to NULL, and NULL <= bound is
+    // NULL → CaseWhen would take the raise_error branch; NULL must stay
+    // a NULL output (pre-guard behavior), not a phantom overflow
+    when(r.isNull || abs(r) <= bound, r)
       .otherwise(raise_error(concat(
         lit("dsum: |sum| exceeds 2^53/100 — the double output can no "),
         lit("longer render the decimal exactly; widen this query's "),
