@@ -68,8 +68,11 @@ class DmlModelSpec extends SparkSpec {
               // MoR trials route half the deletes through the NATIVE
               // SupportsRowLevelOperations path — same model, so the
               // two DML surfaces are differentially fuzzed against each
-              // other as well as against the oracle
-              if (mor && rnd.nextBoolean()) {
+              // other as well as against the oracle. Both write modes
+              // run natively now: MoR → WriteDelta, CoW → group-based
+              // ReplaceData (partition-split writers + scope pruning,
+              // since this table partitions by category)
+              if (rnd.nextBoolean()) {
                 spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
                 spark.sql(s"DELETE FROM lake.db.t WHERE category = '$c'")
                 table = table.reloaded()
@@ -78,7 +81,7 @@ class DmlModelSpec extends SparkSpec {
             }
           case 2 => // update amount where category matches
             val c = cats(rnd.nextInt(3))
-            if (mor && rnd.nextBoolean()) {
+            if (rnd.nextBoolean()) { // native on BOTH modes (CoW → ReplaceData)
               spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
               spark.sql(
                 s"UPDATE lake.db.t SET amount = amount + 1000.0 WHERE category = '$c'")

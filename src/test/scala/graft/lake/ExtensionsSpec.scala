@@ -370,6 +370,33 @@ class ExtensionsSpec extends SparkSpec {
       s"rewritten rows must keep lineage: $ids")
   }
 
+  test("DSv2 catalog: mixed write modes — MoR UPDATE deltas compose with CoW DELETE swaps") {
+    val wh = Files.createTempDirectory("graft-mix-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    // per-command modes are independent (Iceberg semantics): updates
+    // write MoR deltas, deletes rewrite copy-on-write
+    sql.run("""CREATE TABLE db.mx (id INT, category STRING, amount DECIMAL(10,2))
+      TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.mx VALUES (1, 'a', 1.25), (2, 'b', 2.25), (3, 'a', 3.25)")
+
+    spark.sql("UPDATE lake.db.mx SET amount = amount + 1 WHERE category = 'a'")
+    val afterUpd = sql.catalog.loadTable("db", "mx").get
+    assert(afterUpd.deleteFiles.nonEmpty, "MoR update must write deltas")
+
+    // CoW DELETE over a table that currently carries delete files: the
+    // group swap must apply the MoR deltas while rewriting (live rows
+    // only) and must not disturb the remaining delete files' semantics
+    spark.sql("DELETE FROM lake.db.mx WHERE id = 1")
+    val afterDel = sql.catalog.loadTable("db", "mx").get
+    assert(afterDel.meta.snapshots.last.operation == "delete")
+    assert(spark.sql("SELECT id, amount FROM lake.db.mx ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString).toSeq
+      == Seq(2 -> "2.25", 3 -> "4.25"))
+    // dispatcher surface agrees
+    assert(sql.run("SELECT id FROM db.mx ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3))
+  }
+
   test("DSv2 catalog: native CoW DML on a partitioned table records partition values") {
     val wh = Files.createTempDirectory("graft-cowp-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
