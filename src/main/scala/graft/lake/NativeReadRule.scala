@@ -4,7 +4,7 @@ import org.apache.spark.sql.{sources => v1}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Expression, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.{expressions => cexp}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, Filter, LogicalPlan, Project, ReplaceData}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, Distinct, Filter, LogicalPlan, Project, ReplaceData}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
@@ -134,13 +134,28 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
     * cannot serve — so for copy-on-write tables this splice IS the scan
     * path, not just a fast path.
     *
-    * The scope predicate (partition + footer-stats pruning from the
-    * statement condition's target-column conjuncts) is built here ONCE
-    * and handed to the operation for its commit: the scan reads exactly
-    * the files the predicate admits, and the commit swaps exactly those
-    * files for the written output — shared predicate, provably identical
-    * scope. Conjuncts referencing non-target columns (a MERGE condition
-    * constraining the SOURCE side) never prune target files. */
+    * The scope predicate is built here ONCE and handed to the operation
+    * for its commit: the scan reads exactly the files the predicate
+    * admits, and the commit swaps exactly those files for the written
+    * output — shared predicate, provably identical scope. Conjuncts
+    * referencing non-target columns (a MERGE condition constraining the
+    * SOURCE side) never prune target files.
+    *
+    * Scope = metadata pruning ∩ matched-file discovery:
+    *  1. partition + footer-stats pruning from the condition's
+    *     target-column conjuncts (pure metadata, no I/O);
+    *  2. an EAGER narrow discovery scan — the condition's deterministic
+    *     target conjuncts filtered over the pruned files' live rows,
+    *     projected to `__fp`, distinct, collected — yielding exactly the
+    *     files that CONTAIN matching rows. This is Iceberg's runtime
+    *     group filtering done at plan time (the V1-bridge engine can't
+    *     host a DPP subquery), and the same affected-path pattern the
+    *     dispatcher's cowRewrite uses: a 100 TB DELETE touching one file
+    *     reads the table once narrow and rewrites that one file, instead
+    *     of rewriting everything the stats couldn't bound. A conjunct
+    *     SUBSET keeps discovery sound (matching-file superset); any
+    *     discovery failure falls back to the metadata-only scope —
+    *     conservative, never wrong. */
   private def spliceCowScan(cow: LakeCowRowLevelOperation,
       output: Seq[Attribute], conjuncts: Seq[Expression]): LogicalPlan = {
     val lake = cow.table
@@ -151,8 +166,9 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
     val partPred =
       partitionPredicate(lake.meta.partitionCols.toSet, targetConjuncts)
     val statsPred = StatsPruning.filePredicate(lake.schema, translated)
-    val scope: DataFileMeta => Boolean =
+    val pruned: DataFileMeta => Boolean =
       f => partPred(f.partitionValues) && statsPred(f)
+    val scope = matchedFileScope(lake, targetConjuncts, pruned)
     cow.setScope(scope)
     val wantsRowIds = output.exists(_.name == LakeTable.RowIdCol)
     val base = lake.readWithCoords(withRowIds = wantsRowIds, fileFilter = scope)
@@ -167,6 +183,41 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
     val fields: Seq[NamedExpression] =
       output.map(a => Alias(byName(a.name), a.name)(exprId = a.exprId))
     Project(fields, plan)
+  }
+
+  /** Exact group scope for CoW DML: of the metadata-pruned files, keep
+    * only those whose LIVE rows actually match the condition's usable
+    * (deterministic, name-resolvable) conjuncts — discovered by one
+    * narrow scan: Filter(cond) → Project(__fp) → Distinct → collect.
+    * Any failure (unresolvable refs, subquery planning, anything) falls
+    * back to the metadata-only predicate: a larger scope is only extra
+    * rewrite work, never wrong. Driver memory is O(matched files). */
+  private def matchedFileScope(lake: LakeTable,
+      targetConjuncts: Seq[Expression],
+      pruned: DataFileMeta => Boolean): DataFileMeta => Boolean = {
+    val usable = targetConjuncts.filter(_.deterministic)
+    if (usable.isEmpty) return pruned
+    scala.util.Try {
+      val basePlan = lake.readWithCoords(fileFilter = pruned)
+        .queryExecution.analyzed
+      val byName = basePlan.output.map(a => a.name -> a).toMap
+      // remap by NAME onto the discovery plan's attributes (exprIds
+      // differ from the DML relation's); refs that don't resolve drop
+      // their conjunct — a conjunct subset stays superset-sound
+      val mappable = usable.filter(_.references.forall(a => byName.contains(a.name)))
+      if (mappable.isEmpty) pruned
+      else {
+        val remapped = mappable
+          .map(_.transform { case a: Attribute => byName(a.name) })
+          .reduce(cexp.And(_, _))
+        val discovery = Distinct(Project(
+          Seq(byName(LakeTable.FileCol)), Filter(remapped, basePlan)))
+        val paths = session.sessionState.executePlan(discovery)
+          .executedPlan.executeCollect()
+          .map(_.getUTF8String(0).toString).toSet
+        (f: DataFileMeta) => pruned(f) && paths.contains(f.path)
+      }
+    }.getOrElse(pruned)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {

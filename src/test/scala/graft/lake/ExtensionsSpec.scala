@@ -370,6 +370,34 @@ class ExtensionsSpec extends SparkSpec {
       s"rewritten rows must keep lineage: $ids")
   }
 
+  test("CoW group scope is exact: only files CONTAINING matches are rewritten, " +
+    "even when footer stats cannot bound the condition") {
+    val wh = Files.createTempDirectory("graft-cows-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.cs (id INT, name STRING)")
+    sql.run("INSERT INTO db.cs VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')")
+    val before = sql.catalog.loadTable("db", "cs").get
+    assert(before.dataFiles.size == 3) // one file per VALUES row
+
+    // LIKE '%ta' has no source-filter translation: min/max stats cannot
+    // bound it, so without matched-file discovery all 3 files would be
+    // rewritten. Discovery scopes the swap to the one matching file.
+    spark.sql("DELETE FROM lake.db.cs WHERE name LIKE '%ta'")
+
+    val after = sql.catalog.loadTable("db", "cs").get
+    assert(spark.sql("SELECT id FROM lake.db.cs ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    val survivors = after.dataFiles.map(_.path).toSet
+    val beforePaths = before.dataFiles.map(_.path).toSet
+    assert(survivors.subsetOf(beforePaths) && survivors.size == 2,
+      s"non-matching files must be carried over untouched: " +
+        s"$beforePaths -> $survivors")
+    // an UPDATE matching nothing discovers an empty scope → no commit
+    spark.sql("UPDATE lake.db.cs SET name = 'x' WHERE name LIKE '%zzz'")
+    assert(sql.catalog.loadTable("db", "cs").get.meta.snapshots.size
+      == after.meta.snapshots.size, "no-match CoW UPDATE must not commit")
+  }
+
   test("DSv2 catalog: mixed write modes — MoR UPDATE deltas compose with CoW DELETE swaps") {
     val wh = Files.createTempDirectory("graft-mix-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
