@@ -166,6 +166,77 @@ class LakeTable(
       .select(schema.fieldNames.map(col): _*)
   }
 
+  /** Incremental append scan (Iceberg's incremental read,
+    * `start-snapshot-id`/`end-snapshot-id`): the rows ADDED by snapshots
+    * in `(fromExclusive, toInclusive]`, read straight from the files
+    * those snapshots appended — O(changed data), never a full-table diff.
+    * This is the CDC feed a downstream training pipeline tails: each call
+    * (or each streaming micro-batch over it) processes only the new data.
+    *
+    * Semantics per snapshot operation:
+    *  - `append` — emit the files it added (exactly the new rows);
+    *  - `replace`/compaction — skipped silently: rewrites change no
+    *    logical rows, so emitting them would double-count (Iceberg's
+    *    incremental scan skips replace the same way);
+    *  - anything else (delete/update/merge/upsert/overwrite/truncate/
+    *    rollback) mutates existing rows, which an append-only feed cannot
+    *    represent: the default THROWS (no silent wrong answer); with
+    *    `skipNonAppends` the whole snapshot is skipped and the feed is
+    *    documented post-images-of-appends-only (Iceberg's
+    *    `streaming-skip-delete/overwrite-snapshots` contract).
+    *
+    * Delete files are deliberately NOT applied: the emitted rows are the
+    * batch as appended. A consumer wanting current-state rows reads the
+    * table, not the changelog. Both endpoint snapshots must still be
+    * retained — expire_snapshots retention must exceed consumer lag
+    * (clear error otherwise, never a silent gap). */
+  def readIncremental(
+      fromExclusive: Option[Long],
+      toInclusive: Long,
+      skipNonAppends: Boolean = false): DataFrame =
+    readLiveFiles(
+      addedFilesBetween(fromExclusive, toInclusive, skipNonAppends),
+      withRowIds = false, deletes = Nil)
+      .select(schema.fieldNames.map(col): _*)
+
+  /** File-level form of [[readIncremental]]: the data files added by
+    * qualifying snapshots in `(fromExclusive, toInclusive]`, in commit
+    * order. Metadata-only (snapshot listing diffs); no data I/O. */
+  private[lake] def addedFilesBetween(
+      fromExclusive: Option[Long],
+      toInclusive: Long,
+      skipNonAppends: Boolean): Seq[DataFileMeta] = {
+    val log = meta.snapshots.sortBy(_.id) // ids are monotone commit order
+    def pos(id: Long, role: String): Int = {
+      val i = log.indexWhere(_.id == id)
+      if (i < 0) throw new IllegalArgumentException(
+        s"table ${meta.name} has no snapshot $id ($role bound of the " +
+          s"incremental range; known: ${log.map(_.id).mkString(", ")}) — " +
+          "it may have been expired. expire_snapshots retention must " +
+          "exceed incremental-consumer lag.")
+      i
+    }
+    val end = pos(toInclusive, "end")
+    val start = fromExclusive.map(pos(_, "start") + 1).getOrElse(0)
+    (start to end).flatMap { i =>
+      val snap = log(i)
+      lazy val prevPaths: Set[String] =
+        if (i == 0) Set.empty else log(i - 1).dataFiles.map(_.path).toSet
+      snap.operation match {
+        case "append" =>
+          snap.dataFiles.filterNot(f => prevPaths.contains(f.path))
+        case "replace" => Nil // compaction: no logical change
+        case op if skipNonAppends => Nil
+        case op => throw new UnsupportedOperationException(
+          s"incremental read of ${meta.name}: snapshot ${snap.id} is a " +
+            s"'$op' commit, which changes existing rows and cannot be " +
+            "represented as an append feed. Pass skipNonAppends=true to " +
+            "skip such snapshots (appended-rows-only semantics), or read " +
+            "the table state directly.")
+      }
+    }
+  }
+
   /** Time travel by timestamp: the snapshot current as of `tsMillis`
     * (latest commit at or before it), Iceberg's `TIMESTAMP AS OF` rule. */
   def snapshotIdAsOf(tsMillis: Long): Long =

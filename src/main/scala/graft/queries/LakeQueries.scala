@@ -395,7 +395,42 @@ object LakeQueries {
             SELECT * FROM demo_q48 ORDER BY id"""),
     (s, _) => q48Table(s).read().orderBy("id"))
 
+  // Q61: incremental append scan (M34) — the changelog a downstream
+  // training pipeline tails. Two append commits; the incremental range
+  // (snapshot 1, snapshot 2] must yield EXACTLY the second batch's rows
+  // (first batch excluded, nothing dropped). The oracle is the second
+  // batch spelled as literal VALUES — the appended-rows contract itself.
+  private val incFixture = new SessionMemo[graft.lake.LakeTable]
+
+  private def q61Table(s: org.apache.spark.sql.SparkSession): graft.lake.LakeTable =
+    incFixture(s) { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-inc-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val cat = new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now })
+      cat.createNamespace("demo")
+      def batch(rows: Seq[(Int, String, String, String)]) =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map { case (id, n, c, a) =>
+            org.apache.spark.sql.Row(id, n, c,
+              new java.math.BigDecimal(a), DemoFixture.FixedTs)
+          }, 1), DemoFixture.Schema)
+      val (first, second) = DemoFixture.Products.splitAt(5)
+      cat.createTable("demo", "inc", DemoFixture.Schema)
+        .append(batch(first))   // snapshot 1
+        .append(batch(second))  // snapshot 2
+    }
+
+  val q61 = QueryDef(
+    "q61_incremental_read",
+    Some("""SELECT * FROM (VALUES """ + DemoFixture.Products.drop(5).map {
+        case (id, n, c, a) =>
+          s"($id, '$n', '$c', CAST($a AS DECIMAL(10,2)), " +
+            "TIMESTAMP '2026-01-01 00:00:00')"
+      }.mkString(", ") +
+      """) t(id, name, category, amount, created_at) ORDER BY id"""),
+    (s, _) => q61Table(s).readIncremental(Some(1L), 2L).orderBy("id"))
+
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54, q58, q59, q60)
+      q53, q54, q58, q59, q60, q61)
 }

@@ -586,6 +586,41 @@ class LakeTableSpec extends SparkSpec {
     assert(h(1).getString(4).contains("deleted-records=2"))
   }
 
+  test("incremental read: (from, to] append diffs; replace skipped; " +
+    "mutations throw unless skipped; expired bounds error clearly") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t1 = cat.createTable("db", "inc", schema, props = morProps)
+      .append(df(sixRows: _*))               // snapshot 1
+    val t2 = t1.append(df((7, "d", 70.0), (8, "d", 80.0))) // snapshot 2
+    def incIds(t: LakeTable, from: Option[Long], to: Long,
+        skip: Boolean = false): Seq[Int] =
+      t.readIncremental(from, to, skip)
+        .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(incIds(t2, Some(1L), 2L) == Seq(7, 8))
+    assert(incIds(t2, None, 2L) == Seq(1, 2, 3, 4, 5, 6, 7, 8))
+    assert(incIds(t2, Some(2L), 2L) == Nil) // empty range
+    // compaction is a 'replace' snapshot: no logical rows added
+    val t3 = Procedures.rewriteDataFiles(
+      t2, Map("rewrite-all" -> "true")).table // snapshot 3
+    assert(t3.currentSnapshot.get.operation == "replace")
+    assert(incIds(t3, Some(2L), 3L) == Nil)
+    assert(incIds(t3, Some(1L), 3L) == Seq(7, 8))
+    // a delete snapshot cannot be expressed as appends: throw, or skip
+    val t4 = t3.delete(col("id") === 7)      // snapshot 4
+    val e = intercept[UnsupportedOperationException](
+      t4.readIncremental(Some(1L), 4L).collect())
+    assert(e.getMessage.contains("'delete' commit"))
+    assert(incIds(t4, Some(1L), 4L, skip = true) == Seq(7, 8))
+    // appended rows are emitted as-appended: the later delete of id=7
+    // inside the range is not applied to the feed (documented semantics)
+    val t5 = t4.append(df((9, "e", 90.0)))   // snapshot 5
+    assert(incIds(t5, Some(3L), 5L, skip = true) == Seq(9))
+    // unknown/expired endpoints must fail loudly, never feed a gap
+    val bad = intercept[IllegalArgumentException](
+      t5.readIncremental(Some(77L), 5L))
+    assert(bad.getMessage.contains("expire_snapshots retention"))
+  }
+
   test("Meta.commit bumps versions atomically and detects collisions") {
     val loc = Files.createTempDirectory("graft-meta")
     val m = TableMetadata(name = "x.y", schemaDdl = "id INT")
