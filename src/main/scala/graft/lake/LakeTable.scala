@@ -217,7 +217,17 @@ class LakeTable(
       i
     }
     val end = pos(toInclusive, "end")
-    val start = fromExclusive.map(pos(_, "start") + 1).getOrElse(0)
+    val fromPos = fromExclusive.map(pos(_, "start"))
+    // from == to is a legal empty poll ("no new commits"); from AFTER to
+    // is an inverted range — swapped bounds would otherwise return an
+    // empty feed and silently skip (to, from], the same silent-gap class
+    // the unknown-id check above exists to prevent
+    fromPos.filter(_ > end).foreach { _ =>
+      throw new IllegalArgumentException(
+        s"table ${meta.name}: inverted incremental range — start snapshot " +
+          s"${fromExclusive.get} is AFTER end snapshot $toInclusive")
+    }
+    val start = fromPos.map(_ + 1).getOrElse(0)
     (start to end).flatMap { i =>
       val snap = log(i)
       lazy val prevPaths: Set[String] =
@@ -629,6 +639,24 @@ class LakeTable(
     }
   }
 
+  /** Paths of the files among `files` whose LIVE rows match `cond`
+    * (rows where it is TRUE) — the ONE matched-file discovery used by
+    * both CoW rewrite paths (builder [[cowRewrite]] and the native
+    * ReplaceData scope in NativeReadRule), so live-row semantics and
+    * path normalization cannot diverge between them. One narrow scan:
+    * Catalyst prunes to the predicate's columns + the file path. Driver
+    * memory is O(matched file paths). */
+  private[lake] def matchedFilePaths(
+      cond: Column, files: Seq[DataFileMeta]): Set[String] =
+    readLiveFiles(files, withRowIds = false)
+      .filter(cond).select(FileCol).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Enforce the session-principal grant rule for `perm` on this table
+    * (no-op when [[LakeExtensions.PrincipalConf]] is unset) — the public
+    * gate for surfaces outside the lake package (the streaming source). */
+  def requireGrant(perm: String): Unit = Grants.require(spark, this, perm)
+
   /** Copy-on-write delete/update: rewrite only the files containing
     * matched rows; untouched files are carried over.
     *
@@ -641,8 +669,7 @@ class LakeTable(
   private def cowRewrite(cond: Column, upd: Option[Map[String, Column]]): LakeTable = {
     val seq = nextSeq
     val keepIds = meta.formatVersion >= 3
-    val affectedPaths = readWithCoords().filter(cond).select(FileCol).distinct()
-      .collect().map(_.getString(0)).toSet
+    val affectedPaths = matchedFilePaths(cond, dataFiles)
     if (affectedPaths.isEmpty) return this
     val (affectedMeta, keep) = dataFiles.partition(f => affectedPaths.contains(f.path))
     val affectedRows = readLiveFiles(affectedMeta, withRowIds = keepIds)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{sources => v1}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Expression, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.{expressions => cexp}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, Distinct, Filter, LogicalPlan, Project, ReplaceData}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, Filter, LogicalPlan, Project, ReplaceData}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
@@ -187,34 +187,42 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
 
   /** Exact group scope for CoW DML: of the metadata-pruned files, keep
     * only those whose LIVE rows actually match the condition's usable
-    * (deterministic, name-resolvable) conjuncts — discovered by one
-    * narrow scan: Filter(cond) → Project(__fp) → Distinct → collect.
-    * Any failure (unresolvable refs, subquery planning, anything) falls
-    * back to the metadata-only predicate: a larger scope is only extra
-    * rewrite work, never wrong. Driver memory is O(matched files). */
+    * (deterministic, name-resolvable) conjuncts — one narrow discovery
+    * scan through [[LakeTable.matchedFilePaths]], the same helper the
+    * builder-path cowRewrite uses (shared live-row semantics and path
+    * normalization). Any failure (unresolvable refs, subquery planning,
+    * anything) falls back to the metadata-only predicate: a larger scope
+    * is only extra rewrite work, never wrong.
+    *
+    * Skipped entirely when every usable conjunct references only
+    * PARTITION columns: a file admitted by the partition predicate then
+    * has ALL rows satisfying those conjuncts, so discovery could never
+    * trim it — running it would read the scoped partitions once at plan
+    * time just to return the same set, doubling I/O on exactly the
+    * common partition-scoped DELETE (review r7). */
   private def matchedFileScope(lake: LakeTable,
       targetConjuncts: Seq[Expression],
       pruned: DataFileMeta => Boolean): DataFileMeta => Boolean = {
     val usable = targetConjuncts.filter(_.deterministic)
     if (usable.isEmpty) return pruned
+    val partCols = lake.meta.partitionCols.toSet
+    if (usable.forall(_.references.forall(a => partCols.contains(a.name))))
+      return pruned
     scala.util.Try {
-      val basePlan = lake.readWithCoords(fileFilter = pruned)
-        .queryExecution.analyzed
-      val byName = basePlan.output.map(a => a.name -> a).toMap
-      // remap by NAME onto the discovery plan's attributes (exprIds
-      // differ from the DML relation's); refs that don't resolve drop
-      // their conjunct — a conjunct subset stays superset-sound
-      val mappable = usable.filter(_.references.forall(a => byName.contains(a.name)))
+      // remap refs by NAME to unresolved attributes (the discovery
+      // DataFrame resolves them against its own output; exprIds of the
+      // DML relation don't carry over); refs outside the table schema
+      // drop their conjunct — a conjunct subset stays superset-sound
+      val fields = lake.schema.fieldNames.toSet
+      val mappable = usable.filter(_.references.forall(a => fields.contains(a.name)))
       if (mappable.isEmpty) pruned
       else {
-        val remapped = mappable
-          .map(_.transform { case a: Attribute => byName(a.name) })
-          .reduce(cexp.And(_, _))
-        val discovery = Distinct(Project(
-          Seq(byName(LakeTable.FileCol)), Filter(remapped, basePlan)))
-        val paths = session.sessionState.executePlan(discovery)
-          .executedPlan.executeCollect()
-          .map(_.getUTF8String(0).toString).toSet
+        val cond = org.apache.spark.sql.graft.ColumnBridge.column(
+          mappable.map(_.transform { case a: Attribute =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              .quoted(a.name)
+          }).reduce(cexp.And(_, _)))
+        val paths = lake.matchedFilePaths(cond, lake.dataFiles.filter(pruned))
         (f: DataFileMeta) => pruned(f) && paths.contains(f.path)
       }
     }.getOrElse(pruned)

@@ -53,11 +53,18 @@ final class LakeStreamSource(
     startAfter: Option[Long],
     skipNonAppends: Boolean) extends Source {
 
-  private def loadTable(): LakeTable =
-    catalog.loadTable(db, table).getOrElse(
+  /** Every poll re-checks the SELECT grant (same session-principal rule
+    * as every other read surface — dispatcher, DSv2 scan, native
+    * splice): a stream is a long-lived reader, so a revocation takes
+    * effect at the next micro-batch, not never. */
+  private def loadTable(): LakeTable = {
+    val t = catalog.loadTable(db, table).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake stream source: table $db.$table does not exist " +
           s"under ${catalog.warehouse}"))
+    t.requireGrant("SELECT")
+    t
+  }
 
   override val schema: StructType = loadTable().schema
 
@@ -133,10 +140,12 @@ final class LakeStreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val (cat, db, t) = resolve(sqlContext, parameters)
-    val declared = cat.loadTable(db, t).getOrElse(
+    val lake = cat.loadTable(db, t).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake stream source: table $db.$t does not exist under " +
-          s"${cat.warehouse}")).schema
+          s"${cat.warehouse}"))
+    lake.requireGrant("SELECT") // schema disclosure is already a read
+    val declared = lake.schema
     // a user-supplied schema must not silently diverge from the table's
     schema.filter(_ != declared).foreach { s =>
       throw new IllegalArgumentException(

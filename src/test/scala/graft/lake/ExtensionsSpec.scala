@@ -398,6 +398,31 @@ class ExtensionsSpec extends SparkSpec {
       == after.meta.snapshots.size, "no-match CoW UPDATE must not commit")
   }
 
+  test("CoW partition-only DELETE: metadata scope alone is exact — other " +
+    "partitions' files carried over byte-identical (discovery skipped)") {
+    val wh = Files.createTempDirectory("graft-cowm-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.po (id INT, category STRING)
+      PARTITIONED BY (category)""")
+    sql.run("INSERT INTO db.po VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'a')")
+    val before = sql.catalog.loadTable("db", "po").get.dataFiles
+    val keepPaths = before.filterNot(
+      _.partitionValues.get("category").contains("a")).map(_.path).toSet
+
+    // every usable conjunct references only the partition column, so the
+    // scope predicate is decidable from partition values with zero I/O —
+    // matched-file discovery is skipped and must not be needed for
+    // exactness: partitions b and c survive as the SAME files
+    spark.sql("DELETE FROM lake.db.po WHERE category = 'a'")
+
+    val after = sql.catalog.loadTable("db", "po").get
+    assert(after.dataFiles.map(_.path).toSet == keepPaths,
+      "non-matching partitions must carry over untouched; matching " +
+        "partition files must not survive")
+    assert(spark.sql("SELECT id FROM lake.db.po ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3))
+  }
+
   test("DSv2 catalog: mixed write modes — MoR UPDATE deltas compose with CoW DELETE swaps") {
     val wh = Files.createTempDirectory("graft-mix-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))

@@ -619,6 +619,10 @@ class LakeTableSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](
       t5.readIncremental(Some(77L), 5L))
     assert(bad.getMessage.contains("expire_snapshots retention"))
+    // swapped bounds are an inverted range, not an empty feed
+    val inv = intercept[IllegalArgumentException](
+      t5.readIncremental(Some(5L), 1L))
+    assert(inv.getMessage.contains("inverted incremental range"))
   }
 
   test("Meta.commit bumps versions atomically and detects collisions") {

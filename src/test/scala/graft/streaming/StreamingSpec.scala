@@ -352,6 +352,19 @@ class StreamingSpec extends SparkSpec {
         "restart must resume after the checkpointed snapshot id, not replay")
     } finally q2.stop()
 
+    // the streaming source enforces the same SELECT grant as every
+    // other read surface — a principal without it cannot even resolve
+    // the source schema (review r7: streams must not bypass grants)
+    cat.grant("db", "tail", "carol", Seq("INSERT"))
+    try {
+      spark.conf.set(graft.lake.LakeExtensions.PrincipalConf, "carol")
+      intercept[graft.lake.AccessDeniedException] {
+        spark.readStream.format("graft-lake")
+          .option("warehouse", wh.toString).option("table", "db.tail")
+          .load()
+      }
+    } finally spark.conf.unset(graft.lake.LakeExtensions.PrincipalConf)
+
     // startSnapshotId tails only commits after the given snapshot
     val t2 = cat.loadTable("db", "tail").get
     val q3 = spark.readStream.format("graft-lake")
