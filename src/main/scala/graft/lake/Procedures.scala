@@ -4,8 +4,9 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DateType, LongType, NumericType, StructField, StructType, TimestampType}
 
 final case class RewriteResult(
     table: LakeTable,
@@ -95,6 +96,58 @@ object Procedures {
     * delete files whose remaining references all point at rewritten files
     * are dropped. `rewrite-all` therefore leaves zero delete files.
     */
+  /** Interleaved-bit z-value over 2–4 numeric/temporal columns — the
+    * Morton-curve clustering key `sort-order=zorder(a,b)` compacts on
+    * (the Iceberg/Delta Z-ORDER analogue). Each column is min/max-scaled
+    * to 16 bits (one extra agg job over the rewrite set — maintenance-
+    * time cost, metadata-free), then bits interleave round-robin so
+    * nearby z-values are nearby in EVERY dimension. The whole key is
+    * built from codegen'd built-ins (cast/shift/bitwise — no UDF in the
+    * clustering path). Nulls scale to 0 (clustered together at the
+    * curve's origin — locality for null-heavy columns is moot). A
+    * constant or all-null column contributes 0 bits, degrading to the
+    * remaining dimensions instead of failing the rewrite. Strings are
+    * rejected by name: min/max scaling has no meaning for them, and a
+    * silent hash would DESTROY locality while claiming to add it — use
+    * a plain `sort-order` for lexical clustering. */
+  private def zvalue(
+      schema: StructType, df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorder takes 2-4 columns (16 bits each in a 64-bit key), got " +
+        s"${cols.size}: use sort-order=<col> for single-column clustering")
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val numeric: Seq[Column] = cols.map { c =>
+      types.getOrElse(c, throw new IllegalArgumentException(
+        s"zorder: unknown column $c (schema: ${schema.fieldNames.mkString(", ")})")) match {
+        case _: NumericType => col(c).cast("double")
+        case DateType => col(c).cast("int").cast("double")
+        case TimestampType => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"zorder column $c is ${other.simpleString}: only numeric/date/" +
+            "timestamp columns interleave meaningfully — use a plain " +
+            s"sort-order=$c for lexical clustering")
+      }
+    }
+    val statRow = df.agg(
+      numeric.flatMap(n => Seq(min(n), max(n))).head,
+      numeric.flatMap(n => Seq(min(n), max(n))).tail: _*).head()
+    val scaled: Seq[Column] = cols.indices.map { j =>
+      if (statRow.isNullAt(2 * j) || statRow.isNullAt(2 * j + 1)) lit(0L)
+      else {
+        val lo = statRow.getDouble(2 * j)
+        val span = statRow.getDouble(2 * j + 1) - lo
+        if (!(span > 0) || span.isInfinite) lit(0L)
+        else least(greatest(coalesce(
+          ((numeric(j) - lo) * (65535.0 / span)).cast("long"), lit(0L)),
+          lit(0L)), lit(65535L))
+      }
+    }
+    val k = cols.size
+    (for (bit <- 0 until 16; j <- 0 until k) yield
+      shiftleft(shiftright(scaled(j), bit).bitwiseAND(lit(1L)), bit * k + j))
+      .reduce(_ bitwiseOR _)
+  }
+
   def rewriteDataFiles(
       t: LakeTable,
       options: Map[String, String] = Map.empty): RewriteResult = {
@@ -144,14 +197,29 @@ object Procedures {
       (if (keepIds) Seq(col(RowIdCol)) else Nil)
     val totalBytes = rewriteSet.map(_.sizeBytes).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val sortCols = options.get("sort-order")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val projected = live.select(outCols: _*)
-    val compacted =
-      if (sortCols.isEmpty) projected.repartition(nOut)
-      else projected
-        .repartitionByRange(nOut, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
+    val ZOrderSpec = """(?i)zorder\s*\((.+)\)""".r
+    val compacted = options.get("sort-order") match {
+      case None => projected.repartition(nOut)
+      case Some(ZOrderSpec(zspec)) =>
+        // z-order clustering: range-partition + sort on the interleaved
+        // z-value, so EVERY listed column gets localized per-file bounds
+        // (a lexical sort localizes only the leading column; trailing
+        // columns span the full range in every file and stats can never
+        // skip on them)
+        val zcols = zspec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val z = zvalue(t.schema, projected, zcols)
+        val zCol = "__graft_z"
+        projected.withColumn(zCol, z)
+          .repartitionByRange(nOut, col(zCol))
+          .sortWithinPartitions(col(zCol))
+          .drop(zCol)
+      case Some(spec) =>
+        val sortCols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        projected
+          .repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+    }
 
     val seq = t.meta.lastSequenceNumber + 1
     val newData =

@@ -172,6 +172,40 @@ class ProceduresSpec extends SparkSpec {
       == Seq(1, 2, 100, 101))
   }
 
+  test("zorder compaction localizes file bounds in EVERY listed dimension") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val cat = freshCatalog(); cat.createNamespace("db")
+    // an 8x8 grid over (id, amount): under a lexical sort by id, every
+    // file spans the FULL amount range and stats can never skip on it
+    val grid = for (x <- 0 until 8; y <- 0 until 8) yield (x, "g", y.toDouble)
+    var t = cat.createTable("db", "zo", schema, props = morProps)
+      .append(df(new scala.util.Random(42).shuffle(grid): _*))
+    val quarter = t.dataFiles.map(_.sizeBytes).sum / 4 + 1
+    val r = Procedures.rewriteDataFiles(t, Map(
+      "rewrite-all" -> "true", "sort-order" -> "zorder(id, amount)",
+      "target-file-size-bytes" -> quarter.toString))
+    assert(r.addedDataFiles >= 3, s"expected ~4 output files: $r")
+    // content invariant
+    assert(r.table.read().collect()
+      .map(row => (row.getInt(0), row.getDouble(2))).sorted.toSeq
+      == grid.map(g => (g._1, g._3)).sorted)
+    // z-clustering localizes BOTH dimensions: a range predicate on
+    // either column must skip at least the opposite-quadrant file(s)
+    def kept(pred: org.apache.spark.sql.sources.Filter) = r.table.dataFiles
+      .count(StatsPruning.filePredicate(schema, Seq(pred)))
+    assert(kept(GreaterThan("id", 5)) < r.table.dataFiles.size,
+      "id range must skip files after zorder")
+    assert(kept(GreaterThan("amount", 5.5)) < r.table.dataFiles.size,
+      "amount range must skip files after zorder — the non-leading " +
+        "dimension is the whole point of the curve")
+    // misuse fails by name, not by silent hash-clustering
+    assertThrows[IllegalArgumentException](Procedures.rewriteDataFiles(
+      r.table, Map("rewrite-all" -> "true", "sort-order" -> "zorder(id)")))
+    assertThrows[IllegalArgumentException](Procedures.rewriteDataFiles(
+      r.table, Map("rewrite-all" -> "true",
+        "sort-order" -> "zorder(id, category)")))
+  }
+
   test("remove_orphan_files deletes only unreferenced files") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t = morTable(cat, "or1")
