@@ -162,12 +162,20 @@ object StreamIngest {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        retryingCommit() {
-          targetTable(catalog, db, table).upsertByKey(batch, keyCols)
-        }
-        ()
+        upsertBatch(catalog, db, table, keyCols)(batch)
       }
       .start()
+
+  /** One micro-batch equality-delete upsert with conflict retries — the
+    * per-batch body shared by [[upsertByKeyStream]] and the
+    * `graft-lake` writeStream sink's `keys` mode. */
+  def upsertBatch(catalog: LakeCatalog, db: String, table: String,
+      keyCols: Seq[String])(batch: DataFrame): Unit = {
+    retryingCommit() {
+      targetTable(catalog, db, table).upsertByKey(batch, keyCols)
+    }
+    ()
+  }
 
   /** Streaming sessionization via `flatMapGroupsWithState` — the §2.10
     * custom-state showcase and the streaming twin of q42's batch

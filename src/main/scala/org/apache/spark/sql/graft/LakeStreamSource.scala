@@ -5,12 +5,14 @@ import java.nio.file.Paths
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.lake.{LakeCatalog, LakeTable}
+import graft.streaming.StreamIngest
 
 /** Structured Streaming SOURCE over a lake table: each micro-batch is an
   * incremental append scan between two snapshot ids, so a streaming query
@@ -113,9 +115,46 @@ object LakeStreamSource {
   }
 }
 
+/** Structured Streaming SINK over a lake table — the write half of the
+  * `graft-lake` format, so a full mirror pipeline is just
+  * `readStream.format("graft-lake") … writeStream.format("graft-lake")`.
+  *
+  * Default (append) mode commits each micro-batch as ONE append
+  * snapshot with the batch id recorded in the same atomic commit
+  * ([[StreamIngest.commitBatch]]), so a replayed micro-batch after a
+  * crash is recognized and skipped — exactly-once table state from
+  * Spark's at-least-once delivery. With option `keys=k1,k2`, each batch
+  * lands as an O(batch) equality-delete upsert instead
+  * ([[StreamIngest.upsertBatch]]: no target read, converges by value on
+  * redelivery) — the only write shape that holds when the table is
+  * 100 TB and batches are megabytes. Both paths retry commit conflicts
+  * by reloading (appends additionally rebase inside the engine). */
+final class LakeStreamSink(
+    session: ClassicSession,
+    catalog: LakeCatalog,
+    db: String,
+    table: String,
+    keys: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is bound to the streaming incremental plan;
+    // re-wrap its executed RDD as a plain batch frame (ForeachBatchSink's
+    // own pattern) so the lake write can repartition/plan it freely
+    val batch = session.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    val t = catalog.loadTable(db, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake sink: table $db.$table does not exist under " +
+          s"${catalog.warehouse}"))
+    t.requireGrant("INSERT")
+    if (keys.isEmpty) StreamIngest.commitBatch(catalog, db, table)(batch, batchId)
+    else StreamIngest.upsertBatch(catalog, db, table, keys)(batch)
+  }
+}
+
 /** `.format("graft-lake")` registration (via META-INF/services). */
 final class LakeStreamSourceProvider
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
@@ -166,5 +205,27 @@ final class LakeStreamSourceProvider
       sqlContext.sparkSession.asInstanceOf[ClassicSession], cat, db, t,
       parameters.get("startSnapshotId").map(_.toLong),
       parameters.get("skipNonAppends").exists(_.toBoolean))
+  }
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val (cat, db, t) = resolve(sqlContext, parameters)
+    if (partitionColumns.nonEmpty) throw new IllegalArgumentException(
+      "graft-lake sink: the table declares its own partitioning; " +
+        "drop .partitionBy(…)")
+    if (outputMode == OutputMode.Complete()) throw new IllegalArgumentException(
+      "graft-lake sink supports append (snapshot per batch) and " +
+        "update-with-keys (equality upsert), not complete mode")
+    val keys = parameters.get("keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (outputMode == OutputMode.Update() && keys.isEmpty)
+      throw new IllegalArgumentException(
+        "graft-lake sink in update mode needs option keys=k1[,k2…] " +
+          "(which columns identify a row for the equality upsert)")
+    new LakeStreamSink(
+      sqlContext.sparkSession.asInstanceOf[ClassicSession], cat, db, t, keys)
   }
 }

@@ -305,6 +305,69 @@ class StreamingSpec extends SparkSpec {
     assert(maintenance > 0, "maintenance never committed — race untested")
   }
 
+  test("graft-lake SINK: format roundtrip mirrors table A into B with one " +
+    "append snapshot per micro-batch; keys option lands equality upserts") {
+    val wh = Files.createTempDirectory("graft-sink-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val s = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    def batch(rows: (Int, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), s)
+    cat.createTable("db", "mA", s).append(batch((1, "a"), (2, "b")))
+    cat.createTable("db", "mB", s)
+
+    // the full mirror pipeline: tail A's commit log, commit into B
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt")
+    val q = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.mA").load()
+      .writeStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.mB")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    def bIds(): Seq[Int] = cat.loadTable("db", "mB").get.read()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    try {
+      q.processAllAvailable()
+      assert(bIds() == Seq(1, 2))
+      cat.loadTable("db", "mA").get.append(batch((3, "c")))
+      q.processAllAvailable()
+      assert(bIds() == Seq(1, 2, 3))
+      val b = cat.loadTable("db", "mB").get
+      assert(b.meta.snapshots.count(_.operation == "append") == 2,
+        "one append snapshot per delivered micro-batch")
+      assert(b.meta.props.contains(StreamIngest.LastBatchProp),
+        "batch id must ride the commit for replay skipping")
+    } finally q.stop()
+
+    // keys mode: two sequential one-shot streams upsert into the same
+    // MoR table; the second's overlapping key must win by value
+    cat.createTable("db", "mU", s,
+      props = Map("write.delete.mode" -> "merge-on-read"))
+    def upsertOnce(rows: Seq[(Int, String)]): Unit = {
+      val src = Files.createTempDirectory("graft-sink-upsrc")
+      batch(rows: _*).write.parquet(s"$src/p")
+      val flat = Files.createTempDirectory("graft-sink-upflat")
+      Files.walk(src).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        Files.copy(p, flat.resolve(p.getFileName)) }
+      val uq = spark.readStream.schema(s).parquet(flat.toString)
+        .writeStream.format("graft-lake")
+        .option("warehouse", wh.toString).option("table", "db.mU")
+        .option("keys", "id")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sink-upckpt").toString)
+        .start()
+      uq.processAllAvailable(); uq.stop()
+    }
+    upsertOnce(Seq(1 -> "x", 2 -> "y"))
+    upsertOnce(Seq(2 -> "Y2", 3 -> "z"))
+    val got = cat.loadTable("db", "mU").get.read().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(got == Set(1 -> "x", 2 -> "Y2", 3 -> "z"), s"got $got")
+    assert(cat.loadTable("db", "mU").get.meta.snapshots
+      .count(_.operation == "upsert") == 2)
+  }
+
   test("graft-lake streaming SOURCE tails the commit log with snapshot-id " +
     "offsets; checkpoint restart resumes after the delivered snapshot") {
     val wh = Files.createTempDirectory("graft-src-wh")
