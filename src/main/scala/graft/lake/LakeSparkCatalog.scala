@@ -92,18 +92,23 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `SELECT … FROM lake.db.t VERSION AS OF <id-or-tag>` — Catalyst
-    * resolves the clause through this overload; a numeric argument is a
-    * snapshot id, anything else resolves as a snapshot tag (Iceberg's
-    * branch/tag time travel), with a diagnostic listing the table's tags
-    * instead of a raw NumberFormatException. */
+  /** `SELECT … FROM lake.db.t VERSION AS OF <id-or-tag-or-branch>` —
+    * Catalyst resolves the clause through this overload; a numeric
+    * argument is a snapshot id, anything else resolves as a snapshot tag
+    * or a branch head (Iceberg's branch/tag time travel; a branch name
+    * reads its current head), with a diagnostic listing the table's refs
+    * instead of a raw NumberFormatException. Tags win a (discouraged)
+    * name collision — they are immutable, so the read is reproducible. */
   override def loadTable(ident: Identifier, version: String): Table =
     cat.loadTable(db(ident), ident.name()) match {
       case Some(t) =>
-        val snapId = version.toLongOption.orElse(t.meta.tags.get(version))
+        val snapId = version.toLongOption
+          .orElse(t.meta.tags.get(version))
+          .orElse(t.meta.branches.get(version))
           .getOrElse(throw new IllegalArgumentException(
-            s"VERSION AS OF '$version': not a snapshot id or tag on " +
-              s"${t.name} (tags: ${t.meta.tags.keys.mkString(", ")})"))
+            s"VERSION AS OF '$version': not a snapshot id, tag or branch " +
+              s"on ${t.name} (tags: ${t.meta.tags.keys.mkString(", ")}; " +
+              s"branches: ${t.meta.branches.keys.mkString(", ")})"))
         new LakeV2Table(t, Some(snapId))
       case None => throw new NoSuchTableException(ident.namespace() :+ ident.name())
     }

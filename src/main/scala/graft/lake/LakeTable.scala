@@ -65,13 +65,25 @@ class LakeTable(
     // metadata version this handle was loaded at; commits CAS against it
     // (None = version-agnostic handle, e.g. freshly created — commit
     // still guards against racing the same target file)
-    private val loadedVersion: Option[Int] = None) {
+    private val loadedVersion: Option[Int] = None,
+    // branch-scoped handle (onBranch): reads resolve the branch head and
+    // commits advance the branch pointer; None = main
+    private val branch: Option[String] = None) {
 
   import LakeTable._
 
   def schema: StructType = meta.schema
   def name: String = meta.name
-  def currentSnapshot: Option[Snapshot] = meta.currentSnapshot
+  def currentSnapshot: Option[Snapshot] = branch match {
+    case None => meta.currentSnapshot
+    case Some(b) => meta.snapshots.find(_.id == branchHead(b))
+  }
+
+  private def branchHead(b: String): Long =
+    meta.branches.getOrElse(b, throw new IllegalArgumentException(
+      s"table ${meta.name} has no branch $b " +
+        s"(known: ${meta.branches.keys.toSeq.sorted.mkString(", ")}) — " +
+        "it may have been dropped since this handle was taken"))
   def dataFiles: Seq[DataFileMeta] = currentSnapshot.map(_.dataFiles).getOrElse(Nil)
   def deleteFiles: Seq[DeleteFileMeta] = currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
 
@@ -200,38 +212,72 @@ class LakeTable(
       .select(schema.fieldNames.map(col): _*)
 
   /** File-level form of [[readIncremental]]: the data files added by
-    * qualifying snapshots in `(fromExclusive, toInclusive]`, in commit
-    * order. Metadata-only (snapshot listing diffs); no data I/O. */
+    * qualifying snapshots in `(fromExclusive, toInclusive]`, oldest
+    * first. Metadata-only; no data I/O.
+    *
+    * The range follows the PARENT chain from `toInclusive` back to
+    * `fromExclusive` — with branches the snapshot log is not a lineage
+    * (main and branch commits interleave by id), so a log-order walk
+    * would leak one ref's appends into another ref's changelog. Walking
+    * ancestry also makes "added files" exact: each snapshot diffs
+    * against the snapshot it was actually based on. `fromExclusive` must
+    * be an ancestor of `toInclusive`; swapped bounds, cross-branch
+    * ranges, and ranges across a non-fast-forward publish all fail by
+    * name instead of feeding a gap. */
   private[lake] def addedFilesBetween(
       fromExclusive: Option[Long],
       toInclusive: Long,
       skipNonAppends: Boolean): Seq[DataFileMeta] = {
-    val log = meta.snapshots.sortBy(_.id) // ids are monotone commit order
-    def pos(id: Long, role: String): Int = {
-      val i = log.indexWhere(_.id == id)
-      if (i < 0) throw new IllegalArgumentException(
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    def known(id: Long, role: String): Snapshot =
+      byId.getOrElse(id, throw new IllegalArgumentException(
         s"table ${meta.name} has no snapshot $id ($role bound of the " +
-          s"incremental range; known: ${log.map(_.id).mkString(", ")}) — " +
+          s"incremental range; known: ${meta.snapshots.map(_.id).sorted.mkString(", ")}) — " +
           "it may have been expired. expire_snapshots retention must " +
-          "exceed incremental-consumer lag.")
-      i
+          "exceed incremental-consumer lag."))
+    fromExclusive.foreach(known(_, "start"))
+    if (fromExclusive.contains(toInclusive)) return Nil // legal empty poll
+    // walk parents newest→oldest until the start bound (or the root)
+    var chain = List.empty[Snapshot]
+    var cur: Option[Snapshot] = Some(known(toInclusive, "end"))
+    while (cur.isDefined && !fromExclusive.contains(cur.get.id)) {
+      chain ::= cur.get
+      cur = cur.get.parentId match {
+        case -1L => None // table-initial commit
+        case pid => Some(byId.getOrElse(pid,
+          // the chain predates retention: with an explicit start this is
+          // a hole in the feed (loud); from table start it legitimately
+          // begins at the earliest reconstructable state, whose full
+          // listing the child snapshot already carries
+          if (fromExclusive.isDefined) throw new IllegalArgumentException(
+            s"table ${meta.name}: ancestor $pid of snapshot $toInclusive " +
+              s"has been expired before reaching start ${fromExclusive.get} — " +
+              "expire_snapshots retention must exceed incremental-consumer " +
+              "lag, or the start snapshot is on a different branch.")
+          else return chainFiles(chain, first = chain.head, skipNonAppends)))
+      }
     }
-    val end = pos(toInclusive, "end")
-    val fromPos = fromExclusive.map(pos(_, "start"))
-    // from == to is a legal empty poll ("no new commits"); from AFTER to
-    // is an inverted range — swapped bounds would otherwise return an
-    // empty feed and silently skip (to, from], the same silent-gap class
-    // the unknown-id check above exists to prevent
-    fromPos.filter(_ > end).foreach { _ =>
+    if (fromExclusive.isDefined && cur.isEmpty)
       throw new IllegalArgumentException(
-        s"table ${meta.name}: inverted incremental range — start snapshot " +
-          s"${fromExclusive.get} is AFTER end snapshot $toInclusive")
-    }
-    val start = fromPos.map(_ + 1).getOrElse(0)
-    (start to end).flatMap { i =>
-      val snap = log(i)
+        s"table ${meta.name}: snapshot ${fromExclusive.get} is not an " +
+          s"ancestor of $toInclusive — an incremental range must follow " +
+          "one lineage (swapped bounds, a different branch, or a publish " +
+          "that superseded it?)")
+    chainFiles(chain, first = null, skipNonAppends)
+  }
+
+  /** Emit added-file diffs along an ancestor chain (oldest first).
+    * `first` marks a chain truncated at the retention boundary: that
+    * snapshot's FULL listing is the initial state (its true parent is
+    * expired), so it is emitted whole rather than diffed. */
+  private def chainFiles(chain: List[Snapshot], first: Snapshot,
+      skipNonAppends: Boolean): Seq[DataFileMeta] = {
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    chain.flatMap { snap =>
       lazy val prevPaths: Set[String] =
-        if (i == 0) Set.empty else log(i - 1).dataFiles.map(_.path).toSet
+        if (snap eq first) Set.empty
+        else byId.get(snap.parentId)
+          .map(_.dataFiles.map(_.path).toSet).getOrElse(Set.empty)
       snap.operation match {
         case "append" =>
           snap.dataFiles.filterNot(f => prevPaths.contains(f.path))
@@ -453,16 +499,24 @@ class LakeTable(
       deletes: Seq[DeleteFileMeta],
       summary: Map[String, String] = Map.empty): Snapshot = {
     val id = meta.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
-    Snapshot(id, clock(), op, data, deletes, summary, sequenceNumber = nextSeq)
+    // parent = the head this commit builds on — branch-aware via
+    // currentSnapshot, so branch lineages thread their own chain
+    Snapshot(id, clock(), op, data, deletes, summary, sequenceNumber = nextSeq,
+      parentId = currentSnapshot.map(_.id).getOrElse(-1L))
   }
 
   private[lake] def commitSnapshot(
       snap: Snapshot,
       transform: TableMetadata => TableMetadata = identity): LakeTable = {
-    val m = transform(meta).copy(
+    val base = transform(meta).copy(
       snapshots = meta.snapshots :+ snap,
-      currentSnapshotId = snap.id,
       lastSequenceNumber = snap.sequenceNumber)
+    // a branch handle's commit advances the BRANCH pointer; main's
+    // current snapshot stays put (write-audit-publish isolation)
+    val m = branch match {
+      case None => base.copy(currentSnapshotId = snap.id)
+      case Some(b) => base.copy(branches = base.branches + (b -> snap.id))
+    }
     committed(Meta.commit(location, m, loadedVersion))
   }
 
@@ -470,7 +524,7 @@ class LakeTable(
     * commit just created, so chained operations keep CAS-ing forward. */
   private def committed(m: TableMetadata): LakeTable =
     new LakeTable(spark, location, m, clock,
-      loadedVersion.map(_ + 1).orElse(Meta.currentVersion(location)))
+      loadedVersion.map(_ + 1).orElse(Meta.currentVersion(location)), branch)
 
   /** Fresh handle at the table's current on-disk state (same clock).
     * NOTE (r6): DSv2 row-level writers deliberately do NOT reload before
@@ -484,7 +538,7 @@ class LakeTable(
     new LakeTable(spark, location,
       Meta.load(location).getOrElse(
         throw new IllegalStateException(s"table at $location no longer exists")),
-      clock, Meta.currentVersion(location))
+      clock, Meta.currentVersion(location), branch)
 
   /** INSERT INTO / append: new snapshot adding data files (S4).
     * `extraProps` lands in the same atomic commit as the data — used by
@@ -976,6 +1030,57 @@ class LakeTable(
   def readTag(name: String): DataFrame =
     readSnapshot(meta.tags.getOrElse(name,
       throw new IllegalArgumentException(s"no tag $name on ${meta.name}")))
+
+  // -------------------------------------------------------------- branches
+
+  /** Create a WRITABLE ref (Iceberg branch) at `from` (default: this
+    * handle's current snapshot) — the start of a write-audit-publish
+    * arc: DML through [[onBranch]] advances only the branch pointer, so
+    * main readers never see unvalidated data; [[fastForward]] publishes.
+    * Branch heads are expiry-protected like tags. Metadata-only commit. */
+  def createBranch(name: String, from: Option[Long] = None): LakeTable = {
+    val at = from.getOrElse(currentSnapshot.map(_.id).getOrElse(
+      throw new IllegalStateException(
+        s"table ${meta.name} has no snapshot to branch from")))
+    if (!meta.snapshots.exists(_.id == at))
+      throw new IllegalArgumentException(
+        s"table ${meta.name} has no snapshot $at to branch from")
+    if (meta.branches.contains(name))
+      throw new IllegalArgumentException(s"branch $name already exists")
+    withMeta(meta.copy(branches = meta.branches + (name -> at)))
+  }
+
+  /** Branch-scoped handle: reads resolve the branch head; every commit
+    * (append/DELETE/UPDATE/MERGE/compaction) advances the branch
+    * pointer and leaves main untouched. Same optimistic-concurrency
+    * rules as main — snapshot ids and sequence numbers stay globally
+    * monotone, and v3 row ids are minted from the shared high-water
+    * mark, so lineage is unique across refs. */
+  def onBranch(name: String): LakeTable = {
+    branchHead(name) // validate eagerly: a typo should fail here, not at first read
+    new LakeTable(spark, location, meta, clock, loadedVersion, Some(name))
+  }
+
+  def dropBranch(name: String): LakeTable = {
+    branchHead(name)
+    withMeta(meta.copy(branches = meta.branches - name))
+  }
+
+  /** Publish a branch: move MAIN's current pointer to the branch head
+    * (metadata-only commit; the branch ref survives, Iceberg-style).
+    * The engine keeps no ancestry graph, so unlike Iceberg's
+    * fast_forward this does not require main to be an ancestor — any
+    * main commits since the branch point are superseded (not lost:
+    * every snapshot stays time-travelable until expiry). Audit-style
+    * pipelines that branch, validate, publish without concurrent main
+    * writes get exactly fast-forward semantics. */
+  def fastForward(name: String): LakeTable = {
+    val head = branchHead(name)
+    withMeta(meta.copy(currentSnapshotId = head))
+  }
+
+  /** Scan a branch's head state (same MoR semantics as any scan). */
+  def readBranch(name: String): DataFrame = readSnapshot(branchHead(name))
 
   /** Roll the table back to a retained snapshot: a NEW commit whose
     * content is the old snapshot's file lists — history is preserved

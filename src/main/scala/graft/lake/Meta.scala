@@ -72,6 +72,11 @@ final case class Snapshot(
     deleteFiles: Seq[DeleteFileMeta] = Nil,
     summary: Map[String, String] = Map.empty,
     sequenceNumber: Long = 0L,
+    /** Snapshot this commit was based on (-1 = table-initial). With
+      * branches the snapshot LOG is not a lineage — main and branch
+      * commits interleave — so history-following consumers (incremental
+      * reads, the streaming source) walk this parent chain instead. */
+    parentId: Long = -1L,
     /** Path of this snapshot's immutable manifest file. None only for
       * snapshots built in memory and not yet committed; Meta.commit
       * assigns it and strips the inline lists from the persisted JSON. */
@@ -102,7 +107,13 @@ final case class TableMetadata(
     grants: Map[String, Seq[String]] = Map.empty,
     /** Named snapshot refs (Iceberg tags): tag name → snapshot id.
       * Tagged snapshots are protected from expire_snapshots. */
-    tags: Map[String, Long] = Map.empty) {
+    tags: Map[String, Long] = Map.empty,
+    /** WRITABLE refs (Iceberg branches): branch name → head snapshot id.
+      * A branch-scoped handle ([[LakeTable.onBranch]]) commits snapshots
+      * that advance the branch pointer while `currentSnapshotId` (main)
+      * stays put — the write-audit-publish pattern. Branch heads are
+      * expiry-protected like tags. */
+    branches: Map[String, Long] = Map.empty) {
 
   def currentSnapshot: Option[Snapshot] =
     snapshots.find(_.id == currentSnapshotId)
@@ -136,12 +147,14 @@ object Meta {
   def fromJson(s: String): TableMetadata = {
     val m = mapper.readValue(s, classOf[TableMetadata])
     // Jackson + erased Map[String, Long] yields boxed Integers for small
-    // ids at runtime — normalize here, or every tag consumer on a
-    // RELOADED handle (readTag, VERSION AS OF, expiry protection) hits
-    // ClassCastException the moment an id fits in 32 bits
-    m.copy(tags = m.tags.asInstanceOf[Map[String, Any]].map { case (k, v) =>
-      k -> v.asInstanceOf[Number].longValue
-    })
+    // ids at runtime — normalize here, or every tag/branch consumer on a
+    // RELOADED handle (readTag, onBranch, VERSION AS OF, expiry
+    // protection) hits ClassCastException the moment an id fits in 32 bits
+    def longs(xs: Map[String, Long]): Map[String, Long] =
+      xs.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+        k -> v.asInstanceOf[Number].longValue
+      }
+    m.copy(tags = longs(m.tags), branches = longs(m.branches))
   }
 
   def metadataDir(tableLocation: Path): Path = tableLocation.resolve("metadata")

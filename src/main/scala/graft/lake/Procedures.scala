@@ -306,7 +306,8 @@ object Procedures {
     val m = t.meta
     val ordered = m.snapshots.sortBy(_.id)
     val retainedIds = ordered.takeRight(math.max(retainLast, 1)).map(_.id).toSet +
-      m.currentSnapshotId ++ m.tags.values // tagged snapshots never expire
+      m.currentSnapshotId ++ m.tags.values ++
+      m.branches.values // tagged snapshots and branch heads never expire
     val (expired, kept) = ordered.partition(s =>
       s.timestampMs < olderThanMs && !retainedIds.contains(s.id))
     if (expired.isEmpty) return ExpireResult(t, 0, 0)

@@ -631,6 +631,14 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT id FROM lake.db.tg VERSION AS OF 'nope'").collect()
     }
     assert(err.getMessage.contains("rel"), s"diagnostic should list tags: $err")
+    // a BRANCH name reads that branch's current head (r7): audit commits
+    // visible under the ref, invisible on main
+    val t2 = sql.catalog.loadTable("db", "tg").get.createBranch("audit")
+    t2.onBranch("audit").append(spark.range(4, 6).selectExpr("CAST(id AS INT) id"))
+    assert(spark.sql("SELECT id FROM lake.db.tg VERSION AS OF 'audit'")
+      .collect().length == 5)
+    assert(spark.sql("SELECT id FROM lake.db.tg").collect().length == 3,
+      "main must not see the branch commits")
   }
 
   test("bricked v3 table: native UPDATE fails with the repair pointer") {

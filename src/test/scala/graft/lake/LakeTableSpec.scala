@@ -586,6 +586,45 @@ class LakeTableSpec extends SparkSpec {
     assert(h(1).getString(4).contains("deleted-records=2"))
   }
 
+  test("branches: write-audit-publish — branch DML is invisible on main " +
+    "until fastForward; heads survive expiry; lineage stays unique") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t1 = cat.createTable("db", "wap", schema, props = morProps)
+      .append(df(sixRows: _*))                 // snapshot 1 (main)
+    val t2 = t1.createBranch("audit")
+    val b = t2.onBranch("audit")
+      .append(df((7, "d", 70.0)))              // snapshot 2 (branch)
+      .delete(col("id") === 1)                 // snapshot 3 (branch)
+    // audit writes are fully isolated from main readers
+    assert(ids(b) == Seq(2, 3, 4, 5, 6, 7))
+    val mainView = cat.loadTable("db", "wap").get
+    assert(ids(mainView) == Seq(1, 2, 3, 4, 5, 6),
+      "main must not see unpublished branch commits")
+    assert(mainView.readBranch("audit").select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4, 5, 6, 7))
+    // branches round-trip the metadata JSON (boxed-Integer normalization)
+    assert(mainView.meta.branches == Map("audit" -> 3L))
+    // publish: main pointer moves to the branch head, history retained
+    val published = mainView.fastForward("audit")
+    assert(ids(published) == Seq(2, 3, 4, 5, 6, 7))
+    assert(published.readSnapshot(1).count() == 6,
+      "pre-publish state stays time-travelable")
+    // the changelog follows LINEAGE across the publish: (1, head] yields
+    // the branch's append, not a log-order mixture
+    assert(published.readIncremental(Some(1L), 3L, skipNonAppends = true)
+      .select("id").collect().map(_.getInt(0)).toSeq == Seq(7))
+    // branch heads are expiry-protected like tags
+    val expired = Procedures.expireSnapshots(
+      published.dropBranch("audit").createBranch("keep", Some(2L)),
+      olderThanMs = Long.MaxValue, retainLast = 1).table
+    assert(expired.meta.snapshots.map(_.id).sorted == Seq(2L, 3L),
+      s"branch head 2 must survive expiry: ${expired.meta.snapshots.map(_.id)}")
+    // misuse fails by name
+    assertThrows[IllegalArgumentException](expired.onBranch("nope"))
+    assertThrows[IllegalArgumentException](expired.createBranch("keep"))
+    assertThrows[IllegalArgumentException](expired.dropBranch("gone"))
+  }
+
   test("incremental read: (from, to] append diffs; replace skipped; " +
     "mutations throw unless skipped; expired bounds error clearly") {
     val cat = freshCatalog(); cat.createNamespace("db")
@@ -619,10 +658,10 @@ class LakeTableSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](
       t5.readIncremental(Some(77L), 5L))
     assert(bad.getMessage.contains("expire_snapshots retention"))
-    // swapped bounds are an inverted range, not an empty feed
+    // swapped bounds are not a lineage, not an empty feed
     val inv = intercept[IllegalArgumentException](
       t5.readIncremental(Some(5L), 1L))
-    assert(inv.getMessage.contains("inverted incremental range"))
+    assert(inv.getMessage.contains("not an ancestor"))
   }
 
   test("Meta.commit bumps versions atomically and detects collisions") {
