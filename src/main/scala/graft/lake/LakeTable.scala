@@ -268,27 +268,41 @@ class LakeTable(
 
   /** Emit added-file diffs along an ancestor chain (oldest first).
     * `first` marks a chain truncated at the retention boundary: that
-    * snapshot's FULL listing is the initial state (its true parent is
-    * expired), so it is emitted whole rather than diffed. */
+    * snapshot's FULL listing is the earliest reconstructable state (its
+    * true parent is expired), so it is emitted whole REGARDLESS of its
+    * operation — a compaction or CoW head still lists exactly the live
+    * rows. Only a head carrying MoR delete files cannot be expressed as
+    * data files alone (some listed rows are dead); that fails by name
+    * instead of overfeeding, and never returns an empty feed for a
+    * non-empty table. */
   private def chainFiles(chain: List[Snapshot], first: Snapshot,
       skipNonAppends: Boolean): Seq[DataFileMeta] = {
     val byId = meta.snapshots.map(s => s.id -> s).toMap
     chain.flatMap { snap =>
-      lazy val prevPaths: Set[String] =
-        if (snap eq first) Set.empty
-        else byId.get(snap.parentId)
-          .map(_.dataFiles.map(_.path).toSet).getOrElse(Set.empty)
-      snap.operation match {
-        case "append" =>
-          snap.dataFiles.filterNot(f => prevPaths.contains(f.path))
-        case "replace" => Nil // compaction: no logical change
-        case op if skipNonAppends => Nil
-        case op => throw new UnsupportedOperationException(
-          s"incremental read of ${meta.name}: snapshot ${snap.id} is a " +
-            s"'$op' commit, which changes existing rows and cannot be " +
-            "represented as an append feed. Pass skipNonAppends=true to " +
-            "skip such snapshots (appended-rows-only semantics), or read " +
-            "the table state directly.")
+      if (snap eq first) { // truncation head: emit the full state, whole
+        if (snap.deleteFiles.nonEmpty) throw new UnsupportedOperationException(
+          s"incremental read of ${meta.name}: the earliest retained " +
+            s"snapshot ${snap.id} carries merge-on-read delete files, so " +
+            "its state cannot be emitted as appended rows. Compact " +
+            "(rewrite_data_files) or start the consumer from a full " +
+            "table read instead.")
+        snap.dataFiles
+      } else {
+        lazy val prevPaths: Set[String] =
+          byId.get(snap.parentId)
+            .map(_.dataFiles.map(_.path).toSet).getOrElse(Set.empty)
+        snap.operation match {
+          case "append" =>
+            snap.dataFiles.filterNot(f => prevPaths.contains(f.path))
+          case "replace" => Nil // compaction: no logical change
+          case op if skipNonAppends => Nil
+          case op => throw new UnsupportedOperationException(
+            s"incremental read of ${meta.name}: snapshot ${snap.id} is a " +
+              s"'$op' commit, which changes existing rows and cannot be " +
+              "represented as an append feed. Pass skipNonAppends=true to " +
+              "skip such snapshots (appended-rows-only semantics), or read " +
+              "the table state directly.")
+        }
       }
     }
   }

@@ -154,7 +154,22 @@ object Meta {
       xs.asInstanceOf[Map[String, Any]].map { case (k, v) =>
         k -> v.asInstanceOf[Number].longValue
       }
-    m.copy(tags = longs(m.tags), branches = longs(m.branches))
+    val normalized = m.copy(tags = longs(m.tags), branches = longs(m.branches))
+    // Pre-parentId metadata (all snapshots deserialize as lineage roots):
+    // such history IS linear by construction — parent pointers and the
+    // branches that need them landed together — so repair it to the
+    // id-order chain the old code walked. Without this, every incremental
+    // range and checkpointed stream over a pre-upgrade table would fail
+    // "not an ancestor". Mixed metadata (any snapshot with a parent) is
+    // post-upgrade and left untouched.
+    if (normalized.snapshots.size > 1 &&
+        normalized.snapshots.forall(_.parentId == -1L)) {
+      val ordered = normalized.snapshots.sortBy(_.id)
+      val parented = ordered.head +: ordered.sliding(2).map {
+        case Seq(prev, s) => s.copy(parentId = prev.id)
+      }.toSeq
+      normalized.copy(snapshots = parented)
+    } else normalized
   }
 
   def metadataDir(tableLocation: Path): Path = tableLocation.resolve("metadata")

@@ -99,8 +99,9 @@ object Procedures {
   /** Interleaved-bit z-value over 2–4 numeric/temporal columns — the
     * Morton-curve clustering key `sort-order=zorder(a,b)` compacts on
     * (the Iceberg/Delta Z-ORDER analogue). Each column is min/max-scaled
-    * to 16 bits (one extra agg job over the rewrite set — maintenance-
-    * time cost, metadata-free), then bits interleave round-robin so
+    * to min(16, 63/k) bits — capped so the key never reaches the Long
+    * sign bit — (one extra agg job over the rewrite set at maintenance
+    * time, metadata-free), then bits interleave round-robin so
     * nearby z-values are nearby in EVERY dimension. The whole key is
     * built from codegen'd built-ins (cast/shift/bitwise — no UDF in the
     * clustering path). Nulls scale to 0 (clustered together at the
@@ -113,11 +114,13 @@ object Procedures {
   private def zvalue(
       schema: StructType, df: DataFrame, cols: Seq[String]): Column = {
     require(cols.size >= 2 && cols.size <= 4,
-      s"zorder takes 2-4 columns (16 bits each in a 64-bit key), got " +
+      s"zorder takes 2-4 columns, got " +
         s"${cols.size}: use sort-order=<col> for single-column clustering")
-    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    // column resolution is case-insensitive like every other surface
+    // (plain sort-order via col(), DML assignments)
+    val types = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     val numeric: Seq[Column] = cols.map { c =>
-      types.getOrElse(c, throw new IllegalArgumentException(
+      types.getOrElse(c.toLowerCase, throw new IllegalArgumentException(
         s"zorder: unknown column $c (schema: ${schema.fieldNames.mkString(", ")})")) match {
         case _: NumericType => col(c).cast("double")
         case DateType => col(c).cast("int").cast("double")
@@ -128,6 +131,14 @@ object Procedures {
             s"sort-order=$c for lexical clustering")
       }
     }
+    val k = cols.size
+    // keep the interleaved key out of the Long SIGN bit: with 4 columns a
+    // full 16 bits would put column 4's top bit at position 63, flipping
+    // z-max-corner rows negative and wrapping them BEFORE the origin in
+    // the range sort — the wrap-boundary file would then span the full
+    // range in every dimension, defeating the skipping this exists for
+    val bits = math.min(16, 63 / k)
+    val topVal = (1L << bits) - 1
     val statRow = df.agg(
       numeric.flatMap(n => Seq(min(n), max(n))).head,
       numeric.flatMap(n => Seq(min(n), max(n))).tail: _*).head()
@@ -138,12 +149,11 @@ object Procedures {
         val span = statRow.getDouble(2 * j + 1) - lo
         if (!(span > 0) || span.isInfinite) lit(0L)
         else least(greatest(coalesce(
-          ((numeric(j) - lo) * (65535.0 / span)).cast("long"), lit(0L)),
-          lit(0L)), lit(65535L))
+          ((numeric(j) - lo) * (topVal.toDouble / span)).cast("long"), lit(0L)),
+          lit(0L)), lit(topVal))
       }
     }
-    val k = cols.size
-    (for (bit <- 0 until 16; j <- 0 until k) yield
+    (for (bit <- 0 until bits; j <- 0 until k) yield
       shiftleft(shiftright(scaled(j), bit).bitwiseAND(lit(1L)), bit * k + j))
       .reduce(_ bitwiseOR _)
   }

@@ -168,9 +168,26 @@ object StreamIngest {
 
   /** One micro-batch equality-delete upsert with conflict retries — the
     * per-batch body shared by [[upsertByKeyStream]] and the
-    * `graft-lake` writeStream sink's `keys` mode. */
+    * `graft-lake` writeStream sink's `keys` mode.
+    *
+    * Enforces upsertByKey's at-most-one-row-per-key-per-batch contract:
+    * the batch's rows and its equality delete share ONE sequence number,
+    * so neither of two same-key rows hides the other (strictly-older
+    * rule) and the table would keep BOTH forever. A raw, unaggregated
+    * stream hits this silently — fail loudly instead (one small agg over
+    * the micro-batch, O(batch)). */
   def upsertBatch(catalog: LakeCatalog, db: String, table: String,
       keyCols: Seq[String])(batch: DataFrame): Unit = {
+    val dup = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .filter(col("__graft_cnt") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"upsert micro-batch carries multiple rows for key " +
+        s"(${keyCols.mkString(", ")}) = " +
+        s"(${dup.head.toSeq.dropRight(1).mkString(", ")}): equality " +
+        "upserts apply at one sequence number, so in-batch duplicates " +
+        "would BOTH survive. Aggregate the stream to one row per key " +
+        "(e.g. latest by event time) before the sink.")
     retryingCommit() {
       targetTable(catalog, db, table).upsertByKey(batch, keyCols)
     }

@@ -142,11 +142,17 @@ final class LakeStreamSink(
     // own pattern) so the lake write can repartition/plan it freely
     val batch = session.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
+    // this load is the GRANT gate only — the commit bodies re-load per
+    // attempt by design (conflict retries must see fresh state)
     val t = catalog.loadTable(db, table).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake sink: table $db.$table does not exist under " +
           s"${catalog.warehouse}"))
     t.requireGrant("INSERT")
+    // an equality upsert hides existing rows — that is a row-removing
+    // write, so keys mode needs the same DELETE grant the dispatcher and
+    // DSv2 row-level DML require (INSERT alone must not delete by upsert)
+    if (keys.nonEmpty) t.requireGrant("DELETE")
     if (keys.isEmpty) StreamIngest.commitBatch(catalog, db, table)(batch, batchId)
     else StreamIngest.upsertBatch(catalog, db, table, keys)(batch)
   }

@@ -664,6 +664,49 @@ class LakeTableSpec extends SparkSpec {
     assert(inv.getMessage.contains("not an ancestor"))
   }
 
+  test("incremental read survives retention truncation: a non-append " +
+    "earliest snapshot emits its full state, never an empty feed") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t1 = cat.createTable("db", "trunc", schema, props = morProps)
+      .append(df(sixRows: _*))                       // snapshot 1
+    val t2 = Procedures.rewriteDataFiles(
+      t1, Map("rewrite-all" -> "true")).table        // snapshot 2: replace
+    val t3 = Procedures.expireSnapshots(
+      t2, olderThanMs = Long.MaxValue, retainLast = 1).table
+    assert(t3.meta.snapshots.map(_.id) == Seq(2L))
+    // the replace head's own listing IS the earliest reconstructable
+    // state — before r7's review fix this returned an empty feed
+    assert(t3.readIncremental(None, 2L).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5, 6))
+    // a truncation head carrying MoR delete files cannot be expressed as
+    // appends: loud failure pointing at compaction, not overfeeding
+    val d1 = cat.createTable("db", "truncd", schema, props = morProps)
+      .append(df(sixRows: _*))                       // snapshot 1
+      .delete(col("id") === 1)                       // snapshot 2 + deletes
+    val d2 = Procedures.expireSnapshots(
+      d1, olderThanMs = Long.MaxValue, retainLast = 1).table
+    val e = intercept[UnsupportedOperationException](
+      d2.readIncremental(None, 2L, skipNonAppends = true))
+    assert(e.getMessage.contains("delete files"))
+  }
+
+  test("pre-parentId metadata JSON is repaired to the id-order lineage") {
+    // a pre-r7 table: snapshots persisted without parent pointers must
+    // not all become lineage roots (that would break every incremental
+    // range and checkpointed stream on upgrade)
+    val snaps = (1L to 3L).map(i => Snapshot(i, 1000 * i, "append",
+      Seq(DataFileMeta(s"/f$i.parquet", rowCount = 1))))
+    val m = TableMetadata(name = "db.old", schemaDdl = "id INT",
+      snapshots = snaps, currentSnapshotId = 3L)
+    val round = Meta.fromJson(Meta.toJson(m))
+    assert(round.snapshots.map(_.parentId) == Seq(-1L, 1L, 2L))
+    // post-upgrade metadata (any parent set) is left untouched
+    val mixed = m.copy(snapshots =
+      snaps.init :+ snaps.last.copy(parentId = 2L))
+    assert(Meta.fromJson(Meta.toJson(mixed)).snapshots.map(_.parentId)
+      == Seq(-1L, -1L, 2L))
+  }
+
   test("Meta.commit bumps versions atomically and detects collisions") {
     val loc = Files.createTempDirectory("graft-meta")
     val m = TableMetadata(name = "x.y", schemaDdl = "id INT")

@@ -181,8 +181,10 @@ class ProceduresSpec extends SparkSpec {
     var t = cat.createTable("db", "zo", schema, props = morProps)
       .append(df(new scala.util.Random(42).shuffle(grid): _*))
     val quarter = t.dataFiles.map(_.sizeBytes).sum / 4 + 1
+    // mixed-case spelling: column resolution is case-insensitive like
+    // every other engine surface
     val r = Procedures.rewriteDataFiles(t, Map(
-      "rewrite-all" -> "true", "sort-order" -> "zorder(id, amount)",
+      "rewrite-all" -> "true", "sort-order" -> "zorder(ID, Amount)",
       "target-file-size-bytes" -> quarter.toString))
     assert(r.addedDataFiles >= 3, s"expected ~4 output files: $r")
     // content invariant

@@ -366,6 +366,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1 -> "x", 2 -> "Y2", 3 -> "z"), s"got $got")
     assert(cat.loadTable("db", "mU").get.meta.snapshots
       .count(_.operation == "upsert") == 2)
+
+    // in-batch duplicate keys would BOTH survive the one-sequence-number
+    // upsert — the batch body must refuse, not silently double the key
+    val dup = intercept[IllegalArgumentException](
+      StreamIngest.upsertBatch(cat, "db", "mU", Seq("id"))(
+        batch((7, "a"), (7, "b"))))
+    assert(dup.getMessage.contains("multiple rows"))
+
+    // keys mode deletes existing rows, so INSERT alone must not suffice
+    cat.grant("db", "mU", "dave", Seq("INSERT"))
+    val sink = new org.apache.spark.sql.graft.LakeStreamSink(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      cat, "db", "mU", Seq("id"))
+    try {
+      spark.conf.set(graft.lake.LakeExtensions.PrincipalConf, "dave")
+      intercept[graft.lake.AccessDeniedException](
+        sink.addBatch(0L, batch((9, "q"))))
+    } finally spark.conf.unset(graft.lake.LakeExtensions.PrincipalConf)
   }
 
   test("graft-lake streaming SOURCE tails the commit log with snapshot-id " +
