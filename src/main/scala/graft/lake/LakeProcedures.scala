@@ -84,11 +84,23 @@ private[lake] object LakeProcedures {
           Array(row(UTF8String.fromString(
             s"rolled back to snapshot $id (new snapshot ${r.currentSnapshot.get.id})")))
         }))
+      case "fast_forward" => Some(proc(cat, principal, "fast_forward",
+        Seq(TableParam,
+          ProcedureParameter.in("branch", StringType).build()),
+        StructType(Seq(StructField("status", StringType))),
+        (t, in) => {
+          val branch = in.getUTF8String(1).toString
+          val r = t.fastForward(branch)
+          Array(row(UTF8String.fromString(
+            s"fast-forwarded to branch $branch " +
+              s"(snapshot ${r.currentSnapshot.get.id})")))
+        }))
       case _ => None
     }
 
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
-    "remove_orphan_files", "repair_v3_metadata", "rollback_to_snapshot")
+    "remove_orphan_files", "repair_v3_metadata", "rollback_to_snapshot",
+    "fast_forward")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

@@ -270,6 +270,16 @@ class LakeSql(val catalog: LakeCatalog) {
     val setProps = """(?is)^SET\s+TBLPROPERTIES\s*\(""".r.findFirstMatchIn(rest)
     val addCols = """(?is)^ADD\s+COLUMNS?\s+\(?(.*?)\)?\s*$""".r.findFirstMatchIn(rest)
     val dropCol = """(?is)^DROP\s+COLUMNS?\s+(\w+)\s*$""".r.findFirstMatchIn(rest)
+    // Iceberg branch DDL: CREATE/DROP BRANCH (optionally AS OF VERSION n)
+    """(?is)^CREATE\s+BRANCH\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
+      .findFirstMatchIn(rest).foreach { bm =>
+        t.createBranch(bm.group(1), Option(bm.group(2)).map(_.toLong))
+        return status(s"Created branch ${bm.group(1)} on $db.$table")
+      }
+    """(?is)^DROP\s+BRANCH\s+(\w+)\s*$""".r.findFirstMatchIn(rest).foreach { bm =>
+      t.dropBranch(bm.group(1))
+      return status(s"Dropped branch ${bm.group(1)} from $db.$table")
+    }
     (setProps, addCols, dropCol) match {
       case (Some(pm), _, _) =>
         val props = parseProps(balancedParen(rest, pm.end - 1)._1)
@@ -345,6 +355,14 @@ class LakeSql(val catalog: LakeCatalog) {
         val r = t.rollbackTo(snapId)
         status(s"rolled back $db.$table to snapshot $snapId " +
           s"(new snapshot ${r.currentSnapshot.get.id})")
+      case "fast_forward" =>
+        // Iceberg's publish procedure: main := branch head (see
+        // LakeTable.fastForward for the ancestry-free semantics)
+        val branch = unquote(args.getOrElse("branch",
+          throw new SqlParseException("fast_forward needs branch => …")))
+        val r = t.fastForward(branch)
+        status(s"fast-forwarded $db.$table to branch $branch " +
+          s"(snapshot ${r.currentSnapshot.get.id})")
       case other => throw new SqlParseException(s"unknown procedure: $other")
     }
   }

@@ -680,6 +680,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.catalog.loadTable("db", "g").get.read().count() == 2)
   }
 
+  test("branch DDL surfaces: ALTER CREATE/DROP BRANCH + CALL fast_forward " +
+    "(dispatcher and native)") {
+    val wh = Files.createTempDirectory("graft-bddl-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.bd (id INT)")
+    sql.run("INSERT INTO db.bd VALUES (1)")
+    sql.run("ALTER TABLE db.bd CREATE BRANCH audit")
+    // audit commit through the API handle; main must not see it
+    sql.catalog.loadTable("db", "bd").get.onBranch("audit")
+      .append(spark.range(2, 4).selectExpr("CAST(id AS INT) id"))
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.bd").head().getLong(0) == 1)
+    // publish natively (Iceberg's CALL spelling), then via the dispatcher
+    spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
+    spark.sql("CALL lake.system.fast_forward(table => 'db.bd', " +
+      "branch => 'audit')")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.bd").head().getLong(0) == 3)
+    sql.run("ALTER TABLE db.bd CREATE BRANCH b2 AS OF VERSION 1")
+    assert(sql.catalog.loadTable("db", "bd").get.meta.branches("b2") == 1L)
+    sql.run("CALL fast_forward(table => db.bd, branch => 'b2')")
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.bd").head().getLong(0) == 1)
+    sql.run("ALTER TABLE db.bd DROP BRANCH b2")
+    assert(!sql.catalog.loadTable("db", "bd").get.meta.branches.contains("b2"))
+  }
+
   test("DSv2 catalog: native CALL runs maintenance procedures (M2/M3 surface)") {
     val wh = Files.createTempDirectory("graft-pc-wh")
     var now = java.time.Instant.parse("2026-03-01T00:00:00Z").toEpochMilli
