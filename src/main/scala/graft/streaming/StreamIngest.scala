@@ -70,14 +70,19 @@ object StreamIngest {
       s"streaming sink target $db.$table does not exist — failing the " +
         "batch so the checkpoint does not advance past dropped data"))
 
-  def commitBatch(catalog: LakeCatalog, db: String, table: String)(
+  def commitBatch(catalog: LakeCatalog, db: String, table: String,
+      branch: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit =
     retryingCommit() {
-      val t = targetTable(catalog, db, table)
+      val t0 = targetTable(catalog, db, table)
+      val t = branch.fold(t0)(t0.onBranch)
+      // per-ref replay marker: a main sink and a branch sink on the same
+      // table are distinct streams with independent batch-id sequences
+      val prop = branch.fold(LastBatchProp)(b => s"$LastBatchProp.$b")
       val alreadyCommitted =
-        t.meta.props.get(LastBatchProp).exists(_.toLong >= batchId)
+        t.meta.props.get(prop).exists(_.toLong >= batchId)
       if (!alreadyCommitted)
-        t.append(batch, Map(LastBatchProp -> batchId.toString))
+        t.append(batch, Map(prop -> batchId.toString))
     }
 
   /** Raw ingest: every micro-batch becomes one append snapshot on
@@ -177,7 +182,8 @@ object StreamIngest {
     * stream hits this silently — fail loudly instead (one small agg over
     * the micro-batch, O(batch)). */
   def upsertBatch(catalog: LakeCatalog, db: String, table: String,
-      keyCols: Seq[String])(batch: DataFrame): Unit = {
+      keyCols: Seq[String], branch: Option[String] = None)(
+      batch: DataFrame): Unit = {
     val dup = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__graft_cnt"))
       .filter(col("__graft_cnt") > 1).limit(1).collect()
@@ -189,7 +195,8 @@ object StreamIngest {
         "would BOTH survive. Aggregate the stream to one row per key " +
         "(e.g. latest by event time) before the sink.")
     retryingCommit() {
-      targetTable(catalog, db, table).upsertByKey(batch, keyCols)
+      val t0 = targetTable(catalog, db, table)
+      branch.fold(t0)(t0.onBranch).upsertByKey(batch, keyCols)
     }
     ()
   }

@@ -36,7 +36,10 @@ import graft.streaming.StreamIngest
   * Options: `warehouse` (path), `table` ("db.name"),
   * `startSnapshotId` (exclusive start — tail only commits after it;
   * default: from table start), `skipNonAppends` (skip snapshots that
-  * mutate existing rows instead of failing; see readIncremental).
+  * mutate existing rows instead of failing; see readIncremental),
+  * `branch` (tail that branch's head instead of main — the read half of
+  * streaming write-audit-publish; the sink takes the same option to
+  * land micro-batches on a branch).
   *
   * Lives in the `org.apache.spark.sql` namespace because the V1
   * streaming `Source` trait (the only streaming API that lets a source
@@ -53,7 +56,8 @@ final class LakeStreamSource(
     db: String,
     table: String,
     startAfter: Option[Long],
-    skipNonAppends: Boolean) extends Source {
+    skipNonAppends: Boolean,
+    branch: Option[String]) extends Source {
 
   /** Every poll re-checks the SELECT grant (same session-principal rule
     * as every other read surface — dispatcher, DSv2 scan, native
@@ -70,11 +74,17 @@ final class LakeStreamSource(
 
   override val schema: StructType = loadTable().schema
 
-  /** Latest available offset = the table's current snapshot id. The
-    * reload is a header-scale metadata read; polling cost is independent
-    * of table size. */
+  /** Latest available offset = the tailed ref's head snapshot id (main's
+    * current, or the branch head with option `branch`). The reload is a
+    * header-scale metadata read; polling cost is independent of table
+    * size. The incremental walk follows parent lineage, so a branch tail
+    * delivers exactly the branch's commits. */
   override def getOffset: Option[OffsetV1] = {
-    val cur = loadTable().meta.currentSnapshotId
+    val m = loadTable().meta
+    val cur = branch.fold(m.currentSnapshotId)(b =>
+      m.branches.getOrElse(b, throw new IllegalArgumentException(
+        s"graft-lake stream source: no branch $b on ${m.name} " +
+          s"(branches: ${m.branches.keys.toSeq.sorted.mkString(", ")})")))
     if (cur < 0 || startAfter.exists(_ >= cur)) None
     else Some(LongOffset(cur))
   }
@@ -134,7 +144,8 @@ final class LakeStreamSink(
     catalog: LakeCatalog,
     db: String,
     table: String,
-    keys: Seq[String]) extends Sink {
+    keys: Seq[String],
+    branch: Option[String] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is bound to the streaming incremental plan;
@@ -153,8 +164,9 @@ final class LakeStreamSink(
     // write, so keys mode needs the same DELETE grant the dispatcher and
     // DSv2 row-level DML require (INSERT alone must not delete by upsert)
     if (keys.nonEmpty) t.requireGrant("DELETE")
-    if (keys.isEmpty) StreamIngest.commitBatch(catalog, db, table)(batch, batchId)
-    else StreamIngest.upsertBatch(catalog, db, table, keys)(batch)
+    if (keys.isEmpty)
+      StreamIngest.commitBatch(catalog, db, table, branch)(batch, batchId)
+    else StreamIngest.upsertBatch(catalog, db, table, keys, branch)(batch)
   }
 }
 
@@ -210,7 +222,8 @@ final class LakeStreamSourceProvider
     new LakeStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession], cat, db, t,
       parameters.get("startSnapshotId").map(_.toLong),
-      parameters.get("skipNonAppends").exists(_.toBoolean))
+      parameters.get("skipNonAppends").exists(_.toBoolean),
+      parameters.get("branch"))
   }
 
   override def createSink(
@@ -232,6 +245,7 @@ final class LakeStreamSourceProvider
         "graft-lake sink in update mode needs option keys=k1[,k2…] " +
           "(which columns identify a row for the equality upsert)")
     new LakeStreamSink(
-      sqlContext.sparkSession.asInstanceOf[ClassicSession], cat, db, t, keys)
+      sqlContext.sparkSession.asInstanceOf[ClassicSession], cat, db, t, keys,
+      parameters.get("branch"))
   }
 }

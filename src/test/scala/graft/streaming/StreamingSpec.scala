@@ -386,6 +386,52 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(graft.lake.LakeExtensions.PrincipalConf)
   }
 
+  test("streaming WAP: the sink lands micro-batches on a branch, a branch " +
+    "source tails them, and fast_forward publishes to main") {
+    val wh = Files.createTempDirectory("graft-swap-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val s = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    def batch(rows: (Int, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), s)
+    val t0 = cat.createTable("db", "wt", s).append(batch((1, "a")))
+    t0.createBranch("audit")
+
+    // land a stream on the branch: main readers must not see it
+    val src = Files.createTempDirectory("graft-swap-src")
+    batch((2, "b"), (3, "c")).write.parquet(s"$src/p")
+    val flat = Files.createTempDirectory("graft-swap-flat")
+    Files.walk(src).filter(_.toString.endsWith(".parquet")).forEach { p =>
+      Files.copy(p, flat.resolve(p.getFileName)) }
+    val q = spark.readStream.schema(s).parquet(flat.toString)
+      .writeStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.wt")
+      .option("branch", "audit")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-swap-ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(cat.loadTable("db", "wt").get.read().count() == 1,
+      "main must not see unpublished branch batches")
+
+    // a branch source tails the audit lineage (root + streamed batch)
+    val q2 = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.wt")
+      .option("branch", "audit")
+      .load()
+      .writeStream.format("memory").queryName("wap_tail").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("wap_tail").collect().map(_.getInt(0)).sorted.toSeq
+        == Seq(1, 2, 3))
+    } finally q2.stop()
+
+    // publish: one pointer move exposes the validated batches
+    cat.loadTable("db", "wt").get.fastForward("audit")
+    assert(cat.loadTable("db", "wt").get.read().count() == 3)
+  }
+
   test("graft-lake streaming SOURCE tails the commit log with snapshot-id " +
     "offsets; checkpoint restart resumes after the delivered snapshot") {
     val wh = Files.createTempDirectory("graft-src-wh")
