@@ -95,12 +95,39 @@ private[lake] object LakeProcedures {
             s"fast-forwarded to branch $branch " +
               s"(snapshot ${r.currentSnapshot.get.id})")))
         }))
+      case "create_changelog_view" => Some(proc(cat, principal,
+        "create_changelog_view",
+        Seq(TableParam,
+          ProcedureParameter.in("start_snapshot_id", LongType)
+            .defaultValue("NULL").build(),
+          ProcedureParameter.in("end_snapshot_id", LongType)
+            .defaultValue("NULL").build(),
+          ProcedureParameter.in("remove_carryovers", BooleanType)
+            .defaultValue("true").build(),
+          ProcedureParameter.in("changelog_view", StringType)
+            .defaultValue("NULL").build()),
+        StructType(Seq(StructField("changelog_view", StringType))),
+        (t, in) => {
+          val from = if (in.isNullAt(1)) None else Some(in.getLong(1))
+          val to =
+            if (in.isNullAt(2)) t.currentSnapshot.map(_.id).getOrElse(
+              throw new IllegalArgumentException(
+                s"${t.name} has no snapshots"))
+            else in.getLong(2)
+          val view =
+            if (in.isNullAt(4)) s"${LakeSql.splitName(t.name)._2}_changes"
+            else in.getUTF8String(4).toString
+          t.readChangelog(from, to, in.getBoolean(3))
+            .createOrReplaceTempView(view)
+          Array(row(UTF8String.fromString(view)))
+        },
+        perm = "SELECT")) // the changelog is a read, not a table mutation
       case _ => None
     }
 
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "remove_orphan_files", "repair_v3_metadata", "rollback_to_snapshot",
-    "fast_forward")
+    "fast_forward", "create_changelog_view")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)
@@ -115,16 +142,18 @@ private[lake] object LakeProcedures {
 
   /** One fixed-signature procedure: `bind` is identity (Spark aligns the
     * CALL's named/positional args to `params` and applies defaults), and
-    * `call` loads the table fresh, enforces ALTER for the session
-    * principal (the dispatcher's rule for CALL), runs the body, and
-    * wraps the result rows in a LocalScan. */
+    * `call` loads the table fresh, enforces `perm` for the session
+    * principal (ALTER for maintenance procedures — the dispatcher's rule
+    * for CALL — SELECT for read-only ones), runs the body, and wraps the
+    * result rows in a LocalScan. */
   private def proc(
       cat: LakeCatalog,
       principal: Option[String],
       procName: String,
       params: Seq[ProcedureParameter],
       resultSchema: StructType,
-      body: (LakeTable, InternalRow) => Array[InternalRow]): UnboundProcedure =
+      body: (LakeTable, InternalRow) => Array[InternalRow],
+      perm: String = "ALTER"): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft lake procedure $procName"
@@ -137,7 +166,7 @@ private[lake] object LakeProcedures {
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val (db, table) = LakeSql.splitName(input.getUTF8String(0).toString)
             principal.foreach(pr =>
-              Grants.check(pr, cat.grantsFor(db, table, pr), "ALTER", s"$db.$table"))
+              Grants.check(pr, cat.grantsFor(db, table, pr), perm, s"$db.$table"))
             val t = cat.loadTable(db, table).getOrElse(
               throw new IllegalArgumentException(s"no such table: $db.$table"))
             val out = body(t, input)

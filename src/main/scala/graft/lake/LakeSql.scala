@@ -318,9 +318,13 @@ class LakeSql(val catalog: LakeCatalog) {
     }.toMap
     val (db, table) = splitName(unquote(args.getOrElse("table",
       throw new SqlParseException("CALL missing table => …"))))
-    requirePerm(p, db, table, "ALTER")
+    val procName = m.group(1).toLowerCase
+    // maintenance procedures mutate the table (ALTER); the changelog view
+    // is a read and gates like one
+    requirePerm(p, db, table,
+      if (procName == "create_changelog_view") "SELECT" else "ALTER")
     val t = load(db, table)
-    m.group(1).toLowerCase match {
+    procName match {
       case "rewrite_data_files" =>
         // options => map('k','v',…) — F2 map constructor
         val opts = args.get("options").map(parseMapLiteral).getOrElse(Map.empty)
@@ -363,6 +367,20 @@ class LakeSql(val catalog: LakeCatalog) {
         val r = t.fastForward(branch)
         status(s"fast-forwarded $db.$table to branch $branch " +
           s"(snapshot ${r.currentSnapshot.get.id})")
+      case "create_changelog_view" =>
+        // Iceberg's changelog procedure: registers the row-level diff
+        // feed (LakeTable.readChangelog) as a temp view and returns its
+        // name. start_/end_snapshot_id bound the (from, to] range —
+        // start omitted = table start, end omitted = current snapshot.
+        val from = args.get("start_snapshot_id").map(unquote(_).toLong)
+        val to = args.get("end_snapshot_id").map(unquote(_).toLong)
+          .orElse(t.currentSnapshot.map(_.id)).getOrElse(
+            throw new SqlParseException(s"$db.$table has no snapshots"))
+        val carry = args.get("remove_carryovers").forall(unquote(_).toBoolean)
+        val view = unquote(args.getOrElse("changelog_view", s"'${table}_changes'"))
+        t.readChangelog(from, to, carry).createOrReplaceTempView(view)
+        import catalog.spark.implicits._
+        Seq(view).toDF("changelog_view")
       case other => throw new SqlParseException(s"unknown procedure: $other")
     }
   }

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Thrown when a strict (v2-MoR-incapable) reader hits live v2 delete
   * files — reproducing the "Databricks cannot read V2 merge-on-read
@@ -228,6 +228,19 @@ class LakeTable(
       fromExclusive: Option[Long],
       toInclusive: Long,
       skipNonAppends: Boolean): Seq[DataFileMeta] = {
+    val (chain, head) = ancestorChain(fromExclusive, toInclusive)
+    chainFiles(chain, first = head.orNull, skipNonAppends)
+  }
+
+  /** Ancestor chain for history-following reads: the snapshots in
+    * `(fromExclusive, toInclusive]`, oldest first, following parent ids.
+    * The second element marks a chain truncated at the retention boundary
+    * (only legal with an open start): that snapshot's true parent is
+    * expired, so it stands in for the earliest reconstructable state
+    * rather than a diff against its parent. */
+  private def ancestorChain(
+      fromExclusive: Option[Long],
+      toInclusive: Long): (List[Snapshot], Option[Snapshot]) = {
     val byId = meta.snapshots.map(s => s.id -> s).toMap
     def known(id: Long, role: String): Snapshot =
       byId.getOrElse(id, throw new IllegalArgumentException(
@@ -236,7 +249,7 @@ class LakeTable(
           "it may have been expired. expire_snapshots retention must " +
           "exceed incremental-consumer lag."))
     fromExclusive.foreach(known(_, "start"))
-    if (fromExclusive.contains(toInclusive)) return Nil // legal empty poll
+    if (fromExclusive.contains(toInclusive)) return (Nil, None) // legal empty poll
     // walk parents newest→oldest until the start bound (or the root)
     var chain = List.empty[Snapshot]
     var cur: Option[Snapshot] = Some(known(toInclusive, "end"))
@@ -244,17 +257,20 @@ class LakeTable(
       chain ::= cur.get
       cur = cur.get.parentId match {
         case -1L => None // table-initial commit
-        case pid => Some(byId.getOrElse(pid,
-          // the chain predates retention: with an explicit start this is
-          // a hole in the feed (loud); from table start it legitimately
-          // begins at the earliest reconstructable state, whose full
-          // listing the child snapshot already carries
-          if (fromExclusive.isDefined) throw new IllegalArgumentException(
-            s"table ${meta.name}: ancestor $pid of snapshot $toInclusive " +
-              s"has been expired before reaching start ${fromExclusive.get} — " +
-              "expire_snapshots retention must exceed incremental-consumer " +
-              "lag, or the start snapshot is on a different branch.")
-          else return chainFiles(chain, first = chain.head, skipNonAppends)))
+        case pid => byId.get(pid) match {
+          case Some(p) => Some(p)
+          case None =>
+            // the chain predates retention: with an explicit start this is
+            // a hole in the feed (loud); from table start it legitimately
+            // begins at the earliest reconstructable state, whose full
+            // listing the child snapshot already carries
+            if (fromExclusive.isDefined) throw new IllegalArgumentException(
+              s"table ${meta.name}: ancestor $pid of snapshot $toInclusive " +
+                s"has been expired before reaching start ${fromExclusive.get} — " +
+                "expire_snapshots retention must exceed incremental-consumer " +
+                "lag, or the start snapshot is on a different branch.")
+            return (chain, Some(chain.head))
+        }
       }
     }
     if (fromExclusive.isDefined && cur.isEmpty)
@@ -263,7 +279,7 @@ class LakeTable(
           s"ancestor of $toInclusive — an incremental range must follow " +
           "one lineage (swapped bounds, a different branch, or a publish " +
           "that superseded it?)")
-    chainFiles(chain, first = null, skipNonAppends)
+    (chain, None)
   }
 
   /** Emit added-file diffs along an ancestor chain (oldest first).
@@ -305,6 +321,134 @@ class LakeTable(
         }
       }
     }
+  }
+
+  /** Row-level CDC changelog over `(fromExclusive, toInclusive]` —
+    * Iceberg's changelog scan (the `create_changelog_view` procedure,
+    * reference runtime surface). Where [[readIncremental]] is the
+    * appends-only fast feed (and throws on row-mutating snapshots), the
+    * changelog represents EVERY commit as INSERT/DELETE row diffs:
+    *
+    *  - files a commit added (append, upsert, CoW rewrite output,
+    *    overwrite, MERGE inserts) → their rows as INSERT;
+    *  - files a commit dropped (CoW DELETE/UPDATE/MERGE, overwrite,
+    *    truncate, rollback) → their parent-live rows as DELETE (rows
+    *    already dead under the parent's delete files were reported when
+    *    they died and are not re-reported);
+    *  - delete files a commit added (MoR DML) → the retained-file rows
+    *    they newly hide as DELETE, computed by diffing live (file, pos)
+    *    coordinates under the parent's vs this commit's delete files —
+    *    the scan semantics themselves ([[applyDeletes]]) decide what
+    *    died, so the changelog can never disagree with the table;
+    *  - `replace` (compaction) → nothing: no logical row change;
+    *  - an UPDATE appears as its DELETE+INSERT pair (Iceberg emits
+    *    UPDATE_BEFORE/AFTER pairs only with identifier columns
+    *    configured; we keep the pair form).
+    *
+    * With `removeCarryovers` (default true, matching
+    * `create_changelog_view`), rows a copy-on-write rewrite merely copied
+    * from an old file into a new one — which the file diff would report
+    * as a same-snapshot DELETE+INSERT with identical values — are netted
+    * out by value; duplicate rows net by count (two copies deleted, one
+    * re-added → one surviving DELETE). Netting shuffles only that
+    * commit's changed files: O(changed data), never a table diff.
+    *
+    * Each emitted row carries `_change_type` ('INSERT'|'DELETE'),
+    * `_change_ordinal` (commit position within the range, oldest = 0)
+    * and `_commit_snapshot_id`. An expired-ancestor truncation (open
+    * start only) emits the earliest reconstructable state as baseline
+    * INSERTs — unlike [[readIncremental]], live delete files on that
+    * head are no obstacle, because the changelog emits rows (the head's
+    * live rows), not files. */
+  def readChangelog(
+      fromExclusive: Option[Long],
+      toInclusive: Long,
+      removeCarryovers: Boolean = true): DataFrame = {
+    val (chain, truncHead) = ancestorChain(fromExclusive, toInclusive)
+    val byId = meta.snapshots.map(s => s.id -> s).toMap
+    val dataCols = schema.fieldNames.toSeq
+    def tag(df: DataFrame, tpe: String, ord: Int, snapId: Long): DataFrame =
+      df.select(dataCols.map(col): _*)
+        .withColumn(ChangeTypeCol, lit(tpe))
+        .withColumn(ChangeOrdinalCol, lit(ord))
+        .withColumn(ChangeSnapshotCol, lit(snapId))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(schema.fields ++ Seq(
+        StructField(ChangeTypeCol, StringType),
+        StructField(ChangeOrdinalCol, IntegerType),
+        StructField(ChangeSnapshotCol, LongType))))
+    val parts = chain.zipWithIndex.flatMap { case (snap, ord) =>
+      if (truncHead.exists(_ eq snap))
+        // retention-truncated head: its live state is the feed's baseline
+        Seq(tag(readLiveFiles(snap.dataFiles, withRowIds = false,
+          snap.deleteFiles), ChangeInsert, ord, snap.id))
+      else if (snap.operation == "replace") Nil // compaction: no row change
+      else {
+        val parent = byId.get(snap.parentId)
+        val pData = parent.map(_.dataFiles).getOrElse(Nil)
+        val pDeletes = parent.map(_.deleteFiles).getOrElse(Nil)
+        val pPaths = pData.map(_.path).toSet
+        val sPaths = snap.dataFiles.map(_.path).toSet
+        val added = snap.dataFiles.filterNot(f => pPaths(f.path))
+        val removed = pData.filterNot(f => sPaths(f.path))
+        // rows of added files are all live inserts: a same-commit equality
+        // delete never hides them (strictly-older sequence rule), and
+        // position deletes only ever target pre-existing files
+        val ins = readLiveFiles(added, withRowIds = false, Nil)
+        val del = readLiveFiles(removed, withRowIds = false, pDeletes)
+        val pDelPaths = pDeletes.map(_.path).toSet
+        val newDeletes = snap.deleteFiles.filterNot(f => pDelPaths(f.path))
+        val newlyHidden =
+          if (newDeletes.isEmpty) None
+          else {
+            val retained = snap.dataFiles.filter(f => pPaths(f.path))
+            val touched = changelogTouchedFiles(retained, newDeletes)
+            val before = readLiveFiles(touched, withRowIds = false, pDeletes)
+            val after = readLiveFiles(touched, withRowIds = false, snap.deleteFiles)
+            Some(before.join(after,
+              before(FileCol) === after(FileCol) && before(PosCol) === after(PosCol),
+              "left_anti"))
+          }
+        val (insOut, delOut) =
+          if (removeCarryovers && added.nonEmpty && removed.nonEmpty) {
+            val d = "__delta"
+            val net = ins.select(dataCols.map(col): _*).withColumn(d, lit(1L))
+              .unionByName(del.select(dataCols.map(col): _*).withColumn(d, lit(-1L)))
+              .groupBy(dataCols.map(col): _*).agg(sum(col(d)).as(d))
+            // |net| copies per value — tag() re-projects to dataCols, so
+            // the replication column never reaches the output
+            def copies(df: DataFrame) = df.select(
+              (dataCols.map(col) :+ explode(sequence(lit(1L), abs(col(d)))).as("__i")): _*)
+            (copies(net.filter(col(d) > 0)), copies(net.filter(col(d) < 0)))
+          } else (ins, del)
+        (if (added.isEmpty && removed.isEmpty) Nil
+         else Seq(tag(insOut, ChangeInsert, ord, snap.id),
+           tag(delOut, ChangeDelete, ord, snap.id))) ++
+          newlyHidden.map(tag(_, ChangeDelete, ord, snap.id))
+      }
+    }
+    parts.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** Retained files a fresh batch of delete files could hide rows in —
+    * the changelog's scan scope. Position deletes name their target
+    * paths: read from the (small) delete parquet, distinct-collected at
+    * metadata scale (bounded by file count, not deleted-row count).
+    * Equality deletes can hit any retained file with a strictly older
+    * sequence number. */
+  private def changelogTouchedFiles(
+      retained: Seq[DataFileMeta],
+      newDeletes: Seq[DeleteFileMeta]): Seq[DataFileMeta] = {
+    val pos = newDeletes.filter(_.kind == "position")
+    val posTargets: Set[String] =
+      if (pos.isEmpty) Set.empty
+      else spark.read.schema(DeleteSchema).parquet(pos.map(_.path): _*)
+        .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    val eqMaxSeq = newDeletes.filter(_.kind == "equality")
+      .map(_.dataSequenceNumber).maxOption
+    retained.filter(f => posTargets.contains(f.path) ||
+      eqMaxSeq.exists(f.dataSequenceNumber < _))
   }
 
   /** Time travel by timestamp: the snapshot current as of `tsMillis`
@@ -1129,6 +1273,13 @@ object LakeTable {
   private[lake] val AttrSeq = "__attr_seq"
   private[lake] val AttrFirst = "__attr_first"
   private[lake] val DelSeqCol = "__del_seq"
+
+  /** Changelog output columns (Iceberg's changelog-scan names). */
+  val ChangeTypeCol = "_change_type"
+  val ChangeOrdinalCol = "_change_ordinal"
+  val ChangeSnapshotCol = "_commit_snapshot_id"
+  val ChangeInsert = "INSERT"
+  val ChangeDelete = "DELETE"
 
   private[lake] val DeleteSchema = StructType(Seq(
     StructField("file_path", StringType), StructField("pos", LongType)))
