@@ -79,10 +79,9 @@ class LakeCatalog(
       throw new IllegalArgumentException(s"namespace $db does not exist")
     if (tableExists(db, table))
       throw new IllegalArgumentException(s"table $db.$table already exists")
-    partitionBy.foreach { c =>
-      if (!schema.fieldNames.contains(c))
-        throw new IllegalArgumentException(s"partition column $c not in schema")
-    }
+    // validates source columns, transform/type compatibility, and
+    // partition-field collisions (M36 — specs may be transforms)
+    PartitionTransform.parseAll(partitionBy, schema)
     val version = props.getOrElse("format-version", "2").toInt
     val m = TableMetadata(
       name = s"$db.$table",

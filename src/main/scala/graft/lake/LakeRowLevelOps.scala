@@ -78,8 +78,14 @@ private[lake] class LakeRowLevelOperation(
               cmd == RowLevelOperation.Command.DELETE)
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
           else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            t.meta.partitionCols.map(c =>
-              Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+            // cluster by the SOURCE columns (transform specs cannot name
+            // a clustering expression without a FunctionCatalog): same
+            // source value ⇒ same transformed value, so each partition's
+            // rows land in at most as many tasks as it has source keys —
+            // coarser than Iceberg's transform clustering but bounded
+            t.transforms.map(tr =>
+              Expressions.identity(tr.sourceCol): org.apache.spark.sql.connector.expressions.Expression)
+              .distinct.toArray)
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           Array.empty
@@ -195,13 +201,42 @@ private[lake] object PartitionRender {
 
   val HiveDefault = "__HIVE_DEFAULT_PARTITION__"
 
-  /** Per-partition-column renderers resolved against the write schema.
-    * A column missing from the schema (impossible in practice) or with
-    * an unrenderable type yields constant None — all values merge into
-    * one unannotated file, correct and conservative. */
+  /** Per-partition-field renderers resolved against the write schema.
+    * Spec entries may be transforms (M36): those evaluate the
+    * transform's [[PartitionTransform.valueExpr]] — the SAME catalyst
+    * tree the dispatcher write path and prune time use — over a
+    * [[org.apache.spark.sql.catalyst.expressions.BoundReference]] per
+    * row, so all three renderings agree by construction. Identity keeps
+    * the typed renderers below. A column missing from the schema
+    * (impossible in practice) or with an unrenderable identity type
+    * yields constant None — all values merge into one unannotated file,
+    * correct and conservative. */
   def renderers(schema: StructType,
-      partCols: Seq[String]): Seq[(String, InternalRow => Option[String])] =
-    partCols.map { c =>
+      partSpecs: Seq[String]): Seq[(String, InternalRow => Option[String])] =
+    partSpecs.map { spec =>
+      // per-spec, LENIENT parse: the write schema is the command's row
+      // schema, which may omit a partition source column (e.g. an
+      // UPDATE that doesn't touch it under column-pruned rewrites) —
+      // then this field simply records no value, the same conservative
+      // fallback the identity renderers always had. Strict validation
+      // (collisions, types) already ran at DDL time.
+      scala.util.Try(PartitionTransform.parse(spec, schema)).toOption match {
+        case Some(t: PartitionTransforms.Identity) =>
+          identityRenderer(schema, t.sourceCol)
+        case Some(t) =>
+          val i = schema.fieldNames.indexOf(t.sourceCol)
+          val expr = t.valueExpr(
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, schema.fields(i).dataType, nullable = true))
+          val render: InternalRow => Option[String] =
+            r => Some(Option(expr.eval(r)).map(_.toString).getOrElse(HiveDefault))
+          t.fieldName -> render
+        case None => spec -> ((_: InternalRow) => None)
+      }
+    }
+
+  private def identityRenderer(schema: StructType,
+      c: String): (String, InternalRow => Option[String]) = {
       val i = schema.fieldNames.indexOf(c)
       val render: InternalRow => Option[String] =
         if (i < 0) _ => None
@@ -553,8 +588,10 @@ private[lake] class LakeCowRowLevelOperation(
           if (t.meta.partitionCols.isEmpty)
             org.apache.spark.sql.connector.distributions.Distributions.unspecified()
           else org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            t.meta.partitionCols.map(c =>
-              Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+            // source-column clustering, same rationale as the delta write
+            t.transforms.map(tr =>
+              Expressions.identity(tr.sourceCol): org.apache.spark.sql.connector.expressions.Expression)
+              .distinct.toArray)
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           Array.empty

@@ -150,11 +150,33 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     val partCols = partitions.toSeq.map { t =>
-      // identity partitioning only, like the reference's PARTITIONED BY (category)
-      val refs = t.references()
-      if (t.name() != "identity" || refs.length != 1)
-        throw new UnsupportedOperationException(s"unsupported partition transform: $t")
-      refs(0).fieldNames().mkString(".")
+      // identity like the reference's PARTITIONED BY (category), plus the
+      // Iceberg transforms (M36) — mapped onto the same spec grammar
+      // LakeSql's DDL accepts, so both surfaces create identical tables
+      def ref: String = {
+        val refs = t.references()
+        if (refs.length != 1)
+          throw new UnsupportedOperationException(
+            s"unsupported partition transform: $t")
+        refs(0).fieldNames().mkString(".")
+      }
+      def intArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString.toInt
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"partition transform missing numeric argument: $t"))
+      t.name().toLowerCase match {
+        case "identity" => ref
+        case "bucket" => s"bucket($intArg,$ref)"
+        case "truncate" => s"truncate($intArg,$ref)"
+        case u @ ("years" | "months" | "days" | "hours") => s"$u($ref)"
+        // Spark parses YEAR(ts)/MONTH(ts)… in PARTITIONED BY to the
+        // singular-named transforms
+        case u @ ("year" | "month" | "day" | "hour") => s"${u}s($ref)"
+        case _ =>
+          throw new UnsupportedOperationException(
+            s"unsupported partition transform: $t")
+      }
     }
     val props = properties.asScala.toMap -
       TableCatalog.PROP_PROVIDER - TableCatalog.PROP_LOCATION - TableCatalog.PROP_OWNER
@@ -254,32 +276,19 @@ object LakeV2Table {
   @volatile private[lake] var lastPushedFilters: Seq[String] = Nil
 
   /** Metadata-level partition predicate from the pushed filters: a file
-    * survives if every partition-column constraint admits its recorded
-    * partition value. Values render through
-    * [[PartitionFilterValues.external]] — raw `String.valueOf` would
-    * mismatch the hive-path form for temporal types
-    * (`java.sql.Timestamp.toString` carries a trailing ".0") and
-    * over-prune every matching file, turning a DML statement into a
-    * silent no-op. A constraint whose value (or, for IN, ANY element)
+    * survives if every partition constraint admits its recorded
+    * partition value. Delegates to [[PartitionPruning.predicate]] (M36)
+    * — transform-aware (a filter on the SOURCE column prunes bucketed /
+    * truncated / calendar partitions) and range-capable through monotone
+    * transforms. A constraint whose value (or, for IN, ANY element)
     * can't render is dropped entirely — partial IN pruning would drop
     * files matching the unrenderable elements. Static, because the scan
     * build AND the CoW commit ([[LakeCowBatchWrite]]) must evaluate the
     * SAME pure function of (filters, partition values) — a shared
     * definition is what makes their group scopes provably identical. */
-  private[lake] def partitionPredicate(partCols: Set[String],
-      filters: Array[Filter]): Map[String, String] => Boolean = {
-    val constraints = filters.flatMap {
-      case EqualTo(c, v) if partCols.contains(c) =>
-        PartitionFilterValues.external(v).map(s => c -> Set(s))
-      case In(c, vs) if partCols.contains(c) =>
-        val rendered = vs.toSeq.flatMap(PartitionFilterValues.external)
-        if (rendered.size == vs.length) Some(c -> rendered.toSet) else None
-      case _ => None
-    }
-    pv => constraints.forall { case (c, allowed) =>
-      pv.get(c).forall(allowed.contains)
-    }
-  }
+  private[lake] def partitionPredicate(transforms: Seq[PartitionTransform],
+      filters: Array[Filter]): Map[String, String] => Boolean =
+    PartitionPruning.predicate(transforms, filters.toSeq)
 }
 
 /** Read-only V2 handle for a metadata table (`lake.db.t.history` /
@@ -419,7 +428,7 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
 
   private def partitionPredicate(
       filters: Array[Filter]): Map[String, String] => Boolean =
-    LakeV2Table.partitionPredicate(t.meta.partitionCols.toSet, filters)
+    LakeV2Table.partitionPredicate(t.transforms, filters)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     requirePerm("SELECT")

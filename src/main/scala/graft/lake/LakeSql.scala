@@ -105,9 +105,13 @@ class LakeSql(val catalog: LakeCatalog) {
       return status(s"Table $db.$table already exists")
     val (colsDdl, rest) = balancedParen(s, m.end - 1)
     val schema = StructType.fromDDL(colsDdl)
-    val partitionBy = """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r
-      .findFirstMatchIn(rest).map(_.group(1).split(",").map(_.trim).toSeq)
-      .getOrElse(Nil)
+    // paren-balanced + top-level split: transform specs like
+    // bucket(16, id) carry nested parens and commas (M36)
+    val partitionBy = """(?is)PARTITIONED\s+BY\s*\(""".r
+      .findFirstMatchIn(rest).map { pm =>
+        topLevelSplit(balancedParen(rest, pm.end - 1)._1, ',')
+          .map(_.trim).filter(_.nonEmpty)
+      }.getOrElse(Nil)
     val props = """(?is)TBLPROPERTIES\s*\(""".r.findFirstMatchIn(rest).map { pm =>
       parseProps(balancedParen(rest, pm.end - 1)._1)
     }.getOrElse(Map.empty)

@@ -74,6 +74,12 @@ class LakeTable(
 
   def schema: StructType = meta.schema
   def name: String = meta.name
+
+  /** Parsed partition spec (M36 hidden partitioning). Plain column names
+    * parse to identity transforms, so every pre-M36 table reads the same
+    * way it always did. */
+  lazy val transforms: Seq[PartitionTransform] =
+    PartitionTransform.parseAll(meta.partitionCols, schema)
   def currentSnapshot: Option[Snapshot] = branch match {
     case None => meta.currentSnapshot
     case Some(b) => meta.snapshots.find(_.id == branchHead(b))
@@ -122,6 +128,19 @@ class LakeTable(
     readWithCoords(partitionFilter, fileFilter = fileFilter)
       .select(schema.fieldNames.map(col): _*)
   }
+
+  /** Predicate-pruned scan: the public face of metadata-level pruning.
+    * `filters` (v1 source filters over DATA columns) drive partition
+    * pruning — transform-aware, so a filter on `ts` prunes `days(ts)` /
+    * `bucket(N, ts)` partitions (M36 hidden partitioning) — plus
+    * footer-stats file skipping. Both prunings are conservative
+    * (unrenderable values / unknown stats keep the file); callers still
+    * apply the full predicate above the scan, exactly like
+    * [[NativeReadRule]] does for native SQL. */
+  def readPruned(filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
+    read(
+      partitionFilter = PartitionPruning.predicate(transforms, filters),
+      fileFilter = StatsPruning.filePredicate(schema, filters))
 
   /** Scan with the v3 `_row_id` lineage column. */
   def readWithRowIds(): DataFrame = {
@@ -583,11 +602,24 @@ class LakeTable(
       withRowIdCol: Boolean = false): Seq[DataFileMeta] = {
     val commitDir = location.resolve("data").resolve(UUID.randomUUID().toString)
     val cols = schema.fieldNames ++ (if (withRowIdCol) Seq(RowIdCol) else Nil)
-    val partCopies = meta.partitionCols.map(c => PartPrefix + c)
-    val out = meta.partitionCols.foldLeft(df.select(cols.map(col): _*)) {
-      (d, c) => d.withColumn(PartPrefix + c, col(c))
+    val partCopies = transforms.map(t => PartPrefix + t.fieldName)
+    val out = transforms.foldLeft(df.select(cols.map(col): _*)) {
+      (d, t) => d.withColumn(PartPrefix + t.fieldName,
+        t.writeColumn(col(t.sourceCol)))
     }
-    val writer = out.write.mode("append")
+    // Iceberg's write.distribution-mode, default hash for partitioned
+    // tables: cluster rows by partition value before the fan-out write,
+    // so file count is bounded by POPULATED PARTITIONS, not
+    // tasks × partitions — without it a 32-task append into a
+    // months×bucket spec writes up to 32× the files (the small-files
+    // problem at 100 TB). `none` opts out (tiny appends that shouldn't
+    // pay a shuffle).
+    val clustered =
+      if (partCopies.nonEmpty &&
+          meta.props.getOrElse("write.distribution-mode", "hash") != "none")
+        out.repartition(partCopies.map(col): _*)
+      else out
+    val writer = clustered.write.mode("append")
     (if (partCopies.nonEmpty) writer.partitionBy(partCopies: _*) else writer)
       .parquet(commitDir.toString)
 
@@ -1143,7 +1175,7 @@ class LakeTable(
   def dropColumn(name: String): LakeTable = {
     if (!schema.fieldNames.contains(name))
       throw new IllegalArgumentException(s"no column $name on ${meta.name}")
-    if (meta.partitionCols.contains(name))
+    if (transforms.exists(_.sourceCol == name))
       throw new IllegalArgumentException(s"cannot drop partition column $name")
     if (deleteFiles.exists(_.equalityCols.contains(name)))
       throw new IllegalArgumentException(
@@ -1160,10 +1192,7 @@ class LakeTable(
     * are re-filtered above the scan). Stats-based skipping covers the
     * pre-evolution files where partition pruning can't. */
   def setPartitionSpec(cols: Seq[String]): LakeTable = {
-    cols.foreach { c =>
-      if (!schema.fieldNames.contains(c))
-        throw new IllegalArgumentException(s"partition column $c not in schema")
-    }
+    PartitionTransform.parseAll(cols, schema) // validates columns + transforms
     withMeta(meta.copy(partitionCols = cols))
   }
 

@@ -56,11 +56,6 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
   private def requireSelect(t: LakeV2Table): Unit =
     Grants.require(session, t.lakeTable, "SELECT")
 
-  /** Catalyst-internal literal → hive-path string; shared with the
-    * bridged scan's external-value path via [[PartitionFilterValues]]. */
-  private def partValue(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] =
-    PartitionFilterValues.internal(v, dt)
-
   /** Catalyst conjunct → v1 source filter, for the comparison shapes
     * [[StatsPruning.filePredicate]] understands (attr-vs-literal; values
     * stay in internal form — `render` accepts UTF8String/numerics and
@@ -83,32 +78,15 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** Metadata-level partition predicate from catalyst conjuncts.
-    * Partition constraints compare against HIVE-PATH-RENDERED strings
-    * (partitionValuesFromPath), so catalyst-internal literal values must
-    * render to that external form: dates are epoch-day Ints internally
-    * ("20454" would never equal "2026-01-01" and every matching file
-    * would be wrongly pruned). Types partValue can't render safely keep
-    * the file — and an IN-list constraint applies only if EVERY element
-    * renders, else pruning on the renderable subset would drop files
-    * matching the others. */
-  private def partitionPredicate(partCols: Set[String],
-      preds: Seq[Expression]): Map[String, String] => Boolean = {
-    val constraints = preds.flatMap {
-      case cexp.EqualTo(a: Attribute, Literal(v, dt)) if partCols.contains(a.name) =>
-        partValue(v, dt).map(s => a.name -> Set(s))
-      case cexp.EqualTo(Literal(v, dt), a: Attribute) if partCols.contains(a.name) =>
-        partValue(v, dt).map(s => a.name -> Set(s))
-      case cexp.In(a: Attribute, vs) if partCols.contains(a.name) &&
-          vs.forall(_.isInstanceOf[Literal]) =>
-        val lits = vs.map(_.asInstanceOf[Literal])
-        val rendered = lits.flatMap(l => partValue(l.value, l.dataType))
-        if (rendered.size == lits.size) Some(a.name -> rendered.toSet) else None
-      case _ => None
-    }
-    pv => constraints.forall { case (c, allowed) =>
-      pv.get(c).forall(allowed.contains)
-    }
-  }
+    * Conjuncts translate to v1 filters through [[toSource]] (values stay
+    * catalyst-internal — epoch-day Ints, UTF8Strings) and feed the same
+    * [[PartitionPruning.predicate]] the bridged scan uses, which
+    * normalizes both value domains before rendering. Transform-aware +
+    * range-capable (M36): a `ts >= X` conjunct prunes `days(ts)`
+    * partitions; an `id = k` prunes `bucket(N, id)`. */
+  private def partitionPredicate(transforms: Seq[PartitionTransform],
+      preds: Seq[Expression]): Map[String, String] => Boolean =
+    PartitionPruning.predicate(transforms, preds.flatMap(toSource))
 
   /** read()'s optimized plan with predicate-driven metadata pruning,
     * projected and aliased onto the relation's exact output attributes
@@ -119,7 +97,7 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
     val lake = t.lakeTable
     val translated = preds.flatMap(toSource)
     val plan = lake.read(
-      partitionFilter = partitionPredicate(lake.meta.partitionCols.toSet, preds),
+      partitionFilter = partitionPredicate(lake.transforms, preds),
       fileFilter = StatsPruning.filePredicate(lake.schema, translated))
       .queryExecution.optimizedPlan
     val byName = plan.output.map(a => a.name -> a).toMap
@@ -164,7 +142,7 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
     val targetConjuncts = conjuncts.filter(_.references.subsetOf(outSet))
     val translated = targetConjuncts.flatMap(toSource)
     val partPred =
-      partitionPredicate(lake.meta.partitionCols.toSet, targetConjuncts)
+      partitionPredicate(lake.transforms, targetConjuncts)
     val statsPred = StatsPruning.filePredicate(lake.schema, translated)
     val pruned: DataFileMeta => Boolean =
       f => partPred(f.partitionValues) && statsPred(f)
@@ -205,7 +183,13 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
       pruned: DataFileMeta => Boolean): DataFileMeta => Boolean = {
     val usable = targetConjuncts.filter(_.deterministic)
     if (usable.isEmpty) return pruned
-    val partCols = lake.meta.partitionCols.toSet
+    // IDENTITY partition columns only: a conjunct on a transformed
+    // source (days(ts), bucket(N, id)) prunes at partition granularity,
+    // so an admitted file may still contain zero matches — discovery
+    // can genuinely trim there and must run (M36)
+    val partCols = lake.transforms.collect {
+      case t: PartitionTransforms.Identity => t.sourceCol
+    }.toSet
     if (usable.forall(_.references.forall(a => partCols.contains(a.name))))
       return pruned
     scala.util.Try {

@@ -430,7 +430,58 @@ object LakeQueries {
       """) t(id, name, category, amount, created_at) ORDER BY id"""),
     (s, _) => q61Table(s).readIncremental(Some(1L), 2L).orderBy("id"))
 
+  /** Hidden-partitioning fixture (M36): the sf-dir orders table landed
+    * in a lake table partitioned by `months(o_orderdate)` +
+    * `bucket(8, o_custkey)` — the layout a 100 TB orders feed would
+    * actually use. Keyed by (session, sf dir): Bench's warmup + timed
+    * runs re-query the same build. */
+  private val hpFixture = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), graft.lake.LakeTable]()
+  private def q62Table(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.lake.LakeTable =
+    hpFixture.computeIfAbsent((s, dir), { case (spark, d) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-hp-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val cat = new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now })
+      cat.createNamespace("demo")
+      val orders = graft.Tables(spark, d, "orders")
+      cat.createTable("demo", "orders_hp", orders.schema,
+          Seq("months(o_orderdate)", "bucket(8,o_custkey)"))
+        .append(orders)
+    })
+
+  /** Q62: hidden partitioning under the hash gate. The engine side scans
+    * through [[graft.lake.LakeTable.readPruned]] — the quarter predicate
+    * on the SOURCE column prunes `months(o_orderdate)` partitions to
+    * 1996-Q1 at metadata level (the transform spec is invisible to the
+    * query) — and aggregates; the oracle runs the same SELECT on the raw
+    * parquet. A hash match proves the transformed write+prune pipeline
+    * neither lost nor duplicated a row. */
+  val q62 = QueryDef(
+    "q62_hidden_partitioning",
+    Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    (s, dir) => {
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+      // o_orderdate is TIMESTAMP_NTZ in the fixture parquet — bound
+      // literals stay wall-clock LocalDateTimes on both prune and filter
+      val lo = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+      val hi = java.time.LocalDateTime.parse("1996-03-31T23:59:59")
+      q62Table(s, dir)
+        .readPruned(Seq(
+          GreaterThanOrEqual("o_orderdate", lo), LessThanOrEqual("o_orderdate", hi)))
+        .filter(col("o_orderdate").between(lit(lo), lit(hi)))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          RelQueries.dsum(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54, q58, q59, q60, q61)
+      q53, q54, q58, q59, q60, q61, q62)
 }
