@@ -77,9 +77,12 @@ class LakeTable(
 
   /** Parsed partition spec (M36 hidden partitioning). Plain column names
     * parse to identity transforms, so every pre-M36 table reads the same
-    * way it always did. */
+    * way it always did. Non-strict: collision/duplicate validation ran
+    * at DDL time; re-running it on every read would brick a table whose
+    * schema later drifted instead of degrading to conservative
+    * pruning. */
   lazy val transforms: Seq[PartitionTransform] =
-    PartitionTransform.parseAll(meta.partitionCols, schema)
+    PartitionTransform.parseAll(meta.partitionCols, schema, strict = false)
   def currentSnapshot: Option[Snapshot] = branch match {
     case None => meta.currentSnapshot
     case Some(b) => meta.snapshots.find(_.id == branchHead(b))
@@ -1165,6 +1168,12 @@ class LakeTable(
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): LakeTable = {
     if (schema.fieldNames.contains(name))
       throw new IllegalArgumentException(s"column $name already exists on ${meta.name}")
+    // a column named like a transform's partition field (e.g. `ts_day`
+    // next to days(ts)) would make pruning ambiguous — reject at DDL
+    // time, the same check createTable/setPartitionSpec run (M36)
+    if (transforms.exists(t => t.fieldName == name && t.sourceCol != name))
+      throw new IllegalArgumentException(
+        s"column $name collides with partition field $name on ${meta.name}")
     withMeta(meta.copy(
       schemaDdl = StructType(schema.fields :+ StructField(name, dataType)).toDDL))
   }

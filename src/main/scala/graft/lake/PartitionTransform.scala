@@ -82,14 +82,23 @@ sealed trait PartitionTransform extends Serializable {
   /** Monotone-range admit test: for `src <op> v`, the rendered partition
     * values that may contain matching rows. None = this transform can't
     * prune ranges (bucket) or the value can't render. `op` ∈
-    * {">", ">=", "<", "<="}. */
+    * {">", ">=", "<", "<="}.
+    *
+    * The hive-default token ALWAYS survives (here and in
+    * [[PartitionPruning]]'s equality path): Spark's hive-path writer
+    * maps BOTH null and empty-string partition values to
+    * `__HIVE_DEFAULT_PARTITION__`, so the token is ambiguous — treating
+    * it as "null, prune it" would silently drop rows whose rendered
+    * value is `""` (review r7: an identity/truncate string partition of
+    * an empty name). Ambiguous ⇒ conservative keep; the predicate above
+    * the scan refilters. */
   def rangeAllowed(op: String, v: Any): Option[String => Boolean] = {
     val cmp = rangeCompare
     if (cmp == null) None
     else eqValue(v).map { bound =>
       val lower = op == ">" || op == ">="
       pv =>
-        pv != PartitionRender.HiveDefault &&
+        pv == PartitionRender.HiveDefault ||
           (if (lower) cmp(pv, bound) >= 0 else cmp(pv, bound) <= 0)
     }
   }
@@ -105,6 +114,15 @@ object PartitionTransform {
   /** Spec grammar: `name`, `bucket(N, col)`, `truncate(W, col)`,
     * `years|months|days|hours(col)`. */
   private val Fn = """(?i)^(bucket|truncate|years|months|days|hours)\s*\((.*)\)$""".r
+
+  /** Int param with a friendly DDL error for any malformed/overflowing
+    * value ("99999999999" passed an isDigit check but blew up toInt —
+    * review r7). */
+  private def intParam(s: String, spec: String): Int =
+    try s.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"numeric transform argument out of range in: $spec")
+    }
 
   /** Parse + resolve one spec entry against the table schema. Rejects
     * unknown columns, type-incompatible transforms and (via [[parseAll]])
@@ -123,9 +141,8 @@ object PartitionTransform {
         val parts = args.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         name.toLowerCase match {
           case "bucket" =>
-            require(parts.length == 2 && parts.head.forall(_.isDigit),
-              s"bucket(N, col) expected, got: $spec")
-            val (n, c) = (parts.head.toInt, parts(1))
+            require(parts.length == 2, s"bucket(N, col) expected, got: $spec")
+            val (n, c) = (intParam(parts.head, spec), parts(1))
             require(n > 0, s"bucket count must be positive: $spec")
             val f = field(c)
             require(integral(f.dataType) || f.dataType == StringType ||
@@ -134,9 +151,8 @@ object PartitionTransform {
               s"bucket over ${f.dataType.simpleString} not supported: $spec")
             Bucket(n, c, f.dataType)
           case "truncate" =>
-            require(parts.length == 2 && parts.head.forall(_.isDigit),
-              s"truncate(W, col) expected, got: $spec")
-            val (w, c) = (parts.head.toInt, parts(1))
+            require(parts.length == 2, s"truncate(W, col) expected, got: $spec")
+            val (w, c) = (intParam(parts.head, spec), parts(1))
             require(w > 0, s"truncate width must be positive: $spec")
             val f = field(c)
             require(integral(f.dataType) || f.dataType == StringType,
@@ -156,17 +172,25 @@ object PartitionTransform {
     }
   }
 
-  /** Parse a full spec; enforces unique field names that don't shadow
-    * data columns (a transform field named like a column would make
-    * pruning ambiguous). */
-  def parseAll(specs: Seq[String], schema: StructType): Seq[PartitionTransform] = {
+  /** Parse a full spec. With `strict` (DDL time: create /
+    * setPartitionSpec) it also enforces unique field names that don't
+    * shadow data columns (a transform field named like a column would
+    * make pruning ambiguous). Read paths parse NON-strict: a weird
+    * committed state (e.g. a column added after the spec) must degrade
+    * to conservative pruning, never brick every read of the table
+    * (review r7 — even `dropColumn`, the recovery path, evaluates the
+    * spec). */
+  def parseAll(specs: Seq[String], schema: StructType,
+      strict: Boolean = true): Seq[PartitionTransform] = {
     val ts = specs.map(parse(_, schema))
-    val names = ts.map(_.fieldName)
-    require(names.distinct.size == names.size,
-      s"duplicate partition field names in spec: ${specs.mkString(", ")}")
-    ts.filterNot(_.isInstanceOf[Identity]).foreach { t =>
-      require(!schema.fieldNames.contains(t.fieldName),
-        s"partition field ${t.fieldName} collides with a data column")
+    if (strict) {
+      val names = ts.map(_.fieldName)
+      require(names.distinct.size == names.size,
+        s"duplicate partition field names in spec: ${specs.mkString(", ")}")
+      ts.filterNot(_.isInstanceOf[Identity]).foreach { t =>
+        require(!schema.fieldNames.contains(t.fieldName),
+          s"partition field ${t.fieldName} collides with a data column")
+      }
     }
     ts
   }
@@ -205,7 +229,14 @@ object PartitionTransform {
 private[lake] object PartitionTransforms {
   private def numericCmp(a: String, b: String): Int =
     java.lang.Long.compare(a.toLong, b.toLong)
-  private def stringCmp(a: String, b: String): Int = a.compareTo(b)
+  /** UTF8 BINARY order, not Java's UTF-16 compareTo: Spark orders
+    * strings by UTF8String bytes, and the two disagree on supplementary
+    * characters (surrogates sort above U+E000..U+FFFF in UTF-16 but
+    * their UTF-8 bytes sort above everything in the BMP). Pruning with
+    * the engine's own order keeps admission aligned with row semantics
+    * (review r7). */
+  private def stringCmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
 
   /** Identity keeps the ENTIRE pre-M36 pipeline: native-typed write
     * column (hive-path rendering), [[PartitionFilterValues]] literal
@@ -236,7 +267,12 @@ private[lake] object PartitionTransforms {
   final case class Bucket(n: Int, sourceCol: String, sourceType: DataType)
       extends PartitionTransform {
     def spec: String = s"bucket($n,$sourceCol)"
-    def fieldName: String = s"${sourceCol}_bucket"
+    // the parameter is part of the field identity: spec evolution
+    // bucket(8,c) → bucket(16,c) must NOT reuse one key, or old files'
+    // mod-8 values get pruned against mod-16 bounds and matching rows
+    // silently vanish (review r7) — distinct keys make old files
+    // "no recorded value for id_bucket_16" ⇒ conservatively kept
+    def fieldName: String = s"${sourceCol}_bucket_$n"
     private[lake] def valueExpr(child: Expression): Expression =
       Cast(Pmod(XxHash64(Seq(child), 42L), Literal(n.toLong)), StringType)
     protected def rangeCompare: (String, String) => Int = null
@@ -248,12 +284,28 @@ private[lake] object PartitionTransforms {
   final case class Truncate(w: Int, sourceCol: String, sourceType: DataType)
       extends PartitionTransform {
     def spec: String = s"truncate($w,$sourceCol)"
-    def fieldName: String = s"${sourceCol}_trunc"
+    // parameter in the key for the same evolution-safety reason as Bucket
+    def fieldName: String = s"${sourceCol}_trunc_$w"
     private[lake] def valueExpr(child: Expression): Expression = sourceType match {
       case StringType => Substring(child, Literal(1), Literal(w))
-      case dt =>
-        val width = Cast(Literal(w), dt)
-        Cast(Subtract(child, Pmod(child, width)), StringType)
+      case _ =>
+        // floor in LONG space: byte/short/int can't wrap there (review
+        // r7: `(byte) v - pmod` wrapped at MinValue, breaking the
+        // monotonicity range pruning relies on, and a width cast to a
+        // narrow type wrapped to 0/negative). The one residual edge —
+        // LongType values within w of Long.MinValue, where the subtract
+        // itself would underflow — renders null ⇒ hive default ⇒ never
+        // pruned (conservative, not wrong).
+        val long = Cast(child, LongType)
+        val guarded =
+          if (sourceType == LongType)
+            org.apache.spark.sql.catalyst.expressions.If(
+              org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+                long, Literal(Long.MinValue + w)),
+              Literal.create(null, LongType),
+              long)
+          else long
+        Cast(Subtract(guarded, Pmod(guarded, Literal(w.toLong))), StringType)
     }
     protected def rangeCompare: (String, String) => Int = sourceType match {
       case StringType => stringCmp
@@ -318,15 +370,20 @@ private[lake] object PartitionPruning {
     val byCol = transforms.groupBy(_.sourceCol)
     // fieldName -> admit(pv); a file must satisfy every constraint whose
     // field it records
+    // the hive-default token always survives every constraint shape: it
+    // stands for null OR empty-string renderings (ambiguous — see
+    // [[PartitionTransform.rangeAllowed]]), so pruning on it loses rows
+    val HD = PartitionRender.HiveDefault
     val constraints: Seq[(String, String => Boolean)] = filters.flatMap {
       case EqualTo(c, v) => byCol.getOrElse(c, Nil).flatMap { t =>
-        t.eqValue(v).map(s => t.fieldName -> ((pv: String) => pv == s))
+        t.eqValue(v).map(s =>
+          t.fieldName -> ((pv: String) => pv == HD || pv == s))
       }
       case In(c, vs) => byCol.getOrElse(c, Nil).flatMap { t =>
         val rendered = vs.toSeq.map(t.eqValue)
         if (rendered.exists(_.isEmpty)) None
         else {
-          val allowed = rendered.flatten.toSet
+          val allowed = rendered.flatten.toSet + HD
           Some(t.fieldName -> ((pv: String) => allowed.contains(pv)))
         }
       }

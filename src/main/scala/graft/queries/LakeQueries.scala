@@ -441,6 +441,17 @@ object LakeQueries {
       dir: String): graft.lake.LakeTable =
     hpFixture.computeIfAbsent((s, dir), { case (spark, d) =>
       val wh = java.nio.file.Files.createTempDirectory("graft-hp-wh")
+      // the fixture outlives the query but not the process (Verify/Bench
+      // are one-shot mains; tests share one session) — reclaim the
+      // temp warehouse at JVM exit so repeated runs don't accumulate
+      Runtime.getRuntime.addShutdownHook(new Thread(() => scala.util.Try {
+        import java.nio.file.{Files => F}
+        import scala.jdk.CollectionConverters._
+        val s = F.walk(wh)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(F.deleteIfExists(_))
+        finally s.close()
+      }))
       var now = DemoFixture.FixedTs.getTime
       val cat = new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now })
       cat.createNamespace("demo")

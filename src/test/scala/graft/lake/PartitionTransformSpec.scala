@@ -77,7 +77,7 @@ class PartitionTransformSpec extends SparkSpec {
       Seq("bucket(8,id)", "truncate(3,name)", "months(ts)"), schema)
     assert(ts2.map(_.spec) ==
       Seq("bucket(8,id)", "truncate(3,name)", "months(ts)"))
-    assert(ts2.map(_.fieldName) == Seq("id_bucket", "name_trunc", "ts_month"))
+    assert(ts2.map(_.fieldName) == Seq("id_bucket_8", "name_trunc_3", "ts_month"))
   }
 
   // -------------------------------------------- write-side rendering
@@ -96,7 +96,7 @@ class PartitionTransformSpec extends SparkSpec {
     // it actually contains (read each file back individually)
     t.dataFiles.foreach { f =>
       val pvMonth = f.partitionValues("ts_month")
-      val pvBucket = f.partitionValues("id_bucket").toLong
+      val pvBucket = f.partitionValues("id_bucket_4").toLong
       val rows = spark.read.schema(schema).parquet(f.path).collect()
       assert(rows.nonEmpty)
       rows.foreach { r =>
@@ -123,14 +123,14 @@ class PartitionTransformSpec extends SparkSpec {
       (4L, "x=y:z", ts("2026-01-01T00:00:00Z"), 4.0))
     val t = cat.createTable("db", "h", schema, Seq("truncate(3,name)"))
       .append(df(rows))
-    assert(t.dataFiles.flatMap(_.partitionValues.get("name_trunc")).toSet ==
+    assert(t.dataFiles.flatMap(_.partitionValues.get("name_trunc_3")).toSet ==
       Set("a b", "a+b", "a/b", "x=y"))
     // and pruning on the source column still lands on the right file
     val pred = PartitionPruning.predicate(t.transforms,
       Seq(org.apache.spark.sql.sources.EqualTo("name", "a+b+c")))
     val kept = t.dataFiles.filter(f => pred(f.partitionValues))
     assert(kept.size == 1 &&
-      kept.head.partitionValues("name_trunc") == "a+b")
+      kept.head.partitionValues("name_trunc_3") == "a+b")
   }
 
   test("null source values land in the hive default partition (time) and a real bucket") {
@@ -142,13 +142,24 @@ class PartitionTransformSpec extends SparkSpec {
       .append(df(rows))
     assert(t.dataFiles.flatMap(_.partitionValues.get("ts_day")).toSet ==
       Set("2026-01-01", PartitionRender.HiveDefault))
-    // a range constraint must never admit the hive-default partition
+    // the hive-default partition ALWAYS survives constraints: the token
+    // is ambiguous (hive maps null AND empty-string renderings to it),
+    // so pruning it would lose empty-string rows; the filter above the
+    // scan refilters null rows out
     val pred = PartitionPruning.predicate(t.transforms,
       Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(
         "ts", ts("2020-01-01T00:00:00Z"))))
     val kept = t.dataFiles.filter(f => pred(f.partitionValues))
     assert(kept.flatMap(_.partitionValues.get("ts_day")).toSet ==
-      Set("2026-01-01"))
+      Set("2026-01-01", PartitionRender.HiveDefault))
+    // … and a 2027+ bound still prunes the dated file while keeping the
+    // ambiguous one
+    val pred27 = PartitionPruning.predicate(t.transforms,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(
+        "ts", ts("2027-01-01T00:00:00Z"))))
+    assert(t.dataFiles.filter(f => pred27(f.partitionValues))
+      .flatMap(_.partitionValues.get("ts_day")).toSet ==
+      Set(PartitionRender.HiveDefault))
     // full scan still returns both rows (null row refiltered above scan
     // when the predicate allows; unconditional read sees it)
     assert(t.read().count() == 2)
@@ -248,6 +259,71 @@ class PartitionTransformSpec extends SparkSpec {
     assert(kept == Set("3", "4"))
   }
 
+  test("empty-string partition values survive constraints (hive-default ambiguity)") {
+    import org.apache.spark.sql.sources._
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val rows = Seq(
+      (1L, "", ts("2026-01-01T00:00:00Z"), 1.0),
+      (2L, "zzz", ts("2026-01-01T00:00:00Z"), 2.0))
+    val t = cat.createTable("db", "es", schema, Seq("name"))
+      .append(df(rows))
+    // hive maps the "" rendering to __HIVE_DEFAULT_PARTITION__ on disk
+    assert(t.dataFiles.flatMap(_.partitionValues.get("name")).toSet ==
+      Set(PartitionRender.HiveDefault, "zzz"))
+    // "" satisfies name <= "a" — the ambiguous token must not be pruned
+    val pred = PartitionPruning.predicate(t.transforms,
+      Seq(LessThanOrEqual("name", "a")))
+    val got = t.read(partitionFilter = pred).filter(col("name") <= "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+    // equality on "" likewise
+    val predEq = PartitionPruning.predicate(t.transforms,
+      Seq(EqualTo("name", "")))
+    val gotEq = t.read(partitionFilter = predEq).filter(col("name") === "")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotEq == Set(1L))
+  }
+
+  test("spec evolution changing a transform parameter never prunes old files wrongly") {
+    import org.apache.spark.sql.sources._
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val (eraA, eraB) = fixture.splitAt(4)
+    val t = cat.createTable("db", "ev", schema, Seq("bucket(4,id)"))
+      .append(df(eraA))
+      .setPartitionSpec(Seq("bucket(8,id)"))
+      .append(df(eraB))
+    // the two eras record under DISTINCT field keys — old files carry no
+    // id_bucket_8 value, so a mod-8 constraint conservatively keeps them
+    assert(t.dataFiles.exists(_.partitionValues.contains("id_bucket_4")))
+    assert(t.dataFiles.exists(_.partitionValues.contains("id_bucket_8")))
+    fixture.foreach { case (i, _, _, _) =>
+      val pred = PartitionPruning.predicate(t.transforms,
+        Seq(EqualTo("id", java.lang.Long.valueOf(i))))
+      val got = t.read(partitionFilter = pred).filter(col("id") === i)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(i), s"row $i lost across spec evolution")
+    }
+  }
+
+  test("truncate floors negative integrals without narrow-type wrap") {
+    import org.apache.spark.sql.sources._
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val rows = Seq(
+      (-128L, "a", ts("2026-01-01T00:00:00Z"), 1.0),
+      (-5L, "b", ts("2026-01-01T00:00:00Z"), 2.0),
+      (17L, "c", ts("2026-01-01T00:00:00Z"), 3.0))
+    val t = cat.createTable("db", "tn", schema, Seq("truncate(10,id)"))
+      .append(df(rows))
+    // floor semantics: -128 → -130, -5 → -10, 17 → 10
+    assert(t.dataFiles.flatMap(_.partitionValues.get("id_trunc_10")).toSet ==
+      Set("-130", "-10", "10"))
+    val pred = PartitionPruning.predicate(t.transforms,
+      Seq(LessThanOrEqual("id", java.lang.Long.valueOf(-120L))))
+    val got = t.read(partitionFilter = pred).filter(col("id") <= -120L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(-128L))
+  }
+
   // ------------------------------------------------ property: differential
 
   test("property: random predicates over (days(ts), bucket(4,id)) never lose rows") {
@@ -297,7 +373,7 @@ class PartitionTransformSpec extends SparkSpec {
       (2, 'b', TIMESTAMP '2026-02-01 00:30:00'),
       (3, 'c', TIMESTAMP '2026-03-31 12:00:00')""")
     val t = sql.catalog.loadTable("db", "tx").get
-    assert(t.transforms.map(_.fieldName) == Seq("ts_month", "id_bucket"))
+    assert(t.transforms.map(_.fieldName) == Seq("ts_month", "id_bucket_4"))
     assert(t.dataFiles.flatMap(_.partitionValues.get("ts_month")).toSet ==
       Set("2026-01", "2026-02", "2026-03"))
     // native read path: vaporize everything outside Feb, query with a ts
