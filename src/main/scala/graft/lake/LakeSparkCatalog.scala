@@ -79,6 +79,7 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
       val make: Option[LakeTable => org.apache.spark.sql.DataFrame] = kind match {
         case "history" | "snapshots" => Some(_.history())
         case "files" => Some(_.filesMetadata())
+        case "partitions" => Some(_.partitionsMetadata())
         case _ => None
       }
       return make.flatMap(f => cat.loadTable(dbName, tblName).map { t =>

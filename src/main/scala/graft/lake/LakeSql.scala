@@ -77,6 +77,7 @@ class LakeSql(val catalog: LakeCatalog) {
     else if (up.startsWith("ALTER TABLE")) alter(s, principal)
     else if (up.startsWith("CALL")) call(s, principal)
     else if (up.startsWith("DESCRIBE")) describe(s, principal)
+    else if (up.startsWith("SHOW")) show(s, up, principal)
     else if (up.startsWith("SELECT") || up.startsWith("WITH")) select(s, principal)
     else throw new SqlParseException(s"unsupported statement: ${s.take(60)}")
   }
@@ -389,6 +390,35 @@ class LakeSql(val catalog: LakeCatalog) {
     }
   }
 
+  /** SHOW TABLES [IN db] / SHOW PARTITIONS db.t / SHOW CREATE TABLE
+    * db.t — the DDL-introspection trio every SQL surface is expected to
+    * answer. SHOW TABLES lists through the catalog's headers-only path
+    * (no manifest reads); SHOW PARTITIONS is the `.partitions` metadata
+    * rollup; SHOW CREATE TABLE round-trips through this dispatcher's own
+    * CREATE grammar (transform specs included). */
+  private def show(s: String, up: String, p: Option[String]): DataFrame = {
+    import catalog.spark.implicits._
+    if (up.startsWith("SHOW TABLES")) {
+      val m = """(?is)^SHOW\s+TABLES(?:\s+IN\s+([\w]+))?$""".r
+        .findFirstMatchIn(s).getOrElse(fail("SHOW TABLES", s))
+      val dbs = Option(m.group(1)).map(Seq(_)).getOrElse(catalog.listNamespaces())
+      dbs.flatMap(db => catalog.listTables(db).map(ti => (db, ti.name))).sorted
+        .toDF("namespace", "table_name")
+    } else if (up.startsWith("SHOW PARTITIONS")) {
+      val m = """(?is)^SHOW\s+PARTITIONS\s+([\w.]+)$""".r
+        .findFirstMatchIn(s).getOrElse(fail("SHOW PARTITIONS", s))
+      val (db, table) = splitName(m.group(1))
+      requirePerm(p, db, table, "SELECT")
+      load(db, table).partitionsMetadata()
+    } else if (up.startsWith("SHOW CREATE TABLE")) {
+      val m = """(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)$""".r
+        .findFirstMatchIn(s).getOrElse(fail("SHOW CREATE TABLE", s))
+      val (db, table) = splitName(m.group(1))
+      requirePerm(p, db, table, "DESCRIBE")
+      Seq(load(db, table).showCreate()).toDF("createtab_stmt")
+    } else throw new SqlParseException(s"unsupported statement: ${s.take(60)}")
+  }
+
   private def describe(s: String, p: Option[String]): DataFrame = {
     val m = """(?is)^DESCRIBE\s+(?:TABLE\s+)?([\w.]+)$""".r
       .findFirstMatchIn(s).getOrElse(fail("DESCRIBE", s))
@@ -475,7 +505,8 @@ class LakeSql(val catalog: LakeCatalog) {
       for ((suffix, make) <- Seq[(String, LakeTable => DataFrame)](
         "history" -> (_.history()),
         "snapshots" -> (_.history()),
-        "files" -> (_.filesMetadata()))) {
+        "files" -> (_.filesMetadata()),
+        "partitions" -> (_.partitionsMetadata()))) {
         val mre = (base + "\\." + suffix + "(?!\\w)").r
         if (containsOutsideQuotes(rewritten, mre)) {
           requirePerm(p, db, name, "SELECT")

@@ -496,6 +496,45 @@ class LakeTable(
         "column_bounds")
   }
 
+  /** Per-partition rollup of the live file set (Iceberg's `.partitions`
+    * metadata table): one row per distinct recorded partition-value
+    * tuple with file/row/byte counts. Driver-side over file metadata —
+    * manifest scale, no data I/O; with M36 transforms the partition
+    * column shows transform FIELD values (`ts_month=2026-01`). Files
+    * with no recorded values (pre-evolution, unrenderable) group under
+    * the empty tuple. */
+  def partitionsMetadata(): DataFrame = {
+    import spark.implicits._
+    dataFiles.groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) =>
+        (pv.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("/"),
+          fs.size.toLong, fs.map(_.rowCount).sum, fs.map(_.sizeBytes).sum)
+      }.sortBy(_._1)
+      .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
+  }
+
+  /** Canonical `SHOW CREATE TABLE` rendering: a statement the dispatcher
+    * itself accepts (round-trippable), including the partition-transform
+    * spec and table properties. */
+  def showCreate(): String = {
+    val cols = schema.fields
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    // canonical transform spellings (bucket(4,id), not the user's
+    // whitespace) — falling back to the raw spec if the schema drifted
+    // under it, so SHOW CREATE TABLE never throws on a weird table
+    val specs = scala.util.Try(transforms.map(_.spec))
+      .getOrElse(meta.partitionCols)
+    val part =
+      if (specs.isEmpty) ""
+      else specs.mkString(" PARTITIONED BY (", ", ", ")")
+    val props =
+      if (meta.props.isEmpty) ""
+      else meta.props.toSeq.sorted
+        .map { case (k, v) => s"'$k'='$v'" }
+        .mkString(" TBLPROPERTIES (", ", ", ")")
+    s"CREATE TABLE ${meta.name} ($cols)$part$props"
+  }
+
   /** Snapshot log projection (DESCRIBE HISTORY analogue): one row per
     * snapshot with id, commit time, operation, sequence number and the
     * operation summary. */
@@ -622,7 +661,20 @@ class LakeTable(
           meta.props.getOrElse("write.distribution-mode", "hash") != "none")
         out.repartition(partCopies.map(col): _*)
       else out
-    val writer = clustered.write.mode("append")
+    // write.sort-order (Iceberg's write-time sort): sort WITHIN each
+    // task before writing so data files carry tight footer bounds on the
+    // listed columns from day one — stats skipping works without waiting
+    // for a compaction pass. Task-local (no extra shuffle); the
+    // `sort-order` compaction option remains the global-clustering tool.
+    val sorted = meta.props.get("write.sort-order") match {
+      case Some(order) if order.trim.nonEmpty =>
+        val sortCols = order.split(",").map(_.trim).filter(_.nonEmpty)
+          .filter(schema.fieldNames.contains) // unknown names: ignore, don't fail the write
+        if (sortCols.isEmpty) clustered
+        else clustered.sortWithinPartitions(sortCols.map(col): _*)
+      case _ => clustered
+    }
+    val writer = sorted.write.mode("append")
     (if (partCopies.nonEmpty) writer.partitionBy(partCopies: _*) else writer)
       .parquet(commitDir.toString)
 

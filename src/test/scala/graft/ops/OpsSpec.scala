@@ -41,6 +41,65 @@ class OpsSpec extends SparkSpec {
     assert(!sql.catalog.tableExists("db", "t"))
   }
 
+  test("LakeSql: SHOW TABLES / SHOW PARTITIONS / SHOW CREATE TABLE") {
+    val sql = freshSql()
+    sql.run("""CREATE TABLE db.s (id BIGINT, name STRING, ts TIMESTAMP)
+               PARTITIONED BY (months(ts), bucket(4, id))
+               TBLPROPERTIES ('format-version'='3')""")
+    sql.run("CREATE TABLE db2.other (x INT)")
+    sql.run("""INSERT INTO db.s VALUES
+      (1, 'a', TIMESTAMP '2026-01-05 03:00:00'),
+      (2, 'b', TIMESTAMP '2026-01-20 13:00:00'),
+      (3, 'c', TIMESTAMP '2026-02-01 00:30:00')""")
+
+    val tables = sql.run("SHOW TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tables == Seq(("db", "s"), ("db2", "other")))
+    assert(sql.run("SHOW TABLES IN db2").collect()
+      .map(_.getString(1)).toSeq == Seq("other"))
+
+    // per-partition rollup: 2 Jan months-buckets + 1 Feb (bucket split
+    // depends on the hash, so assert via the month prefix + row totals)
+    val parts = sql.run("SHOW PARTITIONS db.s").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(parts.map(_._2).sum == 3)
+    assert(parts.forall { case (p, _) =>
+      p.contains("ts_month=2026-0") && p.contains("id_bucket_4=") })
+    // same rollup through the metadata-table spelling
+    assert(sql.run("SELECT * FROM db.s.partitions").count() == parts.size)
+
+    // SHOW CREATE TABLE round-trips through the dispatcher's own grammar
+    val ddl = sql.run("SHOW CREATE TABLE db.s").head().getString(0)
+    assert(ddl.contains("PARTITIONED BY (months(ts), bucket(4,id))"))
+    assert(ddl.contains("'format-version'='3'"))
+    val sql2 = freshSql()
+    sql2.run(ddl.replace("CREATE TABLE db.s", "CREATE TABLE db.roundtrip"))
+    val rt = sql2.catalog.loadTable("db", "roundtrip").get
+    assert(rt.transforms.map(_.spec) == Seq("months(ts)", "bucket(4,id)"))
+    assert(rt.meta.formatVersion == 3)
+  }
+
+  test("write.sort-order: appended files carry tight per-file bounds") {
+    val sql = freshSql()
+    sql.run("""CREATE TABLE db.so (id BIGINT, v BIGINT)
+               TBLPROPERTIES ('write.sort-order'='v')""")
+    // two tasks' worth of interleaved v values: without the write-time
+    // sort each file spans the whole domain; with it, rows sort by v
+    // inside each task so per-file bounds tighten
+    val df = sql.catalog.spark.range(0, 1000, 1, 2)
+      .selectExpr("id", "(id * 37) % 1000 AS v")
+    sql.catalog.loadTable("db", "so").get.append(df)
+    val t = sql.catalog.loadTable("db", "so").get
+    val bounds = t.dataFiles.flatMap(_.stats.get("v"))
+    assert(bounds.nonEmpty)
+    // rows are sorted by v within each written file
+    t.dataFiles.foreach { f =>
+      val vs = sql.catalog.spark.read.parquet(f.path)
+        .select("v").collect().map(_.getLong(0)).toSeq
+      assert(vs == vs.sorted, s"file ${f.path} not sorted by v")
+    }
+  }
+
   test("LakeSql: catalog-prefixed 3-part names cost one probe (VERDICT r5 #3)") {
     val wh = Files.createTempDirectory("graft-ops-wh")
     var probes = 0
