@@ -1,0 +1,72 @@
+package graft.lake
+
+/** v3 deletion vectors (M37) — the marquee Iceberg-v3 MoR change the
+  * reference's own upgrade story targets (README.md:13-16: EMR ≥ 7.12 /
+  * Iceberg ≥ 1.10 is exactly the DV-capable floor): position deletes for
+  * one data file stored as ONE compressed bitmap row instead of one
+  * parquet row per deleted position.
+  *
+  * Representation: sorted positions encoded as delta varints (LEB128)
+  * behind a version byte. Dense runs cost ~1 byte/position, sparse
+  * deletes ~2-5 bytes — 10-50× smaller than the 2-column parquet rows
+  * they replace, which shrinks both the delete-file footprint and the
+  * broadcast the MoR anti-join ships to every task. A DV "file" is a
+  * small parquet of `(file_path, dv, cnt)` rows — one row per targeted
+  * data file, written distributed (the bitmap for each data file is
+  * built executor-side from that file's grouped positions; nothing
+  * row-scale crosses the driver).
+  *
+  * Scoping mirrors position deletes: data files are immutable and
+  * uniquely pathed, so a DV can only ever hit the file it was written
+  * against — no sequence arithmetic needed on the read side. */
+object DeleteVectors {
+
+  /** Format version byte — future-proofing the on-disk bytes. */
+  private val Version: Byte = 1
+
+  /** Encode positions (must be sorted ascending; duplicates collapse). */
+  def encode(sorted: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(sorted.length + 1)
+    out.write(Version)
+    var prev = -1L
+    var i = 0
+    while (i < sorted.length) {
+      val p = sorted(i)
+      if (p != prev) {
+        require(p > prev, s"positions not sorted: $p after $prev")
+        var delta = p - prev // ≥ 1
+        while ((delta & ~0x7fL) != 0) {
+          out.write(((delta & 0x7f) | 0x80).toInt)
+          delta >>>= 7
+        }
+        out.write(delta.toInt)
+        prev = p
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode to the original sorted positions. */
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.nonEmpty && bytes(0) == Version,
+      s"unknown deletion-vector format version: ${bytes.headOption.getOrElse(-1)}")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var prev = -1L
+    var i = 1
+    while (i < bytes.length) {
+      var delta = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = bytes(i) & 0xff
+        delta |= (b & 0x7fL) << shift
+        shift += 7
+        i += 1
+      } while ((b & 0x80) != 0)
+      prev += delta
+      out += prev
+    }
+    out.toArray
+  }
+}

@@ -463,10 +463,15 @@ class LakeTable(
       retained: Seq[DataFileMeta],
       newDeletes: Seq[DeleteFileMeta]): Seq[DataFileMeta] = {
     val pos = newDeletes.filter(_.kind == "position")
+    val dv = newDeletes.filter(_.kind == "dv")
     val posTargets: Set[String] =
-      if (pos.isEmpty) Set.empty
-      else spark.read.schema(DeleteSchema).parquet(pos.map(_.path): _*)
-        .select("file_path").distinct().collect().map(_.getString(0)).toSet
+      (if (pos.isEmpty) Set.empty[String]
+       else spark.read.schema(DeleteSchema).parquet(pos.map(_.path): _*)
+         .select("file_path").distinct().collect().map(_.getString(0)).toSet) ++
+      // DV rows name their target file directly — one metadata-scale read
+      (if (dv.isEmpty) Set.empty[String]
+       else spark.read.parquet(dv.map(_.path): _*)
+         .select("file_path").distinct().collect().map(_.getString(0)).toSet)
     val eqMaxSeq = newDeletes.filter(_.kind == "equality")
       .map(_.dataSequenceNumber).maxOption
     retained.filter(f => posTargets.contains(f.path) ||
@@ -584,13 +589,29 @@ class LakeTable(
       base: DataFrame, files: Seq[DataFileMeta],
       deletes: Seq[DeleteFileMeta]): DataFrame = {
     val posDeletes = deletes.filter(_.kind == "position")
+    val dvDeletes = deletes.filter(_.kind == "dv")
+    val coordSets = Seq(
+      // No sequence scoping needed for position deletes or DVs: data
+      // files are immutable and uniquely pathed, so a (file, pos) tuple
+      // can only ever hit the file it was written against.
+      if (posDeletes.isEmpty) None
+      else Some(spark.read.schema(DeleteSchema)
+        .parquet(posDeletes.map(_.path): _*)),
+      // deletion vectors decode executor-side back to coordinates; the
+      // broadcast ships the (small) decoded pairs of THIS query's scan
+      if (dvDeletes.isEmpty) None
+      else Some {
+        import spark.implicits._
+        spark.read.parquet(dvDeletes.map(_.path): _*)
+          .select(col("file_path"), col("dv")).as[(String, Array[Byte])]
+          .flatMap { case (fp, bytes) =>
+            DeleteVectors.decode(bytes).iterator.map(fp -> _) }
+          .toDF("file_path", "pos")
+      }).flatten
     val afterPos =
-      if (posDeletes.isEmpty) base
+      if (coordSets.isEmpty) base
       else {
-        // No sequence scoping needed for position deletes: data files are
-        // immutable and uniquely pathed, so a (file, pos) tuple can only
-        // ever hit the file it was written against.
-        val del = spark.read.schema(DeleteSchema).parquet(posDeletes.map(_.path): _*)
+        val del = coordSets.reduce(_ unionByName _)
         base.join(broadcast(del),
           base(FileCol) === del("file_path") && base(PosCol) === del("pos"),
           "left_anti")
@@ -707,11 +728,26 @@ class LakeTable(
     }
   }
 
+  /** Table property selecting the position-delete representation:
+    * classic 2-column parquet (`position`, default) or v3 deletion
+    * vectors (`dv`, M37). DV requires format-version 3 — a v2 reader has
+    * no notion of them. */
+  private def deleteFormat: String =
+    meta.props.getOrElse("write.delete.format", "position")
+
   /** Write a position-delete file set; returns None (and leaves no orphan
     * files) when the predicate matched nothing. One data pass: write, then
-    * a footer-only count of what was written. */
+    * a footer-only count of what was written. Routes to deletion vectors
+    * when the table asks for them ([[deleteFormat]]). */
   private def writeDeleteFiles(
       coords: DataFrame, seq: Long): Option[(Seq[DeleteFileMeta], Long)] = {
+    if (deleteFormat == "dv") {
+      if (meta.formatVersion < 3)
+        throw new IllegalStateException(
+          s"${meta.name}: write.delete.format=dv requires format-version 3 " +
+            "(deletion vectors are a v3 feature; upgrade first)")
+      return writeDeleteVectors(coords, seq)
+    }
     val delDir = location.resolve("deletes")
     Files.createDirectories(delDir)
     val delPath = delDir.resolve(UUID.randomUUID().toString)
@@ -730,6 +766,40 @@ class LakeTable(
       perFile.get(p.toString).filter(_ > 0)
         .map(n => DeleteFileMeta(p.toString, "position", n,
           dataSequenceNumber = seq))
+    }
+    Some((metas, total))
+  }
+
+  /** v3 deletion vectors (M37): one bitmap row per targeted data file.
+    * The shuffle is the same grouping-by-target-file the classic path
+    * pays; the bitmap build is executor-side per group (memory bounded
+    * by one data file's deleted positions), and what lands on disk — and
+    * later in the MoR anti-join broadcast — is delta-varint bytes
+    * instead of a parquet row per position. */
+  private def writeDeleteVectors(
+      coords: DataFrame, seq: Long): Option[(Seq[DeleteFileMeta], Long)] = {
+    import spark.implicits._
+    val delDir = location.resolve("deletes")
+    Files.createDirectories(delDir)
+    val delPath = delDir.resolve(s"dv-${UUID.randomUUID()}")
+    coords.select(col("file_path"), col("pos")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fp, it) =>
+        val positions = it.map(_._2).toArray
+        java.util.Arrays.sort(positions)
+        (fp, DeleteVectors.encode(positions), positions.length.toLong)
+      }
+      .toDF("file_path", "dv", "cnt")
+      .write.parquet(delPath.toString)
+    val perFile = spark.read.parquet(delPath.toString)
+      .groupBy(normPath(col("_metadata.file_path")).as("fp"))
+      .agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = perFile.values.sum
+    if (total == 0) { deleteRecursively(delPath); return None }
+    val metas = listParquetFiles(delPath).flatMap { p =>
+      perFile.get(p.toString).filter(_ > 0)
+        .map(n => DeleteFileMeta(p.toString, "dv", n, dataSequenceNumber = seq))
     }
     Some((metas, total))
   }

@@ -168,15 +168,21 @@ object Procedures {
       .getOrElse(128L * 1024 * 1024)
 
     val posFiles = t.deleteFiles.filter(_.kind == "position")
+    val dvFiles = t.deleteFiles.filter(_.kind == "dv")
     val eqFiles = t.deleteFiles.filter(_.kind == "equality")
 
     // (delete file, referenced data file) pairs — metadata-scale, one
-    // footer-light job over the (small) delete files only.
+    // footer-light job over the (small) delete files only. DV rows name
+    // their target file directly (M37), no bitmap decode needed here.
     val refs: Seq[(String, String)] =
-      if (posFiles.isEmpty) Nil
-      else spark.read.schema(DeleteSchema).parquet(posFiles.map(_.path): _*)
-        .select(normPath(col("_metadata.file_path")).as("src"), col("file_path").as("ref"))
-        .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      (if (posFiles.isEmpty) Nil
+       else spark.read.schema(DeleteSchema).parquet(posFiles.map(_.path): _*)
+         .select(normPath(col("_metadata.file_path")).as("src"), col("file_path").as("ref"))
+         .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq) ++
+      (if (dvFiles.isEmpty) Nil
+       else spark.read.parquet(dvFiles.map(_.path): _*)
+         .select(normPath(col("_metadata.file_path")).as("src"), col("file_path").as("ref"))
+         .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq)
 
     // Indexed once (VERDICT r4 #4): per-file lookups below are O(1)/O(log n)
     // instead of a linear scan per data file — a 100k-file table with a
@@ -239,7 +245,7 @@ object Procedures {
     val keptPaths = keep.map(_.path).toSet
     val refsBySrc: Map[String, Seq[String]] =
       refs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val keptPos = posFiles.filter(df =>
+    val keptPos = (posFiles ++ dvFiles).filter(df =>
       refsBySrc.getOrElse(df.path, Nil).exists(keptPaths.contains))
     val keptEq = eqFiles.filter(ef =>
       keep.exists(f => f.dataSequenceNumber < ef.dataSequenceNumber))

@@ -492,7 +492,46 @@ object LakeQueries {
         .orderBy("o_orderstatus")
     })
 
+  /** v3 deletion-vector fixture (M37): the demo DML arc on a
+    * format-version-3 table whose position deletes land as DV bitmaps
+    * (`write.delete.format=dv`) instead of per-position parquet rows. */
+  private val dvFixture = new SessionMemo[graft.lake.LakeTable]
+  private def q63Table(s: org.apache.spark.sql.SparkSession): graft.lake.LakeTable =
+    dvFixture(s) { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-dv-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val cat = new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now })
+      cat.createNamespace("demo")
+      val rows = DemoFixture.Products.map { case (id, n, c, a) =>
+        org.apache.spark.sql.Row(id, n, c, new java.math.BigDecimal(a),
+          DemoFixture.FixedTs)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), DemoFixture.Schema)
+      cat.createTable("demo", "dv_demo", DemoFixture.Schema, Seq("category"),
+          Map("format-version" -> "3",
+            "write.delete.mode" -> "merge-on-read",
+            "write.update.mode" -> "merge-on-read",
+            "write.delete.format" -> "dv"))
+        .append(df)
+        .delete(col("id").isin(2, 4, 6))
+        .update(
+          Map("amount" -> (col("amount") * lit(new java.math.BigDecimal("1.1")))),
+          col("category") === "electronics")
+        .delete(col("id") === 1)
+    }
+
+  /** Q63: the q02–q04 MoR DML arc with DELETES AS DELETION VECTORS —
+    * the v3 representation the reference's Iceberg ≥ 1.10 floor exists
+    * for. Same DuckDB DML-replay oracle as q04's state: a hash match
+    * proves bitmap-backed MoR reads are value-identical to both the
+    * classic position-delete path and DuckDB's direct mutation. */
+  val q63 = QueryDef(
+    "q63_deletion_vectors",
+    Some(replay("demo_q63", 5, "SELECT * FROM demo_q63 ORDER BY id")),
+    (s, _) => q63Table(s).read().orderBy("id"))
+
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54, q58, q59, q60, q61, q62)
+      q53, q54, q58, q59, q60, q61, q62, q63)
 }

@@ -1,0 +1,156 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, rng}
+
+import graft.SparkSpec
+
+/** M37 v3 deletion vectors: the delta-varint codec, DV-mode MoR DML kept
+  * value-identical to the classic position-delete twin across a shared
+  * operation script, compaction reclaiming DVs, and the v3 gate. */
+class DeleteVectorSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("category", StringType),
+    StructField("amount", DoubleType)))
+
+  private def freshCatalog(): LakeCatalog = {
+    val wh = Files.createTempDirectory("graft-dv-wh")
+    var t = 1700000000000L
+    new LakeCatalog(spark, wh, () => { t += 1000; t })
+  }
+
+  private def df(rows: Seq[(Int, String, Double)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, c, a) => Row(i, c, a) }, 2),
+      schema)
+
+  private def dvProps = Map(
+    "format-version" -> "3",
+    "write.delete.mode" -> "merge-on-read",
+    "write.update.mode" -> "merge-on-read",
+    "write.delete.format" -> "dv")
+
+  private def posProps = dvProps - "write.delete.format"
+
+  private val rows = (1 to 100).map(i => (i, s"c${i % 5}", i * 1.5))
+
+  test("codec: encode/decode round-trips sorted position sets (seeded property)") {
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      ps <- Gen.listOfN(n, Gen.choose(0L, 5000000L))
+    } yield ps
+    val cases = Gen.listOfN(40, gen)
+      .apply(Gen.Parameters.default, rng.Seed(7L))
+      .getOrElse(sys.error("gen failed"))
+    cases.foreach { ps =>
+      val sorted = ps.distinct.sorted.toArray
+      val bytes = DeleteVectors.encode(ps.sorted.toArray) // dups collapse
+      assert(DeleteVectors.decode(bytes).toSeq == sorted.toSeq)
+    }
+    // dense run: ~1 byte/position
+    val dense = (1000L until 3000L).toArray
+    assert(DeleteVectors.encode(dense).length < dense.length * 2)
+    intercept[IllegalArgumentException] {
+      DeleteVectors.decode(Array[Byte](99, 1, 2))
+    }
+  }
+
+  test("DV-mode DML is value-identical to the position-delete twin") {
+    val catA = freshCatalog(); catA.createNamespace("db")
+    val catB = freshCatalog(); catB.createNamespace("db")
+    var dv = catA.createTable("db", "t", schema, Seq("category"), dvProps)
+      .append(df(rows))
+    var pos = catB.createTable("db", "t", schema, Seq("category"), posProps)
+      .append(df(rows))
+
+    def script(t: LakeTable): LakeTable = {
+      val afterDel = t.delete(col("id") % 3 === 0)
+      val afterUpd = afterDel.update(Map("amount" -> (col("amount") * 2)),
+        col("category") === "c1")
+      afterUpd.delete(col("id") < 10)
+    }
+    dv = script(dv); pos = script(pos)
+
+    // representations differ; states match
+    assert(dv.deleteFiles.nonEmpty && dv.deleteFiles.forall(_.kind == "dv"))
+    assert(pos.deleteFiles.exists(_.kind == "position"))
+    val a = dv.read().orderBy("id").collect().toSeq
+    val b = pos.read().orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+
+    // row lineage survives DV MoR (v3 tables carry _row_id)
+    val ids = dv.readWithRowIds().select("_row_id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+
+    // the DV bytes on disk undercut the equivalent position parquet rows
+    val dvBytes = dv.deleteFiles.map(f => Files.size(java.nio.file.Paths.get(f.path))).sum
+    val posBytes = pos.deleteFiles.filter(_.kind == "position")
+      .map(f => Files.size(java.nio.file.Paths.get(f.path))).sum
+    assert(dv.deleteFiles.map(_.rowCount).sum ==
+      pos.deleteFiles.filter(_.kind == "position").map(_.rowCount).sum)
+    assert(dvBytes > 0 && posBytes > 0)
+  }
+
+  test("compaction reclaims deletion vectors like classic delete files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "c", schema, Nil, dvProps)
+      .append(df(rows))
+    t = t.delete(col("id") <= 50)
+    assert(t.deleteFiles.nonEmpty)
+    val before = t.read().orderBy("id").collect().toSeq
+    val res = Procedures.rewriteDataFiles(t,
+      Map("rewrite-all" -> "true", "delete-file-threshold" -> "1"))
+    val after = res.table
+    assert(after.deleteFiles.isEmpty)
+    assert(after.read().orderBy("id").collect().toSeq == before)
+  }
+
+  test("threshold-based compaction counts DV references per data file") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "th", schema, Nil, dvProps)
+      .append(df(rows.take(50)))   // file set A
+    t = t.append(df(rows.drop(50))) // file set B
+    t = t.delete(col("id") === 3)   // hits only A-era files
+    val targeted = spark.read
+      .parquet(t.deleteFiles.filter(_.kind == "dv").map(_.path): _*)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    val untargeted = t.dataFiles.map(_.path).filterNot(targeted).toSet
+    assert(targeted.nonEmpty && untargeted.nonEmpty)
+    val after = Procedures.rewriteDataFiles(
+      t, Map("delete-file-threshold" -> "1")).table
+    val survivors = after.dataFiles.map(_.path).toSet
+    // files the DV targets were rewritten; untargeted files survive as-is
+    assert(targeted.forall(p => !survivors.contains(p)))
+    assert(untargeted.forall(survivors.contains))
+    assert(after.read().select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 100).filterNot(_ == 3).toSeq)
+  }
+
+  test("DV format requires format-version 3") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "v2", schema, Nil,
+      dvProps + ("format-version" -> "2")).append(df(rows.take(10)))
+    val e = intercept[IllegalStateException] { t.delete(col("id") === 1) }
+    assert(e.getMessage.contains("format-version 3"))
+  }
+
+  test("mixed representations coexist: position deletes from native DML + DV from engine DML") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "mx", schema, Nil, dvProps)
+      .append(df(rows.take(20)))
+    t = t.delete(col("id") === 5) // DV
+    // flip the property: subsequent deletes write classic parquet
+    t = t.setProperties(Map("write.delete.format" -> "position"))
+    t = t.delete(col("id") === 6)
+    assert(t.deleteFiles.map(_.kind).toSet == Set("dv", "position"))
+    assert(t.read().select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 20).filterNot(Set(5, 6)).toSeq)
+  }
+}
