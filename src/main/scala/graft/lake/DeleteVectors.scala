@@ -47,7 +47,10 @@ object DeleteVectors {
     out.toByteArray
   }
 
-  /** Decode to the original sorted positions. */
+  /** Decode to the original sorted positions. Corrupt input (truncated
+    * varint, runaway continuation bits) fails with a descriptive error
+    * instead of an index crash or silently-wrong positions (review
+    * r7). */
   def decode(bytes: Array[Byte]): Array[Long] = {
     require(bytes.nonEmpty && bytes(0) == Version,
       s"unknown deletion-vector format version: ${bytes.headOption.getOrElse(-1)}")
@@ -59,6 +62,12 @@ object DeleteVectors {
       var shift = 0
       var b = 0
       do {
+        if (i >= bytes.length)
+          throw new IllegalArgumentException(
+            "corrupt deletion vector: truncated varint at end of buffer")
+        if (shift > 63)
+          throw new IllegalArgumentException(
+            "corrupt deletion vector: varint continuation exceeds 64 bits")
         b = bytes(i) & 0xff
         delta |= (b & 0x7fL) << shift
         shift += 7
@@ -68,5 +77,19 @@ object DeleteVectors {
       out += prev
     }
     out.toArray
+  }
+
+  /** Per-JVM memoized decode, keyed by byte-array IDENTITY (a broadcast
+    * deserializes once per executor, so every task sees the same array
+    * instances): each bitmap decodes once per executor, membership tests
+    * binary-search the cached sorted positions. The crude size cap keeps
+    * a long-lived executor serving many tables/broadcasts bounded. */
+  private val decodeCache =
+    new java.util.concurrent.ConcurrentHashMap[Array[Byte], Array[Long]]()
+
+  def contains(bytes: Array[Byte], pos: Long): Boolean = {
+    if (decodeCache.size > 4096) decodeCache.clear()
+    val arr = decodeCache.computeIfAbsent(bytes, decode(_))
+    java.util.Arrays.binarySearch(arr, pos) >= 0
   }
 }

@@ -402,8 +402,13 @@ class LakeSql(val catalog: LakeCatalog) {
       val m = """(?is)^SHOW\s+TABLES(?:\s+IN\s+([\w]+))?$""".r
         .findFirstMatchIn(s).getOrElse(fail("SHOW TABLES", s))
       val dbs = Option(m.group(1)).map(Seq(_)).getOrElse(catalog.listNamespaces())
-      dbs.flatMap(db => catalog.listTables(db).map(ti => (db, ti.name))).sorted
-        .toDF("namespace", "table_name")
+      // a session principal sees only tables it holds ANY grant on —
+      // an ungranted principal must not enumerate the warehouse (M10;
+      // the sibling SHOW statements gate per-table the same way)
+      dbs.flatMap(db => catalog.listTables(db).map(ti => (db, ti.name)))
+        .filter { case (db, name) =>
+          p.forall(pr => catalog.grantsFor(db, name, pr).nonEmpty) }
+        .sorted.toDF("namespace", "table_name")
     } else if (up.startsWith("SHOW PARTITIONS")) {
       val m = """(?is)^SHOW\s+PARTITIONS\s+([\w.]+)$""".r
         .findFirstMatchIn(s).getOrElse(fail("SHOW PARTITIONS", s))
@@ -710,12 +715,15 @@ object LakeSql {
   }
 
   /** TBLPROPERTIES ('k'='v', …) */
+  /** Values use standard SQL quote-doubling for embedded single quotes
+    * (`'it''s'` → `it's`) — the same escaping [[LakeTable.showCreate]]
+    * emits, keeping SHOW CREATE TABLE round-trippable for any value. */
   private[lake] def parseProps(s: String): Map[String, String] =
     topLevelSplit(s, ',').map { kv =>
-      val m = """'([^']*)'\s*=\s*'([^']*)'""".r
+      val m = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
         .findFirstMatchIn(kv)
         .getOrElse(throw new SqlParseException(s"bad property: $kv"))
-      m.group(1) -> m.group(2)
+      m.group(1).replace("''", "'") -> m.group(2).replace("''", "'")
     }.toMap
 
   /** map('k1','v1','k2','v2') — the reference's CALL options shape (F2,

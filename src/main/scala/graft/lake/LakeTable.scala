@@ -532,10 +532,13 @@ class LakeTable(
     val part =
       if (specs.isEmpty) ""
       else specs.mkString(" PARTITIONED BY (", ", ", ")")
+    // standard SQL quote-doubling, mirrored by LakeSql.parseProps — a
+    // value containing ' must not break the round-trip contract
+    def q(s: String) = s"'${s.replace("'", "''")}'"
     val props =
       if (meta.props.isEmpty) ""
       else meta.props.toSeq.sorted
-        .map { case (k, v) => s"'$k'='$v'" }
+        .map { case (k, v) => s"${q(k)}=${q(v)}" }
         .mkString(" TBLPROPERTIES (", ", ", ")")
     s"CREATE TABLE ${meta.name} ($cols)$part$props"
   }
@@ -588,33 +591,60 @@ class LakeTable(
   private def applyDeletes(
       base: DataFrame, files: Seq[DataFileMeta],
       deletes: Seq[DeleteFileMeta]): DataFrame = {
+    // No sequence scoping needed for position deletes or DVs: data
+    // files are immutable and uniquely pathed, so a (file, pos) tuple
+    // can only ever hit the file it was written against.
     val posDeletes = deletes.filter(_.kind == "position")
     val dvDeletes = deletes.filter(_.kind == "dv")
-    val coordSets = Seq(
-      // No sequence scoping needed for position deletes or DVs: data
-      // files are immutable and uniquely pathed, so a (file, pos) tuple
-      // can only ever hit the file it was written against.
-      if (posDeletes.isEmpty) None
-      else Some(spark.read.schema(DeleteSchema)
-        .parquet(posDeletes.map(_.path): _*)),
-      // deletion vectors decode executor-side back to coordinates; the
-      // broadcast ships the (small) decoded pairs of THIS query's scan
-      if (dvDeletes.isEmpty) None
-      else Some {
-        import spark.implicits._
-        spark.read.parquet(dvDeletes.map(_.path): _*)
-          .select(col("file_path"), col("dv")).as[(String, Array[Byte])]
-          .flatMap { case (fp, bytes) =>
-            DeleteVectors.decode(bytes).iterator.map(fp -> _) }
-          .toDF("file_path", "pos")
-      }).flatten
-    val afterPos =
-      if (coordSets.isEmpty) base
+    val afterClassic =
+      if (posDeletes.isEmpty) base
       else {
-        val del = coordSets.reduce(_ unionByName _)
+        val del = spark.read.schema(DeleteSchema)
+          .parquet(posDeletes.map(_.path): _*)
         base.join(broadcast(del),
           base(FileCol) === del("file_path") && base(PosCol) === del("pos"),
           "left_anti")
+      }
+    val afterPos =
+      if (dvDeletes.isEmpty) afterClassic
+      else {
+        // Compact path (the DV point at 100 TB): ship the BITMAP BYTES
+        // (~1 byte/deleted position) in a broadcast variable and test
+        // membership with a per-executor memoized decode + binary
+        // search — never materializing a row per deleted position.
+        // Driver/broadcast budget checked against on-disk DV size
+        // first; past it, fall back to decoding into (file, pos) pairs
+        // and the same anti-join as classic deletes (AQE degrades that
+        // to a shuffle join if even the decoded side is huge).
+        val dvOnDisk = dvDeletes.map(f =>
+          scala.util.Try(Files.size(
+            java.nio.file.Paths.get(f.path))).getOrElse(0L)).sum
+        val budget = spark.conf
+          .getOption("spark.graft.dv.broadcastBudgetBytes")
+          .map(_.toLong).getOrElse(64L * 1024 * 1024)
+        if (dvOnDisk <= budget) {
+          import spark.implicits._
+          val byFile: Map[String, Seq[Array[Byte]]] =
+            spark.read.parquet(dvDeletes.map(_.path): _*)
+              .select(col("file_path"), col("dv")).as[(String, Array[Byte])]
+              .collect().toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          val bc = spark.sparkContext.broadcast(byFile)
+          val deleted = udf { (fp: String, pos: Long) =>
+            bc.value.get(fp).exists(_.exists(DeleteVectors.contains(_, pos)))
+          }
+          afterClassic.filter(!deleted(col(FileCol), col(PosCol)))
+        } else {
+          import spark.implicits._
+          val del = spark.read.parquet(dvDeletes.map(_.path): _*)
+            .select(col("file_path"), col("dv")).as[(String, Array[Byte])]
+            .flatMap { case (fp, bytes) =>
+              DeleteVectors.decode(bytes).iterator.map(fp -> _) }
+            .toDF("file_path", "pos")
+          afterClassic.join(del,
+            afterClassic(FileCol) === del("file_path") &&
+              afterClassic(PosCol) === del("pos"),
+            "left_anti")
+        }
       }
     val eqDeletes = deletes.filter(_.kind == "equality")
     if (eqDeletes.isEmpty) afterPos
@@ -658,11 +688,17 @@ class LakeTable(
     * @param withRowIdCol `df` carries `_row_id` to persist as a physical
     *                     column (rewrites preserving lineage)
     */
+  /** @param layoutManaged the caller already arranged the row layout
+    *        (compaction's repartition/sort-order/zorder): skip BOTH the
+    *        hash-distribution re-cluster and the write.sort-order sort —
+    *        either would silently destroy the explicit clustering
+    *        (review r7: a zorder rewrite re-sorted by the property). */
   private[lake] def writeDataFiles(
       df: DataFrame,
       firstRowId: Long,
       seq: Long,
-      withRowIdCol: Boolean = false): Seq[DataFileMeta] = {
+      withRowIdCol: Boolean = false,
+      layoutManaged: Boolean = false): Seq[DataFileMeta] = {
     val commitDir = location.resolve("data").resolve(UUID.randomUUID().toString)
     val cols = schema.fieldNames ++ (if (withRowIdCol) Seq(RowIdCol) else Nil)
     val partCopies = transforms.map(t => PartPrefix + t.fieldName)
@@ -678,7 +714,7 @@ class LakeTable(
     // problem at 100 TB). `none` opts out (tiny appends that shouldn't
     // pay a shuffle).
     val clustered =
-      if (partCopies.nonEmpty &&
+      if (!layoutManaged && partCopies.nonEmpty &&
           meta.props.getOrElse("write.distribution-mode", "hash") != "none")
         out.repartition(partCopies.map(col): _*)
       else out
@@ -687,12 +723,13 @@ class LakeTable(
     // listed columns from day one — stats skipping works without waiting
     // for a compaction pass. Task-local (no extra shuffle); the
     // `sort-order` compaction option remains the global-clustering tool.
+    // Names resolve case-insensitively like the rest of the SQL surface.
     val sorted = meta.props.get("write.sort-order") match {
-      case Some(order) if order.trim.nonEmpty =>
+      case Some(order) if !layoutManaged && order.trim.nonEmpty =>
         val sortCols = order.split(",").map(_.trim).filter(_.nonEmpty)
-          .filter(schema.fieldNames.contains) // unknown names: ignore, don't fail the write
-        if (sortCols.isEmpty) clustered
-        else clustered.sortWithinPartitions(sortCols.map(col): _*)
+          .flatMap(n => schema.fieldNames.find(_.equalsIgnoreCase(n)))
+        if (sortCols.isEmpty) clustered // unknown names: ignore, don't fail the write
+        else clustered.sortWithinPartitions(sortCols.toSeq.map(col): _*)
       case _ => clustered
     }
     val writer = sorted.write.mode("append")
@@ -782,12 +819,34 @@ class LakeTable(
     val delDir = location.resolve("deletes")
     Files.createDirectories(delDir)
     val delPath = delDir.resolve(s"dv-${UUID.randomUUID()}")
+    // same bounded fan-out as the classic path (not the session's full
+    // shuffle-partition count — review r7); rows for one data file
+    // co-locate by the hash partitioning, grouped in-memory per task
+    // (memory bounded by the task's deleted positions, the same bound
+    // the sort below needs anyway)
+    val parts = math.max(1, math.min(dataFiles.size / 8, 128))
     coords.select(col("file_path"), col("pos")).as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (fp, it) =>
-        val positions = it.map(_._2).toArray
-        java.util.Arrays.sort(positions)
-        (fp, DeleteVectors.encode(positions), positions.length.toLong)
+      .repartition(parts, col("file_path"))
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach { case (fp, p) =>
+          acc.getOrElseUpdate(fp,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += p
+        }
+        acc.iterator.map { case (fp, ps) =>
+          val arr = ps.toArray
+          java.util.Arrays.sort(arr)
+          // cnt = DISTINCT positions: encode collapses duplicates, and a
+          // count that disagrees with the bitmap's cardinality would
+          // poison every consumer of rowCount (review r7)
+          var distinct = 0; var i = 0; var prev = -1L
+          while (i < arr.length) {
+            if (arr(i) != prev) { distinct += 1; prev = arr(i) }
+            i += 1
+          }
+          (fp, DeleteVectors.encode(arr), distinct.toLong)
+        }
       }
       .toDF("file_path", "dv", "cnt")
       .write.parquet(delPath.toString)
@@ -797,9 +856,14 @@ class LakeTable(
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = perFile.values.sum
     if (total == 0) { deleteRecursively(delPath); return None }
-    val metas = listParquetFiles(delPath).flatMap { p =>
-      perFile.get(p.toString).filter(_ > 0)
-        .map(n => DeleteFileMeta(p.toString, "dv", n, dataSequenceNumber = seq))
+    // physically drop empty part files (empty shuffle partitions) so the
+    // deletes dir doesn't accrete zero-row parquet per commit
+    val (kept, empty) = listParquetFiles(delPath)
+      .partition(p => perFile.getOrElse(p.toString, 0L) > 0)
+    empty.foreach(Files.deleteIfExists(_))
+    val metas = kept.map { p =>
+      DeleteFileMeta(p.toString, "dv", perFile(p.toString),
+        dataSequenceNumber = seq)
     }
     Some((metas, total))
   }

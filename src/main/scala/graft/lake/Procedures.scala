@@ -239,8 +239,10 @@ object Procedures {
 
     val seq = t.meta.lastSequenceNumber + 1
     val newData =
-      if (keepIds) t.writeDataFiles(compacted, -1L, seq, withRowIdCol = true)
-      else t.writeDataFiles(compacted, t.meta.computedNextRowId, seq)
+      if (keepIds) t.writeDataFiles(compacted, -1L, seq, withRowIdCol = true,
+        layoutManaged = true)
+      else t.writeDataFiles(compacted, t.meta.computedNextRowId, seq,
+        layoutManaged = true)
 
     val keptPaths = keep.map(_.path).toSet
     val refsBySrc: Map[String, Seq[String]] =

@@ -57,9 +57,30 @@ class DeleteVectorSpec extends SparkSpec {
     // dense run: ~1 byte/position
     val dense = (1000L until 3000L).toArray
     assert(DeleteVectors.encode(dense).length < dense.length * 2)
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { // unknown version byte
       DeleteVectors.decode(Array[Byte](99, 1, 2))
     }
+    intercept[IllegalArgumentException] { // truncated varint
+      DeleteVectors.decode(Array[Byte](1, 0x80.toByte))
+    }
+    intercept[IllegalArgumentException] { // runaway continuation bits
+      DeleteVectors.decode(Array[Byte](1) ++ Array.fill(11)(0x80.toByte))
+    }
+  }
+
+  test("compact-broadcast and decoded-pairs fallback read identically") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "fb", schema, Nil, dvProps)
+      .append(df(rows))
+    t = t.delete(col("id") % 7 === 0)
+    val compact = t.read().orderBy("id").collect().toSeq
+    // force the fallback path: a zero budget routes every DV through the
+    // decode-to-pairs anti-join
+    spark.conf.set("spark.graft.dv.broadcastBudgetBytes", "0")
+    try {
+      val fallback = t.read().orderBy("id").collect().toSeq
+      assert(fallback == compact && compact.nonEmpty)
+    } finally spark.conf.unset("spark.graft.dv.broadcastBudgetBytes")
   }
 
   test("DV-mode DML is value-identical to the position-delete twin") {

@@ -79,10 +79,42 @@ class OpsSpec extends SparkSpec {
     assert(rt.meta.formatVersion == 3)
   }
 
+  test("SHOW TABLES hides ungranted tables from a session principal (M10)") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.open (x INT)")
+    sql.run("CREATE TABLE db.secret (y INT)")
+    sql.catalog.grant("db", "open", "alice", Seq("SELECT"))
+    // no principal: administrative view, everything listed
+    assert(sql.run("SHOW TABLES").count() == 2)
+    // principal: only granted tables enumerate
+    assert(sql.run("SHOW TABLES", Some("alice")).collect()
+      .map(_.getString(1)).toSeq == Seq("open"))
+    assert(sql.run("SHOW TABLES", Some("mallory")).count() == 0)
+  }
+
+  test("compaction's explicit clustering is not re-sorted by write.sort-order") {
+    val sql = freshSql()
+    // property says sort by v, but an explicit rewrite sort-order=a must
+    // own the output layout (a write-time re-sort would destroy it)
+    sql.run("""CREATE TABLE db.zs (a BIGINT, v BIGINT)
+               TBLPROPERTIES ('write.sort-order'='v')""")
+    val df = sql.catalog.spark.range(0, 500, 1, 2)
+      .selectExpr("(id * 13) % 500 AS a", "(id * 37) % 500 AS v")
+    sql.catalog.loadTable("db", "zs").get.append(df)
+    val res = graft.lake.Procedures.rewriteDataFiles(
+      sql.catalog.loadTable("db", "zs").get,
+      Map("rewrite-all" -> "true", "sort-order" -> "a"))
+    res.table.dataFiles.foreach { f =>
+      val as = sql.catalog.spark.read.parquet(f.path)
+        .select("a").collect().map(_.getLong(0)).toSeq
+      assert(as == as.sorted, "compaction sort-order=a was overridden")
+    }
+  }
+
   test("write.sort-order: appended files carry tight per-file bounds") {
     val sql = freshSql()
     sql.run("""CREATE TABLE db.so (id BIGINT, v BIGINT)
-               TBLPROPERTIES ('write.sort-order'='v')""")
+               TBLPROPERTIES ('write.sort-order'='V')""")
     // two tasks' worth of interleaved v values: without the write-time
     // sort each file spans the whole domain; with it, rows sort by v
     // inside each task so per-file bounds tighten
