@@ -116,6 +116,15 @@ private[lake] object LakeDeltaWriter {
     .required(PrimitiveType.PrimitiveTypeName.INT64).named("pos")
     .named("position_delete")
 
+  /** Deletion-vector file schema (M37): Spark reads the plain BINARY
+    * column as BinaryType, matching the engine-written DV parquet. */
+  val DvFileType: MessageType = Types.buildMessage()
+    .required(PrimitiveType.PrimitiveTypeName.BINARY)
+    .as(LogicalTypeAnnotation.stringType()).named("file_path")
+    .required(PrimitiveType.PrimitiveTypeName.BINARY).named("dv")
+    .required(PrimitiveType.PrimitiveTypeName.INT64).named("cnt")
+    .named("deletion_vector")
+
   private class RowBuilder(path: org.apache.hadoop.fs.Path)
       extends ParquetWriter.Builder[InternalRow, RowBuilder](path) {
     override def self(): RowBuilder = this
@@ -180,7 +189,11 @@ private[lake] case class LakeDeltaWriteConf(
     /** The table's partition columns: data-file writers split their
       * output per partition value so the written files carry partition
       * values and stay prunable (VERDICT r6 next #3). */
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    /** "position" (classic parquet coordinates) or "dv" (M37 deletion
+      * vectors): the native DML writers honor the table's
+      * write.delete.format like the dispatcher path does. */
+    deleteFormat: String = "position")
 
 /** One data file written by a task: path, row count, and the partition
   * values it records (hive-decoded external form, same domain as
@@ -313,7 +326,8 @@ private[lake] case class LakeDeltaWriterFactory(conf: LakeDeltaWriteConf)
 private[lake] case class LakeDeltaCommit(
     deletePath: String, deleteRows: Long,
     rowIdFiles: Seq[DataFilePart],
-    plainFiles: Seq[DataFilePart]) extends WriterCommitMessage
+    plainFiles: Seq[DataFilePart],
+    deleteKind: String = "position") extends WriterCommitMessage
 
 /** Executor-side delta writer: buffers nothing — deleted coordinates,
   * rewritten rows, and inserted rows stream straight into (at most)
@@ -343,7 +357,21 @@ private[lake] class LakeDeltaWriter(conf: LakeDeltaWriteConf, suffix: String)
     conf.parquetConf, conf.dataDir, s"$suffix-i", rowSchema, conf.partitionCols)
   private val joined = new JoinedRow()
 
+  // --- dv mode (M37): positions accumulate per target file in task
+  // memory (bounded by the task's matched deletes — the same bound the
+  // engine path's per-group sort needs) and encode to bitmaps at commit
+  private val dvMode = conf.deleteFormat == "dv"
+  private val dvAcc = scala.collection.mutable.HashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (dvMode) {
+      // copy out of the reused row immediately
+      dvAcc.getOrElseUpdate(id.getUTF8String(0).toString,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+      delRows += 1L
+      return
+    }
     if (delWriter == null) {
       val c = new Configuration()
       c.set(org.apache.parquet.hadoop.example.GroupWriteSupport.PARQUET_EXAMPLE_SCHEMA,
@@ -363,6 +391,40 @@ private[lake] class LakeDeltaWriter(conf: LakeDeltaWriteConf, suffix: String)
     delRows += 1L
   }
 
+  /** Encode and write this task's deletion vectors (one row per target
+    * data file). Returns the DISTINCT position total — [[DeleteFileMeta
+    * .rowCount]] must equal bitmap cardinality. */
+  private def writeDvFile(): Long = {
+    val c = new Configuration()
+    c.set(org.apache.parquet.hadoop.example.GroupWriteSupport.PARQUET_EXAMPLE_SCHEMA,
+      LakeDeltaWriter.DvFileType.toString)
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(delPath))
+      .withConf(c)
+      .withType(LakeDeltaWriter.DvFileType)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val dvFactory = new SimpleGroupFactory(LakeDeltaWriter.DvFileType)
+    var total = 0L
+    try dvAcc.toSeq.sortBy(_._1).foreach { case (fp, ps) =>
+      val arr = ps.toArray
+      java.util.Arrays.sort(arr)
+      var distinct = 0L; var i = 0; var prev = -1L
+      while (i < arr.length) {
+        if (arr(i) != prev) { distinct += 1; prev = arr(i) }
+        i += 1
+      }
+      val g = dvFactory.newGroup()
+      g.append("file_path", fp)
+      g.append("dv", org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(DeleteVectors.encode(arr)))
+      g.append("cnt", distinct)
+      w.write(g)
+      total += distinct
+    } finally w.close()
+    total
+  }
+
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(metadata, id) // the old version's coordinates
     if (conf.withRowIds) {
@@ -376,9 +438,14 @@ private[lake] class LakeDeltaWriter(conf: LakeDeltaWriteConf, suffix: String)
 
   override def commit(): WriterCommitMessage = {
     if (delWriter != null) delWriter.close()
-    LakeDeltaCommit(
+    if (dvMode && dvAcc.nonEmpty) {
+      val distinctTotal = writeDvFile()
+      LakeDeltaCommit(delPath, distinctTotal,
+        updWriters.commit(), insWriters.commit(), deleteKind = "dv")
+    } else LakeDeltaCommit(
       if (delRows > 0) delPath else null, delRows,
-      updWriters.commit(), insWriters.commit())
+      updWriters.commit(), insWriters.commit(),
+      deleteKind = if (dvMode) "dv" else "position")
   }
 
   override def abort(): Unit = {
@@ -412,6 +479,17 @@ private[lake] class LakeDeltaBatchWrite(
   private val withRowIds =
     cmd != RowLevelOperation.Command.DELETE && t.meta.formatVersion >= 3
 
+  // native DML honors the table's DV preference like the dispatcher
+  // path; same v3 gate (a v2 reader has no notion of deletion vectors)
+  private val deleteFormat = {
+    val f = t.meta.props.getOrElse("write.delete.format", "position")
+    if (f == "dv" && t.meta.formatVersion < 3)
+      throw new IllegalStateException(
+        s"${t.name}: write.delete.format=dv requires format-version 3 " +
+          "(deletion vectors are a v3 feature; upgrade first)")
+    f
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     LakeDeltaWriterFactory(LakeDeltaWriteConf(
       deletesDir = t.location.resolve("deletes").toString,
@@ -420,7 +498,8 @@ private[lake] class LakeDeltaBatchWrite(
       rowSchemaJson = rowSchema.json,
       withRowIds = withRowIds,
       parquetConf = LakeDeltaWriter.mirroredParquetConf(),
-      partitionCols = t.meta.partitionCols))
+      partitionCols = t.meta.partitionCols,
+      deleteFormat = deleteFormat))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val cs = messages.collect { case c: LakeDeltaCommit => c }
@@ -435,7 +514,7 @@ private[lake] class LakeDeltaBatchWrite(
 
     val delMetas = cs.collect {
       case c if c.deletePath != null =>
-        DeleteFileMeta(c.deletePath, "position", c.deleteRows,
+        DeleteFileMeta(c.deletePath, c.deleteKind, c.deleteRows,
           dataSequenceNumber = seq)
     }.toSeq
 

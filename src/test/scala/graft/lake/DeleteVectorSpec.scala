@@ -154,6 +154,29 @@ class DeleteVectorSpec extends SparkSpec {
       (1 to 100).filterNot(_ == 3).toSeq)
   }
 
+  test("native SQL DML honors write.delete.format=dv") {
+    val wh = Files.createTempDirectory("graft-dv-sql-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.ndv (id INT, v DOUBLE) TBLPROPERTIES (
+      'format-version'='3',
+      'write.delete.mode'='merge-on-read',
+      'write.update.mode'='merge-on-read',
+      'write.delete.format'='dv')""")
+    sql.run("INSERT INTO db.ndv VALUES " +
+      (1 to 30).map(i => s"($i, ${i * 1.5})").mkString(", "))
+    // native path: spark.sql over the DSv2 catalog → WriteDelta
+    spark.sql("DELETE FROM lake.db.ndv WHERE id % 5 = 0")
+    spark.sql("UPDATE lake.db.ndv SET v = v + 100 WHERE id = 7")
+    val t = sql.catalog.loadTable("db", "ndv").get
+    assert(t.deleteFiles.nonEmpty && t.deleteFiles.forall(_.kind == "dv"))
+    assert(t.deleteFiles.map(_.rowCount).sum == 7) // 6 deletes + 1 update coord
+    val got = spark.sql("SELECT id, v FROM lake.db.ndv ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val expect = (1 to 30).filterNot(_ % 5 == 0)
+      .map(i => (i, if (i == 7) i * 1.5 + 100 else i * 1.5))
+    assert(got == expect)
+  }
+
   test("DV format requires format-version 3") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t = cat.createTable("db", "v2", schema, Nil,
