@@ -67,6 +67,17 @@ private[lake] object LakeProcedures {
             else Procedures.removeOrphanFiles(t, in.getLong(1) / 1000L)
           Array(row(n))
         }))
+      case "rewrite_position_delete_files" => Some(proc(cat, principal,
+        "rewrite_position_delete_files",
+        Seq(TableParam),
+        StructType(Seq(
+          StructField("rewritten_delete_files_count", IntegerType),
+          StructField("added_delete_files_count", IntegerType))),
+        (t, _) => {
+          val (_, consolidated, written) =
+            Procedures.rewritePositionDeleteFiles(t)
+          Array(row(consolidated, written))
+        }))
       case "repair_v3_metadata" => Some(proc(cat, principal, "repair_v3_metadata",
         Seq(TableParam),
         StructType(Seq(StructField("status", StringType))),
@@ -126,7 +137,8 @@ private[lake] object LakeProcedures {
     }
 
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
-    "remove_orphan_files", "repair_v3_metadata", "rollback_to_snapshot",
+    "remove_orphan_files", "repair_v3_metadata",
+    "rewrite_position_delete_files", "rollback_to_snapshot",
     "fast_forward", "create_changelog_view")
 
   private def row(vs: Any*): InternalRow =

@@ -285,6 +285,29 @@ class LakeSql(val catalog: LakeCatalog) {
       t.dropBranch(bm.group(1))
       return status(s"Dropped branch ${bm.group(1)} from $db.$table")
     }
+    // Iceberg partition-spec evolution DDL (M36): future writes use the
+    // amended spec; existing files keep their recorded values and prune
+    // conservatively (transform parameters are part of the field key)
+    """(?is)^ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+      .findFirstMatchIn(rest).foreach { pm =>
+        val spec = pm.group(1).trim
+        t.setPartitionSpec(t.meta.partitionCols :+ spec)
+        return status(s"Added partition field $spec to $db.$table")
+      }
+    """(?is)^DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+      .findFirstMatchIn(rest).foreach { pm =>
+        val spec = pm.group(1).trim.replaceAll("\\s+", "")
+        // match canonical spellings so `bucket(4, id)` drops `bucket(4,id)`
+        val remaining = t.transforms.zip(t.meta.partitionCols)
+          .filterNot { case (tr, raw) =>
+            tr.spec == spec || raw.replaceAll("\\s+", "") == spec }
+        if (remaining.size == t.meta.partitionCols.size)
+          throw new SqlParseException(
+            s"no partition field $spec on $db.$table " +
+              s"(spec: ${t.transforms.map(_.spec).mkString(", ")})")
+        t.setPartitionSpec(remaining.map(_._2))
+        return status(s"Dropped partition field $spec from $db.$table")
+      }
     (setProps, addCols, dropCol) match {
       case (Some(pm), _, _) =>
         val props = parseProps(balancedParen(rest, pm.end - 1)._1)
@@ -349,6 +372,12 @@ class LakeSql(val catalog: LakeCatalog) {
       case "repair_v3_metadata" =>
         val r = Procedures.repairV3Metadata(t)
         status(s"next-row-id = ${r.meta.nextRowId}")
+      case "rewrite_position_delete_files" =>
+        val (_, consolidated, written) =
+          Procedures.rewritePositionDeleteFiles(t)
+        import catalog.spark.implicits._
+        Seq((consolidated, written))
+          .toDF("rewritten_delete_files_count", "added_delete_files_count")
       case "remove_orphan_files" =>
         // older_than is the age cutoff guard (Iceberg's default: 3 days);
         // passing it explicitly is how tests / operators GC young orphans

@@ -868,6 +868,45 @@ class LakeTable(
     Some((metas, total))
   }
 
+  /** Consolidate this table's live position-scoped delete files
+    * (classic parquet AND deletion vectors) into one freshly-written set
+    * in the table's CURRENT `write.delete.format` — Iceberg's
+    * `rewrite_position_delete_files` (M37 companion). A long DML history
+    * leaves one delete file (or DV row-set) per commit; every MoR scan
+    * pays a read per file, so maintenance folds them into ~one. Also the
+    * migration lever: flip the property to `dv`, consolidate, and a
+    * position-parquet history becomes bitmaps. Equality deletes are
+    * untouched (their sequence scoping is per-commit and must survive).
+    * Data files are untouched; prior snapshots still own the old delete
+    * files until expiry GCs them. */
+  private[lake] def consolidatePositionDeletes(): (LakeTable, Int, Int) = {
+    val olds = deleteFiles.filter(f => f.kind == "position" || f.kind == "dv")
+    if (olds.size <= 1) return (this, 0, 0)
+    val classic = olds.filter(_.kind == "position")
+    val dvs = olds.filter(_.kind == "dv")
+    val parts = Seq(
+      if (classic.isEmpty) None
+      else Some(spark.read.schema(DeleteSchema)
+        .parquet(classic.map(_.path): _*)),
+      if (dvs.isEmpty) None
+      else Some {
+        import spark.implicits._
+        spark.read.parquet(dvs.map(_.path): _*)
+          .select(col("file_path"), col("dv")).as[(String, Array[Byte])]
+          .flatMap { case (fp, bytes) =>
+            DeleteVectors.decode(bytes).iterator.map(fp -> _) }
+          .toDF("file_path", "pos")
+      }).flatten
+    val seq = nextSeq
+    val written = writeDeleteFiles(parts.reduce(_ unionByName _), seq)
+      .map(_._1).getOrElse(Nil)
+    val eq = deleteFiles.filter(_.kind == "equality")
+    val snap = newSnapshot("replace", dataFiles, eq ++ written,
+      Map("consolidated-delete-files" -> olds.size.toString,
+        "added-delete-files" -> written.size.toString))
+    (commitSnapshot(snap), olds.size, written.size)
+  }
+
   /** Snapshot constructor stamping the table's injected clock — every
     * commit path (DML, append, compaction) must go through this so
     * snapshot timestamps are monotone under a fixture clock and

@@ -281,6 +281,13 @@ object Procedures {
     * whose filesystem mtime predates `olderThanMs` are deleted — an
     * in-flight write between writeDataFiles and Meta.commit is young and
     * survives, exactly why Iceberg's procedure requires an age cutoff. */
+  /** Iceberg's `rewrite_position_delete_files`: fold the table's live
+    * position-scoped delete files (classic parquet and deletion
+    * vectors) into one freshly-written set in the table's current
+    * `write.delete.format`. Returns (table, consolidated, written). */
+  def rewritePositionDeleteFiles(t: LakeTable): (LakeTable, Int, Int) =
+    t.consolidatePositionDeletes()
+
   def removeOrphanFiles(
       t: LakeTable,
       olderThanMs: Long = System.currentTimeMillis() - DefaultOrphanAgeMs): Int = {

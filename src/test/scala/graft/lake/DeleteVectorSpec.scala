@@ -185,6 +185,42 @@ class DeleteVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("format-version 3"))
   }
 
+  test("rewrite_position_delete_files consolidates mixed delete files into DVs") {
+    val wh = Files.createTempDirectory("graft-dv-cons-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.cp (id INT, v DOUBLE) TBLPROPERTIES (
+      'format-version'='3',
+      'write.delete.mode'='merge-on-read',
+      'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.cp VALUES " +
+      (1 to 40).map(i => s"($i, ${i * 1.0})").mkString(", "))
+    // several position-delete commits, then flip to DV and one more
+    sql.run("DELETE FROM db.cp WHERE id IN (1, 2)")
+    sql.run("DELETE FROM db.cp WHERE id IN (3, 4)")
+    sql.run("DELETE FROM db.cp WHERE id = 5")
+    sql.run("ALTER TABLE db.cp SET TBLPROPERTIES ('write.delete.format'='dv')")
+    sql.run("DELETE FROM db.cp WHERE id = 6")
+    val before = sql.catalog.loadTable("db", "cp").get
+    assert(before.deleteFiles.map(_.kind).toSet == Set("position", "dv"))
+    assert(before.deleteFiles.size >= 4)
+    val expect = (7 to 40).toSeq
+
+    val res = sql.run(
+      "CALL rewrite_position_delete_files(table => 'db.cp')").head()
+    assert(res.getInt(0) >= 4) // consolidated
+    val after = sql.catalog.loadTable("db", "cp").get
+    // one representation, far fewer files, in the table's current format
+    assert(after.deleteFiles.forall(_.kind == "dv"))
+    assert(after.deleteFiles.size < before.deleteFiles.size)
+    assert(after.deleteFiles.map(_.rowCount).sum == 6)
+    assert(sql.run("SELECT id FROM db.cp ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == expect)
+    // native CALL spelling works too (idempotent second pass: no-op)
+    val again = spark.sql(
+      "CALL lake.system.rewrite_position_delete_files(table => 'db.cp')").head()
+    assert(again.getInt(0) <= 1)
+  }
+
   test("mixed representations coexist: position deletes from native DML + DV from engine DML") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "mx", schema, Nil, dvProps)

@@ -393,6 +393,23 @@ class PartitionTransformSpec extends SparkSpec {
     assert(got == Seq(2))
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the spec") {
+    val wh = Files.createTempDirectory("graft-pt-alter-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.pe (id BIGINT, ts TIMESTAMP)
+               PARTITIONED BY (days(ts))""")
+    sql.run("ALTER TABLE db.pe ADD PARTITION FIELD bucket(4, id)")
+    assert(sql.catalog.loadTable("db", "pe").get.transforms.map(_.spec) ==
+      Seq("days(ts)", "bucket(4,id)"))
+    // whitespace-insensitive drop, canonical or raw spelling
+    sql.run("ALTER TABLE db.pe DROP PARTITION FIELD bucket(4, id)")
+    assert(sql.catalog.loadTable("db", "pe").get.transforms.map(_.spec) ==
+      Seq("days(ts)"))
+    intercept[Exception] {
+      sql.run("ALTER TABLE db.pe DROP PARTITION FIELD months(ts)")
+    }
+  }
+
   test("native DML writers record transformed partition values") {
     val wh = Files.createTempDirectory("graft-pt-dml-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
