@@ -24,6 +24,21 @@ object DeleteVectors {
   /** Format version byte — future-proofing the on-disk bytes. */
   private val Version: Byte = 1
 
+  /** Encode UNSORTED positions in place: sorts, encodes, and returns the
+    * bitmap with its cardinality (distinct positions — the value
+    * [[graft.lake.DeleteFileMeta.rowCount]] must carry; a count that
+    * disagrees with the bitmap would poison every consumer). The single
+    * definition both the engine and the native-DML writers share. */
+  def encodeWithCount(positions: Array[Long]): (Array[Byte], Long) = {
+    java.util.Arrays.sort(positions)
+    var distinct = 0L; var i = 0; var prev = -1L
+    while (i < positions.length) {
+      if (positions(i) != prev) { distinct += 1; prev = positions(i) }
+      i += 1
+    }
+    (encode(positions), distinct)
+  }
+
   /** Encode positions (must be sorted ascending; duplicates collapse). */
   def encode(sorted: Array[Long]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(sorted.length + 1)

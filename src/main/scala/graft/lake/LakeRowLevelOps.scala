@@ -407,17 +407,11 @@ private[lake] class LakeDeltaWriter(conf: LakeDeltaWriteConf, suffix: String)
     val dvFactory = new SimpleGroupFactory(LakeDeltaWriter.DvFileType)
     var total = 0L
     try dvAcc.toSeq.sortBy(_._1).foreach { case (fp, ps) =>
-      val arr = ps.toArray
-      java.util.Arrays.sort(arr)
-      var distinct = 0L; var i = 0; var prev = -1L
-      while (i < arr.length) {
-        if (arr(i) != prev) { distinct += 1; prev = arr(i) }
-        i += 1
-      }
+      val (bytes, distinct) = DeleteVectors.encodeWithCount(ps.toArray)
       val g = dvFactory.newGroup()
       g.append("file_path", fp)
-      g.append("dv", org.apache.parquet.io.api.Binary
-        .fromConstantByteArray(DeleteVectors.encode(arr)))
+      g.append("dv",
+        org.apache.parquet.io.api.Binary.fromConstantByteArray(bytes))
       g.append("cnt", distinct)
       w.write(g)
       total += distinct
@@ -480,15 +474,9 @@ private[lake] class LakeDeltaBatchWrite(
     cmd != RowLevelOperation.Command.DELETE && t.meta.formatVersion >= 3
 
   // native DML honors the table's DV preference like the dispatcher
-  // path; same v3 gate (a v2 reader has no notion of deletion vectors)
-  private val deleteFormat = {
-    val f = t.meta.props.getOrElse("write.delete.format", "position")
-    if (f == "dv" && t.meta.formatVersion < 3)
-      throw new IllegalStateException(
-        s"${t.name}: write.delete.format=dv requires format-version 3 " +
-          "(deletion vectors are a v3 feature; upgrade first)")
-    f
-  }
+  // path — the shared gate lives on LakeTable so the two surfaces can
+  // never drift (review r7)
+  private val deleteFormat = t.validatedDeleteFormat
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     LakeDeltaWriterFactory(LakeDeltaWriteConf(

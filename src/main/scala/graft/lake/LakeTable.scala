@@ -768,9 +768,16 @@ class LakeTable(
   /** Table property selecting the position-delete representation:
     * classic 2-column parquet (`position`, default) or v3 deletion
     * vectors (`dv`, M37). DV requires format-version 3 — a v2 reader has
-    * no notion of them. */
-  private def deleteFormat: String =
-    meta.props.getOrElse("write.delete.format", "position")
+    * no notion of them. One definition gates BOTH the dispatcher write
+    * path and the native DML writers (review r7). */
+  private[lake] def validatedDeleteFormat: String = {
+    val f = meta.props.getOrElse("write.delete.format", "position")
+    if (f == "dv" && meta.formatVersion < 3)
+      throw new IllegalStateException(
+        s"${meta.name}: write.delete.format=dv requires format-version 3 " +
+          "(deletion vectors are a v3 feature; upgrade first)")
+    f
+  }
 
   /** Write a position-delete file set; returns None (and leaves no orphan
     * files) when the predicate matched nothing. One data pass: write, then
@@ -778,13 +785,7 @@ class LakeTable(
     * when the table asks for them ([[deleteFormat]]). */
   private def writeDeleteFiles(
       coords: DataFrame, seq: Long): Option[(Seq[DeleteFileMeta], Long)] = {
-    if (deleteFormat == "dv") {
-      if (meta.formatVersion < 3)
-        throw new IllegalStateException(
-          s"${meta.name}: write.delete.format=dv requires format-version 3 " +
-            "(deletion vectors are a v3 feature; upgrade first)")
-      return writeDeleteVectors(coords, seq)
-    }
+    if (validatedDeleteFormat == "dv") return writeDeleteVectors(coords, seq)
     val delDir = location.resolve("deletes")
     Files.createDirectories(delDir)
     val delPath = delDir.resolve(UUID.randomUUID().toString)
@@ -835,17 +836,8 @@ class LakeTable(
             scala.collection.mutable.ArrayBuffer.empty[Long]) += p
         }
         acc.iterator.map { case (fp, ps) =>
-          val arr = ps.toArray
-          java.util.Arrays.sort(arr)
-          // cnt = DISTINCT positions: encode collapses duplicates, and a
-          // count that disagrees with the bitmap's cardinality would
-          // poison every consumer of rowCount (review r7)
-          var distinct = 0; var i = 0; var prev = -1L
-          while (i < arr.length) {
-            if (arr(i) != prev) { distinct += 1; prev = arr(i) }
-            i += 1
-          }
-          (fp, DeleteVectors.encode(arr), distinct.toLong)
+          val (bytes, distinct) = DeleteVectors.encodeWithCount(ps.toArray)
+          (fp, bytes, distinct)
         }
       }
       .toDF("file_path", "dv", "cnt")
@@ -881,7 +873,14 @@ class LakeTable(
     * files until expiry GCs them. */
   private[lake] def consolidatePositionDeletes(): (LakeTable, Int, Int) = {
     val olds = deleteFiles.filter(f => f.kind == "position" || f.kind == "dv")
-    if (olds.size <= 1) return (this, 0, 0)
+    // short-circuit only when there is nothing to fold AND nothing to
+    // migrate: a single file in the WRONG representation must still
+    // rewrite, or the documented format-flip migration silently no-ops
+    // (review r7)
+    val targetKind =
+      if (validatedDeleteFormat == "dv") "dv" else "position"
+    if (olds.isEmpty ||
+        (olds.size == 1 && olds.head.kind == targetKind)) return (this, 0, 0)
     val classic = olds.filter(_.kind == "position")
     val dvs = olds.filter(_.kind == "dv")
     val parts = Seq(

@@ -281,13 +281,6 @@ object Procedures {
     * whose filesystem mtime predates `olderThanMs` are deleted — an
     * in-flight write between writeDataFiles and Meta.commit is young and
     * survives, exactly why Iceberg's procedure requires an age cutoff. */
-  /** Iceberg's `rewrite_position_delete_files`: fold the table's live
-    * position-scoped delete files (classic parquet and deletion
-    * vectors) into one freshly-written set in the table's current
-    * `write.delete.format`. Returns (table, consolidated, written). */
-  def rewritePositionDeleteFiles(t: LakeTable): (LakeTable, Int, Int) =
-    t.consolidatePositionDeletes()
-
   def removeOrphanFiles(
       t: LakeTable,
       olderThanMs: Long = System.currentTimeMillis() - DefaultOrphanAgeMs): Int = {
@@ -318,6 +311,13 @@ object Procedures {
     tmps.foreach(Files.deleteIfExists(_))
     orphans.size + tmps.size
   }
+
+  /** Iceberg's `rewrite_position_delete_files`: fold the table's live
+    * position-scoped delete files (classic parquet and deletion
+    * vectors) into one freshly-written set in the table's current
+    * `write.delete.format`. Returns (table, consolidated, written). */
+  def rewritePositionDeleteFiles(t: LakeTable): (LakeTable, Int, Int) =
+    t.consolidatePositionDeletes()
 
   /** M3: `CALL expire_snapshots(table, older_than, retain_last)`
     * (/root/reference/README.md:33-38). Drops snapshots older than the

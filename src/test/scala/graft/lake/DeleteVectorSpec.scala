@@ -221,6 +221,21 @@ class DeleteVectorSpec extends SparkSpec {
     assert(again.getInt(0) <= 1)
   }
 
+  test("a SINGLE wrong-format delete file still migrates on consolidation") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "m1", schema, Nil, posProps)
+      .append(df(rows.take(20)))
+    t = t.delete(col("id") === 3) // one classic position file
+    assert(t.deleteFiles.map(_.kind) == Seq("position"))
+    t = t.setProperties(Map("write.delete.format" -> "dv"))
+    val (after, consolidated, written) = t.consolidatePositionDeletes()
+    assert(consolidated == 1 && written >= 1)
+    assert(after.deleteFiles.forall(_.kind == "dv"))
+    assert(after.read().count() == 19)
+    // and already-right-format single file short-circuits
+    assert(after.consolidatePositionDeletes()._2 == 0)
+  }
+
   test("mixed representations coexist: position deletes from native DML + DV from engine DML") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "mx", schema, Nil, dvProps)
