@@ -931,6 +931,69 @@ object LlmQueries {
         .orderBy("lang")
     })
 
+  /** Q64: near-dup CLUSTERS — the step a real dedup pipeline runs after
+    * pair generation: connected components over the (lossless, q56-path)
+    * near-dup graph, each document labeled with its component's minimum
+    * doc_id. Downstream "keep one per cluster" is then `doc_id =
+    * cluster`. Components run as distributed min-label propagation:
+    * every round each node takes the min of its own and its neighbors'
+    * labels (one O(E) shuffle per round; rounds = graph diameter —
+    * near-dup components are short chains, and the convergence check
+    * stops at fixpoint). At 100 TB the same loop holds — E is the
+    * verified-pair count, orders below the corpus — and the documented
+    * scale refinement for adversarial diameters is large-star/small-star
+    * (alternating pointer-jumping, O(log n) rounds). The oracle replays
+    * the brute-force pair set through a recursive-CTE reachability
+    * closure — affordable only at oracle scale, like the q34/q56
+    * oracles. */
+  val q64 = QueryDef(
+    "q64_dedup_clusters",
+    Some(DuckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(a.sh || b.sh)) AS jac
+                 FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE NOT isnan(jac) AND jac >= 0.8),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+               UNION SELECT doc_b, doc_a FROM pr),
+         reach AS (SELECT a, b FROM e
+                   UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         SELECT a AS doc_id, MIN(b) AS cluster
+         FROM (SELECT a, b FROM reach UNION SELECT a, a FROM e) u
+         GROUP BY a ORDER BY doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val docsSh = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
+        .toDF("doc_id", "sh")
+        .localCheckpoint(true)
+      val pairs = verifyOnShingles(s, docsSh, prefixCandidates(docsSh))
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").localCheckpoint(true)
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id")).localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 100) {
+        val nbr = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(nbr, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        changed = next.join(
+          labels.withColumnRenamed("lbl", "old"), "doc_id")
+          .filter(col("lbl") < col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q46, q47, q55, q56, q57)
+    q42, q43, q44, q46, q47, q55, q56, q57, q64)
 }
