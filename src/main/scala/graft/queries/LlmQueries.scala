@@ -994,6 +994,43 @@ object LlmQueries {
       labels.select(col("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
     })
 
+  /** Q65: deterministic STRATIFIED SAMPLING — the domain-mixing
+    * primitive of a training-data pipeline: cap each stratum (language)
+    * at a per-stratum quota, choosing WHICH documents survive by a
+    * content-keyed hash order (md5 — identical bits in both engines), so
+    * the sample is (a) reproducible across runs and engines, (b)
+    * unbiased w.r.t. document position, (c) one window pass, no
+    * per-stratum driver loop. At 100 TB the same plan holds: the window
+    * shuffles on the (low-cardinality) stratum key; a skewed mega-
+    * stratum would use the documented two-phase refinement (hash-range
+    * pre-filter to ≈quota candidates per stratum, then the exact
+    * window over survivors). */
+  val q65 = QueryDef(
+    "q65_stratified_sample",
+    Some("""WITH r AS (SELECT lang, doc_id, n_chars,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY md5(text), doc_id) AS rk
+                       FROM documents)
+            SELECT lang, COUNT(*) AS sampled,
+                   CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM r WHERE rk <= 200
+            GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("text"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("sampled"),
+          sum(col("n_chars")).as("sample_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q46, q47, q55, q56, q57, q64)
+    q42, q43, q44, q46, q47, q55, q56, q57, q64, q65)
 }
