@@ -67,6 +67,23 @@ private[lake] object LakeProcedures {
             else Procedures.removeOrphanFiles(t, in.getLong(1) / 1000L)
           Array(row(n))
         }))
+      case "add_files" => Some(proc(cat, principal, "add_files",
+        Seq(TableParam,
+          ProcedureParameter.in("source", StringType).build()),
+        StructType(Seq(
+          StructField("added_files_count", IntegerType),
+          StructField("added_records_count", LongType))),
+        (t, in) => {
+          val src = java.nio.file.Paths.get(in.getUTF8String(1).toString)
+          val files =
+            if (java.nio.file.Files.isDirectory(src))
+              LakeTable.listParquetFiles(src)
+            else Seq(src)
+          val t2 = t.addFiles(files)
+          val added = t2.currentSnapshot
+            .flatMap(_.summary.get("added-records")).map(_.toLong).getOrElse(0L)
+          Array(row(files.size, added))
+        }))
       case "rewrite_position_delete_files" => Some(proc(cat, principal,
         "rewrite_position_delete_files",
         Seq(TableParam),
@@ -138,7 +155,7 @@ private[lake] object LakeProcedures {
 
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "remove_orphan_files", "repair_v3_metadata",
-    "rewrite_position_delete_files", "rollback_to_snapshot",
+    "rewrite_position_delete_files", "add_files", "rollback_to_snapshot",
     "fast_forward", "create_changelog_view")
 
   private def row(vs: Any*): InternalRow =

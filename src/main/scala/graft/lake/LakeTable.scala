@@ -1013,6 +1013,55 @@ class LakeTable(
     }
   }
 
+  /** Iceberg's `add_files`: adopt EXISTING parquet files into the table
+    * METADATA-ONLY — the zero-copy onboarding lever. No row is read and
+    * no byte is copied: per-file row counts and column bounds come from
+    * parquet FOOTERS (so stats-based skipping works on adopted files
+    * from the first query), v3 row-id ranges are minted at commit, and
+    * the commit is an ordinary append snapshot (rebase-on-conflict).
+    * This is how a 100 TB directory of historical parquet becomes a
+    * governed lake table in one metadata commit instead of a rewrite.
+    *
+    * Adopted files record NO partition values (their on-disk layout is
+    * external); partition pruning is conservative over them and footer
+    * stats carry the skipping until a `rewrite_data_files` re-localizes.
+    * Ownership caveat (same as Iceberg's add_files): the files live
+    * outside the table directory, so DROP TABLE and remove_orphan_files
+    * never delete them. Schema gate: every table column must exist in
+    * the files with the identical type (extra file columns are fine —
+    * scans project the table schema). */
+  def addFiles(paths: Seq[Path]): LakeTable = {
+    require(paths.nonEmpty, "add_files: no files given")
+    paths.foreach(p => require(Files.isRegularFile(p),
+      s"add_files: not a file: $p"))
+    val fileSchema = spark.read.parquet(paths.map(_.toString): _*).schema
+    schema.fields.foreach { f =>
+      val g = fileSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"add_files: column ${f.name} missing from the parquet files"))
+      require(g.dataType == f.dataType,
+        s"add_files: column ${f.name} is ${g.dataType.simpleString} in the " +
+          s"files but ${f.dataType.simpleString} on the table")
+    }
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val metas0 = paths.map { p =>
+      DataFileMeta(
+        path = p.toString,
+        rowCount = StatsPruning.rowCount(hadoopConf, p),
+        sizeBytes = Files.size(p),
+        stats = StatsPruning.collectStats(hadoopConf, p, schema))
+    }
+    val added = metas0.map(_.rowCount).sum
+    rebaseCommit(metas0) { (h, files, start, _) =>
+      h.commitSnapshot(
+        h.newSnapshot("append", h.dataFiles ++ files, h.deleteFiles,
+          Map("added-data-files" -> files.size.toString,
+            "added-records" -> added.toString,
+            "adopted" -> "true")),
+        m => if (m.nextRowId >= 0) m.copy(nextRowId = start + added) else m)
+    }
+  }
+
   /** INSERT OVERWRITE: one commit replacing the table's content with
     * `df` — old files stay owned by prior snapshots (time travel works;
     * expiry GCs them later). */

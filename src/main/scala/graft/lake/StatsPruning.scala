@@ -40,6 +40,15 @@ object StatsPruning {
     case _ => false
   }
 
+  /** Footer-only row count for one file (block row counts summed). */
+  def rowCount(conf: Configuration, file: java.nio.file.Path): Long = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   /** Footer-only stats collection for one written file. */
   def collectStats(
       conf: Configuration, file: java.nio.file.Path,

@@ -531,7 +531,45 @@ object LakeQueries {
     Some(replay("demo_q63", 5, "SELECT * FROM demo_q63 ORDER BY id")),
     (s, _) => q63Table(s).read().orderBy("id"))
 
+  /** add_files fixture (M38): the sf-dir lineitem parquet ADOPTED into a
+    * lake table metadata-only — no row read beyond footers, no byte
+    * copied. Keyed by (session, sf dir) like the q62 fixture. */
+  private val afFixture = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), graft.lake.LakeTable]()
+  private def q66Table(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.lake.LakeTable =
+    afFixture.computeIfAbsent((s, dir), { case (spark, d) =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-af-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val cat = new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now })
+      cat.createNamespace("demo")
+      cat.createTable("demo", "li_adopted",
+          graft.Tables(spark, d, "lineitem").schema)
+        .addFiles(Seq(java.nio.file.Paths.get(d, "lineitem.parquet")))
+    })
+
+  /** Q66: zero-copy adoption under the hash gate — a query over the
+    * ADOPTED lake table must match DuckDB reading the original parquet
+    * directly. Proves the metadata-only import (footer row counts,
+    * footer stats, minted lineage) neither loses nor duplicates rows. */
+  val q66 = QueryDef(
+    "q66_add_files",
+    Some("""SELECT l_returnflag, COUNT(*) AS cnt,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (s, dir) => {
+      val lo = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+      q66Table(s, dir).read()
+        .filter(col("l_shipdate") < lit(lo))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          RelQueries.dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54, q58, q59, q60, q61, q62, q63)
+      q53, q54, q58, q59, q60, q61, q62, q63, q66)
 }
