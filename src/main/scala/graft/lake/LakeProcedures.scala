@@ -74,15 +74,9 @@ private[lake] object LakeProcedures {
           StructField("added_files_count", IntegerType),
           StructField("added_records_count", LongType))),
         (t, in) => {
-          val src = java.nio.file.Paths.get(in.getUTF8String(1).toString)
-          val files =
-            if (java.nio.file.Files.isDirectory(src))
-              LakeTable.listParquetFiles(src)
-            else Seq(src)
-          val t2 = t.addFiles(files)
-          val added = t2.currentSnapshot
-            .flatMap(_.summary.get("added-records")).map(_.toLong).getOrElse(0L)
-          Array(row(files.size, added))
+          val (_, nFiles, nRows) =
+            Procedures.addFiles(t, in.getUTF8String(1).toString)
+          Array(row(nFiles, nRows))
         }))
       case "rewrite_position_delete_files" => Some(proc(cat, principal,
         "rewrite_position_delete_files",

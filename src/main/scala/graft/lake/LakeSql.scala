@@ -375,17 +375,9 @@ class LakeSql(val catalog: LakeCatalog) {
       case "add_files" =>
         val source = unquote(args.getOrElse("source",
           throw new SqlParseException("add_files needs source => '<path>'")))
-        val src = java.nio.file.Paths.get(source)
-        val files =
-          if (java.nio.file.Files.isDirectory(src))
-            LakeTable.listParquetFiles(src)
-          else Seq(src)
-        val t2 = t.addFiles(files)
+        val (_, nFiles, nRows) = Procedures.addFiles(t, source)
         import catalog.spark.implicits._
-        Seq((files.size,
-          t2.currentSnapshot.flatMap(_.summary.get("added-records"))
-            .map(_.toLong).getOrElse(0L)))
-          .toDF("added_files_count", "added_records_count")
+        Seq((nFiles, nRows)).toDF("added_files_count", "added_records_count")
       case "rewrite_position_delete_files" =>
         val (_, consolidated, written) =
           Procedures.rewritePositionDeleteFiles(t)

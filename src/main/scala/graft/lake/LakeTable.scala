@@ -1026,30 +1026,45 @@ class LakeTable(
     * external); partition pruning is conservative over them and footer
     * stats carry the skipping until a `rewrite_data_files` re-localizes.
     * Ownership caveat (same as Iceberg's add_files): the files live
-    * outside the table directory, so DROP TABLE and remove_orphan_files
-    * never delete them. Schema gate: every table column must exist in
-    * the files with the identical type (extra file columns are fine —
-    * scans project the table schema). */
+    * outside the table directory, so DROP TABLE, remove_orphan_files
+    * and expire_snapshots never delete them. Schema gate: every table
+    * column must exist in EACH file with the identical type — checked
+    * per-file from its own footer, because a multi-file add is not a
+    * union (a sampled-schema gate would let one incompatible file
+    * through, surfacing later as silent NULLs or a reader crash).
+    * Re-adopting a path already referenced is rejected (Iceberg's
+    * check_duplicate_files default) — the retry-looking second CALL
+    * would otherwise silently double every row. */
   def addFiles(paths: Seq[Path]): LakeTable = {
     require(paths.nonEmpty, "add_files: no files given")
     paths.foreach(p => require(Files.isRegularFile(p),
       s"add_files: not a file: $p"))
-    val fileSchema = spark.read.parquet(paths.map(_.toString): _*).schema
-    schema.fields.foreach { f =>
-      val g = fileSchema.fields.find(_.name == f.name).getOrElse(
-        throw new IllegalArgumentException(
-          s"add_files: column ${f.name} missing from the parquet files"))
-      require(g.dataType == f.dataType,
-        s"add_files: column ${f.name} is ${g.dataType.simpleString} in the " +
-          s"files but ${f.dataType.simpleString} on the table")
+    val dupIn = paths.map(_.toString).groupBy(identity).collect {
+      case (p, ps) if ps.size > 1 => p
     }
+    require(dupIn.isEmpty, s"add_files: duplicate input file(s): " +
+      dupIn.mkString(", "))
+    val referenced = dataFiles.map(_.path).toSet
+    val already = paths.map(_.toString).filter(referenced)
+    require(already.isEmpty, "add_files: file(s) already referenced by " +
+      s"${meta.name} (re-adoption would duplicate rows): " +
+      already.mkString(", "))
     val hadoopConf = spark.sessionState.newHadoopConf()
     val metas0 = paths.map { p =>
+      val info = StatsPruning.readFooter(hadoopConf, p, schema)
+      schema.fields.foreach { f =>
+        val g = info.schema.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"add_files: column ${f.name} missing from $p"))
+        require(g.dataType == f.dataType,
+          s"add_files: column ${f.name} is ${g.dataType.simpleString} in " +
+            s"$p but ${f.dataType.simpleString} on the table")
+      }
       DataFileMeta(
         path = p.toString,
-        rowCount = StatsPruning.rowCount(hadoopConf, p),
+        rowCount = info.rowCount,
         sizeBytes = Files.size(p),
-        stats = StatsPruning.collectStats(hadoopConf, p, schema))
+        stats = info.stats)
     }
     val added = metas0.map(_.rowCount).sum
     rebaseCommit(metas0) { (h, files, start, _) =>

@@ -316,6 +316,22 @@ object Procedures {
     * position-scoped delete files (classic parquet and deletion
     * vectors) into one freshly-written set in the table's current
     * `write.delete.format`. Returns (table, consolidated, written). */
+  /** M38 `CALL add_files(table, source)` — shared by both SQL surfaces
+    * (dispatcher and native DSv2 CALL) so dir-vs-file resolution and the
+    * result contract can't drift. `source` is one parquet file or a
+    * directory walked recursively. Returns (table, files added, rows
+    * added — from footer counts, nothing scanned). */
+  def addFiles(t: LakeTable, source: String): (LakeTable, Int, Long) = {
+    val src = java.nio.file.Paths.get(source)
+    val files =
+      if (java.nio.file.Files.isDirectory(src)) LakeTable.listParquetFiles(src)
+      else Seq(src)
+    val t2 = t.addFiles(files)
+    val added = t2.currentSnapshot
+      .flatMap(_.summary.get("added-records")).map(_.toLong).getOrElse(0L)
+    (t2, files.size, added)
+  }
+
   def rewritePositionDeleteFiles(t: LakeTable): (LakeTable, Int, Int) =
     t.consolidatePositionDeletes()
 
@@ -348,8 +364,15 @@ object Procedures {
     // here with zero files touched, instead of deleting manifests the
     // still-current metadata references.
     val table = t.withMeta(m.copy(snapshots = kept))
-    deadFiles.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // GC only files the table OWNS (under its directory). Files adopted
+    // by add_files live outside it and belong to whoever put them there:
+    // once compaction/overwrite supersedes an adopted file, expiry would
+    // otherwise delete the user's external source parquet — permanent
+    // loss of data the table never owned.
+    val loc = t.location.toAbsolutePath
+    val owned = deadFiles.filter(p => Paths.get(p).toAbsolutePath.startsWith(loc))
+    owned.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(Meta.deleteManifest) // manifests are 1:1 with snapshots
-    ExpireResult(table, expired.size, deadFiles.size)
+    ExpireResult(table, expired.size, owned.size)
   }
 }

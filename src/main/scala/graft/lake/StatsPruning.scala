@@ -40,28 +40,53 @@ object StatsPruning {
     case _ => false
   }
 
-  /** Footer-only row count for one file (block row counts summed). */
-  def rowCount(conf: Configuration, file: java.nio.file.Path): Long = {
+  /** Everything `add_files` adoption needs from ONE footer open: the
+    * file's own Spark-typed schema (per-file — adoption must gate each
+    * file individually, not a sampled union), its exact row count, and
+    * prunable column bounds. One `ParquetFileReader.open` per file keeps
+    * the 100k-file onboarding path at 1× footer I/O instead of 3×. */
+  case class FooterInfo(
+      schema: StructType, rowCount: Long, stats: Map[String, ColStats])
+
+  def readFooter(conf: Configuration, file: java.nio.file.Path,
+      tableSchema: StructType): FooterInfo = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), conf))
-    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-    finally reader.close()
+    try {
+      val footer = reader.getFooter
+      FooterInfo(
+        // SQLConf.get (driver thread, active session) — the Configuration
+        // constructor NPEs on absent spark.sql.parquet.* keys
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(
+            org.apache.spark.sql.internal.SQLConf.get)
+          .convert(footer.getFileMetaData.getSchema),
+        footer.getBlocks.asScala.map(_.getRowCount).sum,
+        statsOf(footer, tableSchema))
+    } finally reader.close()
   }
 
   /** Footer-only stats collection for one written file. */
   def collectStats(
       conf: Configuration, file: java.nio.file.Path,
       schema: StructType): Map[String, ColStats] = {
-    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), conf))
-    try {
+    try statsOf(reader.getFooter, schema)
+    finally reader.close()
+  }
+
+  private def statsOf(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      schema: StructType): Map[String, ColStats] = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    locally {
       val acc = scala.collection.mutable.Map[String, (String, String)]()
       var statless = Set.empty[String] // any chunk without stats → unknown
       for {
-        block <- reader.getFooter.getBlocks.asScala
+        block <- footer.getBlocks.asScala
         chunk <- block.getColumns.asScala
         name = chunk.getPath.toDotString
         dt <- byName.get(name) if eligible(dt)
@@ -110,7 +135,7 @@ object StatsPruning {
         }
       }
       (acc -- statless).map { case (n, (lo, hi)) => n -> ColStats(lo, hi) }.toMap
-    } finally reader.close()
+    }
   }
 
   private def compare(dt: DataType, a: String, b: String): Int = dt match {

@@ -437,21 +437,26 @@ object LakeQueries {
     * runs re-query the same build. */
   private val hpFixture = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), graft.lake.LakeTable]()
+  /** Fixture temp warehouse: outlives the query but not the process
+    * (Verify/Bench are one-shot mains; tests share one session) —
+    * reclaimed at JVM exit so repeated runs don't accumulate /tmp. */
+  private def tempWarehouse(prefix: String): java.nio.file.Path = {
+    val wh = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => scala.util.Try {
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      val s = F.walk(wh)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(F.deleteIfExists(_))
+      finally s.close()
+    }))
+    wh
+  }
+
   private def q62Table(s: org.apache.spark.sql.SparkSession,
       dir: String): graft.lake.LakeTable =
     hpFixture.computeIfAbsent((s, dir), { case (spark, d) =>
-      val wh = java.nio.file.Files.createTempDirectory("graft-hp-wh")
-      // the fixture outlives the query but not the process (Verify/Bench
-      // are one-shot mains; tests share one session) — reclaim the
-      // temp warehouse at JVM exit so repeated runs don't accumulate
-      Runtime.getRuntime.addShutdownHook(new Thread(() => scala.util.Try {
-        import java.nio.file.{Files => F}
-        import scala.jdk.CollectionConverters._
-        val s = F.walk(wh)
-        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(F.deleteIfExists(_))
-        finally s.close()
-      }))
+      val wh = tempWarehouse("graft-hp-wh")
       var now = DemoFixture.FixedTs.getTime
       val cat = new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now })
       cat.createNamespace("demo")
@@ -539,7 +544,7 @@ object LakeQueries {
   private def q66Table(s: org.apache.spark.sql.SparkSession,
       dir: String): graft.lake.LakeTable =
     afFixture.computeIfAbsent((s, dir), { case (spark, d) =>
-      val wh = java.nio.file.Files.createTempDirectory("graft-af-wh")
+      val wh = tempWarehouse("graft-af-wh")
       var now = DemoFixture.FixedTs.getTime
       val cat = new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now })
       cat.createNamespace("demo")

@@ -122,6 +122,52 @@ class AddFilesSpec extends SparkSpec {
     assert(Files.exists(f)) // MoR delete never touches the data file
   }
 
+  test("schema gate is PER FILE: one incompatible file in a multi-file " +
+      "add rejects the whole batch, nothing commits") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val ext = Files.createTempDirectory("graft-af-ext")
+    val good = externalFile(ext, "good", (1, "a", 1.0))
+    val badDir = ext.resolve("bad")
+    df((2, "b", 2.0)).select("id", "category").write.parquet(badDir.toString)
+    val bad = LakeTable.listParquetFiles(badDir).head
+    val t = cat.createTable("db", "t6", schema)
+    // `good` first: a sampled-union gate would see the full schema and pass
+    val e = intercept[IllegalArgumentException](t.addFiles(Seq(good, bad)))
+    assert(e.getMessage.contains("amount") && e.getMessage.contains("bad"))
+    assert(cat.loadTable("db", "t6").get.dataFiles.isEmpty)
+  }
+
+  test("re-adopting an already-referenced file is rejected, not doubled") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val ext = Files.createTempDirectory("graft-af-ext")
+    val f = externalFile(ext, "once", (1, "a", 1.0), (2, "b", 2.0))
+    val t = cat.createTable("db", "t7", schema).addFiles(Seq(f))
+    val e = intercept[IllegalArgumentException](t.addFiles(Seq(f)))
+    assert(e.getMessage.contains("already referenced"))
+    intercept[IllegalArgumentException](
+      cat.createTable("db", "t7b", schema).addFiles(Seq(f, f)))
+    assert(cat.loadTable("db", "t7").get.read().count() == 2)
+  }
+
+  test("expire_snapshots GCs table-owned dead files but never adopted " +
+      "external ones") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val ext = Files.createTempDirectory("graft-af-ext")
+    val f = externalFile(ext, "src", (1, "a", 1.0), (2, "b", 2.0))
+    var t = cat.createTable("db", "t8", schema)
+      .append(df((10, "x", 10.0)))  // table-owned file, superseded below
+      .addFiles(Seq(f))
+    t = Procedures.rewriteDataFiles(t, Map("rewrite-all" -> "true")).table
+    val expired = Procedures.expireSnapshots(t, Long.MaxValue, retainLast = 1)
+    assert(expired.expiredSnapshots > 0)
+    assert(Files.exists(f)) // external source parquet survives expiry
+    // the pre-compaction table-owned file is genuinely gone
+    assert(LakeTable.listParquetFiles(cat.tableLocation("db", "t8"))
+      .map(_.toString).toSet
+      == expired.table.dataFiles.map(_.path).toSet)
+    assert(expired.table.read().count() == 3)
+  }
+
   test("DROP TABLE leaves adopted files on disk (external ownership)") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val ext = Files.createTempDirectory("graft-af-ext")
