@@ -1031,6 +1031,207 @@ object LlmQueries {
         .orderBy("lang")
     })
 
+  /** Q67: DOCUMENT PACKING — concat-and-chunk sequence assembly, the step
+    * between a filtered corpus and a trainer: documents are concatenated
+    * in a deterministic content-keyed order (md5, doc_id tie-break — the
+    * q65 reproducibility argument) and chunked into fixed token-budget
+    * shards; a document's shard is the chunk containing its FIRST token
+    * (`floor(exclusive-prefix-sum / budget)`). One window pass per
+    * stratum computes the prefix sums; everything downstream is integer
+    * arithmetic, so the oracle comparison is exact. 100 TB posture: the
+    * window shuffles on the low-cardinality stratum key (lang), so
+    * strata pack in parallel; a single mega-stratum would use the
+    * standard two-pass distributed prefix sum (per-partition partials →
+    * broadcast offsets) — same contract, no global single-task sort. */
+  val q67 = QueryDef(
+    "q67_doc_packing",
+    Some("""WITH d AS (SELECT lang, doc_id, text,
+                         len(string_split(text, ' ')) AS tok
+                       FROM documents),
+            c AS (SELECT lang, doc_id, tok,
+                    SUM(tok) OVER (PARTITION BY lang
+                      ORDER BY md5(text), doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM d),
+            sh AS (SELECT lang,
+                     CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS shard,
+                     COUNT(*) AS docs, SUM(tok) AS toks
+                   FROM c GROUP BY lang, shard)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS shards,
+                   CAST(SUM(docs) AS BIGINT) AS docs,
+                   CAST(SUM(toks) AS BIGINT) AS tokens,
+                   CAST(MAX(toks) AS BIGINT) AS max_shard_tokens,
+                   CAST(SUM(CASE WHEN toks >= 2048 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS full_shards
+            FROM sh GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val budget = 2048
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("cum", sum(col("tok")).over(w))
+        .select(col("lang"),
+          floor((col("cum") - col("tok")) / lit(budget.toDouble)).as("shard"),
+          col("tok"))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("docs"), sum(col("tok")).as("toks"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("shards"),
+          sum(col("docs")).as("docs"),
+          sum(col("toks")).as("tokens"),
+          max(col("toks")).as("max_shard_tokens"),
+          sum(when(col("toks") >= budget, 1).otherwise(0)).as("full_shards"))
+        .orderBy("lang")
+    })
+
+  /** Q68: PII DETECTION + REDACTION — the scrubbing pass every
+    * web-scale corpus runs before training (emails, IPv4 addresses,
+    * 16-digit card numbers → placeholder tokens). The sf documents are
+    * synthetic bag-of-words with no natural PII, so the query first
+    * DERIVES a deterministic PII-bearing column from the row (same
+    * concat on both engines — the operator under test is the regex
+    * pipeline, not the generator). Patterns are RE2∩java.util.regex
+    * compatible (no lookaround/backrefs) so both engines compile the
+    * same automaton; Spark's regexp_replace is all-occurrences by
+    * default, DuckDB needs the explicit 'g' flag. Outputs are integer
+    * counts + redacted-length sums — exact under the hash contract.
+    * 100 TB posture: embarrassingly parallel map + one partial-agg
+    * shuffle on lang; regex matching stays in codegen (built-in
+    * regexp_* functions, no UDF). */
+  val q68 = QueryDef(
+    "q68_pii_redaction",
+    Some("""WITH d AS (SELECT lang,
+                         text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@' || source || '.example.com via 10.'
+                           || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                           || CAST(doc_id % 250 AS VARCHAR)
+                           || CASE WHEN doc_id % 3 = 0
+                                THEN ' card 4111111111111111' ELSE '' END
+                           AS synth
+                       FROM documents),
+            r AS (SELECT lang, synth,
+                    regexp_replace(regexp_replace(regexp_replace(synth,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                      '\b\d{16}\b', '<CARD>', 'g'),
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+                  FROM d)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(len(regexp_extract_all(synth,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+                   CAST(SUM(len(regexp_extract_all(synth,
+                     '\b\d{16}\b'))) AS BIGINT) AS cards,
+                   CAST(SUM(len(regexp_extract_all(red,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS ips_left,
+                   CAST(SUM(len(synth) - len(red)) AS BIGINT) AS redacted_chars
+            FROM r GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val cardRe = "\\b\\d{16}\\b"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val synth = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".example.com via 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(" card 4111111111111111"))
+          .otherwise(lit("")))
+      val red = regexp_replace(regexp_replace(regexp_replace(col("synth"),
+        emailRe, "<EMAIL>"), cardRe, "<CARD>"), ipRe, "<IP>")
+      def hits(c: Column, re: String): Column =
+        size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+      t(s, dir, "documents")
+        .select(col("lang"), synth.as("synth"))
+        .withColumn("red", red)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(hits(col("synth"), emailRe)).as("emails"),
+          sum(hits(col("synth"), cardRe)).as("cards"),
+          sum(hits(col("red"), ipRe)).as("ips_left"),
+          sum((length(col("synth")) - length(col("red"))).cast("long"))
+            .as("redacted_chars"))
+        .orderBy("lang")
+    })
+
+  /** Q69: INTRA-DOCUMENT REPETITION metrics — the Gopher/MassiveText
+    * repetition rules (duplicate-word fraction, duplicate-bigram
+    * fraction, top-word dominance) that catch boilerplate and
+    * degenerate generations exact-dedup can't (each doc is unique; the
+    * rot is INSIDE the doc). Word totals/distincts come from array
+    * functions (no explode); only the top-word mode needs the
+    * explode → (doc, word) count → per-doc max two-level aggregation —
+    * shuffle keyed on (doc_id, word) with map-side combine, so a
+    * pathological one-word document costs its own doc's rows, not a
+    * skew stall. Flag thresholds are integer cross-multiplications
+    * (dup-bigram frac > 0.2, or top-word frac > 0.2 at ≥ 10 tokens) —
+    * no float compare anywhere, so engine hash-equality is exact. */
+  val q69 = QueryDef(
+    "q69_repetition",
+    Some("""WITH d AS (SELECT doc_id, lang,
+                         string_split(lower(text), ' ') AS tk
+                       FROM documents),
+            b AS (SELECT doc_id, lang, len(tk) AS total,
+                    len(list_distinct(tk)) AS uniq,
+                    CASE WHEN len(tk) >= 2
+                      THEN (len(tk) - 1) - len(list_distinct(
+                             list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i+1])))
+                      ELSE 0 END AS dup2,
+                    tk
+                  FROM d),
+            w AS (SELECT doc_id, w, COUNT(*) AS c
+                  FROM (SELECT doc_id, unnest(tk) AS w FROM d)
+                  GROUP BY doc_id, w),
+            tw AS (SELECT doc_id, MAX(c) AS topw FROM w GROUP BY doc_id),
+            j AS (SELECT b.lang, b.total, b.uniq, b.dup2, tw.topw,
+                    CASE WHEN b.dup2 * 5 > (b.total - 1)
+                           OR (b.total >= 10 AND tw.topw * 5 > b.total)
+                         THEN 1 ELSE 0 END AS flagged
+                  FROM b JOIN tw ON b.doc_id = tw.doc_id)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(flagged) AS BIGINT) AS flagged,
+                   CAST(SUM(total - uniq) AS BIGINT) AS dup_words,
+                   CAST(SUM(dup2) AS BIGINT) AS dup_bigrams,
+                   CAST(MAX(topw) AS BIGINT) AS max_topw
+            FROM j GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("tk"))
+        .withColumn("total", size(col("tk")).cast("long"))
+        .withColumn("uniq", size(array_distinct(col("tk"))).cast("long"))
+        .withColumn("dup2", when(size(col("tk")) >= 2,
+          (size(col("tk")) - 1) - size(array_distinct(expr(
+            "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))"))))
+          .otherwise(0).cast("long"))
+      base
+        .select(col("doc_id"), col("lang"), col("total"), col("uniq"),
+          col("dup2"), explode(col("tk")).as("w"))
+        .groupBy("doc_id", "lang", "total", "uniq", "dup2", "w")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang", "total", "uniq", "dup2")
+        .agg(max(col("c")).as("topw"))
+        .withColumn("flagged",
+          when(col("dup2") * 5 > (col("total") - 1)
+            || (col("total") >= 10 && col("topw") * 5 > col("total")), 1L)
+            .otherwise(0L))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("flagged")).as("flagged"),
+          sum(col("total") - col("uniq")).as("dup_words"),
+          sum(col("dup2")).as("dup_bigrams"),
+          max(col("topw")).as("max_topw"))
+        .orderBy("lang")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q46, q47, q55, q56, q57, q64, q65)
+    q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69)
 }
