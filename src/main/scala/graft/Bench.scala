@@ -79,5 +79,14 @@ object Bench {
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
+    // A bench with erroring queries must not look like a clean run: r7
+    // recorded three -1.0 entries yet rc=0 (VERDICT r7 #3). The JSON line
+    // above is still printed first so the driver records the partial
+    // timings alongside the non-zero exit.
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries errored: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -14,18 +14,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-      // default. Read nanos as LongType and truncate to a µs timestamp —
-      // same truncation DuckDB applies, so oracle parity holds.
-      // NOTE: the conf is session-wide and stays set — any later read of a
-      // TIMESTAMP(NANOS) parquet in this session types it LongType. The
-      // Verify/Bench/test session builders preset it so the behavior is
-      // uniform from session start (ADVICE r1); it cannot be save/restored
-      // around this call because the scan re-reads it at execution time.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("timestamp_micros(ts div 1000)"))
+      // events.ts has shipped as both TIMESTAMP(NANOS) (read as LongType
+      // under the nanosAsLong conf the session builders set) and, since the
+      // r7 regeneration, plain timestamp[us]. Adapt on the ACTUAL schema
+      // rather than assuming one encoding (VERDICT r7 #1): LongType means
+      // nanos — truncate to µs (same truncation DuckDB applies, so oracle
+      // parity holds); NTZ is normalized to TIMESTAMP so downstream window/
+      // date functions see one type regardless of the generator's encoding
+      // (sessions run with UTC timezone, so the instant is unchanged).
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every testdata table as a temp view (used by the SQL path). */

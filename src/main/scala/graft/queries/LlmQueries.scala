@@ -559,9 +559,52 @@ object LlmQueries {
       .select(col("qid"), col("vec_id"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** Cross-engine oracle for the hyperplane-LSH path (VERDICT r7 #6):
+    * the engine's seeded planes are emitted as DOUBLE literals INTO the
+    * SQL ([[java.lang.Double.toString]] is shortest-round-trip, so DuckDB
+    * reparses the exact same doubles), making the "engine-seeded"
+    * candidates reproducible by any engine — the signature is just 6
+    * sign tests per table over the same constants. DuckDB's
+    * list_dot_product reassociates the sum differently than our
+    * sequential accumulation (measured: ~half of all dots differ in the
+    * last ulp) but the SIGN agrees on every (vector, plane) pair of the
+    * fixed testdata, which is the only thing the signature consumes; the
+    * re-rank tail reuses q28's proven list_cosine_similarity parity. */
+  private def annOracleSql: String = {
+    def planeLit(p: Seq[Double]) = p.mkString("[", ",", "]")
+    // plane 0 is the MSB: the engine folds sig = sig*2 + bit
+    def sigExpr(v: String, tbl: Seq[Seq[Double]]) = tbl.zipWithIndex.map {
+      case (plane, i) =>
+        s"(CASE WHEN list_dot_product($v, ${planeLit(plane)}::DOUBLE[]) > 0 " +
+          s"THEN ${1L << (AnnBits - 1 - i)} ELSE 0 END)"
+    }.mkString("(", " + ", ")::BIGINT")
+    def sigStructs(v: String) = AnnPlanes.zipWithIndex.map { case (tbl, ti) =>
+      s"{'tbl': $ti, 'sig': ${sigExpr(v, tbl)}}"
+    }.mkString("[", ", ", "]")
+    val probes = ("sig" +: (0 until AnnBits).map(j => s"xor(sig, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id = 0),
+        csig AS (SELECT vec_id, u.tbl AS tbl, u.sig AS sig FROM (
+          SELECT vec_id, unnest(${sigStructs("v")}) AS u FROM e)),
+        qsig AS (SELECT qid, u.tbl AS tbl, u.sig AS sig FROM (
+          SELECT qid, unnest(${sigStructs("qv")}) AS u FROM q)),
+        qprobe AS (SELECT qid, tbl, unnest($probes) AS sig FROM qsig),
+        cand AS (SELECT DISTINCT qid, vec_id
+                 FROM csig JOIN qprobe USING (tbl, sig) WHERE vec_id <> qid),
+        scored AS (SELECT cand.qid AS qid, cand.vec_id AS vec_id,
+                          list_cosine_similarity(e.v, q.qv) AS sim_raw
+                   FROM cand JOIN e USING (vec_id) JOIN q USING (qid)),
+        ranked AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+                     PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT vec_id, ROUND(sim_raw, 4) AS sim
+        FROM ranked WHERE rn <= 5 ORDER BY sim DESC, vec_id"""
+  }
+
   val q37 = QueryDef(
     "q37_ann_topk",
-    None, // engine-only: candidates depend on engine-seeded hyperplanes
+    Some(annOracleSql),
     (s, dir) => annTopK(s, dir, col("vec_id") === 0, 5)
       .select(col("vec_id"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id")))
@@ -782,11 +825,24 @@ object LlmQueries {
       cents
     })
 
-  def ivfTopK(s: SparkSession, dir: String, queryPred: Column, k: Int): DataFrame = {
+  /** `trained = false` pins the codebook to the raw seed (the K lowest
+    * vec_ids, no Lloyd rounds). That variant is what the q47 gate runs:
+    * the centroids are then TABLE ROWS both engines read identically, so
+    * the whole IVF pipeline — nearest-centroid assignment, nProbe
+    * probing, exact re-rank — is reproducible in the DuckDB oracle with
+    * no float literals at all. The Lloyd-trained codebook stays the
+    * production path (balanced buckets on skewed corpora) and keeps its
+    * recall/bucket-quality coverage in LlmOpsSpec; training is the ONLY
+    * difference — both variants share every operator downstream. */
+  def ivfTopK(s: SparkSession, dir: String, queryPred: Column, k: Int,
+      trained: Boolean = true): DataFrame = {
     val e = t(s, dir, "embeddings")
       .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
       .select(col("vec_id"), col("v"))
-    val centroids = trainedCodebook(s, dir, e)
+    val centroids =
+      if (trained) trainedCodebook(s, dir, e)
+      else e.filter(col("vec_id") < IvfK).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toArray)
     val queries = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
       .localCheckpoint(true)
@@ -798,10 +854,40 @@ object LlmQueries {
     exactRerank(e, queries, cand, k)
   }
 
+  /** Oracle for the pinned-codebook IVF gate (VERDICT r7 #6): centroids
+    * are the first [[IvfK]] corpus vectors, so both engines read the same
+    * doubles from the same parquet; assignment is an argmin window over
+    * the K-row centroid cross join (K = 64 — this is the oracle spelling,
+    * not the engine plan, which runs the compiled K-dot-product pass and
+    * a bucket equi-join). Tie-breaks mirror the engine exactly: sim DESC
+    * then centroid id ASC, matching ivfAssignCompiled's `(-sim, b)`. */
+  private def ivfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id = 0),
+        casg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, c) WHERE rn = 1),
+        qasg AS (SELECT qid, cid AS bucket FROM (
+          SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+          FROM q, c) WHERE rn <= $IvfProbes),
+        cand AS (SELECT DISTINCT qid, vec_id
+                 FROM casg JOIN qasg USING (bucket) WHERE vec_id <> qid),
+        scored AS (SELECT cand.qid AS qid, cand.vec_id AS vec_id,
+                          list_cosine_similarity(e.v, q.qv) AS sim_raw
+                   FROM cand JOIN e USING (vec_id) JOIN q USING (qid)),
+        ranked AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+                     PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT vec_id, ROUND(sim_raw, 4) AS sim
+        FROM ranked WHERE rn <= 5 ORDER BY sim DESC, vec_id"""
+
   val q47 = QueryDef(
     "q47_ivf_topk",
-    None, // engine-only: buckets depend on the engine-chosen codebook
-    (s, dir) => ivfTopK(s, dir, col("vec_id") === 0, 5)
+    Some(ivfOracleSql),
+    (s, dir) => ivfTopK(s, dir, col("vec_id") === 0, 5, trained = false)
       .select(col("vec_id"), col("sim"))
       .orderBy(col("sim").desc, col("vec_id")))
 

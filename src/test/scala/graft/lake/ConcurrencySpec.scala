@@ -117,6 +117,50 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("dueling adopters: concurrent conflict-path recovery converges on the " +
+    "orphan, and only CommitConflictException escapes (unique adopt-tmp)") {
+    // A writer died after durably publishing v(base+1) but before moving
+    // the hint. Two stale committers then race: both find the orphan, both
+    // run the adoption path concurrently. Contract (ADVICE r6 / VERDICT r7
+    // #5): each adopter uses a private tmp, so the slower one's hint move
+    // must not throw NoSuchFileException out of the conflict path — the
+    // only escaping class is the retryable CommitConflictException, and
+    // the hint lands on the orphan exactly once.
+    val wh = Files.createTempDirectory("graft-adopt")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val t = cat.createTable("db", "duel", schema).append(toDf(Seq((1, "a", 1.0))))
+    val loc = t.location
+    val base = Meta.currentVersion(loc).get
+    val orphan = t.meta.copy(props = t.meta.props + ("orphan" -> "yes"))
+    Files.write(Meta.metadataDir(loc).resolve(s"v${base + 1}.metadata.json"),
+      Meta.toJson(orphan).getBytes("UTF-8"))
+
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { i =>
+      val snap = t.meta.copy(props = t.meta.props + ("duelist" -> i.toString))
+      new Thread(() => {
+        barrier.await()
+        try { Meta.commit(loc, snap, Some(base)); () }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+
+    assert(errs.size == 2, s"both stale committers must conflict: $errs")
+    assert(errs.toArray(Array.empty[Throwable])
+      .forall(_.isInstanceOf[CommitConflictException]),
+      s"non-retryable exception escaped the adoption race: $errs")
+    assert(Meta.currentVersion(loc).get == base + 1,
+      "both adopters done: the hint must point at the adopted orphan")
+    // reload-retry lands on top of the adopted commit, history intact
+    val t2 = t.reloaded().append(toDf(Seq((2, "b", 2.0))))
+    assert(t2.meta.props.get("orphan").contains("yes"))
+    assert(t2.read().count() == 2)
+    assert(Meta.currentVersion(loc).get == base + 2)
+  }
+
   test("interleaved handles: lost updates surface as CommitConflictException; " +
     "reload-retry converges to the serializable history") {
     val cats = Array("a", "b", "c")

@@ -181,6 +181,18 @@ class LlmOpsSpec extends SparkSpec {
       .select("vec_id").distinct().count()
     val n = e.count() - 1
     assert(nCand < n, s"IVF probing pruned nothing ($nCand of $n)")
+
+    // the Lloyd-trained codebook (production path; q47's gate pins the
+    // seed codebook for oracle reproducibility) must actually train —
+    // centroids move off the seed — and keep recall at the same floor
+    val trainedCents = LlmQueries.trainedCodebook(spark, sf, e)
+    assert(trainedCents.zip(cents).exists { case (a, b) => !a.sameElements(b) },
+      "Lloyd rounds left every centroid exactly at its seed")
+    val trainedTop = LlmQueries.ivfTopK(spark, sf, col("vec_id") === 0, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val trainedRecall = (exactTop & trainedTop).size / 5.0
+    assert(trainedRecall >= 0.8,
+      s"trained-codebook recall $trainedRecall too low (exact=$exactTop)")
   }
 
   test("hash-keyed dedup (16-byte shuffle keys) matches exact distinct (q29 scale variant)") {
