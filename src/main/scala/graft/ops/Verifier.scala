@@ -76,7 +76,20 @@ class Verifier(catalog: LakeCatalog, strict: Boolean = true) {
   private def classify(e: Exception): String = e match {
     case _: UnsupportedV2DeletesException =>
       ("UNSUPPORTED_V2_DELETES: " + e.getMessage +
-        " — hint: upgrade to format-version 3 and compact").take(500)
-    case _ => Option(e.getMessage).getOrElse(e.toString).take(500)
+        " — hint: upgrade to format-version 3 and compact " +
+        "(Upgrader.upgrade, or CALL lake.system.upgrade)").take(500)
+    case _ =>
+      val msg = Option(e.getMessage).getOrElse(e.toString)
+      // keyword fallback mirroring the reference's substring check
+      // (verify_in_databricks.py:94-96): a format-smelling failure that
+      // isn't our typed exception still gets the remediation pointer
+      val up = msg.toUpperCase
+      val hint =
+        if (up.contains("FORMAT-VERSION") || up.contains("DELETE FILE") ||
+            up.contains("MERGE-ON-READ"))
+          " — hint: this looks like a table-format issue; run the " +
+            "upgrade (Upgrader.upgrade) and re-verify"
+        else ""
+      (msg + hint).take(500)
   }
 }

@@ -1318,6 +1318,218 @@ object LlmQueries {
         .orderBy("lang")
     })
 
+  // ------------------------------------------ q70 duplicated-span dedup
+  /** Substring-level dedup (the unit below whole-document near-dup):
+    * find token WINDOWS repeated across documents — the
+    * memorization-prone boilerplate (headers, license blocks, template
+    * sentences) that document-level Jaccard misses because the
+    * containing documents differ. Every 10-token sliding window is
+    * emitted once per position and aggregated twice — per (span, doc)
+    * with map-side combine, then per span — so a document repeating one
+    * span 1000× costs its own rows only, and the final top-k fuses into
+    * TakeOrdered (no global sort). 100 TB posture: the span shuffle is
+    * O(total tokens) rows; the scale path swaps the span STRING for its
+    * 128-bit hash pair as the shuffle key (q29's trick — 16-byte keys,
+    * payload joined back only for the top-k winners) and keeps this
+    * spelling as the oracle-parity form. */
+  val q70 = QueryDef(
+    "q70_span_dedup",
+    Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                        FROM documents),
+            s AS (SELECT doc_id,
+                         array_to_string(list_slice(t, i, i + 9), ' ') AS span
+                  FROM tk, unnest(range(1, len(t) - 8)) AS u(i)
+                  WHERE len(t) >= 10),
+            pd AS (SELECT span, doc_id, COUNT(*) AS occ
+                   FROM s GROUP BY span, doc_id),
+            agg AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS ndocs,
+                           CAST(SUM(occ) AS BIGINT) AS occurrences
+                    FROM pd GROUP BY span)
+            SELECT span, ndocs, occurrences FROM agg WHERE ndocs >= 2
+            ORDER BY ndocs DESC, occurrences DESC, span LIMIT 20"""),
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 9), " +
+          "i -> array_join(slice(t, i, 10), ' '))")).as("span"))
+      .groupBy("span", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("ndocs"), sum(col("occ")).as("occurrences"))
+      .filter(col("ndocs") >= 2)
+      .orderBy(col("ndocs").desc, col("occurrences").desc, col("span"))
+      .limit(20))
+
+  // --------------------------------------------------- q71 BM25 retrieval
+  /** BM25 top-k keyword retrieval (Robertson k1=1.2, b=0.75) — the
+    * lexical-search leg next to the vector legs (q28/q37/q47): quality
+    * filtering and contamination checks often start from "which documents
+    * score high for these probe terms". One corpus pass computes doc
+    * lengths; the tf pass filters to the query terms BEFORE the shuffle
+    * (three-term postings, not the corpus); df and the length stats are
+    * metadata-scale broadcasts. Float parity with the oracle is by
+    * construction: avgdl = exact-integer sum/count division, identical
+    * algebraic form for idf·tf-saturation on both engines, and the
+    * per-term contributions are added in FIXED order (per-term pivot
+    * columns, not an order-free SUM) so double non-associativity cannot
+    * flip the ranking between engines. */
+  val Bm25Terms = Seq("spark", "vector", "merge")
+  val q71 = QueryDef(
+    "q71_bm25_topk", {
+      val terms = Bm25Terms.map(w => s"'$w'").mkString(", ")
+      val pivot = Bm25Terms
+        .map(w => s"COALESCE(MAX(CASE WHEN w = '$w' THEN contrib END), 0)")
+        .mkString(" + ")
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                           FROM documents),
+               l AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk),
+               st AS (SELECT COUNT(*)::DOUBLE AS n,
+                             SUM(len(t))::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+                      FROM tk),
+               tf AS (SELECT doc_id, w, COUNT(*)::DOUBLE AS tf
+                      FROM (SELECT doc_id, unnest(t) AS w FROM tk)
+                      WHERE w IN ($terms) GROUP BY doc_id, w),
+               df AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY w),
+               c AS (SELECT tf.doc_id, tf.w,
+                       ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl))
+                         AS contrib
+                     FROM tf JOIN df USING (w) CROSS JOIN st
+                       JOIN l ON tf.doc_id = l.doc_id),
+               p AS (SELECT doc_id, $pivot AS s FROM c GROUP BY doc_id)
+               SELECT doc_id, ROUND(s, 4) AS score FROM p
+               ORDER BY s DESC, doc_id LIMIT 10""")
+    },
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .localCheckpoint(true) // lengths + postings from one tokenization
+      val lens = docs.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum(size(col("tk"))).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+      val tf = docs.select(col("doc_id"), explode(col("tk")).as("w"))
+        .filter(col("w").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+      val contrib = tf.join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(stats))
+        .join(lens, "doc_id")
+        .select(col("doc_id"), col("w"),
+          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("contrib"))
+      val pivot = Bm25Terms.map(w =>
+        coalesce(max(when(col("w") === w, col("contrib"))), lit(0.0)))
+        .reduceLeft(_ + _)
+      contrib.groupBy("doc_id").agg(pivot.as("s"))
+        .orderBy(col("s").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), round(col("s"), 4).as("score"))
+    })
+
+  // ---------------------------------------- q72 product-quantization ANN
+  /** PQ/ADC ANN (third vector-search leg): 64-dim vectors split into
+    * [[PqM]] 8-dim subspaces, each encoded as the nearest of [[PqCodes]]
+    * pinned centroids (subvectors of the first 16 corpus vectors — table
+    * rows, so the oracle reads the identical codebook; swap in trained
+    * sub-codebooks and nothing downstream changes). A query scores an
+    * encoded vector WITHOUT touching it: per-subspace distances to the
+    * 16 centroids are precomputed once into a 8×16 table (the classic
+    * asymmetric-distance trick) and each corpus vector costs 8 lookups —
+    * at 100 TB the corpus holds 8-byte codes (64× smaller than raw
+    * vectors), the codebook+table is a kilobyte-scale broadcast, and the
+    * scan is a codegen-friendly map over the code column. Engine/oracle
+    * parity: argmin compares math.sqrt'd distances with centroid-id
+    * tie-break exactly like the oracle's (list_distance, cid) window
+    * order, and ADC adds the 8 subspace terms in fixed ascending-s order
+    * on both sides. */
+  val PqM = 8          // subspaces
+  val PqSub = 8        // dims per subspace
+  val PqCodes = 16     // centroids per subspace
+  val q72 = QueryDef(
+    "q72_pq_ann", {
+      val adcPivot = (0 until PqM)
+        .map(s => s"COALESCE(MAX(CASE WHEN s = $s THEN ld * ld END), 0)")
+        .mkString(" + ")
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               sub AS (SELECT vec_id, s,
+                              list_slice(v, s * $PqSub + 1, s * $PqSub + $PqSub) AS sv
+                       FROM e, unnest(range(0, $PqM)) AS u(s)),
+               cent AS (SELECT vec_id AS cid, s, sv AS cv
+                        FROM sub WHERE vec_id < $PqCodes),
+               enc AS (SELECT vec_id, s, cid AS code FROM (
+                 SELECT sub.vec_id, sub.s, cent.cid, row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_distance(sub.sv, cent.cv), cent.cid) AS rn
+                 FROM sub JOIN cent USING (s)) WHERE rn = 1),
+               q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
+               ld AS (SELECT enc.vec_id, enc.s,
+                             list_distance(q.qv, cent.cv) AS ld
+                      FROM enc JOIN cent ON enc.s = cent.s AND enc.code = cent.cid
+                        JOIN q ON q.s = enc.s),
+               adc AS (SELECT vec_id, $adcPivot AS dist
+                       FROM ld GROUP BY vec_id)
+               SELECT vec_id, ROUND(dist, 4) AS adc FROM adc
+               WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 5""")
+    },
+    (s, dir) => pqTopK(s, dir, 0L, 5))
+
+  /** The engine side of q72: codebook + distance table are driver-built
+    * (16 vectors / 128 doubles — metadata-scale), the corpus pass is one
+    * compiled encode-and-score map. */
+  def pqTopK(s: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    val cb: Array[Array[Double]] = e.filter(col("vec_id") < PqCodes)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val qv: Array[Double] = e.filter(col("vec_id") === queryId)
+      .head().getSeq[Double](1).toArray
+    // locals only below this line: closure capture of the enclosing
+    // module (via the Pq* fields) is not serializable
+    val (m, dsub, codes) = (PqM, PqSub, PqCodes)
+    // sqrt'd distances so comparisons (and ties) match the oracle's
+    // list_distance ordering bit-for-bit; squared only at ADC time
+    val subDist = (a: Array[Double], aOff: Int, b: Array[Double], bOff: Int) => {
+      var acc = 0.0; var i = 0
+      while (i < dsub) {
+        val d = a(aOff + i) - b(bOff + i); acc += d * d; i += 1
+      }
+      math.sqrt(acc)
+    }
+    // dtab(s)(c): query's distance to centroid c in subspace s
+    val dtab = Array.tabulate(m, codes)((sp, c) => subDist(qv, sp * dsub, cb(c), sp * dsub))
+    val scored = e.as[(Long, Seq[Double])].map { case (id, vSeq) =>
+      val v = vSeq.toArray
+      var dist = 0.0
+      var sp = 0
+      while (sp < m) { // fixed ascending-s order, mirrored in the oracle
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < codes) {
+          val d = subDist(v, sp * dsub, cb(c), sp * dsub)
+          if (d < bestD) { bestD = d; best = c } // strict <: ties keep low c
+          c += 1
+        }
+        val ld = dtab(sp)(best)
+        dist += ld * ld
+        sp += 1
+      }
+      (id, dist)
+    }.toDF("vec_id", "dist")
+    scored.filter(col("vec_id") =!= queryId)
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("dist"), 4).as("adc"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
-    q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69)
+    q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
+    q70, q71, q72)
 }

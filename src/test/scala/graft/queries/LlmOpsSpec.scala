@@ -195,6 +195,65 @@ class LlmOpsSpec extends SparkSpec {
       s"trained-codebook recall $trainedRecall too low (exact=$exactTop)")
   }
 
+  test("q70 span dedup: 10-token spans, cross-doc only, top-k fuses (no global sort)") {
+    val res = LlmQueries.q70.run(spark, sf)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"top-20 did not fuse:\n$plan")
+    val rows = res.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getString(0).split(" ").length == 10, s"bad span: $r")
+      assert(r.getLong(1) >= 2, s"single-doc span leaked: $r")
+      assert(r.getLong(2) >= r.getLong(1), "occurrences < ndocs")
+    }
+  }
+
+  test("q71 BM25: postings filtered to the query terms before any shuffle") {
+    val res = LlmQueries.q71.run(spark, sf)
+    val rows = res.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)),
+      s"scores not descending: ${scores.toSeq}")
+    // scale shape: the exploded token stream is cut to the 3-term posting
+    // list by a Filter BELOW the first exchange — the corpus never
+    // shuffles. Generate→Filter→…→Exchange order is visible in the plan.
+    val plan = res.queryExecution.executedPlan.toString
+    val gen = plan.indexOf("Generate explode")
+    assert(gen >= 0, s"no explode in plan:\n$plan")
+    val filterAfter = plan.indexOf("Filter", gen)
+    val exchangeAfter = plan.indexOf("Exchange", gen)
+    assert(filterAfter >= 0 && (exchangeAfter < 0 || filterAfter < exchangeAfter),
+      s"term filter did not land between explode and the shuffle:\n$plan")
+  }
+
+  test("q72 PQ-ANN: ADC ranking reaches the recall floor of the pinned codebook") {
+    val res = LlmQueries.q72.run(spark, sf)
+    val got = res.collect()
+    assert(got.length == 5)
+    assert(!got.map(_.getLong(0)).contains(0L), "query vector in its own top-k")
+    val adcs = got.map(_.getDouble(1))
+    assert(adcs.sameElements(adcs.sorted), s"ADC not ascending: ${adcs.toSeq}")
+    // exact euclidean top-5 (the thing ADC approximates); 16 pinned codes
+    // per subspace give 0.4 recall on this corpus — compression-first
+    // quantization, the documented trade; trained sub-codebooks are the
+    // quality dial and change nothing downstream
+    val e = graft.Tables(spark, sf, "embeddings")
+      .withColumn("v", graft.functions.VectorOps.toDoubleVec(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    import spark.implicits._
+    val qv = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    val exact = e.filter(col("vec_id") =!= 0).as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - qv(i); acc += d * d; i += 1 }
+        (id, acc)
+      }.toDF("vec_id", "d2").orderBy(col("d2"), col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & got.map(_.getLong(0)).toSet).size / 5.0
+    assert(recall >= 0.4, s"PQ recall $recall below the pinned-codebook floor")
+  }
+
   test("hash-keyed dedup (16-byte shuffle keys) matches exact distinct (q29 scale variant)") {
     val exact = RelQueries.q29.run(spark, sf).head().getLong(0)
     val hashed = RelQueries.dedupHashKeyed(spark, sf).head().getLong(0)
