@@ -1529,7 +1529,67 @@ object LlmQueries {
       .select(col("vec_id"), round(col("dist"), 4).as("adc"))
   }
 
+  // ------------------------------------------- q73 n-gram LM quality
+  /** Perplexity-proxy quality filter: score every document under an
+    * add-one-smoothed bigram LM trained on the corpus itself, surface
+    * the lowest-likelihood documents (the repetitive/out-of-distribution
+    * junk a KenLM-style filter drops). Cross-engine float parity for a
+    * SUM of logs needs care — double addition is order-dependent and the
+    * engines aggregate in different orders — so each bigram's
+    * ln P(w2|w1) is rounded to integer MICRO-NATS first and the per-doc
+    * sum runs in exact BIGINT arithmetic (order-free); the only doubles
+    * compared cross-engine are one ln and one final exact-integer
+    * division per doc. 100 TB: unigram/bigram count tables are
+    * vocabulary-bounded partial aggregates, the score join shuffles on
+    * (w1, w2), and nothing touches the driver but the vocab size. */
+  val q73 = QueryDef(
+    "q73_lm_quality",
+    Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                        FROM documents),
+            uni AS (SELECT w, COUNT(*) AS c1
+                    FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+            vv AS (SELECT COUNT(*) AS v FROM uni),
+            db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                   FROM tk, unnest(range(1, len(t))) AS u(i)
+                   WHERE len(t) >= 2),
+            cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM db GROUP BY w1, w2),
+            terms AS (SELECT db.doc_id,
+                        CAST(ROUND(ln((cb.c2 + 1) / (uni.c1 + vv.v)) * 1e6, 0)
+                             AS BIGINT) AS term
+                      FROM db JOIN cb USING (w1, w2)
+                        JOIN uni ON uni.w = db.w1 CROSS JOIN vv),
+            d AS (SELECT doc_id, CAST(SUM(term) AS BIGINT) AS total,
+                         COUNT(*) AS n
+                  FROM terms GROUP BY doc_id)
+            SELECT doc_id, ROUND(total::DOUBLE / n / 1e6, 4) AS avg_logp
+            FROM d ORDER BY total::DOUBLE / n, doc_id LIMIT 10"""),
+    (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .localCheckpoint(true) // unigrams, bigrams, and V from one pass
+      val uni = tk.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val vocab = uni.count() // vocab size: the one driver-side scalar
+      val docBig = tk.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val cb = docBig.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      docBig.join(cb, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .select(col("doc_id"),
+          expr(s"CAST(ROUND(ln((c2 + 1) / (c1 + ${vocab}L)) * 1e6, 0) " +
+            "AS BIGINT)").as("term"))
+        .groupBy("doc_id")
+        .agg(sum(col("term")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("total").cast("double") / col("n"), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"),
+          round(col("total").cast("double") / col("n") / 1e6, 4).as("avg_logp"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72)
+    q70, q71, q72, q73)
 }

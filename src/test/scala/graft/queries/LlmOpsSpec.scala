@@ -254,6 +254,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall $recall below the pinned-codebook floor")
   }
 
+  test("q73 LM quality: bottom-k scores are negative log-probs, ascending, " +
+    "and integer micro-nat terms keep the doc sum order-free") {
+    val res = LlmQueries.q73.run(spark, sf)
+    val rows = res.collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ < 0), s"log-probs must be negative: ${scores.toSeq}")
+    assert(scores.sameElements(scores.sorted), s"not ascending: ${scores.toSeq}")
+    // add-one smoothing floor: ln(1/(c1+V)) bounds every term, so the avg
+    // can never go below -ln(corpus_tokens + V)
+    val tk = graft.Tables(spark, sf, "documents")
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("w"))
+    val floor = -math.log(tk.count().toDouble + tk.distinct().count().toDouble)
+    assert(scores.forall(_ >= floor), s"score under the smoothing floor $floor")
+  }
+
   test("hash-keyed dedup (16-byte shuffle keys) matches exact distinct (q29 scale variant)") {
     val exact = RelQueries.q29.run(spark, sf).head().getLong(0)
     val hashed = RelQueries.dedupHashKeyed(spark, sf).head().getLong(0)
