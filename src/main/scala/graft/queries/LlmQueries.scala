@@ -1067,14 +1067,16 @@ object LlmQueries {
       while (changed > 0 && rounds < 100) {
         val nbr = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
           .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nlbl"))
+        // the convergence flag rides the propagation pass itself (chg),
+        // so the fixpoint check is a filter-count over the checkpointed
+        // round output — no extra join against the previous labels
         val next = labels.join(nbr, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
           .localCheckpoint(true)
-        changed = next.join(
-          labels.withColumnRenamed("lbl", "old"), "doc_id")
-          .filter(col("lbl") < col("old")).count()
-        labels = next
+        changed = next.filter(col("chg")).count()
+        labels = next.select(col("doc_id"), col("lbl"))
         rounds += 1
       }
       labels.select(col("doc_id"), col("lbl").as("cluster")).orderBy("doc_id")
