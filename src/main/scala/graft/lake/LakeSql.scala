@@ -285,6 +285,28 @@ class LakeSql(val catalog: LakeCatalog) {
       t.dropBranch(bm.group(1))
       return status(s"Dropped branch ${bm.group(1)} from $db.$table")
     }
+    // Iceberg's write-order DDL: sugar over the write.sort-order
+    // property the append path already honors (task-local sort → tight
+    // footer bounds from day one). Names are validated HERE — the write
+    // path ignores unknown names rather than failing appends, so the
+    // DDL is where a typo must surface.
+    """(?is)^WRITE\s+ORDERED\s+BY\s+(.+?)\s*$""".r
+      .findFirstMatchIn(rest).foreach { om =>
+        val cols = om.group(1).split(",").map(_.trim.stripPrefix("(")
+          .stripSuffix(")").trim).filter(_.nonEmpty)
+        val unknown = cols.filterNot(c =>
+          t.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        if (cols.isEmpty || unknown.nonEmpty) throw new SqlParseException(
+          s"WRITE ORDERED BY: unknown column(s) ${unknown.mkString(", ")} " +
+            s"on $db.$table (schema: ${t.schema.fieldNames.mkString(", ")})")
+        t.setProperties(Map("write.sort-order" -> cols.mkString(",")))
+        return status(
+          s"Set write order ${cols.mkString(", ")} on $db.$table")
+      }
+    """(?is)^WRITE\s+UNORDERED\s*$""".r.findFirstMatchIn(rest).foreach { _ =>
+      t.setProperties(Map("write.sort-order" -> ""))
+      return status(s"Cleared write order on $db.$table")
+    }
     // Iceberg partition-spec evolution DDL (M36): future writes use the
     // amended spec; existing files keep their recorded values and prune
     // conservatively (transform parameters are part of the field key)

@@ -233,6 +233,27 @@ class LakeTable(
       withRowIds = false, deletes = Nil)
       .select(schema.fieldNames.map(col): _*)
 
+  /** Bounded-advance endpoint for RATE-LIMITED incremental consumers
+    * (the streaming source's `maxSnapshotsPerTrigger`): walking the
+    * parent chain from `fromExclusive` toward `toInclusive`, the
+    * snapshot id at most `maxSnapshots` chain steps ahead — the full
+    * range's end when it already fits the cap. Metadata-only (chain
+    * length is bounded by retained snapshots); same retention/branch
+    * error contract as [[readIncremental]]. At 100 TB this is what keeps
+    * a backfilling stream's micro-batches commit-sized instead of
+    * table-sized: a consumer resuming after a week of commits advances
+    * N snapshots per trigger, never one giant catch-up batch. */
+  def boundedIncrementalEnd(
+      fromExclusive: Option[Long],
+      toInclusive: Long,
+      maxSnapshots: Int): Long = {
+    require(maxSnapshots > 0,
+      s"maxSnapshots must be positive, got $maxSnapshots")
+    val (chain, _) = ancestorChain(fromExclusive, toInclusive)
+    if (chain.isEmpty) toInclusive
+    else chain.take(maxSnapshots).last.id
+  }
+
   /** File-level form of [[readIncremental]]: the data files added by
     * qualifying snapshots in `(fromExclusive, toInclusive]`, oldest
     * first. Metadata-only; no data I/O.

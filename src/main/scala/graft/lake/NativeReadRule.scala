@@ -60,22 +60,11 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
     * [[StatsPruning.filePredicate]] understands (attr-vs-literal; values
     * stay in internal form — `render` accepts UTF8String/numerics and
     * conservatively ignores what it can't convert). Anything else → None
-    * → that conjunct simply doesn't prune. */
-  private def toSource(e: Expression): Option[v1.Filter] = e match {
-    case cexp.EqualTo(a: Attribute, Literal(v, _)) => Some(v1.EqualTo(a.name, v))
-    case cexp.EqualTo(Literal(v, _), a: Attribute) => Some(v1.EqualTo(a.name, v))
-    case cexp.GreaterThan(a: Attribute, Literal(v, _)) => Some(v1.GreaterThan(a.name, v))
-    case cexp.GreaterThan(Literal(v, _), a: Attribute) => Some(v1.LessThan(a.name, v))
-    case cexp.GreaterThanOrEqual(a: Attribute, Literal(v, _)) => Some(v1.GreaterThanOrEqual(a.name, v))
-    case cexp.GreaterThanOrEqual(Literal(v, _), a: Attribute) => Some(v1.LessThanOrEqual(a.name, v))
-    case cexp.LessThan(a: Attribute, Literal(v, _)) => Some(v1.LessThan(a.name, v))
-    case cexp.LessThan(Literal(v, _), a: Attribute) => Some(v1.GreaterThan(a.name, v))
-    case cexp.LessThanOrEqual(a: Attribute, Literal(v, _)) => Some(v1.LessThanOrEqual(a.name, v))
-    case cexp.LessThanOrEqual(Literal(v, _), a: Attribute) => Some(v1.GreaterThanOrEqual(a.name, v))
-    case cexp.In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      Some(v1.In(a.name, vs.map(_.asInstanceOf[Literal].value).toArray))
-    case _ => None
-  }
+    * → that conjunct simply doesn't prune. Shared with the scoped-
+    * maintenance path via [[SourceFilters]], so native scans and
+    * `rewrite_data_files(where => …)` prune identically. */
+  private def toSource(e: Expression): Option[v1.Filter] =
+    SourceFilters.toSource(e)
 
   /** Metadata-level partition predicate from catalyst conjuncts.
     * Conjuncts translate to v1 filters through [[toSource]] (values stay

@@ -201,9 +201,23 @@ object Procedures {
     def associatedDeleteFiles(f: DataFileMeta): Int =
       posRefCounts.getOrElse(f.path, 0) + eqCountAbove(f.dataSequenceNumber)
 
-    val (rewriteSet, keep) =
-      if (rewriteAll) (t.dataFiles, Nil)
-      else t.dataFiles.partition(f => associatedDeleteFiles(f) >= threshold)
+    // `where` scopes the candidate set to files that MIGHT contain
+    // matching rows (partition pruning ∩ footer-stats skipping — the
+    // same conservative translation native scans use, via
+    // SourceFilters): partition-targeted maintenance on a 100 TB table
+    // compacts last week's partitions without touching the other 99%.
+    // Conservative is the only sound direction — an over-included file
+    // is just rewritten unnecessarily; excluded files are untouched and
+    // keep their delete files below.
+    val (candidates, outOfScope) = options.get("where") match {
+      case None => (t.dataFiles, Nil)
+      case Some(w) =>
+        t.dataFiles.partition(SourceFilters.scopePredicate(t, w))
+    }
+    val (rewriteSet, keepThresh) =
+      if (rewriteAll) (candidates, Nil)
+      else candidates.partition(f => associatedDeleteFiles(f) >= threshold)
+    val keep = keepThresh ++ outOfScope
     if (rewriteSet.isEmpty)
       return RewriteResult(t, 0, 0, 0)
 

@@ -39,7 +39,18 @@ import graft.streaming.StreamIngest
   * mutate existing rows instead of failing; see readIncremental),
   * `branch` (tail that branch's head instead of main — the read half of
   * streaming write-audit-publish; the sink takes the same option to
-  * land micro-batches on a branch).
+  * land micro-batches on a branch), `maxSnapshotsPerTrigger` (advance at
+  * most N commits per micro-batch — Iceberg's streaming rate limit; a
+  * consumer resuming behind a long commit history catches up in
+  * commit-sized batches instead of one table-sized batch).
+  *
+  * Rate-limit cursor: the last offset RETURNED (not just committed) is
+  * persisted under the stream's own `metadataPath` so a restarted query
+  * keeps capping from where it left off; if the cursor is lost, the cap
+  * recomputes from the checkpoint's committed offset at the next batch
+  * (getBatch self-heals the cursor) and an interim poll that lands at or
+  * behind the committed offset yields an EMPTY batch, never an inverted
+  * incremental range.
   *
   * Lives in the `org.apache.spark.sql` namespace because the V1
   * streaming `Source` trait (the only streaming API that lets a source
@@ -57,7 +68,36 @@ final class LakeStreamSource(
     table: String,
     startAfter: Option[Long],
     skipNonAppends: Boolean,
-    branch: Option[String]) extends Source {
+    branch: Option[String],
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    metadataPath: Option[String] = None) extends Source {
+
+  // ---- rate-limit cursor (only consulted when the cap is set) ----
+  private val cursorFile: Option[java.nio.file.Path] = metadataPath
+    .filter(_ => maxSnapshotsPerTrigger.isDefined)
+    .map(p => Paths.get(p.stripPrefix("file:")).resolve("graft-rate-cursor"))
+  private var lastReturned: Option[Long] = cursorFile.flatMap { f =>
+    try {
+      if (java.nio.file.Files.exists(f))
+        Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+  private def persistCursor(id: Long): Unit = cursorFile.foreach { f =>
+    try { // best effort: loss degrades to one empty batch, never wrong data
+      java.nio.file.Files.createDirectories(f.getParent)
+      val tmp = f.resolveSibling(s".graft-rate-cursor.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmp, id.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+  private def noteReturned(id: Long): Unit =
+    if (maxSnapshotsPerTrigger.isDefined && !lastReturned.exists(_ >= id)) {
+      lastReturned = Some(id)
+      persistCursor(id)
+    }
 
   /** Every poll re-checks the SELECT grant (same session-principal rule
     * as every other read surface — dispatcher, DSv2 scan, native
@@ -80,13 +120,22 @@ final class LakeStreamSource(
     * size. The incremental walk follows parent lineage, so a branch tail
     * delivers exactly the branch's commits. */
   override def getOffset: Option[OffsetV1] = {
-    val m = loadTable().meta
+    val t = loadTable()
+    val m = t.meta
     val cur = branch.fold(m.currentSnapshotId)(b =>
       m.branches.getOrElse(b, throw new IllegalArgumentException(
         s"graft-lake stream source: no branch $b on ${m.name} " +
           s"(branches: ${m.branches.keys.toSeq.sorted.mkString(", ")})")))
-    if (cur < 0 || startAfter.exists(_ >= cur)) None
-    else Some(LongOffset(cur))
+    // the cap advances from the last RETURNED offset (persisted), not
+    // the head — otherwise every poll would re-offer the whole backlog
+    val base = lastReturned.orElse(startAfter)
+    if (cur < 0 || base.exists(_ >= cur)) None
+    else {
+      val end = maxSnapshotsPerTrigger
+        .fold(cur)(n => t.boundedIncrementalEnd(base, cur, n))
+      noteReturned(end)
+      Some(LongOffset(end))
+    }
   }
 
   /** Offsets round-trip through the checkpoint as JSON; after restart
@@ -98,7 +147,18 @@ final class LakeStreamSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(snapshotId).orElse(startAfter)
-    val df = loadTable().readIncremental(from, snapshotId(end), skipNonAppends)
+    val endId = snapshotId(end)
+    // self-heal the rate cursor from the checkpoint's own range (a lost
+    // cursor otherwise re-caps from table start → an end at or behind
+    // the committed start; deliver that as an EMPTY batch rather than an
+    // inverted incremental range)
+    noteReturned(endId)
+    from.foreach(noteReturned)
+    if (from.exists(_ >= endId))
+      return session.internalCreateDataFrame(
+        session.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        schema, isStreaming = true)
+    val df = loadTable().readIncremental(from, endId, skipNonAppends)
     LakeStreamSource.asStreamingBatch(session, df)
   }
 
@@ -219,11 +279,19 @@ final class LakeStreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): Source = {
     val (cat, db, t) = resolve(sqlContext, parameters)
+    val cap = parameters.get("maxSnapshotsPerTrigger").map { v =>
+      val n = v.toInt
+      if (n <= 0) throw new IllegalArgumentException(
+        s"graft-lake source: maxSnapshotsPerTrigger must be positive, got $v")
+      n
+    }
     new LakeStreamSource(
       sqlContext.sparkSession.asInstanceOf[ClassicSession], cat, db, t,
       parameters.get("startSnapshotId").map(_.toLong),
       parameters.get("skipNonAppends").exists(_.toBoolean),
-      parameters.get("branch"))
+      parameters.get("branch"),
+      cap,
+      Some(metadataPath))
   }
 
   override def createSink(

@@ -88,6 +88,39 @@ class ProceduresSpec extends SparkSpec {
     assert(content(r.table) == content(t))
   }
 
+  test("where-scoped compaction rewrites only might-match files (partition " +
+    "pruning ∩ stats skipping), out-of-scope files byte-identical") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t = cat.createTable("db", "cw", schema, Seq("category"))
+      .append(df((1, "a", 10.0), (2, "a", 20.0)))
+      .append(df((3, "b", 30.0), (4, "b", 40.0)))
+      .append(df((5, "c", 50.0)))
+    val before = t.dataFiles.map(_.path).toSet
+    val bFiles = t.dataFiles.filter(_.partitionValues.get("category").contains("b"))
+      .map(_.path).toSet
+    assert(bFiles.nonEmpty && bFiles.size < before.size)
+
+    val r = Procedures.rewriteDataFiles(t,
+      Map("rewrite-all" -> "true", "where" -> "category = 'b'"))
+    val after = r.table.dataFiles.map(_.path).toSet
+    // b-partition files rewritten; every other file carried over untouched
+    assert((bFiles & after).isEmpty, "in-scope files must be replaced")
+    assert((before -- bFiles).subsetOf(after),
+      "out-of-scope files must carry over byte-identical")
+    assert(content(r.table) == content(t))
+
+    // a predicate matching nothing rewrites nothing
+    val r2 = Procedures.rewriteDataFiles(r.table,
+      Map("rewrite-all" -> "true", "where" -> "category = 'zzz'"))
+    assert(r2.rewrittenDataFiles == 0)
+
+    // a typo'd column fails loudly instead of silently scoping to nothing
+    intercept[Exception] {
+      Procedures.rewriteDataFiles(r.table,
+        Map("rewrite-all" -> "true", "where" -> "no_such_col = 1"))
+    }
+  }
+
   test("demo arc: strict v2 failure → upgrade + compact → strict success (demo.sh)") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val v2 = morTable(cat, "arc1")

@@ -92,6 +92,25 @@ class OpsSpec extends SparkSpec {
     assert(sql.run("SHOW TABLES", Some("mallory")).count() == 0)
   }
 
+  test("ALTER TABLE … WRITE ORDERED BY sets the sort property, validates " +
+    "names, and WRITE UNORDERED clears it") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.wo (id BIGINT, v BIGINT)")
+    sql.run("ALTER TABLE db.wo WRITE ORDERED BY v, id")
+    assert(sql.catalog.loadTable("db", "wo").get.meta.props
+      .get("write.sort-order").contains("v,id"))
+    // the DDL is where a typo must surface — the write path skips
+    // unknown names rather than failing appends
+    intercept[Exception] {
+      sql.run("ALTER TABLE db.wo WRITE ORDERED BY nope")
+    }
+    assert(sql.catalog.loadTable("db", "wo").get.meta.props
+      .get("write.sort-order").contains("v,id"), "failed DDL must not apply")
+    sql.run("ALTER TABLE db.wo WRITE UNORDERED")
+    assert(sql.catalog.loadTable("db", "wo").get.meta.props
+      .get("write.sort-order").forall(_.isEmpty))
+  }
+
   test("compaction's explicit clustering is not re-sorted by write.sort-order") {
     val sql = freshSql()
     // property says sort by v, but an explicit rewrite sort-order=a must

@@ -505,4 +505,47 @@ class StreamingSpec extends SparkSpec {
         == Seq(3, 4, 5), "startSnapshotId=1 must skip snapshot 1's rows")
     } finally q3.stop()
   }
+
+  test("graft-lake source rate limit: maxSnapshotsPerTrigger turns a commit " +
+    "backlog into commit-sized micro-batches, losing nothing") {
+    val wh = Files.createTempDirectory("graft-rl-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val s = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    def batch(rows: (Int, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), s)
+    // 5-commit backlog, one row per commit, BEFORE the stream starts —
+    // the cold-start catch-up case the cap exists for
+    var t = cat.createTable("db", "rl", s).append(batch((1, "a")))
+    (2 to 5).foreach { i =>
+      t = cat.loadTable("db", "rl").get.append(batch((i, "x")))
+    }
+
+    // metadata-level contract of the bounded endpoint itself
+    val lake = cat.loadTable("db", "rl").get
+    val ids = lake.meta.snapshots.map(_.id).sorted
+    assert(lake.boundedIncrementalEnd(None, ids.last, 100) == ids.last,
+      "a cap wider than the range must return the range end")
+    assert(lake.boundedIncrementalEnd(None, ids.last, 2) == ids(1),
+      "from table start, a cap of 2 must stop at the second snapshot")
+    assert(lake.boundedIncrementalEnd(Some(ids(1)), ids.last, 2) == ids(3),
+      "the cap must advance along the parent chain from the start bound")
+
+    val q = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.rl")
+      .option("maxSnapshotsPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("rl_tail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rl_tail").collect().map(_.getInt(0)).sorted.toSeq
+        == (1 to 5), "rate limiting must never drop or duplicate rows")
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(sizes.length >= 3,
+        s"5 commits at cap 2 need >= 3 micro-batches, got $sizes")
+      assert(sizes.forall(_ <= 2),
+        s"a micro-batch exceeded the 2-commit cap: $sizes")
+    } finally q.stop()
+  }
 }
