@@ -328,8 +328,32 @@ class LakeMetaV2Table(
 
 class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns with SupportsRowLevelOperations {
+    with SupportsMetadataColumns with SupportsRowLevelOperations
+    with SupportsDelete {
   import LakeV2Table._
+
+  /** Iceberg's metadata DELETE on the native path: when every file the
+    * predicate might touch is provably all-match (identity-partition
+    * equality/IN proof — [[LakeTable.metadataDeleteSet]]), Spark's
+    * OptimizeMetadataOnlyDeleteFromTable converts the row-level plan
+    * into this filter delete: one metadata commit dropping whole files,
+    * no scan, no delta writes. canDeleteWhere answers on the
+    * analysis-time handle; deleteWhere re-proves on a FRESH reload so a
+    * commit landing in between can never widen the delete — a proof that
+    * no longer holds fails loudly (retryable), exactly like the delta
+    * paths' CAS. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedSnapshot.isEmpty && t.metadataDeleteSet(filters.toSeq).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requirePerm("DELETE")
+    val fresh = t.reloaded()
+    fresh.metadataDeleteIfProvable(filters.toSeq).getOrElse(
+      throw new IllegalStateException(
+        s"metadata DELETE on ${t.name}: the whole-file proof no longer " +
+          "holds after reload (a concurrent commit changed the file " +
+          "set) — retry the statement"))
+  }
 
   // NativeReadRule swaps eligible SQL reads onto LakeTable.read()'s plan
   private[lake] def lakeTable: LakeTable = t

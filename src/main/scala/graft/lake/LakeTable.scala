@@ -1119,10 +1119,87 @@ class LakeTable(
 
   // ------------------------------------------------------------------- DML
 
-  /** DELETE FROM … WHERE cond (M4): merge-on-read writes a position-delete
-    * file; copy-on-write rewrites affected data files. */
-  def delete(cond: Column): LakeTable =
-    if (isMorDelete) morDelete(cond, None) else cowRewrite(cond, None)
+  /** DELETE FROM … WHERE cond (M4): a predicate provably covering whole
+    * files commits METADATA-ONLY (the files drop from the live set — no
+    * scan, no rewrite, no delete files; Iceberg's metadata delete and
+    * the shape "drop last month from a 100 TB table" must take);
+    * otherwise merge-on-read writes a position-delete file and
+    * copy-on-write rewrites affected data files. */
+  def delete(cond: Column): LakeTable = {
+    // Resolve the predicate against an empty LocalRelation probe: Spark 4
+    // Columns carry UnresolvedFunction('=') nodes, and only analysis
+    // turns them into the EqualTo/In shapes the proof matches. Zero I/O;
+    // an unanalyzable condition just forfeits the metadata path and the
+    // row-level paths raise their canonical error.
+    val conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      try {
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .filter(cond)
+        probe.queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.map(SourceFilters.splitConjuncts).getOrElse(Nil)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    val translated = conjuncts.map(SourceFilters.toSource)
+    // the proof needs EVERY conjunct represented — a dropped conjunct
+    // would widen the delete, so any untranslatable part forfeits the
+    // metadata path entirely
+    val asFilters = if (translated.forall(_.isDefined)) translated.flatten else Nil
+    (if (asFilters.nonEmpty) metadataDeleteIfProvable(asFilters) else None)
+      .getOrElse(if (isMorDelete) morDelete(cond, None) else cowRewrite(cond, None))
+  }
+
+  /** Iceberg's metadata DELETE: Some(committed table) when every file
+    * the filters might touch is PROVABLY all-match — each conjunct an
+    * equality/IN literal on an IDENTITY partition column whose rendered
+    * file value equals a rendered literal. Identity rendering is
+    * injective over non-null values and the ambiguous hive-default token
+    * (null OR empty string) never proves, so a proven file contains ONLY
+    * rows where the predicate is TRUE — NULL-predicate rows (which must
+    * survive a SQL DELETE) cannot exist in it. Transformed partitions
+    * (bucket/truncate/time) are many-to-one and never prove. Also the
+    * DSv2 `SupportsDelete.deleteWhere` body. Any doubt → None → the
+    * row-level paths own correctness. */
+  private[lake] def metadataDeleteIfProvable(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[LakeTable] =
+    metadataDeleteSet(filters).map { case (drop, keep) =>
+      commitSnapshot(newSnapshot("delete", keep, deleteFiles,
+        Map("removed-data-files" -> drop.size.toString,
+          "metadata-delete" -> "true")))
+    }
+
+  /** Dry-run half of the metadata-delete proof (also the DSv2
+    * `canDeleteWhere` body): Some((drop, keep)) when the proof holds,
+    * None otherwise. Pure — commits nothing. */
+  private[lake] def metadataDeleteSet(
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(Seq[DataFileMeta], Seq[DataFileMeta])] = {
+    import org.apache.spark.sql.{sources => v1}
+    if (filters.isEmpty) return None
+    val idents: Map[String, PartitionTransform] = transforms.collect {
+      case t: PartitionTransforms.Identity => t.sourceCol.toLowerCase -> t
+    }.toMap
+    def proveIn(f: DataFileMeta, c: String, vs: Seq[Any]): Boolean =
+      idents.get(c.toLowerCase).exists { tr =>
+        f.partitionValues.get(tr.fieldName) match {
+          case Some(pv) if pv != PartitionRender.HiveDefault =>
+            vs.flatMap(tr.eqValue).contains(pv)
+          case _ => false
+        }
+      }
+    def proves(f: DataFileMeta, flt: v1.Filter): Boolean = flt match {
+      case v1.EqualTo(c, v) => proveIn(f, c, Seq(v))
+      case v1.In(c, vs) => proveIn(f, c, vs.toSeq)
+      case _ => false
+    }
+    // might-match bound: the same conservative pruning scans use; every
+    // file outside it provably holds no matching row and simply stays
+    val pp = PartitionPruning.predicate(transforms, filters)
+    val sp = StatsPruning.filePredicate(schema, filters)
+    val (drop, keep) = dataFiles.partition(f => pp(f.partitionValues) && sp(f))
+    if (drop.isEmpty || !drop.forall(f => filters.forall(proves(f, _)))) None
+    else Some((drop, keep))
+  }
 
   /** UPDATE … SET assignments WHERE cond (M5): MoR emits one commit with a
     * position-delete file + appended rewritten rows (J3); CoW rewrites the

@@ -423,6 +423,40 @@ class ExtensionsSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq == Seq(2, 3))
   }
 
+  test("native partition DELETE is metadata-only via SupportsDelete: no " +
+    "delta writers, no delete files, whole files drop") {
+    val wh = Files.createTempDirectory("graft-mdel-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.mdel (id INT, category STRING)
+      PARTITIONED BY (category) TBLPROPERTIES (
+      'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.mdel VALUES (1, 'a'), (2, 'b'), (3, 'b'), (4, 'c')")
+    val before = sql.catalog.loadTable("db", "mdel").get
+    val keepPaths = before.dataFiles
+      .filterNot(_.partitionValues.get("category").contains("b")).map(_.path).toSet
+
+    // Spark's OptimizeMetadataOnlyDeleteFromTable converts the row-level
+    // plan to a filter delete when canDeleteWhere proves whole files
+    spark.sql("DELETE FROM lake.db.mdel WHERE category = 'b'")
+
+    val after = sql.catalog.loadTable("db", "mdel").get
+    assert(after.meta.snapshots.last.summary.get("metadata-delete").contains("true"),
+      "partition-covering native DELETE must take the metadata path")
+    assert(after.deleteFiles.isEmpty,
+      "metadata path on a MoR table must mint no delete files")
+    assert(after.dataFiles.map(_.path).toSet == keepPaths)
+    assert(spark.sql("SELECT id FROM lake.db.mdel ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 4))
+
+    // a non-partition conjunct keeps the row-level path (position deletes)
+    spark.sql("DELETE FROM lake.db.mdel WHERE category = 'a' AND id = 1")
+    val after2 = sql.catalog.loadTable("db", "mdel").get
+    assert(!after2.meta.snapshots.last.summary.get("metadata-delete").contains("true"))
+    assert(after2.deleteFiles.nonEmpty)
+    assert(spark.sql("SELECT id FROM lake.db.mdel").collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+  }
+
   test("DSv2 catalog: mixed write modes — MoR UPDATE deltas compose with CoW DELETE swaps") {
     val wh = Files.createTempDirectory("graft-mix-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))

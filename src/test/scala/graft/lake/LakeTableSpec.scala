@@ -30,6 +30,10 @@ class LakeTableSpec extends SparkSpec {
         rows.map { case (i, c, a) => Row(i, c, a) }, 1),
       schema)
 
+  private def dfNullCat(id: Int, a: Double): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(id, null, a)), 1), schema)
+
   private val sixRows = Seq(
     (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0),
     (4, "b", 40.0), (5, "c", 50.0), (6, "c", 60.0))
@@ -233,6 +237,45 @@ class LakeTableSpec extends SparkSpec {
     assert(ex.getMessage.contains("concurrent commit"))
     assert(Meta.currentVersion(loc).get == v, "hint must not move to garbage")
     assert(t.reloaded().read().count() == 1, "reads at vN must keep working")
+  }
+
+  test("DELETE covering whole identity partitions is metadata-only: files " +
+    "drop with no scan, no rewrite, no delete files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    for ((name, props) <- Seq("md_cow" -> Map.empty[String, String],
+                              "md_mor" -> morProps)) {
+      val t0 = cat.createTable("db", name, schema, Seq("category"), props)
+        .append(df((1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0), (4, "c", 4.0)))
+      val before = t0.dataFiles.map(_.path).toSet
+      val bPaths = t0.dataFiles
+        .filter(_.partitionValues.get("category").contains("b")).map(_.path).toSet
+      assert(bPaths.nonEmpty)
+
+      val t1 = t0.delete(col("category") === "b")
+      assert(t1.meta.snapshots.last.summary.get("metadata-delete").contains("true"),
+        s"$name: partition-covering DELETE must take the metadata path")
+      assert(t1.deleteFiles.isEmpty, s"$name: no delete files on the metadata path")
+      assert(t1.dataFiles.map(_.path).toSet == before -- bPaths,
+        s"$name: surviving files must be the untouched originals")
+      assert(ids(t1) == Seq(1, 4))
+
+      // a conjunct outside the partition proof falls back to row-level
+      val t2 = t1.delete(col("category") === "a" && col("id") === 1)
+      assert(!t2.meta.snapshots.last.summary.get("metadata-delete").contains("true"),
+        s"$name: partial-file DELETE must not claim the metadata path")
+      assert(ids(t2) == Seq(4))
+    }
+
+    // NULL partition rows render as the ambiguous hive-default token:
+    // partition pruning keeps that file conservatively, the proof can
+    // never claim it, and the DELETE falls back to row-level — never a
+    // swept-away null row
+    val tn = cat.createTable("db", "md_null", schema, Seq("category"))
+      .append(df((1, "b", 1.0))).append(dfNullCat(2, 2.0))
+    val t3 = tn.delete(col("category") === "b")
+    assert(!t3.meta.snapshots.last.summary.get("metadata-delete").contains("true"),
+      "an ambiguous hive-default partition must forfeit the metadata path")
+    assert(ids(t3) == Seq(2), "the null-partition row must survive")
   }
 
   test("upsertByKey is refused on a copy-on-write table") {
