@@ -443,6 +443,11 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
               if (replace || overwrite) requirePerm("DELETE")
               requirePerm("INSERT")
               val cur = t.reloaded()
+              // dynamic partition overwrite can't reach here: the V1
+              // write bridge has no dynamic exec, so Spark refuses the
+              // statement at analysis (TableCapabilityCheck) — the
+              // dispatcher and overwriteDynamic() are the surfaces that
+              // carry those semantics
               if (replace || overwrite) cur.overwrite(data) else cur.append(data)
             }
           }

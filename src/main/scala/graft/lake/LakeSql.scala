@@ -177,7 +177,12 @@ class LakeSql(val catalog: LakeCatalog) {
     val aligned = raw.select(raw.columns.zip(t.schema.fields).map {
       case (c, f) => col(c).cast(f.dataType).as(f.name)
     }.toSeq: _*)
-    val t2 = t.overwrite(aligned)
+    // Spark's standard partition-overwrite knob selects the dynamic
+    // semantics (replace only touched partitions) on partitioned tables
+    val dynamic = spark.conf
+      .get("spark.sql.sources.partitionOverwriteMode", "static")
+      .equalsIgnoreCase("dynamic")
+    val t2 = if (dynamic) t.overwriteDynamic(aligned) else t.overwrite(aligned)
     status(s"Overwrote $db.$table (${added(t2)} row(s))")
   }
 

@@ -1112,6 +1112,34 @@ class LakeTable(
       m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
   }
 
+  /** DYNAMIC partition overwrite (Iceberg's
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` semantics):
+    * replace ONLY the partitions the incoming data touches — the
+    * backfill shape at 100 TB, where recomputing one day must not
+    * vaporize the other 99%. The incoming rows are written first; the
+    * distinct partition tuples they actually landed in (recorded on the
+    * new files' metadata — same rendering as pruning, by construction)
+    * select which existing files drop, all in ONE commit. Files recorded
+    * under an EVOLVED spec have different partition keys, never match a
+    * new tuple, and are conservatively kept — rewrite_data_files
+    * re-localizes them. Unpartitioned tables degrade to the static
+    * whole-table overwrite. */
+  def overwriteDynamic(df: DataFrame): LakeTable = {
+    if (transforms.isEmpty) return overwrite(df)
+    val start = if (meta.nextRowId >= 0) meta.nextRowId else meta.computedNextRowId
+    val files = writeDataFiles(df, start, nextSeq)
+    if (files.isEmpty) return this // no incoming rows → no partition replaced
+    val written = files.map(_.rowCount).sum
+    val touched = files.map(_.partitionValues).toSet
+    val (replaced, kept) = dataFiles.partition(f => touched.contains(f.partitionValues))
+    commitSnapshot(
+      newSnapshot("overwrite", kept ++ files, deleteFiles,
+        Map("added-records" -> written.toString,
+          "replaced-data-files" -> replaced.size.toString,
+          "dynamic-overwrite" -> "true")),
+      m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
+  }
+
   /** TRUNCATE TABLE: a commit with no live files. */
   def truncate(): LakeTable =
     commitSnapshot(newSnapshot("truncate", Nil, Nil,

@@ -34,7 +34,15 @@ class CommitConflictException(msg: String) extends IllegalStateException(msg)
   * rendered as strings; interpretation is typed by the table schema.
   * Absent entries (complex/decimal/temporal columns, footer stats
   * missing) mean "unknown" and never cause a skip. */
-final case class ColStats(min: String, max: String)
+/** Per-file column statistics. `nulls` is the file's null count for the
+  * column (-1 = unknown; enables IS NULL / IS NOT NULL file skipping);
+  * `bounded = false` marks an entry carrying ONLY a null count — e.g. an
+  * all-null column has no min/max but a decisive null count — whose
+  * min/max placeholders must never drive range checks. Both fields
+  * default for pre-r8 metadata JSON (jackson fills case-class
+  * defaults). */
+final case class ColStats(
+    min: String, max: String, nulls: Long = -1L, bounded: Boolean = true)
 
 final case class DataFileMeta(
     path: String,

@@ -31,6 +31,11 @@ private[lake] object SourceFilters {
     case cexp.LessThanOrEqual(Literal(v, _), a: Attribute) => Some(v1.GreaterThanOrEqual(a.name, v))
     case cexp.In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       Some(v1.In(a.name, vs.map(_.asInstanceOf[Literal].value).toArray))
+    // null checks prune via footer null counts (IS NULL skips null-free
+    // files; IS NOT NULL skips all-null files) — partition pruning
+    // ignores them, StatsPruning consumes them
+    case cexp.IsNull(a: Attribute) => Some(v1.IsNull(a.name))
+    case cexp.IsNotNull(a: Attribute) => Some(v1.IsNotNull(a.name))
     case _ => None
   }
 

@@ -85,6 +85,11 @@ object StatsPruning {
     locally {
       val acc = scala.collection.mutable.Map[String, (String, String)]()
       var statless = Set.empty[String] // any chunk without stats → unknown
+      // null counts accumulate independently of bounds: an all-null
+      // column records no min/max but a decisive null count, which is
+      // exactly the case IS NOT NULL skipping needs
+      val nullAcc = scala.collection.mutable.Map[String, Long]()
+      var nullless = Set.empty[String] // any chunk without a count → unknown
       for {
         block <- footer.getBlocks.asScala
         chunk <- block.getColumns.asScala
@@ -92,6 +97,8 @@ object StatsPruning {
         dt <- byName.get(name) if eligible(dt)
       } {
         val s = chunk.getStatistics
+        if (s == null || !s.isNumNullsSet || s.getNumNulls < 0) nullless += name
+        else nullAcc(name) = nullAcc.getOrElse(name, 0L) + s.getNumNulls
         // the statistics class must MATCH the Spark type's expected
         // physical encoding — e.g. an INT96 timestamp surfaces binary
         // stats whose bytes are not epoch-ordered; typed mismatches
@@ -134,7 +141,16 @@ object StatsPruning {
             acc(name) = merged
         }
       }
-      (acc -- statless).map { case (n, (lo, hi)) => n -> ColStats(lo, hi) }.toMap
+      val bounds = (acc -- statless).map {
+        case (n, (lo, hi)) => n -> (lo, hi)
+      }.toMap
+      val nulls = (nullAcc -- nullless).toMap
+      (bounds.keySet ++ nulls.keySet).map { n =>
+        val (lo, hi) = bounds.getOrElse(n, ("", ""))
+        n -> ColStats(lo, hi,
+          nulls = nulls.getOrElse(n, -1L),
+          bounded = bounds.contains(n))
+      }.toMap
     }
   }
 
@@ -194,10 +210,25 @@ object StatsPruning {
         case _ => None // unsupported shapes never skip
       }
 
+    // null-count checks are independent of bounds and of type
+    // eligibility (a null count is decisive for ANY column type):
+    // IS NULL skips a file with zero nulls; IS NOT NULL skips a file
+    // that is entirely null for the column (rowCount on the file meta)
+    val nullChecks: Seq[(String, (Long, Long) => Boolean)] = filters.collect {
+      case IsNull(c) => (c, (nulls: Long, _: Long) => nulls > 0)
+      case IsNotNull(c) => (c, (nulls: Long, rows: Long) => nulls < rows)
+    }
+
     f => checks.forall { case (c, _, survives) =>
       f.stats.get(c) match {
         case None => true // unknown bounds → conservative keep
-        case Some(ColStats(lo, hi)) => survives(lo, hi)
+        case Some(cs) if !cs.bounded => true // null-count-only entry
+        case Some(ColStats(lo, hi, _, _)) => survives(lo, hi)
+      }
+    } && nullChecks.forall { case (c, survives) =>
+      f.stats.get(c) match {
+        case Some(cs) if cs.nulls >= 0 => survives(cs.nulls, f.rowCount)
+        case _ => true // unknown null count → conservative keep
       }
     }
   }

@@ -457,6 +457,54 @@ class ExtensionsSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq == Seq(4))
   }
 
+  test("dynamic partition overwrite replaces only touched partitions on " +
+    "both SQL surfaces; static mode still replaces everything") {
+    val wh = Files.createTempDirectory("graft-dyn-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.dyn (id INT, category STRING)
+      PARTITIONED BY (category)""")
+    sql.run("INSERT INTO db.dyn VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val before = sql.catalog.loadTable("db", "dyn").get
+    val untouched = before.dataFiles
+      .filterNot(_.partitionValues.get("category").contains("b")).map(_.path).toSet
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // dispatcher surface: only partition b is replaced
+      sql.run("INSERT OVERWRITE db.dyn VALUES (20, 'b'), (21, 'b')")
+      val t1 = sql.catalog.loadTable("db", "dyn").get
+      assert(t1.meta.snapshots.last.summary.get("dynamic-overwrite").contains("true"))
+      assert(untouched.subsetOf(t1.dataFiles.map(_.path).toSet),
+        "untouched partitions must carry over byte-identical")
+      assert(sql.run("SELECT id FROM db.dyn ORDER BY id").collect()
+        .map(_.getInt(0)).toSeq == Seq(1, 3, 20, 21))
+
+      // the native surface rides the V1 write bridge, which has no
+      // dynamic-overwrite exec — Spark refuses with its standard
+      // unsupported error instead of silently doing a static replace
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT OVERWRITE lake.db.dyn VALUES (30, 'c')")
+      }
+      assert(ex.getMessage.contains("dynamic overwrite"))
+      // the engine API serves the same semantics directly
+      val t2 = sql.catalog.loadTable("db", "dyn").get
+        .overwriteDynamic(spark.sql("SELECT 30 AS id, 'c' AS category"))
+      assert(t2.meta.snapshots.last.summary.get("dynamic-overwrite").contains("true"))
+      assert(sql.run("SELECT id FROM db.dyn ORDER BY id").collect()
+        .map(_.getInt(0)).toSeq == Seq(1, 20, 21, 30))
+
+      // prior state stays time-travelable
+      assert(sql.run(s"SELECT id FROM db.dyn VERSION AS OF " +
+        s"${before.currentSnapshot.get.id} ORDER BY id").collect()
+        .map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    // static (default) replaces the whole table
+    sql.run("INSERT OVERWRITE db.dyn VALUES (40, 'z')")
+    assert(sql.run("SELECT id FROM db.dyn").collect()
+      .map(_.getInt(0)).toSeq == Seq(40))
+  }
+
   test("DSv2 catalog: mixed write modes — MoR UPDATE deltas compose with CoW DELETE swaps") {
     val wh = Files.createTempDirectory("graft-mix-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))

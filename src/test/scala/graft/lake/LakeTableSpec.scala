@@ -239,6 +239,39 @@ class LakeTableSpec extends SparkSpec {
     assert(t.reloaded().read().count() == 1, "reads at vN must keep working")
   }
 
+  test("null-count stats: IS NULL skips null-free files, IS NOT NULL skips " +
+    "all-null files, and readPruned proves it by vaporizing skipped files") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    def dfAmt(rows: (Int, java.lang.Double)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (i, a) => Row(i, "x", a) }, 1),
+        schema)
+    val t = cat.createTable("db", "nulls", schema)
+      .append(dfAmt(1 -> 1.0, 2 -> 2.0))            // null-free
+      .append(dfAmt(3 -> null, 4 -> null))          // all-null
+      .append(dfAmt(5 -> 5.0, 6 -> null))           // mixed
+    // snapshots carry cumulative listings; the three appended files are
+    // the live set in row-id order
+    val Seq(fFull, fNull, fMix) = t.dataFiles.sortBy(_.firstRowId)
+
+    import org.apache.spark.sql.sources.{IsNotNull, IsNull}
+    val onlyNulls = StatsPruning.filePredicate(schema, Seq(IsNull("amount")))
+    assert(!onlyNulls(fFull), "IS NULL must skip the null-free file")
+    assert(onlyNulls(fNull) && onlyNulls(fMix))
+    val nonNulls = StatsPruning.filePredicate(schema, Seq(IsNotNull("amount")))
+    assert(!nonNulls(fNull), "IS NOT NULL must skip the all-null file")
+    assert(nonNulls(fFull) && nonNulls(fMix))
+
+    // vaporized-file proof: the skipped file is DELETED from disk, so a
+    // correct answer is only possible if pruning truly never opens it
+    java.nio.file.Files.delete(java.nio.file.Paths.get(fFull.path))
+    val got = t.readPruned(Seq(IsNull("amount")))
+      .filter(col("amount").isNull).select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(3, 4, 6))
+  }
+
   test("DELETE covering whole identity partitions is metadata-only: files " +
     "drop with no scan, no rewrite, no delete files") {
     val cat = freshCatalog(); cat.createNamespace("db")
@@ -409,9 +442,14 @@ class LakeTableSpec extends SparkSpec {
     // string bounds prune too
     assert(t.read(fileFilter = StatsPruning.filePredicate(
       schema, Seq(EqualTo("category", "a")))).inputFiles.length == 1)
+    // IS NULL is now decisive via footer null counts: no row of either
+    // file has a null category, so both files skip (r8 null-count stats)
+    assert(t.read(fileFilter = StatsPruning.filePredicate(
+      schema, Seq(IsNull("category")))).inputFiles.isEmpty)
     // conservative: unsupported filter shapes never skip
     assert(t.read(fileFilter = StatsPruning.filePredicate(
-      schema, Seq(IsNull("category")))).inputFiles.length == 2)
+      schema, Seq(org.apache.spark.sql.sources.StringStartsWith("category", "a"))))
+      .inputFiles.length == 2)
   }
 
   test("stats pruning never changes results (random predicates property)") {
