@@ -78,6 +78,32 @@ private[lake] object LakeProcedures {
             Procedures.addFiles(t, in.getUTF8String(1).toString)
           Array(row(nFiles, nRows))
         }))
+      // snapshot CREATES its target (zero-copy adoption of an external
+      // parquet source), so it cannot ride `proc`'s load-existing path
+      case "snapshot" => Some(new UnboundProcedure {
+        override def name(): String = "snapshot"
+        override def description(): String = "graft lake procedure snapshot"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "snapshot"
+            override def description(): String = "graft lake procedure snapshot"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              TableParam, ProcedureParameter.in("source", StringType).build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow): java.util.Iterator[Scan] = {
+              val (db, table) =
+                LakeSql.splitName(input.getUTF8String(0).toString)
+              val (_, nFiles, nRows) = Procedures.snapshotTable(
+                cat, db, table, input.getUTF8String(1).toString)
+              java.util.List.of[Scan](new LocalScan {
+                override def readSchema(): StructType = StructType(Seq(
+                  StructField("added_files_count", IntegerType),
+                  StructField("added_records_count", LongType)))
+                override def rows(): Array[InternalRow] = Array(row(nFiles, nRows))
+              }).iterator()
+            }
+          }
+      })
       case "rewrite_position_delete_files" => Some(proc(cat, principal,
         "rewrite_position_delete_files",
         Seq(TableParam),
@@ -149,8 +175,8 @@ private[lake] object LakeProcedures {
 
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "remove_orphan_files", "repair_v3_metadata",
-    "rewrite_position_delete_files", "add_files", "rollback_to_snapshot",
-    "fast_forward", "create_changelog_view")
+    "rewrite_position_delete_files", "add_files", "snapshot",
+    "rollback_to_snapshot", "fast_forward", "create_changelog_view")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

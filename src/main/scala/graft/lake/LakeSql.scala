@@ -374,6 +374,16 @@ class LakeSql(val catalog: LakeCatalog) {
     val (db, table) = splitName(unquote(args.getOrElse("table",
       throw new SqlParseException("CALL missing table => …"))))
     val procName = m.group(1).toLowerCase
+    // snapshot CREATES its target, so it runs before the exists-gated
+    // perm check/load — table creation is ungated, like CREATE TABLE
+    if (procName == "snapshot") {
+      val source = unquote(args.getOrElse("source",
+        throw new SqlParseException("snapshot needs source => '<path>'")))
+      val (t2, nFiles, nRows) = Procedures.snapshotTable(catalog, db, table, source)
+      import catalog.spark.implicits._
+      return Seq((t2.name, nFiles, nRows))
+        .toDF("table_name", "added_files_count", "added_records_count")
+    }
     // maintenance procedures mutate the table (ALTER); the changelog view
     // is a read and gates like one
     requirePerm(p, db, table,

@@ -346,6 +346,31 @@ object Procedures {
     (t2, files.size, added)
   }
 
+  /** Iceberg's `snapshot` procedure, path-source form: CREATE a new lake
+    * table with the schema read from the source's parquet footers, then
+    * adopt every file metadata-only (M38 add_files) — zero-copy
+    * onboarding of an external dataset as a governed table in ONE call.
+    * File ownership stays external (DROP TABLE / orphan GC never delete
+    * adopted files), so the source remains intact — the non-destructive
+    * sibling of a `migrate`. The schema comes from the FIRST file's
+    * footer; add_files then gates every file individually against it, so
+    * a heterogeneous directory fails loudly per file, never silently
+    * projecting columns away. */
+  def snapshotTable(cat: LakeCatalog, db: String, table: String,
+      source: String): (LakeTable, Int, Long) = {
+    val src = java.nio.file.Paths.get(source)
+    val files =
+      if (java.nio.file.Files.isDirectory(src)) LakeTable.listParquetFiles(src)
+      else Seq(src)
+    if (files.isEmpty) throw new IllegalArgumentException(
+      s"snapshot: no parquet files under $source")
+    val conf = cat.spark.sessionState.newHadoopConf()
+    val schema = StatsPruning.readFooter(conf, files.head,
+      new org.apache.spark.sql.types.StructType()).schema
+    val t = cat.createTable(db, table, schema)
+    addFiles(t, source)
+  }
+
   def rewritePositionDeleteFiles(t: LakeTable): (LakeTable, Int, Int) =
     t.consolidatePositionDeletes()
 

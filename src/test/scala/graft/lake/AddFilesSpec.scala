@@ -168,6 +168,40 @@ class AddFilesSpec extends SparkSpec {
     assert(expired.table.read().count() == 3)
   }
 
+  test("CALL snapshot creates + adopts in one call on both surfaces, " +
+    "schema from the source footers, source untouched") {
+    val wh = Files.createTempDirectory("graft-snapp-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.catalog.createNamespace("db")
+    val srcDir = s"$sf/region.parquet"
+    val srcCount = spark.read.parquet(srcDir).count()
+
+    // dispatcher surface
+    val res = sql.run(s"CALL snapshot(table => db.snapr, source => '$srcDir')")
+    assert(res.collect().head.getInt(1) >= 1)
+    val t = sql.catalog.loadTable("db", "snapr").get
+    assert(t.schema.fieldNames.toSeq ==
+      spark.read.parquet(srcDir).schema.fieldNames.toSeq,
+      "schema must come from the source footers")
+    assert(t.read().count() == srcCount)
+    assert(t.currentSnapshot.get.summary.get("adopted").contains("true"),
+      "snapshot must be a zero-copy adoption, not a rewrite")
+
+    // native CALL surface
+    spark.conf.set(LakeExtensions.WarehouseConf, wh.toString)
+    val res2 = spark.sql(
+      s"CALL lake.system.snapshot(table => 'db.snapr2', source => '$srcDir')")
+    assert(res2.collect().head.getLong(1) == srcCount)
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.snapr2").head().getLong(0)
+      == srcCount)
+
+    // the source files are still there and still owned externally
+    assert(spark.read.parquet(srcDir).count() == srcCount)
+    sql.run("DROP TABLE db.snapr")
+    assert(spark.read.parquet(srcDir).count() == srcCount,
+      "DROP of a snapshot table must never delete the external source")
+  }
+
   test("DROP TABLE leaves adopted files on disk (external ownership)") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val ext = Files.createTempDirectory("graft-af-ext")
