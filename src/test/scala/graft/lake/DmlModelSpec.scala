@@ -136,9 +136,24 @@ class DmlModelSpec extends SparkSpec {
               assert(past == prevModel.sorted,
                 s"trial=$trial step=$step: overwrite broke time travel")
             }
-          case 7 => // TRUNCATE: empty live state, table stays writable
-            table = table.truncate()
-            model = Vector.empty
+          case 7 => // dynamic partition overwrite OR truncate: dynamic
+            // replaces exactly the partitions the batch touches (M43);
+            // rows of untouched categories must survive byte-identically
+            if (rnd.nextBoolean()) {
+              val touched = (0 until 1 + rnd.nextInt(2))
+                .map(_ => cats(rnd.nextInt(3))).distinct
+              val rows = touched.flatMap { c =>
+                (0 until 1 + rnd.nextInt(2)).map { _ =>
+                  nextId += 1
+                  (nextId, c, (rnd.nextInt(1000) + 1).toDouble)
+                }
+              }
+              table = table.overwriteDynamic(toDf(rows))
+              model = model.filterNot(r => touched.contains(r._2)) ++ rows
+            } else {
+              table = table.truncate()
+              model = Vector.empty
+            }
           case 8 => // equality upsert by id (unique source keys): every
             // older copy of a key disappears, the new row lands — one
             // commit, no target read (M31)
