@@ -1362,6 +1362,34 @@ object LlmQueries {
       .orderBy(col("ndocs").desc, col("occurrences").desc, col("span"))
       .limit(20))
 
+  /** q70's 100 TB spelling: the span SHUFFLE keys are the 128-bit
+    * (xxhash64, reversed-xxhash64) pair — 16 bytes instead of ~60-char
+    * strings — and the span text is carried only as a per-(key, doc)
+    * `first()` that the final 20 winners need for display (value-
+    * determined: identical spans hash identically, so first() is
+    * deterministic by value; a cross-pair collision needs BOTH 64-bit
+    * hashes to agree on different spans — whp impossible, the same
+    * 128-bit argument as q29/q55's exact dedup). LlmOpsSpec asserts
+    * result equality with q70's string-keyed oracle form. */
+  def spanDedupHashKeyed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 9), " +
+          "i -> array_join(slice(t, i, 10), ' '))")).as("span"))
+      .select(col("doc_id"), col("span"),
+        xxhash64(col("span")).as("h1"), xxhash64(reverse(col("span"))).as("h2"))
+      .groupBy("h1", "h2", "doc_id")
+      .agg(count(lit(1)).as("occ"), first(col("span")).as("span"))
+      .groupBy("h1", "h2")
+      .agg(count(lit(1)).as("ndocs"), sum(col("occ")).as("occurrences"),
+        first(col("span")).as("span"))
+      .filter(col("ndocs") >= 2)
+      .orderBy(col("ndocs").desc, col("occurrences").desc, col("span"))
+      .limit(20)
+      .select(col("span"), col("ndocs"), col("occurrences"))
+
   // --------------------------------------------------- q71 BM25 retrieval
   /** BM25 top-k keyword retrieval (Robertson k1=1.2, b=0.75) — the
     * lexical-search leg next to the vector legs (q28/q37/q47): quality

@@ -208,6 +208,15 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash-keyed span dedup (16-byte shuffle keys) matches q70's " +
+    "string-keyed form (scale variant)") {
+    val exact = LlmQueries.q70.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val hashed = LlmQueries.spanDedupHashKeyed(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hashed == exact, s"hash-keyed spans diverged:\n$hashed\nvs\n$exact")
+  }
+
   test("q71 BM25: postings filtered to the query terms before any shuffle") {
     val res = LlmQueries.q71.run(spark, sf)
     val rows = res.collect()
