@@ -506,6 +506,52 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("Trigger.AvailableNow: an uncapped run drains the backlog and stops; " +
+    "capped checkpointed runs drain it in bounded installments") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = Files.createTempDirectory("graft-an-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val s = StructType(Seq(StructField("id", IntegerType)))
+    def batch(rows: Int*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), s)
+    var t = cat.createTable("db", "an", s).append(batch(1))
+    (2 to 5).foreach(i => t = cat.loadTable("db", "an").get.append(batch(i)))
+
+    // uncapped: the batch-mode catch-up trigger consumes everything
+    // available at start, then self-terminates
+    val q = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.an")
+      .load()
+      .writeStream.format("memory").queryName("an_tail")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(spark.table("an_tail").collect().map(_.getInt(0)).sorted.toSeq
+      == (1 to 5))
+
+    // capped + checkpointed: each run processes ONE bounded installment
+    // (the V1 wrapper latches the capped offset), and repeated runs —
+    // the cron-scheduled bounded-ingestion pattern — drain the backlog
+    val ckpt = Files.createTempDirectory("graft-an-ckpt")
+    val out = Files.createTempDirectory("graft-an-out")
+    def run(): Unit = {
+      val qq = spark.readStream.format("graft-lake")
+        .option("warehouse", wh.toString).option("table", "db.an")
+        .option("maxSnapshotsPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(qq.awaitTermination(60000))
+    }
+    run()
+    val afterOne = spark.read.parquet(out.toString).count()
+    assert(afterOne <= 2, s"capped AvailableNow run exceeded its installment: $afterOne")
+    run(); run()
+    assert(spark.read.parquet(out.toString).collect().map(_.getInt(0)).sorted.toSeq
+      == (1 to 5), "bounded runs must drain the backlog exactly once each row")
+  }
+
   test("graft-lake source rate limit: maxSnapshotsPerTrigger turns a commit " +
     "backlog into commit-sized micro-batches, losing nothing") {
     val wh = Files.createTempDirectory("graft-rl-wh")
