@@ -1619,7 +1619,46 @@ object LlmQueries {
           round(col("total").cast("double") / col("n") / 1e6, 4).as("avg_logp"))
     })
 
+  // ------------------------------------------- q74 document chunking
+  /** Sliding-window chunking (window 32 tokens, stride 24 — 8-token
+    * overlap): the context-window preparation step between cleaning and
+    * packing (q67). The chunk explosion is the operator — one narrow
+    * generate per document, O(total tokens / stride) rows, partial aggs
+    * above it — and every output is an exact integer (counts, token
+    * sums, extrema), so engine/oracle hash equality is trivial: no float
+    * enters the plan. At 100 TB the same explode → partial-agg shape
+    * holds; emitting the chunk TEXT instead of its length is the same
+    * plan with a wider payload column. */
+  val q74 = QueryDef(
+    "q74_doc_chunking",
+    Some("""WITH tk AS (SELECT doc_id, lang,
+                          string_split(lower(text), ' ') AS t
+                        FROM documents),
+            c AS (SELECT lang, doc_id,
+                         len(list_slice(t, i, i + 31)) AS clen
+                  FROM tk, unnest(range(1, len(t) + 1, 24)) AS u(i)),
+            d AS (SELECT lang, doc_id, COUNT(*) AS nchunks,
+                         CAST(SUM(clen) AS BIGINT) AS ctokens
+                  FROM c GROUP BY lang, doc_id)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(nchunks) AS BIGINT) AS chunks,
+                   CAST(SUM(ctokens) AS BIGINT) AS chunk_tokens,
+                   CAST(MAX(nchunks) AS BIGINT) AS max_chunks
+            FROM d GROUP BY lang ORDER BY lang"""),
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("lang"), col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t), 24), " +
+          "i -> size(slice(t, i, 32)))")).as("clen"))
+      .groupBy("lang", "doc_id")
+      .agg(count(lit(1)).as("nchunks"), sum(col("clen")).as("ctokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum(col("nchunks")).as("chunks"),
+        sum(col("ctokens")).as("chunk_tokens"),
+        max(col("nchunks")).as("max_chunks"))
+      .orderBy("lang"))
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72, q73)
+    q70, q71, q72, q73, q74)
 }

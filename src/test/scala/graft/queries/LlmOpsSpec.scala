@@ -217,6 +217,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(hashed == exact, s"hash-keyed spans diverged:\n$hashed\nvs\n$exact")
   }
 
+  test("q74 chunking: window/stride arithmetic matches the closed form") {
+    val res = LlmQueries.q74.run(spark, sf).collect()
+    assert(res.nonEmpty)
+    // cross-check one language's chunk count against the closed form
+    // ceil(L / 24) applied per document (starts at 1, 25, … ≤ L)
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("lang"), size(graft.functions.TextOps.tokens(col("text"))).as("l"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val expected = docs.groupBy(_._1).view
+      .mapValues(_.map { case (_, l) => (l + 23) / 24 }.map(_.toLong).sum).toMap
+    res.foreach { r =>
+      assert(r.getLong(2) == expected(r.getString(0)),
+        s"chunk count mismatch for ${r.getString(0)}")
+    }
+  }
+
   test("q71 BM25: postings filtered to the query terms before any shuffle") {
     val res = LlmQueries.q71.run(spark, sf)
     val rows = res.collect()
