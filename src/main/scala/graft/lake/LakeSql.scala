@@ -297,16 +297,38 @@ class LakeSql(val catalog: LakeCatalog) {
     // DDL is where a typo must surface.
     """(?is)^WRITE\s+ORDERED\s+BY\s+(.+?)\s*$""".r
       .findFirstMatchIn(rest).foreach { om =>
-        val cols = om.group(1).split(",").map(_.trim.stripPrefix("(")
+        // Iceberg's full sort-item grammar: column [ASC|DESC]
+        // [NULLS FIRST|LAST]. Qualifiers canonicalize (lowercased) into
+        // the stored property; the write path honors them. An
+        // unparseable item or empty list gets its own message — not the
+        // r8 behavior of validating 'ts desc' as a column name (or
+        // rendering an empty unknown-column list).
+        val items = om.group(1).split(",").map(_.trim.stripPrefix("(")
           .stripSuffix(")").trim).filter(_.nonEmpty)
-        val unknown = cols.filterNot(c =>
+        if (items.isEmpty) throw new SqlParseException(
+          s"WRITE ORDERED BY needs at least one column on $db.$table " +
+            s"(schema: ${t.schema.fieldNames.mkString(", ")})")
+        val sortItem =
+          """(?i)^(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""".r
+        val parsed = items.map {
+          case sortItem(name, dir, nulls) =>
+            (name, Option(dir).map(_.toLowerCase),
+              Option(nulls).map(_.toLowerCase))
+          case other => throw new SqlParseException(
+            s"WRITE ORDERED BY: cannot parse sort item '$other' " +
+              "(expected: column [ASC|DESC] [NULLS FIRST|LAST])")
+        }
+        val unknown = parsed.map(_._1).filterNot(c =>
           t.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-        if (cols.isEmpty || unknown.nonEmpty) throw new SqlParseException(
+        if (unknown.nonEmpty) throw new SqlParseException(
           s"WRITE ORDERED BY: unknown column(s) ${unknown.mkString(", ")} " +
             s"on $db.$table (schema: ${t.schema.fieldNames.mkString(", ")})")
-        t.setProperties(Map("write.sort-order" -> cols.mkString(",")))
+        val canon = parsed.map { case (n, d, nu) =>
+          (Seq(n) ++ d ++ nu.map("nulls " + _)).mkString(" ")
+        }
+        t.setProperties(Map("write.sort-order" -> canon.mkString(",")))
         return status(
-          s"Set write order ${cols.mkString(", ")} on $db.$table")
+          s"Set write order ${canon.mkString(", ")} on $db.$table")
       }
     """(?is)^WRITE\s+UNORDERED\s*$""".r.findFirstMatchIn(rest).foreach { _ =>
       t.setProperties(Map("write.sort-order" -> ""))

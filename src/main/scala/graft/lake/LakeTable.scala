@@ -744,13 +744,26 @@ class LakeTable(
     // listed columns from day one — stats skipping works without waiting
     // for a compaction pass. Task-local (no extra shuffle); the
     // `sort-order` compaction option remains the global-clustering tool.
-    // Names resolve case-insensitively like the rest of the SQL surface.
+    // Each item is `name [asc|desc] [nulls first|last]` as canonicalized
+    // by the WRITE ORDERED BY DDL; defaults mirror Iceberg (and Spark):
+    // asc → nulls first, desc → nulls last. Names resolve
+    // case-insensitively like the rest of the SQL surface.
     val sorted = meta.props.get("write.sort-order") match {
       case Some(order) if !layoutManaged && order.trim.nonEmpty =>
         val sortCols = order.split(",").map(_.trim).filter(_.nonEmpty)
-          .flatMap(n => schema.fieldNames.find(_.equalsIgnoreCase(n)))
+          .flatMap { item =>
+            val toks = item.split("\\s+")
+            schema.fieldNames.find(_.equalsIgnoreCase(toks.head)).map { n =>
+              toks.tail.map(_.toLowerCase).mkString(" ") match {
+                case "desc" | "desc nulls last" => col(n).desc_nulls_last
+                case "desc nulls first" => col(n).desc_nulls_first
+                case "asc nulls last" | "nulls last" => col(n).asc_nulls_last
+                case _ => col(n).asc_nulls_first // "", asc, asc nulls first
+              }
+            }
+          }
         if (sortCols.isEmpty) clustered // unknown names: ignore, don't fail the write
-        else clustered.sortWithinPartitions(sortCols.toSeq.map(col): _*)
+        else clustered.sortWithinPartitions(sortCols.toSeq: _*)
       case _ => clustered
     }
     val writer = sorted.write.mode("append")
@@ -1120,10 +1133,14 @@ class LakeTable(
     * distinct partition tuples they actually landed in (recorded on the
     * new files' metadata — same rendering as pruning, by construction)
     * select which existing files drop, all in ONE commit. Files recorded
-    * under an EVOLVED spec have different partition keys, never match a
-    * new tuple, and are conservatively kept — rewrite_data_files
-    * re-localizes them. Unpartitioned tables degrade to the static
-    * whole-table overwrite. */
+    * under an EVOLVED spec have different partition keys and never match
+    * a new tuple — each is kept only when some shared identity key
+    * PROVES it lives in an untouched partition; otherwise the overwrite
+    * fails loudly with a rewrite_data_files hint, because silently
+    * keeping it would leave stale old-spec rows coexisting with the new
+    * rows for the same logical partition (Iceberg likewise validates
+    * replaced partitions across specs; ADVICE r8). Unpartitioned tables
+    * degrade to the static whole-table overwrite. */
   def overwriteDynamic(df: DataFrame): LakeTable = {
     if (transforms.isEmpty) return overwrite(df)
     val start = if (meta.nextRowId >= 0) meta.nextRowId else meta.computedNextRowId
@@ -1132,6 +1149,25 @@ class LakeTable(
     val written = files.map(_.rowCount).sum
     val touched = files.map(_.partitionValues).toSet
     val (replaced, kept) = dataFiles.partition(f => touched.contains(f.partitionValues))
+    val curKeys = transforms.map(_.fieldName).toSet
+    // disjointness proof for an old-spec/adopted file: some recorded key
+    // it SHARES with the current spec (same transform + params — the
+    // params are part of the field name) separates it from EVERY touched
+    // tuple. The ambiguous hive-default token (null or empty string)
+    // proves nothing on either side.
+    def provablyUntouched(f: DataFileMeta): Boolean = {
+      val shared = f.partitionValues.filter { case (k, v) =>
+        curKeys.contains(k) && v != PartitionRender.HiveDefault }
+      shared.nonEmpty && touched.forall(t => shared.exists { case (k, v) =>
+        t.get(k).exists(tv => tv != PartitionRender.HiveDefault && tv != v) })
+    }
+    val stale = kept.filter(f =>
+      f.partitionValues.keySet != curKeys && !provablyUntouched(f))
+    if (stale.nonEmpty) throw new IllegalStateException(
+      s"INSERT OVERWRITE (dynamic) on ${meta.name}: ${stale.size} file(s) " +
+        "recorded under an earlier partition spec may hold rows in the " +
+        s"replaced partition(s) (e.g. ${stale.head.path}); run " +
+        "rewrite_data_files to re-localize them onto the current spec first")
     commitSnapshot(
       newSnapshot("overwrite", kept ++ files, deleteFiles,
         Map("added-records" -> written.toString,

@@ -85,11 +85,24 @@ object StatsPruning {
     locally {
       val acc = scala.collection.mutable.Map[String, (String, String)]()
       var statless = Set.empty[String] // any chunk without stats → unknown
-      // null counts accumulate independently of bounds: an all-null
-      // column records no min/max but a decisive null count, which is
-      // exactly the case IS NOT NULL skipping needs
+      // null counts accumulate independently of bounds AND of the
+      // min/max type gate: a null is a null for every column type, so
+      // IS [NOT] NULL skipping works on decimal/binary/nested-free
+      // columns whose bounds are uninterpretable — only the count needs
+      // the column name (ADVICE r8: the old accumulation sat inside the
+      // eligible(dt) gate, silently disabling null skipping for those)
       val nullAcc = scala.collection.mutable.Map[String, Long]()
       var nullless = Set.empty[String] // any chunk without a count → unknown
+      for {
+        block <- footer.getBlocks.asScala
+        chunk <- block.getColumns.asScala
+        name = chunk.getPath.toDotString
+        if byName.contains(name)
+      } {
+        val s = chunk.getStatistics
+        if (s == null || !s.isNumNullsSet || s.getNumNulls < 0) nullless += name
+        else nullAcc(name) = nullAcc.getOrElse(name, 0L) + s.getNumNulls
+      }
       for {
         block <- footer.getBlocks.asScala
         chunk <- block.getColumns.asScala
@@ -97,8 +110,6 @@ object StatsPruning {
         dt <- byName.get(name) if eligible(dt)
       } {
         val s = chunk.getStatistics
-        if (s == null || !s.isNumNullsSet || s.getNumNulls < 0) nullless += name
-        else nullAcc(name) = nullAcc.getOrElse(name, 0L) + s.getNumNulls
         // the statistics class must MATCH the Spark type's expected
         // physical encoding — e.g. an INT96 timestamp surfaces binary
         // stats whose bytes are not epoch-ordered; typed mismatches

@@ -505,6 +505,48 @@ class ExtensionsSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq == Seq(40))
   }
 
+  test("dynamic overwrite across partition-spec evolution: possibly-" +
+    "overlapping old-spec files fail loudly; provably-disjoint ones are " +
+    "kept (ADVICE r8: silent keep would duplicate the replaced partition)") {
+    val wh = Files.createTempDirectory("graft-dynev-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+
+    // case 1: file written while UNpartitioned (no recorded values) may
+    // hold rows of any partition → a later dynamic overwrite must refuse
+    sql.run("CREATE TABLE db.ev1 (id INT, category STRING)")
+    sql.run("INSERT INTO db.ev1 VALUES (1, 'a'), (2, 'b')")
+    sql.run("ALTER TABLE db.ev1 ADD PARTITION FIELD category")
+    val ex = intercept[IllegalStateException] {
+      sql.catalog.loadTable("db", "ev1").get
+        .overwriteDynamic(spark.sql("SELECT 20 AS id, 'b' AS category"))
+    }
+    assert(ex.getMessage.contains("rewrite_data_files"),
+      s"refusal must carry the remediation hint, got: ${ex.getMessage}")
+    assert(sql.run("SELECT id FROM db.ev1 ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2), "refused overwrite must not commit")
+
+    // case 2: old-spec file SHARES the identity key and its value differs
+    // from every touched tuple → provably untouched, overwrite proceeds
+    sql.run("""CREATE TABLE db.ev2 (id INT, category STRING)
+      PARTITIONED BY (category)""")
+    sql.run("INSERT INTO db.ev2 VALUES (1, 'a')")
+    sql.run("ALTER TABLE db.ev2 ADD PARTITION FIELD bucket(4, id)")
+    val t2 = sql.catalog.loadTable("db", "ev2").get
+      .overwriteDynamic(spark.sql("SELECT 20 AS id, 'b' AS category"))
+    assert(t2.meta.snapshots.last.summary.get("dynamic-overwrite").contains("true"))
+    assert(sql.run("SELECT id FROM db.ev2 ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 20),
+      "category-a old-spec file is provably outside the replaced partition")
+
+    // …but the same evolved table refuses when the overwrite touches the
+    // old file's own partition value (proof fails on the shared key)
+    val ex2 = intercept[IllegalStateException] {
+      sql.catalog.loadTable("db", "ev2").get
+        .overwriteDynamic(spark.sql("SELECT 30 AS id, 'a' AS category"))
+    }
+    assert(ex2.getMessage.contains("earlier partition spec"))
+  }
+
   test("DSv2 catalog: mixed write modes — MoR UPDATE deltas compose with CoW DELETE swaps") {
     val wh = Files.createTempDirectory("graft-mix-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))

@@ -272,6 +272,34 @@ class LakeTableSpec extends SparkSpec {
     assert(got == Seq(3, 4, 6))
   }
 
+  test("null counts accumulate for min/max-INELIGIBLE types too: IS NULL / " +
+    "IS NOT NULL skip on a DECIMAL column while its bounds stay unread " +
+    "(ADVICE r8: the count only needs the column name)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val decSchema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("price", DecimalType(10, 2))))
+    def dfDec(rows: (Int, String)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (i, p) =>
+          Row(i, Option(p).map(new java.math.BigDecimal(_)).orNull) }, 1),
+        decSchema)
+    val t = cat.createTable("db", "decn", decSchema)
+      .append(dfDec(1 -> "1.50", 2 -> "2.25"))  // null-free
+      .append(dfDec(3 -> null, 4 -> null))      // all-null
+    val Seq(fFull, fNull) = t.dataFiles.sortBy(_.firstRowId)
+    // decimal min/max stay uninterpreted (scale semantics) — only the
+    // null count is recorded
+    assert(t.dataFiles.forall(f => !f.stats.get("price").exists(_.bounded)))
+    import org.apache.spark.sql.sources.{IsNotNull, IsNull}
+    val onlyNulls = StatsPruning.filePredicate(decSchema, Seq(IsNull("price")))
+    assert(!onlyNulls(fFull), "IS NULL must skip the null-free decimal file")
+    assert(onlyNulls(fNull))
+    val nonNull = StatsPruning.filePredicate(decSchema, Seq(IsNotNull("price")))
+    assert(!nonNull(fNull), "IS NOT NULL must skip the all-null decimal file")
+    assert(nonNull(fFull))
+  }
+
   test("DELETE covering whole identity partitions is metadata-only: files " +
     "drop with no scan, no rewrite, no delete files") {
     val cat = freshCatalog(); cat.createNamespace("db")

@@ -111,6 +111,45 @@ class OpsSpec extends SparkSpec {
       .get("write.sort-order").forall(_.isEmpty))
   }
 
+  test("WRITE ORDERED BY accepts Iceberg's ASC/DESC/NULLS FIRST|LAST " +
+    "qualifiers, canonicalizes them, and the write path honors them " +
+    "(ADVICE r8: 'ts DESC' used to fail as unknown column 'ts desc')") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.woq (id BIGINT, v BIGINT)")
+    sql.run("ALTER TABLE db.woq WRITE ORDERED BY v DESC NULLS LAST, id ASC")
+    assert(sql.catalog.loadTable("db", "woq").get.meta.props
+      .get("write.sort-order").contains("v desc nulls last,id asc"))
+
+    // a qualified order actually shapes the written file: v descends
+    sql.run("ALTER TABLE db.woq WRITE ORDERED BY v DESC")
+    val df = sql.catalog.spark.range(0, 200, 1, 1)
+      .selectExpr("id", "(id * 37) % 200 AS v")
+    sql.catalog.loadTable("db", "woq").get.append(df)
+    sql.catalog.loadTable("db", "woq").get.dataFiles.foreach { f =>
+      val vs = sql.catalog.spark.read.parquet(f.path)
+        .select("v").collect().map(_.getLong(0)).toSeq
+      assert(vs == vs.sorted.reverse, s"file ${f.path} not DESC-sorted by v")
+    }
+
+    // a typo under qualifiers still surfaces as an unknown COLUMN…
+    val exCol = intercept[Exception] {
+      sql.run("ALTER TABLE db.woq WRITE ORDERED BY nope DESC")
+    }
+    assert(exCol.getMessage.contains("unknown column"))
+    assert(exCol.getMessage.contains("nope"))
+    // …an unparseable item gets the grammar message, not a column error…
+    val exGram = intercept[Exception] {
+      sql.run("ALTER TABLE db.woq WRITE ORDERED BY v SIDEWAYS")
+    }
+    assert(exGram.getMessage.contains("cannot parse sort item"))
+    // …and an empty column list gets its own message (the r8 error
+    // rendered an empty unknown-column list)
+    val exEmpty = intercept[Exception] {
+      sql.run("ALTER TABLE db.woq WRITE ORDERED BY ()")
+    }
+    assert(exEmpty.getMessage.contains("at least one column"))
+  }
+
   test("compaction's explicit clustering is not re-sorted by write.sort-order") {
     val sql = freshSql()
     // property says sort by v, but an explicit rewrite sort-order=a must
