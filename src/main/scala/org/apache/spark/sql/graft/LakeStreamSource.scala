@@ -44,12 +44,16 @@ import graft.streaming.StreamIngest
   * consumer resuming behind a long commit history catches up in
   * commit-sized batches instead of one table-sized batch).
   *
-  * Rate-limit cursor: the last offset RETURNED (not just committed) is
-  * persisted under the stream's own `metadataPath` so a restarted query
-  * keeps capping from where it left off; if the cursor is lost, the cap
-  * recomputes from the checkpoint's committed offset at the next batch
-  * (getBatch self-heals the cursor) and an interim poll that lands at or
-  * behind the committed offset yields an EMPTY batch, never an inverted
+  * Rate-limit cursor: the last offset returned is latched IN MEMORY by
+  * getOffset (so the running query's next poll advances, not re-offers)
+  * and made durable under the stream's own `metadataPath` only from
+  * getBatch — i.e. only after Spark has written the offset to its WAL —
+  * so a crash can never leave the persisted cursor ahead of the
+  * checkpoint's committed offset (which would withhold the uncommitted
+  * tail from a restarted run until a fresh commit moved the head). If
+  * the cursor file is lost, getBatch self-heals it from the
+  * checkpoint's own range, and an interim poll that lands at or behind
+  * the committed offset yields an EMPTY batch, never an inverted
   * incremental range.
   *
   * Lives in the `org.apache.spark.sql` namespace because the V1
@@ -76,13 +80,14 @@ final class LakeStreamSource(
   private val cursorFile: Option[java.nio.file.Path] = metadataPath
     .filter(_ => maxSnapshotsPerTrigger.isDefined)
     .map(p => Paths.get(p.stripPrefix("file:")).resolve("graft-rate-cursor"))
-  private var lastReturned: Option[Long] = cursorFile.flatMap { f =>
+  private var persisted: Option[Long] = cursorFile.flatMap { f =>
     try {
       if (java.nio.file.Files.exists(f))
         Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+  private var lastReturned: Option[Long] = persisted
   private def persistCursor(id: Long): Unit = cursorFile.foreach { f =>
     try { // best effort: loss degrades to one empty batch, never wrong data
       java.nio.file.Files.createDirectories(f.getParent)
@@ -93,11 +98,30 @@ final class LakeStreamSource(
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } catch { case scala.util.control.NonFatal(_) => () }
   }
-  private def noteReturned(id: Long): Unit =
-    if (maxSnapshotsPerTrigger.isDefined && !lastReturned.exists(_ >= id)) {
+  /** In-memory only — the cap's latch for the RUNNING query (getOffset
+    * must not re-offer a returned-but-not-yet-batched range on the next
+    * poll). Durability is getBatch's job: MicroBatchExecution writes the
+    * offset WAL BEFORE calling getBatch, so persisting there can never
+    * leave the on-disk cursor ahead of the checkpoint. (The r8 ordering
+    * persisted from getOffset — pre-WAL — and a crash in that window
+    * made a restarted Trigger.AvailableNow run report the backlog
+    * drained while (committedEnd, cursor] sat withheld until a fresh
+    * commit moved the head.) */
+  private def latchReturned(id: Long): Unit =
+    if (maxSnapshotsPerTrigger.isDefined && !lastReturned.exists(_ >= id))
       lastReturned = Some(id)
+
+  /** getBatch-side: the offset is in Spark's offset log by now, so it is
+    * safe to make the cursor durable. `persisted` is tracked apart from
+    * the latch — getOffset latches first, so a lastReturned-guarded
+    * write here would never fire. */
+  private def noteDelivered(id: Long): Unit = {
+    latchReturned(id)
+    if (maxSnapshotsPerTrigger.isDefined && !persisted.exists(_ >= id)) {
+      persisted = Some(id)
       persistCursor(id)
     }
+  }
 
   /** Every poll re-checks the SELECT grant (same session-principal rule
     * as every other read surface — dispatcher, DSv2 scan, native
@@ -133,7 +157,7 @@ final class LakeStreamSource(
     else {
       val end = maxSnapshotsPerTrigger
         .fold(cur)(n => t.boundedIncrementalEnd(base, cur, n))
-      noteReturned(end)
+      latchReturned(end)
       Some(LongOffset(end))
     }
   }
@@ -152,8 +176,8 @@ final class LakeStreamSource(
     // cursor otherwise re-caps from table start → an end at or behind
     // the committed start; deliver that as an EMPTY batch rather than an
     // inverted incremental range)
-    noteReturned(endId)
-    from.foreach(noteReturned)
+    noteDelivered(endId)
+    from.foreach(noteDelivered)
     if (from.exists(_ >= endId))
       return session.internalCreateDataFrame(
         session.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],

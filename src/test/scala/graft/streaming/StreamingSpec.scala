@@ -594,4 +594,55 @@ class StreamingSpec extends SparkSpec {
         s"a micro-batch exceeded the 2-commit cap: $sizes")
     } finally q.stop()
   }
+
+  test("rate-limit cursor durability: getOffset latches in memory only, " +
+    "getBatch persists — a crash between poll and offset-WAL write must " +
+    "not strand the polled-but-uncommitted range on restart") {
+    import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+    val wh = Files.createTempDirectory("graft-cw-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val s = StructType(Seq(StructField("id", IntegerType)))
+    def batch(rows: Int*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 1), s)
+    var t = cat.createTable("db", "cw", s).append(batch(1))
+    (2 to 5).foreach(i => t = cat.loadTable("db", "cw").get.append(batch(i)))
+    val ids = cat.loadTable("db", "cw").get.meta.snapshots.map(_.id).sorted
+
+    val meta = Files.createTempDirectory("graft-cw-meta")
+    val cursor = meta.resolve("graft-rate-cursor")
+    def mkSource() = new org.apache.spark.sql.graft.LakeStreamSource(
+      spark.asInstanceOf[ClassicSession], cat, "db", "cw",
+      startAfter = None, skipNonAppends = false, branch = None,
+      maxSnapshotsPerTrigger = Some(2), metadataPath = Some(meta.toString))
+    def endOf(o: Option[org.apache.spark.sql.execution.streaming.Offset]) =
+      o.get.json.trim.toLong
+
+    // poll alone: the capped end is latched in memory, NOT on disk —
+    // Spark has not logged this offset yet, so a crash here must leave
+    // no trace that could outrun the checkpoint
+    val s1 = mkSource()
+    val off1 = s1.getOffset
+    assert(endOf(off1) == ids(1), "cap 2 from table start stops at snapshot 2")
+    assert(!Files.exists(cursor),
+      "getOffset persisted the cursor pre-WAL — the r8 crash window is back")
+
+    // 'crash' before the WAL write: a fresh source (restart) must
+    // re-offer the SAME capped range, not withhold it until a new commit
+    val s2 = mkSource()
+    assert(endOf(s2.getOffset) == ids(1),
+      "a restart after a poll-only crash must re-offer the polled range")
+
+    // delivery: Spark calls getBatch only after the offset is in its
+    // WAL, so THIS is where the cursor becomes durable
+    s2.getBatch(None, org.apache.spark.sql.execution.streaming.runtime.LongOffset(ids(1)))
+    assert(Files.exists(cursor) &&
+      new String(Files.readAllBytes(cursor), "UTF-8").trim.toLong == ids(1),
+      "getBatch must persist the delivered end offset")
+
+    // restart after delivery: the cap resumes past the durable cursor
+    val s3 = mkSource()
+    assert(endOf(s3.getOffset) == ids(3),
+      "restart after delivery must advance the cap from the persisted cursor")
+  }
 }
