@@ -14,6 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * warmup pass absorbs JVM/codegen warmup, and the reported number is the
   * median of 3 timed runs. Failures surface in the JSON instead of being
   * swallowed.
+  *
+  * Isolation (VERDICT r8 "What's wrong" #2): all 74 queries share one
+  * session, and accumulated cache/GC/codegen-cache pressure inflated
+  * mid-run queries by up to 5× vs an isolated run (q69: 5.44 s recorded,
+  * 1.12 s isolated — same code, same data). Before each query's timed
+  * samples the harness now drops the session cache and runs a full GC so
+  * each query starts from a comparable heap, and the JSON carries BOTH
+  * `queries` (median — the headline, robust to a one-off stall) and
+  * `queries_min` (best-of-N — the noise floor a gate should compare
+  * before flagging a regression).
   */
 object Bench {
   private def materialize(df: DataFrame): Unit =
@@ -49,6 +59,10 @@ object Bench {
     }
 
     val times = names.map { n =>
+      // level the playing field: previous queries' cached relations and
+      // garbage must not be charged to this query's samples
+      spark.catalog.clearCache()
+      System.gc()
       val samples = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -62,7 +76,8 @@ object Bench {
       val median =
         if (samples.isEmpty) -1.0
         else samples.sorted.apply(samples.size / 2)
-      n -> median
+      val best = if (samples.isEmpty) -1.0 else samples.min
+      n -> (median, best)
     }
 
     def js(s: String): String =
@@ -70,12 +85,15 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = times.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+    val qs = times.map { case (k, (med, _)) => s"${js(k)}:$med" }
+      .mkString("{", ",", "}")
+    val qsMin = times.map { case (k, (_, best)) => s"${js(k)}:$best" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }
       .mkString("{", ",", "}")
-    val total = times.collect { case (_, v) if v >= 0 => v }.sum
+    val total = times.collect { case (_, (med, _)) if med >= 0 => med }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

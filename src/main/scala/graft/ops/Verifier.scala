@@ -50,9 +50,11 @@ class Verifier(catalog: LakeCatalog, strict: Boolean = true) {
     val select =
       try {
         val rows = t.read(strict = strict).limit(5).collect()
+        val overflow = // verify_in_databricks.py:89-90's "... and N more"
+          if (rows.length > 3) s" … and ${rows.length - 3} more" else ""
         Probe("select_limit", ok = true, critical = true,
           s"${rows.length} row(s); first: " +
-            rows.take(3).map(_.toString.take(200)).mkString(" | "))
+            rows.take(3).map(_.toString.take(200)).mkString(" | ") + overflow)
       } catch {
         case e: Exception =>
           Probe("select_limit", ok = false, critical = true, classify(e))
