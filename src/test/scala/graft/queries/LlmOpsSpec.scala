@@ -551,4 +551,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(sampled.count() == 10)
     assert(sampled.filter(size(col("sampled_frames")) < 1).count() == 0)
   }
+
+  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = spark.createDataFrame(pairs).toDF("doc_a", "doc_b")
+    LlmQueries.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("large-star/small-star components: adversarial chain, two-parent " +
+    "probe shape, cliques, and singleton pairs all label to component min") {
+    // a 64-node CHAIN is the worst case that made min-label propagation
+    // the wrong 100 TB answer (diameter rounds); star alternation must
+    // still collapse it — and to the right labels
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val chainCc = ccOf(chain)
+    assert((1L to 64L).forall(chainCc(_) == 1L), "chain must collapse to min=1")
+
+    // the shape whose intermediate state {(3,1),(3,2)} has disjoint
+    // src/dst sets — a parents-only convergence probe would stop early
+    // and split the component (the r9 probe also requires single parents)
+    assert(ccOf(Seq((1L, 3L), (2L, 3L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    // disjoint components: a clique, a pair, and a 2-chain keep separate
+    // minima
+    val mixed = ccOf(Seq(
+      (10L, 11L), (10L, 12L), (11L, 12L), // clique {10,11,12}
+      (20L, 21L),                         // pair
+      (30L, 31L), (31L, 32L)))            // chain
+    assert(mixed == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+
+    // empty pair set → empty labeling, no hang
+    assert(ccOf(Nil).isEmpty)
+  }
 }
