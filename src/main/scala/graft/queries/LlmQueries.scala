@@ -1513,14 +1513,16 @@ object LlmQueries {
   /** PQ/ADC ANN (third vector-search leg): 64-dim vectors split into
     * [[PqM]] 8-dim subspaces, each encoded as the nearest of [[PqCodes]]
     * pinned centroids (subvectors of the first 16 corpus vectors — table
-    * rows, so the oracle reads the identical codebook; swap in trained
-    * sub-codebooks and nothing downstream changes). A query scores an
+    * rows, so the oracle reads the identical codebook; the Lloyd-trained
+    * sub-codebooks of [[trainedSubCodebooks]] are the production default
+    * and change nothing downstream). A query scores an
     * encoded vector WITHOUT touching it: per-subspace distances to the
     * 16 centroids are precomputed once into a 8×16 table (the classic
     * asymmetric-distance trick) and each corpus vector costs 8 lookups —
     * at 100 TB the corpus holds 8-byte codes (64× smaller than raw
     * vectors), the codebook+table is a kilobyte-scale broadcast, and the
-    * scan is a codegen-friendly map over the code column. Engine/oracle
+    * scan is one codegen'd expression over the vector column — no typed
+    * map, no object-serialization fence. Engine/oracle
     * parity: argmin compares math.sqrt'd distances with centroid-id
     * tie-break exactly like the oracle's (list_distance, cid) window
     * order, and ADC adds the 8 subspace terms in fixed ascending-s order
@@ -1554,22 +1556,87 @@ object LlmQueries {
                SELECT vec_id, ROUND(dist, 4) AS adc FROM adc
                WHERE vec_id <> 0 ORDER BY dist, vec_id LIMIT 5""")
     },
-    (s, dir) => pqTopK(s, dir, 0L, 5))
+    (s, dir) => pqTopK(s, dir, 0L, 5, trained = false))
+
+  /** Lloyd-trained PQ sub-codebooks (VERDICT r8 next #4): the q47
+    * trainedCodebook argument, per subspace — seed each of the [[PqM]]
+    * sub-codebooks with the matching subvectors of the first [[PqCodes]]
+    * corpus vectors, then run k-means rounds where the assignment pass is
+    * one compiled flatMap over the corpus (each row emits its m nearest
+    * sub-centroid memberships as (subspace, code, pos, x) cells) and the
+    * update is a declarative per-(subspace, code, pos) mean with map-side
+    * partial aggregation. The driver only ever collects the
+    * m·codes·dsub = 1024 centroid cells — metadata-scale at any corpus
+    * size. Empty sub-clusters keep their previous centroid. Returned in
+    * the same `[code][full-dim]` layout as the pinned codebook, so
+    * nothing downstream changes (the SURVEY promise, now kept). */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]()
+
+  def trainedSubCodebooks(s: SparkSession, dir: String, e: DataFrame,
+      iters: Int = 2): Array[Array[Double]] =
+    pqCodebookCache.computeIfAbsent((s, dir), { _ =>
+      import s.implicits._
+      var cb: Array[Array[Double]] = e.filter(col("vec_id") < PqCodes)
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      val (m, dsub, codes) = (PqM, PqSub, PqCodes)
+      for (_ <- 0 until iters) {
+        val localCb = cb // locals only: the enclosing module isn't serializable
+        val cells = e.as[(Long, Seq[Double])].flatMap { case (_, vSeq) =>
+          val v = vSeq.toArray
+          val out = new Array[(Int, Int, Int, Double)](m * dsub)
+          var sp = 0
+          while (sp < m) {
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < codes) {
+              var acc = 0.0; var i = 0
+              while (i < dsub) {
+                val d = v(sp * dsub + i) - localCb(c)(sp * dsub + i)
+                acc += d * d; i += 1
+              }
+              if (acc < bestD) { bestD = acc; best = c }
+              c += 1
+            }
+            var i = 0
+            while (i < dsub) {
+              out(sp * dsub + i) = (sp, best, i, v(sp * dsub + i)); i += 1
+            }
+            sp += 1
+          }
+          out
+        }.toDF("s", "code", "pos", "x")
+        val means = cells.groupBy("s", "code", "pos")
+          .agg(avg("x").as("mu"))
+          .collect() // ≤ m·codes·dsub = 1024 rows
+        val next = cb.map(_.clone)
+        means.foreach(r =>
+          next(r.getInt(1))(r.getInt(0) * dsub + r.getInt(2)) = r.getDouble(3))
+        cb = next
+      }
+      cb
+    })
 
   /** The engine side of q72: codebook + distance table are driver-built
-    * (16 vectors / 128 doubles — metadata-scale), the corpus pass is one
-    * compiled encode-and-score map. */
-  def pqTopK(s: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
-    import s.implicits._
+    * (16 full-dim rows / 128 table cells — metadata-scale) and the corpus
+    * pass is ONE codegen'd [[graft.functions.PqAdcScore]] projection over
+    * the scan — no typed-map object fence, so whole-stage codegen spans
+    * scan → encode-and-score → TakeOrdered (VERDICT r8 next #7).
+    * `trained = false` pins the codebook to the raw subvectors of the
+    * first [[PqCodes]] corpus rows — table rows both engines read
+    * identically, which is what the q72 oracle gate replays; the
+    * Lloyd-trained sub-codebooks ([[trainedSubCodebooks]]) are the
+    * production default and differ ONLY in the centroid doubles. */
+  def pqTopK(s: SparkSession, dir: String, queryId: Long, k: Int,
+      trained: Boolean = true): DataFrame = {
     val e = t(s, dir, "embeddings")
       .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
       .select(col("vec_id"), col("v"))
-    val cb: Array[Array[Double]] = e.filter(col("vec_id") < PqCodes)
-      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val cb: Array[Array[Double]] =
+      if (trained) trainedSubCodebooks(s, dir, e)
+      else e.filter(col("vec_id") < PqCodes)
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
     val qv: Array[Double] = e.filter(col("vec_id") === queryId)
       .head().getSeq[Double](1).toArray
-    // locals only below this line: closure capture of the enclosing
-    // module (via the Pq* fields) is not serializable
     val (m, dsub, codes) = (PqM, PqSub, PqCodes)
     // sqrt'd distances so comparisons (and ties) match the oracle's
     // list_distance ordering bit-for-bit; squared only at ADC time
@@ -1582,26 +1649,13 @@ object LlmQueries {
     }
     // dtab(s)(c): query's distance to centroid c in subspace s
     val dtab = Array.tabulate(m, codes)((sp, c) => subDist(qv, sp * dsub, cb(c), sp * dsub))
-    val scored = e.as[(Long, Seq[Double])].map { case (id, vSeq) =>
-      val v = vSeq.toArray
-      var dist = 0.0
-      var sp = 0
-      while (sp < m) { // fixed ascending-s order, mirrored in the oracle
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < codes) {
-          val d = subDist(v, sp * dsub, cb(c), sp * dsub)
-          if (d < bestD) { bestD = d; best = c } // strict <: ties keep low c
-          c += 1
-        }
-        val ld = dtab(sp)(best)
-        dist += ld * ld
-        sp += 1
-      }
-      (id, dist)
-    }.toDF("vec_id", "dist")
-    scored.filter(col("vec_id") =!= queryId)
+    // score the RAW embedding column — PqAdcScore casts to ARRAY<DOUBLE>
+    // itself; routing through toDoubleVec's transform() would drag a
+    // non-codegen higher-order function into the projection and knock
+    // the whole stage out of codegen
+    t(s, dir, "embeddings").select(col("vec_id"),
+        graft.functions.PqAdcScore.score(col("embedding"), cb, dtab, m, dsub, codes).as("dist"))
+      .filter(col("vec_id") =!= queryId)
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("dist"), 4).as("adc"))
