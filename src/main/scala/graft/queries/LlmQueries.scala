@@ -409,13 +409,56 @@ object LlmQueries {
     * pair-generation both q36 (top-1 per label) and q46 (threshold
     * filter) consume, so their oracle-paired plans stay provably
     * identical. */
-  private def labelPairs(e: DataFrame): DataFrame =
+  private[queries] def labelPairs(e: DataFrame): DataFrame =
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+
+  /** Skew-safe label-blocked pairs (VERDICT r8 next #6): [[labelPairs]]
+    * shuffles on `label`, so ONE mega-label funnels its whole quadratic
+    * pair workload into one task. Labels whose row count exceeds
+    * `skewThreshold` are re-blocked with the triangle self-join scheme
+    * (Okcan & Riedewald, SIGMOD'11 1-bucket theta-join, specialized to
+    * self-joins): rows hash into `blocks` id-blocks; each unordered block
+    * pair {p,q} is a CELL, each row replicates to its `blocks` cells, and
+    * the join key becomes (label, cell) — so a mega-label's pairs spread
+    * over blocks·(blocks+1)/2 tasks instead of one. Every (i, j) pair
+    * materializes in exactly the cell {blk(i), blk(j)}; the canonical-cell
+    * filter drops the duplicate appearances, which makes the output EXACTLY
+    * [[labelPairs]] — this is a partitioning change, not an approximation
+    * (the LlmOpsSpec skew case asserts set equality AND the spread).
+    * Replication cost is `blocks`× on mega-label rows only; everything
+    * else takes the plain one-shuffle path. */
+  def labelPairsSkewSafe(e: DataFrame, skewThreshold: Long = 1000000,
+      blocks: Int = 8): DataFrame = {
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n"))
+    val megaLabels = counts.filter(col("n") > skewThreshold)
+      .select("label").collect().map(_.get(0)) // ≤ label-cardinality rows
+    if (megaLabels.isEmpty) return labelPairs(e)
+    val isMega = col("label").isin(megaLabels: _*)
+    val blk = pmod(hash(col("vec_id")), lit(blocks)).cast("int")
+    val mega = e.filter(isMega).withColumn("blk", blk)
+    // cell {p,q} encoded min·blocks+max; a block-p row belongs to cells
+    // {p,0}..{p,blocks-1}
+    val cells = array((0 until blocks).map(q =>
+      least(col("blk"), lit(q)) * blocks + greatest(col("blk"), lit(q))): _*)
+    val withCells = mega.withColumn("cell", explode(array_distinct(cells)))
+    val triangle = withCells.as("a")
+      .join(withCells.as("b"),
+        col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      // keep each pair only in its canonical cell {blk_a, blk_b}
+      .filter(col("a.cell") ===
+        least(col("a.blk"), col("b.blk")) * blocks +
+          greatest(col("a.blk"), col("b.blk")))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+    labelPairs(e.filter(!isMega)).unionAll(triangle)
+  }
 
   val q36 = QueryDef(
     "q36_embedding_top_pair",
@@ -433,7 +476,7 @@ object LlmQueries {
       // blocked join output — same sequential double accumulation as
       // DuckDB's list_cosine_similarity, so the raw doubles (and the
       // top-1 selection on them) agree bit-for-bit
-      val pairs = labelPairs(
+      val pairs = labelPairsSkewSafe(
         t(s, dir, "embeddings").select("label", "vec_id", "embedding"))
       val w = Window.partitionBy("label")
         .orderBy(col("sim_raw").desc, col("vec_a"), col("vec_b"))
@@ -908,7 +951,8 @@ object LlmQueries {
             SELECT label, vec_a, vec_b, ROUND(sim, 4) AS sim
             FROM p WHERE sim >= 0.35 ORDER BY label, vec_a, vec_b"""),
     (s, dir) => {
-      labelPairs(t(s, dir, "embeddings").select("label", "vec_id", "embedding"))
+      labelPairsSkewSafe(
+        t(s, dir, "embeddings").select("label", "vec_id", "embedding"))
         .filter(col("sim_raw") >= 0.35)
         .select(col("label"), col("vec_a"), col("vec_b"),
           round(col("sim_raw"), 4).as("sim"))
@@ -1125,6 +1169,41 @@ object LlmQueries {
       .union(edges.select(col("dst"), col("dst")).distinct())
   }
 
+  /** Skew-safe stratified top-quota selection (VERDICT r8 next #6): the
+    * exact sample is the `quota` smallest rows per stratum under the
+    * content-keyed (md5(text), doc_id) order. One window keyed on the
+    * stratum alone puts a mega-stratum's entire sort in one task; when
+    * any stratum exceeds `skewThreshold` rows (one map-side-combined
+    * count pass — trivial next to the window shuffle it guards), a
+    * two-phase refinement runs instead: phase 1 windows on
+    * (stratum, salt) — `salts`× the parallelism — keeping each salt
+    * group's top `quota`; phase 2 runs the exact stratum window over the
+    * ≤ salts·quota survivors. Exact by containment: every row of the
+    * true per-stratum top-quota is necessarily within its own salt
+    * group's top-quota, so phase 1 never discards an answer row — the
+    * LlmOpsSpec skew case asserts bit-equality with the naive window
+    * plus the salted phase-1 spread. */
+  def stratifiedTopK(docs: DataFrame, stratumCol: String, quota: Int,
+      skewThreshold: Long = 1L << 22, salts: Int = 32): DataFrame = {
+    val ord = Seq(md5(col("text")), col("doc_id"))
+    val maxRow = docs.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    val maxStratum = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val survivors =
+      if (maxStratum <= skewThreshold) docs
+      else {
+        val w1 = Window.partitionBy(col(stratumCol), col("salt")).orderBy(ord: _*)
+        docs.withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+          .withColumn("rk1", row_number().over(w1))
+          .filter(col("rk1") <= quota)
+          .drop("rk1", "salt")
+      }
+    val w = Window.partitionBy(col(stratumCol)).orderBy(ord: _*)
+    survivors.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .drop("rk")
+  }
+
   /** Q65: deterministic STRATIFIED SAMPLING — the domain-mixing
     * primitive of a training-data pipeline: cap each stratum (language)
     * at a per-stratum quota, choosing WHICH documents survive by a
@@ -1133,9 +1212,9 @@ object LlmQueries {
     * unbiased w.r.t. document position, (c) one window pass, no
     * per-stratum driver loop. At 100 TB the same plan holds: the window
     * shuffles on the (low-cardinality) stratum key; a skewed mega-
-    * stratum would use the documented two-phase refinement (hash-range
-    * pre-filter to ≈quota candidates per stratum, then the exact
-    * window over survivors). */
+    * stratum routes through [[stratifiedTopK]]'s two-phase refinement
+    * (per-salt-group top-quota, then the exact window over the ≤
+    * salts·quota survivors). */
   val q65 = QueryDef(
     "q65_stratified_sample",
     Some("""WITH r AS (SELECT lang, doc_id, n_chars,
@@ -1148,12 +1227,10 @@ object LlmQueries {
             FROM r WHERE rk <= 200
             GROUP BY lang ORDER BY lang"""),
     (s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("text")), col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("lang"), col("doc_id"), col("n_chars"), col("text"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 200)
+      stratifiedTopK(
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"), col("text")),
+        "lang", 200)
         .groupBy("lang")
         .agg(count(lit(1)).as("sampled"),
           sum(col("n_chars")).as("sample_chars"),

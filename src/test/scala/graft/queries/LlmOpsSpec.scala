@@ -351,6 +351,83 @@ class LlmOpsSpec extends SparkSpec {
       s"pq_adc_score projection not codegen'd:\n$plan")
   }
 
+  test("mega-label pair generation: triangle blocking matches the plain " +
+    "self-join exactly and spreads the hot label across tasks") {
+    import org.apache.spark.sql.Row
+    // one mega label (120 vectors -> 7140 pairs) + two small ones
+    val r = new scala.util.Random(42)
+    def vec() = Seq.fill(4)(r.nextDouble())
+    val rows = (0 until 120).map(i => Row("mega", i.toLong, vec())) ++
+      (0 until 10).map(i => Row("s1", 200L + i, vec())) ++
+      (0 until 10).map(i => Row("s2", 300L + i, vec()))
+    val schema = StructType(Seq(
+      StructField("label", StringType), StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val e = spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+    // force real shuffles: broadcast joins and AQE's small-shuffle
+    // coalescing would both hide the partitioning difference this test
+    // exists to observe (at 100 TB neither kicks in for a mega label)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      def keyed(df: DataFrame) = df
+        .select(col("label"), col("vec_a"), col("vec_b"), round(col("sim_raw"), 9))
+        .collect().map(_.toSeq).toSet
+      val naive = LlmQueries.labelPairs(e)
+      val guarded = LlmQueries.labelPairsSkewSafe(e, skewThreshold = 100, blocks = 6)
+      assert(keyed(guarded) == keyed(naive),
+        "triangle blocking must be a pure repartitioning — identical pair set")
+      // the spread the fallback buys: pairs of ONE label land in ONE task
+      // under the label-keyed join, but across many under (label, cell)
+      def spread(df: DataFrame): Long = df.filter(col("label") === "mega")
+        .select(spark_partition_id().as("p")).distinct().count()
+      assert(spread(naive) == 1L,
+        "naive path should concentrate the mega label in a single task")
+      assert(spread(guarded) > 4L,
+        s"triangle cells should spread the mega label, got ${spread(guarded)} tasks")
+      // small labels stay on the plain path (no replication cost)
+      assert(keyed(LlmQueries.labelPairsSkewSafe(e, skewThreshold = 1000)) == keyed(naive))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("mega-stratum sampling: two-phase salted top-k matches the naive " +
+    "window exactly and parallelizes phase 1") {
+    import org.apache.spark.sql.Row
+    val r = new scala.util.Random(7)
+    val rows = (0 until 3000).map(i =>
+      Row("big", i.toLong, 10L, s"doc $i ${r.nextInt()}")) ++
+      (0 until 20).map(i => Row("small", 10000L + i, 10L, s"tiny $i"))
+    val schema = StructType(Seq(
+      StructField("lang", StringType), StructField("doc_id", LongType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    val docs = spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+    def ids(df: DataFrame) = df.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // threshold above the mega stratum -> single-window path (the naive
+    // baseline); below -> salted two-phase
+    val naive = LlmQueries.stratifiedTopK(docs, "lang", 50, skewThreshold = 10000)
+    val guarded = LlmQueries.stratifiedTopK(docs, "lang", 50,
+      skewThreshold = 1000, salts = 8)
+    assert(ids(guarded) == ids(naive),
+      "two-phase refinement must select the identical sample")
+    assert(ids(naive).count(_._1 == "big") == 50 &&
+      ids(naive).count(_._1 == "small") == 20)
+    // plan shape: the guarded path's FIRST window partitions on
+    // (stratum, salt); the naive path has a single stratum-keyed window
+    val guardedPlan = guarded.queryExecution.executedPlan.toString
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(guardedPlan.contains("salt"), s"no salted phase-1 window:\n$guardedPlan")
+    assert(!naivePlan.contains("salt"))
+    assert("Window".r.findAllIn(guardedPlan).size >
+      "Window".r.findAllIn(naivePlan).size,
+      "guarded path should add the phase-1 window")
+  }
+
   test("q73 LM quality: bottom-k scores are negative log-probs, ascending, " +
     "and integer micro-nat terms keep the doc sum order-free") {
     val res = LlmQueries.q73.run(spark, sf)
