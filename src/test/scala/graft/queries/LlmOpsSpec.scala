@@ -703,8 +703,15 @@ class LlmOpsSpec extends SparkSpec {
 
   private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val df = spark.createDataFrame(pairs).toDF("doc_a", "doc_b")
-    LlmQueries.connectedComponents(df).collect()
+    val local = LlmQueries.connectedComponents(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold 0 forces the distributed star-alternation path; the
+    // driver union-find fast path must label identically
+    val dist = LlmQueries.connectedComponents(df, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist,
+      s"union-find fast path diverged from star alternation: $local vs $dist")
+    local
   }
 
   test("large-star/small-star components: adversarial chain, two-parent " +
