@@ -1953,7 +1953,162 @@ object LlmQueries {
         .orderBy("bucket")
     })
 
+  // ------------------------------------------- q76 winnowing overlap
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): the LOCAL-fingerprint upgrade over q41's
+    * whole-document hash. Slide a [[WinnowW]]-wide window over each
+    * document's ordered word-3-gram hashes and keep each window's
+    * minimum — a deterministic ≈1/w density sample with the guarantee
+    * that any shared run of ≥ w+2 consecutive words yields at least one
+    * SHARED fingerprint, so partial overlaps (quoted paragraphs, shared
+    * boilerplate, spliced plagiarism) surface even when whole-doc
+    * fingerprints and set-Jaccard both miss them. Fingerprints occurring
+    * in more than [[WinnowMaxDf]] documents are dropped on BOTH engines
+    * (corpus-stop-fingerprint trim — boilerplate n-grams carry no
+    * pairing signal); that trim is also the scale bound: the
+    * fingerprint-postings self-join has bucket width ≤ maxDf by
+    * construction, never a hot key. Cross-engine parity needs zero float
+    * work: the gram hash is md5 hex (bit-identical), window MIN over
+    * strings, COUNT outputs. 100 TB: token-scale explode with (doc,
+    * pos) keys, fingerprint density 1/w of grams, df-capped postings —
+    * the same posture as the q57 contamination join. */
+  val WinnowW = 4
+  val WinnowMaxDf = 50
+  val WinnowShared = 3
+  val q76 = QueryDef(
+    "q76_winnow_overlap",
+    Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                        FROM documents),
+        g AS (SELECT doc_id, i AS pos, len(tk) - 2 AS ng,
+                     md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS gh
+              FROM t, unnest(range(1, len(tk) - 1)) AS u(i)
+              WHERE len(tk) >= 3),
+        w AS (SELECT doc_id, pos, ng,
+                     MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND ${WinnowW - 1} FOLLOWING) AS fp
+              FROM g),
+        f AS (SELECT DISTINCT doc_id, fp FROM w
+              WHERE pos + ${WinnowW - 1} <= ng),
+        keep AS (SELECT fp FROM f GROUP BY fp
+                 HAVING COUNT(*) <= $WinnowMaxDf),
+        ff AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS shared
+              FROM ff a JOIN ff b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared FROM p
+        WHERE shared >= $WinnowShared ORDER BY doc_a, doc_b"""),
+    (s, dir) => winnowPairs(t(s, dir, "documents").select("doc_id", "text")))
+
+  /** q76's pipeline over any (doc_id, text) frame — factored out so the
+    * spec can drive the winnowing guarantee on planted fixtures. */
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val grams = docs
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), (size(col("tk")) - 2).as("ng"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2))).as("gh")))).as("g"))
+      .select(col("doc_id"), col("ng"), col("g.pos"), col("g.gh"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val fps = grams
+      .withColumn("fp", min(col("gh")).over(win))
+      .filter(col("pos") + (WinnowW - 1) <= col("ng"))
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(true) // feeds the df trim AND both join sides
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf).select("fp")
+    val ff = fps.join(keep, "fp")
+    ff.as("a")
+      .join(ff.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------- q77 int8 scalar-quant ANN
+  /** Scalar quantization (SQ8) — the fourth leg of the vector-compression
+    * ladder (hyperplane LSH q37, IVF q47, PQ q72): each vector stores
+    * 64 int8 codes + one scale instead of 64 floats (≈4× compression,
+    * no codebook at all), and similarity runs ENTIRELY on the codes:
+    * quantize q_i = round(v_i · 127 / max|v|), then
+    * cos_q(a,b) = dot(qa,qb) / (‖qa‖·‖qb‖) over the integer codes.
+    * Cross-engine parity is exact by construction: max|v| and the
+    * element products are order-free; every integer intermediate
+    * (products ≤ 127², sums ≤ 64·127²) is exactly representable in a
+    * double, so summation order can't perturb a bit; and the only float
+    * ops — one round, two sqrt (IEEE correctly-rounded, unlike ln/exp),
+    * one divide — are deterministic on both engines, so the ranking on
+    * the RAW quantized cosine hashes identically (display rounding
+    * only). 100 TB: the scan side holds 64-byte codes + per-vector
+    * int norm; the query's codes broadcast; no shuffle before the
+    * TakeOrdered top-k. */
+  val q77 = QueryDef(
+    "q77_sq8_ann",
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        mx AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS ma
+               FROM e),
+        qt AS (SELECT vec_id,
+                      CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                           ELSE list_transform(v, x -> CAST(round(x * 127 / ma) AS BIGINT))
+                      END AS c
+               FROM mx),
+        n AS (SELECT vec_id, c,
+                     list_sum(list_transform(c, x -> x * x)) AS nn
+              FROM qt),
+        q AS (SELECT c AS qc, nn AS qn FROM n WHERE vec_id = 0),
+        sc AS (SELECT n.vec_id,
+                      CASE WHEN n.nn = 0 OR q.qn = 0 THEN -2.0
+                           ELSE CAST(list_inner_product(n.c, q.qc) AS DOUBLE)
+                             / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(q.qn AS DOUBLE)))
+                      END AS qcos
+               FROM n, q WHERE n.vec_id <> 0)
+        SELECT vec_id, ROUND(qcos, 4) AS qcos FROM sc
+        ORDER BY sc.qcos DESC, vec_id LIMIT 5"""),
+    (s, dir) => sq8TopK(s, dir, 0L, 5))
+
+  /** Engine side of q77: quantization and scoring stay declarative
+    * (HOFs over the code arrays — every intermediate integer-exact, see
+    * [[q77]]); the single query row cross-broadcasts. */
+  def sq8TopK(s: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    val ma = array_max(transform(col("v"), x => abs(x)))
+    val codes = when(ma === 0d,
+        transform(col("v"), _ => lit(0L)))
+      .otherwise(transform(col("v"),
+        x => round(x * 127 / ma).cast("long")))
+    val quant = e.select(col("vec_id"), codes.as("c"))
+      .withColumn("nn",
+        aggregate(transform(col("c"), x => x * x), lit(0L), (acc, x) => acc + x))
+    val qRow = quant.filter(col("vec_id") === queryId)
+      .select(col("c").as("qc"), col("nn").as("qn"))
+    val dot = aggregate(zip_with(col("c"), col("qc"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    quant.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qRow))
+      .select(col("vec_id"),
+        when(col("nn") === 0L || col("qn") === 0L, lit(-2.0))
+          .otherwise(dot.cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qn").cast("double"))))
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("qcos"), 4).as("qcos"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75)
+    q70, q71, q72, q73, q74, q75, q76, q77)
 }

@@ -428,6 +428,60 @@ class LlmOpsSpec extends SparkSpec {
       "guarded path should add the phase-1 window")
   }
 
+  test("q76 winnowing: a planted shared run surfaces the pair that " +
+    "whole-doc fingerprints and set-Jaccard both miss") {
+    def words(seed: Int, n: Int) = {
+      val rr = new scala.util.Random(seed)
+      (0 until n).map(_ => s"u${rr.nextInt(1000000)}")
+    }
+    val sharedRun = (0 until 40).map(i => s"shared$i")
+    val a = (words(1, 30) ++ sharedRun ++ words(2, 30)).mkString(" ")
+    val b = (words(3, 30) ++ sharedRun ++ words(4, 30)).mkString(" ")
+    val c = words(5, 100).mkString(" ")
+    val docs = docsDf(Seq(1L -> a, 2L -> b, 3L -> c))
+    val pairs = LlmQueries.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the planted partial-overlap pair should surface, got $pairs")
+    // the same pair is INVISIBLE to whole-doc set-Jaccard at the q34
+    // threshold — winnowing's entire reason to exist
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles3(TextOps.tokens(col("text"))).as("sh"))
+    val jac = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") === 1 && col("y.doc_id") === 2)
+      .select(TextOps.jaccard(col("x.sh"), col("y.sh"))).head().getDouble(0)
+    assert(jac < 0.8, s"fixture broken: pair is a plain near-dup (jac=$jac)")
+  }
+
+  test("q77 SQ8: quantized cosine tracks exact cosine and reaches the " +
+    "recall floor") {
+    import spark.implicits._
+    val e = graft.Tables(spark, sf, "embeddings")
+      .withColumn("v", graft.functions.VectorOps.toDoubleVec(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    val qv = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    val exact = e.filter(col("vec_id") =!= 0).as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) {
+          dot += v(i) * qv(i); na += v(i) * v(i); nb += qv(i) * qv(i); i += 1
+        }
+        (id, dot / (math.sqrt(na) * math.sqrt(nb)))
+      }.toDF("vec_id", "cos").orderBy(col("cos").desc, col("vec_id"))
+    val exactTop = exact.limit(5).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = LlmQueries.sq8TopK(spark, sf, 0L, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val recall = (exactTop.keySet & got.keySet).size / 5.0
+    assert(recall >= 0.6, s"SQ8 recall $recall below floor (got ${got.keySet})")
+    // int8 over 64 dims: quantized cosine within ~2e-2 of exact for the
+    // vectors both rankings agree on
+    val exactAll = exact.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, qc) =>
+      assert(math.abs(qc - exactAll(id)) <= 0.02,
+        s"SQ8 cosine drift for $id: $qc vs ${exactAll(id)}")
+    }
+  }
+
   test("q73 LM quality: bottom-k scores are negative log-probs, ascending, " +
     "and integer micro-nat terms keep the doc sum order-free") {
     val res = LlmQueries.q73.run(spark, sf)
