@@ -2108,7 +2108,83 @@ object LlmQueries {
       .select(col("vec_id"), round(col("qcos"), 4).as("qcos"))
   }
 
+  // ------------------------------------------- q78 DSIR importance score
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS'23):
+    * score every raw-pool document by how target-like it is under two
+    * unigram bag-of-words LMs — ln p_target(doc) − ln p_raw(doc), both
+    * add-one smoothed over the joint vocabulary — the selection signal a
+    * pretraining pipeline uses to upsample domain-relevant data. The
+    * target here is the held-out doc_id % 10 slice (q57's device); the
+    * output is the 10 most target-like raw documents by per-token log
+    * ratio (length-normalized, q73's ranking device). Cross-engine float
+    * parity reuses q73 exactly: each vocabulary word's log-ratio is
+    * rounded to integer MICRO-NATS once, per-doc scores are exact
+    * BIGINT sums of tf·Δmicro (order-free), and the ranking key is one
+    * deterministic integer division. 100 TB: both count tables are
+    * vocabulary-bounded, the per-doc pass is a (doc, word) tf aggregate
+    * joined to the broadcast-scale LM table; full DSIR replaces words
+    * with hashed n-gram buckets (fixed feature space) — same join
+    * shape, one md5-prefix bucketing away. */
+  val q78 = QueryDef(
+    "q78_dsir_score",
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                         FROM documents),
+        tgt AS (SELECT w, COUNT(*) AS ct FROM tok WHERE doc_id % 10 = 0 GROUP BY w),
+        rw  AS (SELECT w, COUNT(*) AS cr FROM tok WHERE doc_id % 10 <> 0 GROUP BY w),
+        vv  AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+        nt  AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM tgt),
+        nr  AS (SELECT CAST(SUM(cr) AS BIGINT) AS n FROM rw),
+        lm  AS (SELECT voc.w,
+                  CAST(ROUND(ln((COALESCE(tgt.ct, 0) + 1) / (nt.n + vv.v)) * 1e6, 0)
+                       AS BIGINT)
+                - CAST(ROUND(ln((COALESCE(rw.cr, 0) + 1) / (nr.n + vv.v)) * 1e6, 0)
+                       AS BIGINT) AS dm
+                FROM (SELECT DISTINCT w FROM tok) voc
+                LEFT JOIN tgt USING (w) LEFT JOIN rw USING (w)
+                CROSS JOIN vv CROSS JOIN nt CROSS JOIN nr),
+        dtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+                WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        sc  AS (SELECT doc_id, CAST(SUM(tf * dm) AS BIGINT) AS sm,
+                       CAST(SUM(tf) AS BIGINT) AS ntok
+                FROM dtf JOIN lm USING (w) GROUP BY doc_id)
+        SELECT doc_id, ROUND(sm::DOUBLE / ntok / 1e6, 4) AS dsir
+        FROM sc ORDER BY sm::DOUBLE / ntok DESC, doc_id LIMIT 10"""),
+    (s, dir) =>
+      dsirScores(t(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id") % 10 === 0)
+        .orderBy((col("sm").cast("double") / col("ntok")).desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"),
+          round(col("sm").cast("double") / col("ntok") / 1e6, 4).as("dsir")))
+
+  /** q78's scorer over any (doc_id, text) frame: returns every non-target
+    * document with its exact integer (sm = Σ tf·Δmicro, ntok) score
+    * pair. Three driver-side scalars (vocab size, corpus token counts) —
+    * the q73 precedent; everything else is declarative. */
+  def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"),
+        isTarget.as("tgt"))
+      .localCheckpoint(true) // LM counts, vocab, and per-doc tfs in one pass
+    val tgt = tok.filter(col("tgt")).groupBy("w").agg(count(lit(1)).as("ct"))
+    val rw = tok.filter(!col("tgt")).groupBy("w").agg(count(lit(1)).as("cr"))
+    val v = tok.select("w").distinct().count()
+    val ntC = tgt.agg(coalesce(sum("ct"), lit(0L))).head().getLong(0)
+    val nrC = rw.agg(coalesce(sum("cr"), lit(0L))).head().getLong(0)
+    val lm = tok.select("w").distinct()
+      .join(tgt, Seq("w"), "left").join(rw, Seq("w"), "left")
+      .select(col("w"), expr(
+        s"CAST(ROUND(ln((COALESCE(ct, 0) + 1) / (${ntC}L + ${v}L)) * 1e6, 0) AS BIGINT)" +
+          s" - CAST(ROUND(ln((COALESCE(cr, 0) + 1) / (${nrC}L + ${v}L)) * 1e6, 0) AS BIGINT)")
+        .as("dm"))
+    tok.filter(!col("tgt")).groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+      .join(lm, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("dm")).as("sm"), sum(col("tf")).as("ntok"))
+  }
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }

@@ -482,6 +482,34 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q78 DSIR: a raw-pool copy of target text outranks off-domain docs") {
+    def words(seed: Int, n: Int) = {
+      val rr = new scala.util.Random(seed)
+      (0 until n).map(_ => s"w${rr.nextInt(500)}").mkString(" ")
+    }
+    // docs 0-2 are the target domain (shared seed pool); docs 10-13 the
+    // raw pool — 10 copies target-domain text, 11-13 draw from a
+    // disjoint vocabulary
+    val docs = docsDf(Seq(
+      0L -> words(1, 80), 1L -> words(2, 80), 2L -> words(3, 80),
+      10L -> words(1, 80),
+      11L -> words(101, 80).replace("w", "x"),
+      12L -> words(102, 80).replace("w", "x"),
+      13L -> words(103, 80).replace("w", "x")))
+    val scored = LlmQueries.dsirScores(docs, col("doc_id") < 10)
+      .withColumn("score", col("sm").cast("double") / col("ntok"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect()
+    assert(scored.map(_.getLong(0)).toSet == Set(10L, 11L, 12L, 13L),
+      "only raw-pool docs are scored")
+    assert(scored.head.getLong(0) == 10L,
+      s"the in-domain copy must rank first: ${scored.map(_.getLong(0)).toSeq}")
+    // and with a positive log-ratio (more target-like than raw-like),
+    // while the off-domain docs score negative
+    assert(scored.head.getDouble(scored.head.fieldIndex("score")) > 0)
+    assert(scored.tail.forall(_.getDouble(scored.head.fieldIndex("score")) < 0))
+  }
+
   test("q73 LM quality: bottom-k scores are negative log-probs, ascending, " +
     "and integer micro-nat terms keep the doc sum order-free") {
     val res = LlmQueries.q73.run(spark, sf)
