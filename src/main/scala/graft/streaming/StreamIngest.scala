@@ -103,6 +103,43 @@ object StreamIngest {
       .foreachBatch(commitBatch(catalog, db, table) _)
       .start()
 
+  /** Dedup-at-ingest: the streaming half of the exact-dedup tier (q29/
+    * q55) — documents entering on a stream are deduplicated BY CONTENT
+    * before they ever land in the lake, so the corpus never accumulates
+    * the duplicate mass a batch pass would later have to remove. Keys
+    * are the 128-bit `(xxhash64(text), xxhash64(reverse(text)))` pair
+    * (q55's whp-collision-free device) — per-doc state is 16 bytes, not
+    * the payload — and `dropDuplicatesWithinWatermark` bounds that state
+    * to the watermark horizon: at 100 TB/day ingest the state store
+    * holds only the horizon's worth of hashes, the one shape that
+    * doesn't grow without bound. The trade is explicit: a duplicate
+    * re-arriving AFTER the horizon re-admits (state for the original has
+    * expired); the batch exact-dedup (q29) downstream is the backstop
+    * for cross-horizon duplicates, exactly how production pipelines
+    * layer the two. Output lands via [[commitBatch]] — one append
+    * snapshot per micro-batch, replay-safe on the batch-id gate. */
+  def dedupIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      table: String,
+      tsCol: String,
+      textCol: String,
+      horizon: String = "1 hour"): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .withColumn("h1", xxhash64(col(textCol)))
+      .withColumn("h2", xxhash64(reverse(col(textCol))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("h1", "h2")
+      .drop("h1", "h2")
+      .writeStream
+      .foreachBatch(commitBatch(catalog, db, table) _)
+      .start()
+
   /** Streaming windowed counts MATERIALIZED in a lake table via MERGE
     * upserts: update-mode emits each changed (window, type) row with its
     * current TOTAL count, and the micro-batch merges it — matched window

@@ -72,6 +72,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("dedup-at-ingest: duplicate texts within the watermark horizon land once") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    def doc(id: Long, minute: Long, text: String) =
+      Row(id, Timestamp.from(base.plusSeconds(minute * 60)), text)
+    // chunk0: two distinct + one in-batch duplicate; chunk1: cross-batch
+    // duplicate of "alpha" plus a new doc; chunk2: another "alpha" dup
+    // and a new doc — all within the 1 h horizon
+    val chunks = Seq(
+      Seq(doc(1, 0, "alpha text"), doc(2, 1, "beta text"), doc(3, 2, "alpha text")),
+      Seq(doc(4, 10, "alpha text"), doc(5, 11, "gamma text")),
+      Seq(doc(6, 20, "alpha text"), doc(7, 21, "delta text")))
+    val flat = Files.createTempDirectory("graft-dedup-flat")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val dir = Files.createTempDirectory(s"graft-dedup-src$i")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), docSchema)
+        .write.parquet(s"$dir/c")
+      Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+      }
+    }
+    val wh = Files.createTempDirectory("graft-dedup-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    cat.createTable("db", "docs_dedup", docSchema)
+    val q = StreamIngest.dedupIngest(spark, flat.toString, docSchema,
+      cat, "db", "docs_dedup", "ts", "text")
+    q.processAllAvailable(); q.stop()
+    val landed = cat.loadTable("db", "docs_dedup").get.read()
+      .select("text").collect().map(_.getString(0))
+    assert(landed.length == landed.distinct.length,
+      s"duplicates landed: ${landed.toSeq}")
+    assert(landed.toSet ==
+      Set("alpha text", "beta text", "gamma text", "delta text"),
+      s"wrong surviving set: ${landed.toSet}")
+    // the kept copy is the FIRST micro-batch's (doc 4/6 never land)
+    val ids = cat.loadTable("db", "docs_dedup").get.read()
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(4L) && !ids.contains(6L),
+      s"later duplicates should be dropped, got $ids")
+  }
+
   test("streaming windowed counts materialize into a lake table via MERGE upserts") {
     val srcDir = Files.createTempDirectory("graft-ups-src")
     val rows = mkEvents(90)
