@@ -290,6 +290,14 @@ class LakeSql(val catalog: LakeCatalog) {
       t.dropBranch(bm.group(1))
       return status(s"Dropped branch ${bm.group(1)} from $db.$table")
     }
+    // v3 column defaults (M46): SET DEFAULT changes the WRITE default
+    // only — initial-defaults are immutable once set (already-written
+    // rows keep reading back the same values)
+    """(?is)^ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*$""".r
+      .findFirstMatchIn(rest).foreach { m =>
+        t.setWriteDefault(m.group(1), unquote(m.group(2)))
+        return status(s"Set write default for ${m.group(1)} on $db.$table")
+      }
     // Iceberg's write-order DDL: sugar over the write.sort-order
     // property the append path already honors (task-local sort → tight
     // footer bounds from day one). Names are validated HERE — the write
@@ -373,9 +381,18 @@ class LakeSql(val catalog: LakeCatalog) {
         }
         status(s"Altered $db.$table (format-version=${t2.meta.formatVersion})")
       case (_, Some(am), _) =>
-        val added = StructType.fromDDL(am.group(1))
-        added.fields.foldLeft(t)((acc, f) => acc.addColumn(f.name, f.dataType))
-        status(s"Added ${added.size} column(s) to $db.$table")
+        // each spec is `name TYPE [DEFAULT <literal>]` (M46)
+        val specs = topLevelSplit(am.group(1), ',').map(_.trim).filter(_.nonEmpty)
+        specs.foldLeft(t) { (acc, spec) =>
+          val (ddlPart, default) =
+            """(?is)^(.*?)\s+DEFAULT\s+(.+)$""".r.findFirstMatchIn(spec) match {
+              case Some(m2) => (m2.group(1), Some(unquote(m2.group(2).trim)))
+              case None => (spec, None)
+            }
+          val f = StructType.fromDDL(ddlPart).fields.head
+          acc.addColumn(f.name, f.dataType, default)
+        }
+        status(s"Added ${specs.size} column(s) to $db.$table")
       case (_, _, Some(dm)) =>
         t.dropColumn(dm.group(1))
         status(s"Dropped column ${dm.group(1)} from $db.$table")

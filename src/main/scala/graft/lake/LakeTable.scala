@@ -606,7 +606,33 @@ class LakeTable(
         ).flatten
         parts.reduce(_ unionByName _)
       }
-    applyDeletes(base, files, deletes)
+    applyInitialDefaults(applyDeletes(base, files, deletes), files)
+  }
+
+  /** v3 initial-defaults on the read path (M46): rows from data files
+    * that PREDATE a defaulted column (dataSequenceNumber < addedSeq)
+    * read the column's initial-default instead of the parquet
+    * projection's null-fill; rows from later files keep their physical
+    * value — an explicitly-written NULL stays NULL. The per-row decision
+    * rides the same broadcast file-attribute join the lineage path uses
+    * (O(file-count) rows), and the whole step is skipped unless some
+    * scanned file actually predates some default — the steady state
+    * after a compaction materializes the defaults physically. */
+  private def applyInitialDefaults(
+      df: DataFrame, files: Seq[DataFileMeta]): DataFrame = {
+    val defs = meta.columnDefaults.filter(_.initial.isDefined)
+    val needy = defs.filter(d =>
+      files.exists(_.dataSequenceNumber < d.addedSeq))
+    if (needy.isEmpty) return df
+    val attrs = fileAttrs(files).select(col(AttrPath), col(AttrSeq))
+    val withSeq = df.join(broadcast(attrs), col(FileCol) === col(AttrPath), "left")
+    val filled = needy.foldLeft(withSeq) { (acc, d) =>
+      val dt = schema(d.colName).dataType
+      acc.withColumn(d.colName,
+        when(col(AttrSeq) < d.addedSeq, lit(d.initial.get).cast(dt))
+          .otherwise(col(d.colName)))
+    }
+    filled.drop(AttrPath, AttrSeq)
   }
 
   private def applyDeletes(
@@ -1033,7 +1059,16 @@ class LakeTable(
   }
 
   def append(df: DataFrame, extraProps: Map[String, String] = Map.empty): LakeTable = {
-    val written0 = writeDataFiles(df, 0L, 0L) // stamps re-based per attempt
+    // v3 write-defaults (M46): a writer omitting a defaulted column
+    // lands the default PHYSICALLY (write-time fill, Iceberg semantics —
+    // later SET DEFAULT changes must not rewrite these rows)
+    val conformed = meta.columnDefaults.foldLeft(df) { (d, cd) =>
+      if (cd.write.isDefined && !d.columns.contains(cd.colName))
+        d.withColumn(cd.colName,
+          lit(cd.write.get).cast(schema(cd.colName).dataType))
+      else d
+    }
+    val written0 = writeDataFiles(conformed, 0L, 0L) // stamps re-based per attempt
     val written = written0.map(_.rowCount).sum
     rebaseCommit(written0) { (h, files, start, _) =>
       h.commitSnapshot(
@@ -1615,7 +1650,8 @@ class LakeTable(
   /** ALTER TABLE … ADD COLUMN — metadata-only: existing parquet files
     * simply lack the column and the schema-projected scan null-fills it
     * (Iceberg's add-column semantics). New writes carry it physically. */
-  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): LakeTable = {
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): LakeTable = {
     if (schema.fieldNames.contains(name))
       throw new IllegalArgumentException(s"column $name already exists on ${meta.name}")
     // a column named like a transform's partition field (e.g. `ts_day`
@@ -1624,8 +1660,49 @@ class LakeTable(
     if (transforms.exists(t => t.fieldName == name && t.sourceCol != name))
       throw new IllegalArgumentException(
         s"column $name collides with partition field $name on ${meta.name}")
+    // Iceberg v3 ADD COLUMN ... DEFAULT: one literal becomes BOTH the
+    // initial-default (what pre-column rows read back as) and the
+    // write-default (what a writer omitting the column lands) — fixed
+    // now, not re-evaluated. The addedSeq watermark is lastSequenceNumber
+    // + 1: every live file has seq <= lastSequenceNumber, every future
+    // data commit gets a strictly higher one, so the pre/post split is
+    // exact without touching any file.
+    default.foreach { d =>
+      // fail at DDL time if the literal can't cast to the column type
+      val probe = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(d), dataType)
+      if (!probe.resolved || probe.eval() == null)
+        throw new IllegalArgumentException(
+          s"DEFAULT '$d' is not a valid $dataType literal")
+    }
     withMeta(meta.copy(
-      schemaDdl = StructType(schema.fields :+ StructField(name, dataType)).toDDL))
+      schemaDdl = StructType(schema.fields :+ StructField(name, dataType)).toDDL,
+      columnDefaults = meta.columnDefaults ++ default.map(d =>
+        ColumnDefault(name, initial = Some(d), write = Some(d),
+          addedSeq = meta.lastSequenceNumber + 1))))
+  }
+
+  /** ALTER COLUMN … SET DEFAULT — changes only the WRITE default
+    * (Iceberg v3 semantics: the initial-default is immutable once set;
+    * already-written rows must keep reading back the same values). */
+  def setWriteDefault(name: String, value: String): LakeTable = {
+    val f = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name on ${meta.name}"))
+    val probe = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(value), f.dataType)
+    if (!probe.resolved || probe.eval() == null)
+      throw new IllegalArgumentException(
+        s"DEFAULT '$value' is not a valid ${f.dataType} literal")
+    val existing = meta.columnDefaults.find(_.colName == name)
+    val updated = existing match {
+      case Some(cd) => meta.columnDefaults.map(c =>
+        if (c.colName == name) cd.copy(write = Some(value)) else c)
+      case None => meta.columnDefaults :+
+        // no initial: rows from before this DDL read back unchanged
+        ColumnDefault(name, initial = None, write = Some(value),
+          addedSeq = meta.lastSequenceNumber + 1)
+    }
+    withMeta(meta.copy(columnDefaults = updated))
   }
 
   /** ALTER TABLE … DROP COLUMN — metadata-only: the scan projects the
@@ -1640,7 +1717,8 @@ class LakeTable(
       throw new IllegalArgumentException(
         s"cannot drop $name: live equality-delete files reference it (compact first)")
     withMeta(meta.copy(
-      schemaDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL))
+      schemaDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL,
+      columnDefaults = meta.columnDefaults.filterNot(_.colName == name)))
   }
 
   /** Partition-spec evolution (metadata-only, Iceberg-style): future

@@ -90,6 +90,22 @@ final case class Snapshot(
       * assigns it and strips the inline lists from the persisted JSON. */
     manifestPath: Option[String] = None)
 
+/** Iceberg v3 column defaults (spec: `initial-default` /
+  * `write-default`). `initial` is the value old rows — written before
+  * the column existed — read back as; `write` fills the column when a
+  * writer omits it. Both are literals RENDERED AS STRINGS (applied via
+  * `lit(v).cast(columnType)`), fixed at DDL time, never re-evaluated.
+  * `addedSeq` is the commit-sequence watermark separating pre-column
+  * data files (dataSequenceNumber < addedSeq → initial-default applies)
+  * from post-column files (physical value wins, explicit NULL included)
+  * — equivalent to Iceberg's per-file field-id presence test, because
+  * writers always emit the full schema once the column exists. */
+final case class ColumnDefault(
+    colName: String,
+    initial: Option[String] = None,
+    write: Option[String] = None,
+    addedSeq: Long = 0L)
+
 /** The file lists of one snapshot, persisted once as an immutable
   * per-snapshot manifest (the Iceberg-manifest analogue). */
 final case class ManifestData(
@@ -121,7 +137,9 @@ final case class TableMetadata(
       * that advance the branch pointer while `currentSnapshotId` (main)
       * stays put — the write-audit-publish pattern. Branch heads are
       * expiry-protected like tags. */
-    branches: Map[String, Long] = Map.empty) {
+    branches: Map[String, Long] = Map.empty,
+    /** v3 column defaults, one entry per defaulted column (M46). */
+    columnDefaults: Seq[ColumnDefault] = Nil) {
 
   def currentSnapshot: Option[Snapshot] =
     snapshots.find(_.id == currentSnapshotId)

@@ -935,6 +935,31 @@ class ExtensionsSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq == Seq(1, 3))
   }
 
+  test("SQL surface: ADD COLUMN ... DEFAULT and ALTER COLUMN SET DEFAULT (M46)") {
+    val wh = Files.createTempDirectory("graft-cd-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.cd (id INT, name STRING)")
+    sql.run("INSERT INTO db.cd VALUES (1, 'a'), (2, 'b')")
+    sql.run("ALTER TABLE db.cd ADD COLUMN score INT DEFAULT 7")
+    // pre-column rows read the initial default through the dispatcher
+    assert(sql.run("SELECT id, score FROM db.cd ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toSeq == Seq(1 -> 7, 2 -> 7))
+    // an INSERT naming all columns writes physically; explicit NULL stays
+    sql.run("INSERT INTO db.cd VALUES (3, 'c', NULL)")
+    assert(sql.run("SELECT score FROM db.cd WHERE id = 3").head().isNullAt(0))
+    // SET DEFAULT rewrites nothing: old rows keep 7
+    sql.run("ALTER TABLE db.cd ALTER COLUMN score SET DEFAULT 9")
+    assert(sql.run("SELECT score FROM db.cd WHERE id = 1").head().getInt(0) == 7)
+    // string default with quotes, multi-column form
+    sql.run("ALTER TABLE db.cd ADD COLUMNS (lang STRING DEFAULT 'en', n2 INT)")
+    val r = sql.run("SELECT id, lang, n2 FROM db.cd ORDER BY id").collect()
+    assert(r.forall(_.getString(1) == "en"))
+    assert(r.forall(_.isNullAt(2))) // no default -> plain null-fill
+    // invalid literal surfaces at DDL time
+    assertThrows[IllegalArgumentException](
+      sql.run("ALTER TABLE db.cd ADD COLUMN bad INT DEFAULT 'oops'"))
+  }
+
   test("DSv2 catalog: metadata tables lake.db.t.history/snapshots/files resolve natively") {
     val wh = Files.createTempDirectory("graft-mt-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))

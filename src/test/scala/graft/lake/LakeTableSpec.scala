@@ -636,6 +636,49 @@ class LakeTableSpec extends SparkSpec {
     assert(t.read().count() == 7)
   }
 
+  test("column defaults (M46): initial fills pre-column rows, write fills " +
+    "omitting writers, explicit NULL survives, compaction materializes") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "cd", schema, props = morProps)
+      .append(df((1, "a", 10.0), (2, "a", 20.0)))
+    // invalid literal fails at DDL time
+    assertThrows[IllegalArgumentException](
+      t.addColumn("score", IntegerType, Some("not-a-number")))
+    t = t.addColumn("score", IntegerType, Some("7"))
+    // initial-default: the two PRE-COLUMN rows read 7, not null
+    assert(t.read().select("score").collect().map(_.getInt(0)).toSeq == Seq(7, 7))
+    // write-default: an appender omitting the column lands 7 physically
+    t = t.append(df((3, "b", 30.0)))
+    assert(t.read().filter(col("id") === 3).head().getAs[Int]("score") == 7)
+    // an explicitly-written NULL in a post-column file STAYS null
+    val wide = StructType(schema.fields :+ StructField("score", IntegerType))
+    t = t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(4, "b", 40.0, null)), 1), wide))
+    val byId = t.read().collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[Any]("score"))).toMap
+    assert(byId(1) == Some(7) && byId(2) == Some(7) && byId(3) == Some(7))
+    assert(byId(4).isEmpty, s"explicit NULL must survive, got ${byId(4)}")
+    // SET DEFAULT changes the WRITE default only: old rows keep 7
+    t = t.setWriteDefault("score", "9")
+    t = t.append(df((5, "c", 50.0)))
+    val after = t.read().collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[Any]("score"))).toMap
+    assert(after(5) == Some(9) && after(1) == Some(7) && after(4).isEmpty)
+    // compaction materializes initial-defaults physically; reads are
+    // unchanged afterwards (the steady state where the fill join skips)
+    val compacted = Procedures.rewriteDataFiles(t).table
+    val post = compacted.read().collect()
+      .map(r => r.getInt(0) -> Option(r.getAs[Any]("score"))).toMap
+    assert(post == after, s"compaction changed visible values: $post vs $after")
+    // metadata round-trip: a reloaded handle keeps the defaults
+    val reloaded = cat.loadTable("db", "cd").get
+    assert(reloaded.meta.columnDefaults.map(_.colName) == Seq("score"))
+    assert(reloaded.read().filter(col("id") === 1).head()
+      .getAs[Int]("score") == 7)
+    // dropping the column drops its default entry (persisting DDL — last)
+    assert(compacted.dropColumn("score").meta.columnDefaults.isEmpty)
+  }
+
   test("tags: named snapshot refs survive expiry and read by name") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "tag", schema, props = morProps)
