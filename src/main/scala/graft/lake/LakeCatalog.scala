@@ -83,6 +83,10 @@ class LakeCatalog(
     // partition-field collisions (M36 — specs may be transforms)
     PartitionTransform.parseAll(partitionBy, schema)
     val version = props.getOrElse("format-version", "2").toInt
+    // variant is an Iceberg v3 type (M47): a v2 table carrying one would
+    // be unreadable by every v2 reader — reject with the upgrade hint
+    // rather than producing a corrupt-to-others table
+    if (version < 3) LakeTable.requireNoVariant(schema, s"$db.$table", version)
     val m = TableMetadata(
       name = s"$db.$table",
       formatVersion = version,

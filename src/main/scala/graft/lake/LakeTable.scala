@@ -1660,6 +1660,10 @@ class LakeTable(
     if (transforms.exists(t => t.fieldName == name && t.sourceCol != name))
       throw new IllegalArgumentException(
         s"column $name collides with partition field $name on ${meta.name}")
+    // variant is v3-only (M47) — same gate createTable runs
+    if (meta.formatVersion < 3)
+      LakeTable.requireNoVariant(
+        StructType(Seq(StructField(name, dataType))), meta.name, meta.formatVersion)
     // Iceberg v3 ADD COLUMN ... DEFAULT: one literal becomes BOTH the
     // initial-default (what pre-column rows read back as) and the
     // write-default (what a writer omitting the column lands) — fixed
@@ -1839,6 +1843,29 @@ object LakeTable {
   private[lake] val AttrSeq = "__attr_seq"
   private[lake] val AttrFirst = "__attr_first"
   private[lake] val DelSeqCol = "__del_seq"
+
+  /** v3 gate for the VARIANT type (M47): Iceberg added variant in spec
+    * v3, so a v2 table carrying one would be unreadable by every
+    * spec-compliant v2 reader. Checked recursively (array/map/struct
+    * nesting counts) at CREATE TABLE and ADD COLUMN; the remedy is the
+    * repo's whole theme — upgrade to format-version 3. */
+  private[lake] def requireNoVariant(
+      schema: StructType, table: String, version: Int): Unit = {
+    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasVariant(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
+    }
+    schema.fields.filter(f => hasVariant(f.dataType)).foreach { f =>
+      throw new IllegalArgumentException(
+        s"column ${f.name} on $table is VARIANT, an Iceberg v3 type, but " +
+          s"the table is format-version $version — upgrade to " +
+          "format-version 3 first ('format-version'='3')")
+    }
+  }
 
   /** Changelog output columns (Iceberg's changelog-scan names). */
   val ChangeTypeCol = "_change_type"
