@@ -2184,7 +2184,46 @@ object LlmQueries {
       .agg(sum(col("tf") * col("dm")).as("sm"), sum(col("tf")).as("ntok"))
   }
 
+  // ------------------------------------------- q79 BPE pair counts
+  /** The counting kernel of BPE tokenizer training (Sennrich et al.,
+    * ACL'16): the frequency of every adjacent symbol pair across the
+    * corpus — the statistic each merge round maximizes. The scale story
+    * is the TWO-STAGE shape a real distributed BPE trainer uses: first
+    * collapse the corpus to (word, count) — a vocabulary-bounded
+    * aggregate with map-side combine — then explode pairs over DISTINCT
+    * words only, weighting by the word count. Pair generation is
+    * vocabulary-scale, not corpus-scale: a word appearing a billion
+    * times explodes once. All outputs are strings + exact integers, so
+    * the oracle hashes trivially; iterating merge rounds re-runs the
+    * same plan over the re-segmented vocab (symbols stay in the word
+    * row — no per-round corpus pass). */
+  val q79 = QueryDef(
+    "q79_bpe_pairs",
+    Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents),
+        wc AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+        p AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, c
+              FROM wc, unnest(range(1, len(w))) AS u(i)
+              WHERE len(w) >= 2),
+        agg AS (SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt
+                FROM p GROUP BY l, r)
+        SELECT l, r, cnt FROM agg ORDER BY cnt DESC, l, r LIMIT 10"""),
+    (s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .filter(length(col("w")) >= 2)
+      wc.select(col("c"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => struct(substring(col("w"), i, lit(1)).as("l"),
+            substring(col("w"), i + 1, lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(10)
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }
