@@ -80,6 +80,7 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
         case "history" | "snapshots" => Some(_.history())
         case "files" => Some(_.filesMetadata())
         case "partitions" => Some(_.partitionsMetadata())
+        case "refs" => Some(_.refsMetadata())
         case _ => None
       }
       return make.flatMap(f => cat.loadTable(dbName, tblName).map { t =>

@@ -576,6 +576,19 @@ class LakeTable(
       .toDF("snapshot_id", "committed_at", "operation", "sequence_number", "summary")
   }
 
+  /** Iceberg's `refs` metadata table: every named ref — `main`, each
+    * branch, each tag — with its kind and head snapshot id. The one
+    * place an operator sees the whole ref landscape (what WAP branches
+    * exist, what tags pin which snapshots) without reading any data. */
+  def refsMetadata(): DataFrame = {
+    import spark.implicits._
+    val rows =
+      Seq(("main", "BRANCH", meta.currentSnapshotId)) ++
+        meta.branches.toSeq.sorted.map { case (n, id) => (n, "BRANCH", id) } ++
+        meta.tags.toSeq.sorted.map { case (n, id) => (n, "TAG", id) }
+    rows.toDF("name", "type", "snapshot_id")
+  }
+
   /** Live rows of an explicit data-file subset (compaction reads only the
     * rewrite set; deletes still applied). */
   private[lake] def readLiveFiles(

@@ -976,6 +976,16 @@ class ExtensionsSpec extends SparkSpec {
       == sql.catalog.loadTable("db", "mt").get.dataFiles.size)
     // the base table still resolves normally next to its metadata tables
     assert(spark.sql("SELECT COUNT(*) AS c FROM lake.db.mt").head().getLong(0) == 3)
+    // refs: main + a branch + a tag, with their head snapshot ids
+    val t0 = sql.catalog.loadTable("db", "mt").get
+    val t = t0.createBranch("audit", None)
+      .tagSnapshot("v1", t0.meta.snapshots.map(_.id).min)
+    val refs = spark.sql(
+      "SELECT name, type, snapshot_id FROM lake.db.mt.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.map(x => (x._1, x._2)).toSeq ==
+      Seq(("audit", "BRANCH"), ("main", "BRANCH"), ("v1", "TAG")))
+    assert(refs.find(_._1 == "v1").get._3 == t.meta.snapshots.map(_.id).min)
   }
 
   test("cosine_sim is registered as a native SQL function") {
