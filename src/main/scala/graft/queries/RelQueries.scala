@@ -433,6 +433,79 @@ object RelQueries {
         element_at(split(col("p_type"), " "), 1).as("t_first"),
         element_at(array(lit(10), lit(20), lit(30)), 2).as("arr_2")))
 
+  // ------------------------------------------------ q80 skyline operator
+  /** SKYLINE (Pareto-optimal set) over part: minimize p_retailprice,
+    * maximize p_size — the multi-criteria "best trade-offs" operator the
+    * EDBT'23 "Integration of Skyline Queries into Spark SQL" line of
+    * work adds to engines (PAPERS.md). A row survives iff no other row
+    * is at-least-as-good on BOTH dimensions and strictly better on one.
+    *
+    * Plan is the canonical TWO-PHASE distributed skyline: phase 1 runs
+    * an exact local skyline per partition — task-local sort on
+    * (price asc, size desc) + one linear scan, no shuffle — which is
+    * sound because global skyline ⊆ union of local skylines (a
+    * dominator of r in the full set dominates it inside r's partition
+    * too, if colocated — and if not, r survives locally and the global
+    * phase removes it). Phase 2 re-runs the same sorted scan over the
+    * pruned candidates in one task — skyline-scale input (random data:
+    * O(log²n) expected), the union step of the literature algorithm.
+    * Never an all-pairs join; the oracle's quadratic NOT EXISTS is the
+    * oracle-scale spelling only. The scan handles ties exactly: within
+    * an equal-price group only max-size rows survive (smaller is
+    * price-tied + size-dominated), the group must strictly beat the
+    * best size among cheaper rows (else a cheaper equal-size row
+    * dominates), and full duplicates all survive (no strict edge). */
+  val q80 = QueryDef(
+    "q80_skyline",
+    Some("""SELECT p_partkey, p_retailprice, p_size FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_retailprice <= a.p_retailprice
+                AND b.p_size >= a.p_size
+                AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+            ORDER BY p_retailprice, p_size, p_partkey"""),
+    (s, dir) => skylineOf(
+      t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+      .orderBy("p_retailprice", "p_size", "p_partkey"))
+
+  /** Two-phase distributed skyline over (p_partkey, p_retailprice,
+    * p_size) rows — factored for the fuzz spec. */
+  private[queries] def skylineOf(parts: DataFrame): DataFrame =
+    skylineScan(skylineScan(parts).coalesce(1))
+
+  /** One exact sorted-scan skyline pass per partition of `df`
+    * (min price, max size). Local sort only — no exchange. */
+  private def skylineScan(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.sortWithinPartitions(col("p_retailprice"), col("p_size").desc)
+      .as[(Long, Double, Int)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Double, Int)] {
+          private val buf = it.buffered
+          private var bestSize = Int.MinValue // max size among cheaper rows
+          private var out: Iterator[(Long, Double, Int)] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && buf.hasNext) {
+              // consume one equal-price group (arrives size-desc)
+              val price = buf.head._2
+              val groupMax = buf.head._3
+              val survivors = scala.collection.mutable.ArrayBuffer[(Long, Double, Int)]()
+              while (buf.hasNext && buf.head._2 == price) {
+                val r = buf.next()
+                if (r._3 == groupMax && groupMax > bestSize) survivors += r
+              }
+              if (groupMax > bestSize) bestSize = groupMax
+              out = survivors.iterator
+            }
+          }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (Long, Double, Int) = { advance(); out.next() }
+        }
+      }
+      .toDF("p_partkey", "p_retailprice", "p_size")
+  }
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
-    q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
+    q32, q80)
 }

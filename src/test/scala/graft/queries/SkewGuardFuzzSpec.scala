@@ -68,6 +68,31 @@ class SkewGuardFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: two-phase skyline == brute-force Pareto filter (ties included)") {
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(300 + seed)
+      // coarse grids force equal-price groups, equal-size collisions and
+      // full duplicates — exactly the tie cases the sorted scan must get
+      // right
+      val rows = (0 until 200).map { i =>
+        Row(i.toLong, (r.nextInt(12) * 1.5), 1 + r.nextInt(10))
+      }
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_retailprice", DoubleType),
+        StructField("p_size", IntegerType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 5), schema)
+      val pts = rows.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      val expected = pts.filter { a =>
+        !pts.exists(b => b._2 <= a._2 && b._3 >= a._3 &&
+          (b._2 < a._2 || b._3 > a._3))
+      }.map(_._1).toSet
+      val got = RelQueries.skylineOf(df).collect().map(_.getLong(0)).toSet
+      assert(got == expected,
+        s"seed=$seed: missing ${expected -- got}, extra ${got -- expected}")
+    }
+  }
+
   test("fuzz: CC fast path == distributed star alternation == reference BFS") {
     for (seed <- 1 to 3) {
       val r = new scala.util.Random(200 + seed)
