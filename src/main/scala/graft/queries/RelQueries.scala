@@ -505,7 +505,53 @@ object RelQueries {
       .toDF("p_partkey", "p_retailprice", "p_size")
   }
 
+  // --------------------------------------- q81 trajectory similarity
+  /** Top-k TRAJECTORY similarity (the REPOSE / ICDE'21 problem family,
+    * PAPERS.md): each user's behavior is the SEQUENCE of their events in
+    * time order — order matters, which is exactly what the set/bag
+    * similarity operators (q28/q36, Jaccard tiers) cannot see — and the
+    * query asks for the k users whose trajectories are closest to a
+    * reference user's under edit distance. Sequences encode as one char
+    * per event (event_type initial, (ts, event_id)-ordered for a
+    * deterministic tie-break); `levenshtein` is a NATIVE function in
+    * both engines with the standard DP definition, so the distances —
+    * and the (dist, user_id) top-k on them — hash identically. Plan: one
+    * groupBy builds per-user sequences (sequence length = per-user event
+    * count, user-bounded), the reference sequence broadcasts as a
+    * literal, the scan is linear in users, and the top-k fuses to
+    * TakeOrdered — never an all-pairs matrix. All-pairs variants block
+    * first (length bands / reference-point pruning, REPOSE's device),
+    * same posture as the near-dup tiers. */
+  val q81 = QueryDef(
+    "q81_trajectory_topk",
+    Some("""WITH seq AS (SELECT user_id,
+                  string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS sq
+                FROM events GROUP BY user_id),
+            q AS (SELECT sq AS qsq FROM seq
+                  WHERE user_id = (SELECT MIN(user_id) FROM events))
+            SELECT s.user_id, CAST(levenshtein(s.sq, q.qsq) AS BIGINT) AS dist
+            FROM seq s, q
+            WHERE s.user_id <> (SELECT MIN(user_id) FROM events)
+            ORDER BY dist, s.user_id LIMIT 5"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+      val seqs = ev.groupBy("user_id")
+        .agg(concat_ws("", transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+          x => x.getField("ch"))).as("sq"))
+      val qUser = ev.agg(min("user_id")).head().getLong(0)
+      val qSeq = seqs.filter(col("user_id") === qUser).head().getString(1)
+      seqs.filter(col("user_id") =!= qUser)
+        .select(col("user_id"),
+          levenshtein(col("sq"), lit(qSeq)).cast("long").as("dist"))
+        .orderBy(col("dist"), col("user_id"))
+        .limit(5)
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q80)
+    q32, q80, q81)
 }
