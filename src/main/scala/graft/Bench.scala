@@ -58,16 +58,30 @@ object Bench {
       catch { case e: Throwable => errors.getOrElseUpdate(n, e.toString.take(300)) }
     }
 
+    // `clearCache` misses localCheckpoint blocks (q34/q35/q56): the
+    // ContextCleaner reclaims them ASYNCHRONOUSLY, so by mid-run the
+    // block manager carries dozens of dead checkpoint RDDs and samples
+    // degrade up to 2-3× (q34 recorded 6.5 s median vs 2.7 s isolated
+    // under r9's clearCache+GC-only leveling). `getPersistentRDDs` is the
+    // public registry that includes checkpoint storage — a BLOCKING
+    // unpersist frees it deterministically before the next sample.
+    def level(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     val times = names.map { n =>
       // level the playing field: previous queries' cached relations and
       // garbage must not be charged to this query's samples
-      spark.catalog.clearCache()
-      System.gc()
+      level()
       val samples = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           materialize(SparkEntry.queries(n)(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          level() // this sample's checkpoint blocks mustn't tax the next
+          Some(dt)
         } catch {
           case e: Throwable =>
             errors.getOrElseUpdate(n, e.toString.take(300)); None
