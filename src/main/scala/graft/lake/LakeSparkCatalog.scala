@@ -192,18 +192,39 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
     // same gate the dispatcher's ALTER applies (M27 — the native DDL
     // surface must not bypass the grants model)
     Grants.require(SparkSession.active, t, "ALTER")
+    // M48 schema evolution through Spark's native ALTER TABLE: RENAME
+    // COLUMN and widening ALTER COLUMN … TYPE arrive as TableChanges and
+    // run the same metadata-only engine paths as the dispatcher DDL
+    val evolved = changes.foldLeft(t) { (acc, ch) =>
+      ch match {
+        case r: TableChange.RenameColumn =>
+          if (r.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "nested column rename is not supported")
+          acc.renameColumn(r.fieldNames()(0), r.newName())
+        case u: TableChange.UpdateColumnType =>
+          if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
+            "nested column type change is not supported")
+          acc.widenColumn(u.fieldNames()(0), u.newDataType())
+        case _ => acc
+      }
+    }
     val props = changes.collect {
       case s: TableChange.SetProperty => s.property() -> s.value()
     }.toMap
-    if (props.size != changes.size)
-      throw new UnsupportedOperationException("only SET TBLPROPERTIES is supported")
+    val handled = changes.count(ch => ch.isInstanceOf[TableChange.SetProperty] ||
+      ch.isInstanceOf[TableChange.RenameColumn] ||
+      ch.isInstanceOf[TableChange.UpdateColumnType])
+    if (handled != changes.size)
+      throw new UnsupportedOperationException(
+        "only SET TBLPROPERTIES, RENAME COLUMN and ALTER COLUMN TYPE are supported")
     // the format-version property is the v2→v3 upgrade — mint next-row-id
     // and land the remaining properties in the SAME commit (a two-commit
     // ALTER could be half-applied if a concurrent writer lands between)
     val t2 = props.get("format-version") match {
-      case Some(v) => Procedures.upgradeFormatVersion(t, v.toInt,
+      case Some(v) => Procedures.upgradeFormatVersion(evolved, v.toInt,
         extraProps = props - "format-version")
-      case None => t.setProperties(props)
+      case None if props.nonEmpty => evolved.setProperties(props)
+      case None => evolved
     }
     new LakeV2Table(t2)
   }

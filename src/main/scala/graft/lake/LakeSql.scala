@@ -290,6 +290,25 @@ class LakeSql(val catalog: LakeCatalog) {
       t.dropBranch(bm.group(1))
       return status(s"Dropped branch ${bm.group(1)} from $db.$table")
     }
+    // metadata-only schema evolution (M48): RENAME COLUMN and widening
+    // ALTER COLUMN … TYPE — no file rewrite; the change-log entry makes
+    // every reader epoch-aware
+    """(?is)^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+      .findFirstMatchIn(rest).foreach { m =>
+        t.renameColumn(m.group(1), m.group(2))
+        return status(
+          s"Renamed column ${m.group(1)} to ${m.group(2)} on $db.$table")
+      }
+    """(?is)^ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*$""".r
+      .findFirstMatchIn(rest).foreach { m =>
+        val dt = try StructType.fromDDL(s"x ${m.group(2)}").fields.head.dataType
+        catch { case scala.util.control.NonFatal(_) =>
+          throw new SqlParseException(
+            s"ALTER COLUMN TYPE: cannot parse type '${m.group(2)}'") }
+        t.widenColumn(m.group(1), dt)
+        return status(
+          s"Widened column ${m.group(1)} to ${dt.sql} on $db.$table")
+      }
     // v3 column defaults (M46): SET DEFAULT changes the WRITE default
     // only — initial-defaults are immutable once set (already-written
     // rows keep reading back the same values)

@@ -93,8 +93,71 @@ class LakeTable(
       s"table ${meta.name} has no branch $b " +
         s"(known: ${meta.branches.keys.toSeq.sorted.mkString(", ")}) — " +
         "it may have been dropped since this handle was taken"))
-  def dataFiles: Seq[DataFileMeta] = currentSnapshot.map(_.dataFiles).getOrElse(Nil)
-  def deleteFiles: Seq[DeleteFileMeta] = currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+  def dataFiles: Seq[DataFileMeta] =
+    remapFileKeys(currentSnapshot.map(_.dataFiles).getOrElse(Nil))
+  def deleteFiles: Seq[DeleteFileMeta] =
+    remapDeleteKeys(currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
+
+  // ------------------------------------------- schema evolution (M48)
+
+  /** True when the change log contains entries the READ path must act
+    * on (drops only retire names; they never alter a file's physical
+    * projection). */
+  private def hasPhysicalChanges: Boolean =
+    meta.schemaChanges.exists(c => c.kind != "drop")
+
+  /** Physical (name, type) that current field `f` has inside a file
+    * committed at `fileSeq`: the current schema run BACKWARD through
+    * rename/widen entries newer than the file, newest first, so chained
+    * steps (a→b→c; int→long after a rename) compose. Reserved metadata
+    * columns (`_row_id`) never rename — requireFreshName rejects the
+    * prefix — so they pass through unchanged. */
+  private def physicalField(f: StructField, fileSeq: Long): StructField = {
+    var name = f.name
+    var dt = f.dataType
+    meta.schemaChanges.reverseIterator.foreach { ch =>
+      if (ch.seq > fileSeq && ch.col == name) ch.kind match {
+        case "rename" => name = ch.from
+        case "widen" =>
+          dt = StructType.fromDDL(s"x ${ch.from}").fields.head.dataType
+        case _ => () // "drop" retires a name; no physical effect
+      }
+    }
+    if (name == f.name && dt == f.dataType) f else StructField(name, dt, f.nullable)
+  }
+
+  /** Forward lift of a metadata KEY (stat / partition-value / equality
+    * column name) recorded at `fileSeq` to its current name: oldest-
+    * first walk of renames newer than the file. Includes the derived
+    * partition-field renames logged with a source rename (ts_day →
+    * ts2_day). Idempotent over already-lifted keys, so a carried-over
+    * file re-persisted with current keys re-lifts to itself. */
+  private def currentName(key: String, fileSeq: Long): String = {
+    var k = key
+    meta.schemaChanges.foreach { ch =>
+      if (ch.kind == "rename" && ch.seq > fileSeq && ch.from == k) k = ch.col
+    }
+    k
+  }
+
+  private def remapFileKeys(fs: Seq[DataFileMeta]): Seq[DataFileMeta] =
+    if (meta.schemaChanges.forall(_.kind != "rename")) fs
+    else fs.map { f =>
+      if (f.stats.isEmpty && f.partitionValues.isEmpty) f
+      else f.copy(
+        stats = f.stats.map { case (k, v) =>
+          currentName(k, f.dataSequenceNumber) -> v },
+        partitionValues = f.partitionValues.map { case (k, v) =>
+          currentName(k, f.dataSequenceNumber) -> v })
+    }
+
+  private def remapDeleteKeys(ds: Seq[DeleteFileMeta]): Seq[DeleteFileMeta] =
+    if (meta.schemaChanges.forall(_.kind != "rename")) ds
+    else ds.map { d =>
+      if (d.equalityCols.isEmpty) d
+      else d.copy(equalityCols =
+        d.equalityCols.map(currentName(_, d.dataSequenceNumber)))
+    }
 
   private def isMorDelete: Boolean =
     meta.props.getOrElse("write.delete.mode", "copy-on-write") == "merge-on-read"
@@ -164,14 +227,40 @@ class LakeTable(
       .toDF(AttrPath, AttrSeq, AttrFirst)
   }
 
-  /** Raw data-file scan with normalized (file, pos) coordinate columns. */
+  /** Raw data-file scan with normalized (file, pos) coordinate columns.
+    *
+    * With a rename/widen history (M48) the files no longer share one
+    * physical schema: files are grouped by their EPOCH — the physical
+    * projection the change log derives for their commit sequence — and
+    * each group scans with its own physical schema, renamed/cast onto
+    * the current one, then unioned. Epoch count is bounded by DDL
+    * events, not data (one vectorized multi-file scan per epoch, filters
+    * and pruning push through the union), and compaction rewrites files
+    * into the current epoch, so the union collapses back to one scan
+    * over time. Tables with no such history keep the exact single-scan
+    * plan they always had. */
   private def scanFiles(files: Seq[DataFileMeta], withRowIdField: Boolean): DataFrame = {
-    val readSchema =
-      if (withRowIdField) StructType(schema.fields :+ StructField(RowIdCol, LongType))
-      else schema // parquet schema projection ignores a physical _row_id
-    spark.read.schema(readSchema).parquet(files.map(_.path): _*)
-      .withColumn(FileCol, normPath(col("_metadata.file_path")))
-      .withColumn(PosCol, col("_metadata.row_index"))
+    val want =
+      if (withRowIdField) schema.fields :+ StructField(RowIdCol, LongType)
+      else schema.fields // parquet schema projection ignores a physical _row_id
+    def scanOne(phys: Seq[StructField], fs: Seq[DataFileMeta]): DataFrame = {
+      val raw = spark.read.schema(StructType(phys)).parquet(fs.map(_.path): _*)
+        .withColumn(FileCol, normPath(col("_metadata.file_path")))
+        .withColumn(PosCol, col("_metadata.row_index"))
+      if (phys == want.toSeq) raw
+      else raw.select(want.toSeq.zip(phys).map { case (cur, ph) =>
+        val c = col(ph.name)
+        (if (ph.dataType == cur.dataType) c else c.cast(cur.dataType))
+          .as(cur.name)
+      } ++ Seq(col(FileCol), col(PosCol)): _*)
+    }
+    if (!hasPhysicalChanges) scanOne(want.toSeq, files)
+    else files
+      .groupBy(f => want.toSeq.map(physicalField(_, f.dataSequenceNumber)))
+      .toSeq
+      .sortBy(_._2.map(_.dataSequenceNumber).min)
+      .map { case (phys, fs) => scanOne(phys, fs) }
+      .reduce(_ unionByName _)
   }
 
   /** Live rows plus physical coordinates (__fp, __pos) — the input to MoR
@@ -597,6 +686,13 @@ class LakeTable(
 
   private[lake] def readLiveFiles(
       files: Seq[DataFileMeta], withRowIds: Boolean,
+      deletes: Seq[DeleteFileMeta]): DataFrame =
+    readLiveFilesLifted(remapFileKeys(files), withRowIds, remapDeleteKeys(deletes))
+
+  // M48: snapshot-level callers (time travel, incremental, tags) hand
+  // in un-lifted lists; re-lifting the accessors' output is a no-op
+  private def readLiveFilesLifted(
+      files: Seq[DataFileMeta], withRowIds: Boolean,
       deletes: Seq[DeleteFileMeta]): DataFrame = {
     if (files.isEmpty) {
       val extra = Seq(StructField(FileCol, StringType), StructField(PosCol, LongType)) ++
@@ -723,7 +819,16 @@ class LakeTable(
         .sortBy(_._1.mkString(","))
         .foldLeft(withSeq) { case (df, (cols, efs)) =>
           val del = efs.map { ef =>
-            spark.read.parquet(ef.path).select(cols.map(col): _*)
+            // M48: the delete parquet carries the names/types of ITS
+            // commit's epoch — select physically, surface currently
+            val sel = cols.map { c =>
+              val cur = schema(c)
+              val ph = physicalField(cur, ef.dataSequenceNumber)
+              val raw = col(ph.name)
+              (if (ph.dataType == cur.dataType) raw
+               else raw.cast(cur.dataType)).as(c)
+            }
+            spark.read.parquet(ef.path).select(sel: _*)
               .withColumn(DelSeqCol, lit(ef.dataSequenceNumber))
           }.reduce(_ unionByName _)
             .groupBy(cols.map(col): _*)
@@ -1060,6 +1165,18 @@ class LakeTable(
         rid += f.rowCount
         m
       }
+      // M48 rebase fence: the written parquet encodes THIS handle's
+      // schema epoch. If a rename/widen landed since, re-stamping would
+      // give those files a post-watermark sequence — readers would
+      // derive the NEW physical schema for files that carry the old one.
+      // Unlike lineage/sequence stamps, the physical schema is file
+      // CONTENT; it cannot be rebased, so the write must be redone.
+      if (h.meta.schemaChanges.count(_.kind != "drop") >
+          meta.schemaChanges.count(_.kind != "drop"))
+        throw new CommitConflictException(
+          s"table ${meta.name}: a schema rename/widen landed after this " +
+            "handle's data was written — reload and rewrite the batch " +
+            "under the current schema")
       try return attempt(h, files, start, seq)
       catch {
         case e: CommitConflictException =>
@@ -1665,14 +1782,12 @@ class LakeTable(
     * (Iceberg's add-column semantics). New writes carry it physically. */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
       default: Option[String] = None): LakeTable = {
-    if (schema.fieldNames.contains(name))
-      throw new IllegalArgumentException(s"column $name already exists on ${meta.name}")
-    // a column named like a transform's partition field (e.g. `ts_day`
-    // next to days(ts)) would make pruning ambiguous — reject at DDL
-    // time, the same check createTable/setPartitionSpec run (M36)
-    if (transforms.exists(t => t.fieldName == name && t.sourceCol != name))
-      throw new IllegalArgumentException(
-        s"column $name collides with partition field $name on ${meta.name}")
+    // rejects duplicates, partition-field collisions (`ts_day` next to
+    // days(ts) — M36) and names some LIVE file's epoch used physically
+    // for a different column (M48: an added column has no change-log
+    // entry, so it maps to its own name in every epoch — reusing a
+    // historical name would collide with old files' physical columns)
+    requireFreshName(name)
     // variant is v3-only (M47) — same gate createTable runs
     if (meta.formatVersion < 3)
       LakeTable.requireNoVariant(
@@ -1735,8 +1850,125 @@ class LakeTable(
         s"cannot drop $name: live equality-delete files reference it (compact first)")
     withMeta(meta.copy(
       schemaDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL,
-      columnDefaults = meta.columnDefaults.filterNot(_.colName == name)))
+      columnDefaults = meta.columnDefaults.filterNot(_.colName == name),
+      // readers ignore "drop" entries; the log line only RETIRES the
+      // name (M48 requireFreshName) — live files still carry the column
+      // physically, and a later ADD/RENAME to the same name would remap
+      // their stale values onto the new column
+      schemaChanges = meta.schemaChanges :+ SchemaChange(
+        "drop", col = name, from = name, seq = meta.lastSequenceNumber + 1)))
   }
+
+  /** ALTER TABLE … RENAME COLUMN a TO b — metadata-only (M48): no file
+    * is touched; a [[SchemaChange]] log entry records the step and every
+    * reader derives per-file physical names from it (Iceberg renames via
+    * immutable field ids; the log is this engine's name-keyed
+    * equivalent). Partition specs, column defaults and the write-order
+    * property follow the rename; recorded partition/stat keys in old
+    * manifests are lifted to current names at read time, so pruning
+    * keeps firing on pre-rename files. A renamed TRANSFORM source also
+    * logs its derived partition-field rename (ts_day → ts2_day) under
+    * the same sequence, which is what lifts those recorded keys. */
+  def renameColumn(from: String, to: String): LakeTable = {
+    if (!schema.fieldNames.contains(from))
+      throw new IllegalArgumentException(s"no column $from on ${meta.name}")
+    requireFreshName(to)
+    val ddlSeq = meta.lastSequenceNumber + 1
+    // derived partition-field renames for transforms over this source
+    // (identity transforms' fieldName IS the column — the main entry
+    // covers them; logging a duplicate would double-apply nothing, but
+    // keep the log minimal)
+    val fieldRenames = transforms
+      .filter(t => t.sourceCol == from && t.fieldName != from)
+      .map(t => SchemaChange("rename",
+        col = to + t.fieldName.stripPrefix(from), from = t.fieldName, seq = ddlSeq))
+    val word = java.util.regex.Pattern.quote(from)
+    val newSpecs = meta.partitionCols.map(raw =>
+      if (PartitionTransform.parseAll(Seq(raw), schema, strict = false)
+        .exists(_.sourceCol == from)) raw.replaceAll(s"\\b$word\\b", to)
+      else raw)
+    withMeta(meta.copy(
+      schemaDdl = StructType(schema.fields.map(x =>
+        if (x.name == from) x.copy(name = to) else x)).toDDL,
+      partitionCols = newSpecs,
+      columnDefaults = meta.columnDefaults.map(cd =>
+        if (cd.colName == from) cd.copy(colName = to) else cd),
+      props = renameInSortOrder(meta.props, from, to),
+      schemaChanges = meta.schemaChanges ++
+        (SchemaChange("rename", col = to, from = from, seq = ddlSeq) +: fieldRenames)))
+  }
+
+  /** ALTER COLUMN … TYPE — metadata-only type WIDENING (Iceberg type
+    * promotion: int → bigint, float → double, decimal(P,S) →
+    * decimal(P',S) with P' > P). Old files keep their narrow physical
+    * type; the per-epoch scan casts them up, and footer-stat strings
+    * parse fine under the wider type, so skipping survives. Anything
+    * outside the promotion matrix — and any narrowing — is rejected:
+    * those would change written values. Bucket-transform sources cannot
+    * widen (Spark hashes INT and BIGINT differently, so recorded bucket
+    * values would prune wrongly against post-widen literals). */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): LakeTable = {
+    import org.apache.spark.sql.types._
+    val f = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name on ${meta.name}"))
+    val ok = (f.dataType, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+    if (!ok) throw new IllegalArgumentException(
+      s"cannot change $name from ${f.dataType.sql} to ${to.sql}: only " +
+        "widening promotions are supported (INT->BIGINT, FLOAT->DOUBLE, " +
+        "DECIMAL(P,S)->DECIMAL(P',S) with P'>P)")
+    if (transforms.exists(t => t.sourceCol == name &&
+        t.isInstanceOf[PartitionTransforms.Bucket]))
+      throw new IllegalArgumentException(
+        s"cannot widen $name: it is a bucket-partition source and the " +
+          "bucket hash is type-sensitive — rewrite under a new spec first")
+    withMeta(meta.copy(
+      schemaDdl = StructType(schema.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x)).toDDL,
+      schemaChanges = meta.schemaChanges :+ SchemaChange(
+        "widen", col = name, from = f.dataType.sql,
+        seq = meta.lastSequenceNumber + 1)))
+  }
+
+  /** A name is usable for ADD COLUMN / RENAME … TO only if no LIVE
+    * file's epoch could have used it physically for a different column:
+    * current names, every historical name in the change log (renames'
+    * `from`s and dropped columns), and derived partition-field names are
+    * all off limits. Without this, two current columns could map to the
+    * SAME physical column of an old file — the collision Iceberg's field
+    * ids make impossible. Rewriting the table (compaction materializes
+    * current names) does not clear the log; names retire permanently,
+    * which is the conservative direction. */
+  private def requireFreshName(name: String): Unit = {
+    if (name.startsWith("_") || name.startsWith("__"))
+      throw new IllegalArgumentException(
+        s"column name $name is reserved (metadata-column prefix)")
+    if (schema.fieldNames.contains(name))
+      throw new IllegalArgumentException(s"column $name already exists on ${meta.name}")
+    val historical = meta.schemaChanges.flatMap(c => Seq(c.col, c.from)).toSet
+    if (historical.contains(name))
+      throw new IllegalArgumentException(
+        s"column name $name was used by an earlier schema version of " +
+          s"${meta.name}; live files may still carry it physically — " +
+          "pick a fresh name")
+    if (transforms.exists(t => t.fieldName == name && t.sourceCol != name))
+      throw new IllegalArgumentException(
+        s"column $name collides with partition field $name on ${meta.name}")
+  }
+
+  private def renameInSortOrder(props: Map[String, String],
+      from: String, to: String): Map[String, String] =
+    props.get("write.sort-order") match {
+      case Some(so) if so.nonEmpty =>
+        val word = java.util.regex.Pattern.quote(from)
+        props + ("write.sort-order" -> so.replaceAll(s"\\b$word\\b", to))
+      case _ => props
+    }
 
   /** Partition-spec evolution (metadata-only, Iceberg-style): future
     * writes partition by `cols`; files written under earlier specs keep

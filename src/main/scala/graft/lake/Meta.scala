@@ -106,6 +106,27 @@ final case class ColumnDefault(
     write: Option[String] = None,
     addedSeq: Long = 0L)
 
+/** One metadata-only schema-evolution step (M48): a column RENAME or a
+  * type WIDENING, stamped with the commit sequence the DDL landed at.
+  * Iceberg does this with immutable field ids; this engine's parquet
+  * files are name-keyed, so the log IS the id: a file whose
+  * dataSequenceNumber predates an entry carries the OLD physical
+  * name/type, and readers derive each file's physical schema by running
+  * the current schema BACKWARD through entries newer than the file
+  * (newest-first, so chained renames a→b→c compose). Entries are
+  * append-only — rewriting history would orphan the files that encode
+  * it.
+  *
+  *  - kind "rename": `col` = the name AFTER the step, `from` = before.
+  *  - kind "widen":  `col` = the column's name AT the step, `from` =
+  *    the prior type's DDL string (e.g. "INT"); the current schema
+  *    already holds the widened type. */
+final case class SchemaChange(
+    kind: String,
+    col: String,
+    from: String,
+    seq: Long)
+
 /** The file lists of one snapshot, persisted once as an immutable
   * per-snapshot manifest (the Iceberg-manifest analogue). */
 final case class ManifestData(
@@ -139,7 +160,10 @@ final case class TableMetadata(
       * expiry-protected like tags. */
     branches: Map[String, Long] = Map.empty,
     /** v3 column defaults, one entry per defaulted column (M46). */
-    columnDefaults: Seq[ColumnDefault] = Nil) {
+    columnDefaults: Seq[ColumnDefault] = Nil,
+    /** Metadata-only rename/widen log (M48), oldest first. Empty for
+      * every pre-M48 table (jackson fills the default). */
+    schemaChanges: Seq[SchemaChange] = Nil) {
 
   def currentSnapshot: Option[Snapshot] =
     snapshots.find(_.id == currentSnapshotId)

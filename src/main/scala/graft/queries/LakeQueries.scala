@@ -574,7 +574,53 @@ object LakeQueries {
         .orderBy("l_returnflag")
     })
 
+  // Q82: metadata-only schema evolution (M48) behind the hash gate — the
+  // dispatcher arc RENAMEs a column, WIDENs two (INT→BIGINT,
+  // DECIMAL(10,2)→DECIMAL(18,2)) without touching a file, then inserts a
+  // row only the widened types can hold and deletes through the renamed
+  // name (a CoW delete, so the final state mixes rewritten current-epoch
+  // files with untouched pre-rename ones). DuckDB runs the SAME DDL
+  // natively, so the oracle is a literal replay — if any epoch's
+  // physical schema leaked into the result (null-filled renamed column,
+  // truncated narrow int), the hash diverges.
+  private val evoFixture =
+    new SessionMemo[graft.lake.LakeSql]
+
+  private def q82Sql(s: org.apache.spark.sql.SparkSession): graft.lake.LakeSql =
+    evoFixture(s) { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-evo-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val sql = new graft.lake.LakeSql(
+        new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now }))
+      Seq(
+        "CREATE TABLE demo.evo (id INT, name STRING, category STRING, " +
+          "amount DECIMAL(10,2), created_at TIMESTAMP)",
+        s"INSERT INTO demo.evo VALUES $ValuesSql",
+        "ALTER TABLE demo.evo RENAME COLUMN category TO cat",
+        "ALTER TABLE demo.evo ALTER COLUMN id TYPE BIGINT",
+        "ALTER TABLE demo.evo ALTER COLUMN amount TYPE DECIMAL(18,2)",
+        "INSERT INTO demo.evo VALUES (8589934592, 'Product W', 'wide', " +
+          "123456789.25, TIMESTAMP '2026-01-01 00:00:00')",
+        "DELETE FROM demo.evo WHERE cat = 'clothing'"
+      ).foreach(sql.run(_))
+      sql
+    }
+
+  val q82 = QueryDef(
+    "q82_schema_evolution",
+    Some(s"""CREATE OR REPLACE TABLE demo_q82 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q82 VALUES $ValuesSql;
+            ALTER TABLE demo_q82 RENAME COLUMN category TO cat;
+            ALTER TABLE demo_q82 ALTER COLUMN id TYPE BIGINT;
+            ALTER TABLE demo_q82 ALTER COLUMN amount TYPE DECIMAL(18,2);
+            INSERT INTO demo_q82 VALUES (8589934592, 'Product W', 'wide',
+              123456789.25, TIMESTAMP '2026-01-01 00:00:00');
+            DELETE FROM demo_q82 WHERE cat = 'clothing';
+            SELECT * FROM demo_q82 ORDER BY id"""),
+    (s, _) => q82Sql(s).run("SELECT * FROM demo.evo ORDER BY id"))
+
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54, q58, q59, q60, q61, q62, q63, q66)
+      q53, q54, q58, q59, q60, q61, q62, q63, q66, q82)
 }
