@@ -79,6 +79,9 @@ class LakeCatalog(
       throw new IllegalArgumentException(s"namespace $db does not exist")
     if (tableExists(db, table))
       throw new IllegalArgumentException(s"table $db.$table already exists")
+    if (viewExists(db, table))
+      throw new IllegalArgumentException(
+        s"$db.$table already exists as a view")
     // validates source columns, transform/type compatibility, and
     // partition-field collisions (M36 — specs may be transforms)
     PartitionTransform.parseAll(partitionBy, schema)
@@ -166,6 +169,68 @@ class LakeCatalog(
   def listTables(db: String): Seq[TableInfo] =
     listDirs(warehouse.resolve(db)).sorted.flatMap(t => tableInfo(db, t))
 
+  // ----------------------------------------------------------------- views
+
+  /** CREATE [OR REPLACE] VIEW (M49): a view is ONE small JSON document
+    * under `db/.views/` — named SQL text plus the schema captured at
+    * definition time (Iceberg's view spec stores exactly this pair per
+    * version). Views are late-binding: readers re-run the stored text,
+    * so they track underlying-table DML and schema evolution the way
+    * Iceberg/Trino views do. The dot-prefixed directory can never
+    * collide with a table (table names validate as word characters). */
+  def createView(db: String, name: String, vm: ViewMetadata,
+      orReplace: Boolean = false): Unit = {
+    requireValidName(db); requireValidName(name)
+    if (!namespaceExists(db))
+      throw new IllegalArgumentException(s"namespace $db does not exist")
+    if (tableExists(db, name))
+      throw new IllegalArgumentException(
+        s"$db.$name already exists as a table")
+    val dir = warehouse.resolve(db).resolve(ViewsDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"$name.json")
+    if (!orReplace && Files.exists(target))
+      throw new IllegalArgumentException(s"view $db.$name already exists")
+    val bytes = viewMapper.writeValueAsString(vm)
+      .getBytes(StandardCharsets.UTF_8)
+    // atomic publish — a concurrent reader sees old or new, never torn
+    val tmp = dir.resolve(s".$name.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def viewInfo(db: String, name: String): Option[ViewMetadata] = {
+    val f = warehouse.resolve(db).resolve(ViewsDir).resolve(s"$name.json")
+    if (!Files.isRegularFile(f)) None
+    else Some(viewMapper.readValue(
+      new String(Files.readAllBytes(f), StandardCharsets.UTF_8),
+      classOf[ViewMetadata]))
+  }
+
+  def viewExists(db: String, name: String): Boolean =
+    Files.isRegularFile(
+      warehouse.resolve(db).resolve(ViewsDir).resolve(s"$name.json"))
+
+  def listViews(db: String): Seq[String] = {
+    val dir = warehouse.resolve(db).resolve(ViewsDir)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json")).toList.sorted
+    finally s.close()
+  }
+
+  def dropView(db: String, name: String, ifExists: Boolean = true): Boolean = {
+    val f = warehouse.resolve(db).resolve(ViewsDir).resolve(s"$name.json")
+    if (!Files.isRegularFile(f)) {
+      if (ifExists) return false
+      throw new IllegalArgumentException(s"view $db.$name does not exist")
+    }
+    Files.deleteIfExists(f)
+  }
+
   // ---------------------------------------------------------------- grants
 
   /** Idempotent grant (M10): granting an already-held permission is a
@@ -201,8 +266,28 @@ class LakeCatalog(
   }
 }
 
+/** Persisted view document (M49). `schemaDdl` is the output schema at
+  * definition time (informational — resolution is late-binding);
+  * `currentCatalog`/`namespace` are the resolution context Spark's
+  * native ViewCatalog contract requires. */
+final case class ViewMetadata(
+    name: String,
+    sql: String,
+    schemaDdl: String = "",
+    currentCatalog: String = "lake",
+    namespace: Seq[String] = Nil,
+    queryColumnNames: Seq[String] = Nil,
+    columnAliases: Seq[String] = Nil,
+    columnComments: Seq[String] = Nil,
+    props: Map[String, String] = Map.empty)
+
 object LakeCatalog {
   private val ForeignFile = "foreign.json"
+  private val ViewsDir = ".views"
+  private[lake] val viewMapper = com.fasterxml.jackson.databind.json.JsonMapper
+    .builder()
+    .addModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    .build()
 
   private def requireValidName(n: String): Unit =
     if (n.isEmpty || !n.forall(c => c.isLetterOrDigit || c == '_'))

@@ -39,7 +39,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * currently points at (tests swap warehouses per suite).
   */
 class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = "lake"
 
@@ -88,9 +88,22 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
       }).getOrElse(
         throw new NoSuchTableException(ident.namespace() :+ ident.name()))
     }
-    cat.loadTable(db(ident), ident.name()) match {
+    val c = cat
+    c.loadTable(db(ident), ident.name()) match {
       case Some(t) => new LakeV2Table(t)
-      case None => throw new NoSuchTableException(ident.namespace() :+ ident.name())
+      case None =>
+        // M49: Spark 4.1's SQL layer never consults ViewCatalog.loadView
+        // for reads (its v2 view DDL/resolution is unfinished — CREATE
+        // VIEW on a non-session catalog throws MISSING_CATALOG_ABILITY),
+        // so views surface as read-only V2 tables: the scan runs the
+        // stored definition through the dispatcher with the session
+        // principal — same late binding and invoker-rights gates as the
+        // dispatcher path
+        c.viewInfo(db(ident), ident.name()) match {
+          case Some(vm) => new LakeViewV2Table(s"${db(ident)}.${ident.name()}", vm, c)
+          case None =>
+            throw new NoSuchTableException(ident.namespace() :+ ident.name())
+        }
     }
   }
 
@@ -242,6 +255,75 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException(
       "rename is not supported by a path-keyed catalog (Iceberg HadoopCatalog rule)")
 
+  // ----------------------------------------------------------------- views
+
+  /** Native V2 views (M49): `CREATE VIEW lake.db.v AS …` and reads of it
+    * resolve through Spark's own ViewCatalog machinery — the analyzer
+    * parses the stored text with `currentCatalog` pointed back here, so
+    * underlying `db.t` references become native lake relations and every
+    * SELECT grant gate fires with the READER's principal (invoker
+    * rights, same rule as the dispatcher's view expansion). Storage is
+    * the same one-JSON-per-view metadata the dispatcher uses, so both
+    * surfaces see one view namespace. */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (namespace.length != 1)
+      throw new NoSuchNamespaceException(namespace.toArray)
+    cat.listViews(namespace(0))
+      .map(v => Identifier.of(namespace.toArray, v)).toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val vm = cat.viewInfo(db(ident), ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val catName = catalogName
+    new View {
+      override def name(): String = ident.toString
+      override def query(): String = vm.sql
+      override def currentCatalog(): String = catName
+      override def currentNamespace(): Array[String] = vm.namespace.toArray
+      override def schema(): StructType =
+        if (vm.schemaDdl.nonEmpty) StructType.fromDDL(vm.schemaDdl)
+        else new StructType()
+      override def queryColumnNames(): Array[String] =
+        vm.queryColumnNames.toArray
+      override def columnAliases(): Array[String] = vm.columnAliases.toArray
+      override def columnComments(): Array[String] = vm.columnComments.toArray
+      override def properties(): JMap[String, String] = vm.props.asJava
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    cat.createView(db(ident), ident.name(), ViewMetadata(
+      name = s"${db(ident)}.${ident.name()}",
+      sql = info.sql(),
+      schemaDdl = info.schema().toDDL,
+      currentCatalog = info.currentCatalog(),
+      namespace = info.currentNamespace().toSeq,
+      queryColumnNames = info.queryColumnNames().toSeq,
+      columnAliases = info.columnAliases().toSeq,
+      columnComments = info.columnComments().toSeq,
+      props = info.properties().asScala.toMap))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "ALTER VIEW is not supported — CREATE OR REPLACE VIEW instead")
+
+  override def dropView(ident: Identifier): Boolean =
+    cat.dropView(db(ident), ident.name())
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // views are one JSON document — rename is read + write-new + drop,
+    // unlike path-keyed tables
+    val vm = cat.viewInfo(db(oldIdent), oldIdent.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent))
+    cat.createView(db(newIdent), newIdent.name(),
+      vm.copy(name = s"${db(newIdent)}.${newIdent.name()}"))
+    cat.dropView(db(oldIdent), oldIdent.name())
+  }
+
   // ------------------------------------------------------------ namespaces
 
   override def listNamespaces(): Array[Array[String]] =
@@ -346,6 +428,45 @@ class LakeMetaV2Table(
       }
     }
   }
+}
+
+/** Read-only V2 handle for a stored view (M49): `SELECT … FROM
+  * lake.db.v` scans the DataFrame the dispatcher's view expansion
+  * produces — late-binding (re-planned per scan) and invoker-rights (the
+  * session principal rides into every underlying table's SELECT gate).
+  * Writes/DDL stay on the dispatcher. */
+class LakeViewV2Table(viewName: String, vm: ViewMetadata, cat: LakeCatalog)
+    extends Table with SupportsRead {
+
+  private def plan(): org.apache.spark.sql.DataFrame = {
+    val principal = cat.spark.conf.getOption("spark.graft.principal")
+    new LakeSql(cat).run(vm.sql, principal)
+  }
+
+  // late-binding: the CURRENT expansion's schema, not the stored one —
+  // underlying-table evolution since CREATE VIEW must not desync the
+  // analyzer's view of the columns from what the scan produces
+  private lazy val analyzed = plan().schema
+
+  override def name(): String = viewName
+  override def schema(): StructType = analyzed
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        private lazy val df = plan() // fresh expansion per scan build
+        override def readSchema(): StructType = df.schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan(): RDD[Row] = df.rdd
+          }.asInstanceOf[T]
+      }
+    }
 }
 
 class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)

@@ -67,6 +67,9 @@ class LakeSql(val catalog: LakeCatalog) {
 
   private def dispatch(s: String, up: String, principal: Option[String]): DataFrame = {
     if (up.startsWith("CREATE TABLE")) create(s, principal)
+    else if (up.startsWith("CREATE VIEW") ||
+      up.startsWith("CREATE OR REPLACE VIEW")) createViewStmt(s, principal)
+    else if (up.startsWith("DROP VIEW")) dropViewStmt(s, principal)
     else if (up.startsWith("DROP TABLE")) drop(s, principal)
     else if (up.startsWith("INSERT INTO")) insert(s, principal)
     else if (up.startsWith("INSERT OVERWRITE")) insertOverwrite(s, principal)
@@ -129,6 +132,39 @@ class LakeSql(val catalog: LakeCatalog) {
     requirePerm(p, db, table, "DROP", missingOk = ifExists)
     val dropped = catalog.dropTable(db, table, ifExists)
     status(if (dropped) s"Dropped table $db.$table" else s"Table $db.$table did not exist")
+  }
+
+  /** CREATE [OR REPLACE] VIEW db.v AS SELECT … (M49): one metadata
+    * document, no data written. The definition is validated NOW (it must
+    * parse and resolve, and the definer's SELECT grants fire on every
+    * referenced table), but resolution stays LATE-BINDING — each read
+    * re-runs the stored text with the READER's principal (invoker
+    * rights, the Trino/Hive default), so views track underlying DML and
+    * schema evolution and never widen anyone's access. */
+  private def createViewStmt(s: String, p: Option[String]): DataFrame = {
+    val m = ("""(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+""" +
+      """((?:SELECT|WITH)\s+.*)$""").r
+      .findFirstMatchIn(s).getOrElse(
+        fail("CREATE [OR REPLACE] VIEW db.v AS SELECT …", s))
+    val (db, name) = splitName(m.group(2))
+    val body = m.group(3).trim
+    val probe = select(body, p)
+    catalog.createNamespace(db)
+    catalog.createView(db, name, ViewMetadata(
+      name = s"$db.$name", sql = body, schemaDdl = probe.schema.toDDL,
+      namespace = Seq(db),
+      queryColumnNames = probe.schema.fieldNames.toSeq),
+      orReplace = m.group(1) != null)
+    status(s"Created view $db.$name")
+  }
+
+  private def dropViewStmt(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+      .findFirstMatchIn(s).getOrElse(fail("DROP VIEW [IF EXISTS] db.v", s))
+    val (db, name) = splitName(m.group(2))
+    val dropped = catalog.dropView(db, name, ifExists = m.group(1) != null)
+    status(
+      if (dropped) s"Dropped view $db.$name" else s"View $db.$name did not exist")
   }
 
   private def insert(s: String, p: Option[String]): DataFrame = {
@@ -539,6 +575,12 @@ class LakeSql(val catalog: LakeCatalog) {
         .filter { case (db, name) =>
           p.forall(pr => catalog.grantsFor(db, name, pr).nonEmpty) }
         .sorted.toDF("namespace", "table_name")
+    } else if (up.startsWith("SHOW VIEWS")) {
+      val m = """(?is)^SHOW\s+VIEWS(?:\s+IN\s+([\w]+))?$""".r
+        .findFirstMatchIn(s).getOrElse(fail("SHOW VIEWS [IN db]", s))
+      val dbs = Option(m.group(1)).map(Seq(_)).getOrElse(catalog.listNamespaces())
+      dbs.flatMap(db => catalog.listViews(db).map(v => (db, v)))
+        .sorted.toDF("namespace", "view_name")
     } else if (up.startsWith("SHOW PARTITIONS")) {
       val m = """(?is)^SHOW\s+PARTITIONS\s+([\w.]+)$""".r
         .findFirstMatchIn(s).getOrElse(fail("SHOW PARTITIONS", s))
@@ -598,9 +640,10 @@ class LakeSql(val catalog: LakeCatalog) {
     * segments and only those names are probed against the catalog — a
     * SELECT over one table in a 10k-table warehouse reads one table's
     * headers, and `SELECT 1` reads none. */
-  private def rewriteLakeRefs(s: String, p: Option[String]): String = {
+  private def rewriteLakeRefs(s: String, p: Option[String],
+      depth: Int = 0): String = {
     val idRe = """[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+""".r
-    val lakeRefs = quoteSegments(s).collect { case (seg, false) => seg }
+    val candidates = quoteSegments(s).collect { case (seg, false) => seg }
       .flatMap(seg => idRe.findAllIn(seg).toSeq)
       .flatMap { chain =>
         // One probe per chain (VERDICT r5 #3): a table ref always starts
@@ -617,11 +660,19 @@ class LakeSql(val catalog: LakeCatalog) {
         if (body.length >= 2) Seq((body(0), body(1))) else Seq.empty
       }
       .distinct
-      // every candidate is \w+ segments (the identifier regex), so the
-      // probe is a safe path resolution; non-tables return None
-      .filter { case (db, name) =>
-        catalog.tableInfo(db, name).exists(_.tableType == "LAKE")
-      }
+    // every candidate is \w+ segments (the identifier regex), so the
+    // probe is a safe path resolution; non-tables return None
+    val lakeRefs = candidates.filter { case (db, name) =>
+      catalog.tableInfo(db, name).exists(_.tableType == "LAKE")
+    }
+    // names that are VIEWS (M49) expand to their stored definition —
+    // recursively, so views may stack on views; the depth guard turns a
+    // definition cycle into a clear error instead of a stack overflow
+    val viewRefs = {
+      val t = lakeRefs.toSet
+      candidates.filterNot(t).filter { case (db, name) =>
+        catalog.viewExists(db, name) }
+    }
     // Per-STATEMENT unique view names (review r7): temp-view names are
     // session-global, so with deterministic names one thread's cleanup
     // could drop the view a concurrent statement just registered but
@@ -686,6 +737,25 @@ class LakeSql(val catalog: LakeCatalog) {
         rewritten = mapOutsideQuotes(rewritten, seg => re.replaceAllIn(seg, view))
       }
     }
+    for ((db, name) <- viewRefs.sortBy { case (d, n) => -(d.length + n.length) }) {
+      val base = "(?<![\\w.])(?:(?:glue_catalog|lake)\\.)?" +
+        java.util.regex.Pattern.quote(s"$db.$name")
+      val re = (base + "(?!\\w)").r
+      if (containsOutsideQuotes(rewritten, re)) {
+        if (depth >= LakeSql.MaxViewDepth)
+          throw new SqlParseException(
+            s"view nesting exceeds ${LakeSql.MaxViewDepth} expanding " +
+              s"$db.$name — circular view definition?")
+        val vm = catalog.viewInfo(db, name).get
+        val view = s"${db}__$name$stmtSfx"
+        // invoker rights: the stored text re-resolves with the READER's
+        // principal, so underlying-table SELECT gates fire per read
+        catalog.spark.sql(rewriteLakeRefs(vm.sql, p, depth + 1))
+          .createOrReplaceTempView(view)
+        createdViews.get() += view
+        rewritten = mapOutsideQuotes(rewritten, seg => re.replaceAllIn(seg, view))
+      }
+    }
     rewritten
   }
 
@@ -726,6 +796,10 @@ class LakeSql(val catalog: LakeCatalog) {
 object LakeSql {
   /** Statement counter feeding the per-statement temp-view suffix. */
   private[lake] val viewEpoch = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Expansion bound for stacked views (M49) — generous for real
+    * layering, small enough that a definition cycle errors fast. */
+  private[lake] val MaxViewDepth = 16
 
 
   private[lake] def splitName(name: String): (String, String) = {

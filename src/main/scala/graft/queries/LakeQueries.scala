@@ -620,7 +620,48 @@ object LakeQueries {
             SELECT * FROM demo_q82 ORDER BY id"""),
     (s, _) => q82Sql(s).run("SELECT * FROM demo.evo ORDER BY id"))
 
+  // Q83: SQL views (M49) behind the hash gate — CREATE VIEW stores one
+  // metadata document; the later DELETE proves late binding (the view
+  // re-resolves against current table state, Iceberg/Trino view
+  // semantics); DuckDB replays the same CREATE VIEW natively. Aggregates
+  // carry explicit casts so both engines land the identical output types
+  // (Spark's SUM(DECIMAL(10,2)) widens differently than DuckDB's).
+  private val viewFixture =
+    new SessionMemo[graft.lake.LakeSql]
+
+  private def q83Sql(s: org.apache.spark.sql.SparkSession): graft.lake.LakeSql =
+    viewFixture(s) { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-view-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val sql = new graft.lake.LakeSql(
+        new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now }))
+      Seq(
+        "CREATE TABLE demo.vt (id INT, name STRING, category STRING, " +
+          "amount DECIMAL(10,2), created_at TIMESTAMP)",
+        s"INSERT INTO demo.vt VALUES $ValuesSql",
+        "CREATE VIEW demo.vsum AS SELECT category, " +
+          "CAST(SUM(amount) AS DECIMAL(18,2)) AS total, " +
+          "CAST(COUNT(*) AS BIGINT) AS cnt " +
+          "FROM demo.vt GROUP BY category",
+        "DELETE FROM demo.vt WHERE id = 5"
+      ).foreach(sql.run(_))
+      sql
+    }
+
+  val q83 = QueryDef(
+    "q83_sql_views",
+    Some(s"""CREATE OR REPLACE TABLE demo_q83 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q83 VALUES $ValuesSql;
+            CREATE OR REPLACE VIEW demo_q83v AS SELECT category,
+              CAST(SUM(amount) AS DECIMAL(18,2)) AS total,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM demo_q83 GROUP BY category;
+            DELETE FROM demo_q83 WHERE id = 5;
+            SELECT * FROM demo_q83v ORDER BY category"""),
+    (s, _) => q83Sql(s).run("SELECT * FROM demo.vsum ORDER BY category"))
+
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54, q58, q59, q60, q61, q62, q63, q66, q82)
+      q53, q54, q58, q59, q60, q61, q62, q63, q66, q82, q83)
 }
