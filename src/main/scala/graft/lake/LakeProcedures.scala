@@ -115,6 +115,22 @@ private[lake] object LakeProcedures {
             Procedures.rewritePositionDeleteFiles(t)
           Array(row(consolidated, written))
         }))
+      case "analyze_table" => Some(proc(cat, principal, "analyze_table",
+        Seq(TableParam,
+          ProcedureParameter.in("columns", StringType)
+            .defaultValue("NULL").build()),
+        StructType(Seq(
+          StructField("analyzed_columns_count", IntegerType),
+          StructField("row_count", LongType))),
+        (t, in) => {
+          val cols =
+            if (in.isNullAt(1)) Nil
+            else in.getUTF8String(1).toString.split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty)
+          val r = Procedures.analyzeTable(t, cols)
+          val ts = r.meta.tableStats.get
+          Array(row(ts.columns.size, ts.rowCount))
+        }))
       case "repair_v3_metadata" => Some(proc(cat, principal, "repair_v3_metadata",
         Seq(TableParam),
         StructType(Seq(StructField("status", StringType))),
@@ -176,7 +192,8 @@ private[lake] object LakeProcedures {
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "remove_orphan_files", "repair_v3_metadata",
     "rewrite_position_delete_files", "add_files", "snapshot",
-    "rollback_to_snapshot", "fast_forward", "create_changelog_view")
+    "rollback_to_snapshot", "fast_forward", "create_changelog_view",
+    "analyze_table")
 
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)

@@ -625,13 +625,71 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+        /** Planner statistics (M50): without this, the V1 bridge reports
+          * Spark's default "unknown = infinite" size and a small lake
+          * dimension table NEVER auto-broadcasts at plan time. Size/rows
+          * come from file metadata (pruned by the pushed filters — the
+          * estimate tracks what the scan will actually read), position/
+          * DV delete counts subtract, and ANALYZE's per-column NDV/null
+          * stats ride along for the CBO. Overestimates are the safe
+          * direction (a missed broadcast, never an OOM'd one). */
+        override def estimateStatistics():
+            org.apache.spark.sql.connector.read.Statistics = {
+          val files = pinnedSnapshot match {
+            case Some(id) =>
+              t.meta.snapshots.find(_.id == id).map(_.dataFiles).getOrElse(Nil)
+            case None =>
+              val partPred = partitionPredicate(pushed)
+              val statsPred = StatsPruning.filePredicate(t.schema, pushed.toSeq)
+              t.dataFiles.filter(f => partPred(f.partitionValues) && statsPred(f))
+          }
+          val deleted = t.deleteFiles
+            .filter(d => d.kind == "position" || d.kind == "dv")
+            .map(_.rowCount).sum
+          val bytes = files.map(_.sizeBytes).sum
+          val rows = math.max(0L, files.map(_.rowCount).sum - deleted)
+          val colStats = t.meta.tableStats.map { ts =>
+            ts.columns.filter(c => required.fieldNames.contains(c.col))
+              .map { c =>
+                val ref = org.apache.spark.sql.connector.expressions
+                  .Expressions.column(c.col)
+                val stat = new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(c.ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(c.nulls)
+                  override def avgLen(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(c.avgLen)
+                  override def maxLen(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(c.maxLen)
+                }
+                (ref: org.apache.spark.sql.connector.expressions.NamedReference,
+                  stat)
+              }.toMap
+          }.getOrElse(Map.empty)
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(bytes)
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.of(rows)
+            override def columnStats(): java.util.Map[
+                org.apache.spark.sql.connector.expressions.NamedReference,
+                org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+              colStats.asJava
+          }
+        }
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
+            // same numbers for the V1-converted LogicalRelation path
+            override def sizeInBytes: Long =
+              t.dataFiles.map(_.sizeBytes).sum.max(1L)
             override def buildScan(): RDD[Row] = {
               // pinned (time-travel) reads scan the historical snapshot
               // verbatim — metadata pruning applies to current-state

@@ -503,6 +503,15 @@ class LakeSql(val catalog: LakeCatalog) {
       case "repair_v3_metadata" =>
         val r = Procedures.repairV3Metadata(t)
         status(s"next-row-id = ${r.meta.nextRowId}")
+      case "analyze_table" =>
+        // columns => 'a,b' scopes the pass; default = every scalar column
+        val cols = args.get("columns").map(unquote(_).split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val r = Procedures.analyzeTable(t, cols)
+        import catalog.spark.implicits._
+        val ts = r.meta.tableStats.get
+        Seq((ts.columns.size, ts.rowCount))
+          .toDF("analyzed_columns_count", "row_count")
       case "add_files" =>
         val source = unquote(args.getOrElse("source",
           throw new SqlParseException("add_files needs source => '<path>'")))
@@ -581,6 +590,22 @@ class LakeSql(val catalog: LakeCatalog) {
       val dbs = Option(m.group(1)).map(Seq(_)).getOrElse(catalog.listNamespaces())
       dbs.flatMap(db => catalog.listViews(db).map(v => (db, v)))
         .sorted.toDF("namespace", "view_name")
+    } else if (up.startsWith("SHOW STATS")) {
+      // Trino's SHOW STATS FOR shape: one row per analyzed column plus a
+      // (table) summary row carrying the analyzed row count and snapshot
+      val m = """(?is)^SHOW\s+STATS\s+FOR\s+([\w.]+)$""".r
+        .findFirstMatchIn(s).getOrElse(fail("SHOW STATS FOR db.t", s))
+      val (db, table) = splitName(m.group(1))
+      requirePerm(p, db, table, "SELECT")
+      val t = load(db, table)
+      val ts = t.meta.tableStats.getOrElse(throw new SqlParseException(
+        s"no statistics on $db.$table — run CALL analyze_table(table => " +
+          s"'$db.$table') first"))
+      (ts.columns.map(c =>
+        (c.col, c.ndv, c.nulls, c.avgLen, c.maxLen, ts.rowCount, ts.snapshotId)) :+
+        (("(table)", 0L, 0L, 0L, 0L, ts.rowCount, ts.snapshotId)))
+        .toDF("column_name", "distinct_count", "null_count", "avg_len",
+          "max_len", "row_count", "analyzed_snapshot_id")
     } else if (up.startsWith("SHOW PARTITIONS")) {
       val m = """(?is)^SHOW\s+PARTITIONS\s+([\w.]+)$""".r
         .findFirstMatchIn(s).getOrElse(fail("SHOW PARTITIONS", s))

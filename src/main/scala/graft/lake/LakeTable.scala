@@ -1777,6 +1777,10 @@ class LakeTable(
   def setProperties(kv: Map[String, String]): LakeTable =
     withMeta(meta.copy(props = meta.props ++ kv))
 
+  /** Store an ANALYZE run's output (M50) — one metadata commit. */
+  def setTableStats(ts: TableStats): LakeTable =
+    withMeta(meta.copy(tableStats = Some(ts)))
+
   /** ALTER TABLE … ADD COLUMN — metadata-only: existing parquet files
     * simply lack the column and the schema-projected scan null-fills it
     * (Iceberg's add-column semantics). New writes carry it physically. */

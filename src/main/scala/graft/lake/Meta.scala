@@ -127,6 +127,24 @@ final case class SchemaChange(
     from: String,
     seq: Long)
 
+/** Per-column table-level statistics from the last ANALYZE (M50) — the
+  * Iceberg-Puffin/`ANALYZE TABLE` analogue. `ndv` is an HLL estimate;
+  * `nulls` is exact; `avgLen`/`maxLen` are value byte lengths (strings/
+  * binary measured, fixed-width types by size). */
+final case class ColumnNdv(
+    col: String,
+    ndv: Long,
+    nulls: Long,
+    avgLen: Long,
+    maxLen: Long)
+
+/** One ANALYZE run's output. `snapshotId` records WHAT state was
+  * analyzed — readers can see staleness instead of guessing. */
+final case class TableStats(
+    snapshotId: Long,
+    rowCount: Long,
+    columns: Seq[ColumnNdv] = Nil)
+
 /** The file lists of one snapshot, persisted once as an immutable
   * per-snapshot manifest (the Iceberg-manifest analogue). */
 final case class ManifestData(
@@ -163,7 +181,9 @@ final case class TableMetadata(
     columnDefaults: Seq[ColumnDefault] = Nil,
     /** Metadata-only rename/widen log (M48), oldest first. Empty for
       * every pre-M48 table (jackson fills the default). */
-    schemaChanges: Seq[SchemaChange] = Nil) {
+    schemaChanges: Seq[SchemaChange] = Nil,
+    /** Last ANALYZE output (M50); None until the procedure runs. */
+    tableStats: Option[TableStats] = None) {
 
   def currentSnapshot: Option[Snapshot] =
     snapshots.find(_.id == currentSnapshotId)

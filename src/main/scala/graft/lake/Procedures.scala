@@ -414,4 +414,67 @@ object Procedures {
     expired.foreach(Meta.deleteManifest) // manifests are 1:1 with snapshots
     ExpireResult(table, expired.size, owned.size)
   }
+
+  /** ANALYZE (M50) — the Iceberg-Puffin / `ANALYZE TABLE … COMPUTE
+    * STATISTICS` analogue: ONE distributed aggregation over the live
+    * table computes per-column NDV (HyperLogLog — sketch-sized state per
+    * column, never a distinct shuffle), exact null counts and value byte
+    * lengths, stored in table metadata in one commit. The analyzed
+    * snapshot id is recorded so staleness is visible, and the planner
+    * surface ([[LakeV2Table]]'s `SupportsReportStatistics`) hands the
+    * numbers to Spark's CBO for join sizing. Cost model at 100 TB: one
+    * full scan with O(columns) sketch state per task — run it after bulk
+    * loads, not per query. */
+  def analyzeTable(t: LakeTable, columns: Seq[String] = Nil): LakeTable = {
+    val schema = t.schema
+    def eligible(f: StructField): Boolean = f.dataType match {
+      // struct/array/map/variant carry no scalar NDV
+      case _: StructType => false
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case dt if dt.typeName == "variant" => false
+      case _ => true
+    }
+    val targets =
+      if (columns.isEmpty) schema.fields.toSeq.filter(eligible)
+      else columns.map { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no column $c on ${t.name}"))
+        if (!eligible(f)) throw new IllegalArgumentException(
+          s"cannot analyze $c: ${f.dataType.sql} has no scalar statistics")
+        f
+      }
+    val snapId = t.currentSnapshot.map(_.id).getOrElse(-1L)
+    if (snapId < 0)
+      return t.setTableStats(TableStats(snapshotId = -1L, rowCount = 0L))
+    def lenCol(f: StructField): Column = f.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => octet_length(col(f.name))
+      case dt => lit(dt.defaultSize)
+    }
+    val aggs: Seq[Column] = count(lit(1)).cast(LongType).as("__rc") +:
+      targets.flatMap { f =>
+        Seq(
+          approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"),
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
+          avg(lenCol(f)).as(s"__avg_${f.name}"),
+          max(lenCol(f)).as(s"__max_${f.name}"))
+      }
+    val r = t.read().agg(aggs.head, aggs.tail: _*).head()
+    def long(name: String): Long =
+      if (r.isNullAt(r.fieldIndex(name))) 0L
+      else r.get(r.fieldIndex(name)) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case d: Double => math.round(d)
+        case n: Number => n.longValue()
+      }
+    val cols = targets.map(f => ColumnNdv(
+      col = f.name,
+      ndv = long(s"__ndv_${f.name}"),
+      nulls = long(s"__nulls_${f.name}"),
+      avgLen = long(s"__avg_${f.name}"),
+      maxLen = long(s"__max_${f.name}")))
+    t.setTableStats(TableStats(snapId, long("__rc"), cols))
+  }
 }
