@@ -1198,7 +1198,18 @@ class LakeTable(
           lit(cd.write.get).cast(schema(cd.colName).dataType))
       else d
     }
-    val written0 = writeDataFiles(conformed, 0L, 0L) // stamps re-based per attempt
+    // M48: the PHYSICAL types written must match the table schema — the
+    // epoch log keys on commit sequence, so a post-widen append of a
+    // narrow-typed frame would record a file whose epoch claims the wide
+    // type it doesn't have. Cast and order columns to the schema when
+    // they're all present (a frame missing columns still fails in the
+    // writer, as before).
+    val typed =
+      if (schema.fields.forall(f => conformed.columns.contains(f.name)))
+        conformed.select(schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      else conformed
+    val written0 = writeDataFiles(typed, 0L, 0L) // stamps re-based per attempt
     val written = written0.map(_.rowCount).sum
     rebaseCommit(written0) { (h, files, start, _) =>
       h.commitSnapshot(

@@ -2223,7 +2223,57 @@ object LlmQueries {
         .limit(10)
     })
 
+  // ---------------------------------------- q84 domain mixing weights
+  /** Temperature-scaled domain sampling weights (the mT5/data-mixing
+    * recipe): per source-domain token counts n_i, sampling probability
+    * q_i ∝ (n_i/N)^α with α = 0.5 — upsampling the tail so small
+    * domains aren't drowned, the standard pre-training mixer. Float
+    * parity with the oracle is engineered, not hoped for: token counts
+    * and N are exact integers; p_i = n_i/N and sqrt are single IEEE
+    * operations (bit-identical in both engines); the normalizer Z folds
+    * the per-domain sqrts LEFT-TO-RIGHT over a source-sorted array in
+    * both engines (Spark `aggregate(array_sort(collect_list(…)))`,
+    * DuckDB `list_reduce(list(… ORDER BY source))` — no engine-order
+    * float sum anywhere); the emitted weight rounds to parts-per-billion
+    * BIGINT. Scale: one narrow (source, tokens) shuffle at domain
+    * cardinality, then driver-size arithmetic — the 100 TB cost is the
+    * token count, which is one map-side-combined agg. */
+  val q84 = QueryDef(
+    "q84_domain_mix",
+    Some("""WITH d AS (SELECT source,
+                 len(string_split(text, ' ')) AS tk FROM documents),
+            per AS (SELECT source, CAST(SUM(tk) AS BIGINT) AS tokens
+                    FROM d GROUP BY source),
+            tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM per),
+            sq AS (SELECT source, tokens,
+                     sqrt(CAST(tokens AS DOUBLE) /
+                          CAST((SELECT total FROM tot) AS DOUBLE)) AS s
+                   FROM per),
+            z AS (SELECT list_reduce(list(s ORDER BY source),
+                    (acc, x) -> acc + x) AS z FROM sq)
+            SELECT source, tokens,
+              CAST(ROUND(s / (SELECT z FROM z) * 1000000000) AS BIGINT)
+                AS weight_ppb
+            FROM sq ORDER BY source"""),
+    (s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("tk"))
+        .groupBy("source")
+        .agg(sum(col("tk")).as("tokens"))
+      val tot = per.agg(sum(col("tokens")).as("total"))
+      val sq = per.crossJoin(broadcast(tot))
+        .withColumn("s",
+          sqrt(col("tokens").cast("double") / col("total").cast("double")))
+      val z = sq
+        .agg(expr("aggregate(array_sort(collect_list(struct(source, s))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)").as("z"))
+      sq.crossJoin(broadcast(z))
+        .select(col("source"), col("tokens"),
+          round(col("s") / col("z") * 1000000000L).cast("long").as("weight_ppb"))
+        .orderBy("source")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84)
 }

@@ -222,6 +222,76 @@ class SchemaEvolutionSpec extends SparkSpec {
       sql.run("ALTER TABLE db.q1 ALTER COLUMN cat TYPE not_a_type"))
   }
 
+  test("seeded fuzz: random DML interleaved with renames/widen ≡ model") {
+    for (trial <- 0 until 2) {
+      val rnd = new scala.util.Random(1234 + trial)
+      val mor = trial % 2 == 0
+      val cat = freshCatalog(); cat.createNamespace("db")
+      val props = if (mor) morProps else Map.empty[String, String]
+      var t = cat.createTable("db", "fz", schema, Seq("category"), props)
+      // live column names drift as renames land; the model tracks them
+      var idCol = "id"; var amtCol = "amount"; var renames = 0
+      var widened = false
+      var model = Vector.empty[(Long, String, Double)]
+      var nextId = 0
+      def insertDf(rows: Seq[(Long, String, Double)]) = {
+        val s = StructType(Seq(
+          StructField(idCol, if (widened) LongType else IntegerType),
+          StructField("category", StringType),
+          StructField(amtCol, DoubleType)))
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.map {
+          case (i, c, a) =>
+            Row(if (widened) i else i.toInt, c, a)
+        }, 1), s)
+      }
+      def observed(): Seq[(Long, String, Double)] =
+        t.read().select(idCol, "category", amtCol).collect().map(r =>
+          (r.get(0).asInstanceOf[Number].longValue(), r.getString(1),
+            r.getDouble(2))).toSeq.sorted
+      for (step <- 0 until 14) {
+        rnd.nextInt(6) match {
+          case 0 | 1 => // insert
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              nextId += 1
+              (nextId.toLong, Seq("a", "b", "c")(rnd.nextInt(3)),
+                (rnd.nextInt(1000) + 1).toDouble)
+            }
+            t = t.append(insertDf(rows))
+            model = model ++ rows
+          case 2 => // delete by id threshold through the CURRENT name
+            val cut = 1 + rnd.nextInt(math.max(nextId, 1))
+            t = t.delete(col(idCol) <= cut)
+            model = model.filterNot(_._1 <= cut)
+          case 3 => // rename id or amount to a fresh name
+            renames += 1
+            if (rnd.nextBoolean()) {
+              val to = s"id_$renames"; t = t.renameColumn(idCol, to); idCol = to
+            } else {
+              val to = s"amt_$renames"; t = t.renameColumn(amtCol, to); amtCol = to
+            }
+          case 4 => // widen id once (INT → BIGINT), later inserts stay long
+            if (!widened) { t = t.widenColumn(idCol, LongType); widened = true }
+            else { // otherwise: update through the current names
+              t = t.update(
+                Map(amtCol -> (col(amtCol) + 1000.0)), col("category") === "a")
+              model = model.map(r =>
+                if (r._2 == "a") r.copy(_3 = r._3 + 1000.0) else r)
+            }
+          case 5 => // compaction materializes the current epoch mid-stream
+            t = Procedures.rewriteDataFiles(t, Map("rewrite-all" -> "true")).table
+        }
+        assert(observed() == model.sorted,
+          s"trial=$trial mor=$mor step=$step: table != model " +
+            s"(idCol=$idCol amtCol=$amtCol widened=$widened)")
+      }
+      // end-state invariances: compact + reload + time-travel consistency
+      t = Procedures.rewriteDataFiles(t, Map("rewrite-all" -> "true")).table
+      assert(observed() == model.sorted, s"trial=$trial: compact changed state")
+      t = cat.loadTable("db", "fz").get
+      assert(observed() == model.sorted, s"trial=$trial: reload changed state")
+    }
+  }
+
   test("native SQL: ALTER TABLE lake.db.t RENAME COLUMN / widen, then scan") {
     freshCatalog() // points spark.graft.warehouse at a fresh root
     spark.sql("CREATE TABLE lake.db.n1 (id INT, category STRING)")
