@@ -67,6 +67,11 @@ class LakeSql(val catalog: LakeCatalog) {
 
   private def dispatch(s: String, up: String, principal: Option[String]): DataFrame = {
     if (up.startsWith("CREATE TABLE")) create(s, principal)
+    else if (up.startsWith("CREATE MATERIALIZED VIEW") ||
+      up.startsWith("CREATE OR REPLACE MATERIALIZED VIEW"))
+      createMaterializedViewStmt(s, principal)
+    else if (up.startsWith("REFRESH MATERIALIZED VIEW"))
+      refreshMaterializedViewStmt(s, principal)
     else if (up.startsWith("CREATE VIEW") ||
       up.startsWith("CREATE OR REPLACE VIEW")) createViewStmt(s, principal)
     else if (up.startsWith("DROP VIEW")) dropViewStmt(s, principal)
@@ -162,9 +167,95 @@ class LakeSql(val catalog: LakeCatalog) {
     val m = """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
       .findFirstMatchIn(s).getOrElse(fail("DROP VIEW [IF EXISTS] db.v", s))
     val (db, name) = splitName(m.group(2))
+    // a materialized view owns its storage table — drop both
+    catalog.viewInfo(db, name)
+      .filter(_.props.get("materialized").contains("true"))
+      .flatMap(_.props.get("storage"))
+      .foreach(st => catalog.dropTable(db, st))
     val dropped = catalog.dropView(db, name, ifExists = m.group(1) != null)
     status(
       if (dropped) s"Dropped view $db.$name" else s"View $db.$name did not exist")
+  }
+
+  // ------------------------------------------- materialized views (M51)
+
+  /** CREATE [OR REPLACE] MATERIALIZED VIEW db.v AS SELECT … — the view
+    * document plus a hidden lake STORAGE table (`db.__mv_<name>`)
+    * holding the result, stamped with the snapshot id of every lake
+    * table the definition references. Reads serve the storage while
+    * every dependency still sits at its recorded snapshot and fall back
+    * to LIVE expansion the moment one moved — correctness-first
+    * (a stale MV can never serve stale rows), refresh restores the fast
+    * path. A dependency that is itself a view marks the MV permanently
+    * stale (conservative: view text gives no snapshot to pin). */
+  private def createMaterializedViewStmt(s: String, p: Option[String]): DataFrame = {
+    val m = ("""(?is)^CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+""" +
+      """([\w.]+)\s+AS\s+((?:SELECT|WITH)\s+.*)$""").r
+      .findFirstMatchIn(s).getOrElse(
+        fail("CREATE [OR REPLACE] MATERIALIZED VIEW db.v AS SELECT …", s))
+    val (db, name) = splitName(m.group(2))
+    val body = m.group(3).trim
+    val orReplace = m.group(1) != null
+    val storage = s"__mv_$name"
+    catalog.createNamespace(db)
+    if (!orReplace && catalog.viewExists(db, name))
+      throw new IllegalArgumentException(s"view $db.$name already exists")
+    if (orReplace && catalog.tableExists(db, storage))
+      catalog.dropTable(db, storage)
+    val df = select(body, p) // definer's SELECT grants fire here
+    val st = catalog.createTable(db, storage, df.schema)
+    st.append(df)
+    catalog.createView(db, name, ViewMetadata(
+      name = s"$db.$name", sql = body, schemaDdl = df.schema.toDDL,
+      namespace = Seq(db),
+      queryColumnNames = df.schema.fieldNames.toSeq,
+      props = Map("materialized" -> "true", "storage" -> storage,
+        "deps" -> mvDeps(body))),
+      orReplace = orReplace)
+    status(s"Created materialized view $db.$name")
+  }
+
+  private def refreshMaterializedViewStmt(s: String, p: Option[String]): DataFrame = {
+    val m = """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$""".r
+      .findFirstMatchIn(s).getOrElse(fail("REFRESH MATERIALIZED VIEW db.v", s))
+    val (db, name) = splitName(m.group(1))
+    val vm = catalog.viewInfo(db, name)
+      .filter(_.props.get("materialized").contains("true"))
+      .getOrElse(throw new SqlParseException(
+        s"$db.$name is not a materialized view"))
+    val df = select(vm.sql, p)
+    load(db, vm.props("storage")).overwrite(df)
+    catalog.createView(db, name,
+      vm.copy(props = vm.props + ("deps" -> mvDeps(vm.sql))),
+      orReplace = true)
+    status(s"Refreshed materialized view $db.$name")
+  }
+
+  /** Dependency stamp: `db.t=<snapshotId>` per referenced lake table
+    * (compact prop encoding); a referenced VIEW pins as `db.v=VIEW`,
+    * which can never match a snapshot id — permanently stale. */
+  private def mvDeps(sql: String): String =
+    candidateRefs(sql).flatMap { case (db, name) =>
+      if (catalog.tableInfo(db, name).exists(_.tableType == "LAKE"))
+        Some(s"$db.$name=" + catalog.loadTable(db, name)
+          .flatMap(_.currentSnapshot.map(_.id)).getOrElse(-1L))
+      else if (catalog.viewExists(db, name)) Some(s"$db.$name=VIEW")
+      else None
+    }.mkString(",")
+
+  /** Freshness: every recorded dependency still at its stamped snapshot.
+    * The invoker's SELECT gate fires on each dependency EVEN on the
+    * storage fast path — materialization must not widen access. */
+  private def mvFresh(vm: ViewMetadata, p: Option[String]): Boolean = {
+    val deps = vm.props.getOrElse("deps", "")
+    if (deps.isEmpty) return true
+    deps.split(",").forall { d =>
+      val Array(ref, stamp) = d.split("=", 2)
+      val (db, name) = splitName(ref)
+      requirePerm(p, db, name, "SELECT")
+      stamp != "VIEW" && catalog.loadTable(db, name)
+        .flatMap(_.currentSnapshot.map(_.id)).getOrElse(-1L).toString == stamp
+    }
   }
 
   private def insert(s: String, p: Option[String]): DataFrame = {
@@ -588,8 +679,11 @@ class LakeSql(val catalog: LakeCatalog) {
       val m = """(?is)^SHOW\s+VIEWS(?:\s+IN\s+([\w]+))?$""".r
         .findFirstMatchIn(s).getOrElse(fail("SHOW VIEWS [IN db]", s))
       val dbs = Option(m.group(1)).map(Seq(_)).getOrElse(catalog.listNamespaces())
-      dbs.flatMap(db => catalog.listViews(db).map(v => (db, v)))
-        .sorted.toDF("namespace", "view_name")
+      dbs.flatMap(db => catalog.listViews(db).map { v =>
+        val mat = catalog.viewInfo(db, v)
+          .exists(_.props.get("materialized").contains("true"))
+        (db, v, mat)
+      }).sorted.toDF("namespace", "view_name", "materialized")
     } else if (up.startsWith("SHOW STATS")) {
       // Trino's SHOW STATS FOR shape: one row per analyzed column plus a
       // (table) summary row carrying the analyzed row count and snapshot
@@ -665,10 +759,12 @@ class LakeSql(val catalog: LakeCatalog) {
     * segments and only those names are probed against the catalog — a
     * SELECT over one table in a 10k-table warehouse reads one table's
     * headers, and `SELECT 1` reads none. */
-  private def rewriteLakeRefs(s: String, p: Option[String],
-      depth: Int = 0): String = {
+  /** Dotted (db, name) candidates in a SQL fragment's unquoted segments
+    * — shared by the ref rewriter and materialized-view freshness
+    * tracking, so both see the same dependency set by construction. */
+  private def candidateRefs(s: String): Seq[(String, String)] = {
     val idRe = """[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+""".r
-    val candidates = quoteSegments(s).collect { case (seg, false) => seg }
+    quoteSegments(s).collect { case (seg, false) => seg }
       .flatMap(seg => idRe.findAllIn(seg).toSeq)
       .flatMap { chain =>
         // One probe per chain (VERDICT r5 #3): a table ref always starts
@@ -685,6 +781,11 @@ class LakeSql(val catalog: LakeCatalog) {
         if (body.length >= 2) Seq((body(0), body(1))) else Seq.empty
       }
       .distinct
+  }
+
+  private def rewriteLakeRefs(s: String, p: Option[String],
+      depth: Int = 0): String = {
+    val candidates = candidateRefs(s)
     // every candidate is \w+ segments (the identifier regex), so the
     // probe is a safe path resolution; non-tables return None
     val lakeRefs = candidates.filter { case (db, name) =>
@@ -774,9 +875,14 @@ class LakeSql(val catalog: LakeCatalog) {
         val vm = catalog.viewInfo(db, name).get
         val view = s"${db}__$name$stmtSfx"
         // invoker rights: the stored text re-resolves with the READER's
-        // principal, so underlying-table SELECT gates fire per read
-        catalog.spark.sql(rewriteLakeRefs(vm.sql, p, depth + 1))
-          .createOrReplaceTempView(view)
+        // principal, so underlying-table SELECT gates fire per read —
+        // and the materialized fast path (M51) re-checks the same gates
+        // on every recorded dependency before serving storage
+        val expanded =
+          if (vm.props.get("materialized").contains("true") && mvFresh(vm, p))
+            load(db, vm.props("storage")).read()
+          else catalog.spark.sql(rewriteLakeRefs(vm.sql, p, depth + 1))
+        expanded.createOrReplaceTempView(view)
         createdViews.get() += view
         rewritten = mapOutsideQuotes(rewritten, seg => re.replaceAllIn(seg, view))
       }

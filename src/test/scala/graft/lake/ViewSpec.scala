@@ -132,6 +132,50 @@ class ViewSpec extends SparkSpec {
     assert(cat.listViews("db").isEmpty)
   }
 
+  test("materialized views: storage served when fresh, live when stale") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE MATERIALIZED VIEW db.mv AS " +
+      "SELECT category, CAST(COUNT(*) AS BIGINT) AS n FROM db.t GROUP BY category")
+    def read() = sql.run("SELECT * FROM db.mv ORDER BY category")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(read() == Seq(("a", 2L), ("b", 1L)))
+    // PROOF the storage serves while fresh: inject an anomaly row
+    // directly into the hidden storage table — a fresh read must see it
+    // (it scans storage), a stale read must not (it re-runs the text)
+    val st = cat.loadTable("db", "__mv_mv").get
+    st.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("zz", 99L)), 1),
+      StructType(Seq(StructField("category", StringType),
+        StructField("n", LongType)))))
+    assert(read().contains(("zz", 99L)), "fresh MV must serve storage")
+    // base-table DML → stale → falls back to the live definition
+    sql.run("INSERT INTO db.t VALUES (4, 'a', 40.0)")
+    val stale = read()
+    assert(stale == Seq(("a", 3L), ("b", 1L)), s"stale MV must go live: $stale")
+    // refresh restores the fast path with the new contents
+    sql.run("REFRESH MATERIALIZED VIEW db.mv")
+    assert(read() == Seq(("a", 3L), ("b", 1L)))
+    val st2 = cat.loadTable("db", "__mv_mv").get
+    assert(st2.read().count() == 2) // anomaly overwritten by refresh
+    // listed as materialized; DROP removes the storage table too
+    val shown = sql.run("SHOW VIEWS IN db").collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toMap
+    assert(shown("mv"))
+    sql.run("DROP VIEW db.mv")
+    assert(!cat.tableExists("db", "__mv_mv"))
+  }
+
+  test("materialized view on a view is permanently stale (conservative)") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE VIEW db.base AS SELECT id FROM db.t WHERE id > 1")
+    sql.run("CREATE MATERIALIZED VIEW db.mv2 AS SELECT COUNT(*) AS n FROM db.base")
+    // a view dep has no snapshot to pin: reads always take the live path
+    assert(sql.run("SELECT * FROM db.mv2").head().getLong(0) == 2L)
+    sql.run("INSERT INTO db.t VALUES (7, 'c', 70.0)")
+    assert(sql.run("SELECT * FROM db.mv2").head().getLong(0) == 3L,
+      "view-dependent MV must re-run live")
+  }
+
   test("dispatcher-created views read natively as lake.db.v") {
     val (cat, sql) = fresh(); seed(cat)
     sql.run("CREATE VIEW db.dv AS SELECT id FROM db.t WHERE category = 'a'")
