@@ -485,7 +485,7 @@ private[lake] class LakeDeltaBatchWrite(
       runId = UUID.randomUUID().toString,
       rowSchemaJson = rowSchema.json,
       withRowIds = withRowIds,
-      parquetConf = LakeDeltaWriter.mirroredParquetConf(),
+      parquetConf = LakeDeltaWriter.mirroredParquetConf() ++ t.bloomFilterConf,
       partitionCols = t.meta.partitionCols,
       deleteFormat = deleteFormat))
 
@@ -763,7 +763,7 @@ private[lake] class LakeCowBatchWrite(
       runId = UUID.randomUUID().toString,
       rowSchemaJson = rowSchema.json,
       withRowIds = withRowIds,
-      parquetConf = LakeDeltaWriter.mirroredParquetConf(),
+      parquetConf = LakeDeltaWriter.mirroredParquetConf() ++ t.bloomFilterConf,
       partitionCols = t.meta.partitionCols))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -79,6 +79,8 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
       val make: Option[LakeTable => org.apache.spark.sql.DataFrame] = kind match {
         case "history" | "snapshots" => Some(_.history())
         case "files" => Some(_.filesMetadata())
+        case "all_files" => Some(_.allFilesMetadata())
+        case "manifests" => Some(_.manifestsMetadata())
         case "partitions" => Some(_.partitionsMetadata())
         case "refs" => Some(_.refsMetadata())
         case _ => None

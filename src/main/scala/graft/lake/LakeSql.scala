@@ -817,7 +817,9 @@ class LakeSql(val catalog: LakeCatalog) {
       for ((suffix, make) <- Seq[(String, LakeTable => DataFrame)](
         "history" -> (_.history()),
         "snapshots" -> (_.history()),
+        "all_files" -> (_.allFilesMetadata()),
         "files" -> (_.filesMetadata()),
+        "manifests" -> (_.manifestsMetadata()),
         "partitions" -> (_.partitionsMetadata()))) {
         val mre = (base + "\\." + suffix + "(?!\\w)").r
         if (containsOutsideQuotes(rewritten, mre)) {

@@ -611,6 +611,39 @@ class LakeTable(
         "column_bounds")
   }
 
+  /** Iceberg's `.all_files`: every data file referenced by ANY retained
+    * snapshot — the expiry/debug view of storage, where `.files` shows
+    * only the live set. One row per distinct path with the snapshots
+    * that reference it; driver-side over manifest-scale metadata. */
+  def allFilesMetadata(): DataFrame = {
+    import spark.implicits._
+    meta.snapshots.flatMap(s => s.dataFiles.map(f => (f, s.id)))
+      .groupBy(_._1.path).toSeq
+      .map { case (path, refs) =>
+        val f = refs.head._1
+        (path, f.rowCount, f.sizeBytes, f.dataSequenceNumber,
+          refs.map(_._2).distinct.sorted.mkString(","))
+      }.sortBy(_._1)
+      .toDF("file_path", "record_count", "file_size_in_bytes",
+        "data_sequence_number", "referencing_snapshot_ids")
+  }
+
+  /** Iceberg's `.manifests`: one row per snapshot manifest — the
+    * metadata files themselves (path, size, owning snapshot, list
+    * sizes). Snapshots committed before the manifest model show an
+    * empty path. */
+  def manifestsMetadata(): DataFrame = {
+    import spark.implicits._
+    meta.snapshots.sortBy(_.id).map { s =>
+      val p = s.manifestPath.getOrElse("")
+      val len =
+        if (p.isEmpty) 0L
+        else scala.util.Try(Files.size(java.nio.file.Paths.get(p))).getOrElse(0L)
+      (p, len, s.id, s.dataFiles.size.toLong, s.deleteFiles.size.toLong)
+    }.toDF("path", "length", "snapshot_id", "data_file_count",
+      "delete_file_count")
+  }
+
   /** Per-partition rollup of the live file set (Iceberg's `.partitions`
     * metadata table): one row per distinct recorded partition-value
     * tuple with file/row/byte counts. Driver-side over file metadata —
@@ -910,7 +943,9 @@ class LakeTable(
         else clustered.sortWithinPartitions(sortCols.toSeq: _*)
       case _ => clustered
     }
-    val writer = sorted.write.mode("append")
+    val writer = bloomFilterConf.foldLeft(sorted.write.mode("append")) {
+      case (w, (k, v)) => w.option(k, v) // M52 bloom filters
+    }
     (if (partCopies.nonEmpty) writer.partitionBy(partCopies: _*) else writer)
       .parquet(commitDir.toString)
 
@@ -1791,6 +1826,23 @@ class LakeTable(
   /** Store an ANALYZE run's output (M50) — one metadata commit. */
   def setTableStats(ts: TableStats): LakeTable =
     withMeta(meta.copy(tableStats = Some(ts)))
+
+  /** Parquet bloom-filter writer keys from the
+    * `write.parquet.bloom-filter-columns` property (M52): point lookups
+    * on high-cardinality, unsorted columns — exactly where min/max
+    * footer stats can't prune — skip row groups via the bloom instead of
+    * decoding them. Applied on EVERY write surface (appends, compaction
+    * rewrites, native DML writers), so updated regions keep their
+    * blooms. Unknown names are ignored by parquet-mr (nothing to
+    * validate at write time; the property is advisory layout, like
+    * write.sort-order). */
+  private[lake] def bloomFilterConf: Map[String, String] =
+    meta.props.get("write.parquet.bloom-filter-columns") match {
+      case Some(cols) if cols.trim.nonEmpty =>
+        cols.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+      case _ => Map.empty
+    }
 
   /** ALTER TABLE … ADD COLUMN — metadata-only: existing parquet files
     * simply lack the column and the schema-projected scan null-fills it

@@ -988,6 +988,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(refs.find(_._1 == "v1").get._3 == t.meta.snapshots.map(_.id).min)
   }
 
+  test("all_files/manifests metadata tables; bloom filters written by property") {
+    val wh = Files.createTempDirectory("graft-af-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.af (id INT, v STRING) TBLPROPERTIES (" +
+      "'write.parquet.bloom-filter-columns'='v')")
+    sql.run("INSERT INTO db.af VALUES (1, 'a'), (2, 'b')")
+    sql.run("INSERT OVERWRITE db.af VALUES (3, 'c')")
+    // .files shows the LIVE set; .all_files keeps the overwritten file
+    // with the snapshots that referenced it (the expiry/debug view)
+    val live = spark.sql("SELECT COUNT(*) AS c FROM lake.db.af.files")
+      .head().getLong(0)
+    val all = spark.sql("SELECT COUNT(*) AS c FROM lake.db.af.all_files")
+      .head().getLong(0)
+    assert(all > live)
+    // one manifest per snapshot, with real lengths
+    val mans = spark.sql(
+      "SELECT snapshot_id, length FROM lake.db.af.manifests ORDER BY snapshot_id")
+      .collect()
+    assert(mans.length == 2 && mans.forall(_.getLong(1) > 0))
+    // dispatcher spellings resolve too
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.af.all_files")
+      .head().getLong(0) == all)
+    assert(sql.run("SELECT COUNT(*) AS c FROM db.af.manifests")
+      .head().getLong(0) == 2)
+    // the bloom property reached the parquet writer: the footer records
+    // a bloom filter offset for column v and none for id
+    val t = sql.catalog.loadTable("db", "af").get
+    val path = new org.apache.hadoop.fs.Path(t.dataFiles.head.path)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(path, new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = scala.jdk.CollectionConverters
+        .ListHasAsScala(reader.getFooter.getBlocks.get(0).getColumns).asScala
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      assert(cols("v"), s"expected a bloom filter on v: $cols")
+      assert(!cols("id"), s"expected no bloom filter on id: $cols")
+    } finally reader.close()
+  }
+
   test("cosine_sim is registered as a native SQL function") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS s1, " +
