@@ -182,7 +182,26 @@ final class LakeStreamSource(
       return session.internalCreateDataFrame(
         session.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
         schema, isStreaming = true)
-    val df = loadTable().readIncremental(from, endId, skipNonAppends)
+    val df0 = loadTable().readIncremental(from, endId, skipNonAppends)
+    // M48 interplay: the STREAM's schema is fixed at query start, but a
+    // mid-stream RENAME makes the table (and this batch) surface new
+    // names. Renames are value-preserving, so the batch aliases back to
+    // the stream-start names until the consumer restarts (then it picks
+    // up the new spelling from a fresh `schema`). A structural or
+    // type-level change (add/drop/widen) cannot be served under the old
+    // schema without inventing or truncating values — fail by name and
+    // ask for a restart instead of binding positionally by luck.
+    val df =
+      if (df0.schema == schema) df0
+      else if (df0.schema.fields.map(_.dataType).toSeq ==
+          schema.fields.map(_.dataType).toSeq)
+        df0.select(df0.columns.zip(schema.fieldNames).map {
+          case (from0, to) => org.apache.spark.sql.functions.col(from0).as(to)
+        }.toIndexedSeq: _*)
+      else throw new IllegalStateException(
+        s"graft-lake stream source: $db.$table changed schema mid-stream " +
+          s"(stream started with ${schema.simpleString}, table now has " +
+          s"${df0.schema.simpleString}) — restart the query to adopt it")
     LakeStreamSource.asStreamingBatch(session, df)
   }
 

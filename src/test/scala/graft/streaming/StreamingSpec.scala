@@ -551,6 +551,62 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("source serves a mid-stream RENAME under the stream-start names; " +
+    "a widen fails by name asking for a restart") {
+    val wh = Files.createTempDirectory("graft-ren-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val s = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    def batch(rows: (Int, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), s)
+    var t = cat.createTable("db", "ren", s).append(batch((1, "a")))
+    val q = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.ren")
+      .load()
+      .writeStream.format("memory").queryName("ren_sink").start()
+    try {
+      q.processAllAvailable()
+      // rename mid-stream: values are unchanged, so the batch aliases
+      // back to the names the stream started with
+      t = cat.loadTable("db", "ren").get.renameColumn("v", "val")
+      t = t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(2, "b")), 1),
+        StructType(Seq(StructField("id", IntegerType),
+          StructField("val", StringType)))))
+      q.processAllAvailable()
+      val got = spark.table("ren_sink").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq((1, "a"), (2, "b")),
+        "renamed column must keep flowing under the stream-start name")
+      assert(spark.table("ren_sink").schema.fieldNames.toSeq == Seq("id", "v"))
+      // a widen cannot be served under the narrow stream schema: the
+      // next batch fails with the restart pointer, not a silent bind
+      t = cat.loadTable("db", "ren").get.widenColumn("id", LongType)
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(5L, "w")), 1),
+        StructType(Seq(StructField("id", LongType),
+          StructField("val", StringType)))))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("restart") ||
+        e.getCause.getMessage.contains("restart"))
+    } finally q.stop()
+    // a fresh query adopts the evolved schema and reads all epochs
+    val q2 = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.ren")
+      .load()
+      .writeStream.format("memory").queryName("ren_sink2").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("ren_sink2").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (5L, "w")))
+      assert(spark.table("ren_sink2").schema.fieldNames.toSeq == Seq("id", "val"))
+    } finally q2.stop()
+  }
+
   test("Trigger.AvailableNow: an uncapped run drains the backlog and stops; " +
     "capped checkpointed runs drain it in bounded installments") {
     import org.apache.spark.sql.streaming.Trigger
