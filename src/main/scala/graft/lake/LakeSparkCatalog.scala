@@ -442,7 +442,11 @@ class LakeViewV2Table(viewName: String, vm: ViewMetadata, cat: LakeCatalog)
 
   private def plan(): org.apache.spark.sql.DataFrame = {
     val principal = cat.spark.conf.getOption("spark.graft.principal")
-    new LakeSql(cat).run(vm.sql, principal)
+    // resolve BY NAME, not by inlining vm.sql: the dispatcher's view
+    // expansion owns the materialized-view fast path (M51 freshness →
+    // storage scan), and going through it keeps the two surfaces'
+    // semantics identical by construction
+    new LakeSql(cat).run(s"SELECT * FROM ${vm.name}", principal)
   }
 
   // late-binding: the CURRENT expansion's schema, not the stored one —

@@ -896,7 +896,11 @@ class LakeSql(val catalog: LakeCatalog) {
 
   private def load(db: String, table: String): LakeTable =
     catalog.loadTable(db, table).getOrElse(
-      throw new IllegalArgumentException(s"table $db.$table does not exist"))
+      throw new IllegalArgumentException(
+        if (catalog.viewExists(db, table))
+          s"$db.$table is a view — DML and maintenance target tables " +
+            "(query it with SELECT, or redefine it with CREATE OR REPLACE VIEW)"
+        else s"table $db.$table does not exist"))
 
   private def added(t: LakeTable): String =
     t.currentSnapshot.flatMap(_.summary.get("added-records")).getOrElse("?")

@@ -148,6 +148,11 @@ class ViewSpec extends SparkSpec {
       StructType(Seq(StructField("category", StringType),
         StructField("n", LongType)))))
     assert(read().contains(("zz", 99L)), "fresh MV must serve storage")
+    // the native route resolves BY NAME through the same dispatcher
+    // logic, so it takes the identical storage fast path
+    val native = spark.sql("SELECT * FROM lake.db.mv")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(native.contains(("zz", 99L)), "native MV read must serve storage")
     // base-table DML → stale → falls back to the live definition
     sql.run("INSERT INTO db.t VALUES (4, 'a', 40.0)")
     val stale = read()
