@@ -223,12 +223,82 @@ class LakeSql(val catalog: LakeCatalog) {
       .filter(_.props.get("materialized").contains("true"))
       .getOrElse(throw new SqlParseException(
         s"$db.$name is not a materialized view"))
-    val df = select(vm.sql, p)
-    load(db, vm.props("storage")).overwrite(df)
+    val how = incrementalRefresh(vm, p) match {
+      case Some(added) => s"incrementally (+$added rows)"
+      case None =>
+        load(db, vm.props("storage")).overwrite(select(vm.sql, p))
+        "(full recompute)"
+    }
     catalog.createView(db, name,
       vm.copy(props = vm.props + ("deps" -> mvDeps(vm.sql))),
       orReplace = true)
-    status(s"Refreshed materialized view $db.$name")
+    status(s"Refreshed materialized view $db.$name $how")
+  }
+
+  /** Incremental MV maintenance (M51): when the definition is a pure
+    * single-table SELECTION/PROJECTION — analyzed plan is only
+    * deterministic Project/Filter nodes (no aggregate, join, distinct,
+    * window, limit, or predicate subquery) over the one dependency —
+    * and that dependency advanced by APPEND commits alone since the
+    * stamped snapshot, the new state is exactly old ⊎ σπ(increment):
+    * refresh applies the view text to `readIncremental(stamp, head]`
+    * and APPENDS the result to storage — O(increment), never O(table).
+    * Anything else returns None → full recompute. The eligibility test
+    * is the PLAN, not a SQL regex, so expression spellings can't fool
+    * it. */
+  private def incrementalRefresh(
+      vm: ViewMetadata, p: Option[String]): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val deps = vm.props.getOrElse("deps", "")
+    if (deps.isEmpty || deps.contains(",") || deps.endsWith("=VIEW")) return None
+    val Array(ref, stamp0) = deps.split("=", 2)
+    val (tdb, tname) = splitName(ref)
+    val stamp = stamp0.toLongOption.getOrElse(return None)
+    val t = catalog.loadTable(tdb, tname).getOrElse(return None)
+    val head = t.currentSnapshot.map(_.id).getOrElse(return None)
+    if (head == stamp) return Some(0L) // nothing moved: refresh is a no-op
+    // append-only walk along the parent chain from head back to stamp
+    val byId = t.meta.snapshots.map(x => x.id -> x).toMap
+    var cur = head
+    while (cur != stamp) {
+      val sn = byId.getOrElse(cur, return None) // stamp expired / not ancestor
+      if (sn.operation != "append") return None
+      cur = sn.parentId
+      if (cur < 0) return None
+    }
+    // plan-shape gate over the ANALYZED definition (leaf = the expanded
+    // dependency's statement-scoped temp view)
+    val full = select(vm.sql, p)
+    val leafPrefix = s"${tdb}__$tname"
+    def noSubquery(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.find {
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+        case _ => false
+      }.isEmpty
+    def shapeOk(pl: LogicalPlan): Boolean = pl match {
+      case sa: SubqueryAlias if sa.alias.startsWith(leafPrefix) => true
+      case sa: SubqueryAlias => shapeOk(sa.child)
+      case pr: Project =>
+        pr.projectList.forall(x => x.deterministic && noSubquery(x)) &&
+          shapeOk(pr.child)
+      case f: Filter =>
+        f.condition.deterministic && noSubquery(f.condition) && shapeOk(f.child)
+      case _ => false
+    }
+    if (!shapeOk(full.queryExecution.analyzed)) return None
+    // the view text applied to JUST the increment
+    val inc = t.readIncremental(Some(stamp), head, skipNonAppends = false)
+    val tmp = s"__mv_inc_${LakeSql.viewEpoch.incrementAndGet()}"
+    inc.createOrReplaceTempView(tmp)
+    createdViews.get() += tmp
+    val re = ("(?<![\\w.])(?:(?:glue_catalog|lake)\\.)?" +
+      java.util.regex.Pattern.quote(s"$tdb.$tname") + "(?!\\w)").r
+    val rewritten = mapOutsideQuotes(vm.sql, seg => re.replaceAllIn(seg, tmp))
+    val delta = catalog.spark.sql(rewritten)
+    val st0 = load(splitName(vm.name)._1, vm.props("storage"))
+    val added = delta.count()
+    if (added > 0) st0.append(delta)
+    Some(added)
   }
 
   /** Dependency stamp: `db.t=<snapshotId>` per referenced lake table

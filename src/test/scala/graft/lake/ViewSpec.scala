@@ -170,6 +170,43 @@ class ViewSpec extends SparkSpec {
     assert(!cat.tableExists("db", "__mv_mv"))
   }
 
+  test("incremental MV refresh: append-only selection appends the delta only") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE MATERIALIZED VIEW db.imv AS " +
+      "SELECT id, amount * 2 AS a2 FROM db.t WHERE category = 'a'")
+    val st0 = cat.loadTable("db", "__mv_imv").get
+    val snaps0 = st0.meta.snapshots.size
+    // base advances by APPENDS only → refresh is O(increment): one new
+    // storage snapshot, an append, carrying only the delta's rows
+    sql.run("INSERT INTO db.t VALUES (10, 'a', 100.0), (11, 'b', 110.0)")
+    sql.run("INSERT INTO db.t VALUES (12, 'a', 120.0)")
+    val msg = sql.run("REFRESH MATERIALIZED VIEW db.imv").head().getString(0)
+    assert(msg.contains("incrementally (+2 rows)"), msg)
+    val st1 = cat.loadTable("db", "__mv_imv").get
+    assert(st1.meta.snapshots.size == snaps0 + 1)
+    assert(st1.currentSnapshot.get.operation == "append")
+    val got = sql.run("SELECT * FROM db.imv ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1, 20.0), (3, 60.0), (10, 200.0), (12, 240.0)))
+    // an up-to-date MV refreshes as a zero-row increment
+    assert(sql.run("REFRESH MATERIALIZED VIEW db.imv").head().getString(0)
+      .contains("incrementally (+0 rows)"))
+    // a non-append commit on the base forces the full path
+    sql.run("DELETE FROM db.t WHERE id = 10")
+    val msg2 = sql.run("REFRESH MATERIALIZED VIEW db.imv").head().getString(0)
+    assert(msg2.contains("full recompute"), msg2)
+    val got2 = sql.run("SELECT * FROM db.imv ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(got2 == Seq((1, 20.0), (3, 60.0), (12, 240.0)))
+    // aggregates can never maintain incrementally: full every time
+    sql.run("CREATE MATERIALIZED VIEW db.amv AS " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM db.t")
+    sql.run("INSERT INTO db.t VALUES (13, 'c', 130.0)")
+    assert(sql.run("REFRESH MATERIALIZED VIEW db.amv").head().getString(0)
+      .contains("full recompute"))
+    assert(sql.run("SELECT * FROM db.amv").head().getLong(0) == 6L)
+  }
+
   test("materialized view on a view is permanently stale (conservative)") {
     val (cat, sql) = fresh(); seed(cat)
     sql.run("CREATE VIEW db.base AS SELECT id FROM db.t WHERE id > 1")
