@@ -155,6 +155,13 @@ class LakeSql(val catalog: LakeCatalog) {
     val body = m.group(3).trim
     val probe = select(body, p)
     catalog.createNamespace(db)
+    // replacing a MATERIALIZED view with a plain one reclaims its
+    // storage table — otherwise the hidden table orphans
+    if (m.group(1) != null)
+      catalog.viewInfo(db, name)
+        .filter(_.props.get("materialized").contains("true"))
+        .flatMap(_.props.get("storage"))
+        .foreach(st => catalog.dropTable(db, st))
     catalog.createView(db, name, ViewMetadata(
       name = s"$db.$name", sql = body, schemaDdl = probe.schema.toDDL,
       namespace = Seq(db),
@@ -789,6 +796,17 @@ class LakeSql(val catalog: LakeCatalog) {
     val m = """(?is)^DESCRIBE\s+(?:TABLE\s+)?([\w.]+)$""".r
       .findFirstMatchIn(s).getOrElse(fail("DESCRIBE", s))
     val (db, table) = splitName(m.group(1))
+    // views DESCRIBE too (M49): the definition-time schema, plus the
+    // stored text and materialization flag as pseudo-columns
+    catalog.viewInfo(db, table).foreach { vm =>
+      import catalog.spark.implicits._
+      val cols = StructType.fromDDL(vm.schemaDdl).fields.toSeq
+        .map(f => (f.name, f.dataType.sql.toLowerCase))
+      val extras = Seq(
+        ("# view_text", vm.sql),
+        ("# materialized", vm.props.getOrElse("materialized", "false")))
+      return (cols ++ extras).toDF("col_name", "data_type")
+    }
     requirePerm(p, db, table, "DESCRIBE")
     load(db, table).describe()
   }

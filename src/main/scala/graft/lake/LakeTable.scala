@@ -1960,6 +1960,9 @@ class LakeTable(
       partitionCols = newSpecs,
       columnDefaults = meta.columnDefaults.map(cd =>
         if (cd.colName == from) cd.copy(colName = to) else cd),
+      // ANALYZE output follows the rename (values are unchanged by it)
+      tableStats = meta.tableStats.map(ts => ts.copy(columns =
+        ts.columns.map(c => if (c.col == from) c.copy(col = to) else c))),
       props = renameInSortOrder(meta.props, from, to),
       schemaChanges = meta.schemaChanges ++
         (SchemaChange("rename", col = to, from = from, seq = ddlSeq) +: fieldRenames)))

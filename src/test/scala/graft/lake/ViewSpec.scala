@@ -207,6 +207,26 @@ class ViewSpec extends SparkSpec {
     assert(sql.run("SELECT * FROM db.amv").head().getLong(0) == 6L)
   }
 
+  test("DESCRIBE works on views and reports the definition") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE VIEW db.dv2 AS SELECT id, category FROM db.t")
+    val d = sql.run("DESCRIBE db.dv2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("id") == "int" && d("category") == "string")
+    assert(d("# view_text").contains("FROM db.t"))
+    assert(d("# materialized") == "false")
+  }
+
+  test("replacing a materialized view with a plain one reclaims storage") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE MATERIALIZED VIEW db.rv AS SELECT id FROM db.t")
+    assert(cat.tableExists("db", "__mv_rv"))
+    sql.run("CREATE OR REPLACE VIEW db.rv AS SELECT id FROM db.t WHERE id > 1")
+    assert(!cat.tableExists("db", "__mv_rv"), "orphaned MV storage table")
+    assert(sql.run("SELECT * FROM db.rv ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3))
+  }
+
   test("materialized view on a view is permanently stale (conservative)") {
     val (cat, sql) = fresh(); seed(cat)
     sql.run("CREATE VIEW db.base AS SELECT id FROM db.t WHERE id > 1")
