@@ -209,6 +209,11 @@ class LakeSql(val catalog: LakeCatalog) {
       throw new IllegalArgumentException(s"view $db.$name already exists")
     if (orReplace && catalog.tableExists(db, storage))
       catalog.dropTable(db, storage)
+    // stamp dependencies BEFORE materializing: a base commit landing
+    // mid-compute then leaves the stamp OLDER than the data, which reads
+    // as stale → live fallback (correct). Stamping after would read as
+    // fresh for data the storage never saw — stale rows served as fresh.
+    val deps = mvDeps(body)
     val df = select(body, p) // definer's SELECT grants fire here
     val st = catalog.createTable(db, storage, df.schema)
     st.append(df)
@@ -217,7 +222,7 @@ class LakeSql(val catalog: LakeCatalog) {
       namespace = Seq(db),
       queryColumnNames = df.schema.fieldNames.toSeq,
       props = Map("materialized" -> "true", "storage" -> storage,
-        "deps" -> mvDeps(body))),
+        "deps" -> deps)),
       orReplace = orReplace)
     status(s"Created materialized view $db.$name")
   }
@@ -230,14 +235,19 @@ class LakeSql(val catalog: LakeCatalog) {
       .filter(_.props.get("materialized").contains("true"))
       .getOrElse(throw new SqlParseException(
         s"$db.$name is not a materialized view"))
-    val how = incrementalRefresh(vm, p) match {
-      case Some(added) => s"incrementally (+$added rows)"
+    // stamp ordering (see createMaterializedViewStmt): the recorded deps
+    // must never be NEWER than the data the storage holds — incremental
+    // returns the exact head it applied; the full path stamps before the
+    // recompute, so a mid-recompute commit reads as stale, never fresh
+    val (how, stamp) = incrementalRefresh(vm, p) match {
+      case Some((added, applied)) => (s"incrementally (+$added rows)", applied)
       case None =>
+        val pre = mvDeps(vm.sql)
         load(db, vm.props("storage")).overwrite(select(vm.sql, p))
-        "(full recompute)"
+        ("(full recompute)", pre)
     }
     catalog.createView(db, name,
-      vm.copy(props = vm.props + ("deps" -> mvDeps(vm.sql))),
+      vm.copy(props = vm.props + ("deps" -> stamp)),
       orReplace = true)
     status(s"Refreshed materialized view $db.$name $how")
   }
@@ -253,8 +263,11 @@ class LakeSql(val catalog: LakeCatalog) {
     * Anything else returns None → full recompute. The eligibility test
     * is the PLAN, not a SQL regex, so expression spellings can't fool
     * it. */
+  /** @return (rows appended, the exact dep stamp APPLIED — `db.t=head`
+    *         for the head the increment ran to, so a commit landing
+    *         after the walk can only make the stamp look stale). */
   private def incrementalRefresh(
-      vm: ViewMetadata, p: Option[String]): Option[Long] = {
+      vm: ViewMetadata, p: Option[String]): Option[(Long, String)] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val deps = vm.props.getOrElse("deps", "")
     if (deps.isEmpty || deps.contains(",") || deps.endsWith("=VIEW")) return None
@@ -263,7 +276,8 @@ class LakeSql(val catalog: LakeCatalog) {
     val stamp = stamp0.toLongOption.getOrElse(return None)
     val t = catalog.loadTable(tdb, tname).getOrElse(return None)
     val head = t.currentSnapshot.map(_.id).getOrElse(return None)
-    if (head == stamp) return Some(0L) // nothing moved: refresh is a no-op
+    if (head == stamp)
+      return Some((0L, deps)) // nothing moved: refresh is a no-op
     // append-only walk along the parent chain from head back to stamp
     val byId = t.meta.snapshots.map(x => x.id -> x).toMap
     var cur = head
@@ -305,7 +319,7 @@ class LakeSql(val catalog: LakeCatalog) {
     val st0 = load(splitName(vm.name)._1, vm.props("storage"))
     val added = delta.count()
     if (added > 0) st0.append(delta)
-    Some(added)
+    Some((added, s"$tdb.$tname=$head"))
   }
 
   /** Dependency stamp: `db.t=<snapshotId>` per referenced lake table
