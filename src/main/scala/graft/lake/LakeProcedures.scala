@@ -45,15 +45,19 @@ private[lake] object LakeProcedures {
           ProcedureParameter.in("older_than", TimestampType)
             .defaultValue("NULL").build(),
           ProcedureParameter.in("retain_last", IntegerType)
-            .defaultValue("1").build()),
+            .defaultValue("NULL").build()),
         StructType(Seq(
           StructField("deleted_snapshots_count", IntegerType),
           StructField("deleted_files_count", IntegerType))),
         (t, in) => {
+          // table-property retention policy supplies the defaults (M53)
+          val (defOlder, defRetain) =
+            Procedures.expireDefaults(t, System.currentTimeMillis())
           val olderThan =
-            if (in.isNullAt(1)) System.currentTimeMillis()
+            if (in.isNullAt(1)) defOlder
             else in.getLong(1) / 1000L // micros → millis
-          val r = Procedures.expireSnapshots(t, olderThan, in.getInt(2))
+          val retain = if (in.isNullAt(2)) defRetain else in.getInt(2)
+          val r = Procedures.expireSnapshots(t, olderThan, retain)
           Array(row(r.expiredSnapshots, r.deletedFiles))
         }))
       case "remove_orphan_files" => Some(proc(cat, principal, "remove_orphan_files",

@@ -675,9 +675,13 @@ class LakeSql(val catalog: LakeCatalog) {
           .toDF("rewritten_data_files_count", "added_data_files_count",
             "removed_delete_files_count")
       case "expire_snapshots" =>
+        // table-property retention policy supplies the defaults (M53)
+        val (defOlder, defRetain) =
+          Procedures.expireDefaults(t, System.currentTimeMillis())
         val olderThan = args.get("older_than").map(parseTsLiteral)
-          .getOrElse(System.currentTimeMillis())
-        val retainLast = args.get("retain_last").map(_.toInt).getOrElse(1)
+          .getOrElse(defOlder)
+        val retainLast = args.get("retain_last").map(_.toInt)
+          .getOrElse(defRetain)
         val r = Procedures.expireSnapshots(t, olderThan, retainLast)
         import catalog.spark.implicits._
         Seq((r.expiredSnapshots, r.deletedFiles))

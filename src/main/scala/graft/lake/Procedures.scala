@@ -415,6 +415,20 @@ object Procedures {
     ExpireResult(table, expired.size, owned.size)
   }
 
+  /** Iceberg's property-driven retention defaults:
+    * `history.expire.max-snapshot-age-ms` and
+    * `history.expire.min-snapshots-to-keep` supply `expire_snapshots`'
+    * defaults when the CALL passes no explicit older_than/retain_last —
+    * so a table can carry its own retention policy and a bare
+    * maintenance CALL honors it on both SQL surfaces. Without the
+    * properties the defaults stay (now, keep 1), the pre-existing
+    * behavior. */
+  def expireDefaults(t: LakeTable, nowMs: Long): (Long, Int) = (
+    t.meta.props.get("history.expire.max-snapshot-age-ms")
+      .map(a => nowMs - a.toLong).getOrElse(nowMs),
+    t.meta.props.get("history.expire.min-snapshots-to-keep")
+      .map(_.toInt).getOrElse(1))
+
   /** ANALYZE (M50) — the Iceberg-Puffin / `ANALYZE TABLE … COMPUTE
     * STATISTICS` analogue: ONE distributed aggregation over the live
     * table computes per-column NDV (HyperLogLog — sketch-sized state per
