@@ -495,6 +495,17 @@ class LakeSql(val catalog: LakeCatalog) {
     requirePerm(p, db, table, "ALTER")
     val t = load(db, table)
     val rest = head.group(2).trim
+    // UNSET TBLPROPERTIES ('k1' [, 'k2' …]) — removes the keys; missing
+    // keys are a no-op (Spark's IF EXISTS semantics, always on here)
+    """(?is)^UNSET\s+TBLPROPERTIES\s*\((.*?)\)\s*$""".r
+      .findFirstMatchIn(rest).foreach { um =>
+        val keys = topLevelSplit(um.group(1), ',')
+          .map(k => unquote(k.trim)).filter(_.nonEmpty)
+        if (keys.isEmpty) throw new SqlParseException(
+          s"UNSET TBLPROPERTIES needs at least one key on $db.$table")
+        t.withMeta(t.meta.copy(props = t.meta.props -- keys))
+        return status(s"Unset ${keys.size} propert(y/ies) on $db.$table")
+      }
     val setProps = """(?is)^SET\s+TBLPROPERTIES\s*\(""".r.findFirstMatchIn(rest)
     val addCols = """(?is)^ADD\s+COLUMNS?\s+\(?(.*?)\)?\s*$""".r.findFirstMatchIn(rest)
     val dropCol = """(?is)^DROP\s+COLUMNS?\s+(\w+)\s*$""".r.findFirstMatchIn(rest)
@@ -779,6 +790,15 @@ class LakeSql(val catalog: LakeCatalog) {
           .exists(_.props.get("materialized").contains("true"))
         (db, v, mat)
       }).sorted.toDF("namespace", "view_name", "materialized")
+    } else if (up.startsWith("SHOW TBLPROPERTIES")) {
+      val m = """(?is)^SHOW\s+TBLPROPERTIES\s+([\w.]+)$""".r
+        .findFirstMatchIn(s).getOrElse(fail("SHOW TBLPROPERTIES db.t", s))
+      val (db, table) = splitName(m.group(1))
+      requirePerm(p, db, table, "DESCRIBE")
+      val t = load(db, table)
+      (t.meta.props.toSeq.sorted :+
+        ("format-version" -> t.meta.formatVersion.toString))
+        .toDF("key", "value")
     } else if (up.startsWith("SHOW STATS")) {
       // Trino's SHOW STATS FOR shape: one row per analyzed column plus a
       // (table) summary row carrying the analyzed row count and snapshot

@@ -79,6 +79,24 @@ class OpsSpec extends SparkSpec {
     assert(rt.meta.formatVersion == 3)
   }
 
+  test("LakeSql: SHOW TBLPROPERTIES and UNSET TBLPROPERTIES") {
+    val sql = freshSql()
+    sql.run("CREATE TABLE db.tp (id INT) TBLPROPERTIES " +
+      "('write.sort-order'='id', 'owner.team'='data')")
+    val props = sql.run("SHOW TBLPROPERTIES db.tp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("write.sort-order") == "id")
+    assert(props("owner.team") == "data")
+    assert(props("format-version") == "2")
+    sql.run("ALTER TABLE db.tp UNSET TBLPROPERTIES ('owner.team', 'no.such.key')")
+    val after = sql.run("SHOW TBLPROPERTIES db.tp").collect()
+      .map(r => r.getString(0)).toSet
+    assert(!after.contains("owner.team"))
+    assert(after.contains("write.sort-order")) // untouched keys survive
+    assertThrows[graft.lake.SqlParseException](
+      sql.run("ALTER TABLE db.tp UNSET TBLPROPERTIES ()"))
+  }
+
   test("SHOW TABLES hides ungranted tables from a session principal (M10)") {
     val sql = freshSql()
     sql.run("CREATE TABLE db.open (x INT)")
