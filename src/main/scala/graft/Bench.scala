@@ -99,15 +99,21 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = times.map { case (k, (med, _)) => s"${js(k)}:$med" }
+    // r9's line carried two 84-entry dicts of 9-decimal doubles and outgrew
+    // the driver's tail-capture window (BENCH_r09.json lost q01-q24). Round
+    // to 3 decimals and put queries_min (the gating dict) FIRST so it
+    // always survives a truncated tail.
+    def r3(d: Double): String =
+      if (d < 0) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = times.map { case (k, (med, _)) => s"${js(k)}:${r3(med)}" }
       .mkString("{", ",", "}")
-    val qsMin = times.map { case (k, (_, best)) => s"${js(k)}:$best" }
+    val qsMin = times.map { case (k, (_, best)) => s"${js(k)}:${r3(best)}" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }
       .mkString("{", ",", "}")
     val total = times.collect { case (_, (med, _)) if med >= 0 => med }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_min":$qsMin,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

@@ -244,14 +244,21 @@ object LlmQueries {
       val (reps, members, within) =
         collapseExactDups(s, t(s, dir, "documents").select("doc_id", "text"))
       val exploded = TextOps.simhashBands(reps, simBands)
-      // one pass emits the exact row (ex=1) plus one single-bit probe
-      // variant per band bit (ex=0); a pair is a candidate when some
-      // bucket holds one doc's exact signature and the other's
-      // exact-or-probe — i.e. some band differs by ≤ 1 bit
+      // one pass emits the exact row (ex=1) plus DIRECTIONAL single-bit
+      // probes (ex=0): only bits that are SET are flipped (1→0). A pair
+      // whose band sigs differ in exactly bit j has exactly one member
+      // with that bit set, and its downward probe lands on the other
+      // member's exact signature — so every band differing by ≤ 1 bit
+      // still collides (recall unchanged), while expected fan-out halves
+      // from 1+16 to 1+popcount≈9 rows per band (r9 verdict #1: q35 was
+      // the slowest query; the probe explosion fed 68 rows/doc into the
+      // bucket shuffle — now ~37).
       val tagged = exploded.select(col("doc_id"), col("band"),
-        explode(array(struct(col("sig").as("sig"), lit(1).as("ex")) +:
-          (0 until bitsPerBand).map(j => struct(
-            col("sig").bitwiseXOR(lit(1L << j)).as("sig"), lit(0).as("ex"))): _*)).as("p"))
+        explode(expr(
+          "concat(array(named_struct('sig', sig, 'ex', 1)), " +
+            s"transform(filter(sequence(0, ${bitsPerBand - 1}), " +
+            "j -> (shiftright(sig, j) & 1L) = 1L), " +
+            "j -> named_struct('sig', sig ^ shiftleft(1L, j), 'ex', 0)))")).as("p"))
         .select(col("doc_id"), col("band"), col("p.sig").as("sig"), col("p.ex").as("ex"))
       val cand = tagged.groupBy("band", "sig")
         .agg(collect_list(struct(col("doc_id"), col("ex"))).as("ms"))
