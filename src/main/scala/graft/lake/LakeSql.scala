@@ -287,17 +287,22 @@ class LakeSql(val catalog: LakeCatalog) {
       cur = sn.parentId
       if (cur < 0) return None
     }
-    // plan-shape gate over the ANALYZED definition (leaf = the expanded
-    // dependency's statement-scoped temp view)
+    // plan-shape gate over the ANALYZED definition. The leaf check is
+    // anchored to the EXACT plain-ref temp-view pattern `{db}__{t}_s<N>`
+    // (ADVICE r9 #2: a prefix test also accepted metadata-table
+    // (`db__t__files_s7`) and time-travel (`db__t__v5_s7`) aliases, and
+    // the textual rewrite below then produced `tmp.files` / `tmp VERSION
+    // AS OF …` — an analysis error instead of a full-recompute fallback).
     val full = select(vm.sql, p)
-    val leafPrefix = s"${tdb}__$tname"
+    val leafRe = ("^" + java.util.regex.Pattern.quote(s"${tdb}__$tname") +
+      "_s\\d+$").r
     def noSubquery(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       e.find {
         case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
         case _ => false
       }.isEmpty
     def shapeOk(pl: LogicalPlan): Boolean = pl match {
-      case sa: SubqueryAlias if sa.alias.startsWith(leafPrefix) => true
+      case sa: SubqueryAlias if leafRe.matches(sa.alias) => true
       case sa: SubqueryAlias => shapeOk(sa.child)
       case pr: Project =>
         pr.projectList.forall(x => x.deterministic && noSubquery(x)) &&
@@ -306,7 +311,14 @@ class LakeSql(val catalog: LakeCatalog) {
         f.condition.deterministic && noSubquery(f.condition) && shapeOk(f.child)
       case _ => false
     }
-    if (!shapeOk(full.queryExecution.analyzed)) return None
+    val analyzed = full.queryExecution.analyzed
+    val plain = shapeOk(analyzed)
+    // aggregate shape: a single distributive GROUP BY over the same
+    // Project/Filter chain merges PARTIAL STATES instead of recomputing
+    // — old ⊎ agg(increment) re-aggregated with each column's merge
+    // function, O(|storage| + |increment|), never O(base table)
+    val aggSpec = if (plain) None else aggMergeSpec(analyzed, shapeOk)
+    if (!plain && aggSpec.isEmpty) return None
     // the view text applied to JUST the increment
     val inc = t.readIncremental(Some(stamp), head, skipNonAppends = false)
     val tmp = s"__mv_inc_${LakeSql.viewEpoch.incrementAndGet()}"
@@ -318,21 +330,152 @@ class LakeSql(val catalog: LakeCatalog) {
     val delta = catalog.spark.sql(rewritten)
     val st0 = load(splitName(vm.name)._1, vm.props("storage"))
     val added = delta.count()
-    if (added > 0) st0.append(delta)
+    aggSpec match {
+      case None =>
+        if (added > 0) st0.append(delta)
+      case Some((keys, aggs)) if added > 0 =>
+        val union = st0.read().unionByName(delta)
+        val merged =
+          if (aggs.isEmpty) union.distinct() // SELECT DISTINCT shape
+          else union.groupBy(keys.map(col): _*).agg(
+            aggs.head match { case (n, f) => f(col(n)).as(n) },
+            aggs.tail.map { case (n, f) => f(col(n)).as(n) }: _*)
+        // merge widens some types (sum(decimal) gains 10 digits): align
+        // back to the storage schema in its column order
+        val aligned = merged.select(st0.schema.fields.toSeq.map(fd =>
+          col(fd.name).cast(fd.dataType).as(fd.name)): _*)
+        st0.overwrite(aligned)
+      case _ => () // empty increment: merge is the identity
+    }
     Some((added, s"$tdb.$tname=$head"))
   }
 
+  /** Mergeable-aggregate gate for incremental MV refresh: the analyzed
+    * definition must be exactly one Aggregate whose child passes the
+    * plain Project/Filter gate, every output either a grouping-key
+    * passthrough or a bare distributive aggregate (SUM/COUNT → merge by
+    * SUM; MIN/MAX → themselves; no DISTINCT, no FILTER clause, no
+    * expression AROUND the aggregate — `sum(x)+1` partials don't merge),
+    * and every grouping expression visible in the output (hidden keys
+    * would collapse distinct storage rows on merge). Output names must
+    * be unique so the merge can address columns by name.
+    * @return (key column names, (agg column name, merge fn) pairs) */
+  private def aggMergeSpec(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      childOk: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Boolean)
+      : Option[(Seq[String], Seq[(String, Column => Column)])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, SubqueryAlias}
+    // SELECT DISTINCT stays a Distinct node in the ANALYZED plan (the
+    // Aggregate rewrite is an optimizer rule): it merges as an all-keys
+    // aggregate — distinct(old ∪ distinct(increment)) = distinct(new)
+    def findAgg(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[Either[Seq[String], Aggregate]] = pl match {
+      case sa: SubqueryAlias => findAgg(sa.child)
+      case d: Distinct if childOk(d.child) =>
+        val names = d.output.map(_.name)
+        if (names.distinct.size == names.size) Some(Left(names)) else None
+      case a: Aggregate if childOk(a.child) => Some(Right(a))
+      case _ => None
+    }
+    val a = findAgg(analyzed) match {
+      case None => return None
+      case Some(Left(keys)) => return Some((keys, Seq.empty))
+      case Some(Right(agg)) => agg
+    }
+    if (!a.groupingExpressions.forall(_.deterministic)) return None
+    def hasAgg(e: Expression) =
+      e.find(_.isInstanceOf[AggregateExpression]).isDefined
+    def isGroupKey(e: Expression) =
+      a.groupingExpressions.exists(_.semanticEquals(e))
+    val cols: Seq[(String, Option[Column => Column])] =
+      a.aggregateExpressions.map {
+        case al @ Alias(ae: AggregateExpression, _) =>
+          if (ae.isDistinct || ae.filter.isDefined || !ae.deterministic)
+            return None
+          ae.aggregateFunction match {
+            case _: Sum   => (al.name, Some((c: Column) => sum(c)))
+            case _: Count => (al.name, Some((c: Column) => sum(c)))
+            case _: Min   => (al.name, Some((c: Column) => min(c)))
+            case _: Max   => (al.name, Some((c: Column) => max(c)))
+            case _        => return None
+          }
+        case at: Attribute if isGroupKey(at) => (at.name, None)
+        case al: Alias
+            if !hasAgg(al.child) && al.child.deterministic &&
+              (isGroupKey(al.child) || al.child.foldable) =>
+          (al.name, None)
+        case _ => return None
+      }
+    // every grouping expression must surface as an output column
+    val keyExprs = a.aggregateExpressions.collect {
+      case at: Attribute => at: Expression
+      case al: Alias => al.child
+    }
+    if (!a.groupingExpressions.forall(g => keyExprs.exists(_.semanticEquals(g))))
+      return None
+    val names = cols.map(_._1)
+    if (names.distinct.size != names.size) return None
+    Some((cols.collect { case (n, None) => n },
+      cols.collect { case (n, Some(f)) => (n, f) }))
+  }
+
+  /** Metadata-table suffixes the ref rewriter resolves (`db.t.files` …);
+    * a dep spelled through one of these pins to the BASE table's
+    * snapshot. */
+  private val MetaTableSuffixes =
+    Set("history", "snapshots", "all_files", "files", "manifests", "partitions")
+
   /** Dependency stamp: `db.t=<snapshotId>` per referenced lake table
-    * (compact prop encoding); a referenced VIEW pins as `db.v=VIEW`,
-    * which can never match a snapshot id — permanently stale. */
-  private def mvDeps(sql: String): String =
-    candidateRefs(sql).flatMap { case (db, name) =>
-      if (catalog.tableInfo(db, name).exists(_.tableType == "LAKE"))
-        Some(s"$db.$name=" + catalog.loadTable(db, name)
-          .flatMap(_.currentSnapshot.map(_.id)).getOrElse(-1L))
-      else if (catalog.viewExists(db, name)) Some(s"$db.$name=VIEW")
-      else None
-    }.mkString(",")
+    * (compact prop encoding); a referenced VIEW pins as `db.v=VIEW` and
+    * any OTHER relation (session-catalog table, temp view, bare name —
+    * nothing this catalog can snapshot-pin) as `<name>=EXTERNAL`. Both
+    * sentinels can never equal a snapshot id, so mvFresh falls back to
+    * live expansion — the storage fast path is reserved for definitions
+    * whose every input is pinnable (ADVICE r9 #1: the old regex-candidate
+    * extraction silently DROPPED un-pinnable deps, leaving the MV
+    * permanently FRESH over a moving source). Relations come from the
+    * PARSER (`UnresolvedRelation` leaves incl. subqueries, minus CTE
+    * names), not the dotted-identifier regex, so a qualified column name
+    * can't fake a dep and a bare relation name can't hide one. */
+  private def mvDeps(sql: String): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    val plan =
+      try catalog.spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case scala.util.control.NonFatal(_) =>
+        return "?=EXTERNAL" } // unparseable definition: never serve storage
+    val cteNames = plan.collectWithSubqueries { case w: UnresolvedWith =>
+      w.cteRelations.map(_._1) }.flatten.toSet
+    plan.collectWithSubqueries { case r: UnresolvedRelation =>
+        r.multipartIdentifier }
+      .map { parts0 =>
+        if (parts0.length >= 3 &&
+          (parts0.head == "glue_catalog" || parts0.head == "lake"))
+          parts0.tail
+        else parts0
+      }
+      .distinct
+      .flatMap { parts =>
+        def lakeStamp(db: String, name: String) =
+          s"$db.$name=" + catalog.loadTable(db, name)
+            .flatMap(_.currentSnapshot.map(_.id)).getOrElse(-1L)
+        parts match {
+          case Seq(one) if cteNames.contains(one) => None
+          case Seq(db, name)
+              if catalog.tableInfo(db, name).exists(_.tableType == "LAKE") =>
+            Some(lakeStamp(db, name))
+          case Seq(db, name) if catalog.viewExists(db, name) =>
+            Some(s"$db.$name=VIEW")
+          case Seq(db, name, meta)
+              if MetaTableSuffixes.contains(meta) &&
+                catalog.tableInfo(db, name).exists(_.tableType == "LAKE") =>
+            Some(lakeStamp(db, name))
+          case other => Some(other.mkString(".") + "=EXTERNAL")
+        }
+      }.distinct.mkString(",")
+  }
 
   /** Freshness: every recorded dependency still at its stamped snapshot.
     * The invoker's SELECT gate fires on each dependency EVEN on the
@@ -342,10 +485,16 @@ class LakeSql(val catalog: LakeCatalog) {
     if (deps.isEmpty) return true
     deps.split(",").forall { d =>
       val Array(ref, stamp) = d.split("=", 2)
-      val (db, name) = splitName(ref)
-      requirePerm(p, db, name, "SELECT")
-      stamp != "VIEW" && catalog.loadTable(db, name)
-        .flatMap(_.currentSnapshot.map(_.id)).getOrElse(-1L).toString == stamp
+      // EXTERNAL = a relation this catalog can't snapshot-pin (and whose
+      // name may not even be db-qualified): never fresh, and the live
+      // expansion path applies its own permission gates
+      if (stamp == "EXTERNAL") false
+      else {
+        val (db, name) = splitName(ref)
+        requirePerm(p, db, name, "SELECT")
+        stamp != "VIEW" && catalog.loadTable(db, name)
+          .flatMap(_.currentSnapshot.map(_.id)).getOrElse(-1L).toString == stamp
+      }
     }
   }
 

@@ -198,13 +198,106 @@ class ViewSpec extends SparkSpec {
     val got2 = sql.run("SELECT * FROM db.imv ORDER BY id").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).toSeq
     assert(got2 == Seq((1, 20.0), (3, 60.0), (12, 240.0)))
-    // aggregates can never maintain incrementally: full every time
+    // an expression AROUND an aggregate (here a CAST) is not a bare
+    // partial state — its merge function is unknown, so the refresh
+    // must take the full path, not guess
     sql.run("CREATE MATERIALIZED VIEW db.amv AS " +
       "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM db.t")
     sql.run("INSERT INTO db.t VALUES (13, 'c', 130.0)")
     assert(sql.run("REFRESH MATERIALIZED VIEW db.amv").head().getString(0)
       .contains("full recompute"))
     assert(sql.run("SELECT * FROM db.amv").head().getLong(0) == 6L)
+  }
+
+  test("incremental MV refresh merges distributive aggregates " +
+    "and reads only the increment (old base files corrupted on disk)") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE MATERIALIZED VIEW db.gmv AS " +
+      "SELECT category, COUNT(*) AS n, SUM(amount) AS s, " +
+      "MIN(id) AS lo, MAX(id) AS hi FROM db.t GROUP BY category")
+    def read() = sql.run("SELECT * FROM db.gmv ORDER BY category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4))).toSeq
+    assert(read() == Seq(("a", 2L, 40.0, 1, 3), ("b", 1L, 20.0, 2, 2)))
+    // capture the files holding the PRE-stamp base data, then advance the
+    // base by appends only
+    val oldFiles = cat.loadTable("db", "t").get.filesMetadata()
+      .collect().map(_.getString(0))
+    sql.run("INSERT INTO db.t VALUES (4, 'a', 5.0), (5, 'c', 50.0)")
+    sql.run("INSERT INTO db.t VALUES (6, 'b', 6.0)")
+    // PROOF the refresh is O(increment): the stamped-era files are
+    // CORRUPTED on disk (contents replaced, paths kept — the analyzer's
+    // path-existence probe must still pass) — any plan that actually
+    // scans the base table's old data (full recompute) would die on the
+    // garbage; merging storage with agg(increment) succeeds
+    oldFiles.foreach(f => java.nio.file.Files.write(
+      java.nio.file.Paths.get(f), "not a parquet file".getBytes))
+    val msg = sql.run("REFRESH MATERIALIZED VIEW db.gmv").head().getString(0)
+    assert(msg.contains("incrementally"), msg)
+    assert(read() == Seq(("a", 3L, 45.0, 1, 4), ("b", 2L, 26.0, 2, 6),
+      ("c", 1L, 50.0, 5, 5)))
+    // the refreshed MV is fresh again: storage fast path serves it
+    assert(sql.run("REFRESH MATERIALIZED VIEW db.gmv").head().getString(0)
+      .contains("(+0 rows)"))
+  }
+
+  test("incremental MV refresh maintains SELECT DISTINCT as a merge") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE MATERIALIZED VIEW db.dmv AS " +
+      "SELECT DISTINCT category FROM db.t")
+    sql.run("INSERT INTO db.t VALUES (7, 'a', 1.0), (8, 'd', 2.0)")
+    val msg = sql.run("REFRESH MATERIALIZED VIEW db.dmv").head().getString(0)
+    assert(msg.contains("incrementally"), msg)
+    assert(sql.run("SELECT * FROM db.dmv ORDER BY category").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "d"))
+    val st = cat.loadTable("db", "__mv_dmv").get
+    assert(st.read().count() == 3, "merge must keep the distinct set exact")
+  }
+
+  test("an MV over an un-pinnable relation is never served from storage") {
+    val (cat, sql) = fresh(); seed(cat)
+    // a session temp view is a moving source the lake catalog cannot
+    // snapshot-pin: the dep must record as EXTERNAL → permanently stale
+    spark.range(0, 3).toDF("x").createOrReplaceTempView("ext_src")
+    try {
+      sql.run("CREATE MATERIALIZED VIEW db.xmv AS " +
+        "SELECT COUNT(*) AS n FROM ext_src")
+      assert(cat.viewInfo("db", "xmv").get.props("deps")
+        .endsWith("=EXTERNAL"))
+      // anomaly injection (same device as the freshness test): a row
+      // planted in storage is visible ONLY if reads serve storage — an
+      // EXTERNAL-dep MV must re-run the definition instead
+      cat.loadTable("db", "__mv_xmv").get.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(99L)), 1),
+        StructType(Seq(StructField("n", LongType)))))
+      assert(sql.run("SELECT * FROM db.xmv").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L),
+        "EXTERNAL-dep MV must expand live, not serve storage")
+      // the un-pinnable source moved: live expansion tracks it
+      spark.range(0, 5).toDF("x").createOrReplaceTempView("ext_src")
+      assert(sql.run("SELECT * FROM db.xmv").head().getLong(0) == 5L)
+    } finally spark.catalog.dropTempView("ext_src")
+  }
+
+  test("metadata-table and time-travel MVs refresh by full recompute, " +
+    "not an analysis error") {
+    val (cat, sql) = fresh(); seed(cat)
+    // metadata-table spelling: the leaf expands to db__t__files_sN — the
+    // incremental gate must reject it (a textual rewrite would produce
+    // `tmp.files`), falling back to the full path
+    sql.run("CREATE MATERIALIZED VIEW db.fmv AS " +
+      "SELECT COUNT(*) AS n FROM db.t.files")
+    val pin = cat.loadTable("db", "t").get.currentSnapshot.get.id
+    sql.run("CREATE MATERIALIZED VIEW db.tmv AS " +
+      s"SELECT COUNT(*) AS n FROM db.t VERSION AS OF $pin")
+    sql.run("INSERT INTO db.t VALUES (9, 'e', 90.0)") // append-only advance
+    val m1 = sql.run("REFRESH MATERIALIZED VIEW db.fmv").head().getString(0)
+    assert(m1.contains("full recompute"), m1)
+    assert(sql.run("SELECT * FROM db.fmv").head().getLong(0) == 2L)
+    val m2 = sql.run("REFRESH MATERIALIZED VIEW db.tmv").head().getString(0)
+    assert(m2.contains("full recompute"), m2)
+    // pinned at the original snapshot: still 3 rows after the append
+    assert(sql.run("SELECT * FROM db.tmv").head().getLong(0) == 3L)
   }
 
   test("DESCRIBE works on views and reports the definition") {
