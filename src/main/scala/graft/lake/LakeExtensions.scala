@@ -20,6 +20,11 @@ class LakeExtensions extends (SparkSessionExtensions => Unit) {
     // SELECTs on lake.db.t run on LakeTable.read()'s native plan
     // (vectorized + codegen) instead of the V1Scan row bridge
     ext.injectOptimizerRule(NativeReadRule)
+    // NOTE: bridged-scan stats (V1StatsRule, M50) are NOT injectable
+    // here — every extension optimizer hook (including preCBO) runs
+    // BEFORE V2ScanRelationPushDown creates the V1ScanWrapper it must
+    // rewrite; the rule installs into experimental.extraOptimizations
+    // (the last optimizer batch) from the session surfaces instead.
   }
 }
 

@@ -53,6 +53,7 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
     val wh = spark.conf.getOption(LakeExtensions.WarehouseConf).getOrElse(
       throw new IllegalStateException(
         s"${LakeExtensions.WarehouseConf} is not set — point it at the warehouse root"))
+    V1StatsRule.install(spark) // bridged-scan stats for the planner (M50)
     new LakeCatalog(spark, Paths.get(wh))
   }
 
@@ -643,17 +644,30 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
           * direction (a missed broadcast, never an OOM'd one). */
         override def estimateStatistics():
             org.apache.spark.sql.connector.read.Statistics = {
-          val files = pinnedSnapshot match {
+          def delRows(ds: Seq[DeleteFileMeta]): Long = ds
+            .filter(d => d.kind == "position" || d.kind == "dv")
+            .map(_.rowCount).sum
+          // Delete attribution (ADVICE r9 #5): a position/DV delete's
+          // target file lives in the delete file's CONTENT, not its
+          // metadata, so the subtraction is only sound when the delete
+          // set provably targets the files being scanned — the pinned
+          // snapshot's OWN deletes on the time-travel path, the current
+          // deletes when no file was pruned. A pruned scan skips the
+          // subtraction entirely: deletes aimed at pruned-away files
+          // would undercount rows, and an UNDERestimate is the unsafe
+          // direction (it can flip a huge side to broadcast and OOM).
+          val (files, deleted) = pinnedSnapshot match {
             case Some(id) =>
-              t.meta.snapshots.find(_.id == id).map(_.dataFiles).getOrElse(Nil)
+              val sn = t.meta.snapshots.find(_.id == id)
+              (sn.map(_.dataFiles).getOrElse(Nil),
+                delRows(sn.map(_.deleteFiles).getOrElse(Nil)))
             case None =>
               val partPred = partitionPredicate(pushed)
               val statsPred = StatsPruning.filePredicate(t.schema, pushed.toSeq)
-              t.dataFiles.filter(f => partPred(f.partitionValues) && statsPred(f))
+              val all = t.dataFiles
+              val fs = all.filter(f => partPred(f.partitionValues) && statsPred(f))
+              (fs, if (fs.size == all.size) delRows(t.deleteFiles) else 0L)
           }
-          val deleted = t.deleteFiles
-            .filter(d => d.kind == "position" || d.kind == "dv")
-            .map(_.rowCount).sum
           val bytes = files.map(_.sizeBytes).sum
           val rows = math.max(0L, files.map(_.rowCount).sum - deleted)
           val colStats = t.meta.tableStats.map { ts =>
@@ -661,6 +675,21 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
               .map { c =>
                 val ref = org.apache.spark.sql.connector.expressions
                   .Expressions.column(c.col)
+                // [min, max] folds the scanned files' footer bounds —
+                // without an interval, FilterEstimation's equality path
+                // judges every numeric literal out of range (selectivity
+                // 0: an UNDERestimate, the unsafe direction)
+                val bound = t.schema.fields.find(_.name == c.col)
+                  .flatMap(f => StatsPruning.globalBounds(f.dataType, files, c.col)
+                    .map { case (lo, hi) =>
+                      (StatsPruning.plannerValue(f.dataType, lo),
+                        StatsPruning.plannerValue(f.dataType, hi))
+                    })
+                def opt(v: Option[Option[Any]]): java.util.Optional[Object] =
+                  v.flatten match {
+                    case Some(x) => java.util.Optional.of(x.asInstanceOf[Object])
+                    case None => java.util.Optional.empty()
+                  }
                 val stat = new org.apache.spark.sql.connector.read.colstats
                     .ColumnStatistics {
                   override def distinctCount(): java.util.OptionalLong =
@@ -671,6 +700,10 @@ class LakeV2Table(t: LakeTable, pinnedSnapshot: Option[Long] = None)
                     java.util.OptionalLong.of(c.avgLen)
                   override def maxLen(): java.util.OptionalLong =
                     java.util.OptionalLong.of(c.maxLen)
+                  override def min(): java.util.Optional[Object] =
+                    opt(bound.map(_._1))
+                  override def max(): java.util.Optional[Object] =
+                    opt(bound.map(_._2))
                 }
                 (ref: org.apache.spark.sql.connector.expressions.NamedReference,
                   stat)

@@ -40,6 +40,7 @@ class LakeSql(val catalog: LakeCatalog) {
   // let the LakeExtensions resolution rule (if installed) resolve
   // lake.db.t / glue_catalog.db.t references in SELECTs natively
   spark.conf.set(LakeExtensions.WarehouseConf, catalog.warehouse.toString)
+  V1StatsRule.install(spark) // bridged-scan stats for the planner (M50)
 
   /** Temp views the lake-ref rewriter registered during the CURRENT
     * statement. Dropped when run() returns: spark.sql analyzes eagerly,

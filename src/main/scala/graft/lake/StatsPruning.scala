@@ -165,6 +165,39 @@ object StatsPruning {
     }
   }
 
+  /** Scan-level [min, max] for a column: fold the per-file footer
+    * bounds over exactly the files the scan will read. None when any
+    * scanned file lacks usable bounds (conservative — a partial bound
+    * could exclude live values and zero out a CBO selectivity). Feeds
+    * the DSv2 column statistics (M50): NDV alone is useless to
+    * FilterEstimation's equality path on numeric columns, which first
+    * interval-checks the literal against [min, max]. */
+  def globalBounds(dt: DataType, files: Seq[DataFileMeta],
+      col: String): Option[(String, String)] = {
+    if (!eligible(dt) || files.isEmpty) return None
+    val bs = files.map(_.stats.get(col))
+    if (bs.exists(b => b.isEmpty || !b.get.bounded)) return None
+    val lt = Ordering.fromLessThan[String]((a, b) => compare(dt, a, b) < 0)
+    Some((bs.map(_.get.min).min(lt), bs.map(_.get.max).max(lt)))
+  }
+
+  /** Footer-bound string → the value shape the CBO's estimators
+    * consume (numeric-convertible; temporal bounds already carry their
+    * physical epoch encoding). Strings pass through — the planner's
+    * string interval is unbounded anyway — and unconvertible shapes
+    * stay absent rather than wrong. */
+  def plannerValue(dt: DataType, s: String): Option[Any] =
+    try dt match {
+      case ByteType => Some(s.toByte)
+      case ShortType => Some(s.toShort)
+      case IntegerType => Some(s.toInt)
+      case LongType | TimestampType => Some(s.toLong)
+      case DateType => Some(s.toInt)
+      case FloatType => Some(s.toFloat)
+      case DoubleType => Some(s.toDouble)
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+
   private def compare(dt: DataType, a: String, b: String): Int = dt match {
     case StringType => a.compareTo(b)
     case BooleanType => a.toBoolean.compareTo(b.toBoolean)

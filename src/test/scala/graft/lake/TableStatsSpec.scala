@@ -109,6 +109,57 @@ class TableStatsSpec extends SparkSpec {
     assert(joined.count() == 5000)
   }
 
+  test("ANALYZE flips the join strategy: NDV-driven filter selectivity " +
+    "turns a sort-merge join into a broadcast under CBO") {
+    val (cat, _) = fresh(); cat.createNamespace("db")
+    // both sides are MB-scale — far above the broadcast threshold on raw
+    // file size, so WITHOUT column stats the equality filter estimates
+    // selectivity 1.0 and the join plans as SortMergeJoin. ANALYZE gives
+    // the CBO NDV(id) ≈ 2000, the filter estimate collapses to ~rows/NDV
+    // ≈ 15, and the filtered side drops under the threshold → broadcast.
+    // md5 payloads defeat parquet compression so file size stays honest.
+    val n = 30000
+    val wide = spark.range(0, n).selectExpr(
+      "CAST(id % 2000 AS INT) AS id", "md5(CAST(id AS STRING)) AS category",
+      "CAST(id AS DOUBLE) AS amount")
+    val other = spark.range(0, n).selectExpr(
+      "CAST(id AS INT) AS id", "md5(CAST(id + 7 AS STRING)) AS category",
+      "CAST(id AS DOUBLE) AS amount")
+    cat.createTable("db", "cf", schema).append(wide)
+    cat.createTable("db", "co", schema).append(other)
+    // the splice serves plain current-state reads from the parquet plan;
+    // VERSION AS OF pins the scan to the DSv2 bridge, whose
+    // estimateStatistics is the stats surface under test
+    val sf = cat.loadTable("db", "cf").get.currentSnapshot.get.id
+    val so = cat.loadTable("db", "co").get.currentSnapshot.get.id
+    def query() = spark.sql(
+      s"""SELECT f.category, o.category AS oc
+          FROM (SELECT * FROM lake.db.cf VERSION AS OF $sf WHERE id = 42) f
+          JOIN lake.db.co VERSION AS OF $so o ON f.id = o.id""")
+    def joins(p: org.apache.spark.sql.execution.SparkPlan) =
+      (p.collect { case b: BroadcastHashJoinExec => "broadcast" } ++
+        p.collect {
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            "sortmerge"
+        }).toSet
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (128 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      assert(joins(query().queryExecution.sparkPlan) == Set("sortmerge"),
+        "without column stats the MB-scale sides must sort-merge")
+      Procedures.analyzeTable(cat.loadTable("db", "cf").get)
+      val after = query()
+      assert(joins(after.queryExecution.sparkPlan) == Set("broadcast"),
+        s"ANALYZE must flip to broadcast:\n${after.queryExecution.sparkPlan}")
+      assert(after.count() == 15) // 30000 rows / 2000 ids = 15 matches
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("row estimate subtracts MoR deletes and follows pushed filters") {
     val (cat, _) = fresh(); cat.createNamespace("db")
     val mor = Map("write.delete.mode" -> "merge-on-read",
