@@ -440,16 +440,19 @@ class LakeSql(val catalog: LakeCatalog) {
     * PARSER (`UnresolvedRelation` leaves incl. subqueries, minus CTE
     * names), not the dotted-identifier regex, so a qualified column name
     * can't fake a dep and a bare relation name can't hide one. */
-  private def mvDeps(sql: String): String = {
+  /** The PARSED relation references of a SQL definition — catalog-prefix
+    * stripped, CTE names excluded — or None when the text doesn't parse.
+    * Shared by dependency stamping and the view permission gate, so both
+    * see the same reference set by construction. */
+  private def relationRefs(sql: String): Option[Seq[Seq[String]]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
     val plan =
       try catalog.spark.sessionState.sqlParser.parsePlan(sql)
-      catch { case scala.util.control.NonFatal(_) =>
-        return "?=EXTERNAL" } // unparseable definition: never serve storage
+      catch { case scala.util.control.NonFatal(_) => return None }
     val cteNames = plan.collectWithSubqueries { case w: UnresolvedWith =>
       w.cteRelations.map(_._1) }.flatten.toSet
-    plan.collectWithSubqueries { case r: UnresolvedRelation =>
+    Some(plan.collectWithSubqueries { case r: UnresolvedRelation =>
         r.multipartIdentifier }
       .map { parts0 =>
         if (parts0.length >= 3 &&
@@ -458,12 +461,17 @@ class LakeSql(val catalog: LakeCatalog) {
         else parts0
       }
       .distinct
-      .flatMap { parts =>
+      .filterNot(parts => parts.length == 1 && cteNames.contains(parts.head)))
+  }
+
+  private def mvDeps(sql: String): String =
+    relationRefs(sql) match {
+      case None => "?=EXTERNAL" // unparseable definition: never serve storage
+      case Some(refs) => refs.flatMap { parts =>
         def lakeStamp(db: String, name: String) =
           s"$db.$name=" + catalog.loadTable(db, name)
             .flatMap(_.currentSnapshot.map(_.id)).getOrElse(-1L)
         parts match {
-          case Seq(one) if cteNames.contains(one) => None
           case Seq(db, name)
               if catalog.tableInfo(db, name).exists(_.tableType == "LAKE") =>
             Some(lakeStamp(db, name))
@@ -476,6 +484,43 @@ class LakeSql(val catalog: LakeCatalog) {
           case other => Some(other.mkString(".") + "=EXTERNAL")
         }
       }.distinct.mkString(",")
+    }
+
+  /** Invoker-rights gate for view METADATA (ADVICE r9 #4): a principal
+    * may DESCRIBE or list a view only if it could READ it — SELECT (or
+    * ALL) on every lake-table dependency, recursively through dependent
+    * views. A view definition embeds table names and predicate literals,
+    * so exposing its text to an ungranted principal leaks exactly what
+    * the SELECT gate protects. Relations outside the grants model
+    * (session tables, temp views) don't gate here — their own catalog
+    * does; an unparseable definition denies (its text may still embed
+    * secrets). Principal-less sessions stay administrative. */
+  private def canReadView(db: String, name: String, p: Option[String],
+      depth: Int = 0): Boolean =
+    p.forall { pr =>
+      if (depth > LakeSql.MaxViewDepth) false
+      else catalog.viewInfo(db, name).forall { vm =>
+        relationRefs(vm.sql) match {
+          case None => false
+          case Some(refs) => refs.forall {
+            case Seq(d, n)
+                if catalog.tableInfo(d, n).exists(_.tableType == "LAKE") =>
+              holdsSelect(pr, d, n)
+            case Seq(d, n) if catalog.viewExists(d, n) =>
+              canReadView(d, n, p, depth + 1)
+            case Seq(d, n, meta)
+                if MetaTableSuffixes.contains(meta) &&
+                  catalog.tableInfo(d, n).exists(_.tableType == "LAKE") =>
+              holdsSelect(pr, d, n)
+            case _ => true
+          }
+        }
+      }
+    }
+
+  private def holdsSelect(pr: String, db: String, name: String): Boolean = {
+    val held = catalog.grantsFor(db, name, pr)
+    held.contains("ALL") || held.contains("SELECT")
   }
 
   /** Freshness: every recorded dependency still at its stamped snapshot.
@@ -935,11 +980,15 @@ class LakeSql(val catalog: LakeCatalog) {
       val m = """(?is)^SHOW\s+VIEWS(?:\s+IN\s+([\w]+))?$""".r
         .findFirstMatchIn(s).getOrElse(fail("SHOW VIEWS [IN db]", s))
       val dbs = Option(m.group(1)).map(Seq(_)).getOrElse(catalog.listNamespaces())
-      dbs.flatMap(db => catalog.listViews(db).map { v =>
-        val mat = catalog.viewInfo(db, v)
-          .exists(_.props.get("materialized").contains("true"))
-        (db, v, mat)
-      }).sorted.toDF("namespace", "view_name", "materialized")
+      // filtered like SHOW TABLES (ADVICE r9 #4): a principal lists only
+      // views it could read — the name alone can leak schema design
+      dbs.flatMap(db => catalog.listViews(db)
+        .filter(v => canReadView(db, v, p))
+        .map { v =>
+          val mat = catalog.viewInfo(db, v)
+            .exists(_.props.get("materialized").contains("true"))
+          (db, v, mat)
+        }).sorted.toDF("namespace", "view_name", "materialized")
     } else if (up.startsWith("SHOW TBLPROPERTIES")) {
       val m = """(?is)^SHOW\s+TBLPROPERTIES\s+([\w.]+)$""".r
         .findFirstMatchIn(s).getOrElse(fail("SHOW TBLPROPERTIES db.t", s))
@@ -985,8 +1034,14 @@ class LakeSql(val catalog: LakeCatalog) {
       .findFirstMatchIn(s).getOrElse(fail("DESCRIBE", s))
     val (db, table) = splitName(m.group(1))
     // views DESCRIBE too (M49): the definition-time schema, plus the
-    // stored text and materialization flag as pseudo-columns
+    // stored text and materialization flag as pseudo-columns — behind
+    // the same could-read gate as SHOW VIEWS (the stored text embeds
+    // dependency table names and predicate literals)
     catalog.viewInfo(db, table).foreach { vm =>
+      if (!canReadView(db, table, p))
+        throw new AccessDeniedException(
+          s"principal ${p.get} lacks SELECT on the dependencies of view " +
+            s"$db.$table")
       import catalog.spark.implicits._
       val cols = StructType.fromDDL(vm.schemaDdl).fields.toSeq
         .map(f => (f.name, f.dataType.sql.toLowerCase))

@@ -182,7 +182,8 @@ final class LakeStreamSource(
       return session.internalCreateDataFrame(
         session.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
         schema, isStreaming = true)
-    val df0 = loadTable().readIncremental(from, endId, skipNonAppends)
+    val lt = loadTable()
+    val df0 = lt.readIncremental(from, endId, skipNonAppends)
     // M48 interplay: the STREAM's schema is fixed at query start, but a
     // mid-stream RENAME makes the table (and this batch) surface new
     // names. Renames are value-preserving, so the batch aliases back to
@@ -191,10 +192,22 @@ final class LakeStreamSource(
     // type-level change (add/drop/widen) cannot be served under the old
     // schema without inventing or truncating values — fail by name and
     // ask for a restart instead of binding positionally by luck.
+    // Rename-only is PROVEN against the table's logged schema changes
+    // (ADVICE r9 #3), not inferred from the type sequence: a DROP+ADD
+    // pair that happens to preserve the type positions (drop last STRING,
+    // add another STRING) has no rename chain from the stream-start name
+    // and must fail, never silently serve the new column's values under
+    // the dropped column's name.
+    def renameOnly: Boolean = {
+      val renames = lt.meta.schemaChanges.filter(_.kind == "rename")
+      val evolved = schema.fieldNames.map(n0 =>
+        renames.foldLeft(n0)((n, ch) => if (ch.from == n) ch.col else n))
+      evolved.sameElements(df0.schema.fieldNames)
+    }
     val df =
       if (df0.schema == schema) df0
       else if (df0.schema.fields.map(_.dataType).toSeq ==
-          schema.fields.map(_.dataType).toSeq)
+          schema.fields.map(_.dataType).toSeq && renameOnly)
         df0.select(df0.columns.zip(schema.fieldNames).map {
           case (from0, to) => org.apache.spark.sql.functions.col(from0).as(to)
         }.toIndexedSeq: _*)

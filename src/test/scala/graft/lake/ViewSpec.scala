@@ -96,6 +96,30 @@ class ViewSpec extends SparkSpec {
     intercept[Exception](sql.run("SELECT * FROM db.v", Some("mallory")))
   }
 
+  test("view metadata is gated: DESCRIBE and SHOW VIEWS demand the " +
+    "could-read grants, like SHOW TABLES") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE VIEW db.gv AS SELECT id FROM db.t WHERE category = 'a'")
+    cat.grant("db", "t", "alice", Seq("SELECT"))
+    // alice could read the view → she may see its definition and listing
+    assert(sql.run("DESCRIBE db.gv", Some("alice")).collect()
+      .exists(_.getString(0) == "# view_text"))
+    assert(sql.run("SHOW VIEWS IN db", Some("alice")).collect()
+      .map(_.getString(1)).toSeq == Seq("gv"))
+    // mallory holds nothing: the stored text (it embeds db.t and the
+    // predicate literal) must not leak through DESCRIBE, and the view
+    // must not enumerate
+    intercept[AccessDeniedException](
+      sql.run("DESCRIBE db.gv", Some("mallory")))
+    assert(sql.run("SHOW VIEWS IN db", Some("mallory")).collect().isEmpty)
+    // stacked views gate through their dependencies recursively
+    sql.run("CREATE VIEW db.gv2 AS SELECT * FROM db.gv")
+    assert(sql.run("SHOW VIEWS IN db", Some("alice")).collect()
+      .map(_.getString(1)).toSeq == Seq("gv", "gv2"))
+    intercept[AccessDeniedException](
+      sql.run("DESCRIBE db.gv2", Some("mallory")))
+  }
+
   test("a view name cannot shadow a table and vice versa") {
     val (cat, sql) = fresh(); seed(cat)
     intercept[IllegalArgumentException](

@@ -607,6 +607,41 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("a mid-stream DROP+ADD that preserves the type sequence fails " +
+    "by name instead of rebinding positionally") {
+    val wh = Files.createTempDirectory("graft-da-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val s = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    var t = cat.createTable("db", "da", s).append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, "a")), 1), s))
+    val q = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.da")
+      .load()
+      .writeStream.format("memory").queryName("da_sink").start()
+    try {
+      q.processAllAvailable()
+      // drop the trailing STRING column, add a different STRING column:
+      // the type SEQUENCE is unchanged, but `w`'s values are not `v`'s —
+      // a positional rebind would serve them under the dropped name
+      t = cat.loadTable("db", "da").get.dropColumn("v")
+      t = t.addColumn("w", StringType)
+      t.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(2, "IMPOSTER")), 1),
+        StructType(Seq(StructField("id", IntegerType),
+          StructField("w", StringType)))))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("restart") ||
+        e.getCause.getMessage.contains("restart"),
+        s"DROP+ADD must demand a restart, got: ${e.getMessage}")
+      assert(!spark.table("da_sink").collect().exists(r =>
+        r.getString(1) == "IMPOSTER"), "new column served under old name")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow: an uncapped run drains the backlog and stops; " +
     "capped checkpointed runs drain it in bounded installments") {
     import org.apache.spark.sql.streaming.Trigger
