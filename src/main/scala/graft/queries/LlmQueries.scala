@@ -2280,7 +2280,83 @@ object LlmQueries {
         .orderBy("source")
     })
 
+  // ------------------------------------ q87 weighted sampling (A-ES)
+  /** Weighted sampling WITHOUT replacement, distributed and
+    * DETERMINISTIC: Efraimidis–Spirakis exponential keys — draw
+    * k = -ln(u)/w per row and keep the k smallest — give an exact
+    * weighted sample in one scan + one top-k (TakeOrdered: O(rows) with
+    * k-sized state per partition, no sort, no rejection loop, no RNG
+    * state to coordinate across executors). The uniform u is a pure
+    * arithmetic hash of doc_id (Knuth multiplicative, mod 2³²,
+    * shifted into (0,1)) computed IDENTICALLY in both engines, so the
+    * oracle replays the exact draw — the same device that makes q32's
+    * sampler hash-checkable. Weights: n_chars (longer docs
+    * proportionally likelier — the doc-length–debiased sampling shape).
+    * ln is one libm call on both sides; keys of distinct docs are
+    * continuous-distinct so the (k, doc_id) order is ulp-robust. */
+  val q87 = QueryDef(
+    "q87_weighted_sample",
+    Some("""SELECT doc_id FROM (
+              SELECT doc_id,
+                -ln(((doc_id * 2654435761) % 4294967296 + 1)::DOUBLE
+                    / 4294967297.0) / n_chars AS k
+              FROM documents WHERE n_chars > 0
+              ORDER BY k, doc_id LIMIT 10)
+            ORDER BY doc_id"""),
+    (s, dir) => t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .withColumn("k",
+        -log((pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) + 1)
+          .cast("double") / lit(4294967297.0)) / col("n_chars"))
+      .orderBy(col("k"), col("doc_id")).limit(10)
+      .select("doc_id").orderBy("doc_id"))
+
+  // ------------------------------------ q89 binary-sign ANN (Hamming)
+  /** Binary quantization ANN (the sign-bit / binary-hashing tier below
+    * SQ8): each 64-dim embedding quantizes to ONE 64-bit word of sign
+    * bits — a 256× memory cut vs float32 — and candidate search is
+    * bit_count(sig XOR querySig), a 2-instruction Hamming distance
+    * inside whole-stage codegen. Sign-of-dot-products with random
+    * hyperplanes is q37's LSH; sign-of-COORDINATES is its memory-bound
+    * sibling (the FAISS/RaBitQ-family binary prefilter): scan-speed
+    * candidate generation over packed words, exact cosine re-rank over
+    * the top-50 Hamming candidates only. The oracle replays the same
+    * two phases with per-dimension sign comparison (no packing needed —
+    * popcount(a XOR b) ≡ count of sign-differing dims) and q28's proven
+    * list_cosine_similarity parity for the re-rank. 100 TB: the packed
+    * column is 8 bytes/row (storable, scannable at memory bandwidth);
+    * candidates bound re-rank cost; ties break on (ham, vec_id) so both
+    * engines cut identical candidate sets. */
+  val q89 = QueryDef(
+    "q89_binary_ann",
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+                 h AS (SELECT vec_id, v, qv,
+                         len(list_filter(range(1, 65),
+                           i -> (v[i] >= 0) <> (qv[i] >= 0))) AS ham
+                       FROM e, q WHERE vec_id <> 0),
+                 cand AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT 50)
+            SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 4) AS sim
+            FROM cand ORDER BY sim DESC, vec_id LIMIT 5"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .withColumn("sig", expr(
+          "aggregate(transform(sequence(0, 63), " +
+            "i -> IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L)), " +
+            "0L, (acc, x) -> acc | x)"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("sig").as("qsig"), col("v").as("qv"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("ham", expr("bit_count(sig ^ qsig)"))
+        .orderBy(col("ham"), col("vec_id")).limit(50)
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89)
 }

@@ -551,7 +551,153 @@ object RelQueries {
         .limit(5)
     })
 
+  // ------------------------------------------------- q85 as-of join
+  /** AS-OF join (time-series point-in-time join — the operator kdb/
+    * Flink/DuckDB ship natively and Spark lacks): each click pairs with
+    * the SAME user's most recent purchase at or before its timestamp.
+    * The oracle is DuckDB's own `ASOF LEFT JOIN`. The Spark plan is the
+    * canonical scale shape: tag both sides, UNION, one window pass per
+    * user ordered by (ts, kind) carrying `last(purchase attrs, ignore
+    * nulls)` forward, filter back to clicks — ONE shuffle on the join
+    * key, state bounded by a row, and never the range-predicate join
+    * Catalyst would plan as a per-key explosion (broadcast-nested-loop
+    * or an O(clicks × purchases) inequality join). kind orders purchases
+    * before ties so a same-instant purchase is visible (>= semantics). */
+  val q85 = QueryDef(
+    "q85_asof_join",
+    Some("""SELECT c.event_id, c.user_id, p.ts AS purchase_ts,
+                   p.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(null).cast("timestamp").as("p_ts"),
+          lit(null).cast("double").as("p_val"), lit(1).as("kind"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("ts"), col("ts").as("p_ts"), col("value").as("p_val"),
+          lit(0).as("kind"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .withColumn("purchase_value", last(col("p_val"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select("event_id", "user_id", "purchase_ts", "purchase_value")
+        .orderBy("event_id")
+    })
+
+  // ------------------------------------------------ q86 range join
+  /** Interval/range join via BUCKETING: for each purchase, the count of
+    * the same user's views in the preceding day. Catalyst plans a raw
+    * `v.ts BETWEEN p.ts - 1d AND p.ts` join as a per-user-key row
+    * explosion; the scale shape is an EQUI-join on (user, day-bucket) —
+    * each view posts to its own bucket and the next (a 1-day window
+    * spans at most 2 day-buckets from the purchase's bucket), the exact
+    * range re-checks post-join, and a (view, purchase) pair can match in
+    * at most ONE bucket (b(v) and b(v)+1 are distinct), so no dedup pass
+    * is needed. LEFT join keeps zero-view purchases; candidate fan-out
+    * is 2× views, never |views| × |purchases|. */
+  val q86 = QueryDef(
+    "q86_range_join",
+    Some("""SELECT p.event_id, CAST(COUNT(v.event_id) AS BIGINT) AS views_before
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 1 DAY AND v.ts < p.ts
+            GROUP BY p.event_id ORDER BY p.event_id"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val day = 86400L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("bucket", floor(col("ts").cast("long") / day))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"))
+        .withColumn("vb", floor(col("vts").cast("long") / day))
+        .withColumn("bucket", explode(array(col("vb"), col("vb") + 1)))
+        .drop("vb")
+      purchases.join(views, Seq("user_id", "bucket"), "left")
+        .withColumn("hit", col("vts").isNotNull &&
+          col("vts") >= col("ts") - expr("INTERVAL 1 DAY") && col("vts") < col("ts"))
+        .groupBy("event_id")
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("views_before"))
+        .orderBy("event_id")
+    })
+
+  // ------------------------------------------------ q88 exact quantiles
+  /** Exact grouped quantiles (G-family): linear-interpolated percentiles
+    * of event value per type — Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the definition. Exact percentile sorts within
+    * each group (group-bounded); the documented scale path for
+    * corpus-wide percentiles over 100 TB is `approx_percentile`
+    * (KLL/GK-sketch state, one pass, no sort) — same posture as G6's
+    * HLL vs COUNT(DISTINCT). */
+  val q88 = QueryDef(
+    "q88_quantiles",
+    Some("""SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(value, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(value, 0.50D)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75D)"), 4).as("p75"),
+        round(expr("percentile(value, 0.95D)"), 4).as("p95"))
+      .orderBy("event_type"))
+
+  // ---------------------------------------------------- q90 CUBE
+  /** GROUP BY CUBE (G7/G8 family beyond ROLLUP): all 4 grouping sets of
+    * (status, priority) in one Expand-based pass — same built-in Expand
+    * operator as ROLLUP, input amplified 4× map-side then aggregated,
+    * never 4 scans. Both grouping columns are non-null in the data, so
+    * the NULL subtotal markers are unambiguous (the grouping() bitmask
+    * exists for datasets where they wouldn't be). */
+  val q90 = QueryDef(
+    "q90_cube",
+    Some("""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY 1, 2"""),
+    (s, dir) => t(s, dir, "orders")
+      .cube(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("status", "priority"))
+
+  // ---------------------------------------------------- q91 PIVOT
+  /** PIVOT (long→wide reshape): per-user-bucket value totals spread into
+    * one column per event type. The pivot values are DECLARED (not
+    * discovered), so the plan is a single groupBy with one conditional
+    * aggregate per column — no second pass to collect the domain, which
+    * at 100 TB is the difference between one shuffle and a
+    * distinct-collect barrier. Empty cells are NULL on both sides (the
+    * oracle's CASE carries no ELSE). */
+  val q91 = QueryDef(
+    "q91_pivot",
+    Some("""SELECT user_id % 10 AS bucket,
+                   CAST(ROUND(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS click,
+                   CAST(ROUND(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS error,
+                   CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS purchase,
+                   CAST(ROUND(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS signup,
+                   CAST(ROUND(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "view"
+            FROM events GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => t(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2).cast("double"))
+      .orderBy("bucket"))
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q80, q81)
+    q32, q80, q81, q85, q86, q88, q90, q91)
 }

@@ -69,4 +69,81 @@ class RelQueriesSpec extends SparkSpec {
     assert("customer\\.parquet".r.findAllIn(plan).size <= 1)
     assert("supplier\\.parquet".r.findAllIn(plan).size <= 1)
   }
+
+  test("q85 as-of join plans as union+window, never a range-join explosion") {
+    val df = Registry.queries("q85_asof_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"as-of must not plan a nested-loop/cartesian join:\n${plan.take(800)}")
+    assert(plan.contains("Window"), plan.take(500))
+    // semantic differential vs the naive per-click max-ts lookup
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf, "events")
+    val naive = ev.filter(col("event_type") === "click").as("c")
+      .join(ev.filter(col("event_type") === "purchase").as("p"),
+        col("c.user_id") === col("p.user_id") && col("c.ts") >= col("p.ts"),
+        "left")
+      .groupBy(col("c.event_id"))
+      .agg(max(col("p.ts")).as("purchase_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    val got = df.collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(2))).toMap
+    assert(got == naive, "as-of result must equal the brute-force lookup")
+  }
+
+  test("q86 range join buckets to an equi-join; differential vs brute force") {
+    val df = Registry.queries("q86_range_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must bucket to an equi-join:\n${plan.take(800)}")
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf, "events")
+    val naive = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ev.filter(col("event_type") === "view").as("v"),
+        col("p.user_id") === col("v.user_id") &&
+          col("v.ts") >= col("p.ts") - expr("INTERVAL 1 DAY") &&
+          col("v.ts") < col("p.ts"), "left")
+      .groupBy(col("p.event_id"))
+      .agg(count(col("v.event_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, "bucketed range join must equal the direct range join")
+  }
+
+  test("q87 weighted sample is deterministic and weight-sensitive") {
+    val a = Registry.queries("q87_weighted_sample")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Registry.queries("q87_weighted_sample")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same corpus must draw the same sample")
+    // the sample should skew long: expected doc weight ∝ n_chars, so the
+    // sampled mean length should not sit below the corpus mean
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = docs.filter(col("doc_id").isin(a: _*))
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean * 0.8,
+      s"weighted sample mean $sampleMean vs corpus $corpusMean")
+  }
+
+  test("q89 binary signatures agree with per-dimension sign comparison") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    // bit_count(sig ^ sig2) must equal the count of sign-differing dims —
+    // the packing is correct iff the identity holds for random pairs
+    val emb = Tables(spark, sf, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      .withColumn("sig", expr(
+        "aggregate(transform(sequence(0, 63), " +
+          "i -> IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L)), " +
+          "0L, (acc, x) -> acc | x)"))
+      .limit(20).select("vec_id", "v", "sig")
+    val rows = emb.collect().map(r =>
+      (r.getSeq[Double](1).toArray, r.getLong(2)))
+    for (Seq((va, sa), (vb, sb)) <- rows.toSeq.combinations(2)) {
+      val expected = va.zip(vb).count { case (x, y) => (x >= 0) != (y >= 0) }
+      assert(java.lang.Long.bitCount(sa ^ sb) == expected)
+    }
+  }
 }
