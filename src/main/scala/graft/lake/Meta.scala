@@ -146,10 +146,26 @@ final case class TableStats(
     columns: Seq[ColumnNdv] = Nil)
 
 /** The file lists of one snapshot, persisted once as an immutable
-  * per-snapshot manifest (the Iceberg-manifest analogue). */
+  * per-snapshot manifest (the Iceberg-manifest analogue).
+  *
+  * Two shapes share this class (r10 segment sharing — Iceberg's
+  * manifest-list/manifest-reuse design):
+  *  - a SEGMENT: inline `dataFiles`/`deleteFiles`, empty `segments` —
+  *    one immutable chunk of entries, written once, referenced by any
+  *    number of snapshots (pre-r10 manifests are exactly this shape, so
+  *    a legacy parent manifest is reusable as a child's segment as-is);
+  *  - a TOP manifest: empty inline lists, `segments` naming the chunk
+  *    files whose concatenation (in order) is the snapshot's full lists.
+  * Before sharing, EVERY commit persisted the complete live file list —
+  * O(live files) bytes per append; a 1M-file table paid ~50 MB per
+  * commit. Now an append writes its DELTA as one new segment and
+  * re-references the parent's surviving segments by path: commit cost is
+  * O(delta + segment count), the property the metadata JSON already had
+  * for headers. */
 final case class ManifestData(
     dataFiles: Seq[DataFileMeta] = Nil,
-    deleteFiles: Seq[DeleteFileMeta] = Nil)
+    deleteFiles: Seq[DeleteFileMeta] = Nil,
+    segments: Seq[String] = Nil)
 
 final case class TableMetadata(
     name: String,
@@ -271,13 +287,21 @@ object Meta {
         Files.readAllBytes(versionFile(tableLocation, v)), StandardCharsets.UTF_8))
     }
 
+  private def readManifest(p: String): ManifestData =
+    manifestCache.getOrElseUpdate(p, mapper.readValue(
+      new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8),
+      classOf[ManifestData]))
+
   private def materialize(s: Snapshot): Snapshot = s.manifestPath match {
     case None => s // pre-manifest metadata: lists are inline
     case Some(p) =>
-      val d = manifestCache.getOrElseUpdate(p, mapper.readValue(
-        new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8),
-        classOf[ManifestData]))
-      s.copy(dataFiles = d.dataFiles, deleteFiles = d.deleteFiles)
+      val top = readManifest(p)
+      // segment order then inline order IS the list order; segments are
+      // pure-inline by construction (one level, never nested)
+      val segs = top.segments.map(readManifest)
+      s.copy(
+        dataFiles = segs.flatMap(_.dataFiles) ++ top.dataFiles,
+        deleteFiles = segs.flatMap(_.deleteFiles) ++ top.deleteFiles)
   }
 
   /** Commit: write one manifest per NEW snapshot (carried-over snapshots
@@ -318,17 +342,60 @@ object Meta {
           "the table and retry")
     }
     val freshManifests = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def writeManifestFile(prefix: String, id: Long, data: ManifestData): String = {
+      val mp = dir.resolve(s"$prefix-$id-${java.util.UUID.randomUUID()}.json")
+      Files.write(mp, mapper.writeValueAsString(data)
+        .getBytes(StandardCharsets.UTF_8))
+      manifestCache.put(mp.toString, data)
+      freshManifests += mp
+      mp.toString
+    }
+    // Segment sharing (r10): a new snapshot re-references every parent
+    // segment whose entries all survive UNCHANGED (value equality — an
+    // operation that re-stamps a file's metadata under the same path must
+    // not serve stale entries through a reused segment) and writes only
+    // its residual as one new segment — append cost O(delta), not
+    // O(live files). Past SegmentCap segments the lists fold into one
+    // fresh segment (amortized O(live/cap) per commit), bounding both
+    // segment count and the per-load read fan-out. Parents assigned
+    // earlier in this same commit batch resolve through `assigned`.
+    val assigned = scala.collection.mutable.Map.empty[Long, String]
     val withManifests = m.copy(snapshots = m.snapshots.map { s =>
-      if (s.manifestPath.isDefined) s
+      if (s.manifestPath.isDefined) { assigned(s.id) = s.manifestPath.get; s }
       else {
-        val mp = dir.resolve(
-          s"manifest-${s.id}-${java.util.UUID.randomUUID()}.json")
-        val data = ManifestData(s.dataFiles, s.deleteFiles)
-        Files.write(mp, mapper.writeValueAsString(data)
-          .getBytes(StandardCharsets.UTF_8))
-        manifestCache.put(mp.toString, data)
-        freshManifests += mp
-        s.copy(manifestPath = Some(mp.toString))
+        val parentTop = assigned.get(s.parentId)
+          .orElse(m.snapshots.find(_.id == s.parentId).flatMap(_.manifestPath))
+        val parentSegs: Seq[String] = parentTop.toSeq.flatMap { p =>
+          val t = readManifest(p)
+          if (t.segments.nonEmpty) t.segments
+          // a legacy pure-inline manifest is itself a valid segment
+          else if (t.dataFiles.nonEmpty || t.deleteFiles.nonEmpty) Seq(p)
+          else Nil
+        }
+        val dataBy = s.dataFiles.map(f => f.path -> f).toMap
+        val delBy = s.deleteFiles.map(d => d.path -> d).toMap
+        val kept = parentSegs.filter { sp =>
+          val seg = readManifest(sp)
+          seg.dataFiles.forall(f => dataBy.get(f.path).contains(f)) &&
+            seg.deleteFiles.forall(d => delBy.get(d.path).contains(d))
+        }
+        val covered = kept.map(readManifest)
+        val coveredData = covered.flatMap(_.dataFiles.map(_.path)).toSet
+        val coveredDel = covered.flatMap(_.deleteFiles.map(_.path)).toSet
+        val deltaData = s.dataFiles.filterNot(f => coveredData.contains(f.path))
+        val deltaDel = s.deleteFiles.filterNot(d => coveredDel.contains(d.path))
+        val segsForTop =
+          if (kept.size >= SegmentCap)
+            Seq(writeManifestFile("segment", s.id,
+              ManifestData(s.dataFiles, s.deleteFiles)))
+          else if (deltaData.nonEmpty || deltaDel.nonEmpty)
+            kept :+ writeManifestFile("segment", s.id,
+              ManifestData(deltaData, deltaDel))
+          else kept
+        val mp = writeManifestFile("manifest", s.id,
+          ManifestData(segments = segsForTop))
+        assigned(s.id) = mp
+        s.copy(manifestPath = Some(mp))
       }
     })
     val headersOnly = withManifests.copy(snapshots =
@@ -443,11 +510,31 @@ object Meta {
     }
   }
 
-  /** GC hook for expire_snapshots: drop an expired snapshot's manifest
-    * file and cache entry (manifests are 1:1 with snapshots). */
-  private[lake] def deleteManifest(s: Snapshot): Unit =
-    s.manifestPath.foreach { p =>
-      manifestCache.remove(p)
-      Files.deleteIfExists(Paths.get(p))
+  /** Segment-count cap per snapshot: past it, commit folds the full
+    * lists into one fresh segment. Trades a periodic O(live) write for
+    * bounded read fan-out — the same dial as Iceberg's
+    * `rewrite_manifests`, applied opportunistically. */
+  private val SegmentCap = 64
+
+  /** GC hook for expire_snapshots. Top manifests are 1:1 with snapshots,
+    * but SEGMENTS are shared along the lineage (r10): a segment (or a
+    * legacy manifest doubling as one) is deleted only when no RETAINED
+    * snapshot references it. */
+  private[lake] def deleteManifests(
+      expired: Seq[Snapshot], retained: Seq[Snapshot]): Unit = {
+    def segsOf(p: String): Seq[String] =
+      try readManifest(p).segments
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    val retainedTops = retained.flatMap(_.manifestPath)
+    val protectedPaths = (retainedTops ++ retainedTops.flatMap(segsOf)).toSet
+    expired.foreach { s =>
+      s.manifestPath.foreach { p =>
+        val segs = segsOf(p) // read BEFORE deleting the top
+        (p +: segs.toList).filterNot(protectedPaths.contains).foreach { dp =>
+          manifestCache.remove(dp)
+          Files.deleteIfExists(Paths.get(dp))
+        }
+      }
     }
+  }
 }

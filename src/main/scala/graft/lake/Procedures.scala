@@ -411,7 +411,7 @@ object Procedures {
     val loc = t.location.toAbsolutePath
     val owned = deadFiles.filter(p => Paths.get(p).toAbsolutePath.startsWith(loc))
     owned.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    expired.foreach(Meta.deleteManifest) // manifests are 1:1 with snapshots
+    Meta.deleteManifests(expired, kept) // segments shared along lineage (r10)
     ExpireResult(table, expired.size, owned.size)
   }
 
