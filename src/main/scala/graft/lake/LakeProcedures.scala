@@ -108,6 +108,16 @@ private[lake] object LakeProcedures {
             }
           }
       })
+      case "rewrite_manifests" => Some(proc(cat, principal,
+        "rewrite_manifests",
+        Seq(TableParam),
+        StructType(Seq(
+          StructField("segments_before", IntegerType),
+          StructField("segments_after", IntegerType))),
+        (t, _) => {
+          val (_, before, after) = Procedures.rewriteManifests(t)
+          Array(row(before, after))
+        }))
       case "rewrite_position_delete_files" => Some(proc(cat, principal,
         "rewrite_position_delete_files",
         Seq(TableParam),
@@ -195,7 +205,7 @@ private[lake] object LakeProcedures {
 
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "remove_orphan_files", "repair_v3_metadata",
-    "rewrite_position_delete_files", "add_files", "snapshot",
+    "rewrite_position_delete_files", "rewrite_manifests", "add_files", "snapshot",
     "rollback_to_snapshot", "fast_forward", "create_changelog_view",
     "analyze_table")
 

@@ -84,6 +84,7 @@ class LakeSparkCatalog extends TableCatalog with SupportsNamespaces
         case "manifests" => Some(_.manifestsMetadata())
         case "partitions" => Some(_.partitionsMetadata())
         case "refs" => Some(_.refsMetadata())
+        case "metadata_log" => Some(_.metadataLogMetadata())
         case _ => None
       }
       return make.flatMap(f => cat.loadTable(dbName, tblName).map { t =>

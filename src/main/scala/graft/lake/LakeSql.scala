@@ -426,7 +426,8 @@ class LakeSql(val catalog: LakeCatalog) {
     * a dep spelled through one of these pins to the BASE table's
     * snapshot. */
   private val MetaTableSuffixes =
-    Set("history", "snapshots", "all_files", "files", "manifests", "partitions")
+    Set("history", "snapshots", "all_files", "files", "manifests",
+      "partitions", "metadata_log", "refs")
 
   /** Dependency stamp: `db.t=<snapshotId>` per referenced lake table
     * (compact prop encoding); a referenced VIEW pins as `db.v=VIEW` and
@@ -916,6 +917,10 @@ class LakeSql(val catalog: LakeCatalog) {
         import catalog.spark.implicits._
         Seq((consolidated, written))
           .toDF("rewritten_delete_files_count", "added_delete_files_count")
+      case "rewrite_manifests" =>
+        val (_, before, after) = Procedures.rewriteManifests(t)
+        import catalog.spark.implicits._
+        Seq((before, after)).toDF("segments_before", "segments_after")
       case "remove_orphan_files" =>
         // older_than is the age cutoff guard (Iceberg's default: 3 days);
         // passing it explicitly is how tests / operators GC young orphans
@@ -1151,7 +1156,9 @@ class LakeSql(val catalog: LakeCatalog) {
         "all_files" -> (_.allFilesMetadata()),
         "files" -> (_.filesMetadata()),
         "manifests" -> (_.manifestsMetadata()),
-        "partitions" -> (_.partitionsMetadata()))) {
+        "partitions" -> (_.partitionsMetadata()),
+        "metadata_log" -> (_.metadataLogMetadata()),
+        "refs" -> (_.refsMetadata()))) {
         val mre = (base + "\\." + suffix + "(?!\\w)").r
         if (containsOutsideQuotes(rewritten, mre)) {
           requirePerm(p, db, name, "SELECT")

@@ -661,6 +661,34 @@ class LakeTable(
       .toDF("partition", "file_count", "record_count", "total_size_in_bytes")
   }
 
+  /** Iceberg's `.metadata_log_entries`: one row per metadata version
+    * file still on disk — the commit trail of the table pointer, the
+    * debugging view for "what metadata was current when". Driver-side
+    * directory listing, O(versions). */
+  def metadataLogMetadata(): DataFrame = {
+    import spark.implicits._
+    val dir = Meta.metadataDir(location)
+    val VFile = """v(\d+)\.metadata\.json""".r
+    val cur = Meta.currentVersion(location).getOrElse(-1)
+    val rows =
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case VFile(n) => Some((n.toInt,
+              Files.getLastModifiedTime(p).toMillis, p.toString))
+            case _ => None
+          }
+        }.toList
+        finally s.close()
+      }
+    rows.sortBy(_._1)
+      .map { case (v, ts, path) =>
+        (v, new java.sql.Timestamp(ts), path, v == cur) }
+      .toDF("version", "timestamp", "metadata_file", "is_current")
+  }
+
   /** Canonical `SHOW CREATE TABLE` rendering: a statement the dispatcher
     * itself accepts (round-trippable), including the partition-transform
     * spec and table properties. */

@@ -516,6 +516,39 @@ object Meta {
     * `rewrite_manifests`, applied opportunistically. */
   private val SegmentCap = 64
 
+  /** Segment count of a snapshot's manifest (1 for legacy inline). */
+  private[lake] def segmentCount(s: Snapshot): Int =
+    s.manifestPath.map { p =>
+      val t = readManifest(p)
+      if (t.segments.nonEmpty) t.segments.size else 1
+    }.getOrElse(0)
+
+  /** Explicit manifest coalescing (the `rewrite_manifests` procedure,
+    * M2-adjacent): fold a snapshot's lists into ONE fresh segment + top.
+    * Pure file writes — the caller commits the returned snapshot and
+    * GCs the old manifest via [[deleteManifests]]; on a failed commit it
+    * deletes the returned fresh paths (they are unreferenced). */
+  private[lake] def coalesceManifest(
+      tableLocation: Path, s: Snapshot): (Snapshot, Seq[String]) = {
+    val dir = metadataDir(tableLocation)
+    Files.createDirectories(dir)
+    def write(prefix: String, data: ManifestData): String = {
+      val mp = dir.resolve(s"$prefix-${s.id}-${java.util.UUID.randomUUID()}.json")
+      Files.write(mp, mapper.writeValueAsString(data)
+        .getBytes(StandardCharsets.UTF_8))
+      manifestCache.put(mp.toString, data)
+      mp.toString
+    }
+    val seg = write("segment", ManifestData(s.dataFiles, s.deleteFiles))
+    val top = write("manifest", ManifestData(segments = Seq(seg)))
+    (s.copy(manifestPath = Some(top)), Seq(seg, top))
+  }
+
+  private[lake] def dropManifestFiles(paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      manifestCache.remove(p); Files.deleteIfExists(Paths.get(p))
+    }
+
   /** GC hook for expire_snapshots. Top manifests are 1:1 with snapshots,
     * but SEGMENTS are shared along the lineage (r10): a segment (or a
     * legacy manifest doubling as one) is deleted only when no RETAINED

@@ -415,6 +415,29 @@ object Procedures {
     ExpireResult(table, expired.size, owned.size)
   }
 
+  /** Iceberg's `rewrite_manifests`: fold the CURRENT snapshot's shared
+    * segment list into one freshly-written segment — the explicit lever
+    * over the commit path's opportunistic 64-segment coalesce. Run it
+    * after a long append chain to collapse read fan-out (a load pays one
+    * manifest read per segment); history snapshots keep their manifests
+    * untouched, and the superseded top/segments are GC'd reference-
+    * counted (shared history segments survive).
+    * @return (table, segments before, segments after) */
+  def rewriteManifests(t: LakeTable): (LakeTable, Int, Int) = {
+    val m = t.meta
+    val cur = m.currentSnapshot.getOrElse(return (t, 0, 0))
+    val before = Meta.segmentCount(cur)
+    if (before <= 1) return (t, before, before)
+    val (cur2, fresh) = Meta.coalesceManifest(t.location, cur)
+    val table =
+      try t.withMeta(m.copy(snapshots =
+        m.snapshots.map(s => if (s.id == cur.id) cur2 else s)))
+      catch { case e: Throwable => Meta.dropManifestFiles(fresh); throw e }
+    // the OLD top (and any segment nothing else references) is dead now
+    Meta.deleteManifests(Seq(cur), table.meta.snapshots)
+    (table, before, 1)
+  }
+
   /** Iceberg's property-driven retention defaults:
     * `history.expire.max-snapshot-age-ms` and
     * `history.expire.min-snapshots-to-keep` supply `expire_snapshots`'

@@ -314,4 +314,49 @@ class ProceduresSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(after == before)
   }
+
+  test("rewrite_manifests coalesces an append chain's segments; " +
+    "history snapshots keep materializing") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "rm", schema).append(df((1, "a", 1.0)))
+    (2 to 8).foreach(i =>
+      t = cat.loadTable("db", "rm").get.append(df((i, "a", i.toDouble))))
+    val t0 = cat.loadTable("db", "rm").get
+    assert(Meta.segmentCount(t0.currentSnapshot.get) == 8)
+    val (t1, before, after) = Procedures.rewriteManifests(t0)
+    assert(before == 8 && after == 1)
+    // reload: coalesced current reads complete; HISTORY snapshots still
+    // materialize (their manifests and shared segments survived the GC)
+    val re = cat.loadTable("db", "rm").get
+    assert(Meta.segmentCount(re.currentSnapshot.get) == 1)
+    assert(content(re) == (1 to 8).map(i => (i, "a", i.toDouble)).toSet)
+    val mid = re.meta.snapshots.sortBy(_.id).apply(3)
+    assert(mid.dataFiles.nonEmpty, "history snapshot lost its manifest")
+    assert(re.readSnapshot(mid.id).count() == 4)
+    // idempotent: a second call is a no-op
+    val (_, b2, a2) = Procedures.rewriteManifests(t1)
+    assert(b2 == 1 && a2 == 1)
+    // the dispatcher CALL surface returns the same counts
+    val sql = new LakeSql(cat)
+    t = cat.loadTable("db", "rm").get.append(df((9, "b", 9.0)))
+    val r = sql.run("CALL rewrite_manifests(table => 'db.rm')").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+  }
+
+  test("metadata_log lists the version trail on both SQL surfaces") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "ml", schema).append(df((1, "a", 1.0)))
+    t = cat.loadTable("db", "ml").get.append(df((2, "b", 2.0)))
+    val sql = new LakeSql(cat)
+    val rows = sql.run("SELECT version, is_current FROM db.ml.metadata_log " +
+      "ORDER BY version").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).toSeq
+    // create + 2 appends = 3 metadata versions, only the last current
+    assert(rows == Seq((1, false), (2, false), (3, true)), rows.toString)
+    val native = spark.sql(
+      "SELECT version, metadata_file FROM lake.db.ml.metadata_log " +
+        "ORDER BY version").collect()
+    assert(native.length == 3 &&
+      native.forall(_.getString(1).endsWith(".metadata.json")))
+  }
 }
