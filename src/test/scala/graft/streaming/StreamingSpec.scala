@@ -607,6 +607,52 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream-stream interval join: two lake-table tails join with " +
+    "watermarks and a time-range condition across micro-batches") {
+    val wh = Files.createTempDirectory("graft-ssj-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val impSchema = StructType(Seq(
+      StructField("imp_id", LongType), StructField("its", TimestampType)))
+    val clkSchema = StructType(Seq(
+      StructField("clk_imp", LongType), StructField("cts", TimestampType)))
+    val base = Instant.parse("2026-02-01T00:00:00Z")
+    def ts(min: Long) = Timestamp.from(base.plusSeconds(min * 60))
+    def imp(rows: (Long, Long)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, m) => Row(i, ts(m)) }, 1), impSchema)
+    def clk(rows: (Long, Long)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, m) => Row(i, ts(m)) }, 1), clkSchema)
+    var ti = cat.createTable("db", "imps", impSchema)
+      .append(imp((1L, 0L), (2L, 5L), (3L, 10L)))
+    var tc = cat.createTable("db", "clks", clkSchema)
+      // click 1 inside [imp, imp+30m]; click 3 OUTSIDE (45m later)
+      .append(clk((1L, 10L), (3L, 55L)))
+    def tail(table: String) = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", s"db.$table").load()
+    val joined = tail("imps").withWatermark("its", "10 minutes")
+      .join(tail("clks").withWatermark("cts", "10 minutes"),
+        expr("imp_id = clk_imp AND cts >= its AND cts <= its + INTERVAL 30 MINUTES"))
+      .select(col("imp_id"), col("its"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_sink").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ssj_sink").collect().map(_.getLong(0)).toSeq
+        == Seq(1L), "only the in-window click joins")
+      // a second micro-batch on EACH side joins against the other side's
+      // earlier batch — cross-batch state, the stream-stream join core
+      tc = cat.loadTable("db", "clks").get.append(clk((2L, 20L)))
+      ti = cat.loadTable("db", "imps").get.append(imp((4L, 50L)))
+      tc = cat.loadTable("db", "clks").get.append(clk((4L, 60L)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_sink").collect()
+        .map(r => r.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 4L),
+        s"cross-micro-batch pairs must join exactly once: $got")
+    } finally q.stop()
+  }
+
   test("a mid-stream DROP+ADD that preserves the type sequence fails " +
     "by name instead of rebinding positionally") {
     val wh = Files.createTempDirectory("graft-da-wh")
