@@ -271,14 +271,27 @@ class LakeSql(val catalog: LakeCatalog) {
       vm: ViewMetadata, p: Option[String]): Option[(Long, String)] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val deps = vm.props.getOrElse("deps", "")
-    if (deps.isEmpty || deps.contains(",") || deps.endsWith("=VIEW")) return None
-    val Array(ref, stamp0) = deps.split("=", 2)
-    val (tdb, tname) = splitName(ref)
-    val stamp = stamp0.toLongOption.getOrElse(return None)
-    val t = catalog.loadTable(tdb, tname).getOrElse(return None)
-    val head = t.currentSnapshot.map(_.id).getOrElse(return None)
-    if (head == stamp)
+    if (deps.isEmpty) return None
+    // every dependency must be snapshot-pinned (VIEW/EXTERNAL → full)
+    val parsed: Seq[(String, String, Long)] = deps.split(",").toSeq.map { d =>
+      val Array(ref, st) = d.split("=", 2)
+      val stamp = st.toLongOption.getOrElse(return None)
+      val (tdb, tname) = splitName(ref)
+      (tdb, tname, stamp)
+    }
+    val states = parsed.map { case (tdb, tname, stamp) =>
+      val t = catalog.loadTable(tdb, tname).getOrElse(return None)
+      val head = t.currentSnapshot.map(_.id).getOrElse(return None)
+      (tdb, tname, stamp, t, head)
+    }
+    val moved = states.filter { case (_, _, stamp, _, head) => head != stamp }
+    if (moved.isEmpty)
       return Some((0L, deps)) // nothing moved: refresh is a no-op
+    // incremental maintenance is linear in ONE advanced input: exactly
+    // one dependency moved (by appends only), the rest sit at their
+    // stamps — the fact-table-advances / dimensions-static MV shape
+    if (moved.size > 1) return None
+    val (tdb, tname, stamp, t, head) = moved.head
     // append-only walk along the parent chain from head back to stamp
     val byId = t.meta.snapshots.map(x => x.id -> x).toMap
     var cur = head
@@ -288,39 +301,71 @@ class LakeSql(val catalog: LakeCatalog) {
       cur = sn.parentId
       if (cur < 0) return None
     }
-    // plan-shape gate over the ANALYZED definition. The leaf check is
+    // Plan-shape gate over the ANALYZED definition. Leaf checks are
     // anchored to the EXACT plain-ref temp-view pattern `{db}__{t}_s<N>`
     // (ADVICE r9 #2: a prefix test also accepted metadata-table
     // (`db__t__files_s7`) and time-travel (`db__t__v5_s7`) aliases, and
     // the textual rewrite below then produced `tmp.files` / `tmp VERSION
     // AS OF …` — an analysis error instead of a full-recompute fallback).
+    // The tree may contain Project/Filter AND JOINS (r10): a join is
+    // linear in each input under bag semantics, so
+    // (F ∪ ΔF) ⋈ D = (F ⋈ D) ∪ (ΔF ⋈ D) — the delta is the view text
+    // over JUST the increment joined to the (unchanged) other inputs —
+    // PROVIDED the advanced relation appears EXACTLY ONCE (a self-join
+    // of the advanced table is quadratic: (F∪Δ)⋈(F∪Δ) ≠ F⋈F ∪ Δ⋈Δ)
+    // and never on the null-EXTENDED side of an outer join (left outer
+    // is per-left-row, so linear in its left input only).
     val full = select(vm.sql, p)
-    val leafRe = ("^" + java.util.regex.Pattern.quote(s"${tdb}__$tname") +
-      "_s\\d+$").r
+    def leafReOf(db: String, name: String) =
+      ("^" + java.util.regex.Pattern.quote(s"${db}__$name") + "_s\\d+$").r
+    val advRe = leafReOf(tdb, tname)
+    val stillRes = states.collect {
+      case (d, n, _, _, _) if !(d == tdb && n == tname) => leafReOf(d, n)
+    }
     def noSubquery(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       e.find {
         case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
         case _ => false
       }.isEmpty
-    def shapeOk(pl: LogicalPlan): Boolean = pl match {
-      case sa: SubqueryAlias if leafRe.matches(sa.alias) => true
-      case sa: SubqueryAlias => shapeOk(sa.child)
-      case pr: Project =>
-        pr.projectList.forall(x => x.deterministic && noSubquery(x)) &&
-          shapeOk(pr.child)
-      case f: Filter =>
-        f.condition.deterministic && noSubquery(f.condition) && shapeOk(f.child)
-      case _ => false
+    /** None = ineligible shape; Some(n) = n occurrences of the advanced
+      * leaf in this subtree. */
+    def walk(pl: LogicalPlan): Option[Int] = pl match {
+      case sa: SubqueryAlias if advRe.matches(sa.alias) => Some(1)
+      case sa: SubqueryAlias if stillRes.exists(_.matches(sa.alias)) => Some(0)
+      case sa: SubqueryAlias => walk(sa.child)
+      case pr: Project
+          if pr.projectList.forall(x => x.deterministic && noSubquery(x)) =>
+        walk(pr.child)
+      case f: Filter
+          if f.condition.deterministic && noSubquery(f.condition) =>
+        walk(f.child)
+      case j: Join
+          if j.condition.forall(c => c.deterministic && noSubquery(c)) =>
+        (walk(j.left), walk(j.right)) match {
+          case (Some(l), Some(r)) => j.joinType match {
+            case org.apache.spark.sql.catalyst.plans.Inner => Some(l + r)
+            case org.apache.spark.sql.catalyst.plans.Cross => Some(l + r)
+            case org.apache.spark.sql.catalyst.plans.LeftOuter if r == 0 =>
+              Some(l)
+            case org.apache.spark.sql.catalyst.plans.RightOuter if l == 0 =>
+              Some(r)
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
     }
+    def shapeOk(pl: LogicalPlan): Boolean = walk(pl).contains(1)
     val analyzed = full.queryExecution.analyzed
     val plain = shapeOk(analyzed)
     // aggregate shape: a single distributive GROUP BY over the same
-    // Project/Filter chain merges PARTIAL STATES instead of recomputing
-    // — old ⊎ agg(increment) re-aggregated with each column's merge
+    // SPJ tree merges PARTIAL STATES instead of recomputing — old ⊎
+    // agg(increment-join) re-aggregated with each column's merge
     // function, O(|storage| + |increment|), never O(base table)
     val aggSpec = if (plain) None else aggMergeSpec(analyzed, shapeOk)
     if (!plain && aggSpec.isEmpty) return None
-    // the view text applied to JUST the increment
+    // the view text applied to JUST the increment (unchanged deps keep
+    // their names — select() re-resolves them and fires their grants)
     val inc = t.readIncremental(Some(stamp), head, skipNonAppends = false)
     val tmp = s"__mv_inc_${LakeSql.viewEpoch.incrementAndGet()}"
     inc.createOrReplaceTempView(tmp)
@@ -328,7 +373,7 @@ class LakeSql(val catalog: LakeCatalog) {
     val re = ("(?<![\\w.])(?:(?:glue_catalog|lake)\\.)?" +
       java.util.regex.Pattern.quote(s"$tdb.$tname") + "(?!\\w)").r
     val rewritten = mapOutsideQuotes(vm.sql, seg => re.replaceAllIn(seg, tmp))
-    val delta = catalog.spark.sql(rewritten)
+    val delta = select(rewritten, p)
     val st0 = load(splitName(vm.name)._1, vm.props("storage"))
     val added = delta.count()
     aggSpec match {
@@ -348,7 +393,12 @@ class LakeSql(val catalog: LakeCatalog) {
         st0.overwrite(aligned)
       case _ => () // empty increment: merge is the identity
     }
-    Some((added, s"$tdb.$tname=$head"))
+    // advanced dep stamps at the head the increment ran to; unchanged
+    // deps keep their stamps (order preserved)
+    val newDeps = parsed.map { case (d, n, st) =>
+      if (d == tdb && n == tname) s"$d.$n=$head" else s"$d.$n=$st"
+    }.mkString(",")
+    Some((added, newDeps))
   }
 
   /** Mergeable-aggregate gate for incremental MV refresh: the analyzed

@@ -265,6 +265,75 @@ class ViewSpec extends SparkSpec {
       .contains("(+0 rows)"))
   }
 
+  test("incremental MV refresh maintains JOIN views when one input " +
+    "advances: SPJ appends the delta, aggregates merge") {
+    val (cat, sql) = fresh(); seed(cat)
+    // dim: category → label (static); fact: db.t (advances by appends)
+    val dimSchema = StructType(Seq(
+      StructField("category", StringType), StructField("label", StringType)))
+    cat.createTable("db", "dim", dimSchema).append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("a", "Alpha"), Row("b", "Beta"), Row("c", "Gamma")), 1),
+      dimSchema))
+    sql.run("CREATE MATERIALIZED VIEW db.jmv AS " +
+      "SELECT t.id, d.label FROM db.t t JOIN db.dim d " +
+      "ON t.category = d.category WHERE t.id > 1")
+    sql.run("CREATE MATERIALIZED VIEW db.jamv AS " +
+      "SELECT d.label, COUNT(*) AS n, SUM(t.amount) AS s FROM db.t t " +
+      "JOIN db.dim d ON t.category = d.category GROUP BY d.label")
+    // fact-only appends → BOTH refresh incrementally
+    sql.run("INSERT INTO db.t VALUES (4, 'a', 5.0), (5, 'c', 50.0)")
+    val m1 = sql.run("REFRESH MATERIALIZED VIEW db.jmv").head().getString(0)
+    assert(m1.contains("incrementally (+2 rows)"), m1)
+    assert(sql.run("SELECT * FROM db.jmv ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "Beta"), (3, "Alpha"), (4, "Alpha"), (5, "Gamma")))
+    val m2 = sql.run("REFRESH MATERIALIZED VIEW db.jamv").head().getString(0)
+    assert(m2.contains("incrementally"), m2)
+    assert(sql.run("SELECT * FROM db.jamv ORDER BY label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("Alpha", 3L, 45.0), ("Beta", 1L, 20.0), ("Gamma", 1L, 50.0)))
+    // a DIM change is not linear-in-one-input: full recompute, correct
+    sql.run("INSERT INTO db.dim VALUES ('d', 'Delta')")
+    sql.run("INSERT INTO db.t VALUES (6, 'd', 60.0)")
+    val m3 = sql.run("REFRESH MATERIALIZED VIEW db.jmv").head().getString(0)
+    assert(m3.contains("full recompute"), m3)
+    assert(sql.run("SELECT * FROM db.jmv WHERE id = 6").head().getString(1)
+      == "Delta")
+  }
+
+  test("join-MV safety rails: advanced-side self-joins and the " +
+    "null-extended side of an outer join refresh by full recompute") {
+    val (cat, sql) = fresh(); seed(cat)
+    // self-join of the ADVANCED table: (F∪Δ)⋈(F∪Δ) is quadratic in Δ
+    sql.run("CREATE MATERIALIZED VIEW db.sj AS " +
+      "SELECT a.id, b.id AS bid FROM db.t a JOIN db.t b " +
+      "ON a.category = b.category WHERE a.id < b.id")
+    sql.run("INSERT INTO db.t VALUES (7, 'a', 7.0)")
+    val m1 = sql.run("REFRESH MATERIALIZED VIEW db.sj").head().getString(0)
+    assert(m1.contains("full recompute"), m1)
+    // pairs among old rows AND with the new row must both be present
+    assert(sql.run("SELECT * FROM db.sj ORDER BY id, bid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 3), (1, 7), (3, 7)))
+    // advanced table on the null-EXTENDED side: a dim LEFT JOIN fact MV
+    // would retro-change old dim rows' nulls when the fact grows
+    val dimSchema = StructType(Seq(
+      StructField("category", StringType), StructField("label", StringType)))
+    cat.createTable("db", "dim2", dimSchema).append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a", "A"), Row("z", "Z")), 1),
+      dimSchema))
+    sql.run("CREATE MATERIALIZED VIEW db.lj AS " +
+      "SELECT d.label, t.id FROM db.dim2 d LEFT JOIN db.t t " +
+      "ON d.category = t.category")
+    sql.run("INSERT INTO db.t VALUES (8, 'z', 8.0)")
+    val m2 = sql.run("REFRESH MATERIALIZED VIEW db.lj").head().getString(0)
+    assert(m2.contains("full recompute"), m2)
+    // the pre-refresh NULL row for 'z' must be replaced, not appended to
+    assert(sql.run("SELECT * FROM db.lj WHERE label = 'Z'").collect()
+      .map(r => Option(r.get(1))).toSeq == Seq(Some(8)))
+  }
+
   test("incremental MV refresh maintains SELECT DISTINCT as a merge") {
     val (cat, sql) = fresh(); seed(cat)
     sql.run("CREATE MATERIALIZED VIEW db.dmv AS " +
