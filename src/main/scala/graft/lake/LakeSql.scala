@@ -410,6 +410,13 @@ class LakeSql(val catalog: LakeCatalog) {
     * and every grouping expression visible in the output (hidden keys
     * would collapse distinct storage rows on merge). Output names must
     * be unique so the merge can address columns by name.
+    *
+    * Float caveat (standard IVM behavior): SUM over DOUBLE merges by
+    * adding the increment's partial sum to the stored sum — a different
+    * accumulation order than a full recompute, so results can drift by
+    * float reassociation (ulps). Exact types (integer/decimal) merge
+    * bit-exactly; pipelines needing exact doubles should define the MV
+    * over a decimal cast, the same contract the oracle queries use.
     * @return (key column names, (agg column name, merge fn) pairs) */
   private def aggMergeSpec(
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -692,12 +699,14 @@ class LakeSql(val catalog: LakeCatalog) {
     status(s"Updated $db.$table")
   }
 
-  /** MERGE INTO t USING s ON cond
-    *   [WHEN MATCHED THEN UPDATE SET a = expr, … | WHEN MATCHED THEN DELETE]
-    *   [WHEN NOT MATCHED THEN INSERT *]
-    * Both sides are lake tables with explicit aliases; expressions use
-    * the qualified refs. MERGE decomposes to DELETE+INSERT on the target
-    * (same grants rule as UPDATE) and SELECT on the source. */
+  /** MERGE INTO t USING s ON cond — full multi-clause grammar (r10):
+    *   WHEN MATCHED [AND cond] THEN UPDATE SET a = expr, … | DELETE   (repeatable)
+    *   WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)
+    * Matched clauses fire in declaration order per row (first condition
+    * that holds wins; none ⇒ untouched). Both sides are lake tables with
+    * explicit aliases; expressions use the qualified refs. MERGE
+    * decomposes to DELETE+INSERT on the target (same grants rule as
+    * UPDATE) and SELECT on the source. */
   private def mergeStmt(s: String, p: Option[String]): DataFrame = {
     val m = ("""(?is)^MERGE\s+INTO\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
       """USING\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s*(WHEN\s+.*)$""").r
@@ -709,25 +718,56 @@ class LakeSql(val catalog: LakeCatalog) {
     requirePerm(p, db, table, "DELETE")
     requirePerm(p, db, table, "INSERT")
     requirePerm(p, sdb, stable, "SELECT")
-    val updClause =
-      """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)(?:\s+WHEN\s+NOT\s+MATCHED.*)?$""".r
-        .findFirstMatchIn(clauses).map(_.group(1))
-    val delClause =
-      """(?is)WHEN\s+MATCHED\s+THEN\s+DELETE""".r.findFirstMatchIn(clauses).isDefined
-    val insertAll =
-      """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
-        .findFirstMatchIn(clauses).isDefined
-    val whenMatched: Option[MergeMatched] = updClause.map { a =>
-      MergeMatched.Update(topLevelSplit(a, ',').map { kv =>
+    def assignments(a: String): Map[String, Column] =
+      topLevelSplit(a, ',').map { kv =>
         val i = kv.indexOf('=')
         if (i < 0) throw new SqlParseException(s"bad MERGE assignment: $kv")
         kv.take(i).trim -> expr(kv.drop(i + 1).trim)
-      }.toMap)
-    }.orElse(if (delClause) Some(MergeMatched.Delete) else None)
-    if (whenMatched.isEmpty && !insertAll)
+      }.toMap
+    // clause boundaries: `WHEN [NOT] MATCHED` never appears inside the
+    // clause bodies this grammar accepts (CASE WHEN lacks the MATCHED
+    // keyword), so the keyword is a safe top-level splitter
+    val starts = """(?is)WHEN\s+(NOT\s+)?MATCHED\b""".r
+      .findAllMatchIn(clauses).toList
+    var matchedClauses = Seq.empty[MergeWhenMatched]
+    var notMatched: Option[MergeWhenNotMatched] = None
+    starts.zipWithIndex.foreach { case (mm, i) =>
+      val end = if (i + 1 < starts.size) starts(i + 1).start else clauses.length
+      val seg = clauses.substring(mm.start, end).trim
+      if (mm.group(1) == null) {
+        val cm = ("""(?is)^WHEN\s+MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+""" +
+          """(?:UPDATE\s+SET\s+(.*)|(DELETE))\s*$""").r
+          .findFirstMatchIn(seg).getOrElse(fail(
+            "WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE", seg))
+        val c = Option(cm.group(1)).map(x => parsePredicate(x.trim, p))
+        val action =
+          if (cm.group(3) != null) MergeMatched.Delete
+          else MergeMatched.Update(assignments(cm.group(2)))
+        matchedClauses :+= MergeWhenMatched(c, action)
+      } else {
+        if (notMatched.isDefined) throw new SqlParseException(
+          "MERGE supports at most one WHEN NOT MATCHED clause")
+        val im = ("""(?is)^WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+""" +
+          """INSERT\s*(?:(\*)|\(([^)]*)\)\s*VALUES\s*\((.*)\))\s*$""").r
+          .findFirstMatchIn(seg).getOrElse(fail(
+            "WHEN NOT MATCHED [AND cond] THEN INSERT *|(cols) VALUES (…)", seg))
+        val c = Option(im.group(1)).map(x => parsePredicate(x.trim, p))
+        val values =
+          if (im.group(2) != null) None
+          else {
+            val cols = topLevelSplit(im.group(3), ',').map(_.trim)
+            val exprs = topLevelSplit(im.group(4), ',').map(x => expr(x.trim))
+            if (cols.size != exprs.size) throw new SqlParseException(
+              s"INSERT column/value arity mismatch: ${cols.size} vs ${exprs.size}")
+            Some(cols.zip(exprs).toMap)
+          }
+        notMatched = Some(MergeWhenNotMatched(c, values))
+      }
+    }
+    if (matchedClauses.isEmpty && notMatched.isEmpty)
       fail("MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED", s)
-    val t2 = load(db, table).merge(
-      load(sdb, stable).read(), expr(cond), whenMatched, insertAll,
+    val t2 = load(db, table).mergeClauses(
+      load(sdb, stable).read(), expr(cond), matchedClauses, notMatched,
       targetAlias = tAlias, sourceAlias = sAlias)
     val sum = t2.currentSnapshot.map(_.summary).getOrElse(Map.empty)
     status(s"Merged into $db.$table (matched=${sum.getOrElse("matched-records", "0")}, " +

@@ -23,6 +23,20 @@ object MergeMatched {
   case object Delete extends MergeMatched
 }
 
+/** One `WHEN MATCHED [AND cond] THEN UPDATE/DELETE` clause (r10 full
+  * MERGE grammar). Clauses fire in declaration order per matched row —
+  * the FIRST whose condition holds wins; a matched row satisfying no
+  * clause stays untouched (standard SQL MERGE semantics). Conditions
+  * see both aliases (t.x, s.y) like assignments do. */
+final case class MergeWhenMatched(
+    condition: Option[Column], action: MergeMatched)
+
+/** `WHEN NOT MATCHED [AND cond] THEN INSERT` — `values = None` is
+  * `INSERT *` (source columns by target-schema name); explicit values
+  * map target columns to expressions over the SOURCE row. */
+final case class MergeWhenNotMatched(
+    condition: Option[Column], values: Option[Map[String, Column]])
+
 /** Thrown for a v3 table whose metadata was never assigned `next-row-id`
   * (/root/reference/README.md:43-45 — the "bricked table" case). */
 class MissingRowLineageException(msg: String) extends RuntimeException(msg)
@@ -1664,20 +1678,51 @@ class LakeTable(
       whenMatched: Option[MergeMatched] = None,
       insertNotMatched: Boolean = false,
       targetAlias: String = "t",
+      sourceAlias: String = "s"): LakeTable =
+    mergeClauses(source, on,
+      whenMatched.map(a => MergeWhenMatched(None, a)).toSeq,
+      if (insertNotMatched) Some(MergeWhenNotMatched(None, None)) else None,
+      targetAlias, sourceAlias)
+
+  /** Full multi-clause MERGE (r10): matched clauses fire in order per
+    * row (first condition that holds wins; no clause ⇒ row untouched),
+    * at most one conditional NOT MATCHED insert with `INSERT *` or an
+    * explicit column list (unlisted columns take the v3 write-default
+    * when declared, else NULL). Conditions and assignments see both
+    * aliases. Same physical shape as before: MoR mints ONE position-
+    * delete file over the ACTED rows + appends rewrites/inserts; CoW
+    * swaps only files containing acted rows and never mints deletes. */
+  def mergeClauses(
+      source: DataFrame,
+      on: Column,
+      matchedClauses: Seq[MergeWhenMatched],
+      notMatched: Option[MergeWhenNotMatched],
+      targetAlias: String = "t",
       sourceAlias: String = "s"): LakeTable = {
     val seq = nextSeq
     val keepIds = meta.formatVersion >= 3 && meta.nextRowId >= 0
     val tgt = readWithCoords(withRowIds = keepIds).alias(targetAlias)
     val src = source.alias(sourceAlias)
-    val matched = tgt.join(src, on, "inner").cache()
+    // clause dispatch: 1-based index of the FIRST clause whose condition
+    // holds; 0 = matched but no clause fires (row untouched)
+    val clauseCol = matchedClauses.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, (cl, i)) =>
+        acc.when(cl.condition.getOrElse(lit(true)), i + 1)
+      }.otherwise(0)
+    val matched = tgt.join(src, on, "inner")
+      .withColumn(MergeClauseCol, clauseCol).cache()
     try {
-      val matchedCoords = matched
+      val acted = matched.filter(col(MergeClauseCol) > 0)
+      val actedCoords = acted
         .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
       // cardinality guard only when a matched ACTION exists — standard
       // MERGE semantics forbid ambiguous update/delete, not insert-only
-      // merges whose source happens to multi-match
-      if (whenMatched.isDefined) {
-        val dups = matchedCoords.groupBy("file_path", "pos").count()
+      // merges whose source happens to multi-match. The guard covers ALL
+      // matched pairs (conditional clauses included): which clause fires
+      // for a doubly-matched row depends on the pairing, so the
+      // ambiguity exists even when only one pairing passes a condition.
+      if (matchedClauses.nonEmpty) {
+        val dups = matched.groupBy(col(FileCol), col(PosCol)).count()
           .filter(col("count") > 1).limit(1).count()
         if (dups > 0)
           throw new IllegalArgumentException(
@@ -1685,36 +1730,54 @@ class LakeTable(
               "(ambiguous update); deduplicate the source on the merge key")
       }
 
-      // WHEN MATCHED UPDATE output: target row with assignments applied
-      def updatedRows(rawAs: Map[String, Column]): DataFrame = {
+      // WHEN MATCHED UPDATE output: clause-i rows with assignments applied
+      def updatedRows(i: Int, rawAs: Map[String, Column]): DataFrame = {
         val as = resolveAssignments(rawAs)
         val outCols = schema.fields.map { f =>
           as.get(f.name).map(_.cast(f.dataType).as(f.name))
             .getOrElse(col(s"$targetAlias.${f.name}").as(f.name))
         } ++ (if (keepIds) Seq(col(RowIdCol)) else Nil)
-        matched.select(outCols.toSeq: _*)
+        matched.filter(col(MergeClauseCol) === i + 1).select(outCols.toSeq: _*)
       }
+      val updateUnion: Option[DataFrame] = matchedClauses.zipWithIndex
+        .collect { case (MergeWhenMatched(_, MergeMatched.Update(as)), i) =>
+          updatedRows(i, as)
+        }.reduceOption(_ unionByName _)
       // implicit-id accounting (v2 / unminted v3): rewritten rows take
       // [start, start+nRw), inserts continue from there — disjoint ranges
       // keep a later v3 upgrade's computedNextRowId collision-free
       val start = if (meta.nextRowId >= 0) meta.nextRowId else meta.computedNextRowId
-      def writeInserts(from: Long): Seq[DataFileMeta] =
-        if (!insertNotMatched) Nil
-        else writeDataFiles(
-          src.join(tgt, on, "left_anti")
-            .select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*),
-          from, seq)
+      def writeInserts(from: Long): Seq[DataFileMeta] = notMatched match {
+        case None => Nil
+        case Some(MergeWhenNotMatched(cond, values)) =>
+          val base0 = src.join(tgt, on, "left_anti")
+          val base = cond.map(base0.filter).getOrElse(base0)
+          val writeDefaults = meta.columnDefaults
+            .flatMap(d => d.write.map(d.colName -> _)).toMap
+          val projected = values match {
+            case None => base.select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+            case Some(vs0) =>
+              val vs = resolveAssignments(vs0)
+              base.select(schema.fields.map { f =>
+                vs.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(
+                  writeDefaults.get(f.name)
+                    .map(v => expr(v).cast(f.dataType).as(f.name))
+                    .getOrElse(lit(null).cast(f.dataType).as(f.name)))
+              }.toSeq: _*)
+          }
+          writeDataFiles(projected, from, seq)
+      }
 
       if (isMorUpdate) {
-        // MoR: matched coords → one position-delete file; updates append
+        // MoR: acted coords → one position-delete file; updates append
         val delOpt =
-          if (whenMatched.isEmpty) None
-          else writeDeleteFiles(matchedCoords, seq)
-        val rewritten: Seq[DataFileMeta] = whenMatched match {
-          case Some(MergeMatched.Update(as)) if delOpt.isDefined =>
-            writeDataFiles(updatedRows(as), start, seq, withRowIdCol = keepIds)
-          case _ => Nil // Delete (or nothing matched): no rewrite
+          if (matchedClauses.isEmpty) None
+          else writeDeleteFiles(actedCoords, seq)
+        val rewritten: Seq[DataFileMeta] = updateUnion match {
+          case Some(u) if delOpt.isDefined =>
+            writeDataFiles(u, start, seq, withRowIdCol = keepIds)
+          case _ => Nil // delete-only clauses (or nothing acted): no rewrite
         }
         val nRw = if (keepIds) 0L else rewritten.map(_.rowCount).sum
         val inserted = writeInserts(start + nRw)
@@ -1728,33 +1791,33 @@ class LakeTable(
               "inserted-records" -> nIns.toString)),
           m => if (m.nextRowId >= 0) m.copy(nextRowId = start + nIns) else m)
       } else {
-        // CoW: rewrite only the files containing matched rows — a merge
+        // CoW: rewrite only the files containing ACTED rows — a merge
         // on a copy-on-write table must NOT mint delete files (they would
         // break strict v2 readers, the failure this engine exists to fix).
-        // No WHEN MATCHED action ⇒ matched rows are untouched: rewrite
-        // NOTHING (an unconditional rewrite here silently deleted every
-        // matched row on insert-only merges — review r6)
+        // No firing clause ⇒ matched rows are untouched: rewrite NOTHING
+        // (an unconditional rewrite here silently deleted every matched
+        // row on insert-only merges — review r6)
         val affectedPaths =
-          if (whenMatched.isEmpty) Set.empty[String]
-          else matchedCoords.select("file_path").distinct()
+          if (matchedClauses.isEmpty) Set.empty[String]
+          else actedCoords.select("file_path").distinct()
             .collect().map(_.getString(0)).toSet
         val (affectedMeta, keep) = dataFiles.partition(f =>
           affectedPaths.contains(f.path))
-        val nMatched = matched.count()
+        val nMatched = acted.count()
         val rewritten: Seq[DataFileMeta] =
           if (affectedMeta.isEmpty) Nil
           else {
             val affectedRows = tgt.join(broadcast(fileAttrs(affectedMeta)),
               col(FileCol) === col(AttrPath), "left_semi")
             val survivors = affectedRows
-              .join(broadcast(matchedCoords),
+              .join(broadcast(actedCoords),
                 col(FileCol) === col("file_path") && col(PosCol) === col("pos"),
                 "left_anti")
               .select((schema.fieldNames.map(n => col(s"$targetAlias.$n").as(n)) ++
                 (if (keepIds) Seq(col(RowIdCol)) else Nil)).toSeq: _*)
-            val replacement = whenMatched match {
-              case Some(MergeMatched.Update(as)) => survivors.unionByName(updatedRows(as))
-              case _ => survivors // Delete (empty-whenMatched never rewrites)
+            val replacement = updateUnion match {
+              case Some(u) => survivors.unionByName(u)
+              case None => survivors // delete-only clauses: drop acted rows
             }
             writeDataFiles(replacement, start, seq, withRowIdCol = keepIds)
           }
@@ -2181,6 +2244,8 @@ object LakeTable {
   private[lake] val FileCol = "__fp"
   private[lake] val PosCol = "__pos"
   private[lake] val RowIdCol = "_row_id"
+  /** 1-based index of the first firing WHEN MATCHED clause (0 = none). */
+  private[lake] val MergeClauseCol = "__merge_clause"
   private[lake] val PartPrefix = "__p_"
   private[lake] val AttrPath = "__attr_path"
   private[lake] val AttrSeq = "__attr_seq"

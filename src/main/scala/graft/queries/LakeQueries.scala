@@ -395,6 +395,80 @@ object LakeQueries {
             SELECT * FROM demo_q48 ORDER BY id"""),
     (s, _) => q48Table(s).read().orderBy("id"))
 
+  // Q92: full multi-clause conditional MERGE through the dispatcher
+  // grammar (r10): two ordered WHEN MATCHED clauses (conditional DELETE
+  // first — clause ORDER is load-bearing, a <100 row satisfies both) and
+  // a conditional explicit-column INSERT whose unlisted created_at lands
+  // NULL. DuckDB has no MERGE: the oracle replays the decomposition —
+  // conditioned DELETE/UPDATE/INSERT against the same source VALUES,
+  // with "not matched" spelled as the ORIGINAL target id set (MERGE
+  // matches against statement-start state). No trailing-zero decimal
+  // literals (the q49/q51 hash lesson).
+  private val mmFixture = new SessionMemo[graft.lake.LakeSql]
+
+  /** (id, name, category, amount) source rows: 2/7 matched-and-cheap →
+    * DELETE; 3 matched-and-rich → UPDATE; 11 unmatched toys → filtered
+    * out of the insert; 12 unmatched books → inserted, created_at NULL. */
+  private val Q92SrcRows = Seq(
+    (2, "Product B2", "electronics", "50.25"),
+    (3, "Product C2", "books", "500.75"),
+    (7, "Product G2", "electronics", "20.50"),
+    (11, "Product K", "toys", "59.99"),
+    (12, "Product L", "books", "42.42"))
+  private val Q92SrcSql = Q92SrcRows.map { case (id, n, c, a) =>
+    s"($id, '$n', '$c', $a, TIMESTAMP '2026-01-01 00:00:00')"
+  }.mkString(", ")
+  private val Q92SrcValues = Q92SrcRows.map { case (id, n, c, a) =>
+    s"($id, '$n', '$c', CAST($a AS DECIMAL(10,2)), TIMESTAMP '2026-01-01 00:00:00')"
+  }.mkString(", ")
+
+  private def q92Sql(s: org.apache.spark.sql.SparkSession): graft.lake.LakeSql =
+    mmFixture(s) { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-mm-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val sql = new graft.lake.LakeSql(
+        new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now }))
+      val cols = "id INT, name STRING, category STRING, " +
+        "amount DECIMAL(10,2), created_at TIMESTAMP"
+      Seq(
+        s"CREATE TABLE demo.mm ($cols) TBLPROPERTIES (" +
+          "'write.delete.mode'='merge-on-read'," +
+          "'write.update.mode'='merge-on-read')",
+        s"INSERT INTO demo.mm VALUES $ValuesSql",
+        s"CREATE TABLE demo.mmsrc ($cols)",
+        s"INSERT INTO demo.mmsrc VALUES $Q92SrcSql",
+        """MERGE INTO demo.mm t USING demo.mmsrc s ON t.id = s.id
+           WHEN MATCHED AND s.amount < 100 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET amount = s.amount
+           WHEN NOT MATCHED AND s.category <> 'toys' THEN
+             INSERT (id, name, category, amount)
+             VALUES (s.id, s.name, s.category, s.amount)"""
+      ).foreach(sql.run(_))
+      sql
+    }
+
+  val q92 = QueryDef(
+    "q92_merge_multi",
+    Some("""CREATE OR REPLACE TABLE demo_q92 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q92 VALUES """ + ValuesSql + """;
+            DELETE FROM demo_q92
+              USING (VALUES """ + Q92SrcValues + """)
+                v(id, name, category, amount, created_at)
+              WHERE demo_q92.id = v.id AND v.amount < 100;
+            UPDATE demo_q92 SET amount = v.amount
+              FROM (VALUES """ + Q92SrcValues + """)
+                v(id, name, category, amount, created_at)
+              WHERE demo_q92.id = v.id AND v.amount >= 100;
+            INSERT INTO demo_q92
+              SELECT v.id, v.name, v.category, v.amount, NULL
+              FROM (VALUES """ + Q92SrcValues + """)
+                v(id, name, category, amount, created_at)
+              WHERE v.category <> 'toys'
+                AND v.id NOT IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10);
+            SELECT * FROM demo_q92 ORDER BY id"""),
+    (s, _) => q92Sql(s).run("SELECT * FROM demo.mm ORDER BY id"))
+
   // Q61: incremental append scan (M34) — the changelog a downstream
   // training pipeline tails. Two append commits; the incremental range
   // (snapshot 1, snapshot 2] must yield EXACTLY the second batch's rows
@@ -663,5 +737,5 @@ object LakeQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54, q58, q59, q60, q61, q62, q63, q66, q82, q83)
+      q53, q54, q58, q59, q60, q61, q62, q63, q66, q82, q83, q92)
 }

@@ -562,7 +562,12 @@ object RelQueries {
     * key, state bounded by a row, and never the range-predicate join
     * Catalyst would plan as a per-key explosion (broadcast-nested-loop
     * or an O(clicks × purchases) inequality join). kind orders purchases
-    * before ties so a same-instant purchase is visible (>= semantics). */
+    * before ties so a same-instant purchase is visible (>= semantics).
+    * Determinism: (user, ts) is unique among purchases in this data
+    * (checked at every SF); a corpus with same-instant purchases should
+    * pre-aggregate the right side to one row per (user, ts) — DuckDB's
+    * ASOF breaks such ties arbitrarily too, so the dedup belongs in the
+    * query on BOTH engines. */
   val q85 = QueryDef(
     "q85_asof_join",
     Some("""SELECT c.event_id, c.user_id, p.ts AS purchase_ts,

@@ -280,6 +280,62 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
   }
 
+  test("native MERGE honors multiple conditional clauses (Spark's own " +
+    "MergeRows planning over the delta write)") {
+    val wh = Files.createTempDirectory("graft-rlmc-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.rmc (id INT, amount DECIMAL(10,2))
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.rmc VALUES (1, 10.25), (2, 20.75), (3, 30.25)")
+    spark.sql("CREATE TABLE lake.db.rmcsrc (id INT, amount DECIMAL(10,2))")
+    spark.sql(
+      "INSERT INTO lake.db.rmcsrc VALUES (1, 5.25), (2, 99.25), (9, 7.75)")
+    // clause order is load-bearing: id 1's source (5.25 < 10) deletes,
+    // id 2 updates, id 3 is matched by nothing and stays untouched,
+    // id 9 inserts conditionally
+    spark.sql("""MERGE INTO lake.db.rmc t USING lake.db.rmcsrc s ON t.id = s.id
+      WHEN MATCHED AND s.amount < 10 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET amount = s.amount
+      WHEN NOT MATCHED AND s.amount > 5 THEN
+        INSERT (id, amount) VALUES (s.id, s.amount)""")
+    assert(spark.sql("SELECT id, amount FROM lake.db.rmc ORDER BY id").collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).toPlainString).toSeq
+      == Seq(2 -> "99.25", 3 -> "30.25", 9 -> "7.75"))
+  }
+
+  test("engine mergeClauses on copy-on-write: multi-clause swap, no " +
+    "delete files, untouched matched rows survive") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val wh = Files.createTempDirectory("graft-cowmc-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.DoubleType)))
+    def rows(rs: (Int, Double)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rs.map { case (i, a) => org.apache.spark.sql.Row(i, a) }, 1), schema)
+    val t0 = cat.createTable("db", "cmc", schema) // CoW by default
+      .append(rows((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)))
+    val t1 = t0.mergeClauses(
+      rows((1, 1.0), (2, 99.0), (3, 0.0), (4, 30.0), (8, 8.0)),
+      expr("t.id = s.id"),
+      Seq(
+        MergeWhenMatched(Some(expr("s.amount < 5")), MergeMatched.Delete),
+        MergeWhenMatched(Some(expr("s.amount > 50")),
+          MergeMatched.Update(Map("amount" -> col("s.amount"))))),
+      Some(MergeWhenNotMatched(Some(expr("s.id > 5")), None)))
+    // 1,3 deleted (<5); 2 updated (>50); 4 MATCHED but fires no clause
+    // (30 is neither <5 nor >50) and must survive untouched;
+    // 8 inserted; and CoW must mint zero delete files
+    assert(t1.deleteFiles.isEmpty, "CoW merge minted delete files")
+    assert(t1.read().collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq == Seq((2, 99.0), (4, 40.0), (8, 8.0)))
+  }
+
   test("DSv2 catalog: native CoW DELETE rewrites groups, mints NO delete file") {
     val wh = Files.createTempDirectory("graft-cowd-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
