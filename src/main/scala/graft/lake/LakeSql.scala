@@ -730,11 +730,26 @@ class LakeSql(val catalog: LakeCatalog) {
     val starts = """(?is)WHEN\s+(NOT\s+)?MATCHED\b""".r
       .findAllMatchIn(clauses).toList
     var matchedClauses = Seq.empty[MergeWhenMatched]
+    var bySourceClauses = Seq.empty[MergeWhenMatched]
     var notMatched: Option[MergeWhenNotMatched] = None
     starts.zipWithIndex.foreach { case (mm, i) =>
       val end = if (i + 1 < starts.size) starts(i + 1).start else clauses.length
       val seg = clauses.substring(mm.start, end).trim
-      if (mm.group(1) == null) {
+      if (mm.group(1) != null &&
+        """(?is)^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\b""".r
+          .findFirstIn(seg).isDefined) {
+        // mirror-sync clause: target rows absent from the source
+        val bm = ("""(?is)^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*""" +
+          """(?:AND\s+(.*?))?\s*THEN\s+(?:UPDATE\s+SET\s+(.*)|(DELETE))\s*$""").r
+          .findFirstMatchIn(seg).getOrElse(fail(
+            "WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …|DELETE",
+            seg))
+        val c = Option(bm.group(1)).map(x => parsePredicate(x.trim, p))
+        val action =
+          if (bm.group(3) != null) MergeMatched.Delete
+          else MergeMatched.Update(assignments(bm.group(2)))
+        bySourceClauses :+= MergeWhenMatched(c, action)
+      } else if (mm.group(1) == null) {
         val cm = ("""(?is)^WHEN\s+MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+""" +
           """(?:UPDATE\s+SET\s+(.*)|(DELETE))\s*$""").r
           .findFirstMatchIn(seg).getOrElse(fail(
@@ -764,11 +779,12 @@ class LakeSql(val catalog: LakeCatalog) {
         notMatched = Some(MergeWhenNotMatched(c, values))
       }
     }
-    if (matchedClauses.isEmpty && notMatched.isEmpty)
+    if (matchedClauses.isEmpty && notMatched.isEmpty && bySourceClauses.isEmpty)
       fail("MERGE needs WHEN MATCHED and/or WHEN NOT MATCHED", s)
     val t2 = load(db, table).mergeClauses(
       load(sdb, stable).read(), expr(cond), matchedClauses, notMatched,
-      targetAlias = tAlias, sourceAlias = sAlias)
+      targetAlias = tAlias, sourceAlias = sAlias,
+      notMatchedBySource = bySourceClauses)
     val sum = t2.currentSnapshot.map(_.summary).getOrElse(Map.empty)
     status(s"Merged into $db.$table (matched=${sum.getOrElse("matched-records", "0")}, " +
       s"inserted=${sum.getOrElse("inserted-records", "0")})")

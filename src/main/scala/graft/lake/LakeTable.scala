@@ -1698,23 +1698,37 @@ class LakeTable(
       matchedClauses: Seq[MergeWhenMatched],
       notMatched: Option[MergeWhenNotMatched],
       targetAlias: String = "t",
-      sourceAlias: String = "s"): LakeTable = {
+      sourceAlias: String = "s",
+      /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`
+        * (r10, the mirror-sync clause): fires on TARGET rows with no
+        * source match — conditions/assignments see the target alias
+        * only. Same first-wins ordering as the matched clauses. */
+      notMatchedBySource: Seq[MergeWhenMatched] = Nil): LakeTable = {
     val seq = nextSeq
     val keepIds = meta.formatVersion >= 3 && meta.nextRowId >= 0
     val tgt = readWithCoords(withRowIds = keepIds).alias(targetAlias)
     val src = source.alias(sourceAlias)
     // clause dispatch: 1-based index of the FIRST clause whose condition
     // holds; 0 = matched but no clause fires (row untouched)
-    val clauseCol = matchedClauses.zipWithIndex
+    def dispatch(cls: Seq[MergeWhenMatched]): Column = cls.zipWithIndex
       .foldLeft(when(lit(false), 0)) { case (acc, (cl, i)) =>
         acc.when(cl.condition.getOrElse(lit(true)), i + 1)
       }.otherwise(0)
     val matched = tgt.join(src, on, "inner")
-      .withColumn(MergeClauseCol, clauseCol).cache()
+      .withColumn(MergeClauseCol, dispatch(matchedClauses)).cache()
+    // target rows with NO source pairing (each appears exactly once —
+    // anti-join — so no cardinality guard is needed on this side)
+    val unmatchedTgt =
+      if (notMatchedBySource.isEmpty) None
+      else Some(tgt.join(src, on, "left_anti")
+        .withColumn(MergeClauseCol, dispatch(notMatchedBySource)).cache())
     try {
       val acted = matched.filter(col(MergeClauseCol) > 0)
-      val actedCoords = acted
-        .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+      val actedU = unmatchedTgt.map(_.filter(col(MergeClauseCol) > 0))
+      def coordsOf(df: DataFrame) =
+        df.select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+      val actedCoords = actedU.map(u => coordsOf(acted).union(coordsOf(u)))
+        .getOrElse(coordsOf(acted))
       // cardinality guard only when a matched ACTION exists — standard
       // MERGE semantics forbid ambiguous update/delete, not insert-only
       // merges whose source happens to multi-match. The guard covers ALL
@@ -1731,18 +1745,24 @@ class LakeTable(
       }
 
       // WHEN MATCHED UPDATE output: clause-i rows with assignments applied
-      def updatedRows(i: Int, rawAs: Map[String, Column]): DataFrame = {
+      def updatedRows(rows: DataFrame, i: Int,
+          rawAs: Map[String, Column]): DataFrame = {
         val as = resolveAssignments(rawAs)
         val outCols = schema.fields.map { f =>
           as.get(f.name).map(_.cast(f.dataType).as(f.name))
             .getOrElse(col(s"$targetAlias.${f.name}").as(f.name))
         } ++ (if (keepIds) Seq(col(RowIdCol)) else Nil)
-        matched.filter(col(MergeClauseCol) === i + 1).select(outCols.toSeq: _*)
+        rows.filter(col(MergeClauseCol) === i + 1).select(outCols.toSeq: _*)
       }
-      val updateUnion: Option[DataFrame] = matchedClauses.zipWithIndex
-        .collect { case (MergeWhenMatched(_, MergeMatched.Update(as)), i) =>
-          updatedRows(i, as)
-        }.reduceOption(_ unionByName _)
+      def updateParts(rows: DataFrame, cls: Seq[MergeWhenMatched]) =
+        cls.zipWithIndex.collect {
+          case (MergeWhenMatched(_, MergeMatched.Update(as)), i) =>
+            updatedRows(rows, i, as)
+        }
+      val updateUnion: Option[DataFrame] =
+        (updateParts(matched, matchedClauses) ++
+          unmatchedTgt.toSeq.flatMap(u => updateParts(u, notMatchedBySource)))
+          .reduceOption(_ unionByName _)
       // implicit-id accounting (v2 / unminted v3): rewritten rows take
       // [start, start+nRw), inserts continue from there — disjoint ranges
       // keep a later v3 upgrade's computedNextRowId collision-free
@@ -1772,7 +1792,7 @@ class LakeTable(
       if (isMorUpdate) {
         // MoR: acted coords → one position-delete file; updates append
         val delOpt =
-          if (matchedClauses.isEmpty) None
+          if (matchedClauses.isEmpty && notMatchedBySource.isEmpty) None
           else writeDeleteFiles(actedCoords, seq)
         val rewritten: Seq[DataFileMeta] = updateUnion match {
           case Some(u) if delOpt.isDefined =>
@@ -1798,12 +1818,13 @@ class LakeTable(
         // (an unconditional rewrite here silently deleted every matched
         // row on insert-only merges — review r6)
         val affectedPaths =
-          if (matchedClauses.isEmpty) Set.empty[String]
+          if (matchedClauses.isEmpty && notMatchedBySource.isEmpty)
+            Set.empty[String]
           else actedCoords.select("file_path").distinct()
             .collect().map(_.getString(0)).toSet
         val (affectedMeta, keep) = dataFiles.partition(f =>
           affectedPaths.contains(f.path))
-        val nMatched = acted.count()
+        val nMatched = acted.count() + actedU.map(_.count()).getOrElse(0L)
         val rewritten: Seq[DataFileMeta] =
           if (affectedMeta.isEmpty) Nil
           else {
@@ -1832,7 +1853,10 @@ class LakeTable(
               "rewritten-files" -> affectedMeta.size.toString)),
           m => if (m.nextRowId >= 0) m.copy(nextRowId = start + nIns) else m)
       }
-    } finally matched.unpersist()
+    } finally {
+      matched.unpersist()
+      unmatchedTgt.foreach(_.unpersist())
+    }
   }
 
   /** Equality deletes (J2, v2 spec completeness): rows matching any tuple

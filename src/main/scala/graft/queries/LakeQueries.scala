@@ -469,6 +469,66 @@ object LakeQueries {
             SELECT * FROM demo_q92 ORDER BY id"""),
     (s, _) => q92Sql(s).run("SELECT * FROM demo.mm ORDER BY id"))
 
+  // Q93: the mirror-sync MERGE (r10): UPDATE matched + INSERT * unmatched
+  // + WHEN NOT MATCHED BY SOURCE THEN DELETE — after the statement the
+  // target's id set equals the source's, the one-statement table sync
+  // every replication pipeline needs. DuckDB replay: UPDATE from the
+  // source VALUES, INSERT the ids outside the original target set,
+  // DELETE ids absent from the source.
+  private val msFixture = new SessionMemo[graft.lake.LakeSql]
+
+  private val Q93SrcRows = Seq(
+    (2, "Product B2", "electronics", "77.25"),
+    (3, "Product C2", "books", "88.75"),
+    (11, "Product K", "toys", "59.99"),
+    (12, "Product L", "books", "42.42"))
+  private val Q93SrcSql = Q93SrcRows.map { case (id, n, c, a) =>
+    s"($id, '$n', '$c', $a, TIMESTAMP '2026-01-01 00:00:00')"
+  }.mkString(", ")
+  private val Q93SrcValues = Q93SrcRows.map { case (id, n, c, a) =>
+    s"($id, '$n', '$c', CAST($a AS DECIMAL(10,2)), TIMESTAMP '2026-01-01 00:00:00')"
+  }.mkString(", ")
+
+  private def q93Sql(s: org.apache.spark.sql.SparkSession): graft.lake.LakeSql =
+    msFixture(s) { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-ms-wh")
+      var now = DemoFixture.FixedTs.getTime
+      val sql = new graft.lake.LakeSql(
+        new graft.lake.LakeCatalog(spark, wh, () => { now += 1000L; now }))
+      val cols = "id INT, name STRING, category STRING, " +
+        "amount DECIMAL(10,2), created_at TIMESTAMP"
+      Seq(
+        s"CREATE TABLE demo.ms ($cols) TBLPROPERTIES (" +
+          "'write.delete.mode'='merge-on-read'," +
+          "'write.update.mode'='merge-on-read')",
+        s"INSERT INTO demo.ms VALUES $ValuesSql",
+        s"CREATE TABLE demo.mssrc ($cols)",
+        s"INSERT INTO demo.mssrc VALUES $Q93SrcSql",
+        """MERGE INTO demo.ms t USING demo.mssrc s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET amount = s.amount
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE"""
+      ).foreach(sql.run(_))
+      sql
+    }
+
+  val q93 = QueryDef(
+    "q93_merge_sync",
+    Some("""CREATE OR REPLACE TABLE demo_q93 (id INTEGER, name VARCHAR,
+              category VARCHAR, amount DECIMAL(10,2), created_at TIMESTAMP);
+            INSERT INTO demo_q93 VALUES """ + ValuesSql + """;
+            UPDATE demo_q93 SET amount = v.amount
+              FROM (VALUES """ + Q93SrcValues + """)
+                v(id, name, category, amount, created_at)
+              WHERE demo_q93.id = v.id;
+            INSERT INTO demo_q93
+              SELECT * FROM (VALUES """ + Q93SrcValues + """)
+                v(id, name, category, amount, created_at)
+              WHERE v.id NOT IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10);
+            DELETE FROM demo_q93 WHERE id NOT IN (2, 3, 11, 12);
+            SELECT * FROM demo_q93 ORDER BY id"""),
+    (s, _) => q93Sql(s).run("SELECT * FROM demo.ms ORDER BY id"))
+
   // Q61: incremental append scan (M34) — the changelog a downstream
   // training pipeline tails. Two append commits; the incremental range
   // (snapshot 1, snapshot 2] must yield EXACTLY the second batch's rows
@@ -737,5 +797,5 @@ object LakeQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q45, q48, q49, q50, q51, q52,
-      q53, q54, q58, q59, q60, q61, q62, q63, q66, q82, q83, q92)
+      q53, q54, q58, q59, q60, q61, q62, q63, q66, q82, q83, q92, q93)
 }
