@@ -4,7 +4,9 @@ import org.apache.spark.sql.{sources => v1}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Expression, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.{expressions => cexp}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, Filter, LogicalPlan, Project, ReplaceData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, Filter, LocalRelation, LogicalPlan, Project, ReplaceData}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
@@ -55,6 +57,33 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
   /** Grant gate identical to the bridged ScanBuilder's ([[Grants]]). */
   private def requireSelect(t: LakeV2Table): Unit =
     Grants.require(session, t.lakeTable, "SELECT")
+
+  /** COUNT(*)/COUNT(1), non-distinct, unfiltered. */
+  private def isCountStar(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case Count(Seq(Literal(1, _))) => true
+      case _ => false
+    })
+
+  /** The relation under a bare count: direct, or behind an
+    * attribute-only / empty Project (column pruning's residue), neither
+    * of which changes the row count. */
+  private object CountLeaf {
+    def unapply(pl: LogicalPlan): Option[DataSourceV2Relation] = pl match {
+      case rel: DataSourceV2Relation => Some(rel)
+      case Project(ps, rel: DataSourceV2Relation)
+          if ps.forall(_.isInstanceOf[Attribute]) => Some(rel)
+      case _ => None
+    }
+  }
+
+  /** Exact metadata row count, or None when only a scan can know it. */
+  private def metadataCount(t: LakeV2Table): Option[Long] = {
+    val lake = t.lakeTable
+    if (lake.deleteFiles.exists(_.kind == "equality")) return None
+    Some(math.max(0L, lake.dataFiles.map(_.rowCount).sum -
+      lake.deleteFiles.map(_.rowCount).sum))
+  }
 
   /** Catalyst conjunct → v1 source filter, for the comparison shapes
     * [[StatsPruning.filePredicate]] understands (attr-vs-literal; values
@@ -217,6 +246,25 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
       })
     case _ if plan.isInstanceOf[Command] => plan
     case _ => plan.transformDownWithSubqueries {
+      // Metadata-only COUNT(*) (r10): a bare unfiltered count over a
+      // lake table answers from file metadata — manifests carry exact
+      // per-file row counts and position/DV delete files carry exact
+      // distinct deleted-position counts (the M37 writer contract), so
+      // `SELECT COUNT(*) FROM t` on a 100 TB table is a driver-side sum,
+      // zero tasks. Equality deletes bail (their match count is unknown
+      // until the anti-join runs); any Filter/pinned/metadata-column
+      // shape never matches this pattern and scans as before.
+      // Exactness gate: ExtensionsSpec counts a MoR table with position
+      // deletes through this path and differentials it against the
+      // scanning shapes.
+      case agg @ Aggregate(Seq(), Seq(al @ Alias(ae: AggregateExpression, _)),
+          CountLeaf(rel), _) if isCountStar(ae) && eligible(rel).isDefined =>
+        metadataCount(eligible(rel).get) match {
+          case Some(n) =>
+            requireSelect(eligible(rel).get)
+            LocalRelation(Seq(al.toAttribute), Seq(InternalRow(n)))
+          case None => agg // equality deletes: children splice + scan
+        }
       // Filter-adjacent shapes first (top-down): the conjuncts feed the
       // metadata prune; the Filter node itself is kept for exactness
       case Filter(cond, rel: DataSourceV2Relation) if eligible(rel).isDefined =>

@@ -174,7 +174,9 @@ class ExtensionsSpec extends SparkSpec {
     val inList = spark.sql(
       "SELECT id FROM lake.db.p WHERE category IN ('a', 'b') ORDER BY id").collect()
     assert(inList.map(_.getInt(0)).toSeq == Seq(1, 2))
-    assertThrows[Exception](spark.sql("SELECT COUNT(*) FROM lake.db.p").head())
+    // COUNT(*) is metadata-only since r10 (it would SUCCEED here); the
+    // unpruned-scan probe must actually read rows
+    assertThrows[Exception](spark.sql("SELECT SUM(id) FROM lake.db.p").head())
   }
 
   test("native SQL path skips files by min/max stats at the metadata level") {
@@ -192,7 +194,9 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
     assert(spark.sql("SELECT id FROM lake.db.s WHERE id <= 2 AND id >= 1 ORDER BY id")
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
-    assertThrows[Exception](spark.sql("SELECT COUNT(*) FROM lake.db.s").head())
+    // COUNT(*) is metadata-only since r10 (it would SUCCEED here); the
+    // unpruned-scan probe must actually read rows
+    assertThrows[Exception](spark.sql("SELECT SUM(id) FROM lake.db.s").head())
   }
 
   test("DSv2 catalog: native DELETE FROM lands a MoR position-delete commit") {
@@ -278,6 +282,41 @@ class ExtensionsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(ids.values.toSet.size == 3, s"duplicate _row_id in $ids")
     assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
+  }
+
+  test("COUNT(*) answers from metadata: zero-scan plan, exact under " +
+    "position deletes, fallback under equality deletes") {
+    val wh = Files.createTempDirectory("graft-cnt-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.cnt (id INT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.cnt VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    sql.run("DELETE FROM db.cnt WHERE id IN (2, 4)") // MoR position deletes
+    val q = spark.sql("SELECT COUNT(*) AS n FROM lake.db.cnt")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"count must be metadata-only:\n${plan.take(600)}")
+    assert(!plan.contains("parquet"), "count plan must not scan files")
+    assert(q.head().getLong(0) == 2L)
+    // a filter disqualifies the shortcut: the filtered count scans
+    val qf = spark.sql("SELECT COUNT(*) AS n FROM lake.db.cnt WHERE id > 1")
+    assert(!qf.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(qf.head().getLong(0) == 1L)
+    // equality deletes make the metadata count unknowable → scan, exact
+    val t = sql.catalog.loadTable("db", "cnt").get
+    t.upsertByKey(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(3, "c2"),
+        org.apache.spark.sql.Row(9, "z")), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))), Seq("id"))
+    val qe = spark.sql("SELECT COUNT(*) AS n FROM lake.db.cnt")
+    assert(qe.queryExecution.executedPlan.toString.contains("FileScan parquet"),
+      "equality deletes must force a real scan")
+    assert(qe.head().getLong(0) == 3L) // 1, 3(updated), 9
   }
 
   test("native MERGE honors multiple conditional clauses (Spark's own " +
