@@ -77,12 +77,49 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Exact metadata row count, or None when only a scan can know it. */
-  private def metadataCount(t: LakeV2Table): Option[Long] = {
+  /** MIN/MAX over a plain column reference, non-distinct, unfiltered.
+    * @return (column name, isMin) */
+  private def minMaxTarget(ae: AggregateExpression): Option[(String, Boolean)] =
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case org.apache.spark.sql.catalyst.expressions.aggregate
+          .Min(a: Attribute) => Some((a.name, true))
+      case org.apache.spark.sql.catalyst.expressions.aggregate
+          .Max(a: Attribute) => Some((a.name, false))
+      case _ => None
+    }
+
+  /** One metadata-exact value per aggregate expression, or None when any
+    * of them needs a scan. */
+  private def metadataAggValues(t: LakeV2Table,
+      exprs: Seq[NamedExpression]): Option[Seq[Any]] = {
     val lake = t.lakeTable
-    if (lake.deleteFiles.exists(_.kind == "equality")) return None
-    Some(math.max(0L, lake.dataFiles.map(_.rowCount).sum -
-      lake.deleteFiles.map(_.rowCount).sum))
+    val schema = lake.schema
+    import org.apache.spark.sql.types._
+    def boundedType(dt: DataType): Boolean = dt match {
+      // exact, NaN-free, non-truncated footer bounds only
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => true
+      case _ => false
+    }
+    val values = exprs.map {
+      case Alias(ae: AggregateExpression, _) if isCountStar(ae) =>
+        if (lake.deleteFiles.exists(_.kind == "equality")) return None
+        math.max(0L, lake.dataFiles.map(_.rowCount).sum -
+          lake.deleteFiles.map(_.rowCount).sum)
+      case Alias(ae: AggregateExpression, _)
+          if minMaxTarget(ae).isDefined =>
+        val (name, isMin) = minMaxTarget(ae).get
+        if (lake.deleteFiles.nonEmpty) return None
+        val f = schema.fields.find(_.name == name).getOrElse(return None)
+        if (!boundedType(f.dataType)) return None
+        val (lo, hi) = StatsPruning
+          .globalBounds(f.dataType, lake.dataFiles, name).getOrElse(return None)
+        StatsPruning.plannerValue(f.dataType, if (isMin) lo else hi)
+          .getOrElse(return None)
+      case _ => return None
+    }
+    Some(values)
   }
 
   /** Catalyst conjunct → v1 source filter, for the comparison shapes
@@ -246,24 +283,28 @@ case class NativeReadRule(session: SparkSession) extends Rule[LogicalPlan]
       })
     case _ if plan.isInstanceOf[Command] => plan
     case _ => plan.transformDownWithSubqueries {
-      // Metadata-only COUNT(*) (r10): a bare unfiltered count over a
-      // lake table answers from file metadata — manifests carry exact
-      // per-file row counts and position/DV delete files carry exact
-      // distinct deleted-position counts (the M37 writer contract), so
-      // `SELECT COUNT(*) FROM t` on a 100 TB table is a driver-side sum,
-      // zero tasks. Equality deletes bail (their match count is unknown
-      // until the anti-join runs); any Filter/pinned/metadata-column
-      // shape never matches this pattern and scans as before.
-      // Exactness gate: ExtensionsSpec counts a MoR table with position
-      // deletes through this path and differentials it against the
-      // scanning shapes.
-      case agg @ Aggregate(Seq(), Seq(al @ Alias(ae: AggregateExpression, _)),
-          CountLeaf(rel), _) if isCountStar(ae) && eligible(rel).isDefined =>
-        metadataCount(eligible(rel).get) match {
-          case Some(n) =>
+      // Metadata-only aggregates (r10): a bare unfiltered
+      // COUNT(*)/MIN/MAX combination over a lake table answers from file
+      // metadata — manifests carry exact per-file row counts (position/
+      // DV delete files carry exact distinct-position counts, the M37
+      // writer contract) and parquet footers carry exact per-file column
+      // bounds — as a driver-side LocalRelation, zero tasks at any table
+      // size. Bails to the scan whenever metadata can't be exact:
+      // equality deletes for counts; ANY delete for min/max (a deleted
+      // row may hold the extremum); unbounded/missing footer stats
+      // (all-null files, pre-default columns); float/double (NaN footer
+      // semantics) and string (possible footer truncation) columns.
+      // Filter/pinned/metadata-column shapes never match and scan.
+      // Exactness gate: ExtensionsSpec differentials this path against
+      // the scanning shapes on MoR tables.
+      case agg @ Aggregate(Seq(), exprs, CountLeaf(rel), _)
+          if exprs.nonEmpty && eligible(rel).isDefined =>
+        metadataAggValues(eligible(rel).get, exprs) match {
+          case Some(values) =>
             requireSelect(eligible(rel).get)
-            LocalRelation(Seq(al.toAttribute), Seq(InternalRow(n)))
-          case None => agg // equality deletes: children splice + scan
+            LocalRelation(exprs.map(_.toAttribute),
+              Seq(InternalRow(values: _*)))
+          case None => agg // ineligible: children splice + scan
         }
       // Filter-adjacent shapes first (top-down): the conjuncts feed the
       // metadata prune; the Filter node itself is kept for exactness

@@ -319,6 +319,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(qe.head().getLong(0) == 3L) // 1, 3(updated), 9
   }
 
+  test("MIN/MAX answer from footer bounds on delete-free tables and " +
+    "fall back the moment any delete lands") {
+    val wh = Files.createTempDirectory("graft-mm2-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.mx (id INT, v STRING, ts TIMESTAMP)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.mx VALUES " +
+      "(5, 'a', TIMESTAMP '2026-01-01 00:00:00'), " +
+      "(2, 'b', TIMESTAMP '2026-03-01 00:00:00')")
+    sql.run("INSERT INTO db.mx VALUES " +
+      "(9, 'c', TIMESTAMP '2026-02-01 00:00:00')")
+    val q = spark.sql(
+      "SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(id) AS hi, MAX(ts) AS mts " +
+        "FROM lake.db.mx")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("parquet"),
+      s"delete-free min/max must be metadata-only:\n${plan.take(500)}")
+    val r = q.head()
+    assert(r.getLong(0) == 3L && r.getInt(1) == 2 && r.getInt(2) == 9)
+    assert(r.getTimestamp(3).toInstant.toString == "2026-03-01T00:00:00Z")
+    // a STRING max can be footer-truncated: never metadata-served
+    assert(spark.sql("SELECT MAX(v) AS m FROM lake.db.mx")
+      .queryExecution.executedPlan.toString.contains("parquet"))
+    // one position delete and the extremum may be gone: min/max scan
+    // again (and stay correct), while COUNT alone stays metadata-exact
+    sql.run("DELETE FROM db.mx WHERE id = 9")
+    val q2 = spark.sql("SELECT MIN(id) AS lo, MAX(id) AS hi FROM lake.db.mx")
+    assert(q2.queryExecution.executedPlan.toString.contains("parquet"),
+      "post-delete min/max must rescan")
+    val r2 = q2.head()
+    assert(r2.getInt(0) == 2 && r2.getInt(1) == 5)
+    val q3 = spark.sql("SELECT COUNT(*) AS n FROM lake.db.mx")
+    assert(q3.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q3.head().getLong(0) == 2L)
+  }
+
   test("native MERGE honors multiple conditional clauses (Spark's own " +
     "MergeRows planning over the delta write)") {
     val wh = Files.createTempDirectory("graft-rlmc-wh")
