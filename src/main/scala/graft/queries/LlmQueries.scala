@@ -2356,7 +2356,57 @@ object LlmQueries {
         .orderBy(col("sim").desc, col("vec_id")).limit(5)
     })
 
+  // ---------------------------------- q94 n-gram vocabulary coverage
+  /** Vocabulary-coverage / novelty profiling (X16): the fraction of each
+    * language's word-3-gram OCCURRENCES not covered by the corpus
+    * top-1000 n-gram vocabulary — the coverage check run before
+    * committing to a tokenizer/vocab budget, and the memorization-risk
+    * novelty profile per slice. Occurrence-level (not per-doc distinct):
+    * a gram repeated a million times weighs a million. Determinism: the
+    * vocabulary cut breaks frequency ties lexicographically in both
+    * engines; the ppm output is an integer-valued double rounded the
+    * same way on both sides. 100 TB posture: one map-side-combined
+    * heavy-hitter aggregate → TakeOrdered(1000) → the 1000-entry vocab
+    * BROADCASTS to the flagging join — two corpus passes, no payload
+    * shuffle, vocab-bounded driver state. */
+  val q94 = QueryDef(
+    "q94_ngram_coverage",
+    Some("""WITH t AS (SELECT lang, string_split(lower(text), ' ') AS tk
+                       FROM documents),
+                 s AS (SELECT lang, unnest(list_transform(range(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+                       FROM t WHERE len(tk) >= 3),
+                 vocab AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM s
+                           GROUP BY g ORDER BY c DESC, g LIMIT 1000)),
+                 flag AS (SELECT s.lang,
+                            CASE WHEN v.g IS NULL THEN 1 ELSE 0 END AS oov
+                          FROM s LEFT JOIN vocab v USING (g))
+            SELECT lang, CAST(SUM(oov) AS BIGINT) AS oov_ngrams,
+                   CAST(COUNT(*) AS BIGINT) AS ngrams,
+                   CAST(ROUND(SUM(oov) * 1000000.0 / COUNT(*)) AS BIGINT)
+                     AS oov_ppm
+            FROM flag GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("lang"), TextOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', " +
+            "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
+          .as("g"))
+      val vocab = grams.groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(1000)
+        .select(col("g"), lit(1).as("in_v"))
+      grams.join(broadcast(vocab), Seq("g"), "left")
+        .groupBy("lang")
+        .agg(sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_ngrams"),
+          count(lit(1)).as("ngrams"))
+        .withColumn("oov_ppm",
+          round(col("oov_ngrams") * 1000000.0 / col("ngrams")).cast("long"))
+        .orderBy("lang")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94)
 }
