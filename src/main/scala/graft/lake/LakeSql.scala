@@ -602,13 +602,19 @@ class LakeSql(val catalog: LakeCatalog) {
     }
   }
 
+  /** INSERT INTO t [(col, …)] VALUES …|SELECT … — a column list (r10)
+    * binds the source positionally to the NAMED columns; unlisted
+    * columns land their v3 write-default (M46) when declared, else NULL
+    * — standard SQL column-list insert semantics. Without the list the
+    * source must match the full table arity, as before. */
   private def insert(s: String, p: Option[String]): DataFrame = {
-    val m = """(?is)^INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s+.*|SELECT\s+.*|WITH\s+.*)$""".r
+    val m = ("""(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?""" +
+      """(VALUES\s+.*|SELECT\s+.*|WITH\s+.*)$""").r
       .findFirstMatchIn(s).getOrElse(fail("INSERT INTO … VALUES/SELECT", s))
     val (db, table) = splitName(m.group(1))
     requirePerm(p, db, table, "INSERT")
     val t = load(db, table)
-    val body = m.group(2)
+    val body = m.group(3)
     // Catalyst parses the literal rows (timestamps, decimals, …); an
     // INSERT … SELECT source runs through the SELECT dispatcher so it may
     // read other lake tables
@@ -616,12 +622,37 @@ class LakeSql(val catalog: LakeCatalog) {
       if (body.toUpperCase.startsWith("VALUES"))
         spark.sql(s"SELECT * FROM $body")
       else select(body, p)
-    if (raw.schema.size != t.schema.size)
-      throw new SqlParseException(
-        s"INSERT arity ${raw.schema.size} != table arity ${t.schema.size}")
-    val aligned = raw.select(raw.columns.zip(t.schema.fields).map {
-      case (c, f) => col(c).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+    val listed = Option(m.group(2)).map(
+      topLevelSplit(_, ',').map(_.trim).filter(_.nonEmpty))
+    val aligned = listed match {
+      case None =>
+        if (raw.schema.size != t.schema.size)
+          throw new SqlParseException(
+            s"INSERT arity ${raw.schema.size} != table arity ${t.schema.size}")
+        raw.select(raw.columns.zip(t.schema.fields).map {
+          case (c, f) => col(c).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      case Some(cols) =>
+        val byLower = t.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+        val targets = cols.map(c => byLower.getOrElse(c.toLowerCase,
+          throw new SqlParseException(s"INSERT column '$c' not in " +
+            s"${t.name} (columns: ${t.schema.fieldNames.mkString(", ")})")))
+        if (targets.map(_.name).distinct.size != targets.size)
+          throw new SqlParseException("INSERT column list repeats a column")
+        if (raw.schema.size != targets.size)
+          throw new SqlParseException(
+            s"INSERT arity ${raw.schema.size} != column list ${targets.size}")
+        val bySrc = targets.map(_.name)
+          .zip(raw.columns).toMap
+        val writeDefaults = t.meta.columnDefaults
+          .flatMap(d => d.write.map(d.colName -> _)).toMap
+        raw.select(t.schema.fields.map { f =>
+          bySrc.get(f.name).map(c => col(c).cast(f.dataType).as(f.name))
+            .getOrElse(writeDefaults.get(f.name)
+              .map(v => lit(v).cast(f.dataType).as(f.name))
+              .getOrElse(lit(null).cast(f.dataType).as(f.name)))
+        }.toSeq: _*)
+    }
     val t2 = t.append(aligned)
     status(s"Inserted ${added(t2)} row(s) into $db.$table")
   }

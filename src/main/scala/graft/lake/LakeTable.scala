@@ -1782,7 +1782,7 @@ class LakeTable(
               base.select(schema.fields.map { f =>
                 vs.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(
                   writeDefaults.get(f.name)
-                    .map(v => expr(v).cast(f.dataType).as(f.name))
+                    .map(v => lit(v).cast(f.dataType).as(f.name))
                     .getOrElse(lit(null).cast(f.dataType).as(f.name)))
               }.toSeq: _*)
           }

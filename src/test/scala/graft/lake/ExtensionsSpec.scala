@@ -284,6 +284,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
   }
 
+  test("column-list INSERT binds by name and fills write-defaults") {
+    val wh = Files.createTempDirectory("graft-cli-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.cl (id INT, name STRING, score DOUBLE)")
+    sql.run("ALTER TABLE db.cl ADD COLUMN tag STRING DEFAULT 'untagged'")
+    // listed columns bind positionally BY NAME (reordered here); score is
+    // unlisted → NULL; tag is unlisted → its write-default
+    sql.run("INSERT INTO db.cl (name, id) VALUES ('a', 1), ('b', 2)")
+    val got = sql.run("SELECT * FROM db.cl ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", None, "untagged"), (2, "b", None, "untagged")))
+    // arity and unknown-column errors stay loud
+    intercept[SqlParseException](
+      sql.run("INSERT INTO db.cl (id) VALUES (1, 'x')"))
+    intercept[SqlParseException](
+      sql.run("INSERT INTO db.cl (nope) VALUES (1)"))
+    intercept[SqlParseException](
+      sql.run("INSERT INTO db.cl (id, id) VALUES (1, 2)"))
+    // full-arity inserts unchanged
+    sql.run("INSERT INTO db.cl VALUES (3, 'c', 1.5, 't3')")
+    assert(sql.run("SELECT COUNT(*) AS n FROM db.cl").head().getLong(0) == 3)
+  }
+
   test("COUNT(*) answers from metadata: zero-scan plan, exact under " +
     "position deletes, fallback under equality deletes") {
     val wh = Files.createTempDirectory("graft-cnt-wh")
