@@ -42,7 +42,10 @@ import graft.streaming.StreamIngest
   * land micro-batches on a branch), `maxSnapshotsPerTrigger` (advance at
   * most N commits per micro-batch — Iceberg's streaming rate limit; a
   * consumer resuming behind a long commit history catches up in
-  * commit-sized batches instead of one table-sized batch).
+  * commit-sized batches instead of one table-sized batch),
+  * `changelog` (true = CDC mode: micro-batches are row-level change
+  * feeds with `_change_type`/`_change_ordinal`/`_commit_snapshot_id`
+  * columns — the streaming twin of `create_changelog_view`).
   *
   * Rate-limit cursor: the last offset returned is latched IN MEMORY by
   * getOffset (so the running query's next poll advances, not re-offers)
@@ -74,7 +77,15 @@ final class LakeStreamSource(
     skipNonAppends: Boolean,
     branch: Option[String],
     maxSnapshotsPerTrigger: Option[Int] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None,
+    /** CDC mode (r10, option `changelog=true`): micro-batches are
+      * row-level CHANGE feeds ([[LakeTable.readChangelog]] per offset
+      * range — `_change_type` INSERT/DELETE rows for appends, MoR
+      * deletes and updates; compactions emit nothing) instead of
+      * append-only row feeds — the streaming twin of
+      * `create_changelog_view`, the Delta-CDF/Iceberg-changelog shape a
+      * downstream incremental materializer consumes. */
+    changelog: Boolean = false) extends Source {
 
   // ---- rate-limit cursor (only consulted when the cap is set) ----
   private val cursorFile: Option[java.nio.file.Path] = metadataPath
@@ -136,7 +147,15 @@ final class LakeStreamSource(
     t
   }
 
-  override val schema: StructType = loadTable().schema
+  override val schema: StructType =
+    if (!changelog) loadTable().schema
+    else StructType(loadTable().schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        LakeTable.ChangeTypeCol, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        LakeTable.ChangeOrdinalCol, org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(
+        LakeTable.ChangeSnapshotCol, org.apache.spark.sql.types.LongType)))
 
   /** Latest available offset = the tailed ref's head snapshot id (main's
     * current, or the branch head with option `branch`). The reload is a
@@ -183,6 +202,21 @@ final class LakeStreamSource(
         session.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
         schema, isStreaming = true)
     val lt = loadTable()
+    if (changelog) {
+      // CDC batches: schema evolution mid-stream is not alias-repairable
+      // here (the change feed adds computed columns); demand a restart
+      val cdf = lt.readChangelog(from, endId)
+      if (cdf.schema != schema) throw new IllegalStateException(
+        s"graft-lake stream source: $db.$table changed schema mid-stream " +
+          s"(changelog stream started with ${schema.simpleString}) — " +
+          "restart the query to adopt it")
+      // the diff plan carries the MoR anti-joins; re-tagging its scan
+      // leaves streaming would make Spark plan them as stream-stream
+      // joins (rejected for LeftAnti). CDC batches are change-scale, so
+      // wrapping the executed RDD is the correct shape here.
+      return session.internalCreateDataFrame(
+        cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
+    }
     val df0 = lt.readIncremental(from, endId, skipNonAppends)
     // M48 interplay: the STREAM's schema is fixed at query start, but a
     // mid-stream RENAME makes the table (and this batch) surface new
@@ -318,7 +352,15 @@ final class LakeStreamSourceProvider
         s"graft-lake stream source: table $db.$t does not exist under " +
           s"${cat.warehouse}"))
     lake.requireGrant("SELECT") // schema disclosure is already a read
-    val declared = lake.schema
+    val declared =
+      if (!parameters.get("changelog").exists(_.toBoolean)) lake.schema
+      else StructType(lake.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(
+          LakeTable.ChangeTypeCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          LakeTable.ChangeOrdinalCol, org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(
+          LakeTable.ChangeSnapshotCol, org.apache.spark.sql.types.LongType)))
     // a user-supplied schema must not silently diverge from the table's
     schema.filter(_ != declared).foreach { s =>
       throw new IllegalArgumentException(
@@ -347,7 +389,8 @@ final class LakeStreamSourceProvider
       parameters.get("skipNonAppends").exists(_.toBoolean),
       parameters.get("branch"),
       cap,
-      Some(metadataPath))
+      Some(metadataPath),
+      changelog = parameters.get("changelog").exists(_.toBoolean))
   }
 
   override def createSink(

@@ -607,6 +607,50 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("changelog=true streams a row-level CDC feed: inserts, MoR " +
+    "deletes and updates arrive as _change_type rows") {
+    val wh = Files.createTempDirectory("graft-cdc-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("db")
+    val s = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    def batch(rows: (Int, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), s)
+    var t = cat.createTable("db", "cdc", s, props = Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read"))
+      .append(batch((1, "a"), (2, "b"), (3, "c")))
+    val q = spark.readStream.format("graft-lake")
+      .option("warehouse", wh.toString).option("table", "db.cdc")
+      .option("changelog", "true")
+      .load()
+      .writeStream.format("memory").queryName("cdc_sink").start()
+    try {
+      q.processAllAvailable()
+      def rows() = spark.table("cdc_sink").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows().sorted == Seq((1, "a", "INSERT"), (2, "b", "INSERT"),
+        (3, "c", "INSERT")), rows().toString)
+      // a MoR DELETE streams as a DELETE change row
+      t = cat.loadTable("db", "cdc").get.delete(col("id") === 2)
+      q.processAllAvailable()
+      assert(rows().count(_ == ((2, "b", "DELETE"))) == 1, rows().toString)
+      // a MoR UPDATE streams as DELETE(old) + INSERT(new)
+      t = cat.loadTable("db", "cdc").get
+        .update(Map("v" -> lit("a2")), col("id") === 1)
+      q.processAllAvailable()
+      val all = rows()
+      assert(all.count(_ == ((1, "a", "DELETE"))) == 1, all.toString)
+      assert(all.count(_ == ((1, "a2", "INSERT"))) == 1, all.toString)
+      // compaction emits NO change rows
+      val n = all.size
+      graft.lake.Procedures.rewriteDataFiles(
+        cat.loadTable("db", "cdc").get, Map("rewrite-all" -> "true"))
+      q.processAllAvailable()
+      assert(rows().size == n, "compaction must stream zero changes")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: two lake-table tails join with " +
     "watermarks and a time-range condition across micro-batches") {
     val wh = Files.createTempDirectory("graft-ssj-wh")
