@@ -702,7 +702,58 @@ object RelQueries {
       .agg(round(sum(col("value").cast("decimal(18,6)")), 2).cast("double"))
       .orderBy("bucket"))
 
+  // --------------------------------------------- q95 funnel analysis
+  /** Ordered conversion funnel (the product-analytics staple):
+    * view → click within 24h → purchase within 24h of the click, each
+    * stage anchored at the user's EARLIEST qualifying event (first
+    * view, first in-window click after it, first in-window purchase
+    * after that). Time bounds compare timestamps against
+    * `anchor + INTERVAL 24 HOURS` — microsecond-exact in both engines,
+    * no epoch-seconds truncation to disagree on. Plan: each stage is a
+    * per-user aggregate whose (user, anchor) output is USER-bounded —
+    * it broadcasts to the next stage's filter, so the funnel is three
+    * filtered scans + three map-side-combined aggregates, never a
+    * self-join of the event log; at 100 TB the stage tables are the
+    * small side by construction (≤ one row per user). */
+  val q95 = QueryDef(
+    "q95_funnel",
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+                 c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                       JOIN v ON e.user_id = v.user_id
+                       WHERE e.event_type = 'click' AND e.ts > v.t1
+                         AND e.ts <= v.t1 + INTERVAL 24 HOURS
+                       GROUP BY e.user_id),
+                 p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                       JOIN c ON e.user_id = c.user_id
+                       WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                         AND e.ts <= c.t2 + INTERVAL 24 HOURS
+                       GROUP BY e.user_id)
+            SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS stage_view,
+                   CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS stage_click,
+                   CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS stage_purchase"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      def stage(tpe: String, prev: Option[DataFrame], anchor: String,
+          out: String): DataFrame = {
+        val base = ev.filter(col("event_type") === tpe)
+        val bounded = prev match {
+          case None => base
+          case Some(pr) => base.join(broadcast(pr), "user_id")
+            .filter(col("ts") > col(anchor) &&
+              col("ts") <= col(anchor) + expr("INTERVAL 24 HOURS"))
+        }
+        bounded.groupBy("user_id").agg(min("ts").as(out))
+      }
+      val v = stage("view", None, "", "t1")
+      val c = stage("click", Some(v), "t1", "t2")
+      val p = stage("purchase", Some(c), "t2", "t3")
+      v.agg(count(lit(1)).as("stage_view"))
+        .crossJoin(c.agg(count(lit(1)).as("stage_click")))
+        .crossJoin(p.agg(count(lit(1)).as("stage_purchase")))
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q80, q81, q85, q86, q88, q90, q91)
+    q32, q80, q81, q85, q86, q88, q90, q91, q95)
 }
