@@ -109,17 +109,44 @@ class DmlModelSpec extends SparkSpec {
             }.distinct
             val srcRows = srcIds.map(id =>
               (id, cats(rnd.nextInt(3)), (rnd.nextInt(1000) + 1).toDouble))
-            table = table.merge(toDf(srcRows), col("t.id") === col("s.id"),
-              Some(MergeMatched.Update(Map(
-                "category" -> col("s.category"), "amount" -> col("s.amount")))),
-              insertNotMatched = true)
-            // model: every row with a matched id takes the source values
-            // (ids may be duplicated in the table — all copies update);
-            // unmatched source rows insert
-            val byId = srcRows.map(r => r._1 -> r).toMap
-            val matchedIds = model.map(_._1).toSet
-            model = model.map(r => byId.getOrElse(r._1, r)) ++
-              srcRows.filterNot(r => matchedIds.contains(r._1))
+            if (rnd.nextBoolean()) {
+              table = table.merge(toDf(srcRows), col("t.id") === col("s.id"),
+                Some(MergeMatched.Update(Map(
+                  "category" -> col("s.category"), "amount" -> col("s.amount")))),
+                insertNotMatched = true)
+              // model: every row with a matched id takes the source values
+              // (ids may be duplicated in the table — all copies update);
+              // unmatched source rows insert
+              val byId = srcRows.map(r => r._1 -> r).toMap
+              val matchedIds = model.map(_._1).toSet
+              model = model.map(r => byId.getOrElse(r._1, r)) ++
+                srcRows.filterNot(r => matchedIds.contains(r._1))
+            } else {
+              // multi-clause conditional merge (r10): cheap source rows
+              // DELETE their matches, the rest UPDATE (clause order
+              // first-wins), inserts gated on amount > 50 — fuzzes the
+              // clause dispatch against the same model on BOTH write
+              // modes
+              table = table.mergeClauses(toDf(srcRows),
+                col("t.id") === col("s.id"),
+                Seq(
+                  MergeWhenMatched(Some(col("s.amount") < 300.0),
+                    MergeMatched.Delete),
+                  MergeWhenMatched(None, MergeMatched.Update(Map(
+                    "category" -> col("s.category"),
+                    "amount" -> col("s.amount"))))),
+                Some(MergeWhenNotMatched(Some(col("s.amount") > 50.0), None)))
+              val byId = srcRows.map(r => r._1 -> r).toMap
+              val matchedIds = model.map(_._1).toSet
+              model = model.flatMap { r =>
+                byId.get(r._1) match {
+                  case Some(srcR) =>
+                    if (srcR._3 < 300.0) None else Some(srcR)
+                  case None => Some(r)
+                }
+              } ++ srcRows.filterNot(r => matchedIds.contains(r._1))
+                .filter(_._3 > 50.0)
+            }
           case 6 => // INSERT OVERWRITE: live state becomes exactly the new rows
             val prevModel = model
             val prevSnap = table.currentSnapshot.map(_.id)
