@@ -1172,9 +1172,40 @@ class LakeSql(val catalog: LakeCatalog) {
   }
 
   private def describe(s: String, p: Option[String]): DataFrame = {
-    val m = """(?is)^DESCRIBE\s+(?:TABLE\s+)?([\w.]+)$""".r
-      .findFirstMatchIn(s).getOrElse(fail("DESCRIBE", s))
-    val (db, table) = splitName(m.group(1))
+    val m = """(?is)^DESCRIBE\s+(EXTENDED\s+)?(?:TABLE\s+)?([\w.]+)$""".r
+      .findFirstMatchIn(s).getOrElse(fail("DESCRIBE [EXTENDED]", s))
+    val (db, table) = splitName(m.group(2))
+    // DESCRIBE EXTENDED (r10): the schema plus the operational detail
+    // block — format version, location, snapshot/file/byte footprint,
+    // partitioning and properties — the one-stop table health view
+    // (Delta's DESCRIBE DETAIL / Spark's DESCRIBE EXTENDED shape).
+    // Metadata-scale: counts come from the current snapshot's manifest,
+    // no data I/O.
+    if (m.group(1) != null && catalog.viewInfo(db, table).isEmpty) {
+      requirePerm(p, db, table, "DESCRIBE")
+      val t = load(db, table)
+      import catalog.spark.implicits._
+      val cols = t.schema.fields.toSeq
+        .map(f => (f.name, f.dataType.sql.toLowerCase))
+      val files = t.dataFiles
+      val detail = Seq(
+        ("# format_version", t.meta.formatVersion.toString),
+        ("# location", t.location.toString),
+        ("# current_snapshot_id", t.currentSnapshot.map(_.id.toString).getOrElse("-")),
+        ("# snapshot_count", t.meta.snapshots.size.toString),
+        ("# data_file_count", files.size.toString),
+        ("# delete_file_count", t.deleteFiles.size.toString),
+        ("# total_data_bytes", files.map(_.sizeBytes).sum.toString),
+        ("# row_count_upper_bound", files.map(_.rowCount).sum.toString),
+        ("# partitioning",
+          if (t.meta.partitionCols.isEmpty) "-"
+          else t.meta.partitionCols.mkString(", ")),
+        ("# properties",
+          if (t.meta.props.isEmpty) "-"
+          else t.meta.props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString("; ")))
+      return (cols ++ detail).toDF("col_name", "data_type")
+    }
     // views DESCRIBE too (M49): the definition-time schema, plus the
     // stored text and materialization flag as pseudo-columns — behind
     // the same could-read gate as SHOW VIEWS (the stored text embeds

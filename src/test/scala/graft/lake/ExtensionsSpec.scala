@@ -284,6 +284,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
   }
 
+  test("DESCRIBE EXTENDED reports the operational detail block") {
+    val wh = Files.createTempDirectory("graft-dx-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("""CREATE TABLE db.dx (id INT, category STRING)
+      PARTITIONED BY (category)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read')""")
+    sql.run("INSERT INTO db.dx VALUES (1, 'a'), (2, 'b')")
+    sql.run("DELETE FROM db.dx WHERE id = 1")
+    val d = sql.run("DESCRIBE EXTENDED db.dx").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("id") == "int" && d("category") == "string")
+    assert(d("# format_version") == "2")
+    assert(d("# snapshot_count") == "2") // insert + delete commits
+    assert(d("# data_file_count").toInt >= 1)
+    assert(d("# delete_file_count") == "1")
+    assert(d("# partitioning") == "category")
+    assert(d("# properties").contains("write.delete.mode=merge-on-read"))
+    assert(d("# row_count_upper_bound") == "2") // pre-delete footer rows
+    // plain DESCRIBE stays schema-only
+    assert(!sql.run("DESCRIBE db.dx").collect()
+      .exists(_.getString(0).startsWith("# format")))
+  }
+
   test("column-list INSERT binds by name and fills write-defaults") {
     val wh = Files.createTempDirectory("graft-cli-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
