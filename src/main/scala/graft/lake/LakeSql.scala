@@ -852,6 +852,22 @@ class LakeSql(val catalog: LakeCatalog) {
       t.dropBranch(bm.group(1))
       return status(s"Dropped branch ${bm.group(1)} from $db.$table")
     }
+    // Iceberg tag DDL (r10): CREATE/DROP TAG — an immutable named ref,
+    // expiry-protected; AS OF VERSION defaults to the current snapshot
+    """(?is)^CREATE\s+TAG\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
+      .findFirstMatchIn(rest).foreach { tm =>
+        val snap = Option(tm.group(2)).map(_.toLong)
+          .orElse(t.currentSnapshot.map(_.id))
+          .getOrElse(throw new SqlParseException(
+            s"CREATE TAG on $db.$table: table has no snapshots"))
+        t.tagSnapshot(tm.group(1), snap)
+        return status(s"Created tag ${tm.group(1)} at snapshot $snap " +
+          s"on $db.$table")
+      }
+    """(?is)^DROP\s+TAG\s+(\w+)\s*$""".r.findFirstMatchIn(rest).foreach { tm =>
+      t.dropTag(tm.group(1))
+      return status(s"Dropped tag ${tm.group(1)} from $db.$table")
+    }
     // metadata-only schema evolution (M48): RENAME COLUMN and widening
     // ALTER COLUMN … TYPE — no file rewrite; the change-log entry makes
     // every reader epoch-aware
@@ -1362,6 +1378,28 @@ class LakeSql(val catalog: LakeCatalog) {
           createdViews.get() += view;
           view
         }))
+      // `db.t VERSION AS OF '<tag-or-branch>'` (r10): the dispatcher
+      // accepts the same named-ref spelling the native catalog resolves —
+      // tags win a (discouraged) collision because they are immutable;
+      // a branch name reads its current head. The quoted literal sits in
+      // a quoted segment, so this runs over the full string guarded on
+      // the match START being unquoted (the TIMESTAMP AS OF device).
+      val ttn = (base + "\\s+VERSION\\s+AS\\s+OF\\s+'([^']+)'").r
+      rewritten = replaceWhereStartUnquoted(rewritten, ttn, m => {
+        requirePerm(p, db, name, "SELECT")
+        val t = load(db, name)
+        val ref = m.group(1)
+        val snapId = t.meta.tags.get(ref)
+          .orElse(t.meta.branches.get(ref))
+          .getOrElse(throw new SqlParseException(
+            s"VERSION AS OF '$ref': not a tag or branch on ${t.name} " +
+              s"(tags: ${t.meta.tags.keys.mkString(", ")}; " +
+              s"branches: ${t.meta.branches.keys.mkString(", ")})"))
+        val view = s"${db}__${name}__v$snapId$stmtSfx"
+        t.readSnapshot(snapId).createOrReplaceTempView(view)
+        createdViews.get() += view
+        view
+      })
       val re = (base + "(?!\\w)").r
       if (containsOutsideQuotes(rewritten, re)) {
         requirePerm(p, db, name, "SELECT")

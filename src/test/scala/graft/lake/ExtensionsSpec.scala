@@ -284,6 +284,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids(9) >= nextBefore, s"insert reused an old id range: $ids")
   }
 
+  test("tag DDL: CREATE/DROP TAG pin snapshots and read via VERSION AS OF") {
+    val wh = Files.createTempDirectory("graft-tag-wh")
+    val sql = new LakeSql(new LakeCatalog(spark, wh))
+    sql.run("CREATE TABLE db.tg (id INT)")
+    sql.run("INSERT INTO db.tg VALUES (1)")
+    sql.run("ALTER TABLE db.tg CREATE TAG v1") // defaults to current snapshot
+    sql.run("INSERT INTO db.tg VALUES (2)")
+    sql.run("ALTER TABLE db.tg CREATE TAG v2 AS OF VERSION 2")
+    // tags read on both surfaces
+    assert(sql.run("SELECT * FROM db.tg VERSION AS OF 'v1'").count() == 1)
+    assert(spark.sql("SELECT * FROM lake.db.tg VERSION AS OF 'v2'").count() == 2)
+    // tagged snapshots survive expiry (protection already unit-tested);
+    // DROP TAG releases the pin
+    sql.run("ALTER TABLE db.tg DROP TAG v1")
+    assert(sql.catalog.loadTable("db", "tg").get.meta.tags.keySet == Set("v2"))
+    intercept[Exception](sql.run("SELECT * FROM db.tg VERSION AS OF 'v1'"))
+  }
+
   test("DESCRIBE EXTENDED reports the operational detail block") {
     val wh = Files.createTempDirectory("graft-dx-wh")
     val sql = new LakeSql(new LakeCatalog(spark, wh))
