@@ -127,6 +127,30 @@ class RelQueriesSpec extends SparkSpec {
       s"weighted sample mean $sampleMean vs corpus $corpusMean")
   }
 
+  test("approx_percentile tracks exact percentile within its accuracy " +
+    "bound (q88's documented 100 TB path, the G6 device)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf, "events")
+    val row = ev.agg(
+      expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))").as("exact"),
+      expr("approx_percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D), 1000)")
+        .as("approx"),
+      count(lit(1)).as("n"), max("value").as("hi"), min("value").as("lo"))
+      .head()
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    val n = row.getLong(2)
+    // GK sketch accuracy 1/1000: the approx rank is within n/1000 ranks;
+    // bound the VALUE error by the local spread — assert each approx
+    // value sits within the exact values at ranks ±2·n/1000 (loose but
+    // meaningful: a broken sketch lands whole quartiles away)
+    val span = row.getDouble(3) - row.getDouble(4)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= span * 0.05,
+        s"approx $a vs exact $e beyond 5% of range $span (n=$n)")
+    }
+  }
+
   test("q89 binary signatures agree with per-dimension sign comparison") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps
