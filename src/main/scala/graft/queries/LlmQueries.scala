@@ -2406,7 +2406,49 @@ object LlmQueries {
         .orderBy("lang")
     })
 
+  // ------------------------------------ q96 lexicon sentiment scoring
+  /** Lexicon-based sentiment at scale (the EDBT'16 'Large Scale
+    * Sentiment Analysis with Spark' family, PAPERS.md): per-source
+    * token-normalized sentiment from a broadcast word-score lexicon —
+    * the shape every lexicon/classifier-lite scoring pass takes (toxicity
+    * lists, quality word lists, domain dictionaries). All-integer
+    * accumulation (score sums and token counts are exact), one double
+    * division rounded to ppm. 100 TB: the lexicon broadcasts (kilobytes),
+    * the scan is one explode + map-side-combined aggregate — no shuffle
+    * wider than (source, two longs). */
+  val q96 = QueryDef(
+    "q96_sentiment",
+    Some("""WITH lex(w, score) AS (VALUES ('fast', 2), ('small', 1),
+                 ('big', 1), ('slow', -2), ('dup', -3)),
+                 tok AS (SELECT source,
+                           unnest(string_split(lower(text), ' ')) AS w
+                         FROM documents),
+                 tok2 AS (SELECT * FROM tok WHERE w <> '')
+            SELECT source,
+                   CAST(SUM(COALESCE(lex.score, 0)) AS BIGINT) AS score_sum,
+                   CAST(COUNT(*) AS BIGINT) AS tokens,
+                   CAST(ROUND(SUM(COALESCE(lex.score, 0)) * 1000000.0
+                        / COUNT(*)) AS BIGINT) AS sentiment_ppm
+            FROM tok2 LEFT JOIN lex USING (w)
+            GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      import s.implicits._
+      val lex = Seq(("fast", 2), ("small", 1), ("big", 1), ("slow", -2),
+        ("dup", -3)).toDF("w", "score")
+      t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .join(broadcast(lex), Seq("w"), "left")
+        .groupBy("source")
+        .agg(sum(coalesce(col("score"), lit(0))).as("score_sum"),
+          count(lit(1)).as("tokens"))
+        .withColumn("sentiment_ppm",
+          round(col("score_sum") * 1000000.0 / col("tokens")).cast("long"))
+        .orderBy("source")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
+    q96)
 }
