@@ -710,11 +710,14 @@ object RelQueries {
     * after that). Time bounds compare timestamps against
     * `anchor + INTERVAL 24 HOURS` — microsecond-exact in both engines,
     * no epoch-seconds truncation to disagree on. Plan: each stage is a
-    * per-user aggregate whose (user, anchor) output is USER-bounded —
-    * it broadcasts to the next stage's filter, so the funnel is three
-    * filtered scans + three map-side-combined aggregates, never a
-    * self-join of the event log; at 100 TB the stage tables are the
-    * small side by construction (≤ one row per user). */
+    * per-user aggregate whose (user, anchor) output is ≤ one row per
+    * user, equi-joined into the next stage's filter — three filtered
+    * scans + three map-side-combined aggregates, never a self-join of
+    * the event log. The stage join is deliberately UNHINTED: at test
+    * scale Spark broadcasts it from size estimates, while at
+    * billion-user scale the stage table outgrows broadcast and AQE
+    * keeps it a co-partitioned shuffle join on user_id (a forced
+    * broadcast hint here would be the OOM). */
   val q95 = QueryDef(
     "q95_funnel",
     Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
@@ -739,7 +742,7 @@ object RelQueries {
         val base = ev.filter(col("event_type") === tpe)
         val bounded = prev match {
           case None => base
-          case Some(pr) => base.join(broadcast(pr), "user_id")
+          case Some(pr) => base.join(pr, "user_id")
             .filter(col("ts") > col(anchor) &&
               col("ts") <= col(anchor) + expr("INTERVAL 24 HOURS"))
         }
