@@ -549,6 +549,39 @@ object Meta {
       manifestCache.remove(p); Files.deleteIfExists(Paths.get(p))
     }
 
+  /** Every manifest/segment path any EXISTING metadata version still
+    * references — the keep-set for the orphan-manifest sweep. Walks all
+    * version files (not just the current one): a concurrent reader may
+    * hold any of them, and expiry — not this sweep — is what retires
+    * old versions' manifests. Unparseable version files contribute
+    * nothing (their manifests are unreachable through them anyway). */
+  private[lake] def referencedManifestFiles(tableLocation: Path): Set[String] = {
+    val dir = metadataDir(tableLocation)
+    if (!Files.isDirectory(dir)) return Set.empty
+    val VFile = """v(\d+)\.metadata\.json""".r
+    val versions = {
+      val s = Files.list(dir)
+      try {
+        val b = Seq.newBuilder[Path]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (VFile.findFirstIn(p.getFileName.toString).isDefined) b += p
+        }
+        b.result()
+      } finally s.close()
+    }
+    versions.flatMap { vf =>
+      try {
+        val m = fromJson(new String(Files.readAllBytes(vf), StandardCharsets.UTF_8))
+        m.snapshots.flatMap(_.manifestPath).flatMap { top =>
+          top +: (try readManifest(top).segments
+          catch { case scala.util.control.NonFatal(_) => Nil })
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }.toSet
+  }
+
   /** GC hook for expire_snapshots. Top manifests are 1:1 with snapshots,
     * but SEGMENTS are shared along the lineage (r10): a segment (or a
     * legacy manifest doubling as one) is deleted only when no RETAINED

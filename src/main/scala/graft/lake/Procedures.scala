@@ -323,7 +323,26 @@ object Procedures {
         } finally s.close()
       }
     tmps.foreach(Files.deleteIfExists(_))
-    orphans.size + tmps.size
+    // orphaned manifest/segment files (r10): a writer dying between
+    // writing its manifests and winning the version-file race leaks
+    // them (the LOSING path cleans up; a crash cannot). Keep-set =
+    // every manifest any EXISTING metadata version references — so a
+    // concurrent reader holding an old version keeps its manifests —
+    // age-gated like the tmp sweep.
+    val manifestOrphans =
+      if (!Files.isDirectory(metaDir)) Nil
+      else {
+        val referenced = Meta.referencedManifestFiles(t.location)
+        val s = Files.list(metaDir)
+        try s.iterator().asScala.toList.filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith("manifest-") || n.startsWith("segment-")) &&
+            n.endsWith(".json") && !referenced.contains(p.toString) &&
+            Files.getLastModifiedTime(p).toMillis < olderThanMs
+        } finally s.close()
+      }
+    manifestOrphans.foreach(Files.deleteIfExists(_))
+    orphans.size + tmps.size + manifestOrphans.size
   }
 
   /** Iceberg's `rewrite_position_delete_files`: fold the table's live

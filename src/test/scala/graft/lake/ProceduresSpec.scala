@@ -343,6 +343,31 @@ class ProceduresSpec extends SparkSpec {
     assert(r.getInt(0) == 2 && r.getInt(1) == 1)
   }
 
+  test("remove_orphan_files sweeps crashed-writer manifest orphans, " +
+    "never referenced ones") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "mo", schema).append(df((1, "a", 1.0)))
+    t = cat.loadTable("db", "mo").get.append(df((2, "b", 2.0)))
+    val metaDir = Meta.metadataDir(t.location)
+    // forge what a crashed loser leaves behind: manifest + segment files
+    // no version references
+    val orphanTop = metaDir.resolve("manifest-99-deadbeef.json")
+    val orphanSeg = metaDir.resolve("segment-99-deadbeef.json")
+    Files.writeString(orphanSeg, """{"dataFiles":[],"deleteFiles":[]}""")
+    Files.writeString(orphanTop,
+      s"""{"dataFiles":[],"deleteFiles":[],"segments":["$orphanSeg"]}""")
+    val old = java.nio.file.attribute.FileTime.fromMillis(1000L)
+    Files.setLastModifiedTime(orphanTop, old)
+    Files.setLastModifiedTime(orphanSeg, old)
+    val n = Procedures.removeOrphanFiles(t, System.currentTimeMillis())
+    assert(n >= 2, s"expected both forged orphans swept, got $n")
+    assert(!Files.exists(orphanTop) && !Files.exists(orphanSeg))
+    // every referenced manifest survived: the table still reads fully
+    val re = cat.loadTable("db", "mo").get
+    assert(content(re) == Set((1, "a", 1.0), (2, "b", 2.0)))
+    assert(re.meta.snapshots.forall(_.dataFiles.nonEmpty))
+  }
+
   test("metadata_log lists the version trail on both SQL surfaces") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "ml", schema).append(df((1, "a", 1.0)))
