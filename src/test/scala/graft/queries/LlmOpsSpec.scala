@@ -824,4 +824,24 @@ class LlmOpsSpec extends SparkSpec {
     // empty pair set → empty labeling, no hang
     assert(ccOf(Nil).isEmpty)
   }
+
+  test("binary-sign ANN (q89): recall vs exact top-5 — the oracle " +
+    "replays the same algorithm, so recall needs its own gate") {
+    val e = graft.Tables(spark, sf, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val binary = LlmQueries.q89.run(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // 64 sign bits + a 50-candidate Hamming cut re-ranked exactly: the
+    // fixed corpus supports a 0.6 floor (3 of 5) — loose enough for the
+    // quantization tier, tight enough that a broken packing (recall ~
+    // random ≈ 50/500 per slot) fails decisively
+    val recall = (exact & binary).size / 5.0
+    assert(recall >= 0.6,
+      s"binary-ANN recall $recall too low (exact=$exact binary=$binary)")
+  }
 }
