@@ -756,7 +756,34 @@ object RelQueries {
         .crossJoin(p.agg(count(lit(1)).as("stage_purchase")))
     })
 
+  // --------------------------------- q97 event-transition matrix
+  /** Next-event transition counts (the Markov-chain view of user
+    * behavior — W2's LEAD twin over a deterministic (ts, event_id)
+    * order): one window pass per user partition, integer counts, the
+    * input to any session-flow or behavioral-cloning model. 100 TB:
+    * one shuffle on user_id for the window, then a (5×5)-cardinality
+    * aggregate — output bounded by |event types|², independent of
+    * row count. */
+  val q97 = QueryDef(
+    "q97_transitions",
+    Some("""WITH seq AS (SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS nxt
+                 FROM events)
+            SELECT event_type AS cur, nxt, CAST(COUNT(*) AS BIGINT) AS transitions
+            FROM seq WHERE nxt IS NOT NULL
+            GROUP BY cur, nxt ORDER BY cur, nxt"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("transitions"))
+        .orderBy("cur", "nxt")
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q80, q81, q85, q86, q88, q90, q91, q95)
+    q32, q80, q81, q85, q86, q88, q90, q91, q95, q97)
 }
