@@ -100,9 +100,10 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     // r9's line carried two 84-entry dicts of 9-decimal doubles and outgrew
-    // the driver's tail-capture window (BENCH_r09.json lost q01-q24). Round
-    // to 3 decimals and put queries_min (the gating dict) FIRST so it
-    // always survives a truncated tail.
+    // the driver's tail-capture window. The capture keeps the END of the
+    // line (r9 lost q01-q24 from the head; r10's "queries_min first" made
+    // it worse by putting the gating dict in the truncation zone), so:
+    // round to 3 decimals and put queries_min (the gating dict) LAST.
     def r3(d: Double): String =
       if (d < 0) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = times.map { case (k, (med, _)) => s"${js(k)}:${r3(med)}" }
@@ -113,7 +114,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.collect { case (_, (med, _)) if med >= 0 => med }.sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_min":$qsMin,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

@@ -570,6 +570,20 @@ class LakeSql(val catalog: LakeCatalog) {
                 if MetaTableSuffixes.contains(meta) &&
                   catalog.tableInfo(d, n).exists(_.tableType == "LAKE") =>
               holdsSelect(pr, d, n)
+            // a dependency in a MANAGED namespace that resolves to neither
+            // a table nor a view (e.g. the lake table was dropped) DENIES
+            // (ADVICE r10): the stored definition text still embeds the
+            // names and predicate literals the SELECT gate protects, and
+            // "the grant target no longer exists" must not widen access —
+            // same conservative posture as the unparseable branch above.
+            // Foreign tables keep passing (their own catalog gates them).
+            case Seq(d, n)
+                if catalog.namespaceExists(d) &&
+                  catalog.tableInfo(d, n).isEmpty => false
+            case Seq(d, n, meta)
+                if MetaTableSuffixes.contains(meta) &&
+                  catalog.namespaceExists(d) &&
+                  catalog.tableInfo(d, n).isEmpty => false
             case _ => true
           }
         }

@@ -292,7 +292,7 @@ object Meta {
       new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8),
       classOf[ManifestData]))
 
-  private def materialize(s: Snapshot): Snapshot = s.manifestPath match {
+  private[lake] def materialize(s: Snapshot): Snapshot = s.manifestPath match {
     case None => s // pre-manifest metadata: lists are inline
     case Some(p) =>
       val top = readManifest(p)
@@ -444,6 +444,29 @@ object Meta {
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, hintFile(tableLocation), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // Metadata version retention (Iceberg's
+    // `write.metadata.delete-after-commit.enabled` +
+    // `write.metadata.previous-versions-max`, default 100): without it a
+    // busy table accumulates one full metadata JSON per commit forever —
+    // millions of commits at 100 TB scale is millions of small files in
+    // one directory. Opt-in like Iceberg (time travel through RETAINED
+    // SNAPSHOTS is unaffected — snapshots live in the current metadata;
+    // only superseded version FILES retire). Retiring a version is also
+    // what lets the age-gated orphan sweep reclaim manifests that a
+    // rewrite superseded: the keep-set in referencedManifestFiles shrinks
+    // exactly when a version file disappears. Best-effort: a failed
+    // delete never fails the committed commit.
+    if (m.props.get("write.metadata.delete-after-commit.enabled")
+        .contains("true")) {
+      val keep = m.props.get("write.metadata.previous-versions-max")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(100).max(1)
+      var v = next - keep - 1
+      while (v >= 1 && Files.exists(versionFile(tableLocation, v))) {
+        try Files.deleteIfExists(versionFile(tableLocation, v))
+        catch { case scala.util.control.NonFatal(_) => }
+        v -= 1
+      }
+    }
     withManifests
   }
 
@@ -548,6 +571,30 @@ object Meta {
     paths.foreach { p =>
       manifestCache.remove(p); Files.deleteIfExists(Paths.get(p))
     }
+
+  /** A top manifest plus its segment list (best effort — a missing or
+    * torn top contributes just itself). */
+  private[lake] def manifestWithSegments(top: String): Seq[String] =
+    top +: (try readManifest(top).segments
+    catch { case scala.util.control.NonFatal(_) => Nil })
+
+  /** Keep-set-gated manifest GC (ADVICE r10): delete only the candidate
+    * paths that NO existing metadata version file references. A snapshot
+    * whose manifest was just rewritten is still LIVE, and every older
+    * vN.metadata.json names its old manifest — a concurrent reader
+    * holding any of those versions must be able to materialize it. The
+    * superseded paths that survive here are reclaimed by the age-gated
+    * orphan-manifest sweep once version retention retires the old
+    * version files. Returns the number of files actually deleted. */
+  private[lake] def deleteUnreferencedManifests(
+      tableLocation: Path, candidates: Seq[String]): Int = {
+    val referenced = referencedManifestFiles(tableLocation)
+    val dead = candidates.distinct.filterNot(referenced.contains)
+    dead.foreach { p =>
+      manifestCache.remove(p); Files.deleteIfExists(Paths.get(p))
+    }
+    dead.size
+  }
 
   /** Every manifest/segment path any EXISTING metadata version still
     * references — the keep-set for the orphan-manifest sweep. Walks all

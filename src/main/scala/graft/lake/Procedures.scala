@@ -447,13 +447,20 @@ object Procedures {
     val cur = m.currentSnapshot.getOrElse(return (t, 0, 0))
     val before = Meta.segmentCount(cur)
     if (before <= 1) return (t, before, before)
+    // read the superseded top's segment list BEFORE anything can delete it
+    val stale = cur.manifestPath.toSeq.flatMap(Meta.manifestWithSegments)
     val (cur2, fresh) = Meta.coalesceManifest(t.location, cur)
     val table =
       try t.withMeta(m.copy(snapshots =
         m.snapshots.map(s => if (s.id == cur.id) cur2 else s)))
       catch { case e: Throwable => Meta.dropManifestFiles(fresh); throw e }
-    // the OLD top (and any segment nothing else references) is dead now
-    Meta.deleteManifests(Seq(cur), table.meta.snapshots)
+    // The superseded top is dead in the NEW metadata, but every OLDER
+    // vN.metadata.json still names it as this (still-live) snapshot's
+    // manifest — eager deletion gave a concurrent reader holding the
+    // just-superseded version FileNotFound (ADVICE r10). Delete only what
+    // no existing version file references; the rest is reclaimed by the
+    // age-gated orphan sweep once version retention retires old versions.
+    Meta.deleteUnreferencedManifests(t.location, stale)
     (table, before, 1)
   }
 

@@ -368,6 +368,79 @@ class ProceduresSpec extends SparkSpec {
     assert(re.meta.snapshots.forall(_.dataFiles.nonEmpty))
   }
 
+  test("rewrite_manifests never strands a concurrent reader holding the " +
+    "just-superseded metadata version (ADVICE r10)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "rs", schema).append(df((1, "a", 1.0)))
+    (2 to 5).foreach(i =>
+      t = cat.loadTable("db", "rs").get.append(df((i, "a", i.toDouble))))
+    val t0 = cat.loadTable("db", "rs").get
+    val oldVersion = Meta.currentVersion(t0.location).get
+    val oldVersionFile =
+      Meta.metadataDir(t0.location).resolve(s"v$oldVersion.metadata.json")
+    val oldTop = t0.currentSnapshot.get.manifestPath.get
+    val oldPaths = Meta.manifestWithSegments(oldTop)
+    assert(oldPaths.size >= 2) // top + at least one shared segment
+    Procedures.rewriteManifests(t0)
+    // the superseded top (and its segments) must SURVIVE: the old
+    // version file still names them as this live snapshot's manifest
+    oldPaths.foreach(p => assert(Files.exists(Paths.get(p)),
+      s"superseded manifest $p deleted while v$oldVersion references it"))
+    // a racing reader that loaded v$oldVersion can still materialize
+    // every snapshot in it — the exact FileNotFound ADVICE r10 described
+    val oldMeta = Meta.fromJson(Files.readString(oldVersionFile))
+    oldMeta.snapshots.foreach { s =>
+      assert(Meta.materialize(s).dataFiles.nonEmpty,
+        s"old-version snapshot ${s.id} lost its file list")
+    }
+    // the orphan sweep honors the same keep-set: even with a future
+    // cutoff nothing referenced is swept...
+    val future = System.currentTimeMillis() + 1000L
+    Procedures.removeOrphanFiles(cat.loadTable("db", "rs").get, future)
+    oldPaths.foreach(p => assert(Files.exists(Paths.get(p))))
+    // ...until version retention retires the old version files, at which
+    // point the sweep reclaims the superseded manifests
+    val sql = new LakeSql(cat)
+    sql.run("ALTER TABLE db.rs SET TBLPROPERTIES (" +
+      "'write.metadata.delete-after-commit.enabled'='true'," +
+      "'write.metadata.previous-versions-max'='1')")
+    t = cat.loadTable("db", "rs").get.append(df((6, "b", 6.0)))
+    t = cat.loadTable("db", "rs").get.append(df((7, "b", 7.0)))
+    assert(!Files.exists(oldVersionFile), "retention should retire old vN")
+    Procedures.removeOrphanFiles(cat.loadTable("db", "rs").get, future)
+    assert(!Files.exists(Paths.get(oldTop)),
+      "orphan sweep should reclaim the superseded top once unreferenced")
+    // and the live table still reads completely
+    assert(content(cat.loadTable("db", "rs").get) ==
+      (1 to 7).map(i => (i, if (i <= 5) "a" else "b", i.toDouble)).toSet)
+  }
+
+  test("metadata version retention retires old version files " +
+    "(write.metadata.delete-after-commit.enabled)") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    var t = cat.createTable("db", "vr", schema,
+      props = Map(
+        "write.metadata.delete-after-commit.enabled" -> "true",
+        "write.metadata.previous-versions-max" -> "2"))
+      .append(df((1, "a", 1.0)))
+    (2 to 6).foreach(i =>
+      t = cat.loadTable("db", "vr").get.append(df((i, "a", i.toDouble))))
+    val cur = Meta.currentVersion(t.location).get
+    val dir = Meta.metadataDir(t.location)
+    (1 to cur).foreach { v =>
+      val exists = Files.exists(dir.resolve(s"v$v.metadata.json"))
+      assert(exists == (v >= cur - 2),
+        s"v$v exists=$exists, want ${v >= cur - 2} (cur=$cur)")
+    }
+    // retention retires version FILES only: every snapshot still
+    // materializes and time travel through retained snapshots works
+    val re = cat.loadTable("db", "vr").get
+    assert(content(re) == (1 to 6).map(i => (i, "a", i.toDouble)).toSet)
+    assert(re.meta.snapshots.forall(_.dataFiles.nonEmpty))
+    val first = re.meta.snapshots.minBy(_.id)
+    assert(re.readSnapshot(first.id).count() == 1)
+  }
+
   test("metadata_log lists the version trail on both SQL surfaces") {
     val cat = freshCatalog(); cat.createNamespace("db")
     var t = cat.createTable("db", "ml", schema).append(df((1, "a", 1.0)))

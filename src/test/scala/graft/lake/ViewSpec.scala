@@ -120,6 +120,28 @@ class ViewSpec extends SparkSpec {
       sql.run("DESCRIBE db.gv2", Some("mallory")))
   }
 
+  test("a view over a DROPPED dependency denies metadata access " +
+    "(ADVICE r10: dangling refs must not widen the gate)") {
+    val (cat, sql) = fresh(); seed(cat)
+    sql.run("CREATE VIEW db.dgl AS SELECT id FROM db.t WHERE category = 'a'")
+    cat.grant("db", "t", "alice", Seq("SELECT"))
+    assert(sql.run("DESCRIBE db.dgl", Some("alice")).collect()
+      .exists(_.getString(0) == "# view_text"))
+    // drop the base table out from under the view: the stored text still
+    // embeds db.t and the predicate literal — NOBODY (with a principal)
+    // may see it now, not even the previously-granted alice (her grant
+    // died with the table)
+    cat.dropTable("db", "t")
+    intercept[AccessDeniedException](
+      sql.run("DESCRIBE db.dgl", Some("alice")))
+    intercept[AccessDeniedException](
+      sql.run("DESCRIBE db.dgl", Some("mallory")))
+    assert(sql.run("SHOW VIEWS IN db", Some("mallory")).collect().isEmpty)
+    // principal-less sessions stay administrative (repair path)
+    assert(sql.run("DESCRIBE db.dgl").collect()
+      .exists(_.getString(0) == "# view_text"))
+  }
+
   test("a view name cannot shadow a table and vice versa") {
     val (cat, sql) = fresh(); seed(cat)
     intercept[IllegalArgumentException](
