@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class LakeExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    SparkSeams.check() // warn once if the runtime isn't the pinned minor
     ext.injectFunction(LakeExtensions.cosineSim)
     // SELECTs on lake.db.t run on LakeTable.read()'s native plan
     // (vectorized + codegen) instead of the V1Scan row bridge

@@ -1,6 +1,6 @@
 package graft.lake
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
 import com.fasterxml.jackson.databind.json.JsonMapper
@@ -227,6 +227,12 @@ object Meta {
   private val manifestCache =
     new scala.collection.concurrent.TrieMap[String, ManifestData]()
 
+  /** The single-winner publish primitive commits route through — swap
+    * for a conditional-put implementation on S3-class stores (see
+    * [[CommitArbiter]] for the contract and per-store mapping). Process-
+    * wide: arbitration is a property of the storage, not of a table. */
+  @volatile var arbiter: CommitArbiter = LocalFsCommitArbiter
+
   def toJson(m: TableMetadata): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
 
@@ -400,46 +406,37 @@ object Meta {
     })
     val headersOnly = withManifests.copy(snapshots =
       withManifests.snapshots.map(_.copy(dataFiles = Nil, deleteFiles = Nil)))
-    // Publish via write-to-tmp + hard-link: the link creation is the
-    // single-winner arbiter (atomic, fails if the version slot is taken —
-    // same TOCTOU-free arbitration CREATE_NEW gave), AND the version file
-    // can never be observed partially written: a writer dying mid-write
-    // tears only its private tmp file, never vN+1, so adoptOrphans can
-    // trust any version file it finds (ADVICE r6: a torn CREATE_NEW write
-    // + adoption would brick the table on JSON parse). On a filesystem
-    // without hard links the write degrades to the CREATE_NEW protocol —
-    // same arbitration, atomicity lost, and adoption stays parse-gated
-    // so a torn file degrades to retryable conflicts, never a brick.
-    // Any other failure cleans up this commit's files and rethrows
-    // (review r7: a non-EEXIST link error must not leak tmp + manifests).
-    val mtmp = dir.resolve(s".v$next-${java.util.UUID.randomUUID()}.tmp")
+    // Publication routes through the pluggable [[CommitArbiter]] (the
+    // object-store seam, VERDICT r10 #4): the arbiter's single job is
+    // "exactly one writer owns the vN+1 slot, readers never see a torn
+    // file". The default [[LocalFsCommitArbiter]] publishes via
+    // write-to-tmp + hard-link (atomic, fails-if-taken — the TOCTOU-free
+    // arbitration CREATE_NEW gave, plus torn writes tear only a private
+    // tmp so adoptOrphans can trust any version file it finds; ADVICE
+    // r6). An S3-class deployment swaps in a conditional-put arbiter —
+    // see CommitArbiter.scala for the store-by-store mapping. Any
+    // environmental failure cleans up this commit's files and rethrows
+    // (review r7: a non-EEXIST error must not leak tmp + manifests).
     val bytes = toJson(headersOnly).getBytes(StandardCharsets.UTF_8)
-    def loserCleanup(): Unit = {
-      Files.deleteIfExists(mtmp)
+    def loserCleanup(): Unit =
       // the loser's freshly written manifests would otherwise orphan
       freshManifests.foreach { mp =>
         manifestCache.remove(mp.toString); Files.deleteIfExists(mp)
       }
-    }
-    try {
-      Files.write(mtmp, bytes)
-      try Files.createLink(target, mtmp)
+    val won =
+      try arbiter.publish(target, bytes)
       catch {
-        case _: UnsupportedOperationException =>
-          Files.write(target, bytes, StandardOpenOption.CREATE_NEW)
+        case scala.util.control.NonFatal(e) =>
+          loserCleanup()
+          throw e
       }
-    } catch {
-      case _: FileAlreadyExistsException =>
-        loserCleanup()
-        adoptOrphans(tableLocation)
-        throw new CommitConflictException(
-          s"concurrent commit detected: metadata v$next was written by " +
-            "another writer during this commit — reload the table and retry")
-      case scala.util.control.NonFatal(e) =>
-        loserCleanup()
-        throw e
+    if (!won) {
+      loserCleanup()
+      adoptOrphans(tableLocation)
+      throw new CommitConflictException(
+        s"concurrent commit detected: metadata v$next was written by " +
+          "another writer during this commit — reload the table and retry")
     }
-    Files.deleteIfExists(mtmp)
     val tmp = dir.resolve(s".version-hint.$next.tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, hintFile(tableLocation), StandardCopyOption.ATOMIC_MOVE,

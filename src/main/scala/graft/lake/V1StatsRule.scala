@@ -18,7 +18,14 @@ import org.apache.spark.sql.sources.Filter
   * metadata-column scans). This wrapper subclass keeps the exact
   * case-class shape the physical strategy pattern-matches
   * (`case V1ScanWrapper(scan, filters, ops)` still extracts) while
-  * forwarding the statistics interface to the wrapped scan. */
+  * forwarding the statistics interface to the wrapped scan.
+  *
+  * Seam pin (Spark 4.1.2 — see [[SparkSeams]]): the three-field
+  * case-class shape `V1ScanWrapper(v1Scan, handledFilters,
+  * pushedDownOperators)` and its generated equals/canEqual semantics.
+  * A field change breaks the compile here; a batch-order change in the
+  * optimizer silently drops the stats — TableStatsSpec's SMJ→BHJ flip
+  * is the runtime canary. */
 class StatsV1ScanWrapper(
     v1: V1Scan, handled: Seq[Filter], ops: PushedDownOperators)
     extends V1ScanWrapper(v1, handled, ops) with SupportsReportStatistics {

@@ -272,4 +272,67 @@ class ConcurrencySpec extends SparkSpec {
       assert(ids == ids.sorted && ids.distinct.size == ids.size)
     }
   }
+
+  test("the commit arbiter is pluggable: a conditional-put (object-store) " +
+    "arbiter keeps single-winner semantics through the same race") {
+    // Emulates S3's `PutObject If-None-Match: *` (VERDICT r10 #4): an
+    // atomic putIfAbsent on the object map IS the conditional PUT; a
+    // winning put mirrors the object to the local path so every reader,
+    // the hint swing and the sweeps run unchanged. Proves the protocol
+    // needs nothing from the filesystem beyond what the arbiter trait
+    // states — swap the primitive, keep the guarantees.
+    object S3LikeArbiter extends CommitArbiter {
+      val objects =
+        new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+      val rejected = new java.util.concurrent.atomic.AtomicInteger
+      override def publish(target: java.nio.file.Path,
+          bytes: Array[Byte]): Boolean =
+        if (S3LikeArbiter.objects.putIfAbsent(target.toString, bytes) != null) {
+          rejected.incrementAndGet(); false // 412 Precondition Failed
+        } else { Files.write(target, bytes); true }
+    }
+    val prev = Meta.arbiter
+    Meta.arbiter = S3LikeArbiter
+    try {
+      val wh = Files.createTempDirectory("graft-s3race")
+      val cat = new LakeCatalog(spark, wh)
+      cat.createNamespace("db")
+      var t = cat.createTable("db", "s3r", schema)
+        .append(toDf(Seq((1, "a", 1.0))))
+      for (iter <- 0 until 4) {
+        val base = Meta.currentVersion(t.location).get
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val results =
+          new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+        val threads = (0 until 2).map { i =>
+          val snap = t.meta.copy(props =
+            t.meta.props + (s"s3racer-$iter" -> i.toString))
+          new Thread(() => {
+            try {
+              barrier.await()
+              Meta.commit(t.location, snap, Some(base))
+              results.add(Right(i))
+            } catch { case e: Throwable => results.add(Left(e)) }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val (losers, winners) = results.toArray(Array.empty[Either[Throwable, Int]])
+          .partition(_.isLeft)
+        assert(winners.size == 1,
+          s"iter $iter: ${winners.size} racers both believe they committed")
+        assert(losers.forall(
+          _.left.exists(_.isInstanceOf[CommitConflictException])))
+        assert(Meta.currentVersion(t.location).get == base + 1)
+        t = t.reloaded()
+        assert(t.meta.props.get(s"s3racer-$iter")
+          .contains(winners.head.toOption.get.toString))
+      }
+      assert(S3LikeArbiter.rejected.get > 0,
+        "no conditional-put rejection fired — the race never exercised " +
+          "the arbiter's loser path")
+      // normal DML keeps working through the swapped arbiter
+      t = t.append(toDf(Seq((2, "b", 2.0))))
+      assert(observed(t.reloaded()) == Seq((1, "a", 1.0), (2, "b", 2.0)))
+    } finally Meta.arbiter = prev
+  }
 }
