@@ -349,8 +349,11 @@ object Multimodal {
 
   /** Decode: real for BMP/WAV (hand-parsed headers), JPEG/PNG/GIF
     * (JDK ImageIO), and MP4 video metadata (box walk: tkhd dims + stts
-    * frame count); STUB fallback (deterministic fake in place of a
-    * codec call) only for formats the JVM cannot decode unaided. */
+    * frame count); then any registered [[MediaCodecProvider]] (the
+    * compressed-codec seam — an FFmpeg/JNI jar on the executor
+    * classpath handles what the JVM cannot); STUB fallback
+    * (deterministic fake in place of a codec call) only when no parser
+    * and no provider claims the payload. */
   private[functions] def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
     // Try: any malformed container that still escapes the parsers'
     // structural checks degrades to the stand-in like unknown formats do
@@ -358,7 +361,8 @@ object Multimodal {
         .orElse(decodeImage(payload))
         .orElse(decodeMp4(payload).collect {
           case m if m.width > 0 => (m.width, m.height, math.max(m.frames, 1))
-        }))
+        })
+        .orElse(MediaCodecs.video(payload)))
       .toOption.flatten.getOrElse {
       val n = payload.length
       val w = 64 + (n % 577)                       // fake width
@@ -394,7 +398,11 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
-        scala.util.Try(decodeAudio(r.payload)).toOption.flatten match {
+        scala.util.Try(decodeAudio(r.payload)).toOption.flatten
+          // compressed payloads (AAC/Opus/…): the provider seam — real
+          // decode when a codec jar is deployed, else fall through to
+          // the labeled stand-in below
+          .orElse(MediaCodecs.audio(r.payload)) match {
           case Some((rate, channels, samples)) =>
             var sumSq = 0.0; var peak = 0.0
             samples.foreach { s =>

@@ -727,6 +727,51 @@ class LlmOpsSpec extends SparkSpec {
       f.n_samples == 48000)
   }
 
+  test("codec provider seam (X6): a ServiceLoader-discovered provider " +
+    "upgrades compressed payloads to real decode; faults isolate") {
+    import graft.functions.{MediaCodecProvider, MediaCodecs, Multimodal}
+    import spark.implicits._
+    // deployment path: the provider registered via
+    // META-INF/services in test resources is discovered, no engine wiring
+    assert(MediaCodecs.providers.exists(_.name == "test-service-codec"))
+    // audio: 6 samples, 2 channels per the magic header → decoded=TRUE
+    // with the PROVIDER's values (rate 44100, peak 1.0 from its samples)
+    val aud = "GRAFTC1A".getBytes("US-ASCII") ++ Array[Byte](6, 2)
+    val af = Multimodal.extractAudioFeatures(spark,
+      Seq((1L, "audio", aud)).toDF("media_id", "kind", "payload"))
+      .collect().head
+    assert(af.decoded && af.sample_rate == 44100 && af.channels == 2 &&
+      af.n_samples == 6 && af.peak == 1.0)
+    // video: 32x24, 9 frames per the magic header → real dims, not the
+    // deterministic fake
+    val vid = "GRAFTC1V".getBytes("US-ASCII") ++ Array[Byte](32, 24, 9)
+    val vf = Multimodal.extractFeatures(spark,
+      Seq((2L, "video", vid)).toDF("media_id", "kind", "payload"))
+      .collect().head
+    assert(vf.width == 320 && vf.height == 240 && vf.frames == 9)
+    // a payload NO provider claims still degrades to the labeled
+    // stand-in — cardinality never depends on codec coverage
+    val unk = "NOTACODEC".getBytes("US-ASCII")
+    val uf = Multimodal.extractAudioFeatures(spark,
+      Seq((3L, "audio", unk)).toDF("media_id", "kind", "payload"))
+      .collect().head
+    assert(!uf.decoded)
+    // fault isolation: a provider that THROWS is treated as
+    // cannot-decode; later providers still serve the payload
+    val bomb = new MediaCodecProvider {
+      override def name = "bomb"
+      override def decodeAudio(b: Array[Byte]) = sys.error("codec crash")
+      override def decodeVideo(b: Array[Byte]) = sys.error("codec crash")
+    }
+    MediaCodecs.register(bomb)
+    try {
+      val af2 = Multimodal.extractAudioFeatures(spark,
+        Seq((4L, "audio", aud)).toDF("media_id", "kind", "payload"))
+        .collect().head
+      assert(af2.decoded && af2.sample_rate == 44100)
+    } finally MediaCodecs.unregister(bomb)
+  }
+
   test("dsum guards the 2^53 exactness bound at runtime") {
     import spark.implicits._
     // individual values must fit DECIMAL(18,6) (< 1e12); the bound is on
