@@ -2447,8 +2447,136 @@ object LlmQueries {
         .orderBy("source")
     })
 
+  /** Hamming-1 record linkage by DELETION NEIGHBORHOOD — the exact
+    * sub-quadratic algorithm for near-identical key dedup (one-character
+    * typos, off-by-one ids): two equal-length strings at Hamming
+    * distance 1 agree exactly on every position but one, so blanking
+    * each position once (L variants per row) and equi-joining on
+    * (position, variant) finds every such pair EXACTLY once — no
+    * quadratic pair space, no recall dial. 100 TB: fan-out is
+    * L×rows (L = key length, a constant), the join is an ordinary
+    * shuffle on near-unique keys; the brute-force O(n²) spelling lives
+    * only in the oracle. The name-differs guard keeps identical keys
+    * (Hamming 0) from matching at every position. */
+  val q104 = QueryDef(
+    "q104_hamming_join",
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+              AND length(a.c_name) = length(b.c_name)
+              AND hamming(a.c_name, b.c_name) = 1
+            ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      val variants = c.select(col("id"), col("name"),
+          posexplode(expr(
+            """transform(sequence(1, length(name)),
+               i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))""")))
+        .select(col("id"), col("name"), col("pos"), col("col").as("variant"))
+      variants.as("a").join(variants.as("b"),
+          col("a.pos") === col("b.pos") &&
+            col("a.variant") === col("b.variant") &&
+            col("a.id") < col("b.id") &&
+            col("a.name") =!= col("b.name"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .orderBy("id_a", "id_b")
+    })
+
+  /** Token co-occurrence LIFT (PMI's ratio core, kept in ratio space so
+    * both engines round the same single division — log parity across
+    * libm implementations is not hash-stable): which frequent tokens
+    * appear in the same documents far more often than independence
+    * predicts. Vocabulary is capped to the top-50 document-frequency
+    * tokens (broadcast), per-doc token sets emit their pairs in ONE
+    * map-side pass over the grouped set (C(|vocab∩doc|,2) bounded per
+    * doc, like the LSH bucket-pair device) — never a row-level
+    * self-join of the posting lists. 100 TB: costs two aggs over the
+    * token stream plus a vocab²-bounded pair agg. */
+  val q105 = QueryDef(
+    "q105_cooccur_lift",
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+                 SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents) WHERE token <> ''),
+            top AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+                    ORDER BY df DESC, token LIMIT 50),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+            ft AS (SELECT t.doc_id, t.token, top.df
+                   FROM tok t JOIN top ON t.token = top.token),
+            pairs AS (SELECT a.token AS tok_a, b.token AS tok_b,
+                        a.df AS dfa, b.df AS dfb, COUNT(*) AS co
+                      FROM ft a JOIN ft b
+                        ON a.doc_id = b.doc_id AND a.token < b.token
+                      GROUP BY 1, 2, 3, 4)
+            SELECT tok_a, tok_b, CAST(co AS BIGINT) AS co,
+                   CAST(ROUND(co * n / (dfa * dfb * 1.0), 6) AS DOUBLE) AS lift
+            FROM pairs, nd WHERE co >= 5
+            ORDER BY lift DESC, tok_a, tok_b LIMIT 30"""),
+    (s, dir) => {
+      // ONE tokenize+distinct pass serves df-ranking, the corpus count
+      // AND pair generation (three consumers — without the checkpoint
+      // the corpus is scanned and tokenized three times)
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "").distinct()
+        .localCheckpoint(true)
+      val top = tok.groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(50)
+      val nd = tok.select(countDistinct("doc_id").as("n"))
+      // pairs emitted from each doc's (sorted) vocab-token set in one
+      // grouped pass — the same flatten/transform device as bucketPairs
+      val pairs = tok.join(broadcast(top), "token")
+        .groupBy("doc_id").agg(sort_array(collect_set(col("token"))).as("ts"))
+        .select(explode(expr(
+          """flatten(transform(ts, (x, i) -> transform(
+               slice(ts, i + 2, size(ts) - i - 1),
+               y -> struct(x AS tok_a, y AS tok_b))))""")).as("p"))
+        .select(col("p.tok_a"), col("p.tok_b"))
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 5)
+      pairs
+        .join(broadcast(top.select(col("token").as("tok_a"), col("df").as("dfa"))), "tok_a")
+        .join(broadcast(top.select(col("token").as("tok_b"), col("df").as("dfb"))), "tok_b")
+        .crossJoin(broadcast(nd))
+        .select(col("tok_a"), col("tok_b"), col("co"),
+          round((col("co") * col("n")) / (col("dfa") * col("dfb") * 1.0), 6)
+            .cast("double").as("lift"))
+        .orderBy(col("lift").desc, col("tok_a"), col("tok_b")).limit(30)
+    })
+
+  /** Deterministic train/val/test split + shard assignment — the step
+    * that turns a filtered corpus into training inputs. Two INDEPENDENT
+    * arithmetic hashes (q87's RNG-free device, distinct multipliers) so
+    * split membership and shard placement are uncorrelated; assignment
+    * is pure narrow column math (no sort, no shuffle before the
+    * split×shard-bounded stat agg), reproducible across engines, runs
+    * and cluster sizes — re-running the pipeline tomorrow yields
+    * byte-identical shards, the property RNG-based splitting loses. */
+  val q106 = QueryDef(
+    "q106_split_shard",
+    Some("""WITH a AS (SELECT doc_id, n_chars,
+                (doc_id * 2654435761) % 4294967296 % 10 AS b,
+                (doc_id * 2246822519) % 4294967296 % 32 AS shard FROM documents)
+            SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(shard AS INTEGER) AS shard,
+                   COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM a GROUP BY 1, 2"""),
+    (s, dir) => {
+      val b = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
+        lit(10L))
+      val shard = pmod(pmod(col("doc_id") * lit(2246822519L), lit(4294967296L)),
+        lit(32L))
+      t(s, dir, "documents")
+        .select(
+          when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"),
+          shard.cast("int").as("shard"),
+          col("n_chars"))
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
-    q96)
+    q96, q104, q105, q106)
 }

@@ -783,7 +783,214 @@ object RelQueries {
         .orderBy("cur", "nxt")
     })
 
+  /** GROUPING SETS with DISJOINT (non-hierarchical) sets — the case
+    * neither ROLLUP (q19) nor CUBE (q90) can express: per-flag totals,
+    * per-status totals, and the full cross, in ONE Expand pass (each
+    * input row fans to exactly |sets| grouping rows map-side, then the
+    * ordinary partial agg). At 100 TB the alternative — one scan per
+    * grouping set unioned — multiplies scan cost by |sets|; Expand
+    * multiplies only the pre-combine row stream. */
+  val q98 = QueryDef(
+    "q98_grouping_sets",
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+                   CAST(GROUPING(l_linestatus) AS INTEGER) AS g2,
+                   COUNT(*) AS cnt,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                    (l_returnflag, l_linestatus))"""),
+    (s, dir) => t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+          Seq(col("l_returnflag"), col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g1"),
+        grouping(col("l_linestatus")).cast("int").as("g2"),
+        count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty")))
+
+  /** ROC-AUC of a score against a binary label by the Mann-Whitney
+    * rank-sum identity — the model-quality gate every filtered-corpus
+    * pipeline runs (does the quality score actually separate the target
+    * class?). Handles TIES exactly via midranks computed from the
+    * score HISTOGRAM: one aggregation by score (map-side combined),
+    * then a window over the |distinct scores|-sized histogram — never a
+    * global row-level sort. At 100 TB the row-rank spelling costs a
+    * total sort of the corpus; this costs one agg plus a window over
+    * (at most) the value domain. Every intermediate is an integer or
+    * half-integer < 2^53, so double summation is EXACT regardless of
+    * partial-agg order — no decimal dance needed. */
+  val q99 = QueryDef(
+    "q99_auc",
+    Some("""WITH scored AS (SELECT n_chars AS score,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+            per AS (SELECT score, COUNT(*) AS cnt, SUM(pos) AS np FROM scored GROUP BY score),
+            ranked AS (SELECT score, cnt, np,
+                SUM(cnt) OVER (ORDER BY score) - cnt AS below FROM per),
+            tot AS (SELECT SUM(np) AS n1, SUM(cnt - np) AS n0 FROM per),
+            u AS (SELECT SUM(np * (below + (cnt + 1) / 2.0)) AS ranksum FROM ranked)
+            SELECT CAST(ROUND((ranksum - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS DOUBLE) AS auc
+            FROM u, tot"""),
+    (s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = per.withColumn("below", sum("cnt").over(w) - col("cnt"))
+      ranked.agg(
+          sum(col("np") * (col("below") + (col("cnt") + 1) / 2.0)).as("ranksum"),
+          sum("np").as("n1"), sum(col("cnt") - col("np")).as("n0"))
+        .select(round(
+          (col("ranksum") - col("n1") * (col("n1") + 1) / 2.0) /
+            (col("n1") * col("n0")), 6).cast("double").as("auc"))
+    })
+
+  /** Peak concurrency per event type by the sweep-line devices: each
+    * event contributes a [+1 at start, −1 at end] delta pair, a running
+    * sum ordered by time is the live-interval count, and MAX of it is
+    * the answer. ONE union (no join of intervals against intervals —
+    * the naive overlap self-join is quadratic in bursty regions), one
+    * window shuffle on event_type. End-before-start at equal instants
+    * (delta ascending) gives half-open [s, e) semantics; the max is
+    * order-independent among equal (t, delta) ties because the running
+    * sum is monotone within a tie group. */
+  val q100 = QueryDef(
+    "q100_sweepline",
+    Some("""WITH d AS (
+              SELECT event_type, ts AS t, 1 AS delta FROM events
+              UNION ALL
+              SELECT event_type,
+                     ts + to_milliseconds(CAST(ROUND(value * 1000) AS BIGINT)),
+                     -1 FROM events),
+            r AS (SELECT event_type,
+                SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                  ROWS UNBOUNDED PRECEDING) AS conc FROM d)
+            SELECT event_type, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+            FROM r GROUP BY event_type"""),
+    (s, dir) => {
+      // both deltas from ONE scan (the union spelling reads events
+      // twice — at 100 TB that doubles the dominant cost)
+      val w = Window.partitionBy("event_type").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"), explode(array(
+          struct(col("ts").as("t"), lit(1L).as("delta")),
+          struct(timestamp_millis(unix_millis(col("ts")) +
+            round(col("value") * 1000).cast("long")).as("t"),
+            lit(-1L).as("delta")))).as("d"))
+        .select(col("event_type"), col("d.t").as("t"), col("d.delta").as("delta"))
+        .withColumn("conc", sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(max("conc").cast("long").as("peak_concurrency"))
+    })
+
+  /** Gaps-and-islands: longest consecutive-day activity streak per user
+    * (the canonical sessionless streak operator). Islands via the
+    * date − row_number trick: consecutive days share a constant anchor,
+    * so streaks fall out of a groupBy — one distinct, one window, one
+    * agg, all partitioned by user (a single shuffle key end-to-end;
+    * at 100 TB the per-user day lists are calendar-bounded, so no
+    * partition outgrows memory). */
+  val q101 = QueryDef(
+    "q101_streaks",
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+            isl AS (SELECT user_id, d,
+                d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+              FROM days),
+            streaks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+                        FROM isl GROUP BY user_id, grp)
+            SELECT user_id, MAX(len) AS max_streak FROM streaks GROUP BY user_id
+            ORDER BY max_streak DESC, user_id LIMIT 20"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("d")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("max_streak"))
+        .orderBy(col("max_streak").desc, col("user_id")).limit(20)
+    })
+
+  /** Cohort retention: users grouped by first-activity week, activity
+    * counted per week-since-cohort — the (cohort × age) engagement
+    * matrix. Two shuffles total: the per-user MIN (map-side combined),
+    * and the COUNT(DISTINCT user) re-key to (cohort, week_n); the
+    * first-activity side joins back by user_id co-partitioned with the
+    * event scan. Output is calendar² bounded, independent of event
+    * volume. */
+  val q102 = QueryDef(
+    "q102_cohorts",
+    Some("""WITH firsts AS (SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort,
+                   CAST(MIN(ts) AS DATE) AS first_d FROM events GROUP BY user_id)
+            SELECT f.cohort,
+                   CAST((CAST(e.ts AS DATE) - f.first_d) // 7 AS INTEGER) AS week_n,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+            GROUP BY 1, 2"""),
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val firsts = e.groupBy("user_id").agg(min("ts").as("first_ts"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).cast("date").as("cohort"),
+          col("first_ts").cast("date").as("first_d"))
+      e.join(firsts, "user_id")
+        .select(col("cohort"),
+          floor(datediff(col("ts").cast("date"), col("first_d")) / 7)
+            .cast("int").as("week_n"),
+          col("user_id"))
+        .groupBy("cohort", "week_n")
+        .agg(countDistinct("user_id").as("active_users"))
+    })
+
+  /** Time-series resampling with gap fill: the hourly grid is generated
+    * (sequence over the observed bound — one 1-row agg broadcast, grid
+    * size is calendar × |types|, independent of event volume), hours
+    * with no events surface as cnt=0, and the last observed hourly sum
+    * carries forward (LOCF via last-ignore-nulls over the grid). The
+    * feature-engineering primitive for regular-cadence models over
+    * irregular logs; at 100 TB the only data-sized costs are one
+    * groupBy(hour, type) agg and a grid-sized window. */
+  val q103 = QueryDef(
+    "q103_resample_locf",
+    Some("""WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                                   date_trunc('hour', MAX(ts)) AS hi FROM events),
+            hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+            types AS (SELECT DISTINCT event_type FROM events),
+            agg AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt,
+                      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_val
+                    FROM events GROUP BY 1, 2)
+            SELECT t.event_type, g.h, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt,
+                   last_value(a.sum_val IGNORE NULLS) OVER (
+                     PARTITION BY t.event_type ORDER BY g.h
+                     ROWS UNBOUNDED PRECEDING) AS filled_sum
+            FROM types t CROSS JOIN hours g
+            LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = g.h"""),
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val grid = e.agg(date_trunc("hour", min("ts")).as("lo"),
+          date_trunc("hour", max("ts")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+        .crossJoin(e.select("event_type").distinct())
+      val agg = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_val"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          last(col("sum_val"), ignoreNulls = true).over(w).as("filled_sum"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q80, q81, q85, q86, q88, q90, q91, q95, q97)
+    q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
+    q101, q102, q103)
 }

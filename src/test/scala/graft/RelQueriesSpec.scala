@@ -151,6 +151,80 @@ class RelQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q99 AUC rank-sum handles ties: matches the closed form on a " +
+    "hand-computed tied sample") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // scores: pos = {3, 2, 2}, neg = {2, 1}. Pairwise: pos>neg pairs =
+    // (3>2, 3>1, 2>1, 2>1) = 4 wins; ties (2==2) twice = 2×0.5;
+    // AUC = (4 + 1) / (3×2) = 0.8333…
+    val df = spark.createDataFrame(Seq(
+      (3L, 1L), (2L, 1L), (2L, 1L), (2L, 0L), (1L, 0L)
+    )).toDF("score", "pos")
+    val per = df.groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val auc = per.withColumn("below", sum("cnt").over(w) - col("cnt"))
+      .agg(sum(col("np") * (col("below") + (col("cnt") + 1) / 2.0)).as("rs"),
+        sum("np").as("n1"), sum(col("cnt") - col("np")).as("n0"))
+      .select(((col("rs") - col("n1") * (col("n1") + 1) / 2.0) /
+        (col("n1") * col("n0"))).as("auc"))
+      .head().getDouble(0)
+    assert(math.abs(auc - 5.0 / 6.0) < 1e-12, s"auc=$auc")
+  }
+
+  test("q100 sweep-line peak matches brute-force interval counting") {
+    // brute force: for every start instant, count intervals covering it
+    // under [s, e) semantics — must equal the query's running-sum max
+    val rows = Registry.queries("q100_sweepline")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("event_type", "unix_millis(ts) AS s",
+        "unix_millis(ts) + cast(round(value * 1000) as long) AS e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    evs.groupBy(_._1).foreach { case (tpe, is) =>
+      val peak = is.map { case (_, s0, _) =>
+        is.count { case (_, s, e) => s <= s0 && s0 < e }
+      }.max
+      assert(rows(tpe) == peak.toLong, s"$tpe: got ${rows(tpe)}, want $peak")
+    }
+  }
+
+  test("q101 island trick: a forged user with two streaks reports the " +
+    "longer one") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // days 1,2,3 then 7,8 → streaks 3 and 2 → max 3
+    val df = spark.createDataFrame(Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-07"), (1L, "2024-01-08")
+    )).toDF("user_id", "ds").select(col("user_id"), col("ds").cast("date").as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val streak = df.withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("m"))
+      .head().getLong(1)
+    assert(streak == 3L)
+  }
+
+  test("q104 deletion-neighborhood join is EXACT: differential vs " +
+    "brute-force Hamming over all pairs") {
+    val names = Tables(spark, sf, "customer")
+      .selectExpr("cast(c_custkey as long) AS id", "c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      Seq((ia, na), (ib, nb)) <- names.toSeq.sortBy(_._1).combinations(2)
+      if na.length == nb.length &&
+        na.zip(nb).count { case (x, y) => x != y } == 1
+    } yield (ia, ib)).toSet
+    val got = Registry.queries("q104_hamming_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty) // the differential actually tested something
+  }
+
   test("q89 binary signatures agree with per-dimension sign comparison") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps
