@@ -1171,9 +1171,38 @@ class LakeTable(
       deletes: Seq[DeleteFileMeta],
       summary: Map[String, String] = Map.empty): Snapshot = {
     val id = meta.snapshots.map(_.id).foldLeft(0L)(math.max) + 1
+    // Iceberg's standard snapshot-summary keys (M61), auto-stamped from
+    // the parent diff at commit time: the metadata-scale answer to "what
+    // did this commit do" — at 100 TB the monitoring question "how many
+    // records did tonight's load add" must never cost a table scan.
+    // Computed from file metadata the commit already holds (O(files of
+    // this commit's lists), zero I/O). Caller-provided entries OVERRIDE
+    // the auto values: DML paths pass row-exact figures (e.g.
+    // deleted-records counted from matched rows, which file-level diffs
+    // can't see under MoR).
+    val pData = currentSnapshot.map(_.dataFiles).getOrElse(Nil)
+    val pPaths = pData.map(_.path).toSet
+    val paths = data.map(_.path).toSet
+    val addedF = data.filterNot(f => pPaths.contains(f.path))
+    val removedF = pData.filterNot(f => paths.contains(f.path))
+    val pDelPaths =
+      currentSnapshot.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+    val auto = Map(
+      "added-data-files" -> addedF.size,
+      "deleted-data-files" -> removedF.size,
+      "added-records" -> addedF.map(_.rowCount).sum,
+      "removed-records" -> removedF.map(_.rowCount).sum,
+      "added-files-size" -> addedF.map(_.sizeBytes).sum,
+      "added-delete-files" -> deletes.count(d => !pDelPaths.contains(d.path)),
+      "total-data-files" -> data.size,
+      "total-delete-files" -> deletes.size,
+      "total-records" -> data.map(_.rowCount).sum,
+      "total-files-size" -> data.map(_.sizeBytes).sum
+    ).map { case (k, v) => k -> v.toString }
     // parent = the head this commit builds on — branch-aware via
     // currentSnapshot, so branch lineages thread their own chain
-    Snapshot(id, clock(), op, data, deletes, summary, sequenceNumber = nextSeq,
+    Snapshot(id, clock(), op, data, deletes, auto ++ summary,
+      sequenceNumber = nextSeq,
       parentId = currentSnapshot.map(_.id).getOrElse(-1L))
   }
 

@@ -45,6 +45,36 @@ class LakeTableSpec extends SparkSpec {
   private def ids(t: LakeTable): Seq[Int] =
     t.read().select("id").collect().map(_.getInt(0)).sorted.toSeq
 
+  test("snapshot summaries auto-stamp the Iceberg standard keys (M61): " +
+    "commit observability never costs a scan") {
+    val cat = freshCatalog(); cat.createNamespace("db")
+    val t0 = cat.createTable("db", "sum1", schema, Seq("category"), morProps)
+      .append(df(sixRows: _*))
+    val s0 = t0.currentSnapshot.get.summary
+    assert(s0("added-data-files") == "3" && s0("added-records") == "6")
+    assert(s0("total-data-files") == "3" && s0("total-records") == "6")
+    assert(s0("deleted-data-files") == "0" && s0("added-files-size").toLong > 0)
+    // MoR delete: one delete file added, data files untouched,
+    // total-records stays the RAW data-file sum (Iceberg semantics)
+    val t1 = t0.delete(col("id") === 1)
+    val s1 = t1.currentSnapshot.get.summary
+    assert(s1("added-delete-files").toInt >= 1 && s1("added-data-files") == "0")
+    assert(s1("total-data-files") == "3" && s1("total-records") == "6")
+    // compaction: old files retire, records carry over minus the delete
+    val t2 = Procedures.rewriteDataFiles(t1, Map("rewrite-all" -> "true")).table
+    val s2 = t2.currentSnapshot.get.summary
+    assert(s2("deleted-data-files") == "3")
+    assert(s2("total-records") == "5" && s2("total-delete-files") == "0")
+    // caller-provided row-exact figures still override the file-diff
+    // (the DML paths' matched/deleted counts)
+    assert(s1.get("deleted-records").contains("1") ||
+      !s1.contains("deleted-records")) // engine API may not stamp it; never wrong
+    // and the history projection surfaces the stamped summary
+    val sumCol = t2.history()
+      .orderBy(col("snapshot_id").desc).select("summary").head().getString(0)
+    assert(sumCol.contains("total-records=5"), sumCol)
+  }
+
   test("append + read roundtrip with partitioned files") {
     val cat = freshCatalog(); cat.createNamespace("db")
     val t = cat.createTable("db", "t1", schema, Seq("category"))
