@@ -50,19 +50,25 @@ object LlmQueries {
     * and the set intersection runs as compiled JVM code — the
     * quadratic-ish verify work touches the collision set, never the
     * corpus. Integer-ratio double division keeps exact parity with the
-    * DuckDB brute-force oracle. */
+    * DuckDB brute-force oracle.
+    *
+    * Candidate texts come from `reps` — the localCheckpoint'd
+    * exact-dup-class representatives the banding stage already
+    * materialized — NOT from a second scan of the raw table (VERDICT r10
+    * #1: q34's stage profile showed the verify stage dominated at small
+    * SF, and its cost was barrier latency — an extra source scan, an
+    * extra eager checkpoint, and two broadcast builds — not compute). */
   private def verifyCandidates(
-      s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+      s: SparkSession, reps: DataFrame, cand: DataFrame): DataFrame = {
     import s.implicits._
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    val docsNeeded = t(s, dir, "documents")
+    val shingled = reps
       .join(broadcast(ids), "doc_id")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, TextOps.shingleSet(text)) }
       .toDF("doc_id", "sh")
-      .localCheckpoint(true) // consumed by both pair sides
-    exactJaccard(s, docsNeeded, cand)
+    exactJaccard(s, shingled, cand)
   }
 
   /** q56's verify: the shingle sets were already materialized for
@@ -81,10 +87,15 @@ object LlmQueries {
   private def exactJaccard(
       s: SparkSession, shingled: DataFrame, cand: DataFrame): DataFrame = {
     import s.implicits._
-    val a = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-    val b = shingled.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-    cand.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("sha"), col("shb"))
+    // ONE broadcast plan joined on both pair sides: aliasing the same
+    // hinted relation (instead of renaming columns before the hint)
+    // keeps the two exchange subtrees canonically identical, so
+    // ReuseExchange builds the candidate shingle map once, not twice
+    val b = broadcast(shingled)
+    cand.join(b.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(b.as("B"), col("doc_b") === col("B.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("A.sh").as("sha"), col("B.sh").as("shb"))
       .as[(Long, Long, Seq[String], Seq[String])]
       .map { case (da, db, sa, sb) =>
         val setA = sa.toSet
@@ -133,7 +144,7 @@ object LlmQueries {
         collapseExactDups(s, t(s, dir, "documents").select("doc_id", "text"))
       val bands = TextOps.minhashBands(reps, 32, 4)
       val verified =
-        verifyCandidates(s, dir, bucketPairs(bands, "q34_lsh_buckets"))
+        verifyCandidates(s, reps, bucketPairs(bands, "q34_lsh_buckets"))
       expandVerified(verified, members, within)
     })
 
@@ -152,7 +163,7 @@ object LlmQueries {
     * paths already accept whp guarantees. Within-pair emission is
     * O(Σ m_c²) = exactly the output rows the oracle demands for those
     * classes — output-sized, not avoidable. */
-  private[queries] def collapseExactDups(
+  private[graft] def collapseExactDups(
       s: SparkSession, docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val classes = docs
@@ -180,9 +191,20 @@ object LlmQueries {
     * pairs fan out across both classes (jac is text-determined, so every
     * member pair inherits the representative pair's value verbatim — no
     * re-verify), then the intra-class jac-1 pairs union in. Classes are
-    * disjoint, so the fan-out is duplicate-free by construction. */
+    * disjoint, so the fan-out is duplicate-free by construction.
+    *
+    * The verified pair set is checkpointed (lazily — it materializes
+    * inside the first downstream action, no extra barrier job) before
+    * the fan-out: profiling (VERDICT r10 #1) showed the un-checkpointed
+    * composite plan roughly doubled the verify stage's wall time — AQE's
+    * per-stage replanning of the expand joins defeats broadcast-exchange
+    * reuse inside the verify subtree, so the candidate shingle map was
+    * built more than once. Verified pairs are output-scale (near-dup
+    * pairs), orders of magnitude below the corpus, so the checkpoint is
+    * cheap at any SF. */
   private def expandVerified(
-      verified: DataFrame, members: DataFrame, within: DataFrame): DataFrame =
+      verified0: DataFrame, members: DataFrame, within: DataFrame): DataFrame = {
+    val verified = verified0.localCheckpoint(false)
     verified
       .join(members.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
       .join(members.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
@@ -190,6 +212,7 @@ object LlmQueries {
         greatest(col("ma"), col("mb")).as("doc_b"), col("jac"))
       .unionByName(within)
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Candidate pairs from bucket collisions in a single pass: collect
     * each (band, sig) bucket's member list and emit its pairs directly —
@@ -224,6 +247,7 @@ object LlmQueries {
   /** Pair-space guard for degenerate buckets: larger buckets are dropped
     * from candidate generation (and counted — see [[bucketPairs]]). */
   private val BucketCap = 1000
+
 
   // ------------------------------------------------ q35 SimHash near-dup
   // 64-bit SimHash, 4 bands × 16 bits, single-bit multiprobe. Band width
@@ -275,7 +299,7 @@ object LlmQueries {
         .filter(col("doc_a") < col("doc_b"))
         .distinct()
         .localCheckpoint(true)
-      expandVerified(verifyCandidates(s, dir, cand), members, within)
+      expandVerified(verifyCandidates(s, reps, cand), members, within)
     })
 
   // ------------------------------- q56 n-gram Jaccard via prefix filtering
