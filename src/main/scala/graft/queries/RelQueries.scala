@@ -989,8 +989,299 @@ object RelQueries {
           last(col("sum_val"), ignoreNulls = true).over(w).as("filled_sum"))
     })
 
+  /** Correlated scalar-aggregate subquery (the TPC-H Q17 shape):
+    * lineitems below half their part's average quantity. Decorrelated to
+    * ONE self-aggregate joined back on the correlation key — at 100 TB
+    * the correlated spelling re-aggregates per outer row; this costs one
+    * extra shuffle over (partkey, sum, count), AQE-broadcastable when
+    * the part domain is small. Quantities are integral, so SUM(double)
+    * is exact at any partial-agg order and the 0.5·avg threshold
+    * comparison is bit-deterministic on both engines. */
+  val q107 = QueryDef(
+    "q107_correlated_scalar",
+    Some("""WITH a AS (SELECT l_partkey AS pk, SUM(l_quantity) AS sq,
+                              COUNT(*) AS cq
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_below
+            FROM lineitem l JOIN a ON l.l_partkey = a.pk
+            WHERE l.l_quantity < 0.5 * (a.sq / a.cq)"""),
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val a = l.groupBy(col("l_partkey"))
+        .agg(sum("l_quantity").as("sq"), count(lit(1)).as("cq"))
+      l.join(a, "l_partkey")
+        .filter(col("l_quantity") < lit(0.5) * (col("sq") / col("cq")))
+        .agg(dsum(col("l_extendedprice")).as("sum_below"))
+    })
+
+  /** Scalar-subquery threshold + NOT EXISTS (the TPC-H Q22 shape):
+    * above-average-balance customers who never ordered, rolled up per
+    * nation. The NOT EXISTS decorrelates to a LEFT ANTI join on the
+    * customer key; the global average is a one-row broadcast. The
+    * threshold is computed as exact-decimal sum ÷ count cast through
+    * double with the identical spelling on both engines, so the
+    * boundary comparison cannot drift. */
+  val q108 = QueryDef(
+    "q108_anti_scalar",
+    Some("""WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                / COUNT(*) AS a
+                         FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+            FROM customer c, thr
+            WHERE c.c_acctbal > thr.a
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey ORDER BY c_nationkey"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val thr = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("a"))
+      c.join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .crossJoin(broadcast(thr)) // one-row scalar
+        .filter(col("c_acctbal") > col("a"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    })
+
+  /** Count-of-counts distribution (the TPC-H Q13 shape): orders per
+    * customer via LEFT join (zero-order customers MUST surface as
+    * c_count = 0 — an inner join silently drops them), then the
+    * second-level histogram. Two shuffles, both map-side combined;
+    * output is bounded by the max order count, not the customer
+    * count. */
+  val q109 = QueryDef(
+    "q109_count_distribution",
+    Some("""WITH co AS (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                        FROM customer c LEFT JOIN orders o
+                          ON c.c_custkey = o.o_custkey
+                        GROUP BY c.c_custkey)
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM co GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC"""),
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc))
+
+  /** Argmax-against-global-max (the TPC-H Q15 shape): supplier(s) whose
+    * revenue EQUALS the maximum — ties must all surface, so this is a
+    * scalar-max broadcast + exact-decimal equality, not a LIMIT 1.
+    * Revenue sums run in DECIMAL so the equality is exact at any
+    * partial-agg order; the max side is a one-row broadcast. */
+  val q110 = QueryDef(
+    "q110_top_supplier",
+    Some("""WITH rev AS (SELECT l_suppkey,
+                     SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+                   FROM lineitem GROUP BY l_suppkey),
+                 mx AS (SELECT MAX(r) AS m FROM rev)
+            SELECT s.s_suppkey, s.s_name, CAST(ROUND(rev.r, 2) AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey, mx
+            WHERE rev.r = mx.m ORDER BY s.s_suppkey"""),
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("r"))
+      val mx = rev.agg(max("r").as("m"))
+      rev.crossJoin(broadcast(mx)).filter(col("r") === col("m"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("r"), 2).cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    })
+
+  /** Correlated EXISTS with an INEQUALITY against the outer row (the
+    * TPC-H Q4 shape): orders in a window with at least one late-shipping
+    * line. Decorrelates to a LEFT SEMI join whose condition mixes the
+    * equi key with the outer-column inequality — the semi join
+    * deduplicates per order by construction (no DISTINCT pass), and the
+    * date filter prunes the probe side before the shuffle. */
+  val q111 = QueryDef(
+    "q111_exists_inequality",
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    })
+
+  /** Group share against a GLOBAL aggregate (the TPC-H Q11 shape):
+    * parts whose value exceeds a fraction of the corpus total. One
+    * grouped sum, one one-row broadcast of its re-aggregate — the
+    * correlated HAVING spelling would rescan; this reuses the grouped
+    * relation for both sides. Exact-decimal sums make the threshold
+    * comparison deterministic. */
+  val q112 = QueryDef(
+    "q112_value_share",
+    Some("""WITH pv AS (SELECT l_partkey,
+                    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+                  FROM lineitem GROUP BY 1),
+                 tot AS (SELECT SUM(val) AS tv FROM pv)
+            SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+            FROM pv, tot
+            WHERE CAST(val AS DOUBLE) > CAST(tv AS DOUBLE) * 0.0005
+            ORDER BY part_value DESC, l_partkey LIMIT 25"""),
+    (s, dir) => {
+      val pv = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("val"))
+        .localCheckpoint(false) // consumed by the total AND the filter
+      val tot = pv.agg(sum("val").as("tv"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("val").cast("double") > col("tv").cast("double") * 0.0005)
+        .select(col("l_partkey"), round(col("val"), 2).cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey")).limit(25)
+    })
+
+  /** Fixed-iteration PageRank over the nation trade graph (customer
+    * nation → supplier nation edges weighted by lineitem count). The
+    * data-scale work is ONE edge aggregation (the 4-way join); the
+    * 3-iteration power loop then runs over the |nations|²-bounded edge
+    * list — rank iteration cost is independent of fact-table volume,
+    * which is the only PageRank that survives 100 TB. Per-edge
+    * contributions are scaled to integers (×10¹²) before summation so
+    * partial-agg order cannot move a bit; ranks are emitted as ppm
+    * integers for the same reason. */
+  val q113 = QueryDef(
+    "q113_pagerank",
+    Some("""WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                              COUNT(*) AS w
+                       FROM customer c
+                       JOIN orders o ON o.o_custkey = c.c_custkey
+                       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       GROUP BY 1, 2),
+            outd AS (SELECT src, SUM(w) AS od FROM e GROUP BY src),
+            e2 AS (SELECT e.src, e.dst, e.w, outd.od FROM e JOIN outd ON e.src = outd.src),
+            n AS (SELECT n_nationkey AS id FROM nation),
+            p0 AS (SELECT id, 0.04 AS p FROM n),
+            s1 AS (SELECT e2.dst AS id,
+                     SUM(CAST(ROUND(p0.p * e2.w / e2.od * 1000000000000) AS BIGINT)) AS sc
+                   FROM e2 JOIN p0 ON p0.id = e2.src GROUP BY e2.dst),
+            p1 AS (SELECT n.id, 0.006 + 0.85 * (COALESCE(s1.sc, 0) / 1000000000000.0) AS p
+                   FROM n LEFT JOIN s1 ON s1.id = n.id),
+            s2 AS (SELECT e2.dst AS id,
+                     SUM(CAST(ROUND(p1.p * e2.w / e2.od * 1000000000000) AS BIGINT)) AS sc
+                   FROM e2 JOIN p1 ON p1.id = e2.src GROUP BY e2.dst),
+            p2 AS (SELECT n.id, 0.006 + 0.85 * (COALESCE(s2.sc, 0) / 1000000000000.0) AS p
+                   FROM n LEFT JOIN s2 ON s2.id = n.id),
+            s3 AS (SELECT e2.dst AS id,
+                     SUM(CAST(ROUND(p2.p * e2.w / e2.od * 1000000000000) AS BIGINT)) AS sc
+                   FROM e2 JOIN p2 ON p2.id = e2.src GROUP BY e2.dst),
+            p3 AS (SELECT n.id, 0.006 + 0.85 * (COALESCE(s3.sc, 0) / 1000000000000.0) AS p
+                   FROM n LEFT JOIN s3 ON s3.id = n.id)
+            SELECT id AS n_nationkey, CAST(ROUND(p * 1000000) AS BIGINT) AS rank_ppm
+            FROM p3 ORDER BY id"""),
+    (s, dir) => {
+      val e = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outd = e.groupBy("src").agg(sum("w").as("od"))
+      // the |nations|²-bounded edge list is the loop-invariant — pin it
+      // so the 3 rank iterations never re-run the fact-table join
+      val e2 = e.join(outd, "src").localCheckpoint(true)
+      val nodes = t(s, dir, "nation").select(col("n_nationkey").as("id"))
+      var p = nodes.select(col("id"), lit(0.04).as("p"))
+      for (_ <- 1 to 3) {
+        val sc = e2.join(p, col("id") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(round(col("p") * col("w") / col("od") * lit(1e12))
+            .cast("long")).as("sc"))
+        p = nodes.join(sc, nodes("id") === sc("dst"), "left")
+          .select(nodes("id"),
+            (lit(0.006) + lit(0.85) *
+              (coalesce(col("sc"), lit(0L)) / lit(1e12))).as("p"))
+      }
+      p.select(col("id").as("n_nationkey"),
+          round(col("p") * 1e6).cast("long").as("rank_ppm"))
+        .orderBy("n_nationkey")
+    })
+
+  /** Per-group mode / arg-max with a TOTAL tiebreak (top user per event
+    * type). arg_max alone is nondeterministic under ties, so both
+    * engines spell the deterministic version: grouped counts, then a
+    * window ranked by (count DESC, key ASC) — one row per group out. */
+  val q114 = QueryDef(
+    "q114_argmax",
+    Some("""WITH uc AS (SELECT event_type, user_id, COUNT(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+                 r AS (SELECT event_type, user_id, cnt,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY cnt DESC, user_id) AS rn
+                       FROM uc)
+            SELECT event_type, user_id AS top_user, cnt
+            FROM r WHERE rn = 1 ORDER BY event_type"""),
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id"))
+      t(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("user_id").as("top_user"), col("cnt"))
+        .orderBy("event_type")
+    })
+
+  /** Ordered string aggregation: the listagg/string_agg surface. The
+    * deterministic spelling collects then sorts INSIDE the group (both
+    * engines agree on byte order for ASCII names); group sizes are
+    * domain-bounded (suppliers per nation), so the collected arrays
+    * cannot outgrow a task. */
+  val q115 = QueryDef(
+    "q115_string_agg",
+    Some("""SELECT n.n_name, string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+            FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name"""),
+    (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "supplier"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("suppliers"))
+        .orderBy("n_name"))
+
+  /** Fixed-width histogram with an overflow bucket (width_bucket
+    * semantics spelled as integer arithmetic so bucket edges are
+    * bit-identical across engines). One map-side-combined aggregation;
+    * output is bucket-count bounded. */
+  val q116 = QueryDef(
+    "q116_histogram",
+    Some("""SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS INTEGER), 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY 1 ORDER BY 1"""),
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 50000).cast("int"), lit(9))
+          .as("bin"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bin"))
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
-    q101, q102, q103)
+    q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
+    q115, q116)
 }
