@@ -99,13 +99,22 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // r9's line carried two 84-entry dicts of 9-decimal doubles and outgrew
-    // the driver's tail-capture window. The capture keeps the END of the
-    // line (r9 lost q01-q24 from the head; r10's "queries_min first" made
-    // it worse by putting the gating dict in the truncation zone), so:
-    // round to 3 decimals and put queries_min (the gating dict) LAST.
+    // The driver's tail capture keeps only the LAST ~2000 chars of stdout
+    // (with sbt's "[success] …" line after ours eating ~80 of them), and
+    // r9/r10/r11 all lost data to it — r11's 116-query two-dict line was
+    // ~6 KB and the driver recorded `parsed: null`. Two artifacts now:
+    //   stdout — a COMPACT line that must fit the window: short keys
+    //     ("q34" for "q34_minhash_neardup"), 2-decimal medians, no min
+    //     dict. Budget: ~12 chars/query ⇒ ~150 queries fit.
+    //   bench_out.json — the full-fidelity record (full names, median AND
+    //     best-of-N), which verdicts have used for recovery since r9.
     def r3(d: Double): String =
       if (d < 0) "-1" else BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def r2(d: Double): String =
+      if (d < 0) "-1" else BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val qsShort = times.map { case (k, (med, _)) => s"${js(shortKey(k))}:${r2(med)}" }
+      .mkString("{", ",", "}")
     val qs = times.map { case (k, (med, _)) => s"${js(k)}:${r3(med)}" }
       .mkString("{", ",", "}")
     val qsMin = times.map { case (k, (_, best)) => s"${js(k)}:${r3(best)}" }
@@ -114,9 +123,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.collect { case (_, (med, _)) if med >= 0 => med }.sum
     val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","nerr":${errors.size},"queries":$qsShort}"""
+    val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
     println(line)
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
     // A bench with erroring queries must not look like a clean run: r7
     // recorded three -1.0 entries yet rc=0 (VERDICT r7 #3). The JSON line

@@ -361,9 +361,14 @@ object Multimodal {
         .orElse(decodeImage(payload))
         .orElse(decodeMp4(payload).collect {
           case m if m.width > 0 => (m.width, m.height, math.max(m.frames, 1))
-        })
-        .orElse(MediaCodecs.video(payload)))
-      .toOption.flatten.getOrElse {
+        }))
+      .toOption.flatten
+      // provider seam OUTSIDE the Try, matching the audio path: a
+      // built-in parser throwing on a malformed container must not
+      // skip registered codec providers (MediaCodecs.first already
+      // swallows provider exceptions)
+      .orElse(MediaCodecs.video(payload))
+      .getOrElse {
       val n = payload.length
       val w = 64 + (n % 577)                       // fake width
       val h = 64 + ((n.toLong * 31) % 419).toInt   // fake height (no Int overflow)

@@ -1191,7 +1191,10 @@ class LakeTable(
       "added-data-files" -> addedF.size,
       "deleted-data-files" -> removedF.size,
       "added-records" -> addedF.map(_.rowCount).sum,
-      "removed-records" -> removedF.map(_.rowCount).sum,
+      // Iceberg's SnapshotSummary spells this "deleted-records"; DML
+      // paths stamp the same key with row-exact counts and the
+      // `auto ++ summary` override below lets theirs win.
+      "deleted-records" -> removedF.map(_.rowCount).sum,
       "added-files-size" -> addedF.map(_.sizeBytes).sum,
       "added-delete-files" -> deletes.count(d => !pDelPaths.contains(d.path)),
       "total-data-files" -> data.size,

@@ -2486,8 +2486,8 @@ object LlmQueries {
     "q104_hamming_join",
     Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
             FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-              AND length(a.c_name) = length(b.c_name)
-              AND hamming(a.c_name, b.c_name) = 1
+              AND CASE WHEN length(a.c_name) = length(b.c_name)
+                       THEN hamming(a.c_name, b.c_name) END = 1
             ORDER BY id_a, id_b"""),
     (s, dir) => {
       val c = t(s, dir, "customer")
@@ -2599,8 +2599,203 @@ object LlmQueries {
         .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
     })
 
+  /** Frequent tokens by SKETCH-THEN-RECOUNT (Misra–Gries candidates +
+    * exact recount): the heavy-hitter pass that sizes vocabularies and
+    * stopword lists without a full token groupBy. Per partition, a
+    * k=400-counter Misra–Gries summary (mapPartitions — genuinely
+    * imperative per-partition state) emits candidate tokens; the
+    * pigeonhole guarantee makes the union a SUPERSET of every token
+    * with global frequency > n/200 (if a token clears n/200 globally it
+    * clears n_p/200 in some partition, and MG with 400 > 200 counters
+    * cannot evict it there), so the exact recount over the candidate
+    * semi-join restores exactness — the output is partitioning-
+    * independent even though the sketch isn't. 100 TB: pass 1 shuffles
+    * ≤ 400 tokens per partition (not the token stream), pass 2 recounts
+    * through a broadcast semi-join + map-side-combined agg bounded by
+    * the candidate set; the only full-width token shuffle in the naive
+    * spelling (the oracle's global GROUP BY) never happens. */
+  val q117 = QueryDef(
+    "q117_heavy_hitters",
+    Some("""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                         FROM documents),
+                 t2 AS (SELECT w FROM tok WHERE w <> ''),
+                 tot AS (SELECT COUNT(*) AS n FROM t2),
+                 c AS (SELECT w, COUNT(*) AS cnt FROM t2 GROUP BY w)
+            SELECT w AS token, CAST(cnt AS BIGINT) AS cnt
+            FROM c, tot WHERE cnt * 200 > n
+            ORDER BY cnt DESC, token"""),
+    (s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "").as[String]
+      val k = 400 // counters per partition; must exceed 1/support = 200
+      val candidates = toks.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { w =>
+          m.get(w) match {
+            case Some(c) => m.update(w, c + 1)
+            case None if m.size < k => m.update(w, 1L)
+            case None => // MG decrement step: new item absorbed at count 0
+              val dead = m.iterator.collect { case (t0, 1L) => t0 }.toList
+              m.mapValuesInPlace((_, c) => c - 1)
+              dead.foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }.distinct().toDF("w")
+      val tot = toks.groupBy().agg(count(lit(1)).as("n"))
+      toks.toDF("w")
+        .join(broadcast(candidates), Seq("w"), "left_semi")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot)) // one-row scalar
+        .filter(col("cnt") * 200 > col("n"))
+        .select(col("w").as("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    })
+
+  /** Edit-distance-1 record linkage by DELETION NEIGHBORHOOD (the
+    * FastSS/SymSpell device): unlike q104's positional Hamming blocking
+    * (substitutions only), indexing each key's {self} ∪ {all single-
+    * deletions} catches insertions and deletions too — two strings at
+    * Levenshtein distance ≤ 1 always share a deletion-neighborhood
+    * member. Keys here are stringified numeric ids (the off-by-one-digit
+    * id linkage problem: OCR'd invoices, hand-keyed account numbers).
+    * Candidates from the variant equi-join are verified with an exact
+    * levenshtein = 1 on the pair — the blocking is recall-lossless, the
+    * verify makes precision exact. 100 TB: fan-out is (L+1)×rows with L
+    * the key length; the join is an equi-join on short strings; the
+    * quadratic spelling lives only in the oracle. */
+  val q118 = QueryDef(
+    "q118_edit1_join",
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+              AND levenshtein(CAST(a.c_custkey AS VARCHAR),
+                              CAST(b.c_custkey AS VARCHAR)) = 1
+            ORDER BY id_a, id_b"""),
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_custkey").cast("string").as("key"))
+      val variants = c.select(col("id"), col("key"),
+        explode(expr(
+          """array_union(array(key), transform(sequence(1, length(key)),
+             i -> concat(substring(key, 1, i - 1), substring(key, i + 1))))"""))
+          .as("variant"))
+      variants.as("a").join(variants.as("b"),
+          col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.key").as("ka"), col("b.key").as("kb"))
+        .distinct() // a pair can collide on several shared variants
+        .filter(levenshtein(col("ka"), col("kb")) === 1)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    })
+
+  /** Hybrid retrieval with RECIPROCAL RANK FUSION (Cormack et al. —
+    * the fusion step of every BM25 + dense-vector RAG stack): a lexical
+    * top-100 (query-term occurrence count) and a dense top-100 (cosine
+    * to the pinned query vector, q28's oracle-proven device) are fused
+    * by RRF(d) = Σ 1/(60 + rank_i(d)) over the lists containing d (inner
+    * join: both lists here). Determinism: both rankings order by
+    * (score DESC, id) — a total order — so the top-100 sets and ranks
+    * are engine-identical; the fused score is a sum of exactly two
+    * reciprocals (commutative-exact double addition), rounded once.
+    * 100 TB: each modality contributes a TakeOrdered(100) — no global
+    * sort of the corpus — and ranking/fusion run over 100-row lists. */
+  val q119 = QueryDef(
+    "q119_rrf_fusion",
+    Some("""WITH lex AS (SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '),
+                       w -> w IN ('hash', 'join'))) AS sc
+                 FROM documents WHERE doc_id <> 0),
+                 ltop AS (SELECT doc_id, sc FROM lex
+                          ORDER BY sc DESC, doc_id LIMIT 100),
+                 lr AS (SELECT doc_id, ROW_NUMBER() OVER
+                          (ORDER BY sc DESC, doc_id) AS rank_lex FROM ltop),
+                 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+                 vs AS (SELECT vec_id, ROUND(list_cosine_similarity(
+                          embedding::DOUBLE[], qv), 4) AS sim
+                        FROM embeddings, q WHERE vec_id <> 0),
+                 vtop AS (SELECT vec_id, sim FROM vs
+                          ORDER BY sim DESC, vec_id LIMIT 100),
+                 vr AS (SELECT vec_id, ROW_NUMBER() OVER
+                          (ORDER BY sim DESC, vec_id) AS rank_vec FROM vtop)
+            SELECT lr.doc_id, rank_lex, rank_vec,
+                   ROUND(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_vec), 6)
+                     AS rrf
+            FROM lr JOIN vr ON lr.doc_id = vr.vec_id
+            ORDER BY rrf DESC, doc_id LIMIT 10"""),
+    (s, dir) => {
+      val lexW = Window.orderBy(col("sc").desc, col("doc_id"))
+      val lr = t(s, dir, "documents").filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), size(expr(
+          "filter(split(lower(text), ' '), w -> w IN ('hash', 'join'))"))
+          .as("sc"))
+        .orderBy(col("sc").desc, col("doc_id")).limit(100)
+        .withColumn("rank_lex", row_number().over(lexW))
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vecW = Window.orderBy(col("sim").desc, col("vec_id"))
+      val vr = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv)) // one-row query vector
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(100)
+        .withColumn("rank_vec", row_number().over(vecW))
+      lr.join(vr, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+          round(lit(1.0) / (lit(60) + col("rank_lex"))
+            + lit(1.0) / (lit(60) + col("rank_vec")), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    })
+
+  /** Embedding-space label-consistency CALIBRATION: bin the corpus by
+    * cosine similarity to a pinned query vector and measure, per bin,
+    * how often the neighbor shares the query's class label — the
+    * reliability-diagram input that tells you whether similarity scores
+    * can be thresholded as a classifier (and where the threshold
+    * belongs). Binning uses the already-rounded 4-dp similarity
+    * (q28's device) so bin edges cannot straddle a representation
+    * difference; rates are ppm integers. 100 TB: one broadcast of the
+    * query row, one map-side-combined aggregate — bin-bounded output,
+    * no shuffle wider than (bin, two longs). */
+  val q120 = QueryDef(
+    "q120_calibration",
+    Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv, label AS ql
+                       FROM embeddings WHERE vec_id = 0),
+                 sc AS (SELECT vec_id,
+                          ROUND(list_cosine_similarity(
+                            embedding::DOUBLE[], qv), 4) AS sim,
+                          CASE WHEN label = ql THEN 1 ELSE 0 END AS pos
+                        FROM embeddings, q WHERE vec_id <> 0)
+            SELECT CAST(FLOOR((sim + 1) * 10) AS INTEGER) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS positives,
+                   CAST(ROUND(SUM(pos) * 1000000.0 / COUNT(*)) AS BIGINT)
+                     AS pos_ppm
+            FROM sc GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("label").as("ql"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)) // one-row query vector + label
+        .select(
+          round(VectorOps.cosine(col("v"), col("qv")), 4).as("sim"),
+          when(col("label") === col("ql"), 1L).otherwise(0L).as("pos"))
+        .groupBy(floor((col("sim") + 1) * 10).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("pos").as("positives"))
+        .withColumn("pos_ppm",
+          round(col("positives") * 1000000.0 / col("n")).cast("long"))
+        .orderBy("bin")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
-    q96, q104, q105, q106)
+    q96, q104, q105, q106, q117, q118, q119, q120)
 }

@@ -1015,9 +1015,10 @@ object RelQueries {
     })
 
   /** Scalar-subquery threshold + NOT EXISTS (the TPC-H Q22 shape):
-    * above-average-balance customers who never ordered, rolled up per
-    * nation. The NOT EXISTS decorrelates to a LEFT ANTI join on the
-    * customer key; the global average is a one-row broadcast. The
+    * above-average-balance customers with no RECENT order (dormant
+    * accounts), rolled up per nation. The NOT EXISTS decorrelates to a
+    * LEFT ANTI join on the customer key; the global average is a
+    * one-row broadcast. The
     * threshold is computed as exact-decimal sum ÷ count cast through
     * double with the identical spelling on both engines, so the
     * boundary comparison cannot drift. */
@@ -1031,14 +1032,22 @@ object RelQueries {
             FROM customer c, thr
             WHERE c.c_acctbal > thr.a
               AND NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_custkey = c.c_custkey)
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey ORDER BY c_nationkey"""),
     (s, dir) => {
       val c = t(s, dir, "customer")
       val thr = c.filter(col("c_acctbal") > 0.0)
         .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
           / count(lit(1))).as("a"))
-      c.join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+      // "no RECENT order" (dormant accounts): every customer in the data
+      // has SOME order, so the classic Q22 "never ordered" spelling is
+      // empty at every sf — the anti join must subtract recent activity
+      // to select anything. The date filter lands on the orders scan
+      // (pushed down) before the anti join shrinks its build side.
+      c.join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .crossJoin(broadcast(thr)) // one-row scalar
         .filter(col("c_acctbal") > col("a"))
@@ -1279,9 +1288,226 @@ object RelQueries {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("bin"))
 
+  /** RFM segmentation (recency / frequency / monetary quintiles — the
+    * standard CRM cohorting operator): one per-customer aggregate, then
+    * NTILE(5) on each dimension with a (metric, custkey) TOTAL order so
+    * tie placement is engine-identical, then the segment-grid rollup.
+    * The three NTILEs are global-order windows — sound here because
+    * they run over the per-customer AGGREGATE (one row per customer,
+    * already 3-4 orders of magnitude below the fact table); at 100 TB
+    * the scale path replaces exact NTILE with range-partitioned rank or
+    * approx-quantile boundary assignment (the q88 posture), trading
+    * exact boundary ties for a distributed sort. Monetary uses the dsum
+    * exact-decimal device so the quintile order cannot drift. */
+  val q121 = QueryDef(
+    "q121_rfm",
+    Some("""WITH cm AS (SELECT o_custkey AS c,
+                   date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                             DATE '2001-08-02') AS rec_days,
+                   COUNT(*) AS freq,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS mon
+                 FROM orders GROUP BY 1),
+                 b AS (SELECT c,
+                   NTILE(5) OVER (ORDER BY rec_days ASC, c) AS r,
+                   NTILE(5) OVER (ORDER BY freq DESC, c) AS f,
+                   NTILE(5) OVER (ORDER BY mon DESC, c) AS m
+                 FROM cm)
+            SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS customers
+            FROM b GROUP BY r, f, m ORDER BY r, f, m"""),
+    (s, dir) => {
+      val cm = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(
+          datediff(lit("2001-08-02").cast("date"),
+            to_date(max(col("o_orderdate")))).as("rec_days"),
+          count(lit(1)).as("freq"),
+          dsum(col("o_totalprice")).as("mon"))
+      cm.withColumn("r",
+          ntile(5).over(Window.orderBy(col("rec_days").asc, col("c"))))
+        .withColumn("f",
+          ntile(5).over(Window.orderBy(col("freq").desc, col("c"))))
+        .withColumn("m",
+          ntile(5).over(Window.orderBy(col("mon").desc, col("c"))))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("customers"))
+        .orderBy("r", "f", "m")
+    })
+
+  /** Robust anomaly detection by MEDIAN ABSOLUTE DEVIATION (the
+    * outlier gate that mean/stddev z-scores fail on heavy-tailed
+    * metrics — the outliers inflate the stddev that is supposed to
+    * catch them): per event type, median, MAD, and the count of rows
+    * with |x − med| > 3·MAD. Exactness device: values are scaled to
+    * integer cents first, so the interpolated medians land on exact
+    * binary fractions (halves, then quarters for the MAD) and both
+    * engines produce bit-identical doubles with NO rounding fence at
+    * the 3·MAD comparison. Two exact-percentile aggregates + two
+    * one-row-per-type broadcasts; exact percentile buffers a group's
+    * values, so the 100 TB path swaps in approx_percentile with a
+    * bounded-error gate (the q88 posture, spec-demonstrated there). */
+  val q122 = QueryDef(
+    "q122_mad_outliers",
+    Some("""WITH e AS (SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+                 st AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+                        FROM e GROUP BY 1),
+                 d AS (SELECT e.event_type, e.cents, st.med
+                       FROM e JOIN st USING (event_type)),
+                 m AS (SELECT event_type,
+                         quantile_cont(abs(cents - med), 0.5) AS mad
+                       FROM d GROUP BY 1)
+            SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN abs(d.cents - d.med) > 3 * m.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+                   MAX(d.med) AS med_cents, MAX(m.mad) AS mad_cents
+            FROM d JOIN m USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type"""),
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val d = e.join(broadcast(med), "event_type")
+      val mad = d.groupBy("event_type")
+        .agg(expr("percentile(abs(cents - med), 0.5)").as("mad"))
+      d.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("cents") - col("med")) > lit(3) * col("mad"), 1L)
+            .otherwise(0L)).as("outliers"),
+          max("med").as("med_cents"), max("mad").as("mad_cents"))
+        .orderBy("event_type")
+    })
+
+  /** EWMA smoothing of a daily metric series (α = 0.3, 14-day lookback
+    * — the monitoring smoother, spelled as the FINITE weighted window
+    * EWMA(t) = Σₖ wᵏ·x(t−k) / Σₖ wᵏ over present days so it is a pure
+    * window computation, not a recurrence). Exactness: the weights
+    * 0.7ᵏ are EXACT decimal literals joined from a 14-row broadcast
+    * (pow() is libm — not hash-stable across engines); products and
+    * sums run in decimal (order-independent), both operands round to
+    * 6 dp in decimal space (scaled ints far below 2^53, so the
+    * decimal→double casts are exact), and the final division + 4-dp
+    * round is the established double device. The lookback join is an
+    * EQUI-join on (type, day−k) after a 14-way fan-out — never an
+    * inequality join. 100 TB: runs on the daily AGGREGATE (|types|×
+    * |days| rows), so cost is the one dsum pass over raw events. */
+  val q123 = QueryDef(
+    "q123_ewma",
+    Some("""WITH w(k, wt) AS (VALUES (0, CAST(1.0 AS DECIMAL(16,13))),
+                 (1, 0.7), (2, 0.49), (3, 0.343), (4, 0.2401),
+                 (5, 0.16807), (6, 0.117649), (7, 0.0823543),
+                 (8, 0.05764801), (9, 0.040353607), (10, 0.0282475249),
+                 (11, 0.01977326743), (12, 0.013841287201),
+                 (13, 0.0096889010407)),
+                 daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                          AS DOUBLE) AS val
+                   FROM events GROUP BY 1, 2),
+                 fan AS (SELECT d.event_type, d.day, w.k, w.wt,
+                           d.day - w.k AS prev_day
+                         FROM daily d CROSS JOIN w),
+                 j AS (SELECT f.event_type, f.day, f.wt,
+                         p.val AS pval
+                       FROM fan f JOIN daily p
+                         ON p.event_type = f.event_type
+                        AND p.day = f.prev_day),
+                 agg AS (SELECT event_type, day,
+                           CAST(ROUND(SUM(CAST(pval AS DECIMAL(18,6)) * wt),
+                                      6) AS DOUBLE) AS num,
+                           CAST(ROUND(SUM(wt), 6) AS DOUBLE) AS den
+                         FROM j GROUP BY 1, 2)
+            SELECT a.event_type, a.day, d.val,
+                   CAST(ROUND(num / den, 4) AS DOUBLE) AS ewma
+            FROM agg a JOIN daily d
+              ON d.event_type = a.event_type AND d.day = a.day
+            ORDER BY a.event_type, a.day"""),
+    (s, dir) => {
+      import s.implicits._
+      val weights = Seq("1.0", "0.7", "0.49", "0.343", "0.2401", "0.16807",
+        "0.117649", "0.0823543", "0.05764801", "0.040353607",
+        "0.0282475249", "0.01977326743", "0.013841287201",
+        "0.0096889010407").zipWithIndex
+        .map { case (wn, k) => (k, new java.math.BigDecimal(wn)) }
+        .toDF("k", "wt")
+        .select(col("k"), col("wt").cast("decimal(16,13)").as("wt"))
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(dsum(col("value")).as("val"))
+      val fan = daily.crossJoin(broadcast(weights)) // 14-row weight table
+        .select(col("event_type"), col("day"), col("wt"),
+          date_sub(col("day"), col("k")).as("prev_day"))
+      val j = fan.join(
+        daily.select(col("event_type"), col("day").as("prev_day"),
+          col("val").as("pval")),
+        Seq("event_type", "prev_day"))
+      val agg = j.groupBy("event_type", "day")
+        .agg(
+          round(sum(col("pval").cast("decimal(18,6)") * col("wt")), 6)
+            .cast("double").as("num"),
+          round(sum(col("wt")), 6).cast("double").as("den"))
+      agg.join(daily, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("val"),
+          round(col("num") / col("den"), 4).as("ewma"))
+        .orderBy("event_type", "day")
+    })
+
+  /** Column profiling in ONE scan (the data-quality pass every ingest
+    * runs first): per column of `orders`, null count and exact distinct
+    * count, pivoted to one row per column via stack(). The multi-column
+    * exact COUNT(DISTINCT) plans as a single aggregate with an Expand
+    * (|cols|× the scan's rows in flight — visible, not hidden); the
+    * 100 TB path swaps approx_count_distinct (one pass, no Expand,
+    * ±2% NDV), which is what ANALYZE (M53) already uses. Output is
+    * |cols| rows — driver-size by construction. */
+  val q124 = QueryDef(
+    "q124_null_profile",
+    Some("""SELECT 'o_custkey' AS column_name,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nulls,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate',
+                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice',
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+            ORDER BY column_name"""),
+    (s, dir) => {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderpriority",
+        "o_orderstatus", "o_totalprice")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_ndv")))
+      val stackExpr = s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', ${c}_nulls, ${c}_ndv").mkString(", ") +
+        ") AS (column_name, nulls, ndv)"
+      t(s, dir, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(stackExpr))
+        .orderBy("column_name")
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116)
+    q115, q116, q121, q122, q123, q124)
 }
