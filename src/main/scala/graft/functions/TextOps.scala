@@ -65,6 +65,33 @@ object TextOps {
       tk(i) + " " + tk(i + 1) + " " + tk(i + 2)).distinct
   }
 
+  /** Per-partition Misra–Gries heavy-hitter CANDIDATES (k counters per
+    * partition): the sketch half of q117's sketch-then-recount. The
+    * pigeonhole guarantee: any item with global frequency > n/s (for any
+    * support s < k) exceeds n_p/s in at least one partition, and MG with
+    * k > s counters cannot evict it there — so the candidate union is a
+    * SUPERSET of the true heavy hitters under EVERY partitioning, and an
+    * exact recount over the candidates restores a partitioning-
+    * independent result. Output is ≤ k rows per partition. */
+  def mgCandidates(toks: org.apache.spark.sql.Dataset[String], k: Int)
+      : org.apache.spark.sql.Dataset[String] = {
+    import toks.sparkSession.implicits._
+    toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        m.get(w) match {
+          case Some(c) => m.update(w, c + 1)
+          case None if m.size < k => m.update(w, 1L)
+          case None => // MG decrement step: new item absorbed at count 0
+            val dead = m.iterator.collect { case (t0, 1L) => t0 }.toList
+            m.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }
+  }
+
   /** (doc_id, text) → one row per (doc_id, band, sig): k minhashes over
     * the 3-gram shingle set, banded `bands` × `rowsPerBand`. One compiled
     * pass per document — tokenize, shingle, and hash never re-evaluate. */

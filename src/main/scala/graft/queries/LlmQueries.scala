@@ -2629,21 +2629,8 @@ object LlmQueries {
       val toks = t(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "").as[String]
-      val k = 400 // counters per partition; must exceed 1/support = 200
-      val candidates = toks.mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { w =>
-          m.get(w) match {
-            case Some(c) => m.update(w, c + 1)
-            case None if m.size < k => m.update(w, 1L)
-            case None => // MG decrement step: new item absorbed at count 0
-              val dead = m.iterator.collect { case (t0, 1L) => t0 }.toList
-              m.mapValuesInPlace((_, c) => c - 1)
-              dead.foreach(m.remove)
-          }
-        }
-        m.keysIterator
-      }.distinct().toDF("w")
+      // 400 counters per partition; must exceed 1/support = 200
+      val candidates = TextOps.mgCandidates(toks, 400).distinct().toDF("w")
       val tot = toks.groupBy().agg(count(lit(1)).as("n"))
       toks.toDF("w")
         .join(broadcast(candidates), Seq("w"), "left_semi")
@@ -2794,8 +2781,143 @@ object LlmQueries {
         .orderBy("bin")
     })
 
+  /** Diversified retrieval by MAXIMAL MARGINAL RELEVANCE (Carbonell &
+    * Goldstein '98 — the dedup-at-rerank step of retrieval pipelines):
+    * greedy k=4 selection maximizing 0.7·rel(q,d) − 0.3·max_{s∈S}
+    * sim(d,s) over a top-20 relevance candidate pool. The greedy
+    * recurrence unrolls to a FIXED k-step dataflow (each step: semi-join
+    * pair sims to the selected set, MAX per candidate, anti-join the
+    * picked, argmax with a (score, id) total tiebreak) — no driver
+    * loop over data, no iteration count dependent on rows. Determinism:
+    * relevance and pair sims are 4-dp-rounded cosines (q28's device);
+    * each step's score is the identical 0.7·rel − 0.3·max expression on
+    * both engines. 100 TB: the corpus-sized work is ONE TakeOrdered(20)
+    * relevance pass; everything after is 20×20-bounded. */
+  val q125 = QueryDef(
+    "q125_mmr",
+    Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+                 c AS (SELECT vec_id, ROUND(list_cosine_similarity(
+                           embedding::DOUBLE[], qv), 4) AS rel,
+                         embedding::DOUBLE[] AS v
+                       FROM embeddings, q WHERE vec_id <> 0
+                       ORDER BY rel DESC, vec_id LIMIT 20),
+                 p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                         ROUND(list_cosine_similarity(a.v, b.v), 4) AS s
+                       FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+                 s1 AS (SELECT vec_id, ROUND(0.7 * rel, 6) AS score FROM c
+                        ORDER BY rel DESC, vec_id LIMIT 1),
+                 m2 AS (SELECT c.vec_id,
+                          ROUND(0.7 * c.rel - 0.3 * MAX(p.s), 6) AS score
+                        FROM c JOIN p ON p.ia = c.vec_id
+                        WHERE p.ib IN (SELECT vec_id FROM s1)
+                          AND c.vec_id NOT IN (SELECT vec_id FROM s1)
+                        GROUP BY c.vec_id, c.rel),
+                 s2 AS (SELECT vec_id, score FROM m2
+                        ORDER BY score DESC, vec_id LIMIT 1),
+                 sel2 AS (SELECT vec_id FROM s1 UNION ALL
+                          SELECT vec_id FROM s2),
+                 m3 AS (SELECT c.vec_id,
+                          ROUND(0.7 * c.rel - 0.3 * MAX(p.s), 6) AS score
+                        FROM c JOIN p ON p.ia = c.vec_id
+                        WHERE p.ib IN (SELECT vec_id FROM sel2)
+                          AND c.vec_id NOT IN (SELECT vec_id FROM sel2)
+                        GROUP BY c.vec_id, c.rel),
+                 s3 AS (SELECT vec_id, score FROM m3
+                        ORDER BY score DESC, vec_id LIMIT 1),
+                 sel3 AS (SELECT vec_id FROM sel2 UNION ALL
+                          SELECT vec_id FROM s3),
+                 m4 AS (SELECT c.vec_id,
+                          ROUND(0.7 * c.rel - 0.3 * MAX(p.s), 6) AS score
+                        FROM c JOIN p ON p.ia = c.vec_id
+                        WHERE p.ib IN (SELECT vec_id FROM sel3)
+                          AND c.vec_id NOT IN (SELECT vec_id FROM sel3)
+                        GROUP BY c.vec_id, c.rel),
+                 s4 AS (SELECT vec_id, score FROM m4
+                        ORDER BY score DESC, vec_id LIMIT 1)
+            SELECT 1 AS pick, vec_id, score FROM s1
+            UNION ALL SELECT 2, vec_id, score FROM s2
+            UNION ALL SELECT 3, vec_id, score FROM s3
+            UNION ALL SELECT 4, vec_id, score FROM s4
+            ORDER BY pick"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val cands = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv)) // one-row query vector
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("v"), col("qv")), 4).as("rel"), col("v"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .localCheckpoint(true) // 20 rows, reused by pairs + every step
+      val pair = cands.as("a").join(cands.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          round(VectorOps.cosine(col("a.v"), col("b.v")), 4).as("s"))
+        .localCheckpoint(true) // 20x19 rows, reused by every step
+      val c2 = cands.select("vec_id", "rel")
+      var picks = c2.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(lit(1).as("pick"), col("vec_id"),
+          round(lit(0.7) * col("rel"), 6).as("score"))
+      for (k <- 2 to 4) {
+        val selIds = picks.select(col("vec_id").as("ib"))
+        val ms = pair.join(broadcast(selIds), Seq("ib"), "left_semi")
+          .groupBy(col("ia").as("vec_id")).agg(max(col("s")).as("ms"))
+        val mk = c2.join(ms, "vec_id")
+          .join(broadcast(picks.select("vec_id")), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), round(
+            lit(0.7) * col("rel") - lit(0.3) * col("ms"), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .select(lit(k).as("pick"), col("vec_id"), col("score"))
+        picks = picks.unionByName(mk)
+      }
+      picks.orderBy("pick")
+    })
+
+  /** Corpus-mix INDEPENDENCE check (the chi-square contingency table
+    * over lang × source — the drift detector run when a crawl snapshot
+    * lands): observed cell counts vs independence expectation
+    * rowTotal·colTotal/n, with each cell's chi-square term
+    * (o−e)²/e. Emitted PER CELL (domain²-bounded rows) rather than as
+    * one summed statistic — a cross-cell double sum is summation-order
+    * sensitive, the per-cell terms are single-expression deterministic,
+    * and the per-cell view is the actionable one (WHICH slice drifted).
+    * 100 TB: one (lang, source) aggregate over the corpus; the margins
+    * re-aggregate the cell table (domain-bounded) and broadcast back. */
+  val q126 = QueryDef(
+    "q126_contingency",
+    Some("""WITH cell AS (SELECT lang, source, COUNT(*) AS o
+                          FROM documents GROUP BY 1, 2),
+                 rt AS (SELECT lang, SUM(o) AS r FROM cell GROUP BY 1),
+                 ct AS (SELECT source, SUM(o) AS ctot FROM cell GROUP BY 1),
+                 nn AS (SELECT SUM(o) AS n FROM cell)
+            SELECT cell.lang, cell.source, CAST(o AS BIGINT) AS observed,
+                   CAST(ROUND(r * ctot * 1.0 / n, 4) AS DOUBLE) AS expected,
+                   CAST(ROUND((o - r * ctot * 1.0 / n)
+                              * (o - r * ctot * 1.0 / n)
+                              / (r * ctot * 1.0 / n), 6) AS DOUBLE)
+                     AS chi2_term
+            FROM cell JOIN rt USING (lang) JOIN ct USING (source), nn
+            ORDER BY lang, source"""),
+    (s, dir) => {
+      val cell = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // domain²-bounded, feeds margins + output
+      val rt = cell.groupBy("lang").agg(sum("o").as("r"))
+      val ct = cell.groupBy("source").agg(sum("o").as("ctot"))
+      val nn = cell.groupBy().agg(sum("o").as("n"))
+      val e = col("r") * col("ctot") * lit(1.0) / col("n")
+      cell.join(broadcast(rt), "lang")
+        .join(broadcast(ct), "source")
+        .crossJoin(broadcast(nn)) // one-row total
+        .select(col("lang"), col("source"), col("o").as("observed"),
+          round(e, 4).as("expected"),
+          round((col("o") - e) * (col("o") - e) / e, 6).as("chi2_term"))
+        .orderBy("lang", "source")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
-    q96, q104, q105, q106, q117, q118, q119, q120)
+    q96, q104, q105, q106, q117, q118, q119, q120, q125, q126)
 }

@@ -1505,9 +1505,47 @@ object RelQueries {
         .orderBy("column_name")
     })
 
+  /** Top ENTRY PATHS (first-3-event sequences per user — the onboarding
+    * flow report, Q97's transition matrix generalized to ordered
+    * prefixes): row_number over (ts, event_id) per user PREFILTERS to
+    * the first 3 events BEFORE any collection, so per-user state is 3
+    * rows by construction — never an unbounded per-user event list; the
+    * 3-element arrays sort on the in-struct rank and join to a path
+    * string. One user_id shuffle end-to-end; output bounded by
+    * |event types|³. Users with fewer than 3 events are excluded (a
+    * shorter prefix is a different population, not a shorter path). */
+  val q127 = QueryDef(
+    "q127_entry_paths",
+    Some("""WITH r AS (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS rn
+                 FROM events),
+                 f AS (SELECT user_id, MAX(rn) AS m,
+                         array_to_string(list(event_type ORDER BY rn),
+                                         ' > ') AS path
+                       FROM r WHERE rn <= 3 GROUP BY user_id)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS users
+            FROM f WHERE m = 3
+            GROUP BY path ORDER BY users DESC, path LIMIT 10"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(max("rn").as("m"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(rn, event_type))), " +
+              "x -> x.event_type)"), " > ").as("path"))
+        .filter(col("m") === 3)
+        .groupBy("path").agg(count(lit(1)).as("users"))
+        .orderBy(col("users").desc, col("path")).limit(10)
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q121, q122, q123, q124)
+    q115, q116, q121, q122, q123, q124, q127)
 }
