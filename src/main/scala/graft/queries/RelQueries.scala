@@ -1543,9 +1543,132 @@ object RelQueries {
         .orderBy(col("users").desc, col("path")).limit(10)
     })
 
+  /** Rolling 7-day ACTIVE USERS (the WAU curve, exactly): dedup to
+    * (day, user) pairs once, then each pair posts to its 7 covering
+    * anchor days (explode — a bounded 7× fan-out of the already-
+    * deduplicated pairs, NOT of the raw event log) and each anchor
+    * counts distinct users. This is the windowed COUNT(DISTINCT) that
+    * plain sliding windows cannot express (distinct does not decompose
+    * over window frames). 100 TB: the heavy dedup is one map-side-
+    * combinable shuffle; the fan-out multiplies |day×user| pairs
+    * (calendar-bounded per user), and the documented sketch path swaps
+    * the exact per-anchor distinct for mergeable HLL (G6 posture). */
+  val q128 = QueryDef(
+    "q128_rolling_wau",
+    Some("""WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                           FROM events),
+                 fan AS (SELECT d + CAST(i AS INTEGER) AS anchor, user_id
+                         FROM pairs CROSS JOIN range(0, 7) t(i)),
+                 b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM pairs)
+            SELECT anchor AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS wau
+            FROM fan, b WHERE anchor BETWEEN mn AND mx
+            GROUP BY anchor ORDER BY anchor"""),
+    (s, dir) => {
+      val pairs = t(s, dir, "events")
+        .select(col("ts").cast("date").as("d"), col("user_id"))
+        .distinct()
+      val bounds = pairs.groupBy().agg(min("d").as("mn"), max("d").as("mx"))
+      pairs
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+        .select(date_add(col("d"), col("i")).as("anchor"), col("user_id"))
+        .crossJoin(broadcast(bounds)) // one-row calendar bounds
+        .filter(col("anchor").between(col("mn"), col("mx")))
+        .groupBy(col("anchor").as("day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    })
+
+  /** TIME TO CONVERT (first view → first subsequent purchase, per user;
+    * the latency distribution behind every funnel): two filtered
+    * per-user MIN aggregates with the purchase side lower-bounded by
+    * the broadcast view anchor, then exact p50/p90 of the integer
+    * MICROSECOND deltas (sub-second event parts exist in the data, so
+    * second-granularity date_diff would be lossy). Integer inputs put
+    * the interpolated percentiles on exact binary fractions (q88's
+    * percentile ≡ quantile_cont parity); one division to minutes and a
+    * 4-dp round. 100 TB: two filtered scans + per-user aggregates
+    * (q95's funnel shape), percentile over one row per converter —
+    * approx_percentile is the documented swap (q88 posture). */
+  val q129 = QueryDef(
+    "q129_time_to_convert",
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+                 p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+                       JOIN v ON v.user_id = e.user_id
+                       WHERE e.event_type = 'purchase' AND e.ts >= v.vt
+                       GROUP BY e.user_id),
+                 d AS (SELECT v.user_id,
+                         date_diff('microseconds', v.vt, p.pt) AS mic
+                       FROM v JOIN p USING (user_id))
+            SELECT CAST(COUNT(*) AS BIGINT) AS converters,
+                   ROUND(quantile_cont(mic, 0.5) / 60000000.0, 4)
+                     AS p50_minutes,
+                   ROUND(quantile_cont(mic, 0.9) / 60000000.0, 4)
+                     AS p90_minutes
+            FROM d"""),
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(broadcast(v), "user_id")
+        .filter(col("ts") >= col("vt"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      v.join(p, "user_id")
+        .select((unix_micros(col("pt")) - unix_micros(col("vt"))).as("mic"))
+        .agg(count(lit(1)).as("converters"),
+          round(expr("percentile(mic, 0.5D)") / 60000000.0, 4)
+            .as("p50_minutes"),
+          round(expr("percentile(mic, 0.9D)") / 60000000.0, 4)
+            .as("p90_minutes"))
+    })
+
+  /** JOIN-KEY SKEW DIAGNOSIS (the pre-flight a 100 TB join runs before
+    * picking salting/AQE strategy): per-key counts → key cardinality,
+    * hottest-key share, and the GINI coefficient of the key-frequency
+    * distribution via the sorted-rank identity G = (2·Σ rk·c − (n+1)·Σc)
+    * / (n·Σc). Every intermediate is an exact integer (rank sums fit
+    * 2^53 at test scale; the documented widening for billion-key tables
+    * is the dsum decimal device); the two outputs divide once and round
+    * to ppm. The rank window runs over the per-key AGGREGATE with a
+    * (cnt, key) total order — at 100 TB this is the one global sort,
+    * over keys not rows, range-partitioned by the sort machinery. */
+  val q130 = QueryDef(
+    "q130_key_skew",
+    Some("""WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events
+                       GROUP BY 1),
+                 r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id)
+                         AS rk FROM c),
+                 s AS (SELECT COUNT(*) AS n, SUM(cnt) AS tot, MAX(cnt) AS mx,
+                              SUM(rk * cnt) AS rs FROM r)
+            SELECT CAST(n AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS total,
+                   CAST(mx AS BIGINT) AS max_cnt,
+                   CAST(ROUND(mx * 1000000.0 / tot) AS BIGINT)
+                     AS top_share_ppm,
+                   CAST(ROUND((2.0 * rs - (n + 1.0) * tot) * 1000000.0
+                        / (n * tot)) AS BIGINT) AS gini_ppm
+            FROM s"""),
+    (s, dir) => {
+      val c = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val r = c.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt"), col("user_id"))))
+      r.agg(count(lit(1)).as("n"), sum("cnt").as("tot"),
+          max("cnt").as("mx"), sum(col("rk") * col("cnt")).as("rs"))
+        .select(col("n").as("n_keys"), col("tot").as("total"),
+          col("mx").as("max_cnt"),
+          round(col("mx") * lit(1000000.0) / col("tot")).cast("long")
+            .as("top_share_ppm"),
+          round((lit(2.0) * col("rs") - (col("n") + lit(1.0)) * col("tot"))
+            * lit(1000000.0) / (col("n") * col("tot"))).cast("long")
+            .as("gini_ppm"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q121, q122, q123, q124, q127)
+    q115, q116, q121, q122, q123, q124, q127, q128, q129, q130)
 }
