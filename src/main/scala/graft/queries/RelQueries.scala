@@ -1666,9 +1666,104 @@ object RelQueries {
             .as("gini_ppm"))
     })
 
+  /** Group-wise TREND SLOPE (least-squares over the daily series — the
+    * is-this-metric-drifting detector): ordinary least squares in the
+    * closed form slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) with EVERY
+    * moment an exact integer — x is a day index (calendar-bounded), y is
+    * the daily sum of integer cents — so partial-aggregation order
+    * cannot move a bit and the only doubles are the two final divisions
+    * (identical expression trees on both engines, 4-dp rounded). At
+    * billion-day×cent scale the moment sums outgrow 2^53 — the
+    * documented widening is the dsum decimal device. Two map-side-
+    * combined aggregates (daily, then per-type moments); no window. */
+  val q131 = QueryDef(
+    "q131_trend_slope",
+    Some("""WITH daily AS (SELECT event_type,
+                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+                 FROM events GROUP BY 1, 2),
+                 s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                              SUM(y) AS sy, SUM(x * y) AS sxy,
+                              SUM(x * x) AS sxx
+                       FROM daily GROUP BY 1)
+            SELECT event_type,
+                   CAST(ROUND((n * sxy - sx * sy) * 1.0
+                        / (n * sxx - sx * sx) / 100.0, 4) AS DOUBLE)
+                     AS slope_per_day,
+                   CAST(ROUND((sy * 1.0 / n - ((n * sxy - sx * sy) * 1.0
+                        / (n * sxx - sx * sx)) * sx / n) / 100.0, 4)
+                        AS DOUBLE) AS intercept
+            FROM s ORDER BY event_type"""),
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .as("x"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val m = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      m.select(col("event_type"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0)
+            / (col("n") * col("sxx") - col("sx") * col("sx")) / lit(100.0), 4)
+            .as("slope_per_day"),
+          round((col("sy") * lit(1.0) / col("n")
+            - ((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0)
+              / (col("n") * col("sxx") - col("sx") * col("sx")))
+              * col("sx") / col("n")) / lit(100.0), 4).as("intercept"))
+        .orderBy("event_type")
+    })
+
+  /** EXACT GLOBAL MEDIAN by TWO-PASS BUCKETING — the distributed answer
+    * to q88's caveat (exact `percentile` buffers a group's values; a
+    * global exact median would buffer the table): pass 1 histograms the
+    * column into width-1000 buckets (map-side-combined, bucket-bounded
+    * output) and locates the bucket(s) covering the two middle order
+    * statistics via cumulative counts; pass 2 sorts ONLY those buckets
+    * (≈ n/buckets rows) and picks the order statistics by in-bucket
+    * rank + bucket offset. No global row sort, no full buffering, two
+    * scans — the standard BigQuery/Hive exact-median-at-scale device.
+    * Both engines average the same two order-statistic VALUES (AVG of
+    * 1-2 rows), so parity needs no interpolation-formula agreement. */
+  val q132 = QueryDef(
+    "q132_twopass_median",
+    Some("""WITH o AS (SELECT l_extendedprice AS p,
+                   ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+                   COUNT(*) OVER () AS n
+                 FROM lineitem)
+            SELECT ROUND(AVG(p), 4) AS median_price,
+                   CAST(MAX(n) AS BIGINT) AS n
+            FROM o WHERE rn - 1 IN ((n - 1) // 2, n // 2)"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("p"))
+      val hist = li.groupBy(floor(col("p") / 1000).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+        .withColumn("before", col("cum") - col("c"))
+      // INTEGER order-statistic indices: Column./ is double division in
+      // Spark, which would turn (n-1)/2 into 29999.5 and never match
+      val nRow = hist.groupBy().agg(sum("c").as("n"))
+        .select(col("n"), expr("(n - 1) div 2").as("i1"),
+          expr("n div 2").as("i2"))
+      // buckets overlapping [i1, i2]: bucket spans [before, cum-1]
+      val sel = cum.crossJoin(broadcast(nRow))
+        .filter(col("before") <= col("i2") && col("cum") > col("i1"))
+        .select(col("b"), col("before"), col("n"), col("i1"), col("i2"))
+      val wb = Window.partitionBy("b").orderBy("p")
+      li.withColumn("b", floor(col("p") / 1000).cast("long"))
+        .join(broadcast(sel), "b")
+        .withColumn("idx", col("before") + row_number().over(wb) - 1)
+        .filter(col("idx") === col("i1") || col("idx") === col("i2"))
+        .agg(round(avg("p"), 4).as("median_price"), max("n").as("n"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
-    q115, q116, q121, q122, q123, q124, q127, q128, q129, q130)
+    q115, q116, q121, q122, q123, q124, q127, q128, q129, q130, q131,
+    q132)
 }
