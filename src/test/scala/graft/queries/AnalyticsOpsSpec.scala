@@ -96,6 +96,86 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"greedy replay picked ${sel.toSeq}, query picked ${picks.toSeq}")
   }
 
+  test("q128 rolling WAU matches a per-anchor brute-force distinct count") {
+    val got = Registry.queries("q128_rolling_wau")(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val pairs = Tables(spark, sf, "events")
+      .select(col("ts").cast("date").as("d"), col("user_id"))
+      .distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = pairs.map(_._1).distinct.sorted(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val truth = days.map { anchor =>
+      anchor.toString -> pairs.collect {
+        case (d, u) if !d.isAfter(anchor) &&
+          !d.isBefore(anchor.minusDays(6)) => u
+      }.distinct.size.toLong
+    }.toMap
+    assert(got == truth)
+  }
+
+  test("q131 trend slope replays a plain-Scala OLS over the daily series") {
+    val got = Registry.queries("q131_trend_slope")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    val daily = Tables(spark, sf, "events")
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("x"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    val truth = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      def r4(d: Double) = BigDecimal(d)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val slope = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+      tpe -> ((r4(slope / 100.0),
+        r4((sy * 1.0 / n - slope * sx / n) / 100.0)))
+    }
+    assert(got == truth)
+  }
+
+  test("q132 two-pass median == full-sort median on odd, even and " +
+    "bucket-boundary-tie inputs") {
+    import spark.implicits._
+    // replicate the two-pass device on synthetic columns, including a
+    // pile-up exactly ON a bucket edge (3000.0) spanning the median
+    val cases = Seq(
+      (1 to 101).map(_ * 37.5),                       // odd n
+      (1 to 100).map(_ * 41.0),                       // even n
+      Seq.fill(60)(3000.0) ++ (1 to 59).map(_ * 13.0) // ties on the edge
+    )
+    for ((xs, ci) <- cases.zipWithIndex) {
+      val df = spark.createDataset(xs.toSeq).toDF("p").repartition(7)
+      val hist = df.groupBy(floor(col("p") / 1000).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val wcum = org.apache.spark.sql.expressions.Window.orderBy("b")
+        .rowsBetween(Long.MinValue, 0)
+      val cum = hist.withColumn("cum", sum("c").over(wcum))
+        .withColumn("before", col("cum") - col("c"))
+      val nRow = hist.groupBy().agg(sum("c").as("n"))
+        .select(col("n"), expr("(n - 1) div 2").as("i1"),
+          expr("n div 2").as("i2"))
+      val sel = cum.crossJoin(broadcast(nRow))
+        .filter(col("before") <= col("i2") && col("cum") > col("i1"))
+        .select(col("b"), col("before"), col("i1"), col("i2"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("b").orderBy("p")
+      val got = df.withColumn("b", floor(col("p") / 1000).cast("long"))
+        .join(broadcast(sel), "b")
+        .withColumn("idx", col("before") + row_number().over(wb) - 1)
+        .filter(col("idx") === col("i1") || col("idx") === col("i2"))
+        .agg(avg("p")).collect()(0).getDouble(0)
+      val s = xs.sorted
+      val truth =
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      assert(got == truth, s"case $ci: got $got, want $truth")
+    }
+  }
+
   test("q122 MAD outliers match a sorted-array ground truth per type") {
     def med(xs: Array[Double]): Double = {
       val s = xs.sorted
