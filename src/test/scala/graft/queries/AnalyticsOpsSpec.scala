@@ -176,6 +176,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: q119/q125 fuse into TakeOrdered, q132 broadcasts its " +
+    "bucket selection and never range-partition-sorts the table") {
+    val q119 = Registry.queries("q119_rrf_fusion")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q119.contains("TakeOrderedAndProject"), q119.take(500))
+    assert(!q119.contains("CartesianProduct"), q119.take(500))
+    val q125 = Registry.queries("q125_mmr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q125.contains("TakeOrderedAndProject"), q125.take(500))
+    assert(!q125.contains("CartesianProduct"), q125.take(500))
+    val q132 = Registry.queries("q132_twopass_median")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q132.contains("BroadcastHashJoin"), q132.take(500))
+    // a global orderBy would show up as a range-partitioning exchange;
+    // the device's only sorts are bucket-local (window partitionBy b)
+    assert(!q132.contains("rangepartitioning"), q132.take(800))
+  }
+
   test("q122 MAD outliers match a sorted-array ground truth per type") {
     def med(xs: Array[Double]): Double = {
       val s = xs.sorted
