@@ -2916,8 +2916,65 @@ object LlmQueries {
         .orderBy("lang", "source")
     })
 
+  /** HARD-NEGATIVE MINING (the contrastive-training data step: the most
+    * confusable wrong-class neighbors make the strongest negatives —
+    * random negatives are too easy to teach a margin): top-5 cosine
+    * neighbors of the pinned query vector restricted to vectors with a
+    * DIFFERENT class label. Same broadcast + TakeOrdered shape as q28
+    * with the label inequality pushed into the scan filter — the
+    * filter prunes BEFORE the similarity compute, not after the sort.
+    * 100 TB: one scan, no shuffle before the k-merge; batched mining
+    * for all anchors composes this with q44's batch top-k shape. */
+  val q133 = QueryDef(
+    "q133_hard_negatives",
+    Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv, label AS ql
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, label,
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 4)
+                     AS sim
+            FROM embeddings, q
+            WHERE vec_id <> 0 AND label <> ql
+            ORDER BY sim DESC, vec_id LIMIT 5"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("label").as("ql"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)) // one-row query vector + label
+        .filter(col("label") =!= col("ql"))
+        .select(col("vec_id"), col("label"),
+          round(VectorOps.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    })
+
+  /** Per-slice DUPLICATION-RATE diagnostics (the dedup pre-flight: which
+    * sources are worth deduplicating, and the post-flight: which still
+    * leak duplicates): per source, document count, distinct texts, and
+    * duplicate rate in ppm. q29 answers "how many distinct docs" for the
+    * corpus; this is the actionable per-slice breakdown that drives
+    * source-level crawl policy. The scale-safe spelling distincts the
+    * 128-bit hash pair (q29's documented variant), keeping the shuffle
+    * at 16 bytes + source, not the payload. */
+  val q134 = QueryDef(
+    "q134_dup_rate",
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_docs,
+                   CAST(ROUND((COUNT(*) - COUNT(DISTINCT text)) * 1000000.0
+                        / COUNT(*)) AS BIGINT) AS dup_ppm
+            FROM documents GROUP BY source ORDER BY source"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          count_distinct(col("text")).as("distinct_docs"))
+        .withColumn("dup_ppm",
+          round((col("docs") - col("distinct_docs")) * 1000000.0
+            / col("docs")).cast("long"))
+        .orderBy("source"))
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
-    q96, q104, q105, q106, q117, q118, q119, q120, q125, q126)
+    q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134)
 }
