@@ -174,6 +174,8 @@ object Multimodal {
           }))
         case (17, 4) => // IMA/DVI ADPCM: real compressed decode (r12)
           decodeImaAdpcm(b, rate, channels, dataOff, dataLen, w.blockAlign)
+        case (2, 4) => // Microsoft ADPCM: real compressed decode (r12)
+          decodeMsAdpcm(b, rate, channels, dataOff, dataLen, w.blockAlign)
         case _ => None // compressed tags the JVM can't expand unaided
       }
     }
@@ -260,6 +262,78 @@ object Multimodal {
         }
         outAt += channels
         s += 1
+      }
+      blk += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  // Microsoft ADPCM coefficient and adaptation tables (public WAVE spec)
+  private val MsCoef1 = Array(256, 512, 0, 192, 240, 460, 392)
+  private val MsCoef2 = Array(0, -256, 0, 64, 0, -208, -232)
+  private val MsAdapt = Array(230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** Microsoft ADPCM (WAV format tag 0x02, 4-bit) sample decode — the
+    * other ubiquitous WAV compression next to IMA (fmt 0x11), pure
+    * integer DSP. Block layout per the public Microsoft WAVE spec:
+    * per-channel headers of predictor-coefficient index (1 byte, 0–6
+    * into the fixed [[MsCoef1]]/[[MsCoef2]] tables), int16 initial
+    * delta, int16 sample1 (newer seed) and int16 sample2 (older seed) —
+    * the two seeds lead the output, OLDER FIRST — then 4-bit nibbles
+    * HIGH-nibble-first (opposite of IMA), channel-interleaved per
+    * sample. Per nibble: predict from the two prior samples via the
+    * fixed-point coefficient pair (>> 8), add signed-nibble × delta,
+    * clamp to int16, then rescale delta by the adaptation table with a
+    * floor of 16. Malformed geometry or an out-of-range predictor index
+    * returns None, never a thrown task. */
+  private[functions] def decodeMsAdpcm(
+      b: Array[Byte], rate: Int, channels: Int,
+      dataOff: Int, dataLen: Int, blockAlign: Int): Option[(Int, Int, Array[Double])] = {
+    if (channels < 1 || channels > 2) return None
+    if (blockAlign < 7 * channels || blockAlign > dataLen) return None
+    val samplesPerBlock = (blockAlign - 7 * channels) * 2 / channels + 2
+    val blocks = dataLen / blockAlign
+    if (blocks <= 0) return None
+    val out = new Array[Double](blocks * samplesPerBlock * channels)
+    var outAt = 0
+    var blk = 0
+    while (blk < blocks) {
+      val base = dataOff + blk * blockAlign
+      val coef1 = new Array[Int](channels); val coef2 = new Array[Int](channels)
+      val delta = new Array[Int](channels)
+      val s1 = new Array[Int](channels); val s2 = new Array[Int](channels)
+      var c = 0
+      while (c < channels) {
+        val p = b(base + c) & 0xff
+        if (p > 6) return None // crafted predictor index would table-fault
+        coef1(c) = MsCoef1(p); coef2(c) = MsCoef2(p)
+        delta(c) = le16(b, base + channels + 2 * c).toShort.toInt
+        s1(c) = le16(b, base + 3 * channels + 2 * c).toShort.toInt
+        s2(c) = le16(b, base + 5 * channels + 2 * c).toShort.toInt
+        c += 1
+      }
+      // the two seed samples lead the block, older (sample2) first
+      c = 0; while (c < channels) { out(outAt + c) = s2(c) / 32768.0; c += 1 }
+      outAt += channels
+      c = 0; while (c < channels) { out(outAt + c) = s1(c) / 32768.0; c += 1 }
+      outAt += channels
+      val dataStart = base + 7 * channels
+      val nibTotal = (blockAlign - 7 * channels) * 2
+      var k = 0
+      while (k < nibTotal) {
+        val byte = b(dataStart + (k >> 1)) & 0xff
+        val nib = if ((k & 1) == 0) (byte >> 4) & 0x0f else byte & 0x0f
+        val ch = k % channels // stereo nibbles alternate L,R per sample
+        val signed = if (nib >= 8) nib - 16 else nib
+        val predicted =
+          ((s1(ch) * coef1(ch) + s2(ch) * coef2(ch)) >> 8) + signed * delta(ch)
+        val p = math.max(-32768, math.min(32767, predicted))
+        s2(ch) = s1(ch); s1(ch) = p
+        delta(ch) = math.max(16, (MsAdapt(nib) * delta(ch)) >> 8)
+        out(outAt) = p / 32768.0
+        outAt += 1
+        k += 1
       }
       blk += 1
     }
@@ -421,6 +495,121 @@ object Multimodal {
     else None
   }
 
+  // MPEG audio bitrate tables in kbps, indexed [layer][bitrateIndex];
+  // index 0 = "free format" (unsizeable here), 15 = invalid (public
+  // ISO/IEC 11172-3 / 13818-3 tables)
+  private val Mp3BitrateV1: Array[Array[Int]] = Array(
+    null,
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))
+  private val Mp3BitrateV2: Array[Array[Int]] = Array(
+    null,
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+
+  /** MPEG audio (MP3 family) stream metadata from a frame-header walk. */
+  final case class Mp3Info(
+      /** 1 = MPEG-1, 2 = MPEG-2, 25 = MPEG-2.5. */
+      version: Int,
+      layer: Int,
+      sampleRate: Int,
+      channels: Int,
+      frames: Int,
+      durationMs: Long,
+      /** Mean over per-frame header bitrates (exact for CBR). */
+      avgBitrateKbps: Int,
+      /** True when frame bitrates vary or a "Xing" VBR tag is present. */
+      vbr: Boolean)
+
+  /** Real MPEG audio (MP3/MP2/MP1) metadata from a frame-header walk —
+    * the same hand-parsed-container posture as [[decodeMp4]] /
+    * [[decodeOpusOgg]]: sync on 11 set bits, read version/layer/bitrate/
+    * samplerate/channel-mode from the 4-byte header, size each frame
+    * from the public ISO formula (144·bitrate/rate + padding for
+    * Layer III, halved slot coefficient for MPEG-2/2.5) and step
+    * frame-to-frame, requiring ≥2 consecutive consistent headers so
+    * arbitrary bytes with a lucky sync don't parse. Skips a leading
+    * ID3v2 tag (syncsafe size). Reads the Xing/Info VBR header at the
+    * version/mode-dependent side-info offset in the first frame. Frame
+    * *payload* decode (Huffman + IMDCT) stays behind the
+    * [[MediaCodecProvider]] seam. Malformed input → None or the frames
+    * parsed so far, never a thrown task. */
+  def decodeMp3(b: Array[Byte]): Option[Mp3Info] = {
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      val skip = 10L + sz
+      if (skip + 4 > b.length) return None
+      i = skip.toInt
+    }
+    // (version, layer, sampleRate, channels, bitrateKbps, frameBytes)
+    def header(off: Int): Option[(Int, Int, Int, Int, Int, Int)] = {
+      if (off + 4 > b.length) return None
+      val h0 = b(off) & 0xff; val h1 = b(off + 1) & 0xff
+      val h2 = b(off + 2) & 0xff; val h3 = b(off + 3) & 0xff
+      if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None
+      val verBits = (h1 >> 3) & 3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+      val layerBits = (h1 >> 1) & 3 // 0=reserved, 1=III, 2=II, 3=I
+      if (verBits == 1 || layerBits == 0) return None
+      val version = verBits match { case 3 => 1; case 2 => 2; case _ => 25 }
+      val layer = 4 - layerBits
+      val brIdx = (h2 >> 4) & 0x0f
+      val srIdx = (h2 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/invalid
+      val kbps =
+        (if (version == 1) Mp3BitrateV1 else Mp3BitrateV2)(layer)(brIdx)
+      val rate = Mp3RateV1(srIdx) / (version match {
+        case 1 => 1; case 2 => 2; case _ => 4
+      })
+      val padding = (h2 >> 1) & 1
+      val channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+      val frameBytes = layer match {
+        case 1 => (12 * kbps * 1000 / rate + padding) * 4
+        case 2 => 144 * kbps * 1000 / rate + padding
+        case _ => // Layer III: MPEG-2/2.5 frames carry half the slots
+          (if (version == 1) 144 else 72) * kbps * 1000 / rate + padding
+      }
+      Some((version, layer, rate, channels, kbps, frameBytes))
+    }
+    val first = header(i).getOrElse(return None)
+    val (version, layer, rate, channels0, _, _) = first
+    var frames = 0; var kbpsSum = 0L; var vbr = false
+    var channels = channels0
+    var at = i
+    var go = true
+    while (go) {
+      header(at) match {
+        case Some((v, l, r, c, kbps, len)) if v == version && l == layer && r == rate =>
+          frames += 1; kbpsSum += kbps; channels = c
+          if (kbps != first._5) vbr = true
+          if (frames == 1) { // Xing/Info VBR header after the side info
+            val side =
+              if (version == 1) { if (c == 1) 17 else 32 }
+              else { if (c == 1) 9 else 17 }
+            val x = at + 4 + side
+            if (x + 8 <= b.length && b(x) == 'X' && b(x + 1) == 'i' &&
+                b(x + 2) == 'n' && b(x + 3) == 'g') vbr = true
+          }
+          at += len
+        case _ => go = false // trailing garbage/ID3v1: keep parsed frames
+      }
+    }
+    // a lone "frame" is indistinguishable from a lucky sync in noise
+    if (frames < 2) return None
+    val samplesPerFrame = layer match {
+      case 1 => 384
+      case 2 => 1152
+      case _ => if (version == 1) 1152 else 576
+    }
+    Some(Mp3Info(version, layer, rate, channels, frames,
+      frames.toLong * samplesPerFrame * 1000L / rate,
+      math.round(kbpsSum.toDouble / frames).toInt, vbr))
+  }
+
   /** Compressed images (JPEG / PNG / GIF) through the JDK's ImageIO —
     * a full decode, not a header peek (magic-gated so arbitrary bytes
     * never reach the codec search). ImageIO.read returns null when no
@@ -516,13 +705,20 @@ object Multimodal {
             }
             val rms = if (r.payload.isEmpty) 0.0
               else math.sqrt(sumSq / r.payload.length)
-            // Ogg/Opus payloads: rate/channels/duration come from the
-            // REAL container walk even though sample decode stays the
-            // stand-in (decoded=false means exactly that)
-            scala.util.Try(decodeOpusOgg(r.payload)).toOption.flatten match {
+            // Ogg/Opus and MP3 payloads: rate/channels/duration come
+            // from the REAL container walk even though sample decode
+            // stays the stand-in (decoded=false means exactly that)
+            scala.util.Try(decodeOpusOgg(r.payload)).toOption.flatten
+              .map { case (rate, channels, nSamples) =>
+                (rate, channels, math.min(nSamples, Int.MaxValue.toLong).toInt)
+              }
+              .orElse(scala.util.Try(decodeMp3(r.payload)).toOption.flatten
+                .map(m => (m.sampleRate, m.channels,
+                  math.min(m.durationMs * m.sampleRate / 1000L,
+                    Int.MaxValue.toLong).toInt))) match {
               case Some((rate, channels, nSamples)) =>
                 AudioFeature(r.media_id, decoded = false, rate, channels,
-                  math.min(nSamples, Int.MaxValue.toLong).toInt, rms, peak)
+                  nSamples, rms, peak)
               case None =>
                 AudioFeature(r.media_id, decoded = false, 0, 0,
                   r.payload.length, rms, peak)
