@@ -2973,8 +2973,119 @@ object LlmQueries {
             / col("docs")).cast("long"))
         .orderBy("source"))
 
+  /** Deterministic per-group k-sampling by hash rank (the reproducible
+    * "show me 3 docs per source" eyeball/debug/labeling sample —
+    * ORDER BY rand() gives a different answer every run and every
+    * retry): row_number per source over md5(doc_id) picks a uniform,
+    * run-stable 3 docs per group. 100 TB: one shuffle on the group key,
+    * k-bounded output per group; the hash rank needs no global state,
+    * so re-running the pipeline (or re-trying a failed stage) samples
+    * identically — the property that makes the sample auditable. */
+  val q135 = QueryDef(
+    "q135_group_sample",
+    Some("""SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(rk AS INTEGER) AS rk
+            FROM (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS rk
+                  FROM documents)
+            WHERE rk <= 3 ORDER BY source, rk"""),
+    (s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("source", "rk")
+    })
+
+  /** Token-budget corpus packing by DISTRIBUTED PREFIX SUM (the "select
+    * documents in priority order until the budget is spent" step of
+    * corpus assembly; longest-first here, the long-context-training
+    * preference): running total over the global (n_chars DESC, doc_id)
+    * order, keep while ≤ 50 000 chars. The naive spelling is a window
+    * over a global ORDER BY — ONE partition at 100 TB. This is the
+    * scale spelling: range-repartition on the sort key, per-partition
+    * running sums, then a |partitions|-row offset table (cumulative sum
+    * of partition totals) broadcast back — the classic two-pass prefix
+    * sum; no stage ever sees more than its partition. Boundary choice
+    * cannot change results: the sort key is total (doc_id tiebreak), so
+    * cum depends only on the global order. */
+  val q136 = QueryDef(
+    "q136_budget_pack",
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(cum AS BIGINT) AS cum
+            FROM (SELECT doc_id, n_chars,
+                         SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM documents)
+            WHERE cum <= 50000 ORDER BY cum"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val sorted = docs
+        .repartitionByRange(8, col("n_chars").desc, col("doc_id"))
+        .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val win = Window.partitionBy("pid")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = sorted.withColumn("cum_in", sum(col("n_chars")).over(win))
+      // |partitions| rows: the single-partition window is over the
+      // OFFSET TABLE, never the data
+      val offW = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = within.groupBy("pid")
+        .agg(sum("n_chars").as("psum"))
+        .withColumn("off", coalesce(sum("psum").over(offW), lit(0L)))
+        .select("pid", "off")
+      within.join(broadcast(offsets), "pid")
+        .withColumn("cum", col("cum_in") + col("off"))
+        .filter(col("cum") <= 50000)
+        .select("doc_id", "n_chars", "cum")
+        .orderBy("cum")
+    })
+
+  /** Train/test SPLIT-LEAKAGE audit (the eval-integrity check run
+    * before trusting any benchmark number): deterministic hash split on
+    * doc_id (md5 first hex digit < 'c' ≈ 75 % train), then test docs
+    * whose 32-char text prefix appears verbatim in train, counted per
+    * source. Prefix fingerprints catch near-verbatim leakage that exact
+    * full-text equality misses (boilerplate openings, template reuse);
+    * q57's n-gram contamination is the heavier fuzzy complement.
+    * 100 TB: the join shuffles 32-byte fingerprints (train side
+    * pre-deduped, so it is a semi-join by construction), never document
+    * payloads; the split needs no lookup table — any worker can
+    * recompute membership from the id alone. */
+  val q137 = QueryDef(
+    "q137_split_leakage",
+    Some("""WITH s AS (SELECT doc_id, source, substr(text, 1, 32) AS fp,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                     AS is_train
+            FROM documents)
+            SELECT b.source,
+                   CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS leaked
+            FROM (SELECT DISTINCT fp FROM s WHERE is_train) a
+            JOIN (SELECT doc_id, source, fp FROM s WHERE NOT is_train) b
+              ON a.fp = b.fp
+            GROUP BY b.source ORDER BY b.source"""),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fp", substring(col("text"), 1, 32))
+        .withColumn("is_train",
+          substring(md5(col("doc_id").cast("string")), 1, 1) < "c")
+      val train = docs.filter(col("is_train")).select("fp").distinct()
+      docs.filter(!col("is_train"))
+        .select("doc_id", "source", "fp")
+        .join(train, "fp")
+        .groupBy("source").agg(count_distinct(col("doc_id")).as("leaked"))
+        .orderBy("source")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
-    q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134)
+    q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
+    q135, q136, q137)
 }

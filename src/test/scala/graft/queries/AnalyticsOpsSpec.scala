@@ -215,4 +215,56 @@ class AnalyticsOpsSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
     assert(got == truth, s"got=$got truth=$truth")
   }
+
+  test("q135 hash-rank sample: exactly k per group, identical across runs") {
+    val dir = "/root/testdata/sf0.01"
+    def run() = Registry.queries("q135_group_sample")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "hash-rank sample must be run-stable")
+    a.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sorted == Seq(1, 2, 3), s"group $src")
+    }
+  }
+
+  test("q136 distributed prefix sum matches a single-sort ground truth " +
+    "and keeps the data window partitioned") {
+    val dir = "/root/testdata/sf0.01"
+    val df = Registry.queries("q136_budget_pack")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }
+    var cum = 0L
+    val truth = docs.map { case (id, n) => cum += n; (id, n, cum) }
+      .takeWhile(_._3 <= 50000L)
+    assert(got.toSeq == truth.toSeq)
+    // plan shape: the data-sized windows partition on pid (their sort is
+    // the explicit range repartition); the offsets side broadcasts back
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q137 prefix-fingerprint leakage matches brute force over the split") {
+    val dir = "/root/testdata/sf0.01"
+    val got = Registry.queries("q137_split_leakage")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).take(32)))
+    def isTrain(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.charAt(0) < 'c'
+    }
+    val trainFp = docs.filter(d => isTrain(d._1)).map(_._3).toSet
+    val truth = docs.filterNot(d => isTrain(d._1))
+      .filter(d => trainFp.contains(d._3))
+      .groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    assert(truth.values.sum > 0, "test data should exhibit some leakage")
+    assert(got == truth, s"got=$got truth=$truth")
+  }
 }
