@@ -2973,6 +2973,24 @@ object LlmQueries {
             / col("docs")).cast("long"))
         .orderBy("source"))
 
+  /** Engine-only scale variant of q134: the per-source distinct runs
+    * over a 128-bit hash pair (q29's dedupHashKeyed device, grouped) so
+    * the shuffle carries 16-byte keys + source, never payloads. NULL
+    * texts map to an all-NULL tuple, which COUNT(DISTINCT …) skips —
+    * matching COUNT(DISTINCT text) — while docs still counts every row. */
+  def dupRateHashKeyed(s: SparkSession, dir: String): DataFrame = {
+    val nn = col("text").isNotNull
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(when(nn, xxhash64(col("text"))),
+          when(nn, xxhash64(reverse(col("text"))))).as("distinct_docs"))
+      .withColumn("dup_ppm",
+        round((col("docs") - col("distinct_docs")) * 1000000.0
+          / col("docs")).cast("long"))
+      .orderBy("source")
+  }
+
   /** Deterministic per-group k-sampling by hash rank (the reproducible
     * "show me 3 docs per source" eyeball/debug/labeling sample —
     * ORDER BY rand() gives a different answer every run and every

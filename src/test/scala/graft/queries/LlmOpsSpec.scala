@@ -532,6 +532,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(hashed == exact, s"hash-keyed dedup $hashed != exact $exact")
   }
 
+  test("grouped hash-keyed dup rate matches exact per-source distinct (q134 scale variant)") {
+    val dir = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val exact = rows(Registry.queries("q134_dup_rate")(spark, dir))
+    val hashed = rows(LlmQueries.dupRateHashKeyed(spark, dir))
+    assert(hashed == exact, s"hashed=$hashed exact=$exact")
+  }
+
   test("approx_count_distinct stays within the declared error bound (G6)") {
     val li = graft.Tables(spark, sf, "lineitem")
     val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
