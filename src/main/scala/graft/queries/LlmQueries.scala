@@ -3101,9 +3101,109 @@ object LlmQueries {
         .orderBy("source")
     })
 
+  /** BATCH hard-negative mining (q133 for the whole anchor set — the
+    * form a contrastive-training data job actually runs): all anchors
+    * broadcast once, ONE corpus pass computes every (anchor, candidate)
+    * similarity with the label inequality pruning inside the scan, one
+    * window picks per-anchor top-3. Composes q44's batch device with
+    * q133's constraint: the corpus scan amortizes across the anchor
+    * batch, and at 100 TB the per-anchor rank runs over the already
+    * label-pruned candidate stream, never the raw cross product. */
+  val q138 = QueryDef(
+    "q138_batch_negatives",
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                              label AS ql
+                       FROM embeddings WHERE vec_id < 4),
+            s AS (SELECT q.qid, c.vec_id,
+                    list_cosine_similarity(c.embedding::DOUBLE[], q.qv)
+                      AS sim
+                  FROM embeddings c, q
+                  WHERE c.vec_id <> q.qid AND c.label <> q.ql),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, vec_id) AS rn FROM s)
+            SELECT qid, vec_id, ROUND(sim, 4) AS sim
+            FROM r WHERE rn <= 3 ORDER BY qid, vec_id"""),
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("ql"))
+      val sims = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid") && col("label") =!= col("ql"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("qv")).as("sim_raw"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"),
+          round(col("sim_raw"), 4).as("sim"))
+        .orderBy("qid", "vec_id")
+    })
+
+  /** Sequence-length BUCKETING diagnostics (the padding-efficiency
+    * pre-flight for fixed-shape training batches): docs per 256-char
+    * bucket and the characters padding would waste at that bucket width
+    * — the number that decides bucketed batching vs packing (q67).
+    * All-integer arithmetic (DIV, never `/` — both engines' `/` is
+    * float division); one map-side-combined aggregate, |buckets|-row
+    * output at any corpus size. */
+  val q139 = QueryDef(
+    "q139_length_buckets",
+    Some("""SELECT CAST((n_chars + 255) // 256 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(((n_chars + 255) // 256) * 256 - n_chars)
+                        AS BIGINT) AS pad_chars
+            FROM documents GROUP BY 1 ORDER BY 1"""),
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket", expr("(n_chars + 255) div 256"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("bucket") * 256 - col("n_chars")).as("pad_chars"))
+        .orderBy("bucket"))
+
+  /** Embedding-table HEALTH stats per class (the sanity gate before any
+    * similarity work — zero vectors poison cosine, collapsed norms
+    * signal a broken encoder): per label, count, exact norm sum, zero
+    * vectors, min/max norm. Determinism: the dot product is
+    * sequential-order in both engines, sqrt is IEEE-exact, per-row
+    * norms round to 4 dp into DECIMAL before the order-insensitive
+    * decimal SUM; min/max round after aggregation (same value set →
+    * same extremum). One map-side-combined pass, |labels|-row output. */
+  val q140 = QueryDef(
+    "q140_embedding_health",
+    Some("""SELECT label, CAST(COUNT(*) AS BIGINT) AS vecs,
+                   CAST(SUM(CAST(ROUND(sqrt(list_dot_product(
+                          embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+                        AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS norm_sum,
+                   CAST(SUM(CASE WHEN list_dot_product(
+                          embedding::DOUBLE[], embedding::DOUBLE[]) = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs,
+                   ROUND(MIN(sqrt(list_dot_product(
+                     embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+                     AS min_norm,
+                   ROUND(MAX(sqrt(list_dot_product(
+                     embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+                     AS max_norm
+            FROM embeddings GROUP BY label ORDER BY label"""),
+    (s, dir) => {
+      val v = VectorOps.toDoubleVec(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("label"), VectorOps.l2Norm(v).as("norm"),
+          VectorOps.dot(v, v).as("sq"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("vecs"),
+          sum(round(col("norm"), 4).cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("norm_sum"),
+          sum(when(col("sq") === 0, 1L).otherwise(0L)).as("zero_vecs"),
+          round(min(col("norm")), 4).as("min_norm"),
+          round(max(col("norm")), 4).as("max_norm"))
+        .orderBy("label")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
-    q135, q136, q137)
+    q135, q136, q137, q138, q139, q140)
 }
