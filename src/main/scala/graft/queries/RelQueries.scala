@@ -1760,10 +1760,84 @@ object RelQueries {
         .agg(round(avg("p"), 4).as("median_price"), max("n").as("n"))
     })
 
+  /** Sole-blocking-supplier analysis (the TPC-H Q21 SHAPE on this
+    * schema — late := shipped > 60 days after order date): suppliers
+    * who were the ONLY late supplier in a multi-supplier order. The
+    * optimizer gauntlet: an equi-join for lateness, a grouped HAVING
+    * for multi-supplier orders, and a self-ANTI-join with an
+    * inequality conjunct ("no OTHER late supplier") — the anti side is
+    * the already-tiny late set, so the inequality never touches the
+    * fact table. 100 TB: late pairs are DISTINCT (order, supplier)
+    * coordinates — the widest shuffle carries two keys; everything
+    * after the first join is candidate-sized. */
+  val q141 = QueryDef(
+    "q141_sole_blocker",
+    Some("""WITH late AS (
+              SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+            multi AS (SELECT l_orderkey FROM lineitem GROUP BY 1
+                      HAVING COUNT(DISTINCT l_suppkey) > 1)
+            SELECT late.sk AS suppkey, CAST(COUNT(*) AS BIGINT) AS waiting
+            FROM late JOIN multi ON late.ok = multi.l_orderkey
+            WHERE NOT EXISTS (SELECT 1 FROM late l2
+                              WHERE l2.ok = late.ok AND l2.sk <> late.sk)
+            GROUP BY 1 ORDER BY waiting DESC, suppkey LIMIT 20"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val late = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val multi = li.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("ns"))
+        .filter(col("ns") > 1).select(col("l_orderkey").as("ok2"))
+      val others = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+      late.join(multi, col("ok") === col("ok2"))
+        .join(others,
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .groupBy(col("sk").as("suppkey"))
+        .agg(count(lit(1)).as("waiting"))
+        .orderBy(col("waiting").desc, col("suppkey")).limit(20)
+    })
+
+  /** Balance DECILES (the segmentation-cutoff builder — "which decile
+    * does this customer fall in" drives tiered treatments): ntile(10)
+    * over (c_acctbal DESC, c_custkey), then per-decile count and
+    * boundary values. The global ntile is a single-partition window —
+    * fine for customer-dimension cardinality; for a fact-table ranking
+    * at 100 TB the spelling is q136's two-pass prefix-sum rank or
+    * approx-quantile boundaries (q88 posture), both documented
+    * devices. Total tiebreak makes the decile assignment
+    * engine-identical. */
+  val q142 = QueryDef(
+    "q142_deciles",
+    Some("""SELECT CAST(d AS INTEGER) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(MIN(c_acctbal), 2) AS lo,
+                   ROUND(MAX(c_acctbal), 2) AS hi
+            FROM (SELECT c_acctbal,
+                         ntile(10) OVER (ORDER BY c_acctbal DESC,
+                                         c_custkey) AS d
+                  FROM customer)
+            GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_acctbal"), ntile(10).over(w).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("lo"),
+          round(max(col("c_acctbal")), 2).as("hi"))
+        .orderBy("decile")
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q121, q122, q123, q124, q127, q128, q129, q130, q131,
-    q132)
+    q132, q141, q142)
 }
