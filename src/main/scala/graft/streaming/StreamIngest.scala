@@ -311,4 +311,18 @@ object StreamIngest {
       .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col(typeCol), col("cnt"))
+
+  /** Watermarked SLIDING (hopping) counts per event type — 1-hour
+    * windows advancing every 15 minutes, the smooth-series form trend
+    * dashboards read instead of tumbling steps. Spark expands each row
+    * into its length/slide = 4 overlapping window assignments map-side
+    * BEFORE the shuffle, so the fan-out is the slide ratio (bounded,
+    * chosen here), never the window count; watermarking bounds the
+    * open-window state exactly as with tumbling. */
+  def slidingCounts(stream: DataFrame, tsCol: String, typeCol: String): DataFrame =
+    stream
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour", "15 minutes"), col(typeCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col(typeCol), col("cnt"))
 }

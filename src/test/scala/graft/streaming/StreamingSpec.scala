@@ -72,6 +72,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sliding-window counts: streamed hopping agg equals the batch answer, " +
+    "4 overlapping windows per event") {
+    val rows = mkEvents(60)
+    val flat = Files.createTempDirectory("graft-stream-slide")
+    rows.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+      val dir = Files.createTempDirectory(s"graft-slide-src$i")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), schema)
+        .write.parquet(s"$dir/c")
+      Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+      }
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val q = StreamIngest.slidingCounts(stream, "ts", "event_type")
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("slide_counts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // every event lands in exactly length/slide = 4 windows: the total
+    // of all window counts is 4 × the event count
+    assert(streamed.toSeq.map(_._3).sum == 4L * rows.size)
+  }
+
   test("dedup-at-ingest: duplicate texts within the watermark horizon land once") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("ts", TimestampType),
