@@ -267,4 +267,49 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(truth.values.sum > 0, "test data should exhibit some leakage")
     assert(got == truth, s"got=$got truth=$truth")
   }
+
+  test("q141 plan: no cartesian product; the inequality rides the anti-join") {
+    val df = Registry.queries("q141_sole_blocker")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(800))
+    assert(plan.contains("LeftAnti"), plan.take(800))
+  }
+
+  test("q143 dense_rank keeps tied peers a row_number top-k would drop") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Registry.queries("q143_topk_ties")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byBrand = rows.groupBy(_._1)
+    assert(byBrand.exists(_._2.length > 2),
+      "expected at least one brand with a top-2 tie")
+    // within a brand, every kept row's size is in that brand's top-2
+    // DISTINCT sizes — the dense_rank contract
+    byBrand.foreach { case (b, rs) =>
+      val top2 = rs.map(_._3).distinct.sorted.reverse.take(2).toSet
+      assert(rs.forall(r => top2.contains(r._3)), s"brand $b")
+    }
+  }
+
+  test("q144 FK audit reports zeros on healthy data and detects a forged orphan") {
+    val dir = "/root/testdata/sf0.01"
+    val healthy = Registry.queries("q144_fk_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(healthy.values.forall(_ == 0L), s"unexpected orphans: $healthy")
+    assert(healthy.size == 4)
+    // forge: drop a nation every supplier references → orphans appear
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val sup = Tables(spark, dir, "supplier")
+    val refd = sup.select(col("s_nationkey").cast("long")).distinct()
+      .head().getLong(0)
+    val brokenNation = Tables(spark, dir, "nation")
+      .filter(col("n_nationkey").cast("long") =!= refd)
+    val orphans = sup.select(col("s_nationkey"))
+      .join(brokenNation.select(col("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"), "left_anti")
+      .agg(count(lit(1))).head().getLong(0)
+    val expected = sup.filter(col("s_nationkey").cast("long") === refd).count()
+    assert(orphans == expected && orphans > 0,
+      s"audit missed forged orphans: $orphans vs $expected")
+  }
 }
