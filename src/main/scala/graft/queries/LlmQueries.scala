@@ -3175,7 +3175,7 @@ object LlmQueries {
     Some("""SELECT label, CAST(COUNT(*) AS BIGINT) AS vecs,
                    CAST(SUM(CAST(ROUND(sqrt(list_dot_product(
                           embedding::DOUBLE[], embedding::DOUBLE[])), 4)
-                        AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS norm_sum,
+                        AS DECIMAL(18,4))) AS DOUBLE) AS norm_sum,
                    CAST(SUM(CASE WHEN list_dot_product(
                           embedding::DOUBLE[], embedding::DOUBLE[]) = 0
                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs,
@@ -3194,7 +3194,7 @@ object LlmQueries {
         .groupBy("label")
         .agg(count(lit(1)).as("vecs"),
           sum(round(col("norm"), 4).cast("decimal(18,4)"))
-            .cast("decimal(18,4)").as("norm_sum"),
+            .cast("double").as("norm_sum"),
           sum(when(col("sq") === 0, 1L).otherwise(0L)).as("zero_vecs"),
           round(min(col("norm")), 4).as("min_norm"),
           round(max(col("norm")), 4).as("max_norm"))

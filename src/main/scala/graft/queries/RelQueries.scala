@@ -1905,10 +1905,53 @@ object RelQueries {
         .orderBy("fk")
     })
 
+  /** Regional revenue — the TPC-H Q5 STAR-JOIN gauntlet: the fact table
+    * joins five dimensions, including the both-sides nation constraint
+    * (customer's nation must equal supplier's nation) that punishes bad
+    * join orders with an accidental cross product. Declared as plain
+    * equi-joins: Catalyst + AQE broadcast every dimension (region →
+    * nation → supplier/customer chains) so the ONLY fact-table movement
+    * is its scan — the plan the same SQL should produce at 100 TB,
+    * where the date filter also prunes at the partition/footer level.
+    * Revenue accumulates in DECIMAL (order-independent). */
+  val q145 = QueryDef(
+    "q145_regional_revenue",
+    Some("""SELECT n_name,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q121, q122, q123, q124, q127, q128, q129, q130, q131,
-    q132, q141, q142, q143, q144)
+    q132, q141, q142, q143, q144, q145)
 }

@@ -312,4 +312,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(orphans == expected && orphans > 0,
       s"audit missed forged orphans: $orphans vs $expected")
   }
+
+  test("q145 star join: dimensions broadcast, no cartesian/nested-loop") {
+    val plan = Registry.queries("q145_regional_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(800))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj\n${plan.take(800)}")
+  }
+
+  test("approx_percentile rank error stays within n/accuracy (G10 scale path)") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("value")).where(col("value").isNotNull)
+    val sorted = ev.collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    val acc = 1000
+    val approx = ev.agg(percentile_approx(col("value"), lit(0.5), lit(acc)))
+      .head().getDouble(0)
+    // GK-sketch contract: the returned value's rank is within n/accuracy
+    // of the requested rank — the bound that justifies swapping exact
+    // percentiles (q88/q122/q129 oracles) for the sketch at 100 TB
+    val rank = sorted.count(_ <= approx)
+    assert(math.abs(rank - n / 2.0) <= n.toDouble / acc + 1,
+      s"rank=$rank n=$n approx=$approx")
+  }
 }
