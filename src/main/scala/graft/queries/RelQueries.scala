@@ -1948,10 +1948,56 @@ object RelQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     })
 
+  /** Grouped PEARSON CORRELATION by exact integer moments (does
+    * quantity predict price, per return flag — the feature-screening
+    * step before any model): Spark's `corr()` streams doubles whose
+    * accumulation order moves the last bits, so this computes the five
+    * moments over integer cents EXACTLY (decimal-widened: n·Σy² at
+    * warehouse scale overflows int64) and forms r in one deterministic
+    * final expression — q131's closed-form-OLS posture extended with
+    * the second y-moment. One map-side-combined aggregate, |groups|-row
+    * output. */
+  val q146 = QueryDef(
+    "q146_group_corr",
+    Some("""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+                         (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                          sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS r
+            FROM (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+                         SUM(y*y) AS syy
+                  FROM (SELECT l_returnflag,
+                               CAST(l_quantity AS BIGINT) AS x,
+                               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                 AS y
+                        FROM lineitem)
+                  GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""),
+    (s, dir) => {
+      val pre = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      val m = pre.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        // per-row products fit int64 (x ≤ 2⁶, y ≤ 2²⁴ cents); the SUMS
+        // get decimal headroom past int64 for warehouse row counts
+        sum(col("x").cast("decimal(20,0)")).as("sx"),
+        sum(col("y").cast("decimal(20,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(20,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(20,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(20,0)")).as("syy"))
+      m.select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 4)
+            .as("r"))
+        .orderBy("l_returnflag")
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q121, q122, q123, q124, q127, q128, q129, q130, q131,
-    q132, q141, q142, q143, q144, q145)
+    q132, q141, q142, q143, q144, q145, q146)
 }

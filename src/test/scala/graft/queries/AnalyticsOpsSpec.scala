@@ -337,4 +337,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(rank - n / 2.0) <= n.toDouble / acc + 1,
       s"rank=$rank n=$n approx=$approx")
   }
+
+  test("q146 exact-moment correlation replays a plain-Scala Pearson r") {
+    val got = Registry.queries("q146_group_corr")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = rows.groupBy(_._1).map { case (f, rs) =>
+      val n = rs.length.toLong
+      def s(g: ((String, Long, Long)) => BigInt) = rs.map(g).sum
+      val sx = s(r => BigInt(r._2)); val sy = s(r => BigInt(r._3))
+      val sxy = s(r => BigInt(r._2) * r._3)
+      val sxx = s(r => BigInt(r._2) * r._2)
+      val syy = s(r => BigInt(r._3) * r._3)
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)
+      f -> ((n, BigDecimal(num / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got == truth, s"got=$got truth=$truth")
+  }
 }
