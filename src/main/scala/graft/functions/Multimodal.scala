@@ -181,6 +181,79 @@ object Multimodal {
     }
   }
 
+  /** 80-bit IEEE 754 extended float (big-endian) → double — AIFF's COMM
+    * sample-rate encoding; the JVM has no extended type, so the sign /
+    * 15-bit-exponent / explicit-integer-bit-mantissa unpack is by hand.
+    * The two 32-bit mantissa halves combine in DOUBLE (each is exact
+    * below 2³²) so the top bit never reads as a Long sign. */
+  private def extended80(b: Array[Byte], off: Int): Double = {
+    val se = be16(b, off)
+    val sign = if ((se & 0x8000) != 0) -1.0 else 1.0
+    val exp = se & 0x7fff
+    val hi = be32(b, off + 2).toLong & 0xffffffffL
+    val lo = be32(b, off + 6).toLong & 0xffffffffL
+    val mant = hi.toDouble * 4294967296.0 + lo.toDouble
+    if (exp == 0 && mant == 0.0) 0.0
+    else sign * mant * math.pow(2.0, exp - 16383 - 63)
+  }
+
+  /** AIFF / AIFC sample decode — the big-endian cousin of the WAV walk:
+    * FORM/AIFF chunk scan for COMM (channels, frames, bits, 80-bit
+    * extended-float sample rate, AIFC compression fourcc) and SSND
+    * (offset-prefixed sample data). Real expansion for the PCM family:
+    * 16-bit big-endian, 8-bit SIGNED (unlike WAV's unsigned 8-bit), and
+    * AIFC 'sowt' little-endian 16-bit. Same hardened posture as
+    * [[walkWav]]: malformed sizes return None, never a thrown task. */
+  private[functions] def decodeAiff(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    def tag(off: Int, s: String): Boolean =
+      off + 4 <= b.length && s.indices.forall(i => b(off + i) == s.charAt(i))
+    if (!(tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC")))) return None
+    var i = 12
+    var channels = 0; var bits = 0; var rate = 0.0
+    var comp = "NONE"
+    var sndOff = -1; var sndLen = 0
+    while (i + 8 <= b.length) {
+      val size = be32(b, i + 4)
+      if (size < 0) return None
+      val p = i + 8
+      if (tag(i, "COMM") && p + 18 <= b.length) {
+        channels = be16(b, p)
+        bits = be16(b, p + 6)
+        rate = extended80(b, p + 8)
+        if (tag(8, "AIFC") && size >= 22 && p + 22 <= b.length)
+          comp = new String(b, p + 18, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+      } else if (tag(i, "SSND") && p + 8 <= b.length) {
+        val off0 = be32(b, p)
+        if (off0 < 0) return None
+        sndOff = p + 8 + off0
+        sndLen = math.max(0, math.min(size - 8 - off0, b.length - sndOff))
+      }
+      val next = i.toLong + 8L + size.toLong + (size & 1) // word-aligned
+      if (next > Int.MaxValue) return None
+      i = next.toInt
+    }
+    if (channels <= 0 || rate <= 0 || sndOff < 0) return None
+    val r = math.round(rate).toInt
+    (comp, bits) match {
+      case ("NONE" | "none", 16) =>
+        val n = sndLen / 2
+        Some((r, channels, Array.tabulate(n) { j =>
+          be16(b, sndOff + 2 * j).toShort / 32768.0
+        }))
+      case ("NONE" | "none", 8) => // AIFF 8-bit PCM is SIGNED
+        Some((r, channels, Array.tabulate(sndLen) { j =>
+          b(sndOff + j) / 128.0
+        }))
+      case ("sowt", 16) => // AIFC byte-swapped (little-endian) 16-bit
+        val n = sndLen / 2
+        Some((r, channels, Array.tabulate(n) { j =>
+          le16(b, sndOff + 2 * j).toShort / 32768.0
+        }))
+      case _ => None // compressed AIFC variants ride the provider seam
+    }
+  }
+
   // IMA ADPCM step/index tables (public DVI/IMA spec)
   private val ImaStep: Array[Int] = Array(
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
@@ -682,6 +755,8 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       it.map { r =>
         scala.util.Try(decodeAudio(r.payload)).toOption.flatten
+          // AIFF/AIFC: real big-endian PCM decode (r12)
+          .orElse(scala.util.Try(decodeAiff(r.payload)).toOption.flatten)
           // FLAC: real pure-JVM compressed decode (Rice + LPC integer
           // DSP needs nothing the JVM lacks); never throws
           .orElse(FlacCodec.decode(r.payload))

@@ -3201,9 +3201,65 @@ object LlmQueries {
         .orderBy("label")
     })
 
+  /** SOURCE-VOCABULARY OVERLAP matrix (which corpus slices are
+    * near-copies of each other — the slice-level complement to q134's
+    * within-slice dup rate and q126's distribution drift): Jaccard over
+    * each source's DISTINCT word-bigram vocabulary, top-15 most-
+    * overlapping pairs. The vocabularies are sets, so the similarity is
+    * exact, not sketched; all fan-out is map-side (bigram explode), the
+    * one shuffle is DISTINCT (source, bigram), the pair join keys on
+    * the bigram with a source inequality, and the output is
+    * |sources|²-bounded. 100 TB: hash the bigram (q29's 16-byte-key
+    * device) and the shuffle never carries text. */
+  val q147 = QueryDef(
+    "q147_vocab_overlap",
+    Some("""WITH tk AS (SELECT source, string_split(lower(text), ' ') AS t
+                        FROM documents),
+            v AS (SELECT DISTINCT source,
+                    unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS w
+                  FROM tk),
+            sz AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY source)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared,
+                   CAST(ROUND(COUNT(*) * 1000000.0
+                        / (sa.nv + sb.nv - COUNT(*))) AS BIGINT)
+                     AS jaccard_ppm
+            FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+            JOIN sz sa ON sa.source = a.source
+            JOIN sz sb ON sb.source = b.source
+            GROUP BY a.source, b.source, sa.nv, sb.nv
+            ORDER BY jaccard_ppm DESC, src_a, src_b LIMIT 15"""),
+    (s, dir) => {
+      val bi = when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat(element_at(col("t"), i), lit(" "),
+            element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val v = t(s, dir, "documents")
+        .select(col("source"), TextOps.tokens(col("text")).as("t"))
+        .select(col("source"), explode(bi).as("w"))
+        .distinct()
+      val sz = v.groupBy("source").agg(count(lit(1)).as("nv"))
+      v.as("a").join(v.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(sz.select(col("source").as("src_a"),
+          col("nv").as("na"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"),
+          col("nv").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"),
+          round(col("shared") * 1000000.0
+            / (col("na") + col("nb") - col("shared"))).cast("long")
+            .as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("src_a"), col("src_b"))
+        .limit(15)
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
-    q135, q136, q137, q138, q139, q140)
+    q135, q136, q137, q138, q139, q140, q147)
 }
