@@ -109,6 +109,17 @@ object Multimodal {
         rate = le32(b, i + 12)
         blockAlign = le16(b, i + 20)
         bits = le16(b, i + 22)
+        // WAVE_FORMAT_EXTENSIBLE: the effective tag hides in the first
+        // two bytes of the SubFormat GUID; the remaining 14 bytes must
+        // be the fixed KSDATAFORMAT media-type suffix, else the payload
+        // is some vendor type we must not misread as PCM
+        if (fmtTag == 0xfffe && size >= 40 && i + 48 <= b.length) {
+          val g = i + 32 // GUID offset: common 16 + cbSize 2 + valid 2 + mask 4
+          val suffix = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80,
+            0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
+          if (suffix.indices.forall(k => (b(g + 2 + k) & 0xff) == suffix(k)))
+            fmtTag = le16(b, g)
+        }
       } else if (tag(i, "data")) {
         dataOff = i + 8
         dataLen = math.max(0, math.min(size, b.length - dataOff))
