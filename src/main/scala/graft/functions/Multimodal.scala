@@ -244,7 +244,10 @@ object Multimodal {
       if (next > Int.MaxValue) return None
       i = next.toInt
     }
-    if (channels <= 0 || rate <= 0 || sndOff < 0) return None
+    // rate is attacker-controlled 80-bit float: NaN/Inf/2³²-scale
+    // exponents must not round into a garbage Int rate
+    if (channels <= 0 || sndOff < 0) return None
+    if (rate.isNaN || rate < 1.0 || rate > Int.MaxValue.toDouble) return None
     val r = math.round(rate).toInt
     (comp, bits) match {
       case ("NONE" | "none", 16) =>
@@ -410,11 +413,14 @@ object Multimodal {
         val nib = if ((k & 1) == 0) (byte >> 4) & 0x0f else byte & 0x0f
         val ch = k % channels // stereo nibbles alternate L,R per sample
         val signed = if (nib >= 8) nib - 16 else nib
+        // C-semantics division (truncate toward zero), NOT an arithmetic
+        // shift: the spec's '/ 256' rounds -300 to -1 where >> 8 gives
+        // -2, and the error would compound through the predictor
         val predicted =
-          ((s1(ch) * coef1(ch) + s2(ch) * coef2(ch)) >> 8) + signed * delta(ch)
+          (s1(ch) * coef1(ch) + s2(ch) * coef2(ch)) / 256 + signed * delta(ch)
         val p = math.max(-32768, math.min(32767, predicted))
         s2(ch) = s1(ch); s1(ch) = p
-        delta(ch) = math.max(16, (MsAdapt(nib) * delta(ch)) >> 8)
+        delta(ch) = math.max(16, MsAdapt(nib) * delta(ch) / 256)
         out(outAt) = p / 32768.0
         outAt += 1
         k += 1
@@ -606,7 +612,17 @@ object Multimodal {
       /** Mean over per-frame header bitrates (exact for CBR). */
       avgBitrateKbps: Int,
       /** True when frame bitrates vary or a "Xing" VBR tag is present. */
-      vbr: Boolean)
+      vbr: Boolean) {
+    /** Exact per-channel PCM samples per frame (ISO frame sizes). */
+    def samplesPerFrame: Int = layer match {
+      case 1 => 384
+      case 2 => 1152
+      case _ => if (version == 1) 1152 else 576
+    }
+    /** Exact per-channel sample count — never the lossy duration
+      * round-trip (two floor divisions can drop ~rate/1000 samples). */
+    def totalSamples: Long = frames.toLong * samplesPerFrame
+  }
 
   /** Real MPEG audio (MP3/MP2/MP1) metadata from a frame-header walk —
     * the same hand-parsed-container posture as [[decodeMp4]] /
@@ -674,7 +690,10 @@ object Multimodal {
             val side =
               if (version == 1) { if (c == 1) 17 else 32 }
               else { if (c == 1) 9 else 17 }
-            val x = at + 4 + side
+            // protection_bit = 0 means a 16-bit CRC sits between the
+            // header and the side info, shifting the Xing offset
+            val crc = if ((b(at + 1) & 1) == 0) 2 else 0
+            val x = at + 4 + crc + side
             if (x + 8 <= b.length && b(x) == 'X' && b(x + 1) == 'i' &&
                 b(x + 2) == 'n' && b(x + 3) == 'g') vbr = true
           }
@@ -684,14 +703,9 @@ object Multimodal {
     }
     // a lone "frame" is indistinguishable from a lucky sync in noise
     if (frames < 2) return None
-    val samplesPerFrame = layer match {
-      case 1 => 384
-      case 2 => 1152
-      case _ => if (version == 1) 1152 else 576
-    }
-    Some(Mp3Info(version, layer, rate, channels, frames,
-      frames.toLong * samplesPerFrame * 1000L / rate,
-      math.round(kbpsSum.toDouble / frames).toInt, vbr))
+    val info = Mp3Info(version, layer, rate, channels, frames, 0L,
+      math.round(kbpsSum.toDouble / frames).toInt, vbr)
+    Some(info.copy(durationMs = info.totalSamples * 1000L / rate))
   }
 
   /** Compressed images (JPEG / PNG / GIF) through the JDK's ImageIO —
@@ -800,8 +814,7 @@ object Multimodal {
               }
               .orElse(scala.util.Try(decodeMp3(r.payload)).toOption.flatten
                 .map(m => (m.sampleRate, m.channels,
-                  math.min(m.durationMs * m.sampleRate / 1000L,
-                    Int.MaxValue.toLong).toInt))) match {
+                  math.min(m.totalSamples, Int.MaxValue.toLong).toInt))) match {
               case Some((rate, channels, nSamples)) =>
                 AudioFeature(r.media_id, decoded = false, rate, channels,
                   nSamples, rms, peak)

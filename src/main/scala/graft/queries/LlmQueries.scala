@@ -3188,9 +3188,10 @@ object LlmQueries {
             FROM embeddings GROUP BY label ORDER BY label"""),
     (s, dir) => {
       val v = VectorOps.toDoubleVec(col("embedding"))
+      // ONE higher-order dot-product pass per row; norm derives from it
       t(s, dir, "embeddings")
-        .select(col("label"), VectorOps.l2Norm(v).as("norm"),
-          VectorOps.dot(v, v).as("sq"))
+        .select(col("label"), VectorOps.dot(v, v).as("sq"))
+        .withColumn("norm", sqrt(col("sq")))
         .groupBy("label")
         .agg(count(lit(1)).as("vecs"),
           sum(round(col("norm"), 4).cast("decimal(18,4)"))

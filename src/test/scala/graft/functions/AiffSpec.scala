@@ -60,6 +60,22 @@ class AiffSpec extends AnyFunSuite {
     assert(out.toSeq == xs.map(_ / 32768.0))
   }
 
+  test("non-finite or overflowing 80-bit rates are rejected, not rounded") {
+    val snd = Seq(0, 0).flatMap(be16)
+    def withRate(raw: Seq[Byte]): Array[Byte] = {
+      val ok = aiff("AIFF", None, 1, 16, 44100L, snd)
+      // COMM payload rate field: FORM(12) + "COMM"+size(8) + ch/frames/bits(8)
+      raw.zipWithIndex.foreach { case (v, k) => ok(28 + k) = v }
+      ok
+    }
+    val inf = be16(0x7fff) ++ be32(0x80000000) ++ be32(0)
+    assert(Multimodal.decodeAiff(withRate(inf)).isEmpty, "Inf rate")
+    val nan = be16(0x7fff) ++ be32(0) ++ be32(0)
+    assert(Multimodal.decodeAiff(withRate(nan)).isEmpty, "NaN rate")
+    val huge = ext80(1L << 34) // > Int.MaxValue
+    assert(Multimodal.decodeAiff(withRate(huge)).isEmpty, "2^34 rate")
+  }
+
   test("unknown AIFC compression and malformed sizes return None") {
     val snd = Seq(0, 0).flatMap(be16)
     assert(Multimodal.decodeAiff(

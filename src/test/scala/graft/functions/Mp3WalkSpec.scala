@@ -28,7 +28,8 @@ class Mp3WalkSpec extends AnyFunSuite {
     val brIdx = (if (mpeg1) V1L3 else V2L3)(kbps)
     val out = new Array[Byte](len)
     out(0) = 0xff.toByte
-    out(1) = (0xe0 | (if (mpeg1) 3 else 2) << 3 | 1 << 1).toByte // ver, LIII
+    // ver bits, Layer III, protection_bit = 1 (no CRC)
+    out(1) = (0xe0 | (if (mpeg1) 3 else 2) << 3 | 1 << 1 | 1).toByte
     out(2) = ((brIdx << 4) | (srIdx << 2)).toByte                // no padding
     out(3) = (if (mono) 0xc0 else 0x00).toByte
     out
@@ -84,6 +85,33 @@ class Mp3WalkSpec extends AnyFunSuite {
     frames(0)(x + 2) = 'n'; frames(0)(x + 3) = 'g'
     val Some(m) = Multimodal.decodeMp3(frames.flatten): @unchecked
     assert(m.vbr && m.avgBitrateKbps == 128) // CBR headers, VBR by tag
+  }
+
+  test("Xing detection honors the CRC-protected side-info shift") {
+    // protection_bit = 0 → 16-bit CRC between header and side info
+    val frames = Array.fill(6)(frame(mpeg1 = true, 128, 0, mono = false))
+    frames(0)(1) = (frames(0)(1) & 0xfe).toByte // clear protection bit
+    val x = 4 + 2 + 32 // header + CRC + MPEG-1 stereo side info
+    frames(0)(x) = 'X'; frames(0)(x + 1) = 'i'
+    frames(0)(x + 2) = 'n'; frames(0)(x + 3) = 'g'
+    val Some(m) = Multimodal.decodeMp3(frames.flatten): @unchecked
+    assert(m.vbr, "CRC shift must not hide the Xing tag")
+    // and without the CRC bit the same offset must NOT match
+    val noCrc = Array.fill(6)(frame(mpeg1 = true, 128, 0, mono = false))
+    noCrc(0)(x) = 'X'; noCrc(0)(x + 1) = 'i'
+    noCrc(0)(x + 2) = 'n'; noCrc(0)(x + 3) = 'g'
+    val Some(m2) = Multimodal.decodeMp3(noCrc.flatten): @unchecked
+    assert(!m2.vbr)
+  }
+
+  test("exact sample count comes from frames, not the duration round-trip") {
+    val n = 40
+    val payload = Array.fill(n)(frame(mpeg1 = true, 128, 0, mono = false))
+      .flatten
+    val Some(m) = Multimodal.decodeMp3(payload): @unchecked
+    assert(m.totalSamples == n.toLong * 1152) // 46080, not 46040
+    assert(m.durationMs * m.sampleRate / 1000L < m.totalSamples,
+      "the round-trip this guards against would undercount")
   }
 
   test("a lone lucky sync in noise does not parse; trailing garbage kept") {

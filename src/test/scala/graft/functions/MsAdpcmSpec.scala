@@ -20,11 +20,11 @@ class MsAdpcmSpec extends AnyFunSuite {
     * arithmetic. */
   private def encodeStep(target: Int, s1: Int, s2: Int, c1: Int, c2: Int,
       delta: Int): (Int, Int, Int) = {
-    val predicted = (s1 * c1 + s2 * c2) >> 8
+    val predicted = (s1 * c1 + s2 * c2) / 256 // C truncation, not >> 8
     val signed = math.max(-8, math.min(7, (target - predicted) / delta))
     val nib = signed & 0x0f
     val p = math.max(-32768, math.min(32767, predicted + signed * delta))
-    val d = math.max(16, (Adapt(nib) * delta) >> 8)
+    val d = math.max(16, Adapt(nib) * delta / 256)
     (nib, p, d)
   }
 
