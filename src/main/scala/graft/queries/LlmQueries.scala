@@ -3258,9 +3258,53 @@ object LlmQueries {
         .limit(15)
     })
 
+  /** MUTUAL nearest-neighbor pairs (the bitext-mining / duplicate-pair
+    * alignment primitive: a pair is kept only when each side is the
+    * OTHER's top-1 — one-directional top-1 matches are mostly hubs):
+    * exact all-pairs cosine with the corpus side BROADCAST (a 64-dim
+    * embedding table broadcasts far past this SF), top-1 per anchor via
+    * a map-side-combinable max(struct(sim, -id)) — NO 25M-row window
+    * sort; the tiebreak (sim DESC, id ASC) rides the struct ordering —
+    * then the mutual check is a self-join of the |V|-row top-1 table.
+    * 100 TB: the all-pairs stage swaps for the ANN candidates
+    * (q37/q47/q89) and everything downstream is unchanged. */
+  val q148 = QueryDef(
+    "q148_mutual_nn",
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            s AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                    list_cosine_similarity(a.v, b.v) AS sim
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            t1 AS (SELECT ia, ib, sim FROM (SELECT ia, ib, sim,
+                     ROW_NUMBER() OVER (PARTITION BY ia
+                       ORDER BY sim DESC, ib) AS rn FROM s)
+                   WHERE rn = 1)
+            SELECT x.ia AS id_a, x.ib AS id_b, ROUND(x.sim, 4) AS sim
+            FROM t1 x JOIN t1 y ON x.ia = y.ib AND x.ib = y.ia
+              AND x.ia < x.ib
+            ORDER BY id_a"""),
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bSide = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+      val sims = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+        .crossJoin(broadcast(bSide))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          VectorOps.cosine(col("va"), col("vb")).as("sim"))
+      val top1 = sims.groupBy("ia")
+        .agg(max(struct(col("sim"), (-col("ib")).as("nib"))).as("m"))
+        .select(col("ia"), (-col("m.nib")).as("ib"), col("m.sim").as("sim"))
+      top1.as("x").join(top1.as("y"),
+          col("x.ia") === col("y.ib") && col("x.ib") === col("y.ia") &&
+            col("x.ia") < col("x.ib"))
+        .select(col("x.ia").as("id_a"), col("x.ib").as("id_b"),
+          round(col("x.sim"), 4).as("sim"))
+        .orderBy("id_a")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
-    q135, q136, q137, q138, q139, q140, q147)
+    q135, q136, q137, q138, q139, q140, q147, q148)
 }
