@@ -338,6 +338,35 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"rank=$rank n=$n approx=$approx")
   }
 
+  test("q148 mutual-NN pairs replay a plain-Scala brute force; " +
+    "no window over the all-pairs stream") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Registry.queries("q148_mutual_nn")(spark, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = vecs.map { case (ia, va) =>
+      ia -> vecs.filter(_._1 != ia)
+        .map { case (ib, vb) => (ib, cos(va, vb)) }
+        .minBy { case (ib, s) => (-s, ib) }._1
+    }.toMap
+    val truth = top1.collect {
+      case (a, b) if top1(b) == a && a < b => (a, b)
+    }.toSet
+    assert(truth.nonEmpty, "fixture should have mutual pairs")
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    // plan: top-1 is an aggregate (partial max), not a window sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), plan.take(800))
+  }
+
   test("q146 exact-moment correlation replays a plain-Scala Pearson r") {
     val got = Registry.queries("q146_group_corr")(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
