@@ -122,8 +122,21 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }
       .mkString("{", ",", "}")
     val total = times.collect { case (_, (med, _)) if med >= 0 => med }.sum
-    val line =
+    // Window guard (ADVICE r12): at 148+ queries the compact line sits
+    // near the driver's ~2000-char tail capture. If it would overflow,
+    // keep only queries ≥0.1 s (the ones a verdict can act on), count
+    // the elided rest — bench_out.json always has full fidelity.
+    val lineFull =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","nerr":${errors.size},"queries":$qsShort}"""
+    val line = if (lineFull.length <= 1900) lineFull else {
+      val kept = times.filter { case (_, (med, _)) => med < 0 || med >= 0.1 }
+      val qsKept = kept.map { case (k, (med, _)) => s"${js(shortKey(k))}:${r2(med)}" }
+        .mkString("{", ",", "}")
+      System.err.println(s"[bench] compact line ${lineFull.length} chars > 1900: " +
+        s"eliding ${times.size - kept.size} sub-0.1s queries from stdout " +
+        "(full record in bench_out.json)")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","nerr":${errors.size},"q_elided":${times.size - kept.size},"queries":$qsKept}"""
+    }
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
     println(line)

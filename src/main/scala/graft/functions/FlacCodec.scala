@@ -212,111 +212,124 @@ object FlacCodec {
     val r = new BitReader(b)
     r.pos = off.toLong * 8
     var frames = 0
-    while (r.remaining >= 40 && decoded < maxSamples && frames < (1 << 20)) {
-      val frameStart = r.bytePos
-      if (r.bits(14) != 0x3ffe) bail()
-      if (r.bit() != 0) bail() // reserved
-      r.bit() // blocking strategy
-      val bsCode = r.bits(4).toInt
-      val srCode = r.bits(4).toInt
-      val chanAsgn = r.bits(4).toInt
-      val ssCode = r.bits(3).toInt
-      if (r.bit() != 0) bail() // reserved
-      // UTF-8-coded frame/sample number: parse and discard
-      val first = r.bits(8).toInt
-      var extra = 0
-      var mask = 0x80
-      while ((first & mask) != 0 && extra < 7) { extra += 1; mask >>= 1 }
-      if (extra == 1 || extra == 8) bail()
-      var k = 0
-      while (k < math.max(0, extra - 1)) {
-        if ((r.bits(8).toInt & 0xc0) != 0x80) bail()
-        k += 1
-      }
-      val blockSize = bsCode match {
-        case 0 => bail()
-        case 1 => 192
-        case c if c >= 2 && c <= 5 => 576 << (c - 2)
-        case 6 => r.bits(8).toInt + 1
-        case 7 => r.bits(16).toInt + 1
-        case c => 256 << (c - 8)
-      }
-      if (blockSize <= 0 || blockSize > 65536) bail()
-      val rate = srCode match {
-        case 0 => siRate
-        case c if c <= 11 => RateTable(c)
-        case 12 => r.bits(8).toInt * 1000
-        case 13 => r.bits(16).toInt
-        case 14 => r.bits(16).toInt * 10
-        case _ => bail()
-      }
-      val bps = ssCode match {
-        case 0 => siBps
-        case 1 => 8
-        case 2 => 12
-        case 4 => 16
-        case 5 => 20
-        case 6 => 24
-        case 7 => 32
-        case _ => bail()
-      }
-      // CRC-8 over the header bytes (frame start through pre-CRC byte)
-      if ((r.pos & 7) != 0) bail() // header is byte-aligned pre-CRC
-      val expected = crc8(b, frameStart, r.bytePos)
-      if (r.bits(8).toInt != expected) bail()
+    var halted = false
+    while (!halted && r.remaining >= 40 && decoded < maxSamples &&
+        frames < (1 << 20)) try {
+        val frameStart = r.bytePos
+        if (r.bits(14) != 0x3ffe) bail()
+        if (r.bit() != 0) bail() // reserved
+        r.bit() // blocking strategy
+        val bsCode = r.bits(4).toInt
+        val srCode = r.bits(4).toInt
+        val chanAsgn = r.bits(4).toInt
+        val ssCode = r.bits(3).toInt
+        if (r.bit() != 0) bail() // reserved
+        // UTF-8-coded frame/sample number: parse and discard
+        val first = r.bits(8).toInt
+        // 0xFF is not a valid lead byte in FLAC's coded-number encoding
+        // (the longest legal sequence leads with 0xFE); the extra==8 case
+        // the old check guarded is unreachable because the loop caps at 7
+        if (first == 0xff) bail()
+        var extra = 0
+        var mask = 0x80
+        while ((first & mask) != 0 && extra < 7) { extra += 1; mask >>= 1 }
+        if (extra == 1) bail()
+        var k = 0
+        while (k < math.max(0, extra - 1)) {
+          if ((r.bits(8).toInt & 0xc0) != 0x80) bail()
+          k += 1
+        }
+        val blockSize = bsCode match {
+          case 0 => bail()
+          case 1 => 192
+          case c if c >= 2 && c <= 5 => 576 << (c - 2)
+          case 6 => r.bits(8).toInt + 1
+          case 7 => r.bits(16).toInt + 1
+          case c => 256 << (c - 8)
+        }
+        if (blockSize <= 0 || blockSize > 65536) bail()
+        val rate = srCode match {
+          case 0 => siRate
+          case c if c <= 11 => RateTable(c)
+          case 12 => r.bits(8).toInt * 1000
+          case 13 => r.bits(16).toInt
+          case 14 => r.bits(16).toInt * 10
+          case _ => bail()
+        }
+        val bps = ssCode match {
+          case 0 => siBps
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => bail()
+        }
+        // CRC-8 over the header bytes (frame start through pre-CRC byte)
+        if ((r.pos & 7) != 0) bail() // header is byte-aligned pre-CRC
+        val expected = crc8(b, frameStart, r.bytePos)
+        if (r.bits(8).toInt != expected) bail()
 
-      val channels = if (chanAsgn < 8) chanAsgn + 1
-        else if (chanAsgn <= 10) 2
-        else bail()
-      if (channels != siChannels) bail()
+        val channels = if (chanAsgn < 8) chanAsgn + 1
+          else if (chanAsgn <= 10) 2
+          else bail()
+        if (channels != siChannels) bail()
 
-      val chans = new Array[Array[Long]](channels)
-      var c = 0
-      while (c < channels) {
-        val side = (chanAsgn == 8 && c == 1) || (chanAsgn == 9 && c == 0) ||
-          (chanAsgn == 10 && c == 1)
-        chans(c) = subframe(r, blockSize, bps + (if (side) 1 else 0))
-        c += 1
-      }
-      r.alignByte()
-      r.bits(16) // frame footer CRC-16 (presence required; not verified)
-
-      // stereo decorrelation
-      chanAsgn match {
-        case 8 => // left/side → right = left - side
-          var i = 0
-          while (i < blockSize) { chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
-        case 9 => // side/right → left = side + right
-          val sideCh = chans(0)
-          var i = 0
-          while (i < blockSize) { sideCh(i) = sideCh(i) + chans(1)(i); i += 1 }
-        case 10 => // mid/side
-          var i = 0
-          while (i < blockSize) {
-            val side = chans(1)(i)
-            val mid = (chans(0)(i) << 1) | (side & 1L)
-            chans(0)(i) = (mid + side) >> 1
-            chans(1)(i) = (mid - side) >> 1
-            i += 1
-          }
-        case _ => ()
-      }
-
-      val take = math.min(blockSize.toLong, maxSamples - decoded).toInt
-      val norm = (1L << (bps - 1)).toDouble
-      val inter = new Array[Double](take * channels)
-      var i = 0
-      while (i < take) {
-        c = 0
+        val chans = new Array[Array[Long]](channels)
+        var c = 0
         while (c < channels) {
-          inter(i * channels + c) = chans(c)(i) / norm
+          val side = (chanAsgn == 8 && c == 1) || (chanAsgn == 9 && c == 0) ||
+            (chanAsgn == 10 && c == 1)
+          chans(c) = subframe(r, blockSize, bps + (if (side) 1 else 0))
           c += 1
         }
-        i += 1
-      }
-      out.add(inter)
-      decoded += take
-      frames += 1
+        r.alignByte()
+        r.bits(16) // frame footer CRC-16 (presence required; not verified)
+
+        // stereo decorrelation
+        chanAsgn match {
+          case 8 => // left/side → right = left - side
+            var i = 0
+            while (i < blockSize) { chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
+          case 9 => // side/right → left = side + right
+            val sideCh = chans(0)
+            var i = 0
+            while (i < blockSize) { sideCh(i) = sideCh(i) + chans(1)(i); i += 1 }
+          case 10 => // mid/side
+            var i = 0
+            while (i < blockSize) {
+              val side = chans(1)(i)
+              val mid = (chans(0)(i) << 1) | (side & 1L)
+              chans(0)(i) = (mid + side) >> 1
+              chans(1)(i) = (mid - side) >> 1
+              i += 1
+            }
+          case _ => ()
+        }
+
+        val take = math.min(blockSize.toLong, maxSamples - decoded).toInt
+        val norm = (1L << (bps - 1)).toDouble
+        val inter = new Array[Double](take * channels)
+        var i = 0
+        while (i < take) {
+          c = 0
+          while (c < channels) {
+            inter(i * channels + c) = chans(c)(i) / norm
+            c += 1
+          }
+          i += 1
+        }
+        out.add(inter)
+        decoded += take
+        frames += 1
+    } catch {
+      // Trailing bytes after the final frame (an appended ID3v1 tag,
+      // ripper junk) fail the sync/CRC checks; once at least one frame
+      // decoded, keep the accumulated samples instead of bailing the
+      // whole file — the same posture as decodeMp3 on trailing garbage.
+      // A failure before ANY frame decoded still bails the decode.
+      case e: Bail => if (frames > 0) halted = true else throw e
     }
     if (frames == 0) return None
     var total = 0

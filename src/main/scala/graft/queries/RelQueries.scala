@@ -1685,7 +1685,7 @@ object RelQueries {
                  s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
                               SUM(y) AS sy, SUM(x * y) AS sxy,
                               SUM(x * x) AS sxx
-                       FROM daily GROUP BY 1)
+                       FROM daily GROUP BY 1 HAVING COUNT(*) > 1)
             SELECT event_type,
                    CAST(ROUND((n * sxy - sx * sy) * 1.0
                         / (n * sxx - sx * sx) / 100.0, 4) AS DOUBLE)
@@ -1704,6 +1704,10 @@ object RelQueries {
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
+        // a type whose events all land on ONE day has no slope: the OLS
+        // denominator n·Σx²−(Σx)² is 0 and Spark-NULL vs DuckDB-division
+        // semantics would diverge — both engines drop it (HAVING n > 1)
+        .filter(col("n") > 1)
       m.select(col("event_type"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0)
             / (col("n") * col("sxx") - col("sx") * col("sx")) / lit(100.0), 4)

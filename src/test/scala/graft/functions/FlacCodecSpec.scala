@@ -153,6 +153,35 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(samples.drop(n).forall(_ == -2048 / 32768.0))
   }
 
+  test("trailing garbage after a decoded frame keeps the frames " +
+    "(ID3v1 tag posture, as decodeMp3); 0xFF frame-number lead is rejected") {
+    val n = 16
+    // total=0 (unknown) so the frame loop does not stop on sample count
+    // and actually walks into the appended tag bytes
+    val w = streamInfo(8000, 1, 16, 0)
+    frameHeader(w, n, chanAsgn = 0)
+    constant(w, 512, 16)
+    w.align(); w.bits(0, 16)
+    val tag = "TAG".getBytes ++ Array.fill(125)('x'.toByte) // ID3v1: 128 B
+    val Some((_, _, samples)) = FlacCodec.decode(w.bytes ++ tag)
+    assert(samples.length == n && samples.forall(_ == 512 / 32768.0))
+    // 0xFF is an invalid coded-number lead byte: a frame whose number
+    // field is 0xFF must be rejected (None — it is the only frame)
+    val bad = new BitWriter
+    bad.bits('f', 8); bad.bits('L', 8); bad.bits('a', 8); bad.bits('C', 8)
+    val si = streamInfo(8000, 1, 16, 0).bytes.drop(4)
+    si.foreach(b => bad.bits(b & 0xff, 8))
+    val h = new BitWriter
+    h.bits(0x3ffe, 14); h.bit(0); h.bit(0)
+    h.bits(7, 4); h.bits(0, 4); h.bits(0, 4); h.bits(4, 3); h.bit(0)
+    h.bits(0xff, 8) // invalid lead byte
+    h.bits(n - 1, 16)
+    val hb = h.bytes
+    hb.foreach(b => bad.bits(b & 0xff, 8))
+    bad.bits(crc8(hb, 0, hb.length), 8)
+    assert(FlacCodec.decode(bad.bytes ++ Array.fill(64)(0.toByte)).isEmpty)
+  }
+
   test("corruption is rejected, never thrown: bad magic, truncation, " +
     "flipped CRC-8") {
     val n = 16
