@@ -3260,14 +3260,25 @@ object LlmQueries {
 
   /** MUTUAL nearest-neighbor pairs (the bitext-mining / duplicate-pair
     * alignment primitive: a pair is kept only when each side is the
-    * OTHER's top-1 — one-directional top-1 matches are mostly hubs):
-    * exact all-pairs cosine with the corpus side BROADCAST (a 64-dim
-    * embedding table broadcasts far past this SF), top-1 per anchor via
-    * a map-side-combinable max(struct(sim, -id)) — NO 25M-row window
-    * sort; the tiebreak (sim DESC, id ASC) rides the struct ordering —
-    * then the mutual check is a self-join of the |V|-row top-1 table.
-    * 100 TB: the all-pairs stage swaps for the ANN candidates
-    * (q37/q47/q89) and everything downstream is unchanged. */
+    * OTHER's top-1 — one-directional top-1 matches are mostly hubs).
+    * The top-1 stage is the EXACT dense block scan
+    * [[graft.operators.BroadcastNn.top1Self]]: the corpus broadcasts
+    * once as primitive arrays and each anchor argmaxes over it inside
+    * mapPartitions — no |V|² joined-row materialization (r12's
+    * crossJoin spelling copied ~1 KB of arrays per pair and measured
+    * 6.5 s for a pair space whose raw FLOPs are milliseconds). The
+    * mutual check is a self-join of the |V|-row top-1 table, unchanged.
+    * Zero-norm vectors are dropped up front (cosine NaN would outrank
+    * every real sim in a max-based plan — q140 is the health audit).
+    * Why still exact, not ANN: r13 MEASURED the sign-bit candidate
+    * tier on this corpus — the true top-1's Hamming rank reaches
+    * 1423/2000 at sf0.1 and mutual-pair recall at K=64 candidates is
+    * 0.67 — near-random embeddings give binary signatures no purchase,
+    * so an ANN prefilter here would silently change answers. The ANN
+    * spelling lives in q149_mutual_nn_ann with the SAME downstream plan
+    * and an oracle that replays its candidate rule. 100 TB: broadcast
+    * scan while the corpus fits the byte budget (5 GB at 10M×64-dim),
+    * q149's candidate tier beyond it. */
   val q148 = QueryDef(
     "q148_mutual_nn",
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -3285,13 +3296,90 @@ object LlmQueries {
             ORDER BY id_a"""),
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val bSide = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
-      val sims = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
-        .crossJoin(broadcast(bSide))
+      val top1 = graft.operators.BroadcastNn
+        .top1Self(e, "vec_id", "embedding")
+      top1.as("x").join(top1.as("y"),
+          col("x.ia") === col("y.ib") && col("x.ib") === col("y.ia") &&
+            col("x.ia") < col("x.ib"))
+        .select(col("x.ia").as("id_a"), col("x.ib").as("id_b"),
+          round(col("x.sim"), 4).as("sim"))
+        .orderBy("id_a")
+    })
+
+  /** Mutual-NN by ANN CANDIDATES — q148's 100 TB escape hatch as a
+    * REGISTERED, hash-gated plan (VERDICT r12 next-step #1): each
+    * anchor's top-1 is searched only among its K=64 nearest BINARY-SIGN
+    * signatures (q89's tier: one 64-bit word per vector, Hamming =
+    * xor+bit_count in codegen), exact cosine re-ranks the candidates,
+    * and the mutual check is unchanged. Hash parity at ANY recall
+    * because the DuckDB oracle REPLAYS the identical candidate rule
+    * (top-K by (hamming, id), K=64) rather than the exact search —
+    * the q37/q47/q72 pinned-constants pattern. Recall vs the exact
+    * q148 is MEASURED, not assumed: 0.88 at sf0.001 / 0.91 at sf0.01 /
+    * 0.67 at sf0.1 on these near-random embeddings (spec-asserted
+    * floor, AnalyticsOpsSpec) — the honest cost of the scale path.
+    * Plan shape at 100 TB: signatures are 8 bytes/row (scannable at
+    * memory bandwidth; the all-pairs Hamming stage becomes multi-probe
+    * banding on signature prefixes past broadcast scale), the candidate
+    * cut is the bounded top-K AGGREGATE ([[graft.functions.BoundedTopK]]:
+    * O(K) state per anchor, map-side combined — no window sort, no
+    * whole-column collect_list), and re-rank cost is K·|V|, not |V|². */
+  val q149 = QueryDef(
+    "q149_mutual_nn_ann",
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            h AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                    len(list_filter(range(1, 65),
+                      i -> (a.v[i] >= 0) <> (b.v[i] >= 0))) AS ham,
+                    list_cosine_similarity(a.v, b.v) AS sim
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            cand AS (SELECT ia, ib, sim, ROW_NUMBER() OVER
+                       (PARTITION BY ia ORDER BY ham, ib) AS rn
+                     FROM h),
+            t1 AS (SELECT ia, ib, sim FROM (SELECT ia, ib, sim,
+                     ROW_NUMBER() OVER (PARTITION BY ia
+                       ORDER BY sim DESC, ib) AS rr
+                     FROM cand WHERE rn <= 64)
+                   WHERE rr = 1)
+            SELECT x.ia AS id_a, x.ib AS id_b, ROUND(x.sim, 4) AS sim
+            FROM t1 x JOIN t1 y ON x.ia = y.ib AND x.ib = y.ia
+              AND x.ia < x.ib
+            ORDER BY id_a"""),
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
+        // zero-norm guard (q148 posture; the all-ones signature a zero
+        // vector would get is meaningless and its cosine is NaN)
+        .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
+        .withColumn("sig", expr(
+          "aggregate(transform(sequence(0, 63), " +
+            "i -> IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L)), " +
+            "0L, (acc, x) -> acc | x)"))
+      val sigs = emb.select(col("vec_id"), col("sig"))
+      // narrow pair stream: ids + one xor/bit_count — never the vectors;
+      // (hamming, id) packs into ONE long so ascending long order IS the
+      // oracle's ROW_NUMBER (ham, ib) candidate rule
+      val ham = sigs.select(col("vec_id").as("ia"), col("sig").as("siga"))
+        .crossJoin(broadcast(
+          sigs.select(col("vec_id").as("ib"), col("sig").as("sigb"))))
         .filter(col("ia") =!= col("ib"))
+        .select(col("ia"), expr(
+          "shiftleft(CAST(bit_count(siga ^ sigb) AS BIGINT), 56) | ib")
+          .as("packed"))
+      // candidate cut via the bounded top-K AGGREGATE (TopK.scala):
+      // O(K) state per anchor, map-side combined — never a window sort
+      // or a collect_list of the whole candidate column
+      val cand = ham.groupBy("ia")
+        .agg(graft.functions.TopK.smallestK(64, col("packed")).as("top"))
+        .select(col("ia"), explode(expr(
+          "transform(top, v -> v & 72057594037927935L)")).as("ib"))
+      val va = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+      val vb = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
+      val top1 = cand
+        .join(broadcast(va), "ia").join(broadcast(vb), "ib")
         .select(col("ia"), col("ib"),
           VectorOps.cosine(col("va"), col("vb")).as("sim"))
-      val top1 = sims.groupBy("ia")
+        .groupBy("ia")
         .agg(max(struct(col("sim"), (-col("ib")).as("nib"))).as("m"))
         .select(col("ia"), (-col("m.nib")).as("ib"), col("m.sim").as("sim"))
       top1.as("x").join(top1.as("y"),
@@ -3306,5 +3394,5 @@ object LlmQueries {
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
-    q135, q136, q137, q138, q139, q140, q147, q148)
+    q135, q136, q137, q138, q139, q140, q147, q148, q149)
 }
