@@ -3041,27 +3041,14 @@ object LlmQueries {
                   FROM documents)
             WHERE cum <= 50000 ORDER BY cum"""),
     (s, dir) => {
+      // the two-pass prefix sum is the shared fact-scale device since
+      // r13 — see graft.operators.GlobalRank (q142 rides the same code)
       val docs = t(s, dir, "documents").select("doc_id", "n_chars")
-      val sorted = docs
-        .repartitionByRange(8, col("n_chars").desc, col("doc_id"))
-        .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val win = Window.partitionBy("pid")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val within = sorted.withColumn("cum_in", sum(col("n_chars")).over(win))
-      // |partitions| rows: the single-partition window is over the
-      // OFFSET TABLE, never the data
-      val offW = Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = within.groupBy("pid")
-        .agg(sum("n_chars").as("psum"))
-        .withColumn("off", coalesce(sum("psum").over(offW), lit(0L)))
-        .select("pid", "off")
-      within.join(broadcast(offsets), "pid")
-        .withColumn("cum", col("cum_in") + col("off"))
-        .filter(col("cum") <= 50000)
-        .select("doc_id", "n_chars", "cum")
+      graft.operators.GlobalRank
+        .withGlobalRank(docs, Seq(col("n_chars").desc, col("doc_id")),
+          sumCol = Some(col("n_chars")), partitions = 8)
+        .filter(col("gcum") <= 50000)
+        .select(col("doc_id"), col("n_chars"), col("gcum").as("cum"))
         .orderBy("cum")
     })
 

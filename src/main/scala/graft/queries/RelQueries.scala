@@ -1294,11 +1294,13 @@ object RelQueries {
     * tie placement is engine-identical, then the segment-grid rollup.
     * The three NTILEs are global-order windows — sound here because
     * they run over the per-customer AGGREGATE (one row per customer,
-    * already 3-4 orders of magnitude below the fact table); at 100 TB
-    * the scale path replaces exact NTILE with range-partitioned rank or
-    * approx-quantile boundary assignment (the q88 posture), trading
-    * exact boundary ties for a distributed sort. Monetary uses the dsum
-    * exact-decimal device so the quintile order cannot drift. */
+    * already 3-4 orders of magnitude below the fact table); the moment
+    * a fact table flows through, each swaps for
+    * [[graft.operators.GlobalRank.withNtile]] — the IMPLEMENTED
+    * range-partitioned exact-ntile device q142 registers (identical
+    * semantics, hash-proven), or approx-quantile boundaries (q88
+    * posture) when boundary exactness is negotiable. Monetary uses the
+    * dsum exact-decimal device so the quintile order cannot drift. */
   val q121 = QueryDef(
     "q121_rfm",
     Some("""WITH cm AS (SELECT o_custkey AS c,
@@ -1551,8 +1553,11 @@ object RelQueries {
     * plain sliding windows cannot express (distinct does not decompose
     * over window frames). 100 TB: the heavy dedup is one map-side-
     * combinable shuffle; the fan-out multiplies |day×user| pairs
-    * (calendar-bounded per user), and the documented sketch path swaps
-    * the exact per-anchor distinct for mergeable HLL (G6 posture). */
+    * (calendar-bounded per user), and the sketch path — per-day
+    * mergeable HLL stored as a parquet column, windows as O(days)
+    * unions — is IMPLEMENTED as [[graft.operators.SketchWau]]
+    * (error-bound + round-trip + incremental-refresh spec-gated;
+    * G6 posture keeps estimates out of the hash compare). */
   val q128 = QueryDef(
     "q128_rolling_wau",
     Some("""WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
@@ -1808,14 +1813,17 @@ object RelQueries {
     })
 
   /** Balance DECILES (the segmentation-cutoff builder — "which decile
-    * does this customer fall in" drives tiered treatments): ntile(10)
-    * over (c_acctbal DESC, c_custkey), then per-decile count and
-    * boundary values. The global ntile is a single-partition window —
-    * fine for customer-dimension cardinality; for a fact-table ranking
-    * at 100 TB the spelling is q136's two-pass prefix-sum rank or
-    * approx-quantile boundaries (q88 posture), both documented
-    * devices. Total tiebreak makes the decile assignment
-    * engine-identical. */
+    * does this customer fall in" drives tiered treatments): SQL
+    * ntile(10) over (c_acctbal DESC, c_custkey) semantics, computed at
+    * FACT SCALE by [[graft.operators.GlobalRank.withNtile]] — range
+    * repartition on the sort key, per-range-partition ranks, broadcast
+    * offset table, then the exact NTILE fill rule applied
+    * arithmetically (r12 flagged the previous single-partition ntile
+    * window as the thing that turns fatal the moment a fact table
+    * flows through; the only single-partition window left is over the
+    * |partitions|-row offset table). Total tiebreak makes the decile
+    * assignment engine-identical; the hash gate proves the
+    * distributed spelling replays DuckDB's ntile exactly. */
   val q142 = QueryDef(
     "q142_deciles",
     Some("""SELECT CAST(d AS INTEGER) AS decile,
@@ -1828,10 +1836,10 @@ object RelQueries {
                   FROM customer)
             GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-      t(s, dir, "customer")
-        .select(col("c_acctbal"), ntile(10).over(w).as("decile"))
-        .groupBy("decile")
+      val cust = t(s, dir, "customer").select("c_acctbal", "c_custkey")
+      graft.operators.GlobalRank
+        .withNtile(cust, Seq(col("c_acctbal").desc, col("c_custkey")), 10)
+        .groupBy(col("tile").as("decile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("c_acctbal")), 2).as("lo"),
           round(max(col("c_acctbal")), 2).as("hi"))

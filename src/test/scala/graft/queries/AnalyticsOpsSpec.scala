@@ -462,6 +462,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("window"), plan.take(800))
   }
 
+  test("GlobalRank.withNtile replays window ntile exactly across fill " +
+    "regimes; q142 range-partitions with the offsets broadcast back") {
+    import graft.operators.GlobalRank
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // n % k ∈ {0, ≠0} and n < k all exercise the NTILE fill rule
+    for (n <- Seq(4, 9, 10, 101, 1000); k <- Seq(3, 10)) {
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(50)))
+      val df = rows.toDF("id", "v").repartition(5)
+      val got = GlobalRank
+        .withNtile(df, Seq(col("v").desc, col("id")), k)
+        .select("id", "tile")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").desc, col("id"))
+      val want = df.select(col("id"), ntile(k).over(w).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+    // q142's registered plan: range partitioning carries the data; the
+    // only single-partition window is over the |partitions|-row offset
+    // table (q136's proven shape — same shared device since r13)
+    val q = Registry.queries("q142_deciles")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(1000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+  }
+
   test("q150 disjunctive join: common conjuncts factored out of the OR " +
     "(hash join + pushed per-side bands), no nested loop") {
     val df = Registry.queries("q150_disjunctive_join")(spark, sf)
