@@ -50,9 +50,18 @@ final case class MediaFeature(
   * walk ([[decodeMp4]]: brand, duration, track count, video dims,
   * frame count, codec fourccs), and Ogg/Opus container metadata
   * ([[decodeOpusOgg]]: channels, pre-skip, granule duration). Only
-  * compressed frame/packet PAYLOAD decode (H.264/AAC/Opus packets)
-  * falls back to a clearly-marked deterministic stand-in — the JVM
-  * ships no such codec. Everything around
+  * compressed frame/packet PAYLOAD decode (MP1/MP2/MP3, AAC, Opus,
+  * H.264) falls back to a clearly-marked deterministic stand-in. The
+  * dividing line is where the codec's CONSTANTS live (SURVEY.md §2.15,
+  * r13): FLAC carries its whole model in-stream (LPC + Rice — decoded
+  * for real, [[FlacCodec]]); these formats bake committee-designed
+  * tables into the spec (MPEG audio's 512-coefficient synthesis window
+  * and bit-allocation tables, MP3/AAC Huffman codebooks, Opus VQ/range-
+  * coder tables, H.264 CABAC contexts) that have no closed form —
+  * re-inventing them would emit silently-wrong samples behind a
+  * `decoded=true` flag, strictly worse than the labeled stand-in, so
+  * real decode for them is the [[MediaCodecProvider]] seam's job.
+  * Everything around
   * decode — the binary+metadata schema, the typed `Dataset` encoders,
   * `mapPartitions` batching (one iterator per partition, codec state
   * initialized once per partition, zero driver involvement), and the
