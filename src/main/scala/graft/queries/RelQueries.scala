@@ -2055,10 +2055,144 @@ object RelQueries {
             .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
     })
 
+  /** Cross-dimension DISJUNCTION — the TPC-H Q7 volume-shipping shape:
+    * the (supplier-nation, customer-nation) pair filter spans TWO
+    * dimension chains, so unlike q150's per-side OR no scan can absorb
+    * it whole. The scale plan is SEMI-REDUCTION: each dimension chain
+    * pre-filters to the two named nations (`n_name IN (A,B)` — the
+    * disjunction's per-side implication) and broadcasts its reduced
+    * (key, nation) pairs to the fact; the residual pair check
+    * (A→B ∨ B→A) runs after the joins on already-reduced rows. At
+    * 100 TB the lineitem scan carries only the shipdate range + two
+    * broadcast hash joins against nation-filtered key sets — the
+    * cartesian trap (join first, filter pairs later over all 625
+    * nation combinations) never materializes. Exact-decimal revenue,
+    * year cast pinned to INT on both engines. */
+  val q151 = QueryDef(
+    "q151_nation_volume",
+    Some("""SELECT supp_nation, cust_nation, l_year,
+                   CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                         l_extendedprice * (1 - l_discount) AS volume
+                  FROM supplier, lineitem, orders, customer,
+                       nation n1, nation n2
+                  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                    AND c_custkey = o_custkey
+                    AND s_nationkey = n1.n_nationkey
+                    AND c_nationkey = n2.n_nationkey
+                    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                    AND l_shipdate BETWEEN DATE '1996-01-01'
+                                       AND DATE '1997-12-31') s
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year"""),
+    (s, dir) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+        .join(n.filter(col("n_name").isin(pair: _*)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer")
+        .join(n.filter(col("n_name").isin(pair: _*)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1997-12-31").cast("timestamp")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)").as("volume"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // residual pair check on already nation-reduced rows
+        .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(round(sum(col("volume")), 2).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    })
+
+  /** Conditional-share aggregation — the TPC-H Q8 market-share shape:
+    * one nation's fraction of a region's yearly import volume for one
+    * part type. Two exact-decimal sums per year (the CASE'd numerator
+    * rides the same decimal device as the denominator so the ratio's
+    * inputs are order-independent), divided once as doubles. Plan: the
+    * part-type filter semi-reduces lineitem FIRST (most selective — a
+    * broadcast join on filtered part keys), the customer→nation→region
+    * chain collapses to a broadcast customer-key set, and the supplier
+    * dimension broadcasts its nation name for the CASE. One fact
+    * shuffle (lineitem⋈orders); everything else is a broadcast. */
+  val q152 = QueryDef(
+    "q152_market_share",
+    Some("""SELECT o_year,
+                   ROUND(CAST(SUM(CASE WHEN nation = 'NATION_5'
+                              THEN CAST(volume AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                       / CAST(SUM(CAST(volume AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS mkt_share
+            FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                         l_extendedprice * (1 - l_discount) AS volume,
+                         n2.n_name AS nation
+                  FROM part, supplier, lineitem, orders, customer,
+                       nation n1, nation n2, region
+                  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                    AND c_nationkey = n1.n_nationkey
+                    AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+                    AND s_nationkey = n2.n_nationkey
+                    AND o_orderdate BETWEEN DATE '1996-01-01'
+                                        AND DATE '1997-12-31'
+                    AND p_type = 'ECONOMY') a
+            GROUP BY o_year ORDER BY o_year"""),
+    (s, dir) => {
+      val dec = "decimal(18,6)"
+      val pk = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val supN = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val custEu = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1997-12-31").cast("timestamp")))
+        .join(broadcast(custEu), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"))
+      t(s, dir, "lineitem")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(dec).as("volume"), col("nation"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("nation") === "NATION_5", col("volume"))
+            .otherwise(lit(0).cast(dec))).cast("double")
+            / sum(col("volume")).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q121, q122, q123, q124, q127, q128, q129, q130, q131,
-    q132, q141, q142, q143, q144, q145, q146, q150)
+    q132, q141, q142, q143, q144, q145, q146, q150, q151, q152)
 }

@@ -511,6 +511,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(fmt.contains("EqualTo(p_brand,Brand#12)"), fmt.take(2000))
   }
 
+  test("q151/q152 TPC-H Q7/Q8 shapes: dimension chains broadcast, one " +
+    "fact shuffle, no cartesian from the cross-dimension disjunction") {
+    for (name <- Seq("q151_nation_volume", "q152_market_share")) {
+      val df = Registry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: ${plan.take(900)}")
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(900)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${plan.take(900)}")
+    }
+    // q151's semi-reduction: the nation IN-pair filter reaches the
+    // dimension side BEFORE the fact join (a scan-level PushedFilter on
+    // n_name), so the 625-combination pair space never forms
+    val fmt = Registry.queries("q151_nation_volume")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("In(n_name, [NATION_3,NATION_7])") ||
+      fmt.contains("In(n_name, [NATION_7,NATION_3])"), fmt.take(2000))
+  }
+
   test("q146 exact-moment correlation replays a plain-Scala Pearson r") {
     val got = Registry.queries("q146_group_corr")(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
