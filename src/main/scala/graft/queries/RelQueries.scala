@@ -639,10 +639,13 @@ object RelQueries {
   /** Exact grouped quantiles (G-family): linear-interpolated percentiles
     * of event value per type — Spark's `percentile` and DuckDB's
     * `quantile_cont` share the definition. Exact percentile sorts within
-    * each group (group-bounded); the documented scale path for
-    * corpus-wide percentiles over 100 TB is `approx_percentile`
-    * (KLL/GK-sketch state, one pass, no sort) — same posture as G6's
-    * HLL vs COUNT(DISTINCT). */
+    * each group (group-bounded); the scale path for corpus-wide or
+    * WINDOWED percentiles over 100 TB is the mergeable KLL sketch
+    * column — IMPLEMENTED as [[graft.operators.SketchQuantiles]] +
+    * [[graft.functions.Kll]] since r13 (stored per-day sketches,
+    * O(days) window merges, rank-error spec-gated; `approx_percentile`
+    * covers the one-shot non-stored case) — same posture as G6's HLL
+    * vs COUNT(DISTINCT). */
   val q88 = QueryDef(
     "q88_quantiles",
     Some("""SELECT event_type,
