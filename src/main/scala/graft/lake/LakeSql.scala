@@ -457,6 +457,17 @@ class LakeSql(val catalog: LakeCatalog) {
             case _: Count => (al.name, Some((c: Column) => sum(c)))
             case _: Min   => (al.name, Some((c: Column) => min(c)))
             case _: Max   => (al.name, Some((c: Column) => max(c)))
+            // COUNT DISTINCT's mergeable carrier (r13): an MV defined
+            // over hll_sketch_agg stores the BINARY sketch column and
+            // refreshes by register-union — union-of-sketches IS the
+            // sketch-of-union (register max), so the incremental result
+            // equals a full recompute exactly, unlike the float-sum
+            // caveat below. Readers extract hll_sketch_estimate(col).
+            case _: HllSketchAgg =>
+              (al.name, Some((c: Column) => hll_union_agg(c)))
+            // and an already-unioned sketch column re-unions
+            case _: HllUnionAgg =>
+              (al.name, Some((c: Column) => hll_union_agg(c)))
             case _        => return None
           }
         case at: Attribute if isGroupKey(at) => (at.name, None)

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cms
+
+/** Rolling-window HEAVY HITTERS from stored daily state — the frequency
+  * member of the stored-sketch suite ([[SketchWau]] = distinct,
+  * [[SketchQuantiles]] = quantiles): "top users over any trailing
+  * window" cannot be answered from daily top lists alone (a steady
+  * mid-rank user can out-total spiky daily winners), and re-scanning
+  * events per window is O(events × windows). The sound decomposition
+  * stores TWO things per day:
+  *
+  *  - a Count-Min sketch of the day's keys (mergeable: element-wise
+  *    add), for RECOUNTING any candidate over any window, and
+  *  - the day's candidate set {key : count_d > n_d/s} — by pigeonhole,
+  *    any key with WINDOW share > 1/s must exceed the per-day threshold
+  *    in at least one member day (if count_d ≤ n_d/s for every day,
+  *    summing gives count ≤ N/s), so the union over the window's days
+  *    COVERS every window heavy hitter. Each day contributes < s
+  *    candidates, so state stays bounded.
+  *
+  * A window query is then O(window) sketch merges + O(window·s)
+  * candidate recounts — events never re-read. Estimates are CMS
+  * overestimates with additive error ≤ e·N/width per row (spec-gated);
+  * the q117 Misra–Gries single-pass operator is the in-query cousin —
+  * this is its STORED, any-window-later form. */
+object SketchHeavyHitters {
+
+  /** Per-day stored state: CMS sketch + bounded candidate list + n.
+    * One (day, key) count aggregate (map-side combined — the q128
+    * dedup-scale shuffle class) and one sketch aggregate. */
+  def dailyState(events: DataFrame, keyCol: String = "user_id",
+                 s: Int = 200,
+                 depth: Int = graft.functions.CmsState.DefaultDepth,
+                 width: Int = graft.functions.CmsState.DefaultWidth)
+      : DataFrame = {
+    val keyed = events.select(col("ts").cast("date").as("d"),
+      col(keyCol).cast("long").as("k"))
+    val sketches = keyed.groupBy("d").agg(
+      Cms.sketch(col("k"), depth, width).as("sketch"),
+      count(lit(1)).as("n"))
+    val counts = keyed.groupBy("d", "k").agg(count(lit(1)).as("cnt"))
+    val cands = counts
+      .join(sketches.select(col("d"), col("n")), "d")
+      .filter(col("cnt") * s > col("n")) // day share > 1/s ⇒ candidate
+      .groupBy("d").agg(collect_list(col("k")).as("cands"))
+    sketches.join(cands, Seq("d"), "left")
+      .select(col("d"), col("sketch"), col("n"),
+        coalesce(col("cands"), array().cast("array<long>")).as("cands"))
+  }
+
+  /** Top-k keys per trailing `window`-day anchor, recounted against the
+    * merged window sketch; ties break on key. O(days·window) merges,
+    * O(days·window·s) estimates — from STORED state only. */
+  def rollingTopK(daily: DataFrame, window: Int = 7, k: Int = 5,
+                  depth: Int = graft.functions.CmsState.DefaultDepth,
+                  width: Int = graft.functions.CmsState.DefaultWidth)
+      : DataFrame = {
+    val bounds = daily.groupBy().agg(min("d").as("mn"), max("d").as("mx"))
+    val anchored = daily
+      .select(col("d"), explode(sequence(lit(0), lit(window - 1))).as("i"),
+        col("sketch"), col("cands"))
+      .select(date_add(col("d"), col("i")).as("day"), col("sketch"),
+        col("cands"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day").between(col("mn"), col("mx")))
+      .groupBy("day")
+      .agg(Cms.merge(col("sketch"), depth, width).as("sk"),
+        array_distinct(flatten(collect_list(col("cands")))).as("cand"))
+    val est = anchored
+      .select(col("day"), col("sk"), explode(col("cand")).as("k"))
+      .select(col("day"), col("k"),
+        Cms.estimate(col("sk"), col("k")).as("est_cnt"))
+    // the window is |days|-scale rows × <s·window candidates — a
+    // dimension-scale rank, not a fact-scale one (GlobalRank territory)
+    val w = Window.partitionBy("day")
+      .orderBy(col("est_cnt").desc, col("k"))
+    est.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("day", "rk")
+  }
+}

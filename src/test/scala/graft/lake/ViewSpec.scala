@@ -287,6 +287,36 @@ class ViewSpec extends SparkSpec {
       .contains("(+0 rows)"))
   }
 
+  test("incremental MV refresh maintains COUNT DISTINCT via a stored " +
+    "HLL sketch column (union-of-sketches, never a rescan)") {
+    val (cat, sql) = fresh(); seed(cat)
+    // the mergeable carrier for COUNT DISTINCT: the MV STORES the HLL
+    // sketch (BINARY column); readers extract hll_sketch_estimate
+    sql.run("CREATE MATERIALIZED VIEW db.hmv AS " +
+      "SELECT category, hll_sketch_agg(id) AS ids FROM db.t " +
+      "GROUP BY category")
+    def est() = sql.run(
+      "SELECT category, hll_sketch_estimate(ids) AS nd FROM db.hmv " +
+        "ORDER BY category")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(est() == Seq(("a", 2L), ("b", 1L)))
+    val oldFiles = cat.loadTable("db", "t").get.filesMetadata()
+      .collect().map(_.getString(0))
+    // id=2 RE-appears in category b: a SUM-merged COUNT would double-
+    // count it — exactly why distinct needs the sketch carrier
+    sql.run("INSERT INTO db.t VALUES (4, 'a', 5.0), (2, 'b', 7.0), " +
+      "(5, 'c', 50.0)")
+    // O(increment) proof (gmv pattern): corrupt the stamped-era files —
+    // a full recompute would die on the garbage, register-union succeeds
+    oldFiles.foreach(f => java.nio.file.Files.write(
+      java.nio.file.Paths.get(f), "not a parquet file".getBytes))
+    val msg = sql.run("REFRESH MATERIALIZED VIEW db.hmv").head().getString(0)
+    assert(msg.contains("incrementally"), msg)
+    assert(est() == Seq(("a", 3L), ("b", 1L), ("c", 1L)))
+    assert(sql.run("REFRESH MATERIALIZED VIEW db.hmv").head().getString(0)
+      .contains("(+0 rows)"))
+  }
+
   test("incremental MV refresh maintains JOIN views when one input " +
     "advances: SPJ appends the delta, aggregates merge") {
     val (cat, sql) = fresh(); seed(cat)
