@@ -325,4 +325,25 @@ object StreamIngest {
       .groupBy(window(col(tsCol), "1 hour", "15 minutes"), col(typeCol))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col(typeCol), col("cnt"))
+
+  /** Watermarked sliding APPROXIMATE DISTINCT users — the streaming twin
+    * of [[graft.operators.SketchWau]]'s rolling WAU: exact streaming
+    * COUNT(DISTINCT) cannot run in a streaming aggregation (per-window
+    * distinct state is unbounded and does not decompose across
+    * micro-batches), but the HLL sketch aggregate streams naturally —
+    * its partial state is a FIXED-SIZE register array per open window,
+    * merged across micro-batches by register max and watermark-bounded
+    * like any windowed agg. Same 1-hour/15-minute hop as
+    * [[slidingCounts]] (slide-ratio fan-out = 4, map-side). Emits the
+    * estimate per window; the stored-sketch form for later arbitrary
+    * windows is [[graft.operators.SketchWau]] — this is the
+    * live-dashboard spelling. */
+  def slidingDistinctUsers(stream: DataFrame, tsCol: String,
+                           idCol: String): DataFrame =
+    stream
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour", "15 minutes"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(idCol)))
+        .as("approx_users"))
+      .select(col("window.start").as("win_start"), col("approx_users"))
 }

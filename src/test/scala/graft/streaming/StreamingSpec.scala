@@ -105,6 +105,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq.map(_._3).sum == 4L * rows.size)
   }
 
+  test("sliding approximate distinct users: streamed HLL windows equal " +
+    "the exact batch distinct (sketch state merges across micro-batches)") {
+    val userSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    // 7 users cycling over 60 events, 5 min apart: every 1-hour window
+    // sees repeats WITHIN and ACROSS micro-batches, so the streamed
+    // sketch must merge state, not recount rows
+    val rows = (0 until 60).map(i => Row(i.toLong,
+      Timestamp.from(base.plusSeconds(i * 300L)), (i % 7).toLong))
+    val flat = Files.createTempDirectory("graft-stream-hll")
+    rows.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+      val dir = Files.createTempDirectory(s"graft-hll-src$i")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), userSchema)
+        .write.parquet(s"$dir/c")
+      Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+      }
+    }
+    val stream = spark.readStream.schema(userSchema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val q = StreamIngest.slidingDistinctUsers(stream, "ts", "user_id")
+      .writeStream.format("memory").queryName("slide_users")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide_users")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    // exact batch distinct — at 7 uniques the HLL sparse mode is exact,
+    // so streamed == exact is a deterministic equality, not a tolerance
+    val batch = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), userSchema)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count_distinct(col("user_id")).as("nd"))
+      .select(col("window.start"), col("nd"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    // windows fully inside the stream hold all 7 users (12 events/hour)
+    assert(streamed.exists(_._2 == 7L))
+  }
+
   test("dedup-at-ingest: duplicate texts within the watermark horizon land once") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("ts", TimestampType),
