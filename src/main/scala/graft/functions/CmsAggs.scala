@@ -22,6 +22,24 @@ class CmsAgg(depth: Int, width: Int)
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Weighted build: folds (key, count) PAIRS — the shape that lets a
+  * daily sketch build from an already-aggregated counts table instead
+  * of re-scanning raw events (one fact pass total, see
+  * [[graft.operators.SketchHeavyHitters.dailyState]]). */
+class CmsWeightedAgg(depth: Int, width: Int)
+    extends Aggregator[(Long, Long), CmsState, Array[Byte]] {
+  override def zero: CmsState = new CmsState(depth, width)
+  override def reduce(b: CmsState, kv: (Long, Long)): CmsState = {
+    b.update(kv._1, kv._2); b
+  }
+  override def merge(x: CmsState, y: CmsState): CmsState = {
+    x.mergeWith(y); x
+  }
+  override def finish(b: CmsState): Array[Byte] = b.serialize()
+  override def bufferEncoder: Encoder[CmsState] = Encoders.kryo[CmsState]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 class CmsMergeAgg(depth: Int, width: Int)
     extends Aggregator[Array[Byte], CmsState, Array[Byte]] {
   override def zero: CmsState = new CmsState(depth, width)
@@ -44,6 +62,15 @@ object Cms {
   def sketch(c: Column, depth: Int = CmsState.DefaultDepth,
              width: Int = CmsState.DefaultWidth): Column =
     udaf(new CmsAgg(depth, width), Encoders.scalaLong).apply(c)
+
+  /** `cms_sketch_agg_weighted(key, count)` → BINARY sketch; equivalent
+    * to `count` unweighted updates of `key`. */
+  def sketchWeighted(key: Column, cnt: Column,
+                     depth: Int = CmsState.DefaultDepth,
+                     width: Int = CmsState.DefaultWidth): Column =
+    udaf(new CmsWeightedAgg(depth, width),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .apply(key, cnt)
 
   /** `cms_union_agg(sketches)` → BINARY merged sketch. */
   def merge(c: Column, depth: Int = CmsState.DefaultDepth,

@@ -31,19 +31,26 @@ import graft.functions.Cms
 object SketchHeavyHitters {
 
   /** Per-day stored state: CMS sketch + bounded candidate list + n.
-    * One (day, key) count aggregate (map-side combined — the q128
-    * dedup-scale shuffle class) and one sketch aggregate. */
+    * Events are scanned ONCE — the (day, key) count aggregate (map-side
+    * combined, the q128 dedup-scale shuffle class) feeds everything
+    * downstream: the sketch builds from the counts via WEIGHTED updates
+    * (`Cms.sketchWeighted` — `cnt` updates of `key` in one fold), n is
+    * the count sum, and candidates filter the same table. */
   def dailyState(events: DataFrame, keyCol: String = "user_id",
                  s: Int = 200,
                  depth: Int = graft.functions.CmsState.DefaultDepth,
                  width: Int = graft.functions.CmsState.DefaultWidth)
       : DataFrame = {
-    val keyed = events.select(col("ts").cast("date").as("d"),
-      col(keyCol).cast("long").as("k"))
-    val sketches = keyed.groupBy("d").agg(
-      Cms.sketch(col("k"), depth, width).as("sketch"),
-      count(lit(1)).as("n"))
-    val counts = keyed.groupBy("d", "k").agg(count(lit(1)).as("cnt"))
+    val counts = events
+      .select(col("ts").cast("date").as("d"),
+        col(keyCol).cast("long").as("k"))
+      .groupBy("d", "k").agg(count(lit(1)).as("cnt"))
+      // the counts table is read by three aggregates below; one pass
+      // over events, one materialization of the (day, key) table
+      .localCheckpoint(true)
+    val sketches = counts.groupBy("d").agg(
+      Cms.sketchWeighted(col("k"), col("cnt"), depth, width).as("sketch"),
+      sum(col("cnt")).as("n"))
     val cands = counts
       .join(sketches.select(col("d"), col("n")), "d")
       .filter(col("cnt") * s > col("n")) // day share > 1/s ⇒ candidate

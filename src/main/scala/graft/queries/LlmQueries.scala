@@ -1787,6 +1787,21 @@ object LlmQueries {
     * identically, which is what the q72 oracle gate replays; the
     * Lloyd-trained sub-codebooks ([[trainedSubCodebooks]]) are the
     * production default and differ ONLY in the centroid doubles. */
+  /** Query-side ADC distance table: dtab(s)(c) = √Σ(qv−cb(c))² over
+    * subspace s — √'d so comparisons (and ties) match the oracle's
+    * `list_distance` ordering bit-for-bit; squared only at ADC time. */
+  private def pqQueryDistTable(qv: Array[Double],
+      cb: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(PqM, PqCodes) { (sp, c) =>
+      var acc = 0.0
+      var i = 0
+      while (i < PqSub) {
+        val d = qv(sp * PqSub + i) - cb(c)(sp * PqSub + i)
+        acc += d * d; i += 1
+      }
+      math.sqrt(acc)
+    }
+
   def pqTopK(s: SparkSession, dir: String, queryId: Long, k: Int,
       trained: Boolean = true): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -1799,17 +1814,7 @@ object LlmQueries {
     val qv: Array[Double] = e.filter(col("vec_id") === queryId)
       .head().getSeq[Double](1).toArray
     val (m, dsub, codes) = (PqM, PqSub, PqCodes)
-    // sqrt'd distances so comparisons (and ties) match the oracle's
-    // list_distance ordering bit-for-bit; squared only at ADC time
-    val subDist = (a: Array[Double], aOff: Int, b: Array[Double], bOff: Int) => {
-      var acc = 0.0; var i = 0
-      while (i < dsub) {
-        val d = a(aOff + i) - b(bOff + i); acc += d * d; i += 1
-      }
-      math.sqrt(acc)
-    }
-    // dtab(s)(c): query's distance to centroid c in subspace s
-    val dtab = Array.tabulate(m, codes)((sp, c) => subDist(qv, sp * dsub, cb(c), sp * dsub))
+    val dtab = pqQueryDistTable(qv, cb)
     // score the RAW embedding column — PqAdcScore casts to ARRAY<DOUBLE>
     // itself; routing through toDoubleVec's transform() would drag a
     // non-codegen higher-order function into the projection and knock
@@ -3377,9 +3382,95 @@ object LlmQueries {
         .orderBy("id_a")
     })
 
+  /** IVF + PQ composite ANN — the production FAISS IndexIVFPQ shape
+    * (r13), composing the two tiers the registry proves separately:
+    * q47's coarse quantizer ROUTES (corpus bucketed by nearest of
+    * [[IvfK]] centroids, the query probes its [[IvfProbes]] nearest —
+    * candidate volume ≈ nProbe/K of the corpus) and q72's PQ codes
+    * SCORE (asymmetric-distance: one 8×16 query table, 8 lookups per
+    * candidate, the codegen'd [[graft.functions.PqAdcScore]] over the
+    * scan). The ADC scan touches ONLY routed candidates via a semi-join
+    * — at 100 TB the bucket is a stored partition column (probes prune
+    * at the scan), the corpus holds 8-byte codes, and the codebooks +
+    * query table broadcast at kilobyte scale. Hash-gated END TO END:
+    * both tiers pin their codebooks to leading corpus rows (table data
+    * both engines read identically — the q37/q47/q72 pattern), so the
+    * composed pipeline needs no float literals in the oracle either;
+    * the Lloyd-trained codebooks (q47/q72 production path) differ only
+    * in centroid doubles. Exact-cosine refinement of the ADC top-k is
+    * q47's exactRerank — one more candidate-bounded join when ADC
+    * precision isn't enough. */
+  val q153 = QueryDef(
+    "q153_ivfpq_topk", {
+      val adcPivot = (0 until PqM)
+        .map(sp => s"COALESCE(MAX(CASE WHEN s = $sp THEN ld * ld END), 0)")
+        .mkString(" + ")
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings),
+           c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfK),
+           q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id = 0),
+           casg AS (SELECT vec_id, cid AS bucket FROM (
+             SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+             FROM e, c) WHERE rn = 1),
+           qasg AS (SELECT qid, cid AS bucket FROM (
+             SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+             FROM q, c) WHERE rn <= $IvfProbes),
+           cand AS (SELECT DISTINCT vec_id
+                    FROM casg JOIN qasg USING (bucket) WHERE vec_id <> 0),
+           sub AS (SELECT vec_id, s,
+                          list_slice(v, s * $PqSub + 1, s * $PqSub + $PqSub)
+                            AS sv
+                   FROM e, unnest(range(0, $PqM)) AS u(s)),
+           cent AS (SELECT vec_id AS cid, s, sv AS cv
+                    FROM sub WHERE vec_id < $PqCodes),
+           enc AS (SELECT vec_id, s, cid AS code FROM (
+             SELECT sub.vec_id, sub.s, cent.cid, row_number() OVER (
+               PARTITION BY sub.vec_id, sub.s
+               ORDER BY list_distance(sub.sv, cent.cv), cent.cid) AS rn
+             FROM sub JOIN cent USING (s)) WHERE rn = 1),
+           qsub AS (SELECT s, sv AS qv2 FROM sub WHERE vec_id = 0),
+           ld AS (SELECT enc.vec_id, enc.s,
+                         list_distance(qsub.qv2, cent.cv) AS ld
+                  FROM enc JOIN cent ON enc.s = cent.s AND enc.code = cent.cid
+                    JOIN qsub ON qsub.s = enc.s
+                    JOIN cand ON cand.vec_id = enc.vec_id),
+           adc AS (SELECT vec_id, $adcPivot AS dist FROM ld GROUP BY vec_id)
+           SELECT vec_id, ROUND(dist, 4) AS adc FROM adc
+           ORDER BY dist, vec_id LIMIT 5""")
+    },
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("vec_id"), col("v"))
+      // ROUTE: coarse-quantizer buckets, query probes (q47 tier, pinned)
+      val cents = e.filter(col("vec_id") < IvfK).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toArray)
+      val queries = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cand = ivfAssignCompiled(s, e, "vec_id", "v", cents, 1)
+        .join(broadcast(
+          ivfAssignCompiled(s, queries, "qid", "qv", cents, IvfProbes)),
+          "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .select("vec_id").distinct()
+      // SCORE: PQ/ADC over the routed candidates only (q72 tier, pinned)
+      val cb = e.filter(col("vec_id") < PqCodes).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toArray)
+      val qv = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+      val dtab = pqQueryDistTable(qv, cb)
+      t(s, dir, "embeddings")
+        .join(cand, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), graft.functions.PqAdcScore
+          .score(col("embedding"), cb, dtab, PqM, PqSub, PqCodes).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(5)
+        .select(col("vec_id"), round(col("dist"), 4).as("adc"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
-    q135, q136, q137, q138, q139, q140, q147, q148, q149)
+    q135, q136, q137, q138, q139, q140, q147, q148, q149, q153)
 }
