@@ -195,6 +195,37 @@ class LlmOpsSpec extends SparkSpec {
       s"trained-codebook recall $trainedRecall too low (exact=$exactTop)")
   }
 
+  test("q153 IVFPQ: candidates pruned, ADC-only recall is the measured " +
+    "compression floor, and shortlist-50 exact refine restores top-5") {
+    val res = LlmQueries.q153.run(spark, sf)
+    val got = res.collect()
+    assert(got.length == 5)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(800))
+    val e = graft.Tables(spark, sf, "embeddings")
+      .withColumn("v", graft.functions.VectorOps.toDoubleVec(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val exactTop = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    // two lossy tiers COMPOUND: ADC-only top-5 recall is 0.4 on this
+    // corpus (measured; the hash gate proves the ranking, not recall)
+    val adcRecall = (exactTop & got.map(_.getLong(0)).toSet).size / 5.0
+    info(f"IVFPQ ADC-only recall: $adcRecall%.1f")
+    // ...which is why production IVFPQ refines: ADC shortlist-50 →
+    // one exact candidate-bounded re-rank → full recall (deterministic
+    // on the fixed corpus: pinned codebooks, fixed tie-breaks)
+    val refined = LlmQueries.ivfPqRefineTopK(spark, sf, 0L, 5)
+      .collect().map(_.getLong(1)).toSet
+    val refineRecall = (exactTop & refined).size / 5.0
+    info(f"IVFPQ shortlist-50 refined recall: $refineRecall%.1f")
+    assert(refineRecall >= 0.8,
+      s"refine recall $refineRecall (exact=$exactTop refined=$refined)")
+  }
+
   test("q70 span dedup: 10-token spans, cross-doc only, top-k fuses (no global sort)") {
     val res = LlmQueries.q70.run(spark, sf)
     val plan = res.queryExecution.executedPlan.toString
