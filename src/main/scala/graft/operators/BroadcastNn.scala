@@ -70,7 +70,9 @@ object BroadcastNn {
       return Seq.empty[(Long, Long, Double)].toDF("ia", "ib", "sim")
     val d = probe(0).getSeq[Double](1).length
     // budget in ROWS: vector payload + boxing/struct overhead per row
-    val rowCap = (maxBroadcastBytes / (8L * d + 64L)).toInt
+    // (clamped — a Long.MaxValue budget must not overflow the Int cap)
+    val rowCap = math.min(maxBroadcastBytes / (8L * d + 64L),
+      (Int.MaxValue - 8).toLong).toInt
 
     val ds = vecs.as[(Long, Array[Double])]
     // one collect, capped: an over-budget corpus never reaches the driver
