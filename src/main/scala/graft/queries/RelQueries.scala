@@ -2192,10 +2192,44 @@ object RelQueries {
         .orderBy("o_year")
     })
 
+  /** SKEW-SAFE enrichment join through [[graft.functions.Salting]] —
+    * the power-law fact⋈dimension case q130 DIAGNOSES (events.user_id
+    * is zipf-shaped; its hottest key's shuffle partition overloads a
+    * single task when AQE's split granularity runs out): the fact side
+    * salts each row over 8 buckets (content-derived xxhash64 — stable
+    * under task retries, unlike rand()), the per-user dimension
+    * replicates 8×, and the join key becomes (user_id, salt) so the hot
+    * user's rows land on 8 tasks instead of one. The SALT IS INVISIBLE
+    * IN THE RESULT — the oracle is the plain JOIN, and the hash gate
+    * proves the salted spelling is an identity, not an approximation
+    * (SaltingSpec holds the unit-level proof; this registers the device
+    * end-to-end). The measure is integer-exact (decimal sum over the
+    * per-user lifetime counts, one double division). */
+  val q154 = QueryDef(
+    "q154_salted_enrich",
+    Some("""WITH d AS (SELECT user_id, COUNT(*) AS user_events
+                       FROM events GROUP BY user_id)
+            SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(ROUND(CAST(SUM(CAST(d.user_events
+                          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+                        AS DOUBLE) AS avg_user_lifetime
+            FROM events e JOIN d USING (user_id)
+            GROUP BY e.event_type ORDER BY e.event_type"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events").select("user_id", "event_type")
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      graft.functions.Salting.saltedJoin(ev, dim, "user_id", buckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("user_events").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 4).as("avg_user_lifetime"))
+        .orderBy("event_type")
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q121, q122, q123, q124, q127, q128, q129, q130, q131,
-    q132, q141, q142, q143, q144, q145, q146, q150, q151, q152)
+    q132, q141, q142, q143, q144, q145, q146, q150, q151, q152, q154)
 }

@@ -532,6 +532,28 @@ class AnalyticsOpsSpec extends SparkSpec {
       fmt.contains("In(n_name, [NATION_7,NATION_3])"), fmt.take(2000))
   }
 
+  test("q154 salted enrichment: the registered plan actually salts " +
+    "(content-hash in the join keys) and matches the unsalted join") {
+    val df = Registry.queries("q154_salted_enrich")(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the device must not be optimized away: the salt (xxhash64 pmod)
+    // participates in the physical join keys
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), plan.take(900))
+    // identity vs the plain (unsalted) spelling
+    val ev = Tables(spark, sf, "events").select("user_id", "event_type")
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    val plain = ev.join(dim, "user_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("user_events").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 4).as("avg_user_lifetime"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == plain)
+  }
+
   test("q146 exact-moment correlation replays a plain-Scala Pearson r") {
     val got = Registry.queries("q146_group_corr")(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
