@@ -216,4 +216,49 @@ object TextOps {
         WHEN ${h("fr")} > 0 THEN 'fr'
         ELSE 'unknown' END"""
   }
+
+  // ------------------------------------------------------- BPE encode
+  /** Pinned BPE merge table, RANK ORDER. The invariant that makes
+    * rank-order application ≡ true greedy BPE (and therefore makes the
+    * SQL REPLACE-chain oracle exact): each pair's parts are base
+    * characters or outputs of STRICTLY LOWER ranks, so once rank r has
+    * been applied exhaustively no lower-rank pair can ever reappear —
+    * a symbol that would recreate it is only minted by a later rank.
+    * q79 is the distributed TRAINING kernel (pair counting); this table
+    * is the pinned-config application side, the q37-planes pattern. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("s", "t"), ("in", "g"), ("o", "u"),
+    ("l", "e"))
+
+  /** How many exhaustive passes one merge needs: each left-to-right
+    * non-overlapping pass merges every other occurrence of a run, so
+    * ⌈log₂⌉ passes close runs up to 2^6 pairs — beyond any word the
+    * corpus tokenizer emits. BOTH engines apply exactly this many
+    * passes (Java `String.replace` and DuckDB `REPLACE` are both
+    * leftmost-non-overlapping), so the transformation is identical
+    * by construction, not merely equivalent. */
+  val BpePasses = 6
+
+  /** BPE-encode one word under [[BpeMerges]]: symbols start as single
+    * characters in a space-sentinel string, each merge applies as
+    * [[BpePasses]] literal replaces in rank order. Returns the symbol
+    * count (the token count the q155 measure aggregates). Verified
+    * against an independent greedy best-rank-first implementation in
+    * LlmOpsSpec — the rank-order spelling IS greedy BPE under the
+    * [[BpeMerges]] invariant. */
+  def bpeTokenCount(word: String): Int = {
+    var s = " " + word.map(_.toString).mkString(" ") + " "
+    BpeMerges.foreach { case (a, b) =>
+      val pat = s" $a $b "
+      val rep = s" $a$b "
+      var i = 0
+      while (i < BpePasses) { s = s.replace(pat, rep); i += 1 }
+    }
+    var n = 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') n += 1; i += 1 }
+    n - 1 // k symbols carry k+1 spaces in the sentinel form
+  }
 }

@@ -3509,9 +3509,69 @@ object LlmQueries {
     exactRerank(e, queries, short, k)
   }
 
+  /** BPE tokenizer APPLICATION (r13) — q79's counting kernel is the
+    * TRAINING side of byte-pair encoding; this is the inference side
+    * every pipeline actually runs per document: encode words under a
+    * merge table and account tokens per slice (the token-budget number
+    * corpus planning consumes). The merge table is PINNED config (the
+    * q37-planes pattern — the oracle string is static, so constants
+    * must be data-independent; [[TextOps.BpeMerges]] respects the
+    * invariant that makes rank-order application ≡ greedy BPE, proven
+    * by a differential vs an independent greedy implementation in
+    * LlmOpsSpec). Hash parity is STRUCTURAL, not numeric: engine and
+    * oracle run the literally identical replace chain (Java
+    * `String.replace` and DuckDB `REPLACE` are both
+    * leftmost-non-overlapping; [[TextOps.BpePasses]] fixpoint passes
+    * each). Plan: encoding runs ONCE PER DISTINCT WORD (the q79
+    * vocabulary-scale trick — a vocab-bounded udf, never a
+    * corpus-scale one) and joins back to weighted counts; one
+    * (lang, word) shuffle, vocab-bounded compute, |langs|-row output. */
+  val q155 = QueryDef(
+    "q155_bpe_tokens", {
+      var chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+      for ((a, b) <- TextOps.BpeMerges; _ <- 0 until TextOps.BpePasses)
+        chain = s"REPLACE($chain, ' $a $b ', ' $a$b ')"
+      Some(s"""WITH tok AS (SELECT lang, unnest(string_split(lower(text),
+                              ' ')) AS w FROM documents),
+           ws AS (SELECT lang, w, COUNT(*) AS c FROM tok
+                  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1, 2),
+           enc AS (SELECT w, len(string_split(trim($chain), ' ')) AS bpe,
+                          len(w) AS chars
+                   FROM (SELECT DISTINCT w FROM ws)),
+           agg AS (SELECT lang, SUM(c * bpe) AS bpe_tokens,
+                          SUM(c * chars) AS chars, SUM(c) AS words
+                   FROM ws JOIN enc USING (w) GROUP BY lang)
+           SELECT lang, CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+                  CAST(words AS BIGINT) AS words,
+                  CAST(ROUND(bpe_tokens * 1000000.0 / chars) AS BIGINT)
+                    AS tokens_per_mchar
+           FROM agg ORDER BY lang""")
+    },
+    (s, dir) => {
+      val enc = udf((w: String) => TextOps.bpeTokenCount(w))
+      val ws = t(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        // both engines restrict to plain [a-z0-9] words: tokenization of
+        // punctuation/unicode is not what this operator measures
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val e = ws.select("w").distinct()
+        .withColumn("bpe", enc(col("w")))
+        .withColumn("chars", length(col("w")).cast("long"))
+      ws.join(e, "w")
+        .groupBy("lang")
+        .agg(sum(col("c") * col("bpe")).as("bpe_tokens"),
+          sum(col("c") * col("chars")).as("chars"),
+          sum(col("c")).as("words"))
+        .select(col("lang"), col("bpe_tokens"), col("words"),
+          round(col("bpe_tokens") * 1000000.0 / col("chars")).cast("long")
+            .as("tokens_per_mchar"))
+        .orderBy("lang")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
-    q135, q136, q137, q138, q139, q140, q147, q148, q149, q153)
+    q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155)
 }

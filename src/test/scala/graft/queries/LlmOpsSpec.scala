@@ -226,6 +226,55 @@ class LlmOpsSpec extends SparkSpec {
       s"refine recall $refineRecall (exact=$exactTop refined=$refined)")
   }
 
+  test("q155 BPE: rank-order replace-chain encoding equals an " +
+    "independent greedy best-rank BPE on corpus words and adversarial runs") {
+    import graft.functions.TextOps
+    // independent implementation: repeatedly merge the PRESENT pair
+    // with the lowest rank (the textbook greedy loop) — nothing shared
+    // with bpeTokenCount's replace chain
+    val rank = TextOps.BpeMerges.zipWithIndex.toMap
+    def greedy(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      var go = true
+      while (go) {
+        val best = (0 until syms.length - 1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))))
+          .sorted.headOption
+        best match {
+          case None => go = false
+          case Some(r) =>
+            val (a, b) = TextOps.BpeMerges(r)
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+        }
+      }
+      syms.length
+    }
+    // adversarial: repeated-pair runs exercise the fixpoint passes
+    val adversarial = Seq("tatatata", "ououou", "thethethe", "ananand",
+      "inginging", "a", "x", "standing", "interesting", "thermalthermal")
+    adversarial.foreach { w =>
+      assert(TextOps.bpeTokenCount(w) == greedy(w), s"adversarial '$w'")
+    }
+    // every distinct corpus word (the exact set q155 encodes)
+    val words = graft.Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(TextOps.bpeTokenCount(w) == greedy(w), s"corpus word '$w'")
+    }
+    // compression sanity: merges only ever reduce symbol count
+    words.foreach(w => assert(TextOps.bpeTokenCount(w) <= w.length))
+  }
+
   test("q70 span dedup: 10-token spans, cross-doc only, top-k fuses (no global sort)") {
     val res = LlmQueries.q70.run(spark, sf)
     val plan = res.queryExecution.executedPlan.toString
