@@ -213,10 +213,20 @@ object FlacCodec {
     r.pos = off.toLong * 8
     var frames = 0
     var halted = false
+    // set while the frame-SYNC pattern is being checked: a Bail there at
+    // a frame boundary is trailing garbage (appended tag / ripper junk);
+    // a Bail PAST it — header fields, CRC-8, subframes — is mid-stream
+    // corruption and must fail the decode, not silently truncate it
+    // (ADVICE r13). The one exception: a frame start so close to EOF
+    // that no legal frame fits (ID3v1 is exactly 128 bytes) may bail
+    // anywhere in it and still count as trailing garbage.
+    var syncPhase = false
     while (!halted && r.remaining >= 40 && decoded < maxSamples &&
         frames < (1 << 20)) try {
         val frameStart = r.bytePos
+        syncPhase = true
         if (r.bits(14) != 0x3ffe) bail()
+        syncPhase = false
         if (r.bit() != 0) bail() // reserved
         r.bit() // blocking strategy
         val bsCode = r.bits(4).toInt
@@ -325,11 +335,16 @@ object FlacCodec {
         frames += 1
     } catch {
       // Trailing bytes after the final frame (an appended ID3v1 tag,
-      // ripper junk) fail the sync/CRC checks; once at least one frame
+      // ripper junk) fail the SYNC check; once at least one frame
       // decoded, keep the accumulated samples instead of bailing the
       // whole file — the same posture as decodeMp3 on trailing garbage.
-      // A failure before ANY frame decoded still bails the decode.
-      case e: Bail => if (frames > 0) halted = true else throw e
+      // A failure before ANY frame decoded, or PAST the sync pattern
+      // with room for a real frame (header/CRC/subframe corruption
+      // mid-stream), still bails the decode (ADVICE r13: swallowing
+      // those reported a truncated file as a successful decode).
+      case e: Bail =>
+        if (frames > 0 && (syncPhase || r.remaining < 128)) halted = true
+        else throw e
     }
     if (frames == 0) return None
     var total = 0

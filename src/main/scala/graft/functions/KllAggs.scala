@@ -24,18 +24,27 @@ class KllAgg(k: Int) extends Aggregator[Double, KllState, Array[Byte]] {
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
-/** Union aggregate over serialized sketches — all inputs should share
-  * `k` (capacities follow the accumulator's own k). */
+/** Union aggregate over serialized sketches. `k` is only the EMPTY
+  * accumulator's placeholder: the aggregate ADOPTS the k embedded in the
+  * first non-empty input's bytes (the stored sketches are the source of
+  * truth for their own accuracy budget — ADVICE r13: merging k=400 daily
+  * sketches through a k=200 accumulator silently tapered capacity below
+  * what the caller built), and a LATER input with a DIFFERENT k fails
+  * loudly rather than degrading silently. */
 class KllMergeAgg(k: Int) extends Aggregator[Array[Byte], KllState, Array[Byte]] {
   override def zero: KllState = new KllState(k)
-  override def reduce(b: KllState, bytes: Array[Byte]): KllState = {
-    if (bytes != null && bytes.nonEmpty)
-      b.mergeWith(KllState.deserialize(bytes))
-    b
-  }
-  override def merge(x: KllState, y: KllState): KllState = {
-    x.mergeWith(y); x
-  }
+  private def adopt(acc: KllState, in: KllState): KllState =
+    if (acc.n == 0 && in.k != acc.k) in // empty accumulator: take in's k
+    else {
+      require(in.k == acc.k || in.n == 0,
+        s"kll_union_agg: mixed sketch k (${acc.k} vs ${in.k}) — unions " +
+          "must share the k the sketches were built with")
+      acc.mergeWith(in); acc
+    }
+  override def reduce(b: KllState, bytes: Array[Byte]): KllState =
+    if (bytes == null || bytes.isEmpty) b
+    else adopt(b, KllState.deserialize(bytes))
+  override def merge(x: KllState, y: KllState): KllState = adopt(x, y)
   override def finish(b: KllState): Array[Byte] = b.serialize()
   override def bufferEncoder: Encoder[KllState] = Encoders.kryo[KllState]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

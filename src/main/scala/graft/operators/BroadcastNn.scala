@@ -59,16 +59,23 @@ object BroadcastNn {
                maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df
+    val prefilter = df
       .select(col(idCol).cast("long").as("id"),
         VectorOps.toDoubleVec(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
       // zero-norm guard — see scaladoc; NaN must never reach the argmax
       .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
-    val probe = vecs.limit(1).collect()
+    // pin the corpus dimension to the SMALLEST-id row (deterministic —
+    // a bare limit(1) probe could flip between rows across runs) and
+    // filter BOTH plans to it: ADVICE r13 found the block scan skipped
+    // mismatched-dimension candidates while the over-budget declarative
+    // fallback scored them, so the byte budget silently changed answers
+    // on a mixed-dimension corpus.
+    val probe = prefilter.orderBy("id").limit(1).collect()
     if (probe.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("ia", "ib", "sim")
     val d = probe(0).getSeq[Double](1).length
+    val vecs = prefilter.filter(size(col("v")) === d)
     // budget in ROWS: vector payload + boxing/struct overhead per row
     // (clamped — a Long.MaxValue budget must not overflow the Int cap)
     val rowCap = math.min(maxBroadcastBytes / (8L * d + 64L),
@@ -118,7 +125,9 @@ object BroadcastNn {
           var bestId = -1L
           var j = 0
           while (j < m) {
-            if (cids(j) != ia && cmat(j).length == va.length) {
+            // dimensions are uniform by the shared `vecs` filter; the
+            // id test is the only per-candidate gate left
+            if (cids(j) != ia) {
               val vb = cmat(j)
               var dot = 0.0
               var k = 0

@@ -34,9 +34,13 @@ object SketchQuantiles {
     * sketches: the SketchWau fan-out (each day posts to its covering
     * anchors), one sketch-union per anchor, quantiles extracted from
     * the merged sketch. O(days·window) sketch merges; events never
-    * re-read. */
+    * re-read. `k` must match the k the daily sketches were built with
+    * (ADVICE r13: a default-k union silently compacted larger-k daily
+    * sketches to k=200 capacity; [[graft.functions.KllMergeAgg]] now
+    * also adopts the stored k and rejects mixed-k unions loudly). */
   def rollingQuantiles(daily: DataFrame, window: Int = 7,
-                       qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+                       qs: Seq[Double] = Seq(0.5, 0.9),
+                       k: Int = graft.functions.KllState.DefaultK): DataFrame = {
     val bounds = daily.groupBy().agg(min("d").as("mn"), max("d").as("mx"))
     val merged = daily
       .select(col("d"), explode(sequence(lit(0), lit(window - 1))).as("i"),
@@ -45,7 +49,7 @@ object SketchQuantiles {
       .crossJoin(broadcast(bounds)) // one-row calendar bounds
       .filter(col("day").between(col("mn"), col("mx")))
       .groupBy("day")
-      .agg(Kll.merge(col("sketch")).as("sk"))
+      .agg(Kll.merge(col("sketch"), k).as("sk"))
     qs.foldLeft(merged) { case (df, q) =>
         df.withColumn(s"p${math.round(q * 100)}", Kll.quantile(col("sk"), q))
       }
