@@ -24,7 +24,8 @@ case class TopKBuf(k: Int, items: Array[Long])
   * (hamming ASC, id ASC) candidate rule and ties are impossible (ids are
   * unique). Allocation discipline: inserts into a full buffer shift in
   * place; only the warmup inserts (first K) reallocate. */
-class BoundedTopK(k: Int) extends Aggregator[Long, TopKBuf, Seq[Long]] {
+class BoundedTopK(k: Int, distinct: Boolean = false)
+    extends Aggregator[Long, TopKBuf, Seq[Long]] {
   require(k > 0, s"bounded_topk: k must be positive, got $k")
 
   override def zero: TopKBuf = TopKBuf(k, Array.emptyLongArray)
@@ -34,7 +35,13 @@ class BoundedTopK(k: Int) extends Aggregator[Long, TopKBuf, Seq[Long]] {
     val n = it.length
     if (n < b.k) {
       var pos = java.util.Arrays.binarySearch(it, v)
-      if (pos < 0) pos = -pos - 1
+      if (pos >= 0) {
+        // `distinct` dedups MAP-SIDE in O(log K): q149's band join emits
+        // the same candidate pair once per colliding band, and a dup
+        // occupying two of the K slots would crowd out a real candidate
+        if (distinct) return b
+        pos = pos + 1 // duplicates allowed: insert after the equal run
+      } else pos = -pos - 1
       val out = new Array[Long](n + 1)
       System.arraycopy(it, 0, out, 0, pos)
       out(pos) = v
@@ -42,7 +49,10 @@ class BoundedTopK(k: Int) extends Aggregator[Long, TopKBuf, Seq[Long]] {
       TopKBuf(b.k, out)
     } else if (v < it(n - 1)) {
       var pos = java.util.Arrays.binarySearch(it, v)
-      if (pos < 0) pos = -pos - 1
+      if (pos >= 0) {
+        if (distinct) return b
+        pos = pos + 1
+      } else pos = -pos - 1
       System.arraycopy(it, pos, it, pos + 1, n - 1 - pos)
       it(pos) = v
       b
@@ -56,13 +66,16 @@ class BoundedTopK(k: Int) extends Aggregator[Long, TopKBuf, Seq[Long]] {
     val a = x.items; val b = y.items
     val out = new Array[Long](math.min(kk, a.length + b.length))
     var i = 0; var j = 0; var o = 0
-    while (o < out.length) {
+    while (o < out.length && (i < a.length || j < b.length)) {
       if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+        if (distinct && i < a.length && j < b.length && a(i) == b(j))
+          j += 1 // same value on both sides: emit once
         out(o) = a(i); i += 1
       } else { out(o) = b(j); j += 1 }
       o += 1
     }
-    TopKBuf(kk, out)
+    TopKBuf(kk, if (o == out.length) out
+      else java.util.Arrays.copyOf(out, o))
   }
 
   override def finish(b: TopKBuf): Seq[Long] =
@@ -78,4 +91,12 @@ object TopK {
     * packed keys, ascending. */
   def smallestK(k: Int, packed: Column): Column =
     udaf(new BoundedTopK(k), Encoders.scalaLong).apply(packed)
+
+  /** Like [[smallestK]] but value-DISTINCT: repeated keys count once.
+    * The dedup rides the O(log K) insert probe map-side — no extra
+    * `.distinct()` shuffle over the (much larger) input stream. q149's
+    * band join needs this: one candidate pair arrives once per
+    * colliding band. */
+  def smallestKDistinct(k: Int, packed: Column): Column =
+    udaf(new BoundedTopK(k, distinct = true), Encoders.scalaLong).apply(packed)
 }

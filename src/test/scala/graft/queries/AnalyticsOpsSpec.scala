@@ -434,32 +434,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
     val sig = vecs.map { case (id, v) => id -> v.map(_ >= 0) }.toMap
     val byId = vecs.toMap
-    // the registered rule: K=64 candidates by (hamming, id), exact
-    // cosine re-rank (sim desc, id asc), then the mutual filter
-    val top1 = vecs.map { case (ia, va) =>
+    // the registered BANDED rule (r14): candidates = pairs whose
+    // min-band-Hamming over 8×8-bit bands is ≤ the probe radius 2,
+    // cut to K=64 by (hamming, id), exact cosine re-rank
+    // (sim desc, id asc), then the mutual filter
+    def ham(a: Array[Boolean], b: Array[Boolean], from: Int, until: Int) =
+      (from until until).count(i => a(i) != b(i))
+    def bandPass(a: Array[Boolean], b: Array[Boolean]): Boolean =
+      (0 until 8).exists(bd => ham(a, b, bd * 8, bd * 8 + 8) <= 2)
+    val top1 = vecs.flatMap { case (ia, va) =>
       val cand = vecs.filter(_._1 != ia)
-        .map { case (ib, _) =>
-          (ib, sig(ia).zip(sig(ib)).count { case (x, y) => x != y }) }
+        .filter { case (ib, _) => bandPass(sig(ia), sig(ib)) }
+        .map { case (ib, _) => (ib, ham(sig(ia), sig(ib), 0, 64)) }
         .sortBy { case (ib, h) => (h, ib) }.take(64).map(_._1)
-      ia -> cand.map(ib => (ib, cos(va, byId(ib))))
-        .minBy { case (ib, s) => (-s, ib) }._1
+      if (cand.isEmpty) None
+      else Some(ia -> cand.map(ib => (ib, cos(va, byId(ib))))
+        .minBy { case (ib, s) => (-s, ib) }._1)
     }.toMap
     val truth = top1.collect {
-      case (a, b) if top1(b) == a && a < b => (a, b)
+      case (a, b) if top1.get(b).contains(a) && a < b => (a, b)
     }.toSet
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
     // recall is a MEASURED property of this corpus (near-random
-    // embeddings give sign bits little purchase): 0.876 at sf0.001 —
-    // the floor documents the trade the ANN tier makes, it does not
-    // pretend exactness
+    // embeddings give sign bits little purchase): 0.876 at sf0.001 /
+    // 0.906 at sf0.01 under the banded rule — within a point of the
+    // r13 all-pairs rule; the floor documents the trade the ANN tier
+    // makes, it does not pretend exactness
     val recall = (got & exact).size.toDouble / exact.size
     info(f"q149 mutual-pair recall vs exact q148: $recall%.3f " +
       s"(${(got & exact).size}/${exact.size})")
     assert(recall >= 0.8, f"recall $recall%.3f below 0.8 floor")
-    // plan: candidate cut is an aggregate, not a window over pairs
+    // plan: candidate generation is an EQUI-join (no cross product of
+    // any flavor) and the cut is an aggregate, not a window over pairs
     val plan = Registry.queries("q149_mutual_nn_ann")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("window"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      "q149 candidate stage must not cross-join: " + plan.take(800))
   }
 
   test("GlobalRank.withNtile replays window ntile exactly across fill " +
