@@ -109,10 +109,10 @@ object Bench {
     // The driver's tail capture keeps only the LAST ~2000 chars of stdout
     // (with sbt's "[success] …" line after ours eating ~80 of them), and
     // r9/r10/r11 all lost data to it — r11's 116-query two-dict line was
-    // ~6 KB and the driver recorded `parsed: null`. Two artifacts now:
-    //   stdout — a COMPACT line that must fit the window: short keys
-    //     ("q34" for "q34_minhash_neardup"), 2-decimal medians, no min
-    //     dict. Budget: ~12 chars/query ⇒ ~150 queries fit.
+    // ~6 KB and the driver recorded `parsed: null`. Two artifacts:
+    //   stdout — a COMPACT line that must fit the driver's parse window:
+    //     short keys ("q34" for "q34_minhash_neardup"), 2-decimal
+    //     medians, dynamically elided to the 1700-char budget (below).
     //   bench_out.json — the full-fidelity record (full names, median AND
     //     best-of-N), which verdicts have used for recovery since r9.
     def r3(d: Double): String =
@@ -120,8 +120,6 @@ object Bench {
     def r2(d: Double): String =
       if (d < 0) "-1" else BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def shortKey(n: String): String = n.takeWhile(_ != '_')
-    val qsShort = times.map { case (k, (med, _)) => s"${js(shortKey(k))}:${r2(med)}" }
-      .mkString("{", ",", "}")
     val qs = times.map { case (k, (med, _)) => s"${js(k)}:${r3(med)}" }
       .mkString("{", ",", "}")
     val qsMin = times.map { case (k, (_, best)) => s"${js(k)}:${r3(best)}" }
@@ -129,24 +127,45 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }
       .mkString("{", ",", "}")
     val total = times.collect { case (_, (med, _)) if med >= 0 => med }.sum
-    // Window guard (ADVICE r12): at 148+ queries the compact line sits
-    // near the driver's ~2000-char tail capture. If it would overflow,
-    // keep only queries ≥0.1 s (the ones a verdict can act on), count
-    // the elided rest — bench_out.json always has full fidelity.
-    val lineFull =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","nerr":${errors.size},"queries":$qsShort}"""
-    val line = if (lineFull.length <= 1900) lineFull else {
-      val kept = times.filter { case (_, (med, _)) => med < 0 || med >= 0.1 }
-      val qsKept = kept.map { case (k, (med, _)) => s"${js(shortKey(k))}:${r2(med)}" }
+    val totalMin = times.collect { case (_, (_, best)) if best >= 0 => best }.sum
+    // Window guard, round 3 (r12 ADVICE set 1900; r13 PROVED the real
+    // parse limit is tighter: the 1857-char line sat complete inside the
+    // tail yet recorded `parsed: null`, while r12's 1773-char line
+    // parsed — so the budget is now 1700 and the guard FITS dynamically:
+    // keep the most expensive queries that fit, count the elided rest.
+    // `tmin` (sum of best-of-N) rides along as the one-number noise
+    // discriminator the r13 drift diagnosis needed: medians drifting
+    // while tmin holds ≈ environment noise, both drifting ≈ real.
+    // bench_out.json always has full per-query median+min fidelity.
+    def line(entries: Seq[(String, Double)], elided: Int): String = {
+      val qs = entries.map { case (k, med) => s"${js(shortKey(k))}:${r2(med)}" }
         .mkString("{", ",", "}")
-      System.err.println(s"[bench] compact line ${lineFull.length} chars > 1900: " +
-        s"eliding ${times.size - kept.size} sub-0.1s queries from stdout " +
-        "(full record in bench_out.json)")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","nerr":${errors.size},"q_elided":${times.size - kept.size},"queries":$qsKept}"""
+      val el = if (elided == 0) "" else s""""q_elided":$elided,"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","tmin":${r3(totalMin)},"sf":"$sfDir","nerr":${errors.size},$el"queries":$qs}"""
     }
+    val all = times.map { case (k, (med, _)) => (k, med) }
+    val budget = 1700
+    val fit = {
+      var kept = all
+      // errored (-1) entries always stay visible; drop cheapest first
+      while (line(kept, all.size - kept.size).length > budget && kept.nonEmpty) {
+        val dropCount = math.max(1,
+          (line(kept, all.size - kept.size).length - budget) / 11)
+        val dropable = kept.filter(_._2 >= 0).sortBy(_._2).take(dropCount)
+          .map(_._1).toSet
+        if (dropable.isEmpty) kept = Seq.empty
+        else kept = kept.filterNot { case (k, v) => v >= 0 && dropable(k) }
+      }
+      kept
+    }
+    if (fit.size < all.size)
+      System.err.println(s"[bench] compact line over $budget chars: " +
+        s"eliding the ${all.size - fit.size} cheapest queries from stdout " +
+        "(full record in bench_out.json)")
+    val lineOut = line(fit, all.size - fit.size)
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
-    println(line)
+    println(lineOut)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
     // A bench with erroring queries must not look like a clean run: r7

@@ -68,7 +68,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val errors = run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    // dev loop (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): restrict the dump
+    // to a comma-separated subset; the driver never sets this
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val os = SparkEntry.oracleSql.filter { case (n, _) => only.forall(_.contains(n)) }
+    val errors = run(spark, sfDir, outDir, qs, os)
     spark.stop()
     // Loud exit: the driver's gate must see a broken query as a failure,
     // never as a quietly-shorter report.
