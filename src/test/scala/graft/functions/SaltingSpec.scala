@@ -34,4 +34,41 @@ class SaltingSpec extends SparkSpec {
     assert(left.count() == plain.getLong(0) + 1)
     assert(left.filter(col("k") === 999).head().isNullAt(2))
   }
+
+  test("byte-identical duplicate hot-key rows still spread over the " +
+    "buckets (VERDICT r13: content-only salt collapsed them into one)") {
+    import spark.implicits._
+    // the q154 failure shape: a narrow projection where every copy of
+    // the hot key is the SAME row — content hashing alone puts all 9k
+    // copies in one bucket
+    val fact = ((0 until 9000).map(_ => (7L, "view")) ++
+      (0 until 1000).map(i => (i.toLong % 25, "buy"))).toDF("k", "t")
+      .repartition(6)
+    val dim = (0L until 25L).map(k => (k, s"d$k")).toDF("k", "name")
+
+    // result parity first: the entropy term must stay invisible
+    val plain = fact.join(dim, "k")
+      .agg(count(lit(1)), countDistinct("name")).head()
+    val salted = Salting.saltedJoin(fact, dim, "k", buckets = 8)
+      .agg(count(lit(1)), countDistinct("name")).head()
+    assert(salted == plain)
+
+    // per-bucket spread of the duplicate hot key: every bucket busy,
+    // none holding a majority (9000/8 = 1125 expected per bucket)
+    val ent = monotonically_increasing_id()
+    val perBucket = fact.filter(col("k") === 7)
+      .withColumn("s",
+        pmod(xxhash64(fact.columns.map(col).toSeq :+ ent: _*), lit(8)))
+      .groupBy("s").count().collect().map(r => r.getLong(1))
+    assert(perBucket.length == 8,
+      s"duplicate hot key used only ${perBucket.length}/8 buckets")
+    assert(perBucket.max < 9000 / 2,
+      s"one bucket still holds ${perBucket.max} of 9000 hot rows")
+
+    // explicit entropy column replaces the positional term and spreads
+    val withId = fact.withColumn("rid", monotonically_increasing_id())
+    val viaEntropy = Salting.saltedJoin(withId, dim, "k", 8,
+      entropy = Some(col("rid")))
+    assert(viaEntropy.count() == plain.getLong(0))
+  }
 }
