@@ -248,9 +248,15 @@ object TextOps {
     * against an independent greedy best-rank-first implementation in
     * LlmOpsSpec — the rank-order spelling IS greedy BPE under the
     * [[BpeMerges]] invariant. */
-  def bpeTokenCount(word: String): Int = {
+  def bpeTokenCount(word: String): Int = bpeTokenCount(word, BpeMerges)
+
+  /** Same encoder under an arbitrary rank-ordered merge table — the
+    * application side for TRAINED tables ([[graft.operators.BpeTrainer]]
+    * output satisfies the rank-invariant by construction, so rank-order
+    * application stays ≡ greedy; BpeTrainerSpec proves it). */
+  def bpeTokenCount(word: String, merges: Seq[(String, String)]): Int = {
     var s = " " + word.map(_.toString).mkString(" ") + " "
-    BpeMerges.foreach { case (a, b) =>
+    merges.foreach { case (a, b) =>
       val pat = s" $a $b "
       val rep = s" $a$b "
       var i = 0
