@@ -60,13 +60,13 @@ object SketchHeavyHitters {
         coalesce(col("cands"), array().cast("array<long>")).as("cands"))
   }
 
-  /** Top-k keys per trailing `window`-day anchor, recounted against the
-    * merged window sketch; ties break on key. O(days·window) merges,
-    * O(days·window·s) estimates — from STORED state only. */
-  def rollingTopK(daily: DataFrame, window: Int = 7, k: Int = 5,
-                  depth: Int = graft.functions.CmsState.DefaultDepth,
-                  width: Int = graft.functions.CmsState.DefaultWidth)
-      : DataFrame = {
+  /** Every window candidate's CMS estimate per trailing `window`-day
+    * anchor — (day, k, est_cnt), the shared core of [[rollingTopK]] and
+    * q159's bound gate. O(days·window) merges, O(days·window·s)
+    * estimates — from STORED state only. */
+  def rollingCandidateEstimates(daily: DataFrame, window: Int = 7,
+      depth: Int = graft.functions.CmsState.DefaultDepth,
+      width: Int = graft.functions.CmsState.DefaultWidth): DataFrame = {
     val bounds = daily.groupBy().agg(min("d").as("mn"), max("d").as("mx"))
     val anchored = daily
       .select(col("d"), explode(sequence(lit(0), lit(window - 1))).as("i"),
@@ -78,10 +78,19 @@ object SketchHeavyHitters {
       .groupBy("day")
       .agg(Cms.merge(col("sketch"), depth, width).as("sk"),
         array_distinct(flatten(collect_list(col("cands")))).as("cand"))
-    val est = anchored
+    anchored
       .select(col("day"), col("sk"), explode(col("cand")).as("k"))
       .select(col("day"), col("k"),
         Cms.estimate(col("sk"), col("k")).as("est_cnt"))
+  }
+
+  /** Top-k keys per trailing `window`-day anchor, recounted against the
+    * merged window sketch; ties break on key. */
+  def rollingTopK(daily: DataFrame, window: Int = 7, k: Int = 5,
+                  depth: Int = graft.functions.CmsState.DefaultDepth,
+                  width: Int = graft.functions.CmsState.DefaultWidth)
+      : DataFrame = {
+    val est = rollingCandidateEstimates(daily, window, depth, width)
     // the window is |days|-scale rows × <s·window candidates — a
     // dimension-scale rank, not a fact-scale one (GlobalRank territory)
     val w = Window.partitionBy("day")

@@ -2226,10 +2226,208 @@ object RelQueries {
         .orderBy("event_type")
     })
 
+  // ------------------------- stored-sketch suite on the driver surface
+  /** Rolling WAU from STORED daily HLL sketches, runtime-gated (VERDICT
+    * r13 next-step #5: G19–G21 were spec-only — no registry query
+    * executed them under the driver mains). The hash-gate trick for
+    * estimates DuckDB cannot replay (its HLL is a different sketch) is
+    * to hash the BOUND VERDICT instead of the estimate: the query emits
+    * each window's EXACT WAU (hashable — the oracle replays q128's
+    * plan) plus `within_bound` = |est − exact| ≤ 5%·exact computed
+    * Spark-side; the oracle asserts literal `true`. DataSketches HLL is
+    * deterministic for fixed data+lgK, so the comparison is stable, and
+    * a regression in the sketch path flips the hash. 5% = 3σ at lgK=12
+    * (RSE ≈ 1.04/√2¹² ≈ 1.6%). Exact is computed here only to GATE —
+    * the production consumer reads the O(days·window) sketch path
+    * ([[graft.operators.SketchWau]] scaladoc has the 100 TB posture);
+    * the sketch path's plan is asserted O(days)-shaped in SketchWauSpec. */
+  val q157 = QueryDef(
+    "q157_wau_sketch",
+    Some("""WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                           FROM events),
+                 fan AS (SELECT d + CAST(i AS INTEGER) AS day, user_id
+                         FROM pairs CROSS JOIN range(0, 7) t(i)),
+                 b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM pairs)
+            SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_exact,
+                   true AS within_bound
+            FROM fan, b WHERE day BETWEEN mn AND mx
+            GROUP BY day ORDER BY day"""),
+    (s, dir) => {
+      val events = t(s, dir, "events")
+      val est = graft.operators.SketchWau
+        .rollingWau(graft.operators.SketchWau.dailySketches(events), 7)
+      val pairs = events
+        .select(col("ts").cast("date").as("d"), col("user_id")).distinct()
+      val bounds = pairs.groupBy().agg(min("d").as("mn"), max("d").as("mx"))
+      val exact = pairs
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+        .select(date_add(col("d"), col("i")).as("day"), col("user_id"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day").between(col("mn"), col("mx")))
+        .groupBy("day")
+        .agg(count_distinct(col("user_id")).as("wau_exact"))
+      est.join(exact, "day")
+        .select(col("day"), col("wau_exact"),
+          (abs(col("wau_approx") - col("wau_exact")) <=
+            col("wau_exact") * 0.05).as("within_bound"))
+        .orderBy("day")
+    })
+
+  /** Rolling p50/p90 from STORED daily KLL sketches, runtime-gated by
+    * RANK BANDS (q157's bound-as-hash device, quantile flavor): the
+    * estimate passes iff it lands between the window's exact p45–p55
+    * (resp. p85–p95) — a ±5%-of-rank tolerance, generous against the
+    * hand-rolled sketch's spec-gated ≤3% rank error at k=200. Exact
+    * percentile VALUES stay out of the output (double interpolation
+    * parity between engines is not worth hashing); the hashable facts
+    * are the day, the exact window row count, and the two verdicts.
+    * Production reads only the sketch path: O(days·window) merges from
+    * the stored column ([[graft.operators.SketchQuantiles]]). */
+  val q158 = QueryDef(
+    "q158_quantile_sketch",
+    Some("""WITH v AS (SELECT CAST(ts AS DATE) AS d, value FROM events),
+                 fan AS (SELECT d + CAST(i AS INTEGER) AS day, value
+                         FROM v CROSS JOIN range(0, 7) t(i)),
+                 b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM v)
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+                   true AS p50_in_band, true AS p90_in_band
+            FROM fan, b WHERE day BETWEEN mn AND mx
+            GROUP BY day ORDER BY day"""),
+    (s, dir) => {
+      val events = t(s, dir, "events")
+      val est = graft.operators.SketchQuantiles.rollingQuantiles(
+        graft.operators.SketchQuantiles.dailySketches(events), 7)
+      val v = events
+        .select(col("ts").cast("date").as("d"), col("value"))
+      val bounds = v.groupBy().agg(min("d").as("mn"), max("d").as("mx"))
+      val exact = v
+        .select(col("value"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+        .select(date_add(col("d"), col("i")).as("day"), col("value"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day").between(col("mn"), col("mx")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, array(0.45D, 0.55D, 0.85D, 0.95D))")
+            .as("bands"))
+      est.join(exact, "day")
+        .select(col("day"), col("n"),
+          col("p50").between(element_at(col("bands"), 1),
+            element_at(col("bands"), 2)).as("p50_in_band"),
+          col("p90").between(element_at(col("bands"), 3),
+            element_at(col("bands"), 4)).as("p90_in_band"))
+        .orderBy("day")
+    })
+
+  /** Rolling heavy hitters from STORED daily CMS+candidate state,
+    * runtime-gated on the two guarantees the sketch ACTUALLY makes
+    * (q157's device, frequency flavor): `covered` — every exact window
+    * HEAVY HITTER (window share > 1/s, s = 200) is in the window's
+    * candidate union, which is precisely the pigeonhole theorem
+    * [[graft.operators.SketchHeavyHitters]] proves in its scaladoc and
+    * is VACUOUSLY true on windows with no heavy hitter (sf0.1's uniform
+    * users produce exactly that — days with zero candidates must pass,
+    * not vanish: a stronger "top-5 ⊆ candidates" gate was wrong, the
+    * state never promised it); `bounds_ok` — every candidate's CMS
+    * estimate is ≥ its exact window count (CMS never undercounts —
+    * structural) and ≤ exact + 3·N/width (the additive-error contract,
+    * wide margin), vacuously true with no candidates. Both verdicts are
+    * deterministic on fixed data (splitmix64-hashed CMS, byte-determinism
+    * spec-gated), so they hash; the oracle replays the day list and the
+    * exact window event count N. */
+  val q159 = QueryDef(
+    "q159_heavy_hitters_sketch",
+    Some("""WITH v AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+                 fan AS (SELECT d + CAST(i AS INTEGER) AS day, user_id
+                         FROM v CROSS JOIN range(0, 7) t(i)),
+                 b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM v)
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+                   true AS covered, true AS bounds_ok
+            FROM fan, b WHERE day BETWEEN mn AND mx
+            GROUP BY day ORDER BY day"""),
+    (s, dir) => {
+      val events = t(s, dir, "events")
+      val daily = graft.operators.SketchHeavyHitters.dailyState(events)
+      val est = graft.operators.SketchHeavyHitters
+        .rollingCandidateEstimates(daily, 7)
+      val v = events
+        .select(col("ts").cast("date").as("d"),
+          col("user_id").cast("long").as("k"))
+      val bounds = v.groupBy().agg(min("d").as("mn"), max("d").as("mx"))
+      val exact = v
+        .select(col("k"), explode(sequence(lit(0), lit(6))).as("i"),
+          col("d"))
+        .select(date_add(col("d"), col("i")).as("day"), col("k"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day").between(col("mn"), col("mx")))
+        .groupBy("day", "k")
+        .agg(count(lit(1)).as("cnt"))
+      val nPerDay = exact.groupBy("day").agg(sum("cnt").as("n"))
+      // exact window heavy hitters: share > 1/s — the set pigeonhole
+      // guarantees the candidate union covers
+      val hh = exact.join(nPerDay, "day")
+        .filter(col("cnt") * 200 > col("n"))
+      val candSets = est.groupBy("day")
+        .agg(collect_set(col("k")).as("cands"))
+      val covered = hh.join(candSets, Seq("day"), "left")
+        .groupBy("day")
+        .agg(min(coalesce(array_contains(col("cands"), col("k")),
+          lit(false))).as("cov"))
+      val boundsOk = est.join(exact, Seq("day", "k"), "left")
+        .join(nPerDay, "day")
+        .select(col("day"),
+          (col("est_cnt") >= coalesce(col("cnt"), lit(0L)) &&
+            col("est_cnt") <= coalesce(col("cnt"), lit(0L)) +
+              lit(3.0) * col("n") /
+                lit(graft.functions.CmsState.DefaultWidth)).as("ok"))
+        .groupBy("day").agg(min(col("ok")).as("bok"))
+      // days with no heavy hitter / no candidate pass VACUOUSLY —
+      // left joins + coalesce(true), never dropped rows
+      nPerDay
+        .join(covered, Seq("day"), "left")
+        .join(boundsOk, Seq("day"), "left")
+        .select(col("day"), col("n"),
+          coalesce(col("cov"), lit(true)).as("covered"),
+          coalesce(col("bok"), lit(true)).as("bounds_ok"))
+        .orderBy("day")
+    })
+
+  /** Fact-scale NTILE (VERDICT r13 next-step #6 — q142 proved the
+    * [[graft.operators.GlobalRank]] range-partitioned ntile on the
+    * customer DIMENSION; this runs it on the events FACT table, the
+    * scale the operator exists for): global value deciles over every
+    * event, (value, event_id) total order, aggregated to per-decile
+    * counts and ROUND(…, 2) bounds (q142's hash spelling). No
+    * single-partition window anywhere: GlobalRank samples range
+    * boundaries, range-repartitions, ranks within partitions and
+    * broadcasts the offsets back. */
+  val q160 = QueryDef(
+    "q160_event_deciles",
+    Some("""SELECT CAST(d AS INTEGER) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(MIN(value), 2) AS lo,
+                   ROUND(MAX(value), 2) AS hi
+            FROM (SELECT value,
+                         ntile(10) OVER (ORDER BY value, event_id) AS d
+                  FROM events)
+            GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val ev = t(s, dir, "events").select("value", "event_id")
+      graft.operators.GlobalRank
+        .withNtile(ev, Seq(col("value"), col("event_id")), 10)
+        .groupBy(col("tile").as("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi"))
+        .orderBy("decile")
+    })
+
   val defs: Seq[QueryDef] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q17,
     q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q80, q81, q85, q86, q88, q90, q91, q95, q97, q98, q99, q100,
     q101, q102, q103, q107, q108, q109, q110, q111, q112, q113, q114,
     q115, q116, q121, q122, q123, q124, q127, q128, q129, q130, q131,
-    q132, q141, q142, q143, q144, q145, q146, q150, q151, q152, q154)
+    q132, q141, q142, q143, q144, q145, q146, q150, q151, q152, q154,
+    q157, q158, q159, q160)
 }
