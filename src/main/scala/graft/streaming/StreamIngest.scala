@@ -346,4 +346,27 @@ object StreamIngest {
       .agg(hll_sketch_estimate(hll_sketch_agg(col(idCol)))
         .as("approx_users"))
       .select(col("window.start").as("win_start"), col("approx_users"))
+
+  /** Watermarked sliding HEAVY HITTERS — the frequency member of the
+    * live-dashboard trio ([[slidingCounts]] = totals,
+    * [[slidingDistinctUsers]] = distincts): "top keys per window" with
+    * BOUNDED state. An exact per-(window, key) count aggregate carries
+    * state proportional to the window's key cardinality — unbounded on
+    * a 100 TB key stream; the mergeable Misra–Gries summary
+    * ([[graft.functions.MgSummaryAgg]], PODS'12 merge rule) carries
+    * EXACTLY `s` counters per open window, merged across micro-batches
+    * in the state store like any agg buffer, with the spec-gated
+    * guarantee that every key above n/(s+1) window share survives and
+    * reported counts sit within n/(s+1) of truth. Emits the summary
+    * array per window; exactness-critical consumers recount the
+    * candidates (q117's pattern) — the stored-state form for arbitrary
+    * later windows is [[graft.operators.SketchHeavyHitters]]. */
+  def slidingHeavyHitters(stream: DataFrame, tsCol: String,
+                          keyCol: String, s: Int = 16): DataFrame =
+    stream
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour", "15 minutes"))
+      .agg(graft.functions.Mg.summary(s, col(keyCol).cast("long"))
+        .as("top"))
+      .select(col("window.start").as("win_start"), col("top"))
 }

@@ -148,6 +148,74 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._2 == 7L))
   }
 
+  test("sliding heavy hitters: streamed Misra-Gries summaries honor the " +
+    "coverage and bound guarantees against exact per-window batch counts") {
+    val userSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    // skewed keys: user 7 takes every third event, user 8 every fifth,
+    // the rest spread over 40 rares — windows see the heavies repeat
+    // WITHIN and ACROSS micro-batches, so the MG state must merge
+    val rows = (0 until 90).map { i =>
+      val u = if (i % 3 == 0) 7L else if (i % 5 == 0) 8L else 100L + (i % 40)
+      Row(i.toLong, Timestamp.from(base.plusSeconds(i * 300L)), u)
+    }
+    val flat = Files.createTempDirectory("graft-stream-mg")
+    rows.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      val dir = Files.createTempDirectory(s"graft-mg-src$i")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), userSchema)
+        .write.parquet(s"$dir/c")
+      Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+      }
+    }
+    val s = 4
+    val stream = spark.readStream.schema(userSchema)
+      .option("maxFilesPerTrigger", 1).parquet(flat.toString)
+    val q = StreamIngest.slidingHeavyHitters(stream, "ts", "user_id", s)
+      .writeStream.format("memory").queryName("slide_hh")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide_hh")
+      .collect().map { r =>
+        r.getTimestamp(0) -> r.getSeq[Row](1)
+          .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      }.toMap
+    // exact per-window batch truth
+    val exact = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), userSchema)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("user_id"), col("cnt"))
+      .collect().groupBy(_.getTimestamp(0))
+      .map { case (w, rs) =>
+        w -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(streamed.keySet == exact.keySet)
+    exact.foreach { case (w, truth) =>
+      val got = streamed(w)
+      val n = truth.values.sum
+      val err = n / (s + 1) // the MG/mergeable-summaries bound
+      // coverage: every key above n/(s+1) share survives the summary
+      truth.filter(_._2 > err).foreach { case (k, c) =>
+        assert(got.contains(k),
+          s"window $w: heavy key $k (count $c, n=$n) missing from $got")
+      }
+      // bounds: reported counts are lower bounds within n/(s+1)
+      got.foreach { case (k, c) =>
+        val t = truth.getOrElse(k, 0L)
+        assert(c <= t && c >= t - err,
+          s"window $w: key $k reported $c, true $t, bound $err")
+      }
+      assert(got.size <= s, s"window $w: ${got.size} counters > s=$s")
+    }
+    // the hot key is reported at the top of every full window it leads
+    val full = exact.filter { case (_, t) => t.values.sum >= 12 }
+    assert(full.nonEmpty && full.forall { case (w, _) => streamed(w).contains(7L) })
+  }
+
   test("dedup-at-ingest: duplicate texts within the watermark horizon land once") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("ts", TimestampType),
