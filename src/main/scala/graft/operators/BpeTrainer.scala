@@ -75,7 +75,14 @@ object BpeTrainer {
         call_function("replace", c, pat, rep)
       }
       vocab = vocab.select(rewritten.as("seg"), col("c"))
-        .localCheckpoint(true) // keep the per-round plan shallow
+      // rewrites stay LAZY on top of the one checkpointed vocab — round
+      // i's argmax recomputes ≤ i codegen'd replace maps over the vocab
+      // (O(rounds²) vocab-scale map work, trivial) instead of paying a
+      // materialization JOB per round; the 10 sequential argmax jobs
+      // dominate q156's wall time either way at sf0.1 (~1.5 s), but at
+      // real vocab scale the saved job is a saved stage. A checkpoint
+      // every 8 rounds caps expression-tree depth for large `rounds`.
+      if (round % 8 == 0) vocab = vocab.localCheckpoint(true)
       round += 1
     }
     merges.toSeq
