@@ -2497,16 +2497,23 @@ object LlmQueries {
     (s, dir) => {
       val c = t(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      // carry the DELETED CHARACTER instead of the whole name: two
+      // same-length strings sharing a deletion variant at position i
+      // are Hamming-1 iff the characters deleted there DIFFER (equal
+      // deleted chars ⇒ identical strings) — same exactness, ~18 fewer
+      // string bytes per row on both shuffle sides of the join
       val variants = c.select(col("id"), col("name"),
           posexplode(expr(
             """transform(sequence(1, length(name)),
                i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))""")))
-        .select(col("id"), col("name"), col("pos"), col("col").as("variant"))
+        .select(col("id"), col("pos"),
+          expr("substring(name, pos + 1, 1)").as("chr"),
+          col("col").as("variant"))
       variants.as("a").join(variants.as("b"),
           col("a.pos") === col("b.pos") &&
             col("a.variant") === col("b.variant") &&
             col("a.id") < col("b.id") &&
-            col("a.name") =!= col("b.name"))
+            col("a.chr") =!= col("b.chr"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .orderBy("id_a", "id_b")
     })
