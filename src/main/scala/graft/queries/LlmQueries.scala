@@ -2558,20 +2558,28 @@ object LlmQueries {
       val top = tok.groupBy("token").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(50)
       val nd = tok.select(countDistinct("doc_id").as("n"))
-      // pairs emitted from each doc's (sorted) vocab-token set in one
-      // grouped pass — the same flatten/transform device as bucketPairs
-      val pairs = tok.join(broadcast(top), "token")
-        .groupBy("doc_id").agg(sort_array(collect_set(col("token"))).as("ts"))
+      // vocab tokens get DENSE INT ids in (token ASC) order — sorted-id
+      // order ≡ sorted-token order, so the a < b pair rule is preserved
+      // and the ~6M exploded pair rows carry ONE int (pair id = a·64+b)
+      // instead of two strings through the aggregate; tokens rejoin
+      // from the 50-row broadcast after the counts collapse
+      val idx = top.select(col("token"), col("df"),
+        (row_number().over(Window.orderBy("token")) - 1).as("tid"))
+      val pairs = tok.join(broadcast(idx), "token")
+        .groupBy("doc_id").agg(sort_array(collect_set(col("tid"))).as("ts"))
         .select(explode(expr(
           """flatten(transform(ts, (x, i) -> transform(
                slice(ts, i + 2, size(ts) - i - 1),
-               y -> struct(x AS tok_a, y AS tok_b))))""")).as("p"))
-        .select(col("p.tok_a"), col("p.tok_b"))
-        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("co"))
+               y -> x * 64 + y)))""")).as("pid"))
+        .groupBy("pid").agg(count(lit(1)).as("co"))
         .filter(col("co") >= 5)
       pairs
-        .join(broadcast(top.select(col("token").as("tok_a"), col("df").as("dfa"))), "tok_a")
-        .join(broadcast(top.select(col("token").as("tok_b"), col("df").as("dfb"))), "tok_b")
+        .join(broadcast(idx.select((col("tid") * 64).as("pa"),
+          col("token").as("tok_a"), col("df").as("dfa"))),
+          col("pid") - pmod(col("pid"), lit(64)) === col("pa"))
+        .join(broadcast(idx.select(col("tid").as("pb"),
+          col("token").as("tok_b"), col("df").as("dfb"))),
+          pmod(col("pid"), lit(64)) === col("pb"))
         .crossJoin(broadcast(nd))
         .select(col("tok_a"), col("tok_b"), col("co"),
           round((col("co") * col("n")) / (col("dfa") * col("dfb") * 1.0), 6)
