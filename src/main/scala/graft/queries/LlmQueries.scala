@@ -1127,9 +1127,11 @@ object LlmQueries {
     * round touches only edges, never payloads. The oracle replays the
     * brute-force pair set through a recursive-CTE reachability closure —
     * affordable only at oracle scale, like the q34/q56 oracles. */
-  val q64 = QueryDef(
-    "q64_dedup_clusters",
-    Some(DuckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") +
+  /** The connected-components CTE chain both q64 and q161 build on:
+    * shingle-set Jaccard ≥ 0.8 pair graph, recursive reachability,
+    * min-id component labels as `ccl(doc_id, cluster)`. */
+  private val CcOracleCtes =
+    DuckShingles.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    len(list_intersect(a.sh, b.sh))::DOUBLE
                      / len(list_distinct(a.sh || b.sh)) AS jac
@@ -1139,10 +1141,15 @@ object LlmQueries {
          e AS (SELECT doc_a AS a, doc_b AS b FROM pr
                UNION SELECT doc_b, doc_a FROM pr),
          reach AS (SELECT a, b FROM e
-                   UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
-         SELECT a AS doc_id, MIN(b) AS cluster
-         FROM (SELECT a, b FROM reach UNION SELECT a, a FROM e) u
-         GROUP BY a ORDER BY doc_id"""),
+                   UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         ccl AS (SELECT a AS doc_id, MIN(b) AS cluster
+                 FROM (SELECT a, b FROM reach UNION SELECT a, a FROM e) u
+                 GROUP BY a)"""
+
+  val q64 = QueryDef(
+    "q64_dedup_clusters",
+    Some(CcOracleCtes +
+      " SELECT doc_id, cluster FROM ccl ORDER BY doc_id"),
     (s, dir) => {
       import s.implicits._
       val docsSh = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -3657,10 +3664,55 @@ object LlmQueries {
       learned.toDF("rank", "l", "r", "cnt").orderBy("rank")
     })
 
+  /** Canonical-representative selection per near-dup cluster (r14) —
+    * the DECISION step every dedup pipeline runs after clustering
+    * (q64): from each connected component keep the argmax-quality
+    * member (here longest text, the C4/RefinedWeb default proxy, total
+    * (n_chars DESC, doc_id ASC) order) and account what the drop saves.
+    * Composes registered devices end to end: q64's verified pair graph
+    * + large-star/small-star components feed a per-cluster argmax
+    * (max-of-struct — one dimension-scale shuffle at cluster count),
+    * and the oracle replays the SAME recursive-CTE component labels
+    * (shared [[CcOracleCtes]]) so the hash covers the whole composition.
+    * 100 TB: clusters are orders below corpus scale (only verified
+    * near-dup members appear); the argmax carries two longs per member. */
+  val q161 = QueryDef(
+    "q161_dedup_keep",
+    Some(CcOracleCtes +
+      """ SELECT cluster, keep_id, members, chars_total, chars_dropped
+          FROM (SELECT cluster,
+                  CAST(COUNT(*) AS BIGINT) AS members,
+                  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+                  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                  CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS chars_dropped,
+                  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                    AS keep_id
+                FROM (SELECT c.cluster, c.doc_id, d.n_chars,
+                        ROW_NUMBER() OVER (PARTITION BY c.cluster
+                          ORDER BY d.n_chars DESC, c.doc_id) AS rn
+                      FROM ccl c JOIN documents d USING (doc_id))
+                GROUP BY cluster)
+          ORDER BY cluster"""),
+    (s, dir) => {
+      val cc = q64.run(s, dir) // (doc_id, cluster) — the q64 plan as-is
+      val chars = t(s, dir, "documents").select("doc_id", "n_chars")
+      cc.join(chars, "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("members"),
+          sum("n_chars").as("chars_total"),
+          // (n_chars DESC, doc_id ASC) argmax — negate the id inside the
+          // struct max so ties keep the smallest id, the q148 device
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster"), (-col("m.nid")).as("keep_id"),
+          col("members"), col("chars_total"),
+          (col("chars_total") - col("m.n_chars")).as("chars_dropped"))
+        .orderBy("cluster")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
-    q156)
+    q156, q161)
 }
