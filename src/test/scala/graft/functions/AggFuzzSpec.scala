@@ -30,6 +30,17 @@ class AggFuzzSpec extends SparkSpec {
           g -> vs.map(_._2).distinct.sorted.take(k).toSeq
         }
         assert(got == want, s"seed=$seed parts=$parts k=$k")
+        // the NON-distinct sibling must keep duplicates — its r13 tests
+        // used near-unique keys, and r14 touched the equal-key insert
+        // path, so the dup-heavy stream gates it here too
+        val gotDup = rows.toDF("g", "v").repartition(parts)
+          .groupBy("g")
+          .agg(TopK.smallestK(k, col("v")).as("top"))
+          .collect().map(row => row.getInt(0) -> row.getSeq[Long](1)).toMap
+        val wantDup = rows.groupBy(_._1).map { case (g, vs) =>
+          g -> vs.map(_._2).sorted.take(k).toSeq
+        }
+        assert(gotDup == wantDup, s"non-distinct seed=$seed parts=$parts k=$k")
       }
     }
   }
