@@ -3664,6 +3664,74 @@ object LlmQueries {
       learned.toDF("rank", "l", "r", "cnt").orderBy("rank")
     })
 
+  /** k-NN GRAPH construction (r14) — the neighborhood structure graph
+    * ANN indexes (HNSW/NSG) and SemDeDup-style pipelines are built
+    * from, generalizing q149's top-1 to each vector's top-10 cosine
+    * neighbors AMONG its banded candidates: the same [[graft.operators
+    * .BandedAnn]] candidate stage (min-band-Hamming ≤ radius, K=64 cut
+    * by (Hamming, id)), exact cosine over the ≤64 candidates, and a
+    * per-anchor (sim DESC, id) top-10 taken by sorting the ≤64-element
+    * collected struct list — bounded per-group state, never a window
+    * over the pair stream. Hash-gated end to end: the oracle replays
+    * the banded candidate rule and the re-rank order (q149's pattern);
+    * negation of an IEEE double is exact, so the struct sort key
+    * (-sim, ib) replays DuckDB's (sim DESC, ib). 100 TB: candidate
+    * generation is the BandedAnn plan, re-rank cost is K·|V| cosines,
+    * output is 10·|V| edges — each stage linear in the corpus. */
+  val q162 = QueryDef(
+    "q162_knn_graph", {
+      val bandHams = (0 until NnBands).map { b =>
+        s"len(list_filter(range(${b * NnBandBits + 1}, ${(b + 1) * NnBandBits + 1}), i -> (a.v[i] >= 0) <> (b.v[i] >= 0)))"
+      }
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings
+                       WHERE list_sum(list_transform(embedding::DOUBLE[],
+                               x -> x * x)) > 0),
+            h AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                    len(list_filter(range(1, 65),
+                      i -> (a.v[i] >= 0) <> (b.v[i] >= 0))) AS ham,
+                    LEAST(${bandHams.mkString(", ")}) AS mbh,
+                    list_cosine_similarity(a.v, b.v) AS sim
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            cand AS (SELECT ia, ib, sim, ROW_NUMBER() OVER
+                       (PARTITION BY ia ORDER BY ham, ib) AS rn
+                     FROM h WHERE mbh <= $NnProbeRadius)
+            SELECT ia AS src, CAST(rr AS INTEGER) AS rank, ib AS dst,
+                   ROUND(sim, 4) AS sim
+            FROM (SELECT ia, ib, sim, ROW_NUMBER() OVER
+                    (PARTITION BY ia ORDER BY sim DESC, ib) AS rr
+                  FROM cand WHERE rn <= 64)
+            WHERE rr <= 10 ORDER BY src, rank""")
+    },
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
+        .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
+        .withColumn("sig", expr(
+          "aggregate(transform(sequence(0, 63), " +
+            "i -> IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L)), " +
+            "0L, (acc, x) -> acc | x)"))
+      val cand = graft.operators.BandedAnn.candidatesSelf(
+        emb.select(col("vec_id"), col("sig")), "vec_id", "sig",
+        bands = NnBands, bandBits = NnBandBits,
+        radius = NnProbeRadius, k = 64)
+      val va = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+      val vb = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
+      cand
+        .join(broadcast(va), "ia").join(broadcast(vb), "ib")
+        .select(col("ia"),
+          struct((-VectorOps.cosine(col("va"), col("vb"))).as("nsim"),
+            col("ib")).as("p"))
+        // ≤64 candidates per anchor: a sorted in-group list IS the
+        // bounded top-10, no window over the candidate stream
+        .groupBy("ia")
+        .agg(slice(sort_array(collect_list(col("p"))), 1, 10).as("top"))
+        .select(col("ia").as("src"), posexplode(col("top")))
+        .select(col("src"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.ib").as("dst"), round(-col("col.nsim"), 4).as("sim"))
+        .orderBy("src", "rank")
+    })
+
   /** Canonical-representative selection per near-dup cluster (r14) —
     * the DECISION step every dedup pipeline runs after clustering
     * (q64): from each connected component keep the argmax-quality
@@ -3714,5 +3782,5 @@ object LlmQueries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
-    q156, q161)
+    q156, q161, q162)
 }
