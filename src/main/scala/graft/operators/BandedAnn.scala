@@ -66,13 +66,24 @@ object BandedAnn {
     val sigs = df.select(col(idCol).cast("long").as("id"),
       col(sigCol).cast("long").as("sig"))
 
-    // budget in ROWS: two longs + row/boxing overhead per corpus entry
+    // budget in ROWS: two longs + row/boxing overhead per corpus entry.
+    // The path decision is an aggregate-scale count() (r14 ADVICE #5:
+    // the old limit(rowCap+1).collect() probe pulled ~512 MB to the
+    // driver before DECLINING the broadcast); rows reach the driver
+    // only on the within-budget path.
     val rowCap = math.min(maxBroadcastBytes / 24L,
       (Int.MaxValue - 8).toLong).toInt
     val ds = sigs.as[(Long, Long)]
-    val corpus = ds.limit(rowCap + 1).collect()
-    if (corpus.length > rowCap)
+    if (ds.count() > rowCap)
       return declarative(sigs, bands, bandBits, radius, k, masks)
+    val corpus = ds.collect()
+    // id-domain guard (r14 ADVICE #3): the packed (ham << 56 | id)
+    // ordering and its unmask silently corrupt on ids outside
+    // [0, 2^56) — fail loudly instead of returning wrong candidates
+    corpus.foreach { case (id, _) =>
+      require(id >= 0L && id < (1L << 56),
+        s"BandedAnn id $id outside the packed-ordering domain [0, 2^56)")
+    }
 
     // ---------------------------------------- broadcast probe plan
     val sorted = corpus.sortBy(_._1) // ascending id: bucket scans emit
@@ -167,12 +178,18 @@ object BandedAnn {
       radius: Int, k: Int, masks: Array[Int]): DataFrame = {
     val keySpan = 1 << bandBits
     val bandMask = keySpan - 1
-    val index = sigs
+    // same id-domain guard as the broadcast path, declaratively: the
+    // IF is codegen'd per row (two long compares) and raise_error
+    // fails the job instead of silently corrupting the packed order
+    val guarded = sigs.withColumn("id", expr(
+      "IF(id >= 0L AND id < 72057594037927936L, id, " +
+        "raise_error(concat('BandedAnn id outside [0, 2^56): ', id)))"))
+    val index = guarded
       .select(col("id").as("ib"), col("sig").as("sigb"))
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("key", col("band") * keySpan +
         expr(s"shiftright(sigb, band * $bandBits) & $bandMask"))
-    val probe = sigs
+    val probe = guarded
       .select(col("id").as("ia"), col("sig").as("siga"))
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("bval", expr(s"shiftright(siga, band * $bandBits) & $bandMask"))

@@ -82,9 +82,11 @@ object BroadcastNn {
       (Int.MaxValue - 8).toLong).toInt
 
     val ds = vecs.as[(Long, Array[Double])]
-    // one collect, capped: an over-budget corpus never reaches the driver
-    val corpus = ds.limit(rowCap + 1).collect()
-    if (corpus.length > rowCap) {
+    // the path decision is an aggregate-scale count() (r14 ADVICE #5:
+    // the old limit(rowCap+1).collect() probe materialized up to the
+    // full byte budget on the driver before DECLINING the broadcast);
+    // rows reach the driver only on the within-budget path
+    if (ds.count() > rowCap) {
       // Declarative fallback: cartesian pair space + map-side-combinable
       // argmax. Correct and distributed at any size, quadratic in time —
       // the documented hierarchy hands >budget corpora to the ANN tier.
@@ -100,6 +102,7 @@ object BroadcastNn {
     }
 
     // ------------------------------------------ broadcast block scan
+    val corpus = ds.collect() // within budget by the count() gate above
     val sorted = corpus.sortBy(_._1) // ascending id ⇒ ties keep smallest
     val ids = sorted.map(_._1)
     val mat = sorted.map(_._2)

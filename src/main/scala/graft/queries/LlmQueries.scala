@@ -3409,10 +3409,12 @@ object LlmQueries {
         sigs, "vec_id", "sig",
         bands = NnBands, bandBits = NnBandBits,
         radius = NnProbeRadius, k = 64)
-      val va = emb.select(col("vec_id").as("ia"), col("v").as("va"))
-      val vb = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
-      val top1 = cand
-        .join(broadcast(va), "ia").join(broadcast(vb), "ib")
+      // exact-cosine re-rank: vector fetch through the byte-budget
+      // device (VERDICT r14 #1 — the hint must never force a
+      // corpus-sized broadcast; past budget this is a shuffle equi-join
+      // of K·|V| candidate rows against |V| vectors)
+      val top1 = graft.operators.VectorJoin.attachPair(
+          cand, emb.select(col("vec_id"), col("v")), "vec_id", "v")
         .select(col("ia"), col("ib"),
           VectorOps.cosine(col("va"), col("vb")).as("sim"))
         .groupBy("ia")
@@ -3715,10 +3717,10 @@ object LlmQueries {
         emb.select(col("vec_id"), col("sig")), "vec_id", "sig",
         bands = NnBands, bandBits = NnBandBits,
         radius = NnProbeRadius, k = 64)
-      val va = emb.select(col("vec_id").as("ia"), col("v").as("va"))
-      val vb = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
-      cand
-        .join(broadcast(va), "ia").join(broadcast(vb), "ib")
+      // re-rank vector fetch through the byte-budget device (q149's
+      // posture — never an unconditional corpus-sized broadcast)
+      graft.operators.VectorJoin.attachPair(
+          cand, emb.select(col("vec_id"), col("v")), "vec_id", "v")
         .select(col("ia"),
           struct((-VectorOps.cosine(col("va"), col("vb"))).as("nsim"),
             col("ib")).as("p"))
