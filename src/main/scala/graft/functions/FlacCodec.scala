@@ -221,9 +221,11 @@ object FlacCodec {
     // that no legal frame fits (ID3v1 is exactly 128 bytes) may bail
     // anywhere in it and still count as trailing garbage.
     var syncPhase = false
+    var frameStartByte = 0 // last frame's start, for the EOF-window test
     while (!halted && r.remaining >= 40 && decoded < maxSamples &&
         frames < (1 << 20)) try {
         val frameStart = r.bytePos
+        frameStartByte = frameStart
         syncPhase = true
         if (r.bits(14) != 0x3ffe) bail()
         syncPhase = false
@@ -343,7 +345,12 @@ object FlacCodec {
       // mid-stream), still bails the decode (ADVICE r13: swallowing
       // those reported a truncated file as a successful decode).
       case e: Bail =>
-        if (frames > 0 && (syncPhase || r.remaining < 128)) halted = true
+        // the EOF window is 128 BYTES measured from the FRAME START
+        // (r14 ADVICE: `r.remaining < 128` was 16 bytes of BITS at the
+        // bail point — a trailing ID3v1 tag whose first 14 bits matched
+        // the sync pattern failed the whole decode)
+        if (frames > 0 && (syncPhase || b.length - frameStartByte < 128))
+          halted = true
         else throw e
     }
     if (frames == 0) return None

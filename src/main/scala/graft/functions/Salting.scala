@@ -26,9 +26,15 @@ object Salting {
     * mixes in POSITIONAL entropy via `monotonically_increasing_id()`
     * (partition-id << 33 | row-position): deterministic when the input
     * re-scans in a stable order (file sources), but re-derived per
-    * attempt on a nondeterministically-ordered intermediate — callers
-    * that need strict retry-stability there pass `entropy` (e.g. a
-    * unique id column) instead, which replaces the positional term.
+    * attempt on a nondeterministically-ordered intermediate — after a
+    * fetch failure a partial stage retry can then route the same row to
+    * a DIFFERENT bucket (the nondeterministic-repartition retry hazard,
+    * r14 ADVICE). The call-site contract: pass the SKEWED side as a
+    * deterministic scan (a file-source projection, as q154 does), or
+    * pass `entropy` (e.g. a unique id column), which REPLACES the
+    * positional term and restores strict retry-stability on arbitrary
+    * intermediates. The silent default is only safe for stable-order
+    * inputs — SaltingSpec pins the entropy-override path.
     */
   def saltedJoin(
       skewed: DataFrame,

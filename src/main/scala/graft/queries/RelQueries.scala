@@ -2218,6 +2218,10 @@ object RelQueries {
     (s, dir) => {
       val ev = t(s, dir, "events").select("user_id", "event_type")
       val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      // skewed side is a parquet-scan projection: a stable re-scan
+      // order, so the default positional salt term is retry-stable
+      // here; a shuffled/nondeterministic intermediate would need the
+      // explicit `entropy` column instead (Salting scaladoc, r14 ADVICE)
       graft.functions.Salting.saltedJoin(ev, dim, "user_id", buckets = 8)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),

@@ -182,6 +182,29 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(FlacCodec.decode(bad.bytes ++ Array.fill(64)(0.toByte)).isEmpty)
   }
 
+  test("a trailing tag that PASSES the sync check still counts as " +
+    "trailing garbage when no legal frame fits before EOF (r14 ADVICE)") {
+    val n = 16
+    val w = streamInfo(8000, 1, 16, 0)
+    frameHeader(w, n, chanAsgn = 0)
+    constant(w, 512, 16)
+    w.align(); w.bits(0, 16)
+    // 60 junk bytes opening with a VALID 14-bit sync pattern + clear
+    // reserved bit (0xFF 0xF8), then all-ones garbage that bails PAST
+    // the sync phase (reserved channel/sample-size codes). The old
+    // `r.remaining < 128` test measured BITS at the bail point (a
+    // 16-byte window), so this tag failed the whole decode; the window
+    // is 128 BYTES from the frame start.
+    val junk = Array(0xff.toByte, 0xf8.toByte) ++ Array.fill(58)(0xff.toByte)
+    val Some((_, _, samples)) = FlacCodec.decode(w.bytes ++ junk)
+    assert(samples.length == n && samples.forall(_ == 512 / 32768.0))
+    // past 128 bytes from the frame start the same junk is mid-stream
+    // corruption, not an EOF tag: the decode must still fail
+    val long = Array(0xff.toByte, 0xf8.toByte) ++
+      Array.fill(200)(0xff.toByte)
+    assert(FlacCodec.decode(w.bytes ++ long).isEmpty)
+  }
+
   test("corruption is rejected, never thrown: bad magic, truncation, " +
     "flipped CRC-8") {
     val n = 16
