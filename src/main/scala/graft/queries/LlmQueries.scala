@@ -3993,6 +3993,87 @@ object LlmQueries {
       hist.union(tot).union(mut).union(iso).orderBy("metric", "k")
     })
 
+  /** Within-doc REPETITION signals (r15) — the Gopher/MassiveText
+    * quality-filter family q39 does NOT cover (q39 scores length/punct/
+    * stopword shape; this measures degenerate repetition, the failure
+    * mode of scraped boilerplate and LM-generated spam): per document,
+    * the top-unigram mass fraction and the duplicated 2-/3-gram
+    * fractions, plus a corpus-calibrated repetitive verdict (top1 >
+    * [[RepTop1Thresh]] OR dup2 > [[RepDup2Thresh]] — measured: medians
+    * 0.093/0.028, the thresholds flag the ~9% tail). Plan shape: the
+    * n-gram fractions are PURE NARROW projections (higher-order
+    * transform/array_distinct per row — zero shuffle); only the
+    * top-unigram needs a (doc, token) aggregate, map-side combinable.
+    * The n-gram guard matters: Spark's sequence(1, n) DESCENDS when
+    * n < 1, so short docs take an explicit empty-array branch where
+    * DuckDB's range() is naturally empty. 100 TB: one token-stream
+    * shuffle + per-row array work, output one row per doc. */
+  val RepTop1Thresh = 0.15
+  val RepDup2Thresh = 0.1
+  val q166 = QueryDef(
+    "q166_repetition_signals", {
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                       FROM documents),
+            uni AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS ntok FROM (
+                      SELECT doc_id, w, COUNT(*) AS c
+                      FROM (SELECT doc_id, unnest(t) AS w FROM tk)
+                      GROUP BY doc_id, w) GROUP BY doc_id),
+            ng AS (SELECT doc_id,
+                     list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1]) AS g2,
+                     list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+                   FROM tk),
+            fr AS (SELECT u.doc_id, u.ntok,
+                     u.topc * 1.0 / u.ntok AS top1,
+                     CASE WHEN len(g2) > 0
+                          THEN 1 - len(list_distinct(g2)) * 1.0 / len(g2)
+                          ELSE 0.0 END AS d2,
+                     CASE WHEN len(g3) > 0
+                          THEN 1 - len(list_distinct(g3)) * 1.0 / len(g3)
+                          ELSE 0.0 END AS d3
+                   FROM uni u JOIN ng USING (doc_id))
+            SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+                   CAST(ROUND(top1, 4) AS DOUBLE) AS top1_frac,
+                   CAST(ROUND(d2, 4) AS DOUBLE) AS dup2_frac,
+                   CAST(ROUND(d3, 4) AS DOUBLE) AS dup3_frac,
+                   top1 > $RepTop1Thresh OR d2 > $RepDup2Thresh AS repetitive
+            FROM fr ORDER BY doc_id""")
+    },
+    (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      val uni = tk
+        .select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("topc"), sum("c").as("ntok"))
+      val ng = tk.select(col("doc_id"),
+        expr("""IF(size(t) < 2, array(),
+                 transform(sequence(1, size(t) - 1),
+                   i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))""")
+          .as("g2"),
+        expr("""IF(size(t) < 3, array(),
+                 transform(sequence(1, size(t) - 2),
+                   i -> concat(element_at(t, i), ' ', element_at(t, i + 1),
+                               ' ', element_at(t, i + 2))))""").as("g3"))
+      uni.join(ng, "doc_id")
+        .select(col("doc_id"), col("ntok"),
+          (col("topc") * 1.0 / col("ntok")).as("top1"),
+          when(size(col("g2")) > 0,
+            lit(1) - size(array_distinct(col("g2"))) * 1.0 / size(col("g2")))
+            .otherwise(lit(0.0)).as("d2"),
+          when(size(col("g3")) > 0,
+            lit(1) - size(array_distinct(col("g3"))) * 1.0 / size(col("g3")))
+            .otherwise(lit(0.0)).as("d3"))
+        .select(col("doc_id"), col("ntok"),
+          round(col("top1"), 4).as("top1_frac"),
+          round(col("d2"), 4).as("dup2_frac"),
+          round(col("d3"), 4).as("dup3_frac"),
+          (col("top1") > RepTop1Thresh || col("d2") > RepDup2Thresh)
+            .as("repetitive"))
+        .orderBy("doc_id")
+    })
+
   /** Canonical-representative selection per near-dup cluster (r14) —
     * the DECISION step every dedup pipeline runs after clustering
     * (q64): from each connected component keep the argmax-quality
@@ -4048,5 +4129,5 @@ object LlmQueries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
-    q156, q161, q162, q163, q164, q165)
+    q156, q161, q162, q163, q164, q165, q166)
 }
