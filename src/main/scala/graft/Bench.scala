@@ -168,6 +168,13 @@ object Bench {
           .map(_._1).toSet
         kept = kept.filterNot { case (k, v) => v >= 0 && dropable(k) }
       }
+      // degenerate run where the ERRORED entries alone overflow the
+      // window (most of the registry failing): keep as many as fit —
+      // an over-budget line records `parsed: null` driver-side, which
+      // loses even the nerr count the failing run most needs
+      while (line(kept, all.size - kept.size).length > budget &&
+          kept.nonEmpty)
+        kept = kept.drop(1)
       kept
     }
     if (fit.size < all.size)

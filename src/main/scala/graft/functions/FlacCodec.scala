@@ -345,11 +345,16 @@ object FlacCodec {
       // mid-stream), still bails the decode (ADVICE r13: swallowing
       // those reported a truncated file as a successful decode).
       case e: Bail =>
-        // the EOF window is 128 BYTES measured from the FRAME START
-        // (r14 ADVICE: `r.remaining < 128` was 16 bytes of BITS at the
-        // bail point — a trailing ID3v1 tag whose first 14 bits matched
-        // the sync pattern failed the whole decode)
-        if (frames > 0 && (syncPhase || b.length - frameStartByte < 128))
+        // the EOF window is 128 BYTES measured from the FRAME START,
+        // inclusive — ID3v1 is EXACTLY 128 bytes, so a tag starting at
+        // a frame boundary leaves exactly 128 (r14 ADVICE: the old
+        // `r.remaining < 128` was 16 bytes of BITS at the bail point —
+        // a trailing tag whose first 14 bits matched the sync pattern
+        // failed the whole decode). Known tradeoff, accepted with the
+        // window: a CORRUPT legal final frame shorter than the window
+        // is indistinguishable from a tag without decoding it, and the
+        // tag is the common case (same posture as decodeMp3).
+        if (frames > 0 && (syncPhase || b.length - frameStartByte <= 128))
           halted = true
         else throw e
     }

@@ -36,15 +36,20 @@ import org.apache.spark.sql.functions._
   * and the hash gate stay consistent — BpeTrainerSpec pins it). */
 object BpeTrainer {
 
+  /** The " a b c " sentinel segmentation — identical to
+    * TextOps.bpeTokenCount's constructor, so tables learned here apply
+    * through q155/q163's replace chains unchanged. Shared with q163's
+    * distinct-word encode (one definition, not two copies). */
+  def segWord(w: String): String =
+    " " + w.map(_.toString).mkString(" ") + " "
+
   /** Learn `rounds` merges from `wc` — a (w STRING, c LONG-castable)
     * vocabulary whose words contain no spaces. Returns the merge table
     * as (rank, left, right, pairCount) — `rounds` rows (fewer if the
     * vocabulary degenerates to single symbols first). */
   def train(wc: DataFrame, rounds: Int, passes: Int = 6)
       : Seq[(Int, String, String, Long)] = {
-    // " a b c " sentinel form — identical to TextOps.bpeTokenCount's
-    // constructor, so the learned table applies through q155 unchanged
-    val segInit = udf((w: String) => " " + w.map(_.toString).mkString(" ") + " ")
+    val segInit = udf(segWord _)
     var vocab = wc
       .select(segInit(col("w")).as("seg"), col("c").cast("long").as("c"))
       .localCheckpoint(true) // corpus scan + vocab agg run ONCE

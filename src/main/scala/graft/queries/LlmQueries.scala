@@ -3638,20 +3638,30 @@ object LlmQueries {
     * Corpus-scale work is the one (word, count) aggregate; rounds are
     * vocabulary-scale (BpeTrainer scaladoc has the 100 TB posture). */
   val BpeTrainRounds = 10
-  val q156 = QueryDef(
-    "q156_bpe_train", {
-      def repl6(inner: String): String =
-        (1 to TextOps.BpePasses).foldLeft(inner)((s, _) =>
-          s"REPLACE($s, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')")
-      val roundCtes = (1 to BpeTrainRounds).map { i =>
-        s"""p$i AS (SELECT t.s[u.i] AS l, t.s[u.i + 1] AS r,
+
+  /** Shared BPE-oracle builders (q156 trains, q163 trains AND applies —
+    * one definition so a fix to the training-CTE shape can never land
+    * in only one of them): the fixpoint leftmost-non-overlapping
+    * REPLACE chain over `alias`'s one-row (l, r) merge, and the
+    * unrolled p/m/r training rounds. */
+  private def bpeReplChain(alias: String, inner: String): String =
+    (1 to TextOps.BpePasses).foldLeft(inner)((s, _) =>
+      s"REPLACE($s, ' ' || $alias.l || ' ' || $alias.r || ' ', " +
+        s"' ' || $alias.l || $alias.r || ' ')")
+
+  private def bpeTrainCtes: String = (1 to BpeTrainRounds).map { i =>
+    s"""p$i AS (SELECT t.s[u.i] AS l, t.s[u.i + 1] AS r,
                     CAST(SUM(t.c) AS BIGINT) AS cnt
              FROM (SELECT string_split(trim(seg), ' ') AS s, c FROM r${i - 1}) t,
                   unnest(range(1, len(t.s))) AS u(i)
              GROUP BY 1, 2),
         m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-        r$i AS (SELECT ${repl6("seg")} AS seg, c FROM r${i - 1}, m$i m)"""
-      }.mkString(",\n")
+        r$i AS (SELECT ${bpeReplChain("m", "seg")} AS seg, c FROM r${i - 1}, m$i m)"""
+  }.mkString(",\n")
+
+  val q156 = QueryDef(
+    "q156_bpe_train", {
+      val roundCtes = bpeTrainCtes
       val unionAll = (1 to BpeTrainRounds)
         .map(i => s"SELECT CAST($i AS INTEGER) AS rank, l, r, cnt FROM m$i")
         .mkString(" UNION ALL ")
@@ -3669,7 +3679,11 @@ object LlmQueries {
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .filter(col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val learned = graft.operators.BpeTrainer.train(wc, BpeTrainRounds)
+      // passes pinned to the shared constant the oracle CTEs use — the
+      // trainer's own default happens to match, but an explicit tie
+      // survives a BpePasses change (r15 review)
+      val learned = graft.operators.BpeTrainer.train(wc, BpeTrainRounds,
+        passes = TextOps.BpePasses)
       import s.implicits._
       learned.toDF("rank", "l", "r", "cnt").orderBy("rank")
     })
@@ -3693,24 +3707,16 @@ object LlmQueries {
     * billion times at 100 TB trains and encodes once. */
   val q163 = QueryDef(
     "q163_bpe_train_apply", {
-      def repl6(alias: String, inner: String): String =
-        (1 to TextOps.BpePasses).foldLeft(inner)((s, _) =>
-          s"REPLACE($s, ' ' || $alias.l || ' ' || $alias.r || ' ', " +
-            s"' ' || $alias.l || $alias.r || ' ')")
-      val roundCtes = (1 to BpeTrainRounds).map { i =>
-        s"""p$i AS (SELECT t.s[u.i] AS l, t.s[u.i + 1] AS r,
-                    CAST(SUM(t.c) AS BIGINT) AS cnt
-             FROM (SELECT string_split(trim(seg), ' ') AS s, c FROM r${i - 1}) t,
-                  unnest(range(1, len(t.s))) AS u(i)
-             GROUP BY 1, 2),
-        m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-        r$i AS (SELECT ${repl6("m", "seg")} AS seg, c FROM r${i - 1}, m$i m)"""
-      }.mkString(",\n")
+      val roundCtes = bpeTrainCtes // byte-shared with q156's oracle
       // the learned one-row mi CTEs cross-join into the encode step, so
-      // the application chain references the TRAINED strings
+      // the application chain references the TRAINED strings. This
+      // cross-join makes q163's oracle DEPEND on all ten mi being
+      // non-empty (an empty mi would zero the encode) — the engine side
+      // requires the full table below, so degeneration fails loudly on
+      // both sides instead of diverging
       val applyChain = (1 to BpeTrainRounds).foldLeft(
         "' ' || array_to_string(string_split(w, ''), ' ') || ' '")(
-        (s, i) => repl6(s"t$i", s))
+        (s, i) => bpeReplChain(s"t$i", s))
       val applyFrom = (1 to BpeTrainRounds).map(i => s"m$i t$i")
         .mkString(", ")
       Some(s"""WITH tok AS (SELECT lang, unnest(string_split(lower(text),
@@ -3740,12 +3746,19 @@ object LlmQueries {
         .groupBy("lang", "w").agg(count(lit(1)).as("c"))
         .localCheckpoint(true) // one corpus scan feeds train + apply
       val learned = graft.operators.BpeTrainer.train(
-        ws.groupBy("w").agg(sum("c").as("c")), BpeTrainRounds)
+        ws.groupBy("w").agg(sum("c").as("c")), BpeTrainRounds,
+        passes = TextOps.BpePasses) // pinned to the oracle's constant
+      // a degenerate vocabulary (fewer than BpeTrainRounds merges) would
+      // leave some oracle mi CTE empty and zero its encode cross-join
+      // while the engine applied a shorter chain — fail loudly instead
+      // of hash-diverging (r15 review; impossible on this corpus)
+      require(learned.size == BpeTrainRounds,
+        s"q163: vocabulary degenerated after ${learned.size} merges, " +
+          s"oracle unrolls $BpeTrainRounds rounds")
       // apply the LEARNED table to each DISTINCT word: the same
       // sentinel segmentation and leftmost-non-overlapping replace
       // chain as training (codegen'd — vocab-scale, never corpus-scale)
-      val segInit = udf((w: String) =>
-        " " + w.map(_.toString).mkString(" ") + " ")
+      val segInit = udf(graft.operators.BpeTrainer.segWord _)
       val applied = learned.foldLeft(segInit(col("w")): Column) {
         case (c, (_, l, r, _)) =>
           (1 to TextOps.BpePasses).foldLeft(c)((cc, _) =>

@@ -198,6 +198,12 @@ class FlacCodecSpec extends AnyFunSuite {
     val junk = Array(0xff.toByte, 0xf8.toByte) ++ Array.fill(58)(0xff.toByte)
     val Some((_, _, samples)) = FlacCodec.decode(w.bytes ++ junk)
     assert(samples.length == n && samples.forall(_ == 512 / 32768.0))
+    // the motivating boundary: an EXACTLY-128-byte trailer (ID3v1's
+    // size) starting at the frame boundary must also count as trailing
+    val id3 = Array(0xff.toByte, 0xf8.toByte) ++
+      Array.fill(126)(0xff.toByte)
+    val Some((_, _, s128)) = FlacCodec.decode(w.bytes ++ id3)
+    assert(s128.length == n)
     // past 128 bytes from the frame start the same junk is mid-stream
     // corruption, not an EOF tag: the decode must still fail
     val long = Array(0xff.toByte, 0xf8.toByte) ++
