@@ -155,6 +155,22 @@ object TextOps {
     }.toDF("doc_id", "band", "sig")
   }
 
+  /** [[simhashBands]] over an already-shingled (doc_id, sh) table —
+    * for callers that checkpoint ONE shingle pass and feed it to
+    * banding, lossless supplements and exact verify alike (q35's r15
+    * shape; re-shingling per consumer doubled its corpus passes). */
+  def simhashBandsFromShingles(docsSh: DataFrame, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    val spark = docsSh.sparkSession
+    import spark.implicits._
+    val bitsPerBand = 64 / bands
+    parallelized(docsSh).as[(Long, Seq[String])].flatMap { case (id, sh) =>
+      if (sh.isEmpty) Nil
+      else simhashRows(id, sh.toArray, bands, bitsPerBand)
+    }.toDF("doc_id", "band", "sig")
+  }
+
   private def simhashRows(
       id: Long, sh: Array[String], bands: Int, bitsPerBand: Int): Seq[(Long, Int, Long)] = {
     val counts = new Array[Int](64)

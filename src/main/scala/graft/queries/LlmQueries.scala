@@ -75,11 +75,16 @@ object LlmQueries {
     * candidate generation — verify joins against them instead of
     * re-shingling candidate documents from raw text. */
   private[queries] def verifyOnShingles(
+      s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame =
+    verifyOnShinglesUnsorted(s, docsSh, cand).orderBy("doc_a", "doc_b")
+
+  /** Unsorted form for callers that sort LAST anyway (q35's
+    * expandVerified) — skips a wasted intermediate sort. */
+  private def verifyOnShinglesUnsorted(
       s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame = {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
     exactJaccard(s, docsSh.join(broadcast(ids), "doc_id"), cand)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact string-shingle Jaccard ≥ 0.8 over candidate pairs; compiled
@@ -258,6 +263,18 @@ object LlmQueries {
   // differs by ≤ 1 bit — guaranteed for hamming ≤ 7 by pigeonhole, and
   // empirically for the planted dups here. Exact-Jaccard verification
   // reproduces the same ground-truth oracle as q34.
+  //
+  // Short-doc supplement (r15): the simhash majority vote is NOISY below
+  // ~64 shingles — each bit is a majority over the shingle hashes, so a
+  // one-shingle edit in a 38-shingle doc flips several bits (MEASURED:
+  // a jac-0.9744 pair of ~40-token docs landed ≥ 2 bits apart in every
+  // band at sf0.001 and was missed). jac ≥ 0.8 bounds the partner at
+  // 1.25× the shorter side's shingle count, so every pair with a
+  // sub-64-shingle side has BOTH sides < [[ShortDocShingles]] = 80 —
+  // and [[prefixCandidates]] (q56's pigeonhole-lossless AllPairs
+  // device) covers that subset EXACTLY at trivial cost. Banding carries
+  // the stable long-doc regime; the supplement makes the noisy regime
+  // lossless instead of lucky.
   val q35 = QueryDef(
     "q35_simhash_neardup",
     Some(DuckNearDup),
@@ -267,7 +284,25 @@ object LlmQueries {
       val bitsPerBand = 64 / simBands // probe count MUST track band width
       val (reps, members, within) =
         collapseExactDups(s, t(s, dir, "documents").select("doc_id", "text"))
-      val exploded = TextOps.simhashBands(reps, simBands)
+      import s.implicits._
+      // ONE checkpointed shingle pass serves banding, the short-doc
+      // supplement AND exact verify (the q56 posture — the pre-r15
+      // shape re-shingled the corpus per consumer)
+      val docsSh = reps.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
+        .toDF("doc_id", "sh")
+        .localCheckpoint(true)
+      // REGIME PARTITION (not just a supplement): this corpus is
+      // short-doc dominated (sf0.1: 4073/5000 reps under 80 shingles),
+      // so banding the noisy regime would be 80% wasted shuffle next to
+      // its exact cover. Every true pair is covered by exactly the
+      // right device: min side < SimhashStableShingles ⇒ jac ≥ 0.8
+      // bounds BOTH sides < 80 ⇒ the prefix filter pairs them exactly;
+      // otherwise both sides ≥ 64 ⇒ both band. The [64, 80) overlap
+      // belongs to both sets, so no pair falls between the regimes.
+      val exploded = TextOps.simhashBandsFromShingles(
+        docsSh.filter(size(col("sh")) >= SimhashStableShingles), simBands)
       // one pass emits the exact row (ex=1) plus DIRECTIONAL single-bit
       // probes (ex=0): only bits that are SET are flipped (1→0). A pair
       // whose band sigs differ in exactly bit j has exactly one member
@@ -297,10 +332,26 @@ object LlmQueries {
             "greatest(x.doc_id, y.doc_id) AS doc_b))))")).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"))
         .filter(col("doc_a") < col("doc_b"))
+        // lossless noisy-regime cover: the sub-ShortDocShingles subset
+        // routes through q56's pigeonhole-exact prefix filter (header
+        // comment has the measurement and the 1.25× length-bound
+        // argument); extra candidates only ever verify away
+        .union(prefixCandidates(docsSh.filter(
+          size(col("sh")) > 0 && size(col("sh")) < ShortDocShingles)))
         .distinct()
         .localCheckpoint(true)
-      expandVerified(verifyCandidates(s, reps, cand), members, within)
+      expandVerified(verifyOnShinglesUnsorted(s, docsSh, cand),
+        members, within)
     })
+
+  /** Shingle-count boundaries of q35's regime partition: simhash noise
+    * is measured below ~64 distinct shingles ([[SimhashStableShingles]]),
+    * and jac ≥ 0.8 bounds the partner at 1.25× — so covering all pairs
+    * with a sub-64 side exactly needs both sides < 80
+    * ([[ShortDocShingles]]); the [64, 80) overlap sits in both regimes
+    * so no pair falls between them. */
+  private val ShortDocShingles = 80
+  private val SimhashStableShingles = 64
 
   // ------------------------------- q56 n-gram Jaccard via prefix filtering
   // Exact (deterministic) Jaccard-0.8 join, AllPairs/PPJoin family: order
