@@ -107,32 +107,48 @@ object TextOps {
       docs: DataFrame, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val k = bands * rowsPerBand
     parallelized(docs).as[(Long, String)].flatMap { case (id, text) =>
-      val sh = shingleSet(text)
-      if (sh.isEmpty) Nil // can't be a near-dup; would bucket with every other empty doc
-      else {
-        val mins = Array.fill(k)(Long.MaxValue)
-        sh.foreach { s =>
-          val (h1, h2) = hash2(s)
-          // h1 + i·h2 built incrementally — identical values under Long
-          // wraparound, one add instead of a multiply per family
-          var h = h1
-          var i = 0
-          while (i < k) {
-            if (h < mins(i)) mins(i) = h
-            h += h2
-            i += 1
-          }
-        }
-        (0 until bands).map { b =>
-          var sig = 17L
-          var r = 0
-          while (r < rowsPerBand) { sig = sig * 31 + mins(b * rowsPerBand + r); r += 1 }
-          (id, b, sig)
+      minhashRows(id, shingleSet(text), bands, rowsPerBand)
+    }.toDF("doc_id", "band", "sig")
+  }
+
+  /** [[minhashBands]] over an already-shingled (doc_id, sh) table — the
+    * one-checkpointed-shingle-pass shape (see
+    * [[simhashBandsFromShingles]]). */
+  def minhashBandsFromShingles(
+      docsSh: DataFrame, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val spark = docsSh.sparkSession
+    import spark.implicits._
+    parallelized(docsSh).as[(Long, Seq[String])].flatMap { case (id, sh) =>
+      minhashRows(id, sh.toArray, bands, rowsPerBand)
+    }.toDF("doc_id", "band", "sig")
+  }
+
+  private def minhashRows(id: Long, sh: Array[String], bands: Int,
+      rowsPerBand: Int): Seq[(Long, Int, Long)] = {
+    val k = bands * rowsPerBand
+    if (sh.isEmpty) Nil // can't be a near-dup; would bucket with every other empty doc
+    else {
+      val mins = Array.fill(k)(Long.MaxValue)
+      sh.foreach { s =>
+        val (h1, h2) = hash2(s)
+        // h1 + i·h2 built incrementally — identical values under Long
+        // wraparound, one add instead of a multiply per family
+        var h = h1
+        var i = 0
+        while (i < k) {
+          if (h < mins(i)) mins(i) = h
+          h += h2
+          i += 1
         }
       }
-    }.toDF("doc_id", "band", "sig")
+      (0 until bands).map { b =>
+        var sig = 17L
+        var r = 0
+        while (r < rowsPerBand) { sig = sig * 31 + mins(b * rowsPerBand + r); r += 1 }
+        (id, b, sig)
+      }
+    }
   }
 
   /** (doc_id, text) → one row per (doc_id, band, sig): 64-bit SimHash

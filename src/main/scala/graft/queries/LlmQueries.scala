@@ -147,10 +147,29 @@ object LlmQueries {
       graft.MetricsWarn.ensure(s)
       val (reps, members, within) =
         collapseExactDups(s, t(s, dir, "documents").select("doc_id", "text"))
-      val bands = TextOps.minhashBands(reps, 32, 4)
-      val verified =
-        verifyCandidates(s, reps, bucketPairs(bands, "q34_lsh_buckets"))
-      expandVerified(verified, members, within)
+      import s.implicits._
+      // Same r15 regime partition as q35 (one checkpointed shingle pass;
+      // sub-80-shingle docs covered EXACTLY by the prefix filter, only
+      // the ≥64-shingle regime banded, [64, 80) in both). For MinHash
+      // the motivation is residual-variance, not length-noise: 8 bands
+      // × 4 rows miss a jac-0.9 pair with p ≈ 2·10⁻⁴ REGARDLESS of
+      // length, and on this short-dominated corpus nearly all true
+      // pairs sit in the exact regime — banding luck is now confined
+      // to long-doc pairs, where per-doc shingle evidence is largest.
+      val docsSh = reps.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
+        .toDF("doc_id", "sh")
+        .localCheckpoint(true)
+      val bands = TextOps.minhashBandsFromShingles(
+        docsSh.filter(size(col("sh")) >= BandRegimeFloor), 32, 4)
+      val cand = bucketPairs(bands, "q34_lsh_buckets")
+        .union(prefixCandidates(docsSh.filter(
+          size(col("sh")) > 0 && size(col("sh")) < ShortDocShingles)))
+        .distinct()
+        .localCheckpoint(true)
+      expandVerified(verifyOnShinglesUnsorted(s, docsSh, cand),
+        members, within)
     })
 
   /** Exact-duplicate pre-collapse feeding both banding paths. Returns
@@ -297,12 +316,12 @@ object LlmQueries {
       // short-doc dominated (sf0.1: 4073/5000 reps under 80 shingles),
       // so banding the noisy regime would be 80% wasted shuffle next to
       // its exact cover. Every true pair is covered by exactly the
-      // right device: min side < SimhashStableShingles ⇒ jac ≥ 0.8
+      // right device: min side < BandRegimeFloor ⇒ jac ≥ 0.8
       // bounds BOTH sides < 80 ⇒ the prefix filter pairs them exactly;
       // otherwise both sides ≥ 64 ⇒ both band. The [64, 80) overlap
       // belongs to both sets, so no pair falls between the regimes.
       val exploded = TextOps.simhashBandsFromShingles(
-        docsSh.filter(size(col("sh")) >= SimhashStableShingles), simBands)
+        docsSh.filter(size(col("sh")) >= BandRegimeFloor), simBands)
       // one pass emits the exact row (ex=1) plus DIRECTIONAL single-bit
       // probes (ex=0): only bits that are SET are flipped (1→0). A pair
       // whose band sigs differ in exactly bit j has exactly one member
@@ -345,13 +364,13 @@ object LlmQueries {
     })
 
   /** Shingle-count boundaries of q35's regime partition: simhash noise
-    * is measured below ~64 distinct shingles ([[SimhashStableShingles]]),
+    * is measured below ~64 distinct shingles ([[BandRegimeFloor]]),
     * and jac ≥ 0.8 bounds the partner at 1.25× — so covering all pairs
     * with a sub-64 side exactly needs both sides < 80
     * ([[ShortDocShingles]]); the [64, 80) overlap sits in both regimes
     * so no pair falls between them. */
   private val ShortDocShingles = 80
-  private val SimhashStableShingles = 64
+  private val BandRegimeFloor = 64
 
   // ------------------------------- q56 n-gram Jaccard via prefix filtering
   // Exact (deterministic) Jaccard-0.8 join, AllPairs/PPJoin family: order
