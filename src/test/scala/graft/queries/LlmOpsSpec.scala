@@ -74,6 +74,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(pfCand.size < 200, s"prefix-filter candidate explosion: ${pfCand.size}")
   }
 
+  test("q34/q35 regime partition end-to-end: a planted SHORT near-dup " +
+    "pair is found through the exact cover, a LONG one through banding") {
+    // short pair: ~35 tokens (33 shingles < BandRegimeFloor — these docs
+    // do NOT band at all, so only the lossless prefix cover can pair
+    // them); one changed word keeps jac = (k-5)/(k+1) ≈ 0.83 ≥ 0.8
+    val rs = new scala.util.Random(7)
+    val shortBase = (0 until 35).map(_ => s"s${rs.nextInt(1000000)}")
+    val shortA = shortBase.mkString(" ")
+    val shortB = shortBase.updated(17, "changed").mkString(" ")
+    // long pair: 120 tokens (118 shingles ≥ 80 — pure banding regime)
+    val longBase = (0 until 120).map(_ => s"l${rs.nextInt(1000000)}")
+    val longA = longBase.mkString(" ")
+    val longB = longBase.updated(60, "changed").mkString(" ")
+    // distractors in both regimes
+    val noise = (0 until 20).map { i =>
+      val r = new scala.util.Random(500 + i)
+      val n = if (i % 2 == 0) 30 else 110
+      (10L + i, (0 until n).map(_ => s"n${r.nextInt(1000000)}").mkString(" "))
+    }
+    val rows = Seq((1L, shortA), (2L, shortB), (5L, longA), (6L, longB)) ++ noise
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted").toString
+    docsDf(rows).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (q <- Seq("q34_minhash_neardup", "q35_simhash_neardup")) {
+      val got = Registry.queries(q)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got((1L, 2L)), s"$q lost the short pair through the partition")
+      assert(got((5L, 6L)), s"$q lost the long banded pair")
+      // exact verify guarantees no false positives
+      assert(got == Set((1L, 2L), (5L, 6L)), s"$q extras: ${got -- Set((1L, 2L), (5L, 6L))}")
+    }
+  }
+
   test("ANN hyperplane-LSH: recall vs exact top-5, candidates pruned (q37 scale path)") {
     val sfDir = sf // sf0.001
     val e = graft.Tables(spark, sfDir, "embeddings")
