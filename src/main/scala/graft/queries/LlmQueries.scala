@@ -45,31 +45,24 @@ object LlmQueries {
        SELECT doc_a, doc_b, ROUND(jac, 4) AS jac FROM p
        WHERE NOT isnan(jac) AND jac >= 0.8 ORDER BY doc_a, doc_b"""
 
-  /** candidates (doc_a < doc_b) → exact-Jaccard verify ≥ 0.8. Shingle
-    * sets are built only for documents that appear in a candidate pair,
-    * and the set intersection runs as compiled JVM code — the
-    * quadratic-ish verify work touches the collision set, never the
-    * corpus. Integer-ratio double division keeps exact parity with the
-    * DuckDB brute-force oracle.
-    *
-    * Candidate texts come from `reps` — the localCheckpoint'd
-    * exact-dup-class representatives the banding stage already
-    * materialized — NOT from a second scan of the raw table (VERDICT r10
-    * #1: q34's stage profile showed the verify stage dominated at small
-    * SF, and its cost was barrier latency — an extra source scan, an
-    * extra eager checkpoint, and two broadcast builds — not compute). */
-  private def verifyCandidates(
-      s: SparkSession, reps: DataFrame, cand: DataFrame): DataFrame = {
+  /** ONE checkpointed shingle pass over a (doc_id, text) table — the
+    * builder every shingle consumer shares (q34/q35: banding + exact
+    * short-doc cover + verify; q56: prefix + verify; q64: the dedup
+    * pipeline), so a change to the pass shape lands once (r15 review —
+    * the same single-definition argument as bpeTrainCtes). */
+  private def shingledDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val ids = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b"))).distinct()
-    val shingled = reps
-      .join(broadcast(ids), "doc_id")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .map { case (id, text) => (id, TextOps.shingleSet(text)) }
       .toDF("doc_id", "sh")
-    exactJaccard(s, shingled, cand)
+      .localCheckpoint(true)
   }
+
+  /** The exact-cover regime of the r15 q34/q35 partition — defined once
+    * next to its boundary constants. */
+  private def shortDocs(docsSh: DataFrame): DataFrame =
+    docsSh.filter(size(col("sh")) > 0 && size(col("sh")) < ShortDocShingles)
 
   /** q56's verify: the shingle sets were already materialized for
     * candidate generation — verify joins against them instead of
@@ -147,25 +140,20 @@ object LlmQueries {
       graft.MetricsWarn.ensure(s)
       val (reps, members, within) =
         collapseExactDups(s, t(s, dir, "documents").select("doc_id", "text"))
-      import s.implicits._
       // Same r15 regime partition as q35 (one checkpointed shingle pass;
       // sub-80-shingle docs covered EXACTLY by the prefix filter, only
       // the ≥64-shingle regime banded, [64, 80) in both). For MinHash
-      // the motivation is residual-variance, not length-noise: 8 bands
-      // × 4 rows miss a jac-0.9 pair with p ≈ 2·10⁻⁴ REGARDLESS of
-      // length, and on this short-dominated corpus nearly all true
-      // pairs sit in the exact regime — banding luck is now confined
-      // to long-doc pairs, where per-doc shingle evidence is largest.
-      val docsSh = reps.select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
-        .toDF("doc_id", "sh")
-        .localCheckpoint(true)
+      // the motivation is NOT banding noise — 32 bands × 4 rows miss a
+      // jac-0.9 pair with p = (1 − 0.9⁴)³² ≈ 1.4·10⁻¹⁵ at ANY length
+      // (≈ 5·10⁻⁸ even at the 0.8 threshold) — but shape-consistency
+      // with q35, the shared one-pass shingle table, and turning the
+      // dominant short regime's whp guarantee into a certainty for free
+      // (this corpus is 81% short; the prefix cover is exact there).
+      val docsSh = shingledDocs(s, reps)
       val bands = TextOps.minhashBandsFromShingles(
         docsSh.filter(size(col("sh")) >= BandRegimeFloor), 32, 4)
       val cand = bucketPairs(bands, "q34_lsh_buckets")
-        .union(prefixCandidates(docsSh.filter(
-          size(col("sh")) > 0 && size(col("sh")) < ShortDocShingles)))
+        .union(prefixCandidates(shortDocs(docsSh), checkpoint = false))
         .distinct()
         .localCheckpoint(true)
       expandVerified(verifyOnShinglesUnsorted(s, docsSh, cand),
@@ -249,10 +237,10 @@ object LlmQueries {
     * QueryExecutionListener channel; [[graft.MetricsWarn]] installs a
     * listener that WARNs when the count is nonzero. With the exact-dup
     * pre-collapse upstream, overflowing the cap needs > cap DISTINCT
-    * texts sharing a band signature. The result is local-checkpointed
-    * because the verify stage consumes it three times (two id
-    * projections + the pair join) and candidate lists are tiny relative
-    * to the corpus. */
+    * texts sharing a band signature. LAZY since r15: the one caller
+    * (q34) unions these pairs with the exact short-doc cover and
+    * distinct+checkpoints the UNION — an inner distinct+checkpoint here
+    * was a redundant blocking job per execution (r15 review). */
   private def bucketPairs(bands: DataFrame, metricName: String): DataFrame =
     bands.groupBy("band", "sig")
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -265,8 +253,6 @@ object LlmQueries {
           "slice(ids, i + 2, size(ids) - i - 1), " +
           "y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-      .localCheckpoint(true)
 
   /** Pair-space guard for degenerate buckets: larger buckets are dropped
     * from candidate generation (and counted — see [[bucketPairs]]). */
@@ -303,15 +289,10 @@ object LlmQueries {
       val bitsPerBand = 64 / simBands // probe count MUST track band width
       val (reps, members, within) =
         collapseExactDups(s, t(s, dir, "documents").select("doc_id", "text"))
-      import s.implicits._
       // ONE checkpointed shingle pass serves banding, the short-doc
       // supplement AND exact verify (the q56 posture — the pre-r15
       // shape re-shingled the corpus per consumer)
-      val docsSh = reps.select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
-        .toDF("doc_id", "sh")
-        .localCheckpoint(true)
+      val docsSh = shingledDocs(s, reps)
       // REGIME PARTITION (not just a supplement): this corpus is
       // short-doc dominated (sf0.1: 4073/5000 reps under 80 shingles),
       // so banding the noisy regime would be 80% wasted shuffle next to
@@ -355,8 +336,7 @@ object LlmQueries {
         // routes through q56's pigeonhole-exact prefix filter (header
         // comment has the measurement and the 1.25× length-bound
         // argument); extra candidates only ever verify away
-        .union(prefixCandidates(docsSh.filter(
-          size(col("sh")) > 0 && size(col("sh")) < ShortDocShingles)))
+        .union(prefixCandidates(shortDocs(docsSh), checkpoint = false))
         .distinct()
         .localCheckpoint(true)
       expandVerified(verifyOnShinglesUnsorted(s, docsSh, cand),
@@ -391,12 +371,8 @@ object LlmQueries {
     "q56_ngram_jaccard",
     Some(DuckNearDup),
     (s, dir) => {
-      import s.implicits._
-      val docsSh = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
-        .toDF("doc_id", "sh")
-        .localCheckpoint(true) // ONE shingle pass serves prefix AND verify
+      // ONE shingle pass serves prefix AND verify
+      val docsSh = shingledDocs(s, t(s, dir, "documents"))
       verifyOnShingles(s, docsSh, prefixCandidates(docsSh))
     })
 
@@ -444,7 +420,11 @@ object LlmQueries {
       docs: DataFrame,
       // overridable so the property suite can prove losslessness under a
       // pathologically tiny head (every class evicted to the df≈0 tail)
-      headMax: Int = DfHeadMax): DataFrame = {
+      headMax: Int = DfHeadMax,
+      // q56/q64 checkpoint here (verify consumes the result three
+      // times); q34/q35 pass false — they union with banding candidates
+      // and checkpoint the UNION, so an inner eager job is redundant
+      checkpoint: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // `docs` arrives checkpointed (q56) or tiny (tests): deriving the
@@ -467,7 +447,7 @@ object LlmQueries {
       .limit(headMax)
       .select(col("h"), col("df")).as[(Long, Long)].collect().toMap
     val bDf = s.sparkContext.broadcast(dfHead)
-    hashed.as[(Long, Int, Seq[Long])]
+    val pairs = hashed.as[(Long, Int, Seq[Long])]
       .flatMap { case (id, k, hs) =>
         val dfOf = bDf.value
         val pLen = k - math.ceil(k * 0.8).toInt + 1
@@ -502,7 +482,7 @@ object LlmQueries {
           "(1 + least(p.ka - p.pa - 1, p.kb - p.pb - 1)) * 9)))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-      .localCheckpoint(true)
+    if (checkpoint) pairs.localCheckpoint(true) else pairs
   }
 
   // ------------------------------------- q36 embedding top pair per label
@@ -1221,12 +1201,7 @@ object LlmQueries {
     Some(CcOracleCtes +
       " SELECT doc_id, cluster FROM ccl ORDER BY doc_id"),
     (s, dir) => {
-      import s.implicits._
-      val docsSh = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) => (id, TextOps.shingleSet(text)) }
-        .toDF("doc_id", "sh")
-        .localCheckpoint(true)
+      val docsSh = shingledDocs(s, t(s, dir, "documents"))
       val pairs = verifyOnShingles(s, docsSh, prefixCandidates(docsSh))
         .select(col("doc_a"), col("doc_b"))
       connectedComponents(pairs).orderBy("doc_id")
