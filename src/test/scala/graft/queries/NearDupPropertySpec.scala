@@ -87,6 +87,34 @@ class NearDupPropertySpec extends SparkSpec {
     }
   }
 
+  test("regime partition: q34/q35 END-TO-END lose no short-regime pair " +
+    "on adversarial corpora (the exact-cover guarantee, seeded fuzz)") {
+    // The r15 partition makes the short regime (both sides < 80
+    // shingles) EXACT for the full registry queries — bandable or not.
+    // genCorpus docs are all ≤ ~26 tokens (< 25 shingles), so EVERY
+    // true pair here sits in the exact regime: set containment is the
+    // right assertion, not planted-dup recall. Runs the real q34/q35
+    // against a temp parquet dir per seed, so the guarantee is pinned
+    // through collapseExactDups, the partition, verify AND expansion.
+    import spark.implicits._
+    for (seed <- 21L to 23L) {
+      val corpus = genCorpus(seed)
+      val truth = exactPairs(corpus)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-partition-$seed").toString
+      corpus.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      for (q <- Seq("q34_minhash_neardup", "q35_simhash_neardup")) {
+        val got = Registry.queries(q)(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(truth.subsetOf(got),
+          s"seed $seed $q lost ${truth -- got} of ${truth.size} true pairs")
+        assert(got.subsetOf(truth), // exact verify ⇒ no false positives
+          s"seed $seed $q extras ${got -- truth}")
+      }
+    }
+  }
+
   test("banding paths survive >1000 identical documents " +
     "(exact-dup pre-collapse; dropped-bucket metric stays 0)") {
     import spark.implicits._
