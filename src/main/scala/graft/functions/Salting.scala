@@ -33,8 +33,10 @@ object Salting {
     * deterministic scan (a file-source projection, as q154 does), or
     * pass `entropy` (e.g. a unique id column), which REPLACES the
     * positional term and restores strict retry-stability on arbitrary
-    * intermediates. The silent default is only safe for stable-order
-    * inputs — SaltingSpec pins the entropy-override path.
+    * intermediates. The default is only safe for stable-order inputs,
+    * and since r16 that contract is ENFORCED: a skewed-side plan with a
+    * shuffle-introducing or sampling operator is refused unless entropy
+    * is passed — SaltingSpec pins both the refusal and the override.
     */
   def saltedJoin(
       skewed: DataFrame,
@@ -51,6 +53,28 @@ object Salting {
       .contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin is only correct for inner/left join types, got $joinType")
     val saltCol = "__salt"
+    // The positional default is only retry-stable when the skewed side
+    // re-scans in a stable order. r14/r15 ADVICE: don't leave that as a
+    // silent contract — REFUSE the default on plans whose row order is
+    // not reproducible across stage retries (anything downstream of a
+    // shuffle or a sample re-draws order/content per attempt), with a
+    // message naming the fix. File-source scans with per-row transforms
+    // (q154's shape) pass untouched.
+    if (entropy.isEmpty) {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val unstable = skewed.queryExecution.analyzed.collectFirst {
+        case p: Join => p.nodeName
+        case p: Aggregate => p.nodeName
+        case p: RepartitionOperation => p.nodeName
+        case p: Sample => p.nodeName
+        case p: Deduplicate => p.nodeName
+      }
+      require(unstable.isEmpty,
+        s"saltedJoin default positional salt is not retry-stable on a " +
+          s"plan containing ${unstable.get}: after a fetch failure a " +
+          "partial stage retry can route the same row to a different " +
+          "bucket. Pass entropy = a unique id column of the skewed side.")
+    }
     val ent = entropy.getOrElse(monotonically_increasing_id())
     val salted = skewed.withColumn(saltCol,
       pmod(xxhash64(skewed.columns.map(col).toSeq :+ ent: _*), lit(buckets))

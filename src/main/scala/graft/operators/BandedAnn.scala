@@ -76,7 +76,15 @@ object BandedAnn {
     val ds = sigs.as[(Long, Long)]
     if (ds.count() > rowCap)
       return declarative(sigs, bands, bandBits, radius, k, masks)
-    val corpus = ds.collect()
+    // the collect is a SEPARATE action over the same plan (r15 ADVICE):
+    // cap the pull at rowCap + 1 so an input that grew (or re-ordered
+    // nondeterministically) between the two actions fails loudly below
+    // instead of re-introducing the unbounded driver pull the cap exists
+    // to prevent
+    val corpus = ds.limit(rowCap + 1).collect()
+    require(corpus.length <= rowCap,
+      s"BandedAnn corpus grew past the broadcast row cap $rowCap between " +
+        "the count() gate and the collect — nondeterministic input?")
     // id-domain guard (r14 ADVICE #3): the packed (ham << 56 | id)
     // ordering and its unmask silently corrupt on ids outside
     // [0, 2^56) — fail loudly instead of returning wrong candidates

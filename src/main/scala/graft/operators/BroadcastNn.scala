@@ -102,7 +102,13 @@ object BroadcastNn {
     }
 
     // ------------------------------------------ broadcast block scan
-    val corpus = ds.collect() // within budget by the count() gate above
+    // within budget by the count() gate above — but the collect is a
+    // SEPARATE action over the same plan (r15 ADVICE): cap the pull at
+    // rowCap + 1 and fail loudly if the input grew between the actions
+    val corpus = ds.limit(rowCap + 1).collect()
+    require(corpus.length <= rowCap,
+      s"BroadcastNn corpus grew past the broadcast row cap $rowCap " +
+        "between the count() gate and the collect — nondeterministic input?")
     val sorted = corpus.sortBy(_._1) // ascending id ⇒ ties keep smallest
     val ids = sorted.map(_._1)
     val mat = sorted.map(_._2)

@@ -71,25 +71,57 @@ object LlmQueries {
       s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame =
     verifyOnShinglesUnsorted(s, docsSh, cand).orderBy("doc_a", "doc_b")
 
+  /** Byte budget for the verify stage's forced broadcasts (VERDICT r15
+    * wrong #1). On a dup-heavy web corpus the candidate-doc set is
+    * corpus-FRACTION scale (30%+ near-dup rates are normal), and each
+    * candidate row carries its full shingle array — essentially the
+    * document — so an unconditional `broadcast(...)` here was the same
+    * failure [[graft.operators.VectorJoin.attachPair]] closed for the
+    * ANN re-rank, one stage earlier in the dedup family
+    * (q34/q35/q56/q64/q161/q164 all route through this verify). */
+  private def verifyBroadcastBudget(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.verify.broadcastBudgetBytes")
+      .map(_.toLong).getOrElse(512L << 20)
+
   /** Unsorted form for callers that sort LAST anyway (q35's
     * expandVerified) — skips a wasted intermediate sort. */
   private def verifyOnShinglesUnsorted(
       s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame = {
+    val budget = verifyBroadcastBudget(s)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    exactJaccard(s, docsSh.join(broadcast(ids), "doc_id"), cand)
+    // the id filter must be gated BEFORE the shingle probe below can
+    // run (the probe executes this join): one aggregate-scale count()
+    // decides the hint, ~24 B per long id row under the budget model
+    val nIds = ids.count()
+    val idsSide = if (nIds <= budget / 24L) broadcast(ids) else ids
+    exactJaccard(s, docsSh.join(idsSide, "doc_id"), cand, budget)
   }
 
   /** Exact string-shingle Jaccard ≥ 0.8 over candidate pairs; compiled
-    * set intersection, broadcast pair sides. */
+    * set intersection, budget-gated broadcast pair sides. */
   private def exactJaccard(
-      s: SparkSession, shingled: DataFrame, cand: DataFrame): DataFrame = {
+      s: SparkSession, shingled: DataFrame, cand: DataFrame,
+      maxBroadcastBytes: Long): DataFrame = {
     import s.implicits._
-    // ONE broadcast plan joined on both pair sides: aliasing the same
-    // hinted relation (instead of renaming columns before the hint)
-    // keeps the two exchange subtrees canonically identical, so
-    // ReuseExchange builds the candidate shingle map once, not twice
-    val b = broadcast(shingled)
+    // X42 posture: ONE aggregate pass (never a driver materialization)
+    // measures the EXACT shingle payload — row count plus per-doc char
+    // volume, with ~48 B/shingle string overhead and ~64 B/row — and
+    // the hint is only forced within budget. Past it the same two
+    // equi-joins run unhinted: a shuffle join of |cand| pairs against
+    // |candidate docs| shingle rows is a healthy linear plan, and any
+    // runtime broadcast decision is left to AQE stats. Row-equality of
+    // the two plans is spec-forced with a zero budget (LlmOpsSpec).
+    val st = shingled.agg(count(lit(1)).as("n"),
+      coalesce(sum(expr(
+        "aggregate(sh, 0L, (acc, x) -> acc + length(x) + 48L)")), lit(0L))
+        .as("chars")).head()
+    val within = st.getLong(1) + 64L * st.getLong(0) <= maxBroadcastBytes
+    // ONE plan joined on both pair sides: aliasing the same relation
+    // (instead of renaming columns before the hint) keeps the two
+    // exchange subtrees canonically identical, so ReuseExchange builds
+    // the candidate shingle map (or shuffle) once, not twice
+    val b = if (within) broadcast(shingled) else shingled
     cand.join(b.as("A"), col("doc_a") === col("A.doc_id"))
       .join(b.as("B"), col("doc_b") === col("B.doc_id"))
       .select(col("doc_a"), col("doc_b"),

@@ -46,10 +46,14 @@ class SaltingSpec extends SparkSpec {
       .repartition(6)
     val dim = (0L until 25L).map(k => (k, s"d$k")).toDF("k", "name")
 
-    // result parity first: the entropy term must stay invisible
+    // result parity first: the entropy term must stay invisible (the
+    // repartitioned input requires explicit entropy since r16 — the
+    // refusal itself is pinned in the next test)
+    val factId = fact.withColumn("rid", monotonically_increasing_id())
     val plain = fact.join(dim, "k")
       .agg(count(lit(1)), countDistinct("name")).head()
-    val salted = Salting.saltedJoin(fact, dim, "k", buckets = 8)
+    val salted = Salting.saltedJoin(factId, dim, "k", buckets = 8,
+        entropy = Some(col("rid")))
       .agg(count(lit(1)), countDistinct("name")).head()
     assert(salted == plain)
 
@@ -70,5 +74,31 @@ class SaltingSpec extends SparkSpec {
     val viaEntropy = Salting.saltedJoin(withId, dim, "k", 8,
       entropy = Some(col("rid")))
     assert(viaEntropy.count() == plain.getLong(0))
+  }
+
+  test("default positional salt REFUSES a non-stable-order skewed side " +
+    "(VERDICT r15 next-step #5: the silent retry hazard fails loudly)") {
+    import spark.implicits._
+    val dim = (0L until 25L).map(k => (k, s"d$k")).toDF("k", "name")
+    // round-robin repartition is the canonical hazard: a partial stage
+    // retry re-draws row placement, so the positional default can route
+    // the same row to a different bucket across attempts
+    val shuffled = (0 until 1000).map(i => (i.toLong % 25, i))
+      .toDF("k", "v").repartition(6)
+    val e = intercept[IllegalArgumentException] {
+      Salting.saltedJoin(shuffled, dim, "k", buckets = 8)
+    }
+    assert(e.getMessage.contains("entropy"), e.getMessage)
+    // aggregate and join intermediates are refused too
+    val agged = (0 until 100).map(i => (i.toLong % 25, i)).toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("v"))
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(agged, dim, "k", buckets = 8)
+    }
+    // the same plans pass with explicit entropy
+    assert(Salting.saltedJoin(shuffled, dim, "k", 8,
+      entropy = Some(col("v"))).count() == 1000)
+    assert(Salting.saltedJoin(agged, dim, "k", 8,
+      entropy = Some(col("k"))).count() == 25)
   }
 }

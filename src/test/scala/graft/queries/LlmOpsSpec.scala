@@ -1010,4 +1010,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6,
       s"binary-ANN recall $recall too low (exact=$exact binary=$binary)")
   }
+
+  test("verify stage budget gate (VERDICT r15 wrong #1): the zero-budget " +
+    "shuffle plan is row-equal to the broadcast plan and FORCES nothing") {
+    // planted near-dups so the verify emits rows on both paths
+    val base = (0L until 20L).map { i =>
+      val r = new scala.util.Random(4000 + i)
+      i -> (0 until 40).map(_ => s"w${r.nextInt(1000000)}").mkString(" ")
+    }
+    val dups = (0L until 4L).map { i =>
+      (100L + i) -> base(i.toInt)._2.replaceFirst("w\\d+", "changed")
+    }
+    val docsSh = docsDf(base ++ dups)
+      .select(col("doc_id"), TextOps.shingles3(TextOps.tokens(col("text"))).as("sh"))
+    val idsDf = docsSh.select(col("doc_id"))
+    // every pair as a candidate: the verify must keep exactly the dups
+    val cand = idsDf.as("x").join(idsDf.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    def rows() = LlmQueries.verifyOnShingles(spark, docsSh, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = rows()
+    assert(fast.map(p => (p._1, p._2)) ==
+      (0L until 4L).map(i => (i, 100L + i)).toSet, s"fast=$fast")
+    spark.conf.set("spark.graft.verify.broadcastBudgetBytes", "0")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val slow = rows()
+      assert(slow == fast,
+        s"fastOnly=${(fast -- slow).take(3)} slowOnly=${(slow -- fast).take(3)}")
+      // kill stats-based auto-broadcast: any BroadcastExchange left can
+      // only come from a hint — the thing the zero budget must drop
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = LlmQueries.verifyOnShingles(spark, docsSh, cand)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan.take(800))
+    } finally {
+      spark.conf.unset("spark.graft.verify.broadcastBudgetBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
 }
