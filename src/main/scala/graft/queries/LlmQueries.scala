@@ -457,29 +457,55 @@ object LlmQueries {
       // times); q34/q35 pass false — they union with banding candidates
       // and checkpoint the UNION, so an inner eager job is redundant
       checkpoint: Boolean = true): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
     // `docs` arrives checkpointed (q56) or tiny (tests): deriving the
     // hash view twice (df count + prefix pass) is a cheap re-transform,
-    // not a re-shingle. k stays the STRING shingle count — a hash
-    // collision can shrink the class array, and filters computed from
-    // the class count could then prune a true pair; with string-k the
-    // prefix length and both in-bucket filters are never tighter than
-    // the exact string-side PPJoin bounds (merges within a doc only
-    // make class positions smaller), so collisions still only ADD
-    // candidates and losslessness is exact, not just whp.
-    val hashed = docs.filter(size(col("sh")) > 0)
+    // not a re-shingle.
+    val hashed = hashedShingles(docs)
+    val pairs = postingsPairs(
+      prefixPostings(hashed, dfHeadOf(hashed, headMax)))
+    if (checkpoint) pairs.localCheckpoint(true) else pairs
+  }
+
+  /** (doc_id, sh) → (doc_id, k, hs): the xxhash64 order-class view. A
+    * collision merges two global-order classes, which can only ADD
+    * candidates the exact verify discards. k stays the STRING shingle
+    * count — a hash collision can shrink the class array, and filters
+    * computed from the class count could then prune a true pair; with
+    * string-k the prefix length and both in-bucket filters are never
+    * tighter than the exact string-side PPJoin bounds (merges within a
+    * doc only make class positions smaller), so collisions still only
+    * ADD candidates and losslessness is exact, not just whp. */
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    docs.filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("k"),
         array_distinct(transform(col("sh"), x => xxhash64(x))).as("hs"))
-    val dfHead = hashed.select(explode(col("hs")).as("h"))
+
+  /** The df HEAD as a driver map — constant-bounded at `headMax` entries
+    * (the documented ~100-150 MB ceiling at the 2²⁰ default), collected
+    * from ONE aggregate + TakeOrdered (no full sort). */
+  private def dfHeadOf(hashed: DataFrame, headMax: Int): Map[Long, Long] = {
+    val s = hashed.sparkSession
+    import s.implicits._
+    hashed.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= DfFloor)
       // hash tiebreak makes the head deterministic when dfs tie at the cut
       .orderBy(desc("df"), col("h"))
       .limit(headMax)
       .select(col("h"), col("df")).as[(Long, Long)].collect().toMap
-    val bDf = s.sparkContext.broadcast(dfHead)
-    val pairs = hashed.as[(Long, Int, Seq[Long])]
+  }
+
+  /** Rare-first prefix postings (h, doc_id, k, pos) under the consistent
+    * corpus-global (df-or-0, hash) order `head` induces. The pigeonhole
+    * argument only needs ORDER CONSISTENCY across the docs being paired
+    * — which is why q167 can index a new batch under a STORED corpus's
+    * head and losslessly join it against stored postings. */
+  private def prefixPostings(
+      hashed: DataFrame, head: Map[Long, Long]): DataFrame = {
+    val s = hashed.sparkSession
+    import s.implicits._
+    val bDf = s.sparkContext.broadcast(head)
+    hashed.as[(Long, Int, Seq[Long])]
       .flatMap { case (id, k, hs) =>
         val dfOf = bDf.value
         val pLen = k - math.ceil(k * 0.8).toInt + 1
@@ -487,19 +513,32 @@ object LlmQueries {
           .map { case (h, pos) => (h, id, k, pos) }
       }
       .toDF("h", "doc_id", "k", "pos")
+  }
+
+  /** PPJoin in-bucket pair filters over two posting entries, all exact
+    * integer arithmetic (`A`/`B` name the two posting columns sets):
+    *  - length: jac ≥ 0.8 ⇒ min(k) ≥ ⌈0.8·max(k)⌉ ⇔ 5·min ≥ 4·max;
+    *  - positional bound: a collision at sorted positions (pa, pb) caps
+    *    the overlap at 1 + min(ka−pa−1, kb−pb−1), which must reach
+    *    α = ⌈4(ka+kb)/9⌉ (= ⌈t/(1+t)·(ka+kb)⌉ at t=0.8) ⇔
+    *    4(ka+kb) ≤ 9(1 + min(…)). Sound: the smallest common class sits
+    *    in both prefixes and every common class at-or-after it, so for
+    *    a TRUE pair that collision passes the bound. */
+  private def ppjPairFilter(ka: String, pa: String,
+      kb: String, pb: String): String =
+    s"least($ka, $kb) * 5 >= greatest($ka, $kb) * 4 " +
+      s"AND ($ka + $kb) * 4 <= " +
+      s"(1 + least($ka - $pa - 1, $kb - $pb - 1)) * 9"
+
+  /** Self-pairing of one postings table: bucket group over each class,
+    * in-bucket pair expansion under the PPJoin filters plus doc_a <
+    * doc_b (which also drops the self-pair a within-doc hash collision
+    * would otherwise emit). */
+  private def postingsPairs(postings: DataFrame): DataFrame =
+    postings
       .groupBy("h")
       .agg(collect_list(struct(col("doc_id"), col("k"), col("pos"))).as("ms"))
       .filter(size(col("ms")) >= 2)
-      // In-bucket pair filters, all exact integer arithmetic:
-      //  - doc_a < doc_b (also drops the self-pair a within-doc hash
-      //    collision would otherwise emit);
-      //  - length: jac ≥ 0.8 ⇒ min(k) ≥ ⌈0.8·max(k)⌉ ⇔ 5·min ≥ 4·max;
-      //  - PPJoin positional bound: a collision at sorted positions
-      //    (pa, pb) caps the overlap at 1 + min(ka−pa−1, kb−pb−1), which
-      //    must reach α = ⌈4(ka+kb)/9⌉ (= ⌈t/(1+t)·(ka+kb)⌉ at t=0.8) ⇔
-      //    4(ka+kb) ≤ 9(1 + min(…)). Sound: the smallest common class
-      //    sits in both prefixes and every common class at-or-after it,
-      //    so for a TRUE pair that collision passes the bound.
       .select(explode(expr(
         "flatten(transform(ms, (x, i) -> filter(transform(" +
           "slice(ms, i + 2, size(ms) - i - 1), " +
@@ -509,13 +548,9 @@ object LlmQueries {
           "named_struct('doc_a', y.doc_id, 'doc_b', x.doc_id, " +
           "'ka', y.k, 'kb', x.k, 'pa', y.pos, 'pb', x.pos))), " +
           "p -> p.doc_a < p.doc_b " +
-          "AND least(p.ka, p.kb) * 5 >= greatest(p.ka, p.kb) * 4 " +
-          "AND (p.ka + p.kb) * 4 <= " +
-          "(1 + least(p.ka - p.pa - 1, p.kb - p.pb - 1)) * 9)))")).as("p"))
+          s"AND ${ppjPairFilter("p.ka", "p.pa", "p.kb", "p.pb")})))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    if (checkpoint) pairs.localCheckpoint(true) else pairs
-  }
 
   // ------------------------------------- q36 embedding top pair per label
   /** Label-blocked embedding pairs with the codegen'd cosine — the ONE
@@ -4164,6 +4199,97 @@ object LlmQueries {
         .orderBy("doc_id")
     })
 
+  // --------------------- q167 incremental near-dup vs STORED lake state
+  /** The nightly-ingest shape (VERDICT r15 missing #1): every other
+    * dedup query is a batch SELF-join that re-shingles the whole corpus
+    * per run, but the operational 100 TB form is "dedup tonight's
+    * ingest against the standing corpus". Documents are split by a
+    * deterministic id predicate into the STANDING corpus (~80%) and the
+    * NEW batch (~20%); the standing corpus's shingle sets, rare-first
+    * prefix postings, and df head are materialized ONCE as lake tables
+    * (the [[incrState]] fixture — in production a nightly-maintained
+    * index), and the per-run cost is O(batch): shingle ONLY the batch,
+    * index its prefixes under the STORED head order, equi-join batch
+    * postings against stored postings (new × stored) plus a batch-only
+    * bucket group (new × new), and verify exactly against shingles
+    * fetched from the lake for the stored side. Losslessness carries
+    * over unchanged: the pigeonhole cover needs only order CONSISTENCY
+    * across the two docs of a pair, and both sides' prefixes are sorted
+    * by the same stored (df-or-0, hash) total order — classes unseen by
+    * the standing corpus simply fall into the df≈0 tail of that order
+    * (see [[prefixPostings]]). The oracle brute-forces the union with
+    * pairs restricted to (new × all). SCALING.md has the cost
+    * argument; IncrDedupSpec pins cross-batch and within-batch planted
+    * pairs plus the restriction (no stored × stored output). */
+  private[queries] val IncrNewPred = "doc_id % 10 >= 8"
+  private val incrStates =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (graft.lake.LakeTable, graft.lake.LakeTable, graft.lake.LakeTable)]()
+
+  /** Standing-corpus index build — once per (session, sfDir), the
+    * analogue of the nightly-maintained state; queries read the result
+    * through the lake layer only. */
+  private def incrState(s: SparkSession, dir: String):
+      (graft.lake.LakeTable, graft.lake.LakeTable, graft.lake.LakeTable) =
+    incrStates.computeIfAbsent((s, dir), { _ =>
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-incr-wh")
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      cat.createNamespace("dedup")
+      val stored = t(s, dir, "documents")
+        .filter(!expr(IncrNewPred)).select("doc_id", "text")
+      val storedSh = shingledDocs(s, stored)
+      val hashed = hashedShingles(storedSh)
+      val head = dfHeadOf(hashed, DfHeadMax)
+      val shT = cat.createTable("dedup", "shingles", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("sh", ArrayType(StringType)))))
+        .append(storedSh)
+      val postT = cat.createTable("dedup", "postings", StructType(Seq(
+          StructField("h", LongType), StructField("doc_id", LongType),
+          StructField("k", IntegerType), StructField("pos", IntegerType))))
+        .append(prefixPostings(hashed, head))
+      val headT = cat.createTable("dedup", "dfhead", StructType(Seq(
+          StructField("h", LongType), StructField("df", LongType))))
+        .append(head.toSeq.toDF("h", "df"))
+      (shT, postT, headT)
+    })
+
+  val q167 = QueryDef(
+    "q167_incremental_neardup",
+    Some(DuckShingles +
+      """, p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+       SELECT doc_a, doc_b, ROUND(jac, 4) AS jac FROM p
+       WHERE NOT isnan(jac) AND jac >= 0.8 ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val (shT, postT, headT) = incrState(s, dir)
+      import s.implicits._
+      // the stored head is STATE read back from the lake — a driver
+      // pull bounded at DfHeadMax rows by construction (same budget
+      // note as dfHeadOf)
+      val head = headT.read().as[(Long, Long)].collect().toMap
+      val newSh = shingledDocs(s, t(s, dir, "documents")
+        .filter(expr(IncrNewPred)).select("doc_id", "text"))
+      val newPost = prefixPostings(hashedShingles(newSh), head)
+        .localCheckpoint(true) // consumed twice: cross equi-join + self
+      val storedPost = postT.read()
+      val cross = newPost.as("n")
+        .join(storedPost.as("o"), col("n.h") === col("o.h"))
+        .filter(expr(ppjPairFilter("n.k", "n.pos", "o.k", "o.pos")))
+        .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+          greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      val cand = cross.union(postingsPairs(newPost)).distinct()
+        .localCheckpoint(true)
+      // verify fetches stored shingles THROUGH the lake table (only
+      // candidate docs survive the id join inside verifyOnShingles)
+      verifyOnShingles(s, shT.read().unionByName(newSh), cand)
+    })
+
   /** Canonical-representative selection per near-dup cluster (r14) —
     * the DECISION step every dedup pipeline runs after clustering
     * (q64): from each connected component keep the argmax-quality
@@ -4219,5 +4345,5 @@ object LlmQueries {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
-    q156, q161, q162, q163, q164, q165, q166)
+    q156, q161, q162, q163, q164, q165, q166, q167)
 }
