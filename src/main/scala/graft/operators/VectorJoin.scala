@@ -39,16 +39,29 @@ object VectorJoin {
       maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val vecs = vectors.select(col(idCol).cast("long").as("__vid"),
       col(vecCol).as("__v"))
-    // budget probe at aggregate scale (r14 ADVICE posture — decide the
-    // path without pulling rows to the driver): one pass computes the
-    // corpus row count and max dimension; bytes/row is the BroadcastNn
-    // model (8·d array payload + row/boxing overhead)
-    val stats = vecs.agg(count(lit(1)).as("n"),
-      max(size(col("__v"))).as("d")).head()
-    val n = stats.getLong(0)
-    val d = if (stats.isNullAt(1)) 0 else math.max(stats.getInt(1), 0)
-    val rowCap = maxBroadcastBytes / (8L * d + 64L)
-    val side = if (n <= rowCap) broadcast(vecs) else vecs
+    // r15 ADVICE: the aggregate probe costs one extra corpus scan per
+    // call, so first consult Catalyst's own size estimate — for the
+    // usual file-source vector table that's footer-derived, zero I/O.
+    // Only a DECISIVE result (≤ budget/4) short-circuits to broadcast:
+    // parquet double arrays are near-incompressible, so on-disk bytes
+    // track the 8·d payload and the 4× margin absorbs row/boxing
+    // overhead; anything near or past the boundary still pays the
+    // exact aggregate-scale probe below (never a driver pull).
+    val planBytes = vecs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val side = if (planBytes <= BigInt(maxBroadcastBytes / 4)) {
+      broadcast(vecs)
+    } else {
+      // budget probe at aggregate scale (r14 ADVICE posture — decide
+      // the path without pulling rows to the driver): one pass computes
+      // the corpus row count and max dimension; bytes/row is the
+      // BroadcastNn model (8·d array payload + row/boxing overhead)
+      val stats = vecs.agg(count(lit(1)).as("n"),
+        max(size(col("__v"))).as("d")).head()
+      val n = stats.getLong(0)
+      val d = if (stats.isNullAt(1)) 0 else math.max(stats.getInt(1), 0)
+      val rowCap = maxBroadcastBytes / (8L * d + 64L)
+      if (n <= rowCap) broadcast(vecs) else vecs
+    }
     val keep = cand.columns.map(col).toSeq
     cand.join(side.as("__A"), col(aCol) === col("__A.__vid"))
       .join(side.as("__B"), col(bCol) === col("__B.__vid"))
