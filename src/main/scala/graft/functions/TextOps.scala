@@ -119,9 +119,12 @@ object TextOps {
       docsSh: DataFrame, bands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val spark = docsSh.sparkSession
     import spark.implicits._
-    parallelized(docsSh).as[(Long, Seq[String])].flatMap { case (id, sh) =>
-      minhashRows(id, sh.toArray, bands, rowsPerBand)
-    }.toDF("doc_id", "band", "sig")
+    // explicit projection: the shingle table may carry extra columns
+    // (e.g. the precomputed `bytes` budget column)
+    parallelized(docsSh.select("doc_id", "sh")).as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        minhashRows(id, sh.toArray, bands, rowsPerBand)
+      }.toDF("doc_id", "band", "sig")
   }
 
   private def minhashRows(id: Long, sh: Array[String], bands: Int,
@@ -181,10 +184,11 @@ object TextOps {
     val spark = docsSh.sparkSession
     import spark.implicits._
     val bitsPerBand = 64 / bands
-    parallelized(docsSh).as[(Long, Seq[String])].flatMap { case (id, sh) =>
-      if (sh.isEmpty) Nil
-      else simhashRows(id, sh.toArray, bands, bitsPerBand)
-    }.toDF("doc_id", "band", "sig")
+    parallelized(docsSh.select("doc_id", "sh")).as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        if (sh.isEmpty) Nil
+        else simhashRows(id, sh.toArray, bands, bitsPerBand)
+      }.toDF("doc_id", "band", "sig")
   }
 
   private def simhashRows(

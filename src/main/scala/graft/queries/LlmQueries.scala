@@ -54,8 +54,18 @@ object LlmQueries {
     import s.implicits._
     docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, TextOps.shingleSet(text)) }
-      .toDF("doc_id", "sh")
+      .map { case (id, text) =>
+        val sh = TextOps.shingleSet(text)
+        // byte model of this row's shingle heap footprint, computed in
+        // the SAME pass (r16): the verify stage's broadcast budget gate
+        // reads sum(bytes) as a two-long-column checkpoint scan instead
+        // of re-walking every shingle string per query (measured ~0.15 s
+        // per dedup query at sf0.1). 48 B ≈ UTF8String + array slot.
+        var b = 0L
+        sh.foreach(x => b += x.length + 48L)
+        (id, sh, b)
+      }
+      .toDF("doc_id", "sh", "bytes")
       .localCheckpoint(true)
   }
 
@@ -83,6 +93,16 @@ object LlmQueries {
     s.conf.getOption("spark.graft.verify.broadcastBudgetBytes")
       .map(_.toLong).getOrElse(512L << 20)
 
+  /** Byte model of one shingle row's heap footprint: per-string chars
+    * plus ~48 B UTF8String/array-slot overhead (the row adds ~64 B
+    * more, charged at the call sites). [[shingledDocs]] precomputes it
+    * as the `bytes` column in the shingle pass itself; this expression
+    * is the fallback for shingle tables built without one (tests, the
+    * q167 batch-side path before its column landed). */
+  private def shingleBytesCol(df: DataFrame): Column =
+    if (df.columns.contains("bytes")) col("bytes")
+    else expr("aggregate(sh, 0L, (acc, x) -> acc + length(x) + 48L)")
+
   /** Unsorted form for callers that sort LAST anyway (q35's
     * expandVerified) — skips a wasted intermediate sort. */
   private def verifyOnShinglesUnsorted(
@@ -90,33 +110,45 @@ object LlmQueries {
     val budget = verifyBroadcastBudget(s)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    // the id filter must be gated BEFORE the shingle probe below can
-    // run (the probe executes this join): one aggregate-scale count()
-    // decides the hint, ~24 B per long id row under the budget model
+    // Corpus-level PRE-gate (r16 — the first r16 cut paid a distinct
+    // count + a join-shaped probe per verify call and cost the dedup
+    // family ~0.3-0.7 s each at sf0.1): ONE cheap aggregate over the
+    // checkpointed shingle table, no join. Candidate docs are a SUBSET
+    // of docsSh rows (candidates are generated from it), so a corpus
+    // whose whole payload fits the budget admits any candidate set —
+    // and bounds the id list too (24 B/id charged in the same test).
+    // Only a corpus PAST the budget — the 100 TB regime the gate
+    // exists for — pays the exact candidate-level probes below.
+    val tot = docsSh.agg(count(lit(1)).as("n"),
+      coalesce(sum(shingleBytesCol(docsSh)), lit(0L)).as("chars")).head()
+    if (tot.getLong(1) + (64L + 24L) * tot.getLong(0) <= budget)
+      return exactJaccard(s, docsSh.join(broadcast(ids), "doc_id"), cand,
+        within = true)
+    // Candidate-level exact gating (X42 posture, aggregate-scale only —
+    // never a driver materialization): the id filter is gated BEFORE
+    // the shingle probe can run (the probe executes that join), then
+    // one pass measures the EXACT candidate shingle payload.
     val nIds = ids.count()
     val idsSide = if (nIds <= budget / 24L) broadcast(ids) else ids
-    exactJaccard(s, docsSh.join(idsSide, "doc_id"), cand, budget)
+    val shingled = docsSh.join(idsSide, "doc_id")
+    val st = shingled.agg(count(lit(1)).as("n"),
+      coalesce(sum(shingleBytesCol(shingled)), lit(0L)).as("chars")).head()
+    exactJaccard(s, shingled, cand,
+      within = st.getLong(1) + 64L * st.getLong(0) <= budget)
   }
 
   /** Exact string-shingle Jaccard ≥ 0.8 over candidate pairs; compiled
-    * set intersection, budget-gated broadcast pair sides. */
+    * set intersection, budget-gated broadcast pair sides ([[
+    * verifyOnShinglesUnsorted]] decides `within`). Past the budget the
+    * same two equi-joins run unhinted: a shuffle join of |cand| pairs
+    * against |candidate docs| shingle rows is a healthy linear plan,
+    * and any runtime broadcast decision is left to AQE stats — never
+    * forced. Row-equality of the two plans is spec-forced with a zero
+    * budget (LlmOpsSpec). */
   private def exactJaccard(
       s: SparkSession, shingled: DataFrame, cand: DataFrame,
-      maxBroadcastBytes: Long): DataFrame = {
+      within: Boolean): DataFrame = {
     import s.implicits._
-    // X42 posture: ONE aggregate pass (never a driver materialization)
-    // measures the EXACT shingle payload — row count plus per-doc char
-    // volume, with ~48 B/shingle string overhead and ~64 B/row — and
-    // the hint is only forced within budget. Past it the same two
-    // equi-joins run unhinted: a shuffle join of |cand| pairs against
-    // |candidate docs| shingle rows is a healthy linear plan, and any
-    // runtime broadcast decision is left to AQE stats. Row-equality of
-    // the two plans is spec-forced with a zero budget (LlmOpsSpec).
-    val st = shingled.agg(count(lit(1)).as("n"),
-      coalesce(sum(expr(
-        "aggregate(sh, 0L, (acc, x) -> acc + length(x) + 48L)")), lit(0L))
-        .as("chars")).head()
-    val within = st.getLong(1) + 64L * st.getLong(0) <= maxBroadcastBytes
     // ONE plan joined on both pair sides: aliasing the same relation
     // (instead of renaming columns before the hint) keeps the two
     // exchange subtrees canonically identical, so ReuseExchange builds
@@ -4244,7 +4276,8 @@ object LlmQueries {
       val head = dfHeadOf(hashed, DfHeadMax)
       val shT = cat.createTable("dedup", "shingles", StructType(Seq(
           StructField("doc_id", LongType),
-          StructField("sh", ArrayType(StringType)))))
+          StructField("sh", ArrayType(StringType)),
+          StructField("bytes", LongType))))
         .append(storedSh)
       val postT = cat.createTable("dedup", "postings", StructType(Seq(
           StructField("h", LongType), StructField("doc_id", LongType),
