@@ -48,26 +48,13 @@ object LlmQueries {
   /** ONE checkpointed shingle pass over a (doc_id, text) table — the
     * builder every shingle consumer shares (q34/q35: banding + exact
     * short-doc cover + verify; q56: prefix + verify; q64: the dedup
-    * pipeline), so a change to the pass shape lands once (r15 review —
-    * the same single-definition argument as bpeTrainCtes). */
-  private def shingledDocs(s: SparkSession, docs: DataFrame): DataFrame = {
-    import s.implicits._
-    docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = TextOps.shingleSet(text)
-        // byte model of this row's shingle heap footprint, computed in
-        // the SAME pass (r16): the verify stage's broadcast budget gate
-        // reads sum(bytes) as a two-long-column checkpoint scan instead
-        // of re-walking every shingle string per query (measured ~0.15 s
-        // per dedup query at sf0.1). 48 B ≈ UTF8String + array slot.
-        var b = 0L
-        sh.foreach(x => b += x.length + 48L)
-        (id, sh, b)
-      }
-      .toDF("doc_id", "sh", "bytes")
-      .localCheckpoint(true)
-  }
+    * pipeline), so a change to the pass shape lands once. Since r16 the
+    * whole prefix-index device lives in
+    * [[graft.operators.PrefixIndex]], shared verbatim with the
+    * STREAMING near-dup ingest; these wrappers keep this file's query
+    * spellings stable. */
+  private def shingledDocs(s: SparkSession, docs: DataFrame): DataFrame =
+    graft.operators.PrefixIndex.shingled(docs)
 
   /** The exact-cover regime of the r15 q34/q35 partition — defined once
     * next to its boundary constants. */
@@ -76,101 +63,19 @@ object LlmQueries {
 
   /** q56's verify: the shingle sets were already materialized for
     * candidate generation — verify joins against them instead of
-    * re-shingling candidate documents from raw text. */
+    * re-shingling candidate documents from raw text. Budget-gated
+    * (VERDICT r15 wrong #1) in [[graft.operators.PrefixIndex.verifyPairs]]:
+    * q34/q35/q56/q64/q161/q167 all route through it. */
   private[queries] def verifyOnShingles(
       s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame =
-    verifyOnShinglesUnsorted(s, docsSh, cand).orderBy("doc_a", "doc_b")
-
-  /** Byte budget for the verify stage's forced broadcasts (VERDICT r15
-    * wrong #1). On a dup-heavy web corpus the candidate-doc set is
-    * corpus-FRACTION scale (30%+ near-dup rates are normal), and each
-    * candidate row carries its full shingle array — essentially the
-    * document — so an unconditional `broadcast(...)` here was the same
-    * failure [[graft.operators.VectorJoin.attachPair]] closed for the
-    * ANN re-rank, one stage earlier in the dedup family
-    * (q34/q35/q56/q64/q161/q164 all route through this verify). */
-  private def verifyBroadcastBudget(s: SparkSession): Long =
-    s.conf.getOption("spark.graft.verify.broadcastBudgetBytes")
-      .map(_.toLong).getOrElse(512L << 20)
-
-  /** Byte model of one shingle row's heap footprint: per-string chars
-    * plus ~48 B UTF8String/array-slot overhead (the row adds ~64 B
-    * more, charged at the call sites). [[shingledDocs]] precomputes it
-    * as the `bytes` column in the shingle pass itself; this expression
-    * is the fallback for shingle tables built without one (tests, the
-    * q167 batch-side path before its column landed). */
-  private def shingleBytesCol(df: DataFrame): Column =
-    if (df.columns.contains("bytes")) col("bytes")
-    else expr("aggregate(sh, 0L, (acc, x) -> acc + length(x) + 48L)")
+    graft.operators.PrefixIndex.verifyPairs(docsSh, cand)
+      .orderBy("doc_a", "doc_b")
 
   /** Unsorted form for callers that sort LAST anyway (q35's
     * expandVerified) — skips a wasted intermediate sort. */
   private def verifyOnShinglesUnsorted(
-      s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame = {
-    val budget = verifyBroadcastBudget(s)
-    val ids = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b"))).distinct()
-    // Corpus-level PRE-gate (r16 — the first r16 cut paid a distinct
-    // count + a join-shaped probe per verify call and cost the dedup
-    // family ~0.3-0.7 s each at sf0.1): ONE cheap aggregate over the
-    // checkpointed shingle table, no join. Candidate docs are a SUBSET
-    // of docsSh rows (candidates are generated from it), so a corpus
-    // whose whole payload fits the budget admits any candidate set —
-    // and bounds the id list too (24 B/id charged in the same test).
-    // Only a corpus PAST the budget — the 100 TB regime the gate
-    // exists for — pays the exact candidate-level probes below.
-    val tot = docsSh.agg(count(lit(1)).as("n"),
-      coalesce(sum(shingleBytesCol(docsSh)), lit(0L)).as("chars")).head()
-    if (tot.getLong(1) + (64L + 24L) * tot.getLong(0) <= budget)
-      return exactJaccard(s, docsSh.join(broadcast(ids), "doc_id"), cand,
-        within = true)
-    // Candidate-level exact gating (X42 posture, aggregate-scale only —
-    // never a driver materialization): the id filter is gated BEFORE
-    // the shingle probe can run (the probe executes that join), then
-    // one pass measures the EXACT candidate shingle payload.
-    val nIds = ids.count()
-    val idsSide = if (nIds <= budget / 24L) broadcast(ids) else ids
-    val shingled = docsSh.join(idsSide, "doc_id")
-    val st = shingled.agg(count(lit(1)).as("n"),
-      coalesce(sum(shingleBytesCol(shingled)), lit(0L)).as("chars")).head()
-    exactJaccard(s, shingled, cand,
-      within = st.getLong(1) + 64L * st.getLong(0) <= budget)
-  }
-
-  /** Exact string-shingle Jaccard ≥ 0.8 over candidate pairs; compiled
-    * set intersection, budget-gated broadcast pair sides ([[
-    * verifyOnShinglesUnsorted]] decides `within`). Past the budget the
-    * same two equi-joins run unhinted: a shuffle join of |cand| pairs
-    * against |candidate docs| shingle rows is a healthy linear plan,
-    * and any runtime broadcast decision is left to AQE stats — never
-    * forced. Row-equality of the two plans is spec-forced with a zero
-    * budget (LlmOpsSpec). */
-  private def exactJaccard(
-      s: SparkSession, shingled: DataFrame, cand: DataFrame,
-      within: Boolean): DataFrame = {
-    import s.implicits._
-    // ONE plan joined on both pair sides: aliasing the same relation
-    // (instead of renaming columns before the hint) keeps the two
-    // exchange subtrees canonically identical, so ReuseExchange builds
-    // the candidate shingle map (or shuffle) once, not twice
-    val b = if (within) broadcast(shingled) else shingled
-    cand.join(b.as("A"), col("doc_a") === col("A.doc_id"))
-      .join(b.as("B"), col("doc_b") === col("B.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        col("A.sh").as("sha"), col("B.sh").as("shb"))
-      .as[(Long, Long, Seq[String], Seq[String])]
-      .map { case (da, db, sa, sb) =>
-        val setA = sa.toSet
-        var inter = 0
-        sb.foreach(x => if (setA(x)) inter += 1)
-        (da, db, inter.toDouble / (setA.size + sb.size - inter))
-      }
-      .toDF("doc_a", "doc_b", "jac_raw")
-      .filter(col("jac_raw") >= 0.8)
-      // unsorted: q34/q35 expand over dup classes first and sort LAST
-      // (expandVerified); q56's wrapper adds its own final orderBy
-      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
-  }
+      s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame =
+    graft.operators.PrefixIndex.verifyPairs(docsSh, cand)
 
   // -------------------------------------------------------- q33 tokenizer
   val q33 = QueryDef(
@@ -477,8 +382,12 @@ object LlmQueries {
     * doc-locally against the broadcast, and the only remaining corpus
     * shuffle is the bucket group over ~20% of postings. No df join, no
     * per-doc window. */
-  private val DfFloor = 8
-  private val DfHeadMax = 1 << 20
+  // The prefix-index stages below live in graft.operators.PrefixIndex
+  // since r16 (shared verbatim with StreamIngest.nearDupIngest); the
+  // losslessness and budget arguments are documented there.
+  import graft.operators.PrefixIndex
+
+  private val DfHeadMax = PrefixIndex.DfHeadMax
 
   private[queries] def prefixCandidates(
       docs: DataFrame,
@@ -492,97 +401,11 @@ object LlmQueries {
     // `docs` arrives checkpointed (q56) or tiny (tests): deriving the
     // hash view twice (df count + prefix pass) is a cheap re-transform,
     // not a re-shingle.
-    val hashed = hashedShingles(docs)
-    val pairs = postingsPairs(
-      prefixPostings(hashed, dfHeadOf(hashed, headMax)))
+    val hashed = PrefixIndex.hashed(docs)
+    val pairs = PrefixIndex.postingsPairs(
+      PrefixIndex.postings(hashed, PrefixIndex.dfHead(hashed, headMax)))
     if (checkpoint) pairs.localCheckpoint(true) else pairs
   }
-
-  /** (doc_id, sh) → (doc_id, k, hs): the xxhash64 order-class view. A
-    * collision merges two global-order classes, which can only ADD
-    * candidates the exact verify discards. k stays the STRING shingle
-    * count — a hash collision can shrink the class array, and filters
-    * computed from the class count could then prune a true pair; with
-    * string-k the prefix length and both in-bucket filters are never
-    * tighter than the exact string-side PPJoin bounds (merges within a
-    * doc only make class positions smaller), so collisions still only
-    * ADD candidates and losslessness is exact, not just whp. */
-  private def hashedShingles(docs: DataFrame): DataFrame =
-    docs.filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("k"),
-        array_distinct(transform(col("sh"), x => xxhash64(x))).as("hs"))
-
-  /** The df HEAD as a driver map — constant-bounded at `headMax` entries
-    * (the documented ~100-150 MB ceiling at the 2²⁰ default), collected
-    * from ONE aggregate + TakeOrdered (no full sort). */
-  private def dfHeadOf(hashed: DataFrame, headMax: Int): Map[Long, Long] = {
-    val s = hashed.sparkSession
-    import s.implicits._
-    hashed.select(explode(col("hs")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= DfFloor)
-      // hash tiebreak makes the head deterministic when dfs tie at the cut
-      .orderBy(desc("df"), col("h"))
-      .limit(headMax)
-      .select(col("h"), col("df")).as[(Long, Long)].collect().toMap
-  }
-
-  /** Rare-first prefix postings (h, doc_id, k, pos) under the consistent
-    * corpus-global (df-or-0, hash) order `head` induces. The pigeonhole
-    * argument only needs ORDER CONSISTENCY across the docs being paired
-    * — which is why q167 can index a new batch under a STORED corpus's
-    * head and losslessly join it against stored postings. */
-  private def prefixPostings(
-      hashed: DataFrame, head: Map[Long, Long]): DataFrame = {
-    val s = hashed.sparkSession
-    import s.implicits._
-    val bDf = s.sparkContext.broadcast(head)
-    hashed.as[(Long, Int, Seq[Long])]
-      .flatMap { case (id, k, hs) =>
-        val dfOf = bDf.value
-        val pLen = k - math.ceil(k * 0.8).toInt + 1
-        hs.sortBy(h => (dfOf.getOrElse(h, 0L), h)).take(pLen).zipWithIndex
-          .map { case (h, pos) => (h, id, k, pos) }
-      }
-      .toDF("h", "doc_id", "k", "pos")
-  }
-
-  /** PPJoin in-bucket pair filters over two posting entries, all exact
-    * integer arithmetic (`A`/`B` name the two posting columns sets):
-    *  - length: jac ≥ 0.8 ⇒ min(k) ≥ ⌈0.8·max(k)⌉ ⇔ 5·min ≥ 4·max;
-    *  - positional bound: a collision at sorted positions (pa, pb) caps
-    *    the overlap at 1 + min(ka−pa−1, kb−pb−1), which must reach
-    *    α = ⌈4(ka+kb)/9⌉ (= ⌈t/(1+t)·(ka+kb)⌉ at t=0.8) ⇔
-    *    4(ka+kb) ≤ 9(1 + min(…)). Sound: the smallest common class sits
-    *    in both prefixes and every common class at-or-after it, so for
-    *    a TRUE pair that collision passes the bound. */
-  private def ppjPairFilter(ka: String, pa: String,
-      kb: String, pb: String): String =
-    s"least($ka, $kb) * 5 >= greatest($ka, $kb) * 4 " +
-      s"AND ($ka + $kb) * 4 <= " +
-      s"(1 + least($ka - $pa - 1, $kb - $pb - 1)) * 9"
-
-  /** Self-pairing of one postings table: bucket group over each class,
-    * in-bucket pair expansion under the PPJoin filters plus doc_a <
-    * doc_b (which also drops the self-pair a within-doc hash collision
-    * would otherwise emit). */
-  private def postingsPairs(postings: DataFrame): DataFrame =
-    postings
-      .groupBy("h")
-      .agg(collect_list(struct(col("doc_id"), col("k"), col("pos"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ms, (x, i) -> filter(transform(" +
-          "slice(ms, i + 2, size(ms) - i - 1), " +
-          "y -> IF(x.doc_id < y.doc_id, " +
-          "named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, " +
-          "'ka', x.k, 'kb', y.k, 'pa', x.pos, 'pb', y.pos), " +
-          "named_struct('doc_a', y.doc_id, 'doc_b', x.doc_id, " +
-          "'ka', y.k, 'kb', x.k, 'pa', y.pos, 'pb', x.pos))), " +
-          "p -> p.doc_a < p.doc_b " +
-          s"AND ${ppjPairFilter("p.ka", "p.pa", "p.kb", "p.pb")})))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
 
   // ------------------------------------- q36 embedding top pair per label
   /** Label-blocked embedding pairs with the codegen'd cosine — the ONE
@@ -4249,7 +4072,7 @@ object LlmQueries {
     * across the two docs of a pair, and both sides' prefixes are sorted
     * by the same stored (df-or-0, hash) total order — classes unseen by
     * the standing corpus simply fall into the df≈0 tail of that order
-    * (see [[prefixPostings]]). The oracle brute-forces the union with
+    * (see [[graft.operators.PrefixIndex.postings]]). The oracle brute-forces the union with
     * pairs restricted to (new × all). SCALING.md has the cost
     * argument; IncrDedupSpec pins cross-batch and within-batch planted
     * pairs plus the restriction (no stored × stored output). */
@@ -4272,8 +4095,8 @@ object LlmQueries {
       val stored = t(s, dir, "documents")
         .filter(!expr(IncrNewPred)).select("doc_id", "text")
       val storedSh = shingledDocs(s, stored)
-      val hashed = hashedShingles(storedSh)
-      val head = dfHeadOf(hashed, DfHeadMax)
+      val hashed = PrefixIndex.hashed(storedSh)
+      val head = PrefixIndex.dfHead(hashed)
       val shT = cat.createTable("dedup", "shingles", StructType(Seq(
           StructField("doc_id", LongType),
           StructField("sh", ArrayType(StringType)),
@@ -4282,7 +4105,7 @@ object LlmQueries {
       val postT = cat.createTable("dedup", "postings", StructType(Seq(
           StructField("h", LongType), StructField("doc_id", LongType),
           StructField("k", IntegerType), StructField("pos", IntegerType))))
-        .append(prefixPostings(hashed, head))
+        .append(PrefixIndex.postings(hashed, head))
       val headT = cat.createTable("dedup", "dfhead", StructType(Seq(
           StructField("h", LongType), StructField("df", LongType))))
         .append(head.toSeq.toDF("h", "df"))
@@ -4304,19 +4127,19 @@ object LlmQueries {
       import s.implicits._
       // the stored head is STATE read back from the lake — a driver
       // pull bounded at DfHeadMax rows by construction (same budget
-      // note as dfHeadOf)
+      // note as PrefixIndex.dfHead)
       val head = headT.read().as[(Long, Long)].collect().toMap
       val newSh = shingledDocs(s, t(s, dir, "documents")
         .filter(expr(IncrNewPred)).select("doc_id", "text"))
-      val newPost = prefixPostings(hashedShingles(newSh), head)
+      val newPost = PrefixIndex.postings(PrefixIndex.hashed(newSh), head)
         .localCheckpoint(true) // consumed twice: cross equi-join + self
       val storedPost = postT.read()
       val cross = newPost.as("n")
         .join(storedPost.as("o"), col("n.h") === col("o.h"))
-        .filter(expr(ppjPairFilter("n.k", "n.pos", "o.k", "o.pos")))
+        .filter(expr(PrefixIndex.pairFilter("n.k", "n.pos", "o.k", "o.pos")))
         .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
           greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-      val cand = cross.union(postingsPairs(newPost)).distinct()
+      val cand = cross.union(PrefixIndex.postingsPairs(newPost)).distinct()
         .localCheckpoint(true)
       // verify fetches stored shingles THROUGH the lake table (only
       // candidate docs survive the id join inside verifyOnShingles)

@@ -369,4 +369,141 @@ object StreamIngest {
       .agg(graft.functions.Mg.summary(s, col(keyCol).cast("long"))
         .as("top"))
       .select(col("window.start").as("win_start"), col("top"))
+
+  // ------------------------------------------------ streaming NEAR-dup
+
+  import graft.operators.PrefixIndex
+
+  /** Provision the standing near-dup state for [[nearDupIngest]] from an
+    * initial corpus (possibly empty): the docs landing table plus the
+    * three index tables q167 reads — shingle sets, rare-first prefix
+    * postings, and the df head that fixes the corpus-global class order.
+    * In production this is the one-time backfill; [[nearDupIngest]] then
+    * GROWS docs/shingles/postings with every micro-batch while the head
+    * stays fixed (staleness affects only bucket sizes — cost — never
+    * recall: the pigeonhole cover needs order consistency, not df
+    * accuracy; rebuild the head offline when bucket skew warrants). */
+  def provisionNearDupState(
+      catalog: LakeCatalog,
+      db: String,
+      schema: StructType,
+      initial: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    catalog.createTable(db, "docs", schema)
+      .append(initial)
+    val docsSh = PrefixIndex.shingled(initial)
+    val hashed = PrefixIndex.hashed(docsSh)
+    val head = PrefixIndex.dfHead(hashed)
+    catalog.createTable(db, "shingles", StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("sh", ArrayType(StringType)),
+        StructField("bytes", LongType))))
+      .append(docsSh)
+    catalog.createTable(db, "postings", StructType(Seq(
+        StructField("h", LongType), StructField("doc_id", LongType),
+        StructField("k", IntegerType), StructField("pos", IntegerType))))
+      .append(PrefixIndex.postings(hashed, head))
+    val s = initial.sparkSession
+    import s.implicits._
+    catalog.createTable(db, "dfhead", StructType(Seq(
+        StructField("h", LongType), StructField("df", LongType))))
+      .append(head.toSeq.toDF("h", "df"))
+  }
+
+  /** Streaming NEAR-dup ingest against the standing corpus — the
+    * CONTINUOUS form of q167's nightly shape (X44): each micro-batch is
+    * shingled, prefix-indexed under the STORED df-head order, equi-joined
+    * against the stored postings lake table plus itself, exact-verified
+    * (jac ≥ 0.8, the [[PrefixIndex.verifyPairs]] budget-gated device),
+    * and only NON-near-dup survivors land — in the docs table AND the
+    * shingle/posting index tables, so the state grows with every batch
+    * and later arrivals dedup against earlier ones. Drop rule (greedy
+    * first-writer-wins, [[dedupIngest]]'s semantics lifted from exact to
+    * near): a batch doc is dropped iff it verifies against a STORED doc
+    * or a smaller-id doc of the SAME batch. Per-batch cost is O(batch)
+    * — the standing corpus is touched only through the postings
+    * equi-join and the candidate-filtered shingle fetch.
+    *
+    * Crash/replay: the three commits are each idempotent on their own
+    * [[LastBatchProp]] gate, so a redelivered batch completes whichever
+    * table lagged. Recomputation against state that already contains
+    * this batch's own survivors is CONVERGENT: self-pairs are excluded
+    * by id, and committed survivors are mutually non-near-dup by
+    * construction, so the recomputed survivor set is identical. */
+  def nearDupIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val survivors = nearDupSurvivors(spark, batch, catalog, db)
+        val survIds = survivors.select("doc_id")
+        val survSh = PrefixIndex.shingled(survivors)
+        val head = loadHead(spark, catalog, db)
+        // postings/shingles first, docs last: the docs table is the
+        // externally-visible landing surface, so a crash mid-sequence
+        // never exposes a doc whose index rows are missing
+        commitBatch(catalog, db, "postings")(
+          PrefixIndex.postings(PrefixIndex.hashed(survSh), head), batchId)
+        commitBatch(catalog, db, "shingles")(survSh, batchId)
+        commitBatch(catalog, db, "docs")(survivors, batchId)
+      }
+      .start()
+
+  /** Bounded driver pull: the head table is ≤ [[PrefixIndex.DfHeadMax]]
+    * rows by construction. */
+  private def loadHead(spark: SparkSession, catalog: LakeCatalog,
+      db: String): Map[Long, Long] = {
+    import spark.implicits._
+    catalog.loadTable(db, "dfhead").get.read()
+      .as[(Long, Long)].collect().toMap
+  }
+
+  /** The batch minus its verified near-dups (vs stored state and vs
+    * smaller-id batch peers). Eagerly materialized (the micro-batch is
+    * bounded) so the three commits above reuse one computation. */
+  private def nearDupSurvivors(
+      spark: SparkSession, batch: DataFrame,
+      catalog: LakeCatalog, db: String): DataFrame = {
+    val head = loadHead(spark, catalog, db)
+    val batchSh = PrefixIndex.shingled(batch)
+    val batchPost = PrefixIndex.postings(PrefixIndex.hashed(batchSh), head)
+      .localCheckpoint(true) // consumed twice: cross equi-join + self
+    val storedPost = catalog.loadTable(db, "postings").get.read()
+    // id-inequality (not disjointness): on crash-replay the stored side
+    // may already contain THIS batch's survivors — a doc must never
+    // near-dup its own committed copy
+    val cross = batchPost.as("n")
+      .join(storedPost.as("o"), col("n.h") === col("o.h") &&
+        col("n.doc_id") =!= col("o.doc_id"))
+      .filter(expr(PrefixIndex.pairFilter("n.k", "n.pos", "o.k", "o.pos")))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val cand = cross.union(PrefixIndex.postingsPairs(batchPost)).distinct()
+      .localCheckpoint(true)
+    val allSh = catalog.loadTable(db, "shingles").get.read()
+      .unionByName(batchSh)
+    val verified = PrefixIndex.verifyPairs(allSh, cand)
+    // victim selection: the batch side of a (batch, stored) pair; the
+    // larger id of a (batch, batch) pair
+    val bIds = batchSh.select(col("doc_id"))
+    val aNew = bIds.select(col("doc_id").as("doc_a"), lit(true).as("a_new"))
+    val bNew = bIds.select(col("doc_id").as("doc_b"), lit(true).as("b_new"))
+    val drops = verified
+      .join(broadcast(aNew), Seq("doc_a"), "left")
+      .join(broadcast(bNew), Seq("doc_b"), "left")
+      .select(
+        when(col("a_new").isNotNull && col("b_new").isNotNull,
+          greatest(col("doc_a"), col("doc_b")))
+          .when(col("a_new").isNotNull, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    batch.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+  }
 }

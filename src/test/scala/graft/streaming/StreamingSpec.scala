@@ -1015,4 +1015,65 @@ class StreamingSpec extends SparkSpec {
     assert(endOf(s3.getOffset) == ids(3),
       "restart after delivery must advance the cap from the persisted cursor")
   }
+
+  test("streaming NEAR-dup ingest (X44): batch docs dedup against the " +
+    "standing lake state, survivors grow it, later arrivals dedup " +
+    "against earlier survivors") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 40).map(_ => s"w${r.nextInt(1000000)}").mkString(" ")
+    }
+    val d1 = doc(71); val d2 = doc(72)
+    val n1 = doc(81); val n2 = doc(82); val n3 = doc(83)
+    def nd(s: String) = s.replaceFirst("w\\d+", "changed") // jac ≈ 0.85
+
+    val wh = Files.createTempDirectory("graft-ndup-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("nd")
+    StreamIngest.provisionNearDupState(cat, "nd", docSchema,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L, d1), Row(2L, d2)), 1),
+        docSchema))
+
+    // ids chosen so expectations hold under ANY micro-batching: each
+    // duplicate's id is larger than its original's
+    val chunks = Seq(
+      Seq(Row(10L, nd(d1)), // near-dups STORED doc 1 → dropped
+        Row(11L, n1), // novel → lands
+        Row(12L, nd(n1)), // within-batch near-dup of 11 → dropped
+        Row(13L, n2)), // novel → lands
+      Seq(Row(20L, nd(n1)), // near-dups the GROWN state (doc 11) → dropped
+        Row(21L, n3), // novel → lands
+        Row(22L, d2))) // EXACT duplicate of stored doc 2 → dropped
+    val flat = Files.createTempDirectory("graft-ndup-flat")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val dir = Files.createTempDirectory(s"graft-ndup-src$i")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), docSchema)
+        .write.parquet(s"$dir/c")
+      Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+      }
+    }
+    val q = StreamIngest.nearDupIngest(spark, flat.toString, docSchema,
+      cat, "nd")
+    q.processAllAvailable(); q.stop()
+
+    val expect = Set(1L, 2L, 11L, 13L, 21L)
+    def idsOf(table: String): Set[Long] =
+      cat.loadTable("nd", table).get.read()
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idsOf("docs") == expect, s"docs: ${idsOf("docs")}")
+    // the index tables grew in lockstep — later batches really joined
+    // against survivors' postings, and dropped docs left no index rows
+    assert(idsOf("shingles") == expect, s"shingles: ${idsOf("shingles")}")
+    assert(idsOf("postings") == expect, s"postings: ${idsOf("postings")}")
+    // the head stays the provisioned order (staleness is cost, not
+    // correctness — see provisionNearDupState scaladoc)
+    val headRows = cat.loadTable("nd", "dfhead").get.read().count()
+    assert(headRows == 0L, // 2-doc corpus: every class df < DfFloor
+      s"head should be the provisioned (empty) order, got $headRows rows")
+  }
 }
