@@ -355,8 +355,9 @@ object LlmQueries {
     * NearDupPropertySpec).
     *
     * The global order is (df, hash), with df known exactly for every
-    * class in the df HEAD — the top [[DfHeadMax]] classes by document
-    * frequency among those appearing in ≥ [[DfFloor]] documents — and
+    * class in the df HEAD — the top [[graft.operators.PrefixIndex.DfHeadMax]]
+    * classes by document frequency among those appearing in ≥
+    * [[graft.operators.PrefixIndex.DfFloor]] documents — and
     * treated as 0 outside it. The head is a driver-collected broadcast
     * map whose size is CONSTANT-bounded at DfHeadMax entries,
     * corpus-INDEPENDENT (VERDICT r6 #1: the previous floor-only head
