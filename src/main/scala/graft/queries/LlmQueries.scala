@@ -856,33 +856,26 @@ object LlmQueries {
   }
 
   /** Lloyd-refined codebook: seed with the K lowest vec_ids, then
-    * `iters` k-means rounds — each is one compiled nearest-centroid
-    * assignment pass plus a declarative per-(bucket, dim) mean with
-    * map-side partial aggregation, so the shuffle carries O(K·d) per
-    * partition and the driver only ever collects the K·d centroid cells
-    * (64×64 here — metadata-scale). Empty buckets keep their previous
-    * centroid. Trained once per (session, dir) and cached: a real
-    * codebook balances bucket occupancy on skewed corpora, which is
-    * what keeps nProbe/K candidate volume honest at 100 TB. */
+    * `iters` rounds of [[graft.operators.KMeansTrainer]] (X45) with the
+    * compiled cosine assignment — one corpus scan per stage, K·d driver
+    * cells per round, empty buckets keep their previous centroid.
+    * Trained once per (session, dir) and cached: a real codebook
+    * balances bucket occupancy on skewed corpora, which is what keeps
+    * nProbe/K candidate volume honest at 100 TB. Since r16 the update
+    * is the trainer's HASH-EXACT decimal mean, so the learned centroids
+    * are bit-identical across engines and partitionings — q169/q170
+    * hash-gate this codebook against a DuckDB oracle that relearns it
+    * through unrolled CTE rounds (the q156/q163 BPE pattern). */
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]()
 
   def trainedCodebook(s: SparkSession, dir: String, e: DataFrame,
       iters: Int = 2): Array[Array[Double]] =
     codebookCache.computeIfAbsent((s, dir), { _ =>
-      var cents: Array[Array[Double]] = e.filter(col("vec_id") < IvfK)
+      val seeds: Array[Array[Double]] = e.filter(col("vec_id") < IvfK)
         .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
-      for (_ <- 0 until iters) {
-        val assigned = ivfAssignCompiled(s, e, "vec_id", "v", cents, 1)
-        val means = assigned.join(e, "vec_id")
-          .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("bucket", "pos").agg(avg("x").as("m"))
-          .collect() // ≤ K·d rows
-        val next = cents.map(_.clone)
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        cents = next
-      }
-      cents
+      graft.operators.KMeansTrainer.train(e, seeds, iters)(
+        (corpus, cents) => ivfAssignCompiled(s, corpus, "vec_id", "v", cents, 1))
     })
 
   /** `trained = false` pins the codebook to the raw seed (the K lowest
@@ -4230,10 +4223,123 @@ object LlmQueries {
     (s, dir) =>
       keepDecision(clusterTable(s, dir).read(), t(s, dir, "documents")))
 
+  // ------------------- q169/q170 hash-gated k-means codebook (X45, r16)
+  /** Unrolled DuckDB k-means rounds — the q156/q163 BPE-trainer oracle
+    * pattern on the vector side: both engines LEARN the codebook
+    * independently (seed = the K lowest vec_ids, cosine assignment with
+    * (sim DESC, cid) tie order, hash-exact decimal mean, empty buckets
+    * keep their previous centroid via the COALESCE) and the hash
+    * compares what was learned. Exactness argument lives on
+    * [[graft.operators.KMeansTrainer]]: decimal casts and round(·,9) of
+    * binary doubles have no ties, so every round's centroids are
+    * bit-identical across engines and the assignment comparisons see
+    * the same doubles. `c${iters}v` is the learned codebook CTE the
+    * callers extend. */
+  private def kmeansRoundsSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c0 AS (SELECT vec_id AS cid, i, v[i] AS m
+                 FROM e, range(1, ${dim + 1}) r(i) WHERE vec_id < $k),
+          c0v AS (SELECT cid, list(m ORDER BY i) AS cv FROM c0 GROUP BY cid)""")
+    for (r <- 1 to iters) sb ++= s""",
+          a$r AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+            FROM e, c${r - 1}v c) WHERE rn = 1),
+          m$r AS (SELECT cid, i,
+                    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)
+                      / COUNT(*), 9) AS m
+                  FROM a$r JOIN e USING (vec_id), range(1, ${dim + 1}) r(i)
+                  GROUP BY cid, i),
+          c$r AS (SELECT p.cid, p.i, COALESCE(n.m, p.m) AS m
+                  FROM c${r - 1} p
+                  LEFT JOIN m$r n ON p.cid = n.cid AND p.i = n.i),
+          c${r}v AS (SELECT cid, list(m ORDER BY i) AS cv FROM c$r GROUP BY cid)"""
+    sb.toString
+  }
+
+  private val KmIters = 2
+  private val EmbDim = 64
+
+  /** TRAIN → SEARCH arc (X45 gated end to end — the vector-side q163):
+    * learn the production IVF codebook (K = [[IvfK]], [[KmIters]] Lloyd
+    * rounds, hash-exact means), then run the FULL q47 search pipeline
+    * under the LEARNED centroids for a 4-query batch — nearest-centroid
+    * corpus assignment, nProbe probing, exact re-rank. No pinned
+    * constants anywhere: the oracle relearns the codebook through
+    * unrolled CTE rounds and replays the search against its own learned
+    * table, so the hash compares the whole train→use arc. This is what
+    * upgrades q47's `trained = true` production path from spec-gated to
+    * oracle-gated. */
+  val q169 = QueryDef(
+    "q169_kmeans_ivf_arc",
+    Some(kmeansRoundsSql(IvfK, KmIters, EmbDim) + s""",
+        casg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, c${KmIters}v c) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        qasg AS (SELECT qid, cid AS bucket FROM (
+          SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+          FROM q, c${KmIters}v c) WHERE rn <= $IvfProbes),
+        cand AS (SELECT DISTINCT qid, vec_id
+                 FROM casg JOIN qasg USING (bucket) WHERE vec_id <> qid),
+        scored AS (SELECT cand.qid AS qid, cand.vec_id AS vec_id,
+                          list_cosine_similarity(e.v, q.qv) AS sim_raw
+                   FROM cand JOIN e USING (vec_id) JOIN q USING (qid)),
+        ranked AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+                     PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, vec_id, ROUND(sim_raw, 4) AS sim
+        FROM ranked WHERE rn <= 5 ORDER BY qid, sim DESC, vec_id"""),
+    (s, dir) => ivfTopK(s, dir, col("vec_id") < 4, 5)
+      .orderBy(col("qid"), col("sim").desc, col("vec_id")))
+
+  /** Codebook OCCUPANCY/QUALITY audit under the learned centroids — the
+    * balance check an IVF build runs before committing a codebook (a
+    * skewed bucket histogram is what breaks the nProbe/K candidate-
+    * volume promise at 100 TB): per-bucket member count and mean
+    * cosine-to-own-centroid, both through the hash-exact decimal-sum
+    * device so the aggregate is order-independent on both engines. */
+  val q170 = QueryDef(
+    "q170_codebook_quality",
+    Some(kmeansRoundsSql(IvfK, KmIters, EmbDim) + s""",
+        casg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, c${KmIters}v c) WHERE rn = 1)
+        SELECT bucket, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(list_cosine_similarity(e.v, c.cv)
+                      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 4) AS avg_sim
+        FROM casg JOIN e USING (vec_id)
+        JOIN c${KmIters}v c ON casg.bucket = c.cid
+        GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("vec_id"), col("v"))
+      val cents = trainedCodebook(s, dir, e)
+      val centDf = broadcast(
+        cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+          .toDF("bucket", "cv"))
+      ivfAssignCompiled(s, e, "vec_id", "v", cents, 1)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+        .join(e, "vec_id")
+        .join(centDf, "bucket")
+        .select(col("bucket"), VectorOps.cosine(col("v"), col("cv")).as("sim_raw"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("sim_raw").cast("decimal(28,12)")).cast("double")
+            / count(lit(1)), 4).as("avg_sim"))
+        .orderBy("bucket")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
-    q156, q161, q162, q163, q164, q165, q166, q167, q168)
+    q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.LlmQueries
+
+/** Differential gate for the hash-exact Lloyd trainer (X45): the
+  * Spark-learned codebook must equal an INDEPENDENT in-memory trainer's
+  * bit for bit — same seed layout, same cosine assignment with the
+  * (sim DESC, cid ASC) tie order, same decimal-exact mean with the same
+  * two roundings — because that bit-equality is exactly what the q169/
+  * q170 oracle gate relies on cross-engine. Plus the empty-bucket rule:
+  * a centroid no vector chooses must keep its previous value. */
+class KMeansSpec extends SparkSpec {
+
+  private def cosineAssignRef(v: Array[Double], cents: Array[Array[Double]])
+      : Int = {
+    var vn = 0.0; var i = 0
+    while (i < v.length) { vn += v(i) * v(i); i += 1 }
+    val vNorm = math.sqrt(vn)
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var cn = 0.0; var j = 0
+      while (j < ct.length) { cn += ct(j) * ct(j); j += 1 }
+      val cNorm = math.sqrt(cn)
+      var dot = 0.0; j = 0
+      val n = math.min(v.length, ct.length)
+      while (j < n) { dot += v(j) * ct(j); j += 1 }
+      val sim = if (vNorm == 0 || cNorm == 0) -2.0 else dot / (vNorm * cNorm)
+      if (sim > bestSim) { bestSim = sim; best = c } // first wins ties
+      c += 1
+    }
+    best
+  }
+
+  /** In-memory Lloyd with the trainer's exact update semantics:
+    * sum(CAST(x AS DECIMAL(28,12))) is BigDecimal setScale(12, HALF_UP)
+    * summed exactly; the decimal→double cast is BigDecimal.doubleValue
+    * (what Spark's Decimal.toDouble does); round(·, 9) is setScale(9,
+    * HALF_UP). */
+  private def trainRef(vecs: Seq[(Long, Array[Double])],
+      seeds: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cents = seeds.map(_.clone)
+    for (_ <- 0 until iters) {
+      val byBucket = vecs.groupBy { case (_, v) => cosineAssignRef(v, cents) }
+      val next = cents.map(_.clone)
+      byBucket.foreach { case (c, members) =>
+        val dims = cents(c).length
+        for (d <- 0 until dims) {
+          val sum = members.map { case (_, v) =>
+            BigDecimal(v(d)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          }.sum
+          val mean = sum.toDouble / members.size
+          next(c)(d) =
+            BigDecimal(mean).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      cents = next
+    }
+    cents
+  }
+
+  test("Spark-learned codebook ≡ independent in-memory trainer, " +
+    "bit for bit, over several (k, iters) configs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 5
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v").repartition(4)
+    for ((k, iters) <- Seq((3, 1), (3, 2), (5, 3))) {
+      val seeds = vecs.take(k).map(_._2.clone).toArray
+      val got = KMeansTrainer.train(df, seeds, iters)(
+        (corpus, cents) =>
+          LlmQueries.ivfAssignCompiled(spark, corpus, "vec_id", "v", cents, 1))
+      val want = trainRef(vecs, seeds, iters)
+      for (c <- 0 until k)
+        assert(got(c).sameElements(want(c)),
+          s"k=$k iters=$iters centroid $c: " +
+            s"got=${got(c).mkString(",")} want=${want(c).mkString(",")}")
+      assert(got.zip(seeds).exists { case (a, b) => !a.sameElements(b) },
+        s"k=$k iters=$iters: training left every centroid at its seed")
+    }
+  }
+
+  test("empty buckets keep their previous centroid") {
+    import spark.implicits._
+    val dim = 4
+    // every vector points into the all-positive orthant; the second seed
+    // points the opposite way, so no vector ever chooses it
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => 1.0 + 0.01 * (i + d))))
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+    val farSeed = Array.fill(dim)(-1.0)
+    val seeds = Array(vecs.head._2.clone, farSeed.clone)
+    val got = KMeansTrainer.train(df, seeds, iters = 2)(
+      (corpus, cents) =>
+        LlmQueries.ivfAssignCompiled(spark, corpus, "vec_id", "v", cents, 1))
+    assert(got(1).sameElements(farSeed),
+      s"empty bucket's centroid moved: ${got(1).mkString(",")}")
+    assert(!got(0).sameElements(seeds(0)),
+      "the occupied bucket's centroid never moved")
+  }
+}
