@@ -4336,10 +4336,126 @@ object LlmQueries {
         .orderBy("bucket")
     })
 
+  // --------------------- q171 embedding PCA / anisotropy audit (X46, r16)
+  private val PcaIters = 24
+
+  /** Unrolled power-iteration rounds over a materialized covariance CTE
+    * — MATERIALIZED is load-bearing twice: each round references its
+    * predecessor twice (matvec + norm), so inlined CTEs would expand
+    * exponentially, and the covariance must not be recomputed per
+    * round. Every aggregate is the decimal device; the driver-side
+    * mirror is [[graft.operators.PcaPower.analyze]], expression for
+    * expression. */
+  private def pcaIterSql(cov: String, v0: String, tag: String,
+      iters: Int): (String, String) = {
+    val sb = new StringBuilder
+    var v = v0
+    for (t <- 1 to iters) {
+      sb ++= s""",
+        w$tag$t AS MATERIALIZED (SELECT cf.i AS i,
+            ROUND(CAST(SUM(CAST(cf.c * v.x AS DECIMAL(28,12))) AS DOUBLE), 9) AS x
+          FROM $cov cf JOIN $v v ON cf.j = v.i GROUP BY cf.i),
+        n$tag$t AS MATERIALIZED (SELECT
+            sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS nv
+          FROM w$tag$t),
+        v$tag$t AS MATERIALIZED (SELECT i,
+            ROUND(x / (SELECT nv FROM n$tag$t), 9) AS x FROM w$tag$t)"""
+      v = s"v$tag$t"
+    }
+    (sb.toString, v)
+  }
+
+  private def pcaOracleSql(d: Int, iters: Int): String = {
+    val (it1, v1) = pcaIterSql("covf", "v0", "a", iters)
+    val (it2, v2) = pcaIterSql("covd", "d0", "b", iters)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
+        mom AS MATERIALIZED (SELECT i, j,
+            SUM(CAST(v[i]*v[j] AS DECIMAL(28,12))) AS s
+          FROM e, range(1,${d + 1}) a(i), range(1,${d + 1}) b(j)
+          WHERE j >= i GROUP BY i, j),
+        mu AS MATERIALIZED (SELECT i,
+            CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)
+              / (SELECT n FROM nn) AS m
+          FROM e, range(1,${d + 1}) a(i) GROUP BY i),
+        cov AS MATERIALIZED (SELECT mom.i, mom.j,
+            CAST(mom.s AS DOUBLE) / (SELECT n FROM nn) - ma.m * mb.m AS c
+          FROM mom JOIN mu ma ON mom.i = ma.i JOIN mu mb ON mom.j = mb.i),
+        covf AS MATERIALIZED (SELECT i, j, c FROM cov
+          UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+        v0 AS MATERIALIZED (SELECT i, 0.125::DOUBLE AS x
+          FROM range(1,${d + 1}) a(i))$it1,
+        sgn AS MATERIALIZED (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+          FROM $v1 ORDER BY abs(x) DESC, i LIMIT 1),
+        pc AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn) AS x FROM $v1),
+        cv1 AS MATERIALIZED (SELECT cf.i AS i,
+            ROUND(CAST(SUM(CAST(cf.c * p.x AS DECIMAL(28,12))) AS DOUBLE), 9) AS y
+          FROM covf cf JOIN pc p ON cf.j = p.i GROUP BY cf.i),
+        lam1 AS MATERIALIZED (SELECT
+            ROUND(CAST(SUM(CAST(p.x * cv1.y AS DECIMAL(28,12))) AS DOUBLE), 9) AS l
+          FROM pc p JOIN cv1 ON p.i = cv1.i),
+        tr AS MATERIALIZED (SELECT
+            CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS t
+          FROM covf WHERE i = j),
+        covd AS MATERIALIZED (SELECT cf.i, cf.j,
+            cf.c - (SELECT l FROM lam1) * pa.x * pb.x AS c
+          FROM covf cf JOIN pc pa ON cf.i = pa.i JOIN pc pb ON cf.j = pb.i),
+        d0 AS MATERIALIZED (SELECT i, 0.125::DOUBLE AS x
+          FROM range(1,${d + 1}) a(i))$it2,
+        cv2 AS MATERIALIZED (SELECT cf.i AS i,
+            ROUND(CAST(SUM(CAST(cf.c * p.x AS DECIMAL(28,12))) AS DOUBLE), 9) AS y
+          FROM covd cf JOIN $v2 p ON cf.j = p.i GROUP BY cf.i),
+        lam2 AS MATERIALIZED (SELECT
+            ROUND(CAST(SUM(CAST(p.x * cv2.y AS DECIMAL(28,12))) AS DOUBLE), 9) AS l
+          FROM $v2 p JOIN cv2 ON p.i = cv2.i)
+        SELECT 'evr1' AS stat,
+               ROUND((SELECT l FROM lam1) / (SELECT t FROM tr), 6) AS value
+        UNION ALL SELECT 'evr2',
+               ROUND((SELECT l FROM lam2) / (SELECT t FROM tr), 6)
+        UNION ALL SELECT 'rayleigh1', ROUND((SELECT l FROM lam1), 6)
+        UNION ALL SELECT 'rayleigh2', ROUND((SELECT l FROM lam2), 6)
+        UNION ALL SELECT 'trace', ROUND((SELECT t FROM tr), 6)
+        UNION ALL SELECT 'pc1_' || lpad(CAST(i - 1 AS VARCHAR), 2, '0'),
+               ROUND(x, 6) FROM pc
+        ORDER BY stat"""
+  }
+
+  /** Embedding ANISOTROPY audit (X46): exact-moment covariance, 24
+    * power rounds, sign-fixed top component, Rayleigh quotients before
+    * and after rank-1 deflation, explained-variance ratios — the
+    * "should we project out a common direction before indexing?"
+    * decision (all-but-the-top). ONE corpus scan; everything after is
+    * d²-scale driver math ([[graft.operators.PcaPower]]); the oracle
+    * relearns the full analysis through unrolled CTE rounds. On this
+    * near-isotropic corpus evr1 ≈ 1.3–1.8× the 1/64 isotropy floor —
+    * the "no dominant direction, cosine is safe" verdict; the Rayleigh
+    * estimates are documented lower bounds, converged only when a
+    * spectral gap exists (PcaPowerSpec plants one and recovers it). */
+  val q171 = QueryDef(
+    "q171_embedding_pca",
+    Some(pcaOracleSql(EmbDim, PcaIters)),
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("v"))
+      val (n, muSum, mom) = graft.operators.PcaPower.moments(s, e, EmbDim)
+      val st = graft.operators.PcaPower.analyze(n, muSum, mom, EmbDim, PcaIters)
+      import graft.operators.PcaPower.rnd
+      val rows = Seq(
+        ("evr1", rnd(st.rayleigh1 / st.trace, 6)),
+        ("evr2", rnd(st.rayleigh2 / st.trace, 6)),
+        ("rayleigh1", rnd(st.rayleigh1, 6)),
+        ("rayleigh2", rnd(st.rayleigh2, 6)),
+        ("trace", rnd(st.trace, 6))) ++
+        st.pc1.zipWithIndex.map { case (x, i) => (f"pc1_$i%02d", rnd(x, 6)) }
+      rows.toDF("stat", "value").orderBy("stat")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
-    q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
+    q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
 }

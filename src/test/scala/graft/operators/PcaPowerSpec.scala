@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+import graft.SparkSpec
+
+/** Gates for the PCA power-iteration operator: the distributed moment
+  * pass must equal a single-threaded in-memory accumulation exactly
+  * (that bit-equality across partitionings is what the q171 oracle gate
+  * rides on), and the analysis must actually FIND a planted dominant
+  * direction — semantics, not just determinism. */
+class PcaPowerSpec extends SparkSpec {
+
+  private def dec12(x: Double): JBD =
+    JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+
+  private def toDf(vecs: Seq[Array[Double]], parts: Int) = {
+    import spark.implicits._
+    vecs.map(v => Tuple1(v.toSeq)).toDF("v").repartition(parts)
+  }
+
+  test("distributed exact moments ≡ in-memory accumulation, " +
+    "bit for bit, across partitionings") {
+    val rnd = new scala.util.Random(11)
+    val d = 6
+    val vecs = Seq.fill(40)(Array.fill(d)(rnd.nextDouble() * 2 - 1))
+    val mRef = Array.fill(d)(JBD.ZERO)
+    val sRef = Array.fill(d, d)(JBD.ZERO)
+    vecs.foreach { v =>
+      for (i <- 0 until d) {
+        mRef(i) = mRef(i).add(dec12(v(i)))
+        for (j <- i until d) sRef(i)(j) = sRef(i)(j).add(dec12(v(i) * v(j)))
+      }
+    }
+    for (parts <- Seq(1, 3, 7)) {
+      val (n, mu, mom) = PcaPower.moments(spark, toDf(vecs, parts), d)
+      assert(n == 40L)
+      for (i <- 0 until d) {
+        assert(mu(i).compareTo(mRef(i)) == 0, s"parts=$parts mean[$i]")
+        for (j <- i until d)
+          assert(mom(i)(j).compareTo(sRef(i)(j)) == 0, s"parts=$parts S[$i][$j]")
+      }
+    }
+  }
+
+  test("a planted dominant direction is recovered: alignment, " +
+    "explained-variance gap, and the sign convention") {
+    val rnd = new scala.util.Random(23)
+    val d = 16
+    val u = {
+      val raw = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm)
+    }
+    // variance along u is ~9x the per-axis noise variance
+    val vecs = Seq.fill(300) {
+      val g = rnd.nextGaussian() * 3.0
+      Array.tabulate(d)(i => u(i) * g + rnd.nextGaussian() * 0.1)
+    }
+    val (n, mu, mom) = PcaPower.moments(spark, toDf(vecs, 5), d)
+    val st = PcaPower.analyze(n, mu, mom, d, iters = 24)
+    val cos = st.pc1.zip(u).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.98, s"pc1 misaligned with planted u: cos=$cos")
+    assert(st.rayleigh1 / st.trace > 0.8,
+      s"planted direction should dominate: evr1=${st.rayleigh1 / st.trace}")
+    assert(st.rayleigh1 > 10 * st.rayleigh2,
+      s"spectral gap lost: r1=${st.rayleigh1} r2=${st.rayleigh2}")
+    val amax = st.pc1.indices.maxBy(i => math.abs(st.pc1(i)))
+    assert(st.pc1(amax) > 0, "sign convention: largest |component| positive")
+  }
+
+  test("isotropic noise reads as isotropic: evr1 stays near the 1/d floor") {
+    val rnd = new scala.util.Random(37)
+    val d = 16
+    val vecs = Seq.fill(400)(Array.fill(d)(rnd.nextGaussian()))
+    val (n, mu, mom) = PcaPower.moments(spark, toDf(vecs, 4), d)
+    val st = PcaPower.analyze(n, mu, mom, d, iters = 24)
+    val evr1 = st.rayleigh1 / st.trace
+    assert(evr1 < 3.0 / d, s"isotropic corpus scored anisotropic: evr1=$evr1")
+  }
+}
