@@ -42,8 +42,8 @@ import org.apache.spark.sql.functions._
   */
 object PcaPower {
 
-  final case class Stats(pc1: Array[Double], rayleigh1: Double,
-      rayleigh2: Double, trace: Double)
+  final case class Stats(mean: Array[Double], pc1: Array[Double],
+      rayleigh1: Double, rayleigh2: Double, trace: Double)
 
   private def dec12(x: Double): JBD =
     JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
@@ -149,6 +149,35 @@ object PcaPower {
     val trace = trAcc.doubleValue
     val deflated = Array.tabulate(d, d)((i, j) => cov(i)(j) - r1 * pc1(i) * pc1(j))
     val r2 = rayleigh(deflated, powerRun(deflated))
-    Stats(pc1, r1, r2, trace)
+    Stats(mu, pc1, r1, r2, trace)
+  }
+
+  /** ALL-BUT-THE-TOP correction (Mu & Viswanath ICLR'18): x′ = x − μ −
+    * ((x − μ)·p)·p — mean-center, then remove the dominant component.
+    * ONE map-only corpus pass (no shuffle; μ and p are 2d broadcast
+    * doubles); the projection coefficient goes through the decimal
+    * device and every corrected component rounds to 9 dp, so the
+    * corrected table is bit-identical on both engines — the oracle
+    * rebuilds it from its own relearned μ/p (q172). Input/output
+    * columns: (vec_id LONG, v ARRAY<DOUBLE>). */
+  def projectOut(s: SparkSession, e: DataFrame,
+      mu: Array[Double], p: Array[Double]): DataFrame = {
+    import s.implicits._
+    val d = p.length
+    e.select(col("vec_id").cast("long"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val lim = math.min(d, v.length)
+          var acc = JBD.ZERO
+          var i = 0
+          while (i < lim) { acc = acc.add(dec12((v(i) - mu(i)) * p(i))); i += 1 }
+          val dt = acc.doubleValue
+          val out = new Array[Double](lim)
+          i = 0
+          while (i < lim) { out(i) = rnd9(v(i) - mu(i) - dt * p(i)); i += 1 }
+          (id, out.toSeq)
+        }
+      }.toDF("vec_id", "v")
   }
 }

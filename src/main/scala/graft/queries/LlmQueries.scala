@@ -4365,9 +4365,11 @@ object LlmQueries {
     (sb.toString, v)
   }
 
-  private def pcaOracleSql(d: Int, iters: Int): String = {
+  /** Prologue shared by q171/q172: moments → covariance → `iters` power
+    * rounds → the sign-fixed `pc` CTE (and `mu`), everything both the
+    * stats query and the all-but-the-top application build on. */
+  private def pcaPcSql(d: Int, iters: Int): String = {
     val (it1, v1) = pcaIterSql("covf", "v0", "a", iters)
-    val (it2, v2) = pcaIterSql("covd", "d0", "b", iters)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
         mom AS MATERIALIZED (SELECT i, j,
@@ -4387,7 +4389,12 @@ object LlmQueries {
           FROM range(1,${d + 1}) a(i))$it1,
         sgn AS MATERIALIZED (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
           FROM $v1 ORDER BY abs(x) DESC, i LIMIT 1),
-        pc AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn) AS x FROM $v1),
+        pc AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn) AS x FROM $v1)"""
+  }
+
+  private def pcaOracleSql(d: Int, iters: Int): String = {
+    val (it2, v2) = pcaIterSql("covd", "d0", "b", iters)
+    pcaPcSql(d, iters) + s""",
         cv1 AS MATERIALIZED (SELECT cf.i AS i,
             ROUND(CAST(SUM(CAST(cf.c * p.x AS DECIMAL(28,12))) AS DOUBLE), 9) AS y
           FROM covf cf JOIN pc p ON cf.j = p.i GROUP BY cf.i),
@@ -4431,16 +4438,30 @@ object LlmQueries {
     * the "no dominant direction, cosine is safe" verdict; the Rayleigh
     * estimates are documented lower bounds, converged only when a
     * spectral gap exists (PcaPowerSpec plants one and recovers it). */
+  /** Moments are the only corpus-scale stage of the PCA family — memoized
+    * per (session, dir) so q171 (the decision) and q172 (the
+    * application) pay the scan once, the codebookCache pattern. */
+  private val pcaMomentsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Long, Array[java.math.BigDecimal], Array[Array[java.math.BigDecimal]])]()
+
+  private def pcaStats(s: SparkSession, dir: String)
+      : graft.operators.PcaPower.Stats = {
+    val (n, muSum, mom) = pcaMomentsCache.computeIfAbsent((s, dir), { _ =>
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("v"))
+      graft.operators.PcaPower.moments(s, e, EmbDim)
+    })
+    graft.operators.PcaPower.analyze(n, muSum, mom, EmbDim, PcaIters)
+  }
+
   val q171 = QueryDef(
     "q171_embedding_pca",
     Some(pcaOracleSql(EmbDim, PcaIters)),
     (s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings")
-        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
-        .select(col("v"))
-      val (n, muSum, mom) = graft.operators.PcaPower.moments(s, e, EmbDim)
-      val st = graft.operators.PcaPower.analyze(n, muSum, mom, EmbDim, PcaIters)
+      val st = pcaStats(s, dir)
       import graft.operators.PcaPower.rnd
       val rows = Seq(
         ("evr1", rnd(st.rayleigh1 / st.trace, 6)),
@@ -4452,10 +4473,67 @@ object LlmQueries {
       rows.toDF("stat", "value").orderBy("stat")
     })
 
+  /** ALL-BUT-THE-TOP applied (X46's q163-style decide→APPLY arc): remove
+    * the mean and the learned top component from every embedding
+    * ([[graft.operators.PcaPower.projectOut]] — one map-only pass, 2d
+    * broadcast doubles), then exact top-5 cosine retrieval for the
+    * 4-query batch over the CORRECTED table. No pinned constants: the
+    * oracle relearns μ and the component through the q171 prologue and
+    * rebuilds the corrected table itself, so the hash compares the whole
+    * correct→retrieve arc. The projection coefficient and corrected
+    * components go through the decimal device (bit-identical corrected
+    * vectors on both engines); query fan-out is an explode + equi-join
+    * against the 4-row broadcast batch — no cross product. */
+  val q172 = QueryDef(
+    "q172_abtt_topk",
+    Some(pcaPcSql(EmbDim, PcaIters) + s""",
+        dotq AS MATERIALIZED (SELECT e.vec_id,
+            CAST(SUM(CAST((e.v[a.i] - mu.m) * p.x AS DECIMAL(28,12))) AS DOUBLE)
+              AS dt
+          FROM e, range(1,${EmbDim + 1}) a(i), mu, pc p
+          WHERE mu.i = a.i AND p.i = a.i GROUP BY e.vec_id),
+        ec AS MATERIALIZED (SELECT e.vec_id,
+            list(ROUND(e.v[a.i] - mu.m - dotq.dt * p.x, 9) ORDER BY a.i) AS v
+          FROM e, range(1,${EmbDim + 1}) a(i), mu, pc p, dotq
+          WHERE mu.i = a.i AND p.i = a.i AND dotq.vec_id = e.vec_id
+          GROUP BY e.vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM ec WHERE vec_id < 4),
+        scored AS (SELECT q.qid AS qid, ec.vec_id AS vec_id,
+                          list_cosine_similarity(ec.v, q.qv) AS sim_raw
+                   FROM ec, q WHERE ec.vec_id <> q.qid),
+        ranked AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+                     PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, vec_id, ROUND(sim_raw, 4) AS sim
+        FROM ranked WHERE rn <= 5 ORDER BY qid, sim DESC, vec_id"""),
+    (s, dir) => {
+      val st = pcaStats(s, dir)
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("vec_id"), col("v"))
+      val ec = graft.operators.PcaPower.projectOut(s, e, st.mean, st.pc1)
+        .localCheckpoint(true) // two consumers: corpus side + query batch
+      val queries = ec.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = ec
+        .withColumn("qid",
+          explode(array((0L until 4L).map(lit): _*)))
+        .join(broadcast(queries), "qid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.cosine(col("v"), col("qv")).as("sim_raw"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+        .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
-    q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
+    q172)
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.math.{BigDecimal => JBD, RoundingMode}
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Gates for the PCA power-iteration operator: the distributed moment
@@ -67,6 +69,36 @@ class PcaPowerSpec extends SparkSpec {
       s"spectral gap lost: r1=${st.rayleigh1} r2=${st.rayleigh2}")
     val amax = st.pc1.indices.maxBy(i => math.abs(st.pc1(i)))
     assert(st.pc1(amax) > 0, "sign convention: largest |component| positive")
+  }
+
+  test("projectOut removes what it claims: corrected vectors are " +
+    "mean-centered and orthogonal to the component (within round-9)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val d = 8
+    val vecs = Seq.tabulate(50) { i =>
+      val g = rnd.nextGaussian() * 2.0
+      (i.toLong, Array.tabulate(d)(k =>
+        (if (k == 2) g else 0.0) + rnd.nextGaussian() * 0.05 + 0.5).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v").repartition(3)
+    val (n, mu, mom) = PcaPower.moments(spark, df.select(col("v")), d)
+    val st = PcaPower.analyze(n, mu, mom, d, iters = 24)
+    val corrected = PcaPower.projectOut(spark, df, st.mean, st.pc1)
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    // residual dot with the component: the round-9 of each corrected
+    // element contributes d·5e-10, and pc1's own round-9 normalization
+    // leaves |p|² = 1 ± O(d·1e-9), whose dt·(1−|p|²) term dominates —
+    // bound generously at 1e-7, still 100× below any real component
+    corrected.foreach { v =>
+      val dot = v.zip(st.pc1).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-7, s"corrected vector not ⊥ pc1: $dot")
+    }
+    val meanAfter = Array.tabulate(d)(k => corrected.map(_(k)).sum / corrected.length)
+    val meanNormAfter = math.sqrt(meanAfter.map(x => x * x).sum)
+    val meanNormBefore = math.sqrt(st.mean.map(x => x * x).sum)
+    assert(meanNormAfter < 1e-6 * math.max(1.0, meanNormBefore) + 1e-6,
+      s"mean not removed: $meanNormAfter (before $meanNormBefore)")
   }
 
   test("isotropic noise reads as isotropic: evr1 stays near the 1/d floor") {
