@@ -3412,7 +3412,9 @@ object LlmQueries {
     * both engines read identically — the q37/q47/q72 pattern), so the
     * composed pipeline needs no float literals in the oracle either;
     * the Lloyd-trained codebooks (q47/q72 production path) differ only
-    * in centroid doubles. Exact-cosine refinement of the ADC top-k is
+    * in centroid doubles — and since r16 the trained COARSE tier is
+    * itself oracle-gated end to end (q169/q170 relearn it via unrolled
+    * CTE rounds; X45). Exact-cosine refinement of the ADC top-k is
     * q47's exactRerank — one more candidate-bounded join when ADC
     * precision isn't enough. */
   val q153 = QueryDef(
@@ -4529,11 +4531,133 @@ object LlmQueries {
         .orderBy(col("qid"), col("sim").desc, col("vec_id"))
     })
 
+  // ----------------- q173 distilled model-based quality filter (X47, r16)
+  private val LrSteps = 8
+  private val LrRate = 2.0
+  private val LrNf = 7
+
+  private def lrFeatsSql: String =
+    """feats AS MATERIALIZED (
+         SELECT doc_id,
+           [1.0,
+            least(ntok, 128) / 128.0,
+            (letters::DOUBLE / ntok) / 8.0,
+            stop::DOUBLE / ntok,
+            dist::DOUBLE / ntok,
+            short::DOUBLE / ntok,
+            lex::DOUBLE / ntok] AS x,
+           CASE WHEN ntok BETWEEN 32 AND 512 AND stop*20 >= ntok
+                THEN 1.0 ELSE 0.0 END AS y
+         FROM (SELECT doc_id, n_chars,
+                 len(tk) AS ntok,
+                 len(replace(text, ' ', '')) AS letters,
+                 len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','on','for'))) AS stop,
+                 len(list_distinct(tk)) AS dist,
+                 len(list_filter(tk, x -> len(x) <= 2)) AS short,
+                 len(list_filter(tk, x -> x IN ('spark','table','row','scan','hash','sort'))) AS lex
+               FROM (SELECT doc_id, text, n_chars,
+                       string_split(lower(text), ' ') AS tk
+                     FROM documents))),
+       nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats)"""
+
+  private def lrOracleSql: String = {
+    val sb = new StringBuilder("WITH " + lrFeatsSql + s""",
+        w0 AS MATERIALIZED (SELECT j, 0.0::DOUBLE AS w FROM range(0,$LrNf) t(j))""")
+    for (r <- 1 to LrSteps) sb ++= s""",
+        z$r AS MATERIALIZED (SELECT f.doc_id, f.y,
+            CAST(SUM(CAST(f.x[t.j+1] * w.w AS DECIMAL(28,12))) AS DOUBLE) AS z
+          FROM feats f, range(0,$LrNf) t(j), w${r - 1} w
+          WHERE w.j = t.j GROUP BY f.doc_id, f.y),
+        s$r AS MATERIALIZED (SELECT doc_id, y,
+            0.5 + 0.5*z/(1+abs(z)) AS p FROM z$r),
+        g$r AS MATERIALIZED (SELECT t.j,
+            CAST(SUM(CAST((s.p - s.y) * f.x[t.j+1] AS DECIMAL(28,12))) AS DOUBLE)
+              / (SELECT n FROM nn) AS g
+          FROM s$r s, feats f, range(0,$LrNf) t(j)
+          WHERE f.doc_id = s.doc_id GROUP BY t.j),
+        w$r AS MATERIALIZED (SELECT w.j, ROUND(w.w - $LrRate * g.g, 9) AS w
+          FROM w${r - 1} w, g$r g WHERE g.j = w.j)"""
+    sb ++= s""",
+        zf AS MATERIALIZED (SELECT f.doc_id, f.y,
+            CAST(SUM(CAST(f.x[t.j+1] * w.w AS DECIMAL(28,12))) AS DOUBLE) AS z
+          FROM feats f, range(0,$LrNf) t(j), w$LrSteps w
+          WHERE w.j = t.j GROUP BY f.doc_id, f.y)
+        SELECT 'agree' AS stat,
+               SUM(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)::DOUBLE AS value
+        FROM zf
+        UNION ALL SELECT 'kept', SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END)::DOUBLE
+        FROM zf
+        UNION ALL SELECT 'n_docs', (SELECT n FROM nn)::DOUBLE
+        UNION ALL SELECT 'teacher_pos', SUM(y) FROM zf
+        UNION ALL SELECT 'w' || CAST(j AS VARCHAR), ROUND(w, 6) FROM w$LrSteps
+        ORDER BY stat"""
+    sb.toString
+  }
+
+  /** DISTILLED model-based quality filter (X47 — the CCNet/fastText
+    * filtering step): a crisp integer teacher rule (length band +
+    * stopword floor, exact on both engines) supervises 8 full-batch
+    * gradient rounds of a linear scorer over 6 cheap per-doc features
+    * (scaled length, mean word length, stopword/type-token/short-token/
+    * content-lexicon ratios — each a single division of exact integer
+    * counts). The link is the RATIONAL sigmoid (IEEE-deterministic; a
+    * transcendental exp() would drift between libms), margins and
+    * gradients ride the decimal device, weight updates round to 9 dp —
+    * so the oracle RELEARNS identical weights through unrolled CTE
+    * rounds and the hash compares the whole distill→score arc: learned
+    * weights, kept count under the student (z ≥ 0), and student↔teacher
+    * agreement (70% here — the student generalizes the rule, not
+    * memorizes it). Per step: one map-only corpus pass, [[LrNf]] driver
+    * cells ([[graft.operators.LinearTrainer]]). */
+  val q173 = QueryDef(
+    "q173_quality_distill",
+    Some(lrOracleSql),
+    (s, dir) => {
+      import s.implicits._
+      val tk = TextOps.tokens(col("text"))
+      val enWords = TextOps.Stopwords.toMap.apply("en")
+      val lexicon = Seq("spark", "table", "row", "scan", "hash", "sort")
+      val ints = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), tk.as("tk"),
+          length(regexp_replace(col("text"), " ", "")).as("letters"))
+        .select(col("doc_id"),
+          size(col("tk")).as("ntok"),
+          col("letters"),
+          TextOps.stopwordHits(col("tk"), enWords).as("stop"),
+          size(array_distinct(col("tk"))).as("dist"),
+          size(filter(col("tk"), x => length(x) <= 2)).as("short"),
+          TextOps.stopwordHits(col("tk"), lexicon).as("lex"))
+      val feats = ints.select(
+        array(lit(1.0),
+          least(col("ntok"), lit(128)) / lit(128.0),
+          (col("letters").cast("double") / col("ntok")) / lit(8.0),
+          col("stop").cast("double") / col("ntok"),
+          col("dist").cast("double") / col("ntok"),
+          col("short").cast("double") / col("ntok"),
+          col("lex").cast("double") / col("ntok")).as("x"),
+        when(col("ntok").between(32, 512) &&
+          col("stop") * 20 >= col("ntok"), 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint(true) // consumed steps + 1 times
+      val n = feats.count()
+      val w = graft.operators.LinearTrainer.fit(
+        s, feats, LrNf, n, LrSteps, LrRate)
+      val (kept, agree, tpos) =
+        graft.operators.LinearTrainer.stats(s, feats, LrNf, w)
+      import graft.operators.PcaPower.rnd
+      val rows = Seq(
+        ("agree", agree.toDouble),
+        ("kept", kept.toDouble),
+        ("n_docs", n.toDouble),
+        ("teacher_pos", tpos)) ++
+        w.zipWithIndex.map { case (x, j) => (s"w$j", rnd(x, 6)) }
+      rows.toDF("stat", "value").orderBy("stat")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172)
+    q172, q173)
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Differential gates for the full-batch linear trainer: the Spark-
+  * learned weights must equal an independent in-memory trainer's bit
+  * for bit across partitionings (the q173 oracle rides on exactly that
+  * equality), and the learned model must actually LEARN — agreement
+  * with a linearly-representable teacher beats the majority baseline. */
+class LinearTrainerSpec extends SparkSpec {
+
+  private def dec12(x: Double): JBD =
+    JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+  private def rnd9(x: Double): Double =
+    JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP).doubleValue
+
+  private def fitRef(rows: Seq[(Array[Double], Double)], nf: Int,
+      steps: Int, lr: Double): Array[Double] = {
+    var w = Array.fill(nf)(0.0)
+    for (_ <- 0 until steps) {
+      val g = Array.fill(nf)(JBD.ZERO)
+      rows.foreach { case (x, y) =>
+        var acc = JBD.ZERO
+        for (j <- 0 until nf) acc = acc.add(dec12(x(j) * w(j)))
+        val z = acc.doubleValue
+        val p = 0.5 + 0.5 * z / (1 + math.abs(z))
+        for (j <- 0 until nf) g(j) = g(j).add(dec12((p - y) * x(j)))
+      }
+      w = Array.tabulate(nf)(j =>
+        rnd9(w(j) - lr * (g(j).doubleValue / rows.size)))
+    }
+    w
+  }
+
+  private def synth(seed: Int, n: Int, nf: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val x = Array.tabulate(nf)(j => if (j == 0) 1.0 else rnd.nextDouble())
+      // linearly-representable teacher: x1 + x2 > 1 (plus 10% noise)
+      val y = if ((x(1) + x(2) > 1.0) != (rnd.nextDouble() < 0.1)) 1.0 else 0.0
+      (x, y)
+    }
+  }
+
+  test("Spark-learned weights ≡ independent in-memory trainer, " +
+    "bit for bit, across partitionings") {
+    import spark.implicits._
+    val nf = 4
+    val rows = synth(seed = 5, n = 120, nf = nf)
+    val want = fitRef(rows, nf, steps = 6, lr = 2.0)
+    for (parts <- Seq(1, 4, 9)) {
+      val df = rows.map { case (x, y) => (x.toSeq, y) }.toDF("x", "y")
+        .repartition(parts)
+      val got = LinearTrainer.fit(spark, df, nf, rows.size, steps = 6, lr = 2.0)
+      assert(got.sameElements(want),
+        s"parts=$parts: got=${got.mkString(",")} want=${want.mkString(",")}")
+    }
+  }
+
+  test("the student learns: agreement beats the majority baseline and " +
+    "stats counts match a direct evaluation") {
+    import spark.implicits._
+    val nf = 4
+    val rows = synth(seed = 17, n = 400, nf = nf)
+    val df = rows.map { case (x, y) => (x.toSeq, y) }.toDF("x", "y")
+      .repartition(6).localCheckpoint(true)
+    val w = LinearTrainer.fit(spark, df, nf, rows.size, steps = 12, lr = 2.0)
+    val (kept, agree, tpos) = LinearTrainer.stats(spark, df, nf, w)
+    val majority = math.max(tpos, rows.size - tpos)
+    assert(agree > majority + rows.size / 20,
+      s"no learning: agree=$agree majority=$majority")
+    // direct evaluation must reproduce the distributed stats exactly
+    var k2 = 0L; var a2 = 0L
+    rows.foreach { case (x, y) =>
+      var acc = JBD.ZERO
+      for (j <- 0 until nf) acc = acc.add(dec12(x(j) * w(j)))
+      val z = acc.doubleValue
+      if (z >= 0) k2 += 1
+      if ((z >= 0) == (y == 1.0)) a2 += 1
+    }
+    assert(kept == k2 && agree == a2, s"($kept,$agree) vs ($k2,$a2)")
+    assert(tpos == rows.map(_._2).sum)
+  }
+}
