@@ -4237,21 +4237,31 @@ object LlmQueries {
     * bit-identical across engines and the assignment comparisons see
     * the same doubles. `c${iters}v` is the learned codebook CTE the
     * callers extend. */
-  private def kmeansRoundsSql(k: Int, iters: Int, dim: Int): String = {
+  /** `basePred` restricts the TRAINING corpus (q174 trains on the
+    * standing slice only); seeds are the k lowest training vec_ids,
+    * dense-ranked into bucket ids 0..k−1 — on the full contiguous-id
+    * corpus (q169/q170, basePred = TRUE) that is exactly the old
+    * `vec_id < k` spelling. */
+  private def kmeansRoundsSql(k: Int, iters: Int, dim: Int,
+      basePred: String = "TRUE"): String = {
     val sb = new StringBuilder(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          c0 AS (SELECT vec_id AS cid, i, v[i] AS m
-                 FROM e, range(1, ${dim + 1}) r(i) WHERE vec_id < $k),
+          tre AS MATERIALIZED (SELECT vec_id, v FROM e WHERE $basePred),
+          sd AS MATERIALIZED (SELECT vec_id,
+              row_number() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM (SELECT vec_id FROM tre ORDER BY vec_id LIMIT $k)),
+          c0 AS (SELECT sd.cid, r.i, e.v[r.i] AS m
+                 FROM sd JOIN e USING (vec_id), range(1, ${dim + 1}) r(i)),
           c0v AS (SELECT cid, list(m ORDER BY i) AS cv FROM c0 GROUP BY cid)""")
     for (r <- 1 to iters) sb ++= s""",
           a$r AS (SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-            FROM e, c${r - 1}v c) WHERE rn = 1),
+            SELECT tre.vec_id, c.cid, row_number() OVER (PARTITION BY tre.vec_id
+              ORDER BY list_cosine_similarity(tre.v, c.cv) DESC, c.cid) AS rn
+            FROM tre, c${r - 1}v c) WHERE rn = 1),
           m$r AS (SELECT cid, i,
                     ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)
                       / COUNT(*), 9) AS m
-                  FROM a$r JOIN e USING (vec_id), range(1, ${dim + 1}) r(i)
+                  FROM a$r JOIN tre USING (vec_id), range(1, ${dim + 1}) r(i)
                   GROUP BY cid, i),
           c$r AS (SELECT p.cid, p.i, COALESCE(n.m, p.m) AS m
                   FROM c${r - 1} p
@@ -4335,6 +4345,88 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("sim_raw").cast("decimal(28,12)")).cast("double")
             / count(lit(1)), 4).as("avg_sim"))
+        .orderBy("bucket")
+    })
+
+  // ------------- q174 incremental IVF index maintenance (X45/M34, r16)
+  /** The batch slice of the vector corpus — q167's device on the vector
+    * side: ids with `vec_id % 10 >= 8` are "tonight's embeddings". */
+  private val VecNewPred = "vec_id % 10 >= 8"
+
+  /** Standing-index state, built ONCE per (session, dir): the codebook
+    * is TRAINED on the standing slice only (seeds = its 64 lowest
+    * vec_ids — the batch must not leak into training, exactly like
+    * q167's stored df head), and the standing assignments live in a
+    * governed lake table a nightly run appends to. */
+  private val ivfIncrStates = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Array[Double]], graft.lake.LakeTable)]()
+
+  private def ivfIncrState(s: SparkSession, dir: String)
+      : (Array[Array[Double]], graft.lake.LakeTable) =
+    ivfIncrStates.computeIfAbsent((s, dir), { _ =>
+      import org.apache.spark.sql.types._
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("vec_id"), col("v"))
+      val train = e.filter(!expr(VecNewPred)).localCheckpoint(true)
+      val seeds = train.orderBy("vec_id").limit(IvfK)
+        .collect().map(_.getSeq[Double](1).toArray)
+      val cents = graft.operators.KMeansTrainer.train(train, seeds, KmIters)(
+        (corpus, cs) => ivfAssignCompiled(s, corpus, "vec_id", "v", cs, 1))
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-wh")
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      cat.createNamespace("ann")
+      val assignT = cat.createTable("ann", "assign", StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("bucket", LongType))))
+        .append(ivfAssignCompiled(s, train, "vec_id", "v", cents, 1)
+          .select(col("vec_id"), col("bucket").cast("long").as("bucket")))
+      (cents, assignT)
+    })
+
+  /** INCREMENTAL IVF index maintenance (X45 ∘ M34 — the nightly shape,
+    * q167's posture on the vector side): the standing corpus's codebook
+    * and bucket assignments are lake state built once; the run routes
+    * ONLY the new batch through the stored centroids (one compiled
+    * O(batch·K·d) pass — no retrain, no corpus re-assignment) and
+    * reports per-bucket occupancy, stored vs new — the drift audit that
+    * decides when the codebook needs retraining. Oracle: relearn the
+    * standing codebook via unrolled CTE rounds (training predicate
+    * excludes the batch), assign both slices under it. */
+  val q174 = QueryDef(
+    "q174_ivf_incremental",
+    Some(kmeansRoundsSql(IvfK, KmIters, EmbDim,
+      basePred = s"NOT ($VecNewPred)") + s""",
+        sasg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT tre.vec_id, c.cid, row_number() OVER (PARTITION BY tre.vec_id
+            ORDER BY list_cosine_similarity(tre.v, c.cv) DESC, c.cid) AS rn
+          FROM tre, c${KmIters}v c) WHERE rn = 1),
+        bat AS (SELECT vec_id, v FROM e WHERE $VecNewPred),
+        basg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT bat.vec_id, c.cid, row_number() OVER (PARTITION BY bat.vec_id
+            ORDER BY list_cosine_similarity(bat.v, c.cv) DESC, c.cid) AS rn
+          FROM bat, c${KmIters}v c) WHERE rn = 1)
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_stored,
+               CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new
+        FROM (SELECT bucket, 0 AS is_new FROM sasg
+              UNION ALL SELECT bucket, 1 AS is_new FROM basg)
+        GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => {
+      val (cents, assignT) = ivfIncrState(s, dir)
+      val batch = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .filter(expr(VecNewPred))
+        .select(col("vec_id"), col("v"))
+      val basg = ivfAssignCompiled(s, batch, "vec_id", "v", cents, 1)
+        .select(col("bucket").cast("long").as("bucket"), lit(1).as("is_new"))
+      assignT.read().select(col("bucket"), lit(0).as("is_new"))
+        .unionByName(basg)
+        .groupBy("bucket")
+        .agg(sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("n_stored"),
+          sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("n_new"))
         .orderBy("bucket")
     })
 
@@ -4659,5 +4751,5 @@ object LlmQueries {
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173)
+    q172, q173, q174)
 }

@@ -1049,4 +1049,18 @@ class LlmOpsSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     }
   }
+
+  test("q174 incremental IVF: per-bucket occupancy accounts for each " +
+    "corpus slice exactly and buckets stay in the codebook range") {
+    val res = LlmQueries.q174.run(spark, sf).collect()
+    val e = graft.Tables(spark, sf, "embeddings")
+    val nNew = e.filter(expr("vec_id % 10 >= 8")).count()
+    val nStored = e.count() - nNew
+    assert(res.map(_.getLong(1)).sum == nStored,
+      s"stored occupancy ${res.map(_.getLong(1)).sum} != $nStored")
+    assert(res.map(_.getLong(2)).sum == nNew,
+      s"new occupancy ${res.map(_.getLong(2)).sum} != $nNew")
+    assert(res.forall(r =>
+      r.getLong(0) >= 0 && r.getLong(0) < LlmQueries.IvfK))
+  }
 }
