@@ -4649,23 +4649,29 @@ object LlmQueries {
                  len(list_filter(tk, x -> x IN ('spark','table','row','scan','hash','sort'))) AS lex
                FROM (SELECT doc_id, text, n_chars,
                        string_split(lower(text), ' ') AS tk
-                     FROM documents))),
-       nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats)"""
+                     FROM documents)))"""
 
-  private def lrOracleSql: String = {
+  /** Training CTE chain through `zf` (final margins over ALL feats,
+    * doc_id retained so callers can split metrics). `trainPred`
+    * restricts the slice the GRADIENTS see — q175 trains on the
+    * standing 80% and evaluates held-out; q173's TRUE is the
+    * whole-corpus special case (`tfeats` = `feats`, `nn` counts it). */
+  private def lrTrainSql(trainPred: String): String = {
     val sb = new StringBuilder("WITH " + lrFeatsSql + s""",
+        tfeats AS MATERIALIZED (SELECT * FROM feats WHERE $trainPred),
+        tn AS MATERIALIZED (SELECT COUNT(*) AS n FROM tfeats),
         w0 AS MATERIALIZED (SELECT j, 0.0::DOUBLE AS w FROM range(0,$LrNf) t(j))""")
     for (r <- 1 to LrSteps) sb ++= s""",
         z$r AS MATERIALIZED (SELECT f.doc_id, f.y,
             CAST(SUM(CAST(f.x[t.j+1] * w.w AS DECIMAL(28,12))) AS DOUBLE) AS z
-          FROM feats f, range(0,$LrNf) t(j), w${r - 1} w
+          FROM tfeats f, range(0,$LrNf) t(j), w${r - 1} w
           WHERE w.j = t.j GROUP BY f.doc_id, f.y),
         s$r AS MATERIALIZED (SELECT doc_id, y,
             0.5 + 0.5*z/(1+abs(z)) AS p FROM z$r),
         g$r AS MATERIALIZED (SELECT t.j,
             CAST(SUM(CAST((s.p - s.y) * f.x[t.j+1] AS DECIMAL(28,12))) AS DOUBLE)
-              / (SELECT n FROM nn) AS g
-          FROM s$r s, feats f, range(0,$LrNf) t(j)
+              / (SELECT n FROM tn) AS g
+          FROM s$r s, tfeats f, range(0,$LrNf) t(j)
           WHERE f.doc_id = s.doc_id GROUP BY t.j),
         w$r AS MATERIALIZED (SELECT w.j, ROUND(w.w - $LrRate * g.g, 9) AS w
           FROM w${r - 1} w, g$r g WHERE g.j = w.j)"""
@@ -4673,18 +4679,21 @@ object LlmQueries {
         zf AS MATERIALIZED (SELECT f.doc_id, f.y,
             CAST(SUM(CAST(f.x[t.j+1] * w.w AS DECIMAL(28,12))) AS DOUBLE) AS z
           FROM feats f, range(0,$LrNf) t(j), w$LrSteps w
-          WHERE w.j = t.j GROUP BY f.doc_id, f.y)
+          WHERE w.j = t.j GROUP BY f.doc_id, f.y)"""
+    sb.toString
+  }
+
+  private def lrOracleSql: String =
+    lrTrainSql("TRUE") + s"""
         SELECT 'agree' AS stat,
                SUM(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)::DOUBLE AS value
         FROM zf
         UNION ALL SELECT 'kept', SUM(CASE WHEN z >= 0 THEN 1 ELSE 0 END)::DOUBLE
         FROM zf
-        UNION ALL SELECT 'n_docs', (SELECT n FROM nn)::DOUBLE
+        UNION ALL SELECT 'n_docs', (SELECT n FROM tn)::DOUBLE
         UNION ALL SELECT 'teacher_pos', SUM(y) FROM zf
         UNION ALL SELECT 'w' || CAST(j AS VARCHAR), ROUND(w, 6) FROM w$LrSteps
         ORDER BY stat"""
-    sb.toString
-  }
 
   /** DISTILLED model-based quality filter (X47 — the CCNet/fastText
     * filtering step): a crisp integer teacher rule (length band +
@@ -4701,11 +4710,14 @@ object LlmQueries {
     * agreement (70% here — the student generalizes the rule, not
     * memorizes it). Per step: one map-only corpus pass, [[LrNf]] driver
     * cells ([[graft.operators.LinearTrainer]]). */
-  val q173 = QueryDef(
-    "q173_quality_distill",
-    Some(lrOracleSql),
-    (s, dir) => {
-      import s.implicits._
+  /** (doc_id, x, y) feature table shared by q173/q175 — built once per
+    * (session, dir), checkpointed: it is consumed steps + 1 times per
+    * training run. */
+  private val lrFeatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def lrFeats(s: SparkSession, dir: String): DataFrame =
+    lrFeatsCache.computeIfAbsent((s, dir), { _ =>
       val tk = TextOps.tokens(col("text"))
       val enWords = TextOps.Stopwords.toMap.apply("en")
       val lexicon = Seq("spark", "table", "row", "scan", "hash", "sort")
@@ -4719,7 +4731,7 @@ object LlmQueries {
           size(array_distinct(col("tk"))).as("dist"),
           size(filter(col("tk"), x => length(x) <= 2)).as("short"),
           TextOps.stopwordHits(col("tk"), lexicon).as("lex"))
-      val feats = ints.select(
+      ints.select(col("doc_id"),
         array(lit(1.0),
           least(col("ntok"), lit(128)) / lit(128.0),
           (col("letters").cast("double") / col("ntok")) / lit(8.0),
@@ -4729,7 +4741,15 @@ object LlmQueries {
           col("lex").cast("double") / col("ntok")).as("x"),
         when(col("ntok").between(32, 512) &&
           col("stop") * 20 >= col("ntok"), 1.0).otherwise(0.0).as("y"))
-        .localCheckpoint(true) // consumed steps + 1 times
+        .localCheckpoint(true)
+    })
+
+  val q173 = QueryDef(
+    "q173_quality_distill",
+    Some(lrOracleSql),
+    (s, dir) => {
+      import s.implicits._
+      val feats = lrFeats(s, dir)
       val n = feats.count()
       val w = graft.operators.LinearTrainer.fit(
         s, feats, LrNf, n, LrSteps, LrRate)
@@ -4745,11 +4765,64 @@ object LlmQueries {
       rows.toDF("stat", "value").orderBy("stat")
     })
 
+  /** HELD-OUT evaluation of the distilled filter (X47 — the eval a
+    * deployment actually needs before trusting a cheap model to gate a
+    * corpus): train on the standing 80% (`doc_id % 10 < 8`, the q167
+    * split device), score BOTH slices under the learned weights, and
+    * report train-vs-held-out agreement and kept-rate — generalization
+    * measured on documents the gradients never saw, not the in-sample
+    * number q173 reports. Same replayable loop, so the oracle relearns
+    * the 80%-trained weights and computes the same split metrics. */
+  val q175 = QueryDef(
+    "q175_quality_holdout",
+    Some(lrTrainSql("doc_id % 10 < 8") + s"""
+        SELECT 'eval_agree' AS stat,
+               SUM(CASE WHEN (z >= 0) = (y = 1.0) AND doc_id % 10 >= 8
+                   THEN 1 ELSE 0 END)::DOUBLE AS value
+        FROM zf
+        UNION ALL SELECT 'eval_kept',
+               SUM(CASE WHEN z >= 0 AND doc_id % 10 >= 8
+                   THEN 1 ELSE 0 END)::DOUBLE
+        FROM zf
+        UNION ALL SELECT 'eval_n',
+               SUM(CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END)::DOUBLE
+        FROM zf
+        UNION ALL SELECT 'train_agree',
+               SUM(CASE WHEN (z >= 0) = (y = 1.0) AND doc_id % 10 < 8
+                   THEN 1 ELSE 0 END)::DOUBLE
+        FROM zf
+        UNION ALL SELECT 'train_n', (SELECT n FROM tn)::DOUBLE
+        UNION ALL SELECT 'w' || CAST(j AS VARCHAR), ROUND(w, 6) FROM w$LrSteps
+        ORDER BY stat"""),
+    (s, dir) => {
+      import s.implicits._
+      val feats = lrFeats(s, dir)
+      val trainF = feats.filter(col("doc_id") % 10 < 8)
+      val evalF = feats.filter(col("doc_id") % 10 >= 8)
+      val nTrain = trainF.count()
+      val w = graft.operators.LinearTrainer.fit(
+        s, trainF, LrNf, nTrain, LrSteps, LrRate)
+      val (_, trainAgree, _) =
+        graft.operators.LinearTrainer.stats(s, trainF, LrNf, w)
+      val (evalKept, evalAgree, _) =
+        graft.operators.LinearTrainer.stats(s, evalF, LrNf, w)
+      val nEval = evalF.count()
+      import graft.operators.PcaPower.rnd
+      val rows = Seq(
+        ("eval_agree", evalAgree.toDouble),
+        ("eval_kept", evalKept.toDouble),
+        ("eval_n", nEval.toDouble),
+        ("train_agree", trainAgree.toDouble),
+        ("train_n", nTrain.toDouble)) ++
+        w.zipWithIndex.map { case (x, j) => (s"w$j", rnd(x, 6)) }
+      rows.toDF("stat", "value").orderBy("stat")
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174)
+    q172, q173, q174, q175)
 }
