@@ -4710,15 +4710,16 @@ object LlmQueries {
     * agreement (70% here — the student generalizes the rule, not
     * memorizes it). Per step: one map-only corpus pass, [[LrNf]] driver
     * cells ([[graft.operators.LinearTrainer]]). */
-  /** (doc_id, x, y) feature table shared by q173/q175 — built once per
-    * (session, dir), checkpointed: it is consumed steps + 1 times per
-    * training run. */
-  private val lrFeatsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def lrFeats(s: SparkSession, dir: String): DataFrame =
-    lrFeatsCache.computeIfAbsent((s, dir), { _ =>
-      val tk = TextOps.tokens(col("text"))
+  /** (doc_id, x, y) feature table shared by q173/q175, checkpointed
+    * because one run consumes it steps + 1 times. Built PER RUN, never
+    * memoized across runs: a harness that unpersists checkpoint blocks
+    * between runs (Bench.level does, deliberately) would leave a cached
+    * handle dangling — the r16 full bench measured exactly that failure
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on q173/q175's second sample).
+    * Memo caches must hold driver values (arrays, lake handles), never
+    * checkpointed plans. */
+  private def lrFeats(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
       val enWords = TextOps.Stopwords.toMap.apply("en")
       val lexicon = Seq("spark", "table", "row", "scan", "hash", "sort")
       val ints = t(s, dir, "documents")
@@ -4741,8 +4742,8 @@ object LlmQueries {
           col("lex").cast("double") / col("ntok")).as("x"),
         when(col("ntok").between(32, 512) &&
           col("stop") * 20 >= col("ntok"), 1.0).otherwise(0.0).as("y"))
-        .localCheckpoint(true)
-    })
+      .localCheckpoint(true)
+  }
 
   val q173 = QueryDef(
     "q173_quality_distill",
