@@ -87,6 +87,30 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: trainer ≡ in-memory reference, bit for bit, across random " +
+    "(n, d, k, iters, partitioning)") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val r = new scala.util.Random(seed * 31)
+      val d = 2 + r.nextInt(6)
+      val n = 20 + r.nextInt(60)
+      val k = 2 + r.nextInt(4)
+      val iters = 1 + r.nextInt(3)
+      val parts = 1 + r.nextInt(7)
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(d)(r.nextDouble() * 4 - 2)))
+      val df = vecs.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "v").repartition(parts)
+      val seeds = vecs.take(k).map(_._2.clone).toArray
+      val got = KMeansTrainer.train(df, seeds, iters)(
+        (c, cs) => LlmQueries.ivfAssignCompiled(spark, c, "vec_id", "v", cs, 1))
+      val want = trainRef(vecs, seeds, iters)
+      for (c <- 0 until k)
+        assert(got(c).sameElements(want(c)),
+          s"seed=$seed d=$d k=$k iters=$iters parts=$parts centroid=$c")
+    }
+  }
+
   test("empty buckets keep their previous centroid") {
     import spark.implicits._
     val dim = 4

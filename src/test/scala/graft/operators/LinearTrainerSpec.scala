@@ -61,6 +61,30 @@ class LinearTrainerSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: learned weights ≡ reference, bit for bit, across random " +
+    "(n, nf, steps, lr, partitioning)") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val r = new scala.util.Random(seed * 17)
+      val nf = 2 + r.nextInt(6)
+      val n = 30 + r.nextInt(150)
+      val steps = 1 + r.nextInt(6)
+      val lr = Seq(0.5, 1.0, 2.0, 4.0)(r.nextInt(4))
+      val parts = 1 + r.nextInt(8)
+      val rows = Seq.fill(n) {
+        val x = Array.tabulate(nf)(j =>
+          if (j == 0) 1.0 else r.nextDouble() * 2 - 1)
+        (x, if (r.nextBoolean()) 1.0 else 0.0)
+      }
+      val df = rows.map { case (x, y) => (x.toSeq, y) }.toDF("x", "y")
+        .repartition(parts)
+      val got = LinearTrainer.fit(spark, df, nf, n, steps, lr)
+      val want = fitRef(rows, nf, steps, lr)
+      assert(got.sameElements(want),
+        s"seed=$seed nf=$nf steps=$steps lr=$lr parts=$parts")
+    }
+  }
+
   test("the student learns: agreement beats the majority baseline and " +
     "stats counts match a direct evaluation") {
     import spark.implicits._
