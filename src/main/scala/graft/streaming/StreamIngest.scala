@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
@@ -505,5 +505,135 @@ object StreamIngest {
       .distinct()
     batch.join(broadcast(drops), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+  }
+
+  // -------------------------------- X48: streaming VECTOR dedup ingest
+  /** Sign-bit SimHash signature of column `v` (ARRAY<DOUBLE>, first 64
+    * dims): bit i set iff v[i] ≥ 0 — the exact q149/q162 signature, so
+    * the streaming index blocks with the same geometry the batch ANN
+    * family measured band parameters against. */
+  private def signSig: Column = expr(
+    "aggregate(transform(sequence(0, 63), " +
+      "i -> IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L)), " +
+      "0L, (acc, x) -> acc | x)")
+
+  /** (vec_id, band, bkey): 8 bands × 8 bits — radius-0 blocking, a
+    * candidate pair shares at least one IDENTICAL band. At cosine ≥ 0.9
+    * the per-bit flip probability is arccos(0.9)/π ≈ 0.14, so one band
+    * survives with 0.86⁸ ≈ 0.30 and at least one of eight with
+    * 1 − 0.70⁸ ≈ 0.94; at 0.95 it is ≈ 0.99. The miss probability is
+    * the documented recall trade of signature blocking (q37/q149
+    * posture) — the alternative, exact all-pairs per micro-batch
+    * against the standing corpus, is the O(batch·corpus) job this
+    * operator exists to avoid. */
+  private def sigBands(vecs: DataFrame): DataFrame =
+    vecs.withColumn("sig", signSig)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), b -> shiftrightunsigned(sig, b * 8) & 255L)"))
+        .as(Seq("band", "bkey")))
+
+  /** One-time standing state for [[vectorDedupIngest]]: the corpus
+    * vectors and their signature-band index as lake tables. `initial`
+    * columns: (vec_id LONG, v ARRAY<DOUBLE>). */
+  def provisionVectorDedupState(
+      catalog: LakeCatalog,
+      db: String,
+      initial: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    catalog.createTable(db, "vectors", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+      .append(initial)
+    catalog.createTable(db, "sigbands", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("band", IntegerType),
+        StructField("bkey", LongType))))
+      .append(sigBands(initial))
+  }
+
+  /** STREAMING near-duplicate VECTOR ingest (X48 — X44's semantics on
+    * embeddings): per micro-batch, candidates = batch×stored +
+    * batch×batch signature-band collisions, exact-cosine verified at
+    * `tau` with vectors fetched through the byte-budget device (X42 —
+    * never a forced corpus-sized broadcast), survivors appended to the
+    * vectors AND index tables so the state grows and later arrivals
+    * dedup against earlier survivors. Victim rule and crash-replay
+    * convergence are [[nearDupIngest]]'s: batch side of a
+    * (batch, stored) pair drops, larger id of a batch pair drops,
+    * self-id pairs are excluded so a replayed batch converges against
+    * its own committed copy. Zero-norm vectors BYPASS dedup and land
+    * directly: their signature is meaningless and cosine against them
+    * is NaN — silently dropping them would lose data to an undefined
+    * comparison. O(batch) per micro-batch: the stored side is touched
+    * only through the band equi-join and the budget-gated pair fetch. */
+  def vectorDedupIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      tau: Double = 0.9): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0
+          .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+          .localCheckpoint(true)
+        val nz = batch
+          .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
+        val z = batch
+          .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) <= 0D"))
+        val survivors = vectorSurvivors(spark, nz, catalog, db, tau)
+          .unionByName(z)
+          .localCheckpoint(true)
+        // index first, landing surface last (the nearDupIngest order)
+        commitBatch(catalog, db, "sigbands")(
+          sigBands(survivors), batchId)
+        commitBatch(catalog, db, "vectors")(survivors, batchId)
+      }
+      .start()
+
+  /** The batch minus its cosine-verified near-dups (vs stored state and
+    * vs smaller-id batch peers). */
+  private def vectorSurvivors(
+      spark: SparkSession, batch: DataFrame,
+      catalog: LakeCatalog, db: String, tau: Double): DataFrame = {
+    val batchBands = sigBands(batch).localCheckpoint(true)
+    val stored = catalog.loadTable(db, "sigbands").get.read()
+    // id-inequality, not disjointness: on crash-replay the stored side
+    // may already hold THIS batch's survivors
+    val cross = batchBands.as("n")
+      .join(stored.as("o"), col("n.band") === col("o.band") &&
+        col("n.bkey") === col("o.bkey") &&
+        col("n.vec_id") =!= col("o.vec_id"))
+      .select(least(col("n.vec_id"), col("o.vec_id")).as("ia"),
+        greatest(col("n.vec_id"), col("o.vec_id")).as("ib"))
+    val self = batchBands.as("a")
+      .join(batchBands.as("b"), col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+    val cand = cross.union(self).distinct().localCheckpoint(true)
+    val allVecs = catalog.loadTable(db, "vectors").get.read()
+      .unionByName(batch)
+    val verified = graft.operators.VectorJoin
+      .attachPair(cand, allVecs, "vec_id", "v")
+      .filter(graft.functions.VectorOps.cosine(col("va"), col("vb")) >= tau)
+      .select("ia", "ib")
+    val bIds = batch.select(col("vec_id"))
+    val aNew = bIds.select(col("vec_id").as("ia"), lit(true).as("a_new"))
+    val bNew = bIds.select(col("vec_id").as("ib"), lit(true).as("b_new"))
+    val drops = verified
+      .join(broadcast(aNew), Seq("ia"), "left")
+      .join(broadcast(bNew), Seq("ib"), "left")
+      .select(
+        when(col("a_new").isNotNull && col("b_new").isNotNull,
+          greatest(col("ia"), col("ib")))
+          .when(col("a_new").isNotNull, col("ia"))
+          .otherwise(col("ib")).as("vec_id"))
+      .distinct()
+    batch.join(broadcast(drops), Seq("vec_id"), "left_anti")
   }
 }

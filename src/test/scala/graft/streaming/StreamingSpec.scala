@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 import java.time.Instant
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1075,5 +1075,63 @@ class StreamingSpec extends SparkSpec {
     val headRows = cat.loadTable("nd", "dfhead").get.read().count()
     assert(headRows == 0L, // 2-doc corpus: every class df < DfFloor
       s"head should be the provisioned (empty) order, got $headRows rows")
+  }
+
+  test("streaming VECTOR dedup ingest (X48): batches dedup against stored " +
+    "embeddings by banded signature + exact cosine; state grows; zero " +
+    "vectors bypass the comparison and land") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    def vec(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextDouble() * 2 - 1)
+    }
+    // sign-preserving scale jitter: identical signature, cosine ≈ 1
+    def nd(v: Array[Double], seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      v.map(x => x * (1.0 + 0.01 * r.nextDouble()))
+    }
+    val v1 = vec(31); val v2 = vec(32)
+    val n1 = vec(41); val n2 = vec(42); val n3 = vec(43)
+    val wh = Files.createTempDirectory("graft-vdup-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("vd")
+    def rows(rs: Seq[(Long, Array[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rs.map { case (i, v) => Row(i, v.toSeq) }, 1),
+        vecSchema)
+    StreamIngest.provisionVectorDedupState(cat, "vd",
+      rows(Seq(1L -> v1, 2L -> v2)))
+
+    val chunks = Seq(
+      Seq(10L -> nd(v1, 51), // near-dups STORED vector 1 → dropped
+        11L -> n1, // novel → lands
+        12L -> nd(n1, 52), // within-batch near-dup of 11 → dropped
+        13L -> n2), // novel → lands
+      Seq(20L -> nd(n1, 53), // near-dups the GROWN state (11) → dropped
+        21L -> n3, // novel → lands
+        22L -> Array.fill(64)(0.0))) // zero vector → bypasses, lands
+    val flat = Files.createTempDirectory("graft-vdup-flat")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val dir = Files.createTempDirectory(s"graft-vdup-src$i")
+      rows(chunk).write.parquet(s"$dir/c")
+      Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+      }
+    }
+    val q = StreamIngest.vectorDedupIngest(spark, flat.toString, vecSchema,
+      cat, "vd")
+    q.processAllAvailable(); q.stop()
+
+    val expect = Set(1L, 2L, 11L, 13L, 21L, 22L)
+    def idsOf(table: String): Set[Long] =
+      cat.loadTable("vd", table).get.read()
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idsOf("vectors") == expect, s"vectors: ${idsOf("vectors")}")
+    // the signature index grew in lockstep — later batches joined
+    // against survivors' bands, and dropped vectors left no index rows
+    assert(idsOf("sigbands") == expect, s"sigbands: ${idsOf("sigbands")}")
   }
 }
