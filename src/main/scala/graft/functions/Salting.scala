@@ -68,6 +68,10 @@ object Salting {
         case p: RepartitionOperation => p.nodeName
         case p: Sample => p.nodeName
         case p: Deduplicate => p.nodeName
+        // a Window/Sort implies an exchange whose within-tie row order
+        // re-draws on a partial stage retry — same positional hazard
+        case p: Window => p.nodeName
+        case p: Sort => p.nodeName
       }
       require(unstable.isEmpty,
         s"saltedJoin default positional salt is not retry-stable on a " +

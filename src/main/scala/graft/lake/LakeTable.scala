@@ -840,9 +840,12 @@ class LakeTable(
         // On-disk parquet bytes come from a metadata-scale stat call
         // per delete file, zero data I/O; past the budget the hint is
         // dropped and AQE picks the join from runtime stats.
+        // fail SAFE: an unreadable size counts as over-budget (a 0L
+        // default would silently restore the unconditional broadcast
+        // this gate exists to drop)
         val onDisk = posDeletes.map(f =>
           scala.util.Try(Files.size(
-            java.nio.file.Paths.get(f.path))).getOrElse(0L)).sum
+            java.nio.file.Paths.get(f.path))).getOrElse(budget + 1)).sum
         val del = spark.read.schema(DeleteSchema)
           .parquet(posDeletes.map(_.path): _*)
         val delSide = if (onDisk <= budget) broadcast(del) else del

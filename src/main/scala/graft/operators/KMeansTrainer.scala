@@ -61,7 +61,15 @@ object KMeansTrainer {
           9).as("m"))
         .collect() // ≤ K·d rows — metadata-scale, never corpus-scale
       val next = cents.map(_.clone)
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // positions past the seed dimension are dropped, mirroring the
+      // oracle (its per-dim aggregate ranges over the seed dims only) —
+      // a ragged over-long vector must not crash the whole job with a
+      // raw index error
+      means.foreach { r =>
+        val (b, pos) = (r.getInt(0), r.getInt(1))
+        if (b >= 0 && b < next.length && pos < next(b).length)
+          next(b)(pos) = r.getDouble(2)
+      }
       cents = next
     }
     cents

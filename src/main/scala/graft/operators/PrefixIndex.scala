@@ -171,15 +171,25 @@ object PrefixIndex {
     * and any runtime broadcast decision is left to AQE stats.
     * Row-equality of the two plans is spec-forced with a zero budget
     * (LlmOpsSpec). */
-  def verifyPairs(docsSh: DataFrame, cand: DataFrame): DataFrame = {
+  /** `corpusPreGate = false` skips the whole-table (count, bytes)
+    * aggregate that admits any candidate set when the full corpus fits
+    * the budget — a bench win for the batch dedup queries, but a
+    * per-trigger CORPUS-scale pass for callers whose shingle table is
+    * standing lake state that grows forever (the streaming ingest and
+    * q167's nightly shape bill themselves O(batch), so they pay only
+    * the candidate-level probes below, which are batch-scale). */
+  def verifyPairs(docsSh: DataFrame, cand: DataFrame,
+      corpusPreGate: Boolean = true): DataFrame = {
     val budget = verifyBroadcastBudget(docsSh)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    val tot = docsSh.agg(count(lit(1)).as("n"),
-      coalesce(sum(shingleBytesCol(docsSh)), lit(0L)).as("chars")).head()
-    if (tot.getLong(1) + (64L + 24L) * tot.getLong(0) <= budget)
-      return exactJaccard(docsSh.join(broadcast(ids), "doc_id"), cand,
-        within = true)
+    if (corpusPreGate) {
+      val tot = docsSh.agg(count(lit(1)).as("n"),
+        coalesce(sum(shingleBytesCol(docsSh)), lit(0L)).as("chars")).head()
+      if (tot.getLong(1) + (64L + 24L) * tot.getLong(0) <= budget)
+        return exactJaccard(docsSh.join(broadcast(ids), "doc_id"), cand,
+          within = true)
+    }
     // the id filter is gated BEFORE the shingle probe can run (the
     // probe executes that join), then one pass measures the EXACT
     // candidate shingle payload

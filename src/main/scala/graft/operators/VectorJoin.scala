@@ -39,17 +39,18 @@ object VectorJoin {
       maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     val vecs = vectors.select(col(idCol).cast("long").as("__vid"),
       col(vecCol).as("__v"))
-    // r15 ADVICE: the aggregate probe costs one extra corpus scan per
-    // call, so first consult Catalyst's own size estimate — for the
-    // usual file-source vector table that's footer-derived, zero I/O.
-    // Only a DECISIVE result (≤ budget/4) short-circuits to broadcast:
-    // parquet double arrays are near-incompressible, so on-disk bytes
-    // track the 8·d payload and the 4× margin absorbs row/boxing
-    // overhead; anything near or past the boundary still pays the
-    // exact aggregate-scale probe below (never a driver pull).
+    // Catalyst's file-source estimate is ON-DISK bytes — a LOWER bound
+    // on the unsafe-row footprint (decompression only inflates), so it
+    // can prove OVER-budget for free but must never prove under:
+    // compressible vector encodings (quantized or sparse-stored-dense
+    // embeddings dictionary/RLE-compress well) can sit 10× below their
+    // in-memory size, and a forced broadcast on that misread is exactly
+    // the r14 failure class this device closes. So the stats shortcut
+    // only ever picks the SAFE side; within budget the exact
+    // aggregate-scale probe below decides (never a driver pull).
     val planBytes = vecs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val side = if (planBytes <= BigInt(maxBroadcastBytes / 4)) {
-      broadcast(vecs)
+    val side = if (planBytes > BigInt(maxBroadcastBytes)) {
+      vecs
     } else {
       // budget probe at aggregate scale (r14 ADVICE posture — decide
       // the path without pulling rows to the driver): one pass computes

@@ -67,8 +67,9 @@ object LlmQueries {
     * (VERDICT r15 wrong #1) in [[graft.operators.PrefixIndex.verifyPairs]]:
     * q34/q35/q56/q64/q161/q167 all route through it. */
   private[queries] def verifyOnShingles(
-      s: SparkSession, docsSh: DataFrame, cand: DataFrame): DataFrame =
-    graft.operators.PrefixIndex.verifyPairs(docsSh, cand)
+      s: SparkSession, docsSh: DataFrame, cand: DataFrame,
+      corpusPreGate: Boolean = true): DataFrame =
+    graft.operators.PrefixIndex.verifyPairs(docsSh, cand, corpusPreGate)
       .orderBy("doc_a", "doc_b")
 
   /** Unsorted form for callers that sort LAST anyway (q35's
@@ -4138,8 +4139,11 @@ object LlmQueries {
       val cand = cross.union(PrefixIndex.postingsPairs(newPost)).distinct()
         .localCheckpoint(true)
       // verify fetches stored shingles THROUGH the lake table (only
-      // candidate docs survive the id join inside verifyOnShingles)
-      verifyOnShingles(s, shT.read().unionByName(newSh), cand)
+      // candidate docs survive the id join inside verifyOnShingles);
+      // corpusPreGate = false keeps the run O(batch) — the pre-gate's
+      // whole-table aggregate would scan the standing corpus per run
+      verifyOnShingles(s, shT.read().unionByName(newSh), cand,
+        corpusPreGate = false)
     })
 
   /** Canonical-representative selection per near-dup cluster (r14) —

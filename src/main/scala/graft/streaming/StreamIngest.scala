@@ -441,10 +441,9 @@ object StreamIngest {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val survivors = nearDupSurvivors(spark, batch, catalog, db)
-        val survIds = survivors.select("doc_id")
-        val survSh = PrefixIndex.shingled(survivors)
         val head = loadHead(spark, catalog, db)
+        val (survivors, survSh) =
+          nearDupSurvivors(spark, batch, catalog, db, head)
         // postings/shingles first, docs last: the docs table is the
         // externally-visible landing surface, so a crash mid-sequence
         // never exposes a doc whose index rows are missing
@@ -465,13 +464,17 @@ object StreamIngest {
   }
 
   /** The batch minus its verified near-dups (vs stored state and vs
-    * smaller-id batch peers). Eagerly materialized (the micro-batch is
-    * bounded) so the three commits above reuse one computation. */
+    * smaller-id batch peers), plus the survivors' SHINGLES — the batch
+    * is shingled exactly once; the index commit reuses this table
+    * instead of re-shingling survivor texts (r16 review). Eagerly
+    * materialized (the micro-batch is bounded) so the three commits
+    * above reuse one computation. */
   private def nearDupSurvivors(
       spark: SparkSession, batch: DataFrame,
-      catalog: LakeCatalog, db: String): DataFrame = {
-    val head = loadHead(spark, catalog, db)
+      catalog: LakeCatalog, db: String,
+      head: Map[Long, Long]): (DataFrame, DataFrame) = {
     val batchSh = PrefixIndex.shingled(batch)
+      .localCheckpoint(true) // postings, verify union, ids AND survSh
     val batchPost = PrefixIndex.postings(PrefixIndex.hashed(batchSh), head)
       .localCheckpoint(true) // consumed twice: cross equi-join + self
     val storedPost = catalog.loadTable(db, "postings").get.read()
@@ -488,7 +491,11 @@ object StreamIngest {
       .localCheckpoint(true)
     val allSh = catalog.loadTable(db, "shingles").get.read()
       .unionByName(batchSh)
-    val verified = PrefixIndex.verifyPairs(allSh, cand)
+    // corpusPreGate = false: the stored shingle table grows forever, so
+    // the pre-gate's whole-table aggregate would make every trigger
+    // corpus-scale; the candidate-level probes are batch-scale
+    val verified = PrefixIndex.verifyPairs(allSh, cand,
+      corpusPreGate = false)
     // victim selection: the batch side of a (batch, stored) pair; the
     // larger id of a (batch, batch) pair
     val bIds = batchSh.select(col("doc_id"))
@@ -503,8 +510,11 @@ object StreamIngest {
           .when(col("a_new").isNotNull, col("doc_a"))
           .otherwise(col("doc_b")).as("doc_id"))
       .distinct()
-    batch.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    val survivors = batch.join(broadcast(drops), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    val survSh = batchSh
+      .join(broadcast(survivors.select(col("doc_id"))), Seq("doc_id"))
+    (survivors, survSh)
   }
 
   // -------------------------------- X48: streaming VECTOR dedup ingest
@@ -583,8 +593,13 @@ object StreamIngest {
           .localCheckpoint(true)
         val nz = batch
           .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
-        val z = batch
-          .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) <= 0D"))
+        // the bypass is the COMPLEMENT of nz by id, not a second
+        // predicate: a null array yields a null norm that satisfies
+        // neither `> 0` nor `<= 0`, so two filters would silently lose
+        // the row (and NaN routing would ride on engine-specific NaN
+        // ordering) — the anti-join makes nz ∪ z ≡ batch by construction
+        val z = batch.join(nz.select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
         val survivors = vectorSurvivors(spark, nz, catalog, db, tau)
           .unionByName(z)
           .localCheckpoint(true)
