@@ -542,9 +542,28 @@ object StreamIngest {
         "transform(sequence(0, 7), b -> shiftrightunsigned(sig, b * 8) & 255L)"))
         .as(Seq("band", "bkey")))
 
+  /** Finite-positive squared-norm predicate — the dedup-eligibility
+    * gate for [[vectorDedupIngest]]. Spark orders NaN ABOVE every
+    * double, so `> 0` alone would admit NaN norms (any NaN element)
+    * and `>= 0` would admit Inf overflows; requiring `0 < n < +Inf`
+    * excludes NULL, zero, NaN and Inf norms in one engine-portable
+    * comparison (NaN < Inf is FALSE under Spark's NaN-greatest order).
+    * Cosine against any excluded vector is NaN or undefined — and NaN
+    * ≥ tau is TRUE under the same ordering, so letting one into the
+    * index would make later arrivals "verify" against it and be
+    * silently dropped (ADVICE r16 high). */
+  private def finiteNorm: Column = {
+    val n = expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")
+    n > lit(0D) && n < lit(Double.PositiveInfinity)
+  }
+
   /** One-time standing state for [[vectorDedupIngest]]: the corpus
     * vectors and their signature-band index as lake tables. `initial`
-    * columns: (vec_id LONG, v ARRAY<DOUBLE>). */
+    * columns: (vec_id LONG, v ARRAY<DOUBLE>). Only finite-norm vectors
+    * are INDEXED — a zero/NaN vector's signature is meaningless (0 ≥ 0
+    * sets every bit) and any band collision with it verifies at NaN
+    * cosine, dropping innocent arrivals; the rows themselves still land
+    * in the vectors table. */
   def provisionVectorDedupState(
       catalog: LakeCatalog,
       db: String,
@@ -558,7 +577,7 @@ object StreamIngest {
         StructField("vec_id", LongType),
         StructField("band", IntegerType),
         StructField("bkey", LongType))))
-      .append(sigBands(initial))
+      .append(sigBands(initial.filter(finiteNorm)))
   }
 
   /** STREAMING near-duplicate VECTOR ingest (X48 — X44's semantics on
@@ -571,11 +590,15 @@ object StreamIngest {
     * convergence are [[nearDupIngest]]'s: batch side of a
     * (batch, stored) pair drops, larger id of a batch pair drops,
     * self-id pairs are excluded so a replayed batch converges against
-    * its own committed copy. Zero-norm vectors BYPASS dedup and land
-    * directly: their signature is meaningless and cosine against them
-    * is NaN — silently dropping them would lose data to an undefined
-    * comparison. O(batch) per micro-batch: the stored side is touched
-    * only through the band equi-join and the budget-gated pair fetch. */
+    * its own committed copy. Vectors with a non-finite or zero squared
+    * norm (zero vectors, NaN elements, Inf overflows) BYPASS dedup,
+    * land directly, and are NEVER indexed: their signature is
+    * meaningless (0 ≥ 0 sets every band bit) and cosine against them is
+    * NaN, which Spark's NaN-greatest ordering would "verify" at any tau
+    * — one indexed zero vector would then silently eat ~1/256-per-band
+    * of all later arrivals (ADVICE r16 high). O(batch) per micro-batch:
+    * the stored side is touched only through the band equi-join and the
+    * budget-gated pair fetch. */
   def vectorDedupIngest(
       spark: SparkSession,
       srcDir: String,
@@ -591,8 +614,7 @@ object StreamIngest {
         val batch = batch0
           .select(col("vec_id").cast("long").as("vec_id"), col("v"))
           .localCheckpoint(true)
-        val nz = batch
-          .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
+        val nz = batch.filter(finiteNorm)
         // the bypass is the COMPLEMENT of nz by id, not a second
         // predicate: a null array yields a null norm that satisfies
         // neither `> 0` nor `<= 0`, so two filters would silently lose
@@ -600,12 +622,14 @@ object StreamIngest {
         // ordering) — the anti-join makes nz ∪ z ≡ batch by construction
         val z = batch.join(nz.select(col("vec_id")),
           Seq("vec_id"), "left_anti")
-        val survivors = vectorSurvivors(spark, nz, catalog, db, tau)
-          .unionByName(z)
+        val nzSurvivors = vectorSurvivors(spark, nz, catalog, db, tau)
           .localCheckpoint(true)
-        // index first, landing surface last (the nearDupIngest order)
+        val survivors = nzSurvivors.unionByName(z)
+        // index first, landing surface last (the nearDupIngest order);
+        // ONLY finite-norm survivors enter the index — the bypass rows
+        // land in the vectors table but never in sigbands
         commitBatch(catalog, db, "sigbands")(
-          sigBands(survivors), batchId)
+          sigBands(nzSurvivors), batchId)
         commitBatch(catalog, db, "vectors")(survivors, batchId)
       }
       .start()
@@ -633,9 +657,15 @@ object StreamIngest {
     val cand = cross.union(self).distinct().localCheckpoint(true)
     val allVecs = catalog.loadTable(db, "vectors").get.read()
       .unionByName(batch)
+    // the !isnan guard is DEFENSE IN DEPTH: with only finite-norm
+    // vectors indexed, no candidate cosine can be NaN — but state
+    // provisioned before that rule (or hand-built) may hold indexed
+    // zero vectors, and NaN >= tau is TRUE under Spark's ordering, so
+    // without the guard one such row would "verify" and drop innocents
+    val cos = graft.functions.VectorOps.cosine(col("va"), col("vb"))
     val verified = graft.operators.VectorJoin
       .attachPair(cand, allVecs, "vec_id", "v")
-      .filter(graft.functions.VectorOps.cosine(col("va"), col("vb")) >= tau)
+      .filter(!isnan(cos) && cos >= tau)
       .select("ia", "ib")
     val bIds = batch.select(col("vec_id"))
     val aNew = bIds.select(col("vec_id").as("ia"), lit(true).as("a_new"))

@@ -1054,7 +1054,12 @@ class StreamingSpec extends SparkSpec {
         spark.sparkContext.parallelize(chunk, 1), docSchema)
         .write.parquet(s"$dir/c")
       Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
-        Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+        val dst = Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+        // pin trigger order: the grown-state expectations (20 dropped
+        // against 11) need chunk0 processed first, and the copies
+        // otherwise share mod-time granularity (ADVICE r16 low)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + i * 60_000L))
       }
     }
     val q = StreamIngest.nearDupIngest(spark, flat.toString, docSchema,
@@ -1112,26 +1117,42 @@ class StreamingSpec extends SparkSpec {
         13L -> n2), // novel → lands
       Seq(20L -> nd(n1, 53), // near-dups the GROWN state (11) → dropped
         21L -> n3, // novel → lands
-        22L -> Array.fill(64)(0.0))) // zero vector → bypasses, lands
+        22L -> Array.fill(64)(0.0)), // zero vector → bypasses, lands
+      // arrives AFTER the zero vector landed: all-nonnegative, so its
+      // signature is the same all-ones pattern a (wrongly) indexed zero
+      // vector would carry in every band — pre-fix that collision
+      // "verified" at NaN cosine and silently dropped this row
+      // (ADVICE r16 high); it must land
+      Seq(30L -> Array.fill(64)(0.5),
+        // NaN element → NaN norm → bypasses (NOT self-dropped via NaN
+        // cosine), lands, never indexed
+        31L -> { val a = vec(44); a(0) = Double.NaN; a }))
     val flat = Files.createTempDirectory("graft-vdup-flat")
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val dir = Files.createTempDirectory(s"graft-vdup-src$i")
       rows(chunk).write.parquet(s"$dir/c")
       Files.walk(dir).filter(_.toString.endsWith(".parquet")).forEach { p =>
-        Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+        val dst = Files.copy(p, flat.resolve(s"chunk$i-${p.getFileName}"))
+        // pin trigger order (grown-state and post-zero-vector arcs are
+        // cross-batch); copies otherwise share mod-time granularity
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + i * 60_000L))
       }
     }
     val q = StreamIngest.vectorDedupIngest(spark, flat.toString, vecSchema,
       cat, "vd")
     q.processAllAvailable(); q.stop()
 
-    val expect = Set(1L, 2L, 11L, 13L, 21L, 22L)
+    val expect = Set(1L, 2L, 11L, 13L, 21L, 22L, 30L, 31L)
     def idsOf(table: String): Set[Long] =
       cat.loadTable("vd", table).get.read()
         .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
     assert(idsOf("vectors") == expect, s"vectors: ${idsOf("vectors")}")
     // the signature index grew in lockstep — later batches joined
-    // against survivors' bands, and dropped vectors left no index rows
-    assert(idsOf("sigbands") == expect, s"sigbands: ${idsOf("sigbands")}")
+    // against survivors' bands — but NEVER holds a non-finite-norm
+    // vector: indexing one would poison every band it touches with
+    // NaN-cosine "verified" drops
+    assert(idsOf("sigbands") == expect -- Set(22L, 31L),
+      s"sigbands: ${idsOf("sigbands")}")
   }
 }
