@@ -52,6 +52,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Contention sentinel (VERDICT r16 #4): a fixed single-thread spin
+    // loop timed before and after the sweep makes window contamination
+    // provable FROM THE RECORD — box-idle it runs in a stable time, so
+    // a driver record whose query medians inflate uniformly while both
+    // sentinel samples match the local record is code, and one whose
+    // sentinels are inflated too is environment. min-of-3 short spins:
+    // the min is the machine's floor; even the min inflates only when
+    // the cores are genuinely oversubscribed.
+    def spinCal(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        var x = 88172645463325252L; var i = 0
+        while (i < 100000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 0) System.err.print("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val calBefore = spinCal()
+
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q37_ann_topk,q34_… restricts the run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -100,6 +120,7 @@ object Bench {
       val best = if (samples.isEmpty) -1.0 else samples.min
       n -> (median, best)
     }
+    val calAfter = spinCal()
 
     def js(s: String): String =
       "\"" + s.flatMap {
@@ -158,7 +179,7 @@ object Bench {
       val qs = entries.map { case (k, med) => s"${js(shortKey(k))}:${r2(med)}" }
         .mkString("{", ",", "}")
       val el = if (elided == 0) "" else s""""q_elided":$elided,"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","tmin":${r3(totalMin)},"sf":"$sfDir","nerr":${errors.size},$el"qmin":$qminJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","tmin":${r3(totalMin)},"sf":"$sfDir","nerr":${errors.size},"cal":[${r2(calBefore)},${r2(calAfter)}],$el"qmin":$qminJson,"queries":$qs}"""
     }
     val all = times.map { case (k, (med, _)) => (k, med) }
     val budget = 1700
@@ -199,7 +220,7 @@ object Bench {
         "(full record in bench_out.json)")
     val lineOut = line(fit, all.size - fit.size, qmin)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cal":[${r3(calBefore)},${r3(calAfter)}],"queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
     println(lineOut)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()

@@ -30,27 +30,49 @@ object PrefixIndex {
     * ~100-150 MB of boxed map at 2²⁰ — the documented budget). */
   val DfHeadMax: Int = 1 << 20
 
+  /** Corpus totals (rows, shingle heap bytes) measured by accumulator
+    * DURING the eager checkpoint job of [[shingled]], keyed by the
+    * checkpointed DataFrame's identity. The verify pre-gate reads them
+    * for FREE — no per-query aggregate job at all (r17, closing the
+    * r16 q34/q35 drift suspect list). Accumulators in a transformation
+    * are at-least-once under task retry, so a retry can only
+    * OVER-count — which makes the budget gate more conservative (falls
+    * back to candidate-level probes), never unsound. Weak keys: the
+    * entry dies with the DataFrame handle. */
+  private val corpusTotals: java.util.Map[DataFrame, (Long, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, (Long, Long)]())
+
   /** ONE checkpointed shingle pass over a (doc_id, text) table — the
     * builder every shingle consumer shares, so a change to the pass
-    * shape lands once. Emits (doc_id, sh, bytes) where `bytes` is the
-    * row's shingle heap footprint computed IN the same pass (r16): the
-    * verify budget gate then reads sum(bytes) as a two-long-column
-    * checkpoint scan instead of re-walking every string per query
-    * (measured ~0.15 s per dedup query at sf0.1). 48 B ≈ UTF8String +
-    * array slot. */
+    * shape lands once. Emits (doc_id, sh); the pass also measures the
+    * corpus's row count and shingle heap footprint (48 B ≈ UTF8String +
+    * array slot per shingle) via accumulators settled by the eager
+    * checkpoint, so [[verifyPairs]]' budget pre-gate costs zero extra
+    * jobs. */
   def shingled(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val rowsAcc = s.sparkContext.longAccumulator("graft.shingle.rows")
+    val bytesAcc = s.sparkContext.longAccumulator("graft.shingle.bytes")
     val out = docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val sh = TextOps.shingleSet(text)
         var b = 0L
         sh.foreach(x => b += x.length + 48L)
-        (id, sh, b)
+        rowsAcc.add(1L); bytesAcc.add(b)
+        (id, sh)
       }
-      .toDF("doc_id", "sh", "bytes")
-    if (checkpoint) out.localCheckpoint(true) else out
+      .toDF("doc_id", "sh")
+    if (checkpoint) {
+      // eager: the checkpoint job runs the map exactly once per
+      // partition (modulo retries — see corpusTotals), so the
+      // accumulators hold the corpus totals the moment this returns
+      val cp = out.localCheckpoint(true)
+      corpusTotals.put(cp, (rowsAcc.value, bytesAcc.value))
+      cp
+    } else out
   }
 
   /** (doc_id, sh, …) → (doc_id, k, hs): the xxhash64 order-class view.
@@ -149,10 +171,12 @@ object PrefixIndex {
       .getOption("spark.graft.verify.broadcastBudgetBytes")
       .map(_.toLong).getOrElse(512L << 20)
 
-  /** Byte model of one shingle row's heap footprint — [[shingled]]
-    * precomputes it as the `bytes` column in the pass itself; the
-    * expression is the fallback for shingle tables built without one
-    * (tests, hand-built fixtures). */
+  /** Byte model of one shingle row's heap footprint — the same formula
+    * [[shingled]]'s accumulators apply; kept as an expression for the
+    * paths that aggregate over a SUBSET (candidate-level probes) or
+    * over tables whose totals were never measured (lake reads, unions,
+    * hand-built fixtures). Tables that still carry a precomputed
+    * `bytes` column use it directly. */
   private def shingleBytesCol(df: DataFrame): Column =
     if (df.columns.contains("bytes")) col("bytes")
     else expr("aggregate(sh, 0L, (acc, x) -> acc + length(x) + 48L)")
@@ -160,17 +184,18 @@ object PrefixIndex {
   /** Exact string-Jaccard ≥ 0.8 verification of candidate pairs against
     * the materialized shingle table (no re-shingle), UNSORTED — callers
     * that present results sort last. Budget-gated (VERDICT r15 wrong
-    * #1): a corpus-level PRE-gate — ONE cheap aggregate over the
-    * (checkpointed) shingle table, no join — admits any candidate set
-    * when the whole corpus's payload fits the broadcast budget
-    * (candidate docs are a SUBSET of docsSh rows, and the id list is
-    * bounded by the same test at 24 B/id). Only a corpus PAST the
-    * budget — the 100 TB regime the gate exists for — pays the exact
-    * candidate-level probes (X42 posture, aggregate-scale only, never a
-    * driver materialization); past budget the verify joins run UNHINTED
-    * and any runtime broadcast decision is left to AQE stats.
-    * Row-equality of the two plans is spec-forced with a zero budget
-    * (LlmOpsSpec). */
+    * #1): a corpus-level PRE-gate admits any candidate set when the
+    * whole corpus's payload fits the broadcast budget (candidate docs
+    * are a SUBSET of docsSh rows, and the id list is bounded by the
+    * same test at 24 B/id). The totals come FREE from [[shingled]]'s
+    * accumulators when docsSh is that checkpoint (r17 — zero extra
+    * jobs in the batch dedup queries' hot path); an unmeasured table
+    * falls back to one aggregate. Only a corpus PAST the budget — the
+    * 100 TB regime the gate exists for — pays the exact candidate-level
+    * probes (X42 posture, aggregate-scale only, never a driver
+    * materialization); past budget the verify joins run UNHINTED and
+    * any runtime broadcast decision is left to AQE stats. Row-equality
+    * of the two plans is spec-forced with a zero budget (LlmOpsSpec). */
   /** `corpusPreGate = false` skips the whole-table (count, bytes)
     * aggregate that admits any candidate set when the full corpus fits
     * the budget — a bench win for the batch dedup queries, but a
@@ -184,9 +209,12 @@ object PrefixIndex {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
     if (corpusPreGate) {
-      val tot = docsSh.agg(count(lit(1)).as("n"),
-        coalesce(sum(shingleBytesCol(docsSh)), lit(0L)).as("chars")).head()
-      if (tot.getLong(1) + (64L + 24L) * tot.getLong(0) <= budget)
+      val (n, chars) = Option(corpusTotals.get(docsSh)).getOrElse {
+        val t = docsSh.agg(count(lit(1)).as("n"),
+          coalesce(sum(shingleBytesCol(docsSh)), lit(0L)).as("chars")).head()
+        (t.getLong(0), t.getLong(1))
+      }
+      if (chars + (64L + 24L) * n <= budget)
         return exactJaccard(docsSh.join(broadcast(ids), "doc_id"), cand,
           within = true)
     }

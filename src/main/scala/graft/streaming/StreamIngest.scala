@@ -396,8 +396,7 @@ object StreamIngest {
     val head = PrefixIndex.dfHead(hashed)
     catalog.createTable(db, "shingles", StructType(Seq(
         StructField("doc_id", LongType),
-        StructField("sh", ArrayType(StringType)),
-        StructField("bytes", LongType))))
+        StructField("sh", ArrayType(StringType)))))
       .append(docsSh)
     catalog.createTable(db, "postings", StructType(Seq(
         StructField("h", LongType), StructField("doc_id", LongType),

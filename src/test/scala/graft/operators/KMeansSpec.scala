@@ -50,12 +50,18 @@ class KMeansSpec extends SparkSpec {
       byBucket.foreach { case (c, members) =>
         val dims = cents(c).length
         for (d <- 0 until dims) {
-          val sum = members.map { case (_, v) =>
-            BigDecimal(v(d)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
-          }.sum
-          val mean = sum.toDouble / members.size
-          next(c)(d) =
-            BigDecimal(mean).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          // the oracle's fixed 1..dims grid: SUM skips members shorter
+          // than d (their cell is NULL), the denominator is the bucket
+          // MEMBER count; an all-NULL cell keeps its previous value
+          val present = members.filter { case (_, v) => d < v.length }
+          if (present.nonEmpty) {
+            val sum = present.map { case (_, v) =>
+              BigDecimal(v(d)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+            }.sum
+            val mean = sum.toDouble / members.size
+            next(c)(d) =
+              BigDecimal(mean).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
         }
       }
       cents = next
@@ -75,8 +81,7 @@ class KMeansSpec extends SparkSpec {
     for ((k, iters) <- Seq((3, 1), (3, 2), (5, 3))) {
       val seeds = vecs.take(k).map(_._2.clone).toArray
       val got = KMeansTrainer.train(df, seeds, iters)(
-        (corpus, cents) =>
-          LlmQueries.ivfAssignCompiled(spark, corpus, "vec_id", "v", cents, 1))
+        (corpus, cents) => LlmQueries.ivfAssignCarry(spark, corpus, cents))
       val want = trainRef(vecs, seeds, iters)
       for (c <- 0 until k)
         assert(got(c).sameElements(want(c)),
@@ -103,12 +108,48 @@ class KMeansSpec extends SparkSpec {
         .toDF("vec_id", "v").repartition(parts)
       val seeds = vecs.take(k).map(_._2.clone).toArray
       val got = KMeansTrainer.train(df, seeds, iters)(
-        (c, cs) => LlmQueries.ivfAssignCompiled(spark, c, "vec_id", "v", cs, 1))
+        (c, cs) => LlmQueries.ivfAssignCarry(spark, c, cs))
       val want = trainRef(vecs, seeds, iters)
       for (c <- 0 until k)
         assert(got(c).sameElements(want(c)),
           s"seed=$seed d=$d k=$k iters=$iters parts=$parts centroid=$c")
     }
+  }
+
+  test("ragged short/long vectors divide by the bucket MEMBER count, " +
+    "matching the oracle's fixed-grid semantics (ADVICE r16 low)") {
+    import spark.implicits._
+    val r = new scala.util.Random(97)
+    val dim = 4
+    // a third of the vectors are SHORT (2 dims), a few are over-long
+    // (6 dims — tail positions must be ignored, not crash)
+    val vecs = (0 until 24).map { i =>
+      val len = if (i % 3 == 0) 2 else if (i % 7 == 0) 6 else dim
+      (i.toLong, Array.fill(len)(r.nextDouble() * 2 - 1))
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v").repartition(5)
+    val seeds = vecs.filter(_._2.length == dim).take(3)
+      .map(_._2.clone).toArray
+    val got = KMeansTrainer.train(df, seeds, iters = 2)(
+      (c, cs) => LlmQueries.ivfAssignCarry(spark, c, cs))
+    val want = trainRef(vecs, seeds, 2)
+    for (c <- seeds.indices)
+      assert(got(c).sameElements(want(c)),
+        s"centroid $c: got=${got(c).mkString(",")} want=${want(c).mkString(",")}")
+  }
+
+  test("a Lloyd round is ONE corpus scan: the mean plan contains no " +
+    "join back to the vector table (VERDICT r16 wrong #1)") {
+    import spark.implicits._
+    val vecs = (0 until 16).map(i => (i.toLong, Seq.fill(4)(i * 0.1)))
+    val df = vecs.toDF("vec_id", "v")
+    val seeds = Array(Array(0.1, 0.1, 0.1, 0.1), Array(1.0, 1.0, 1.0, 1.0))
+    val plan = KMeansTrainer
+      .roundMeans(LlmQueries.ivfAssignCarry(spark, df, seeds), 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"round plan joins the corpus:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no partial aggregate:\n$plan")
   }
 
   test("empty buckets keep their previous centroid") {
@@ -123,8 +164,7 @@ class KMeansSpec extends SparkSpec {
     val farSeed = Array.fill(dim)(-1.0)
     val seeds = Array(vecs.head._2.clone, farSeed.clone)
     val got = KMeansTrainer.train(df, seeds, iters = 2)(
-      (corpus, cents) =>
-        LlmQueries.ivfAssignCompiled(spark, corpus, "vec_id", "v", cents, 1))
+      (corpus, cents) => LlmQueries.ivfAssignCarry(spark, corpus, cents))
     assert(got(1).sameElements(farSeed),
       s"empty bucket's centroid moved: ${got(1).mkString(",")}")
     assert(!got(0).sameElements(seeds(0)),
