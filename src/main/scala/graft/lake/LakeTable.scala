@@ -1947,10 +1947,28 @@ class LakeTable(
     * equality-delete file, and a copy-on-write table must never carry
     * delete files — they break the strict v2 readers CoW mode exists for
     * (same contract merge() enforces on its CoW branch). */
-  def upsertByKey(rows: DataFrame, keyCols: Seq[String]): LakeTable = {
+  def upsertByKey(rows: DataFrame, keyCols: Seq[String]): LakeTable =
+    equalityReplace(rows, keyCols, "upsertByKey")
+
+  /** SET-replacement by key (the index-maintenance primitive, X49/X50):
+    * like [[upsertByKey]] but `rows` may carry ANY number of rows per
+    * key — one commit adds them all as data files and an equality-delete
+    * over `keyCols` hides every strictly-older row of those keys, so the
+    * new rows REPLACE the key's previous row set atomically. This is
+    * exactly what rebuilding a changed doc's derived index rows needs
+    * (a doc owns MANY posting/shingle/sigband rows): retire + rebuild in
+    * ONE commit, O(changed keys' rows) I/O, never a table scan. Same
+    * rebase/replay convergence as upsertByKey — rows within one batch
+    * share the commit's sequence number, so they all survive their own
+    * delete. */
+  def replaceByKey(rows: DataFrame, keyCols: Seq[String]): LakeTable =
+    equalityReplace(rows, keyCols, "replaceByKey")
+
+  private def equalityReplace(
+      rows: DataFrame, keyCols: Seq[String], op: String): LakeTable = {
     if (!isMorDelete)
       throw new IllegalStateException(
-        s"upsertByKey on ${meta.name}: equality-delete upserts require " +
+        s"$op on ${meta.name}: equality-delete upserts require " +
           "write.delete.mode=merge-on-read (a copy-on-write table must not " +
           "carry delete files — strict v2 readers reject them); set the " +
           "property or use merge() for copy-on-write upserts")

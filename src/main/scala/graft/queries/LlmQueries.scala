@@ -4172,6 +4172,90 @@ object LlmQueries {
         corpusPreGate = false)
     })
 
+  // ------ q176 incremental near-dup AFTER standing-state maintenance
+  /** The week-one operational arc on top of q167 (VERDICT r16 missing
+    * #1): the standing corpus CHANGES — takedowns/retention DELETE docs,
+    * re-crawls UPDATE them — and the derived index state must follow,
+    * or the next nightly run pairs arrivals against content the corpus
+    * no longer holds. Fixture: provision the full standing state (docs
+    * + shingles + postings + dfhead, all merge-on-read), then run
+    * [[graft.operators.IndexMaintenance]] — RETIRE stored docs with
+    * doc_id % 7 = 3 (equality deletes), RECRAWL stored docs with
+    * doc_id % 7 = 5 to text·' '·text (replaceByKey: retire + rebuilt
+    * shingle/posting rows under the STORED head order, one commit per
+    * table). The query is then q167's O(batch) pipeline verbatim over
+    * the MAINTAINED tables; the oracle brute-forces the CURRENT corpus
+    * (retired docs gone, recrawled text transformed), so the hash
+    * covers maintenance end to end: a stale posting row, a lingering
+    * shingle set, or a missing rebuilt one all change the output. */
+  private val recrawlStates =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.lake.LakeCatalog]()
+
+  private val RetirePred = "doc_id % 7 = 3"
+  private val RecrawlPred = "doc_id % 7 = 5"
+
+  private def recrawlState(s: SparkSession, dir: String): graft.lake.LakeCatalog =
+    recrawlStates.computeIfAbsent((s, dir), { _ =>
+      import org.apache.spark.sql.types._
+      val wh = java.nio.file.Files.createTempDirectory("graft-recrawl-wh")
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      cat.createNamespace("nd")
+      val stored = t(s, dir, "documents")
+        .filter(!expr(IncrNewPred))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      graft.streaming.StreamIngest.provisionNearDupState(cat, "nd",
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))), stored)
+      graft.operators.IndexMaintenance.retireDocs(cat, "nd",
+        stored.filter(expr(RetirePred)).select("doc_id"))
+      graft.operators.IndexMaintenance.recrawlDocs(cat, "nd",
+        stored.filter(expr(RecrawlPred)).select(col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+      cat
+    })
+
+  val q176 = QueryDef(
+    "q176_maintained_neardup",
+    Some(s"""WITH cur AS (SELECT doc_id,
+               CASE WHEN doc_id % 10 < 8 AND $RecrawlPred
+                    THEN text || ' ' || text ELSE text END AS text
+             FROM documents
+             WHERE NOT (doc_id % 10 < 8 AND $RetirePred)),
+        t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM cur),
+        s AS (SELECT doc_id,
+               CASE WHEN len(tk) >= 3
+                 THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                 ELSE []::VARCHAR[] END AS sh
+             FROM t),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(a.sh || b.sh)) AS jac
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+       SELECT doc_a, doc_b, ROUND(jac, 4) AS jac FROM p
+       WHERE NOT isnan(jac) AND jac >= 0.8 ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val cat = recrawlState(s, dir)
+      val head = graft.streaming.StreamIngest.loadHead(s, cat, "nd")
+      val newSh = shingledDocs(s, t(s, dir, "documents")
+        .filter(expr(IncrNewPred)).select("doc_id", "text"))
+      val newPost = PrefixIndex.postings(PrefixIndex.hashed(newSh), head)
+        .localCheckpoint(true) // consumed twice: cross equi-join + self
+      val storedPost = cat.loadTable("nd", "postings").get.read()
+      val cross = newPost.as("n")
+        .join(storedPost.as("o"), col("n.h") === col("o.h"))
+        .filter(expr(PrefixIndex.pairFilter("n.k", "n.pos", "o.k", "o.pos")))
+        .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+          greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      val cand = cross.union(PrefixIndex.postingsPairs(newPost)).distinct()
+        .localCheckpoint(true)
+      verifyOnShingles(s,
+        cat.loadTable("nd", "shingles").get.read().unionByName(newSh), cand,
+        corpusPreGate = false)
+    })
+
   /** Canonical-representative selection per near-dup cluster (r14) —
     * the DECISION step every dedup pipeline runs after clustering
     * (q64): from each connected component keep the argmax-quality
@@ -4391,28 +4475,37 @@ object LlmQueries {
   private val ivfIncrStates = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Array[Array[Double]], graft.lake.LakeTable)]()
 
+  /** One standing-IVF build — codebook trained on the standing slice,
+    * assignments landed merge-on-read so [[graft.operators.IndexMaintenance]]
+    * can retire/replace rows (q177). Each caller gets its OWN warehouse:
+    * q177's fixture mutates its copy, and a shared table would make the
+    * q174/q177 results order-dependent. */
+  private def buildIvfState(s: SparkSession, dir: String)
+      : (Array[Array[Double]], graft.lake.LakeTable) = {
+    import org.apache.spark.sql.types._
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    val train = e.filter(!expr(VecNewPred)).localCheckpoint(true)
+    val seeds = train.orderBy("vec_id").limit(IvfK)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = graft.operators.KMeansTrainer.train(train, seeds, KmIters)(
+      (corpus, cs) => ivfAssignCarry(s, corpus, cs))
+    val wh = java.nio.file.Files.createTempDirectory("graft-ivf-wh")
+    val cat = new graft.lake.LakeCatalog(s, wh)
+    cat.createNamespace("ann")
+    val assignT = cat.createTable("ann", "assign", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("bucket", LongType))),
+        props = graft.streaming.StreamIngest.MorProps)
+      .append(ivfAssignCompiled(s, train, "vec_id", "v", cents, 1)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket")))
+    (cents, assignT)
+  }
+
   private def ivfIncrState(s: SparkSession, dir: String)
       : (Array[Array[Double]], graft.lake.LakeTable) =
-    ivfIncrStates.computeIfAbsent((s, dir), { _ =>
-      import org.apache.spark.sql.types._
-      val e = t(s, dir, "embeddings")
-        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
-        .select(col("vec_id"), col("v"))
-      val train = e.filter(!expr(VecNewPred)).localCheckpoint(true)
-      val seeds = train.orderBy("vec_id").limit(IvfK)
-        .collect().map(_.getSeq[Double](1).toArray)
-      val cents = graft.operators.KMeansTrainer.train(train, seeds, KmIters)(
-        (corpus, cs) => ivfAssignCarry(s, corpus, cs))
-      val wh = java.nio.file.Files.createTempDirectory("graft-ivf-wh")
-      val cat = new graft.lake.LakeCatalog(s, wh)
-      cat.createNamespace("ann")
-      val assignT = cat.createTable("ann", "assign", StructType(Seq(
-          StructField("vec_id", LongType),
-          StructField("bucket", LongType))))
-        .append(ivfAssignCompiled(s, train, "vec_id", "v", cents, 1)
-          .select(col("vec_id"), col("bucket").cast("long").as("bucket")))
-      (cents, assignT)
-    })
+    ivfIncrStates.computeIfAbsent((s, dir), { _ => buildIvfState(s, dir) })
 
   /** INCREMENTAL IVF index maintenance (X45 ∘ M34 — the nightly shape,
     * q167's posture on the vector side): the standing corpus's codebook
@@ -4446,6 +4539,84 @@ object LlmQueries {
         GROUP BY bucket ORDER BY bucket"""),
     (s, dir) => {
       val (cents, assignT) = ivfIncrState(s, dir)
+      val batch = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .filter(expr(VecNewPred))
+        .select(col("vec_id"), col("v"))
+      val basg = ivfAssignCompiled(s, batch, "vec_id", "v", cents, 1)
+        .select(col("bucket").cast("long").as("bucket"), lit(1).as("is_new"))
+      assignT.read().select(col("bucket"), lit(0).as("is_new"))
+        .unionByName(basg)
+        .groupBy("bucket")
+        .agg(sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("n_stored"),
+          sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("n_new"))
+        .orderBy("bucket")
+    })
+
+  // ------------ q177 IVF assignment state after vector maintenance
+  /** q176's arc on the VECTOR side (VERDICT r16 missing #1): the
+    * standing embedding corpus changes — takedowns RETIRE vectors,
+    * re-embeddings (model refresh on changed docs) REPLACE them — and
+    * the stored assignment table must follow. Fixture: build the q174
+    * standing state (codebook trained pre-maintenance, assignments
+    * merge-on-read), then [[graft.operators.IndexMaintenance]]: retire
+    * vec_id % 7 = 3 of the standing slice, re-embed vec_id % 7 = 5 to
+    * the NEGATED vector — routed through the STORED centroids (no
+    * retrain — one compiled O(changed·K·d) pass) and replaced by key in
+    * ONE commit. Negation is IEEE-exact ((-a)+(-b) = -(a+b) bitwise),
+    * so both engines flip the re-embedded assignments identically. The
+    * query reports the q174 occupancy audit over the MAINTAINED table;
+    * the oracle relearns the (unchanged, pre-maintenance) codebook via
+    * unrolled CTE rounds and assigns the CURRENT corpus under it, so a
+    * stale assignment row, a lingering retired vector, or a missed
+    * reassignment all change the hash. */
+  private val ivfMaintStates = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Array[Double]], graft.lake.LakeTable)]()
+
+  private def ivfMaintState(s: SparkSession, dir: String)
+      : (Array[Array[Double]], graft.lake.LakeTable) =
+    ivfMaintStates.computeIfAbsent((s, dir), { _ =>
+      val (cents, assignT) = buildIvfState(s, dir)
+      val stored = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .filter(!expr(VecNewPred))
+        .select(col("vec_id"), col("v"))
+      val afterRetire = graft.operators.IndexMaintenance.retireAssignments(
+        assignT, stored.filter(expr("vec_id % 7 = 3")).select("vec_id"))
+      val maintained = graft.operators.IndexMaintenance.reassign(afterRetire,
+        stored.filter(expr("vec_id % 7 = 5"))
+          .select(col("vec_id"), transform(col("v"), x => -x).as("v")),
+        df => ivfAssignCompiled(s, df, "vec_id", "v", cents, 1))
+      (cents, maintained)
+    })
+
+  val q177 = QueryDef(
+    "q177_maintained_ivf",
+    Some(kmeansRoundsSql(IvfK, KmIters, EmbDim,
+      basePred = s"NOT ($VecNewPred)") + s""",
+        curst AS (SELECT vec_id,
+            CASE WHEN vec_id % 7 = 5 THEN list_transform(v, x -> -x)
+                 ELSE v END AS v
+          FROM tre WHERE vec_id % 7 <> 3),
+        sasg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT curst.vec_id, c.cid, row_number() OVER (PARTITION BY curst.vec_id
+            ORDER BY list_cosine_similarity(curst.v, c.cv) DESC, c.cid) AS rn
+          FROM curst, c${KmIters}v c) WHERE rn = 1),
+        bat AS (SELECT vec_id, v FROM e WHERE $VecNewPred),
+        basg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT bat.vec_id, c.cid, row_number() OVER (PARTITION BY bat.vec_id
+            ORDER BY list_cosine_similarity(bat.v, c.cv) DESC, c.cid) AS rn
+          FROM bat, c${KmIters}v c) WHERE rn = 1)
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_stored,
+               CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_new
+        FROM (SELECT bucket, 0 AS is_new FROM sasg
+              UNION ALL SELECT bucket, 1 AS is_new FROM basg)
+        GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => {
+      val (cents, assignT) = ivfMaintState(s, dir)
       val batch = t(s, dir, "embeddings")
         .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
         .filter(expr(VecNewPred))
@@ -4855,5 +5026,5 @@ object LlmQueries {
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175)
+    q172, q173, q174, q175, q176, q177)
 }

@@ -32,6 +32,14 @@ object StreamIngest {
     * single-writer model). */
   val LastBatchProp = "streaming.last-batch-id"
 
+  /** The standing docs/index tables are provisioned MERGE-ON-READ so
+    * standing-state maintenance ([[graft.operators.IndexMaintenance]])
+    * can retire or replace a changed doc's rows with O(changed-rows)
+    * equality-delete commits — never a corpus rewrite; compaction
+    * ([[graft.lake.Procedures.rewriteDataFiles]]) folds the deletes in
+    * on its own schedule. */
+  private[graft] val MorProps = Map("write.delete.mode" -> "merge-on-read")
+
   /** Reload-and-retry around a CAS-guarded sink commit: a maintenance
     * writer (compaction, expiry) landing between the sink's table load
     * and its commit makes the handle stale → CommitConflictException.
@@ -389,18 +397,19 @@ object StreamIngest {
       schema: StructType,
       initial: DataFrame): Unit = {
     import org.apache.spark.sql.types._
-    catalog.createTable(db, "docs", schema)
+    catalog.createTable(db, "docs", schema, props = MorProps)
       .append(initial)
     val docsSh = PrefixIndex.shingled(initial)
     val hashed = PrefixIndex.hashed(docsSh)
     val head = PrefixIndex.dfHead(hashed)
     catalog.createTable(db, "shingles", StructType(Seq(
         StructField("doc_id", LongType),
-        StructField("sh", ArrayType(StringType)))))
+        StructField("sh", ArrayType(StringType)))), props = MorProps)
       .append(docsSh)
     catalog.createTable(db, "postings", StructType(Seq(
         StructField("h", LongType), StructField("doc_id", LongType),
-        StructField("k", IntegerType), StructField("pos", IntegerType))))
+        StructField("k", IntegerType), StructField("pos", IntegerType))),
+        props = MorProps)
       .append(PrefixIndex.postings(hashed, head))
     val s = initial.sparkSession
     import s.implicits._
@@ -434,12 +443,18 @@ object StreamIngest {
       srcDir: String,
       schema: StructType,
       catalog: LakeCatalog,
-      db: String): StreamingQuery =
-    spark.readStream.schema(schema)
+      db: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    // a persistent checkpoint makes batch ids CONTINUE across query
+    // restarts — the deployment posture the per-table LastBatchProp
+    // idempotence gate assumes (a fresh checkpoint restarts ids at 0,
+    // which the gate reads as already-committed replays)
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         val head = loadHead(spark, catalog, db)
         val (survivors, survSh) =
           nearDupSurvivors(spark, batch, catalog, db, head)
@@ -452,10 +467,11 @@ object StreamIngest {
         commitBatch(catalog, db, "docs")(survivors, batchId)
       }
       .start()
+  }
 
   /** Bounded driver pull: the head table is ≤ [[PrefixIndex.DfHeadMax]]
     * rows by construction. */
-  private def loadHead(spark: SparkSession, catalog: LakeCatalog,
+  private[graft] def loadHead(spark: SparkSession, catalog: LakeCatalog,
       db: String): Map[Long, Long] = {
     import spark.implicits._
     catalog.loadTable(db, "dfhead").get.read()
@@ -535,7 +551,7 @@ object StreamIngest {
     * posture) — the alternative, exact all-pairs per micro-batch
     * against the standing corpus, is the O(batch·corpus) job this
     * operator exists to avoid. */
-  private def sigBands(vecs: DataFrame): DataFrame =
+  private[graft] def sigBands(vecs: DataFrame): DataFrame =
     vecs.withColumn("sig", signSig)
       .select(col("vec_id"), posexplode(expr(
         "transform(sequence(0, 7), b -> shiftrightunsigned(sig, b * 8) & 255L)"))
@@ -551,7 +567,7 @@ object StreamIngest {
     * ≥ tau is TRUE under the same ordering, so letting one into the
     * index would make later arrivals "verify" against it and be
     * silently dropped (ADVICE r16 high). */
-  private def finiteNorm: Column = {
+  private[graft] def finiteNorm: Column = {
     val n = expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")
     n > lit(0D) && n < lit(Double.PositiveInfinity)
   }
@@ -570,12 +586,12 @@ object StreamIngest {
     import org.apache.spark.sql.types._
     catalog.createTable(db, "vectors", StructType(Seq(
         StructField("vec_id", LongType),
-        StructField("v", ArrayType(DoubleType)))))
+        StructField("v", ArrayType(DoubleType)))), props = MorProps)
       .append(initial)
     catalog.createTable(db, "sigbands", StructType(Seq(
         StructField("vec_id", LongType),
         StructField("band", IntegerType),
-        StructField("bkey", LongType))))
+        StructField("bkey", LongType))), props = MorProps)
       .append(sigBands(initial.filter(finiteNorm)))
   }
 
@@ -604,12 +620,14 @@ object StreamIngest {
       schema: StructType,
       catalog: LakeCatalog,
       db: String,
-      tau: Double = 0.9): StreamingQuery =
-    spark.readStream.schema(schema)
+      tau: Double = 0.9,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val batch = batch0
           .select(col("vec_id").cast("long").as("vec_id"), col("v"))
           .localCheckpoint(true)
@@ -632,6 +650,7 @@ object StreamIngest {
         commitBatch(catalog, db, "vectors")(survivors, batchId)
       }
       .start()
+  }
 
   /** The batch minus its cosine-verified near-dups (vs stored state and
     * vs smaller-id batch peers). */

@@ -1,0 +1,208 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.lake.{LakeCatalog, Procedures}
+import graft.streaming.StreamIngest
+
+/** Standing-state maintenance (X49/X50, VERDICT r16 missing #1): when a
+  * standing doc/vector is retired or re-crawled, the derived index
+  * tables must reflect CURRENT state before the next incremental run —
+  * planted arcs prove the three observable consequences:
+  *   (a) an arrival near-dupping only the OLD content of a maintained
+  *       doc LANDS (the stale candidate/verify pair must not appear);
+  *   (b) an arrival near-dupping the NEW content is DROPPED (rebuilt
+  *       index rows are live, not just old ones hidden);
+  *   (c) an arrival near-dupping a RETIRED doc LANDS.
+  * Plus the compaction composition (VERDICT r16 #5): rewrite_data_files
+  * over the maintained index tables folds the equality deletes in,
+  * leaves reads identical, and the NEXT ingest behaves the same.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def words(tag: String, n: Int = 90): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+  private def nd(s: String): String = s.replaceFirst("\\w+5 ", "changed ")
+
+  private def docsDf(rs: Seq[(Long, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rs.map { case (i, t) => Row(i, t) }, 1),
+      docSchema)
+
+  /** A restartable ingest lane: one source dir + one streaming
+    * checkpoint, so each run() is a query RESTART whose batch ids
+    * continue (the production posture the per-table batch-id gate
+    * assumes — a fresh checkpoint would restart ids at 0 and read as
+    * already-committed replays). */
+  private final class IngestLane(cat: LakeCatalog, db: String) {
+    private val src = Files.createTempDirectory("graft-maint-src")
+    private val ck = Files.createTempDirectory("graft-maint-ck")
+    private var n = 0
+    def run(rs: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-maint-stage")
+      docsDf(rs).coalesce(1).write.parquet(s"$stage/c")
+      Files.walk(stage).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val dst = Files.copy(p, src.resolve(s"chunk$n-${p.getFileName}"))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + n * 60_000L))
+        n += 1
+      }
+      val q = StreamIngest.nearDupIngest(spark, src.toString, docSchema,
+        cat, db, checkpointDir = Some(ck.toString))
+      q.processAllAvailable(); q.stop()
+    }
+  }
+
+  private def idsOf(cat: LakeCatalog, db: String, table: String,
+      idCol: String = "doc_id"): Set[Long] =
+    cat.loadTable(db, table).get.read()
+      .select(idCol).distinct().collect().map(_.getLong(0)).toSet
+
+  test("doc maintenance: retire + recrawl reshape the next ingest " +
+    "(stale pairs gone, rebuilt rows live), and compaction between " +
+    "runs changes nothing") {
+    val dA = words("alpha"); val dB = words("beta")
+    val dC = words("gamma"); val n2 = words("delta")
+    val wh = Files.createTempDirectory("graft-maint-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("nd")
+    StreamIngest.provisionNearDupState(cat, "nd", docSchema,
+      docsDf(Seq(1L -> dA, 2L -> dB)))
+    val lane = new IngestLane(cat, "nd")
+
+    // pre-maintenance the state IS current: nd(dA) near-dups doc 1
+    lane.run(Seq(10L -> nd(dA)))
+    assert(idsOf(cat, "nd", "docs") == Set(1L, 2L), "10 must drop pre-maintenance")
+
+    IndexMaintenance.recrawlDocs(cat, "nd", docsDf(Seq(1L -> dC)))
+    IndexMaintenance.retireDocs(cat, "nd",
+      docsDf(Seq(2L -> "")).select("doc_id"))
+
+    // maintenance is read-visible immediately
+    assert(idsOf(cat, "nd", "docs") == Set(1L), "retire must hide doc 2")
+    assert(idsOf(cat, "nd", "shingles") == Set(1L))
+    assert(idsOf(cat, "nd", "postings") == Set(1L))
+    val sh1 = cat.loadTable("nd", "shingles").get.read()
+      .filter(col("doc_id") === 1L).select(explode(col("sh")).as("s"))
+      .collect().map(_.getString(0)).toSet
+    assert(sh1.contains("gamma0 gamma1 gamma2") && !sh1.exists(_.startsWith("alpha")),
+      "doc 1's shingles must be the re-crawled text's")
+
+    // compaction folds the equality deletes in; reads identical
+    for (tn <- Seq("shingles", "postings", "docs")) {
+      val before = cat.loadTable("nd", tn).get.read().collect().toSet
+      val res = Procedures.rewriteDataFiles(cat.loadTable("nd", tn).get,
+        Map("rewrite-all" -> "true"))
+      assert(res.table.deleteFiles.isEmpty, s"$tn keeps delete files")
+      assert(res.table.read().collect().toSet == before,
+        s"$tn reads changed under compaction")
+    }
+
+    // the next incremental run sees CURRENT state:
+    //   20 = nd(old A) → lands (stale pair gone)        — arc (a)
+    //   21 = nd(new C) → drops (rebuilt rows live)      — arc (b)
+    //   22 = nd(old B) → lands (B retired)              — arc (c)
+    //   23 = novel     → lands
+    lane.run(Seq(20L -> nd(dA), 21L -> nd(dC), 22L -> nd(dB), 23L -> n2))
+    val expect = Set(1L, 20L, 22L, 23L)
+    assert(idsOf(cat, "nd", "docs") == expect,
+      s"docs: ${idsOf(cat, "nd", "docs")}")
+    // index tables stay in lockstep with the landing surface
+    assert(idsOf(cat, "nd", "shingles") == expect)
+    assert(idsOf(cat, "nd", "postings") == expect)
+  }
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType))))
+  private def vec(seed: Int): Array[Double] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(64)(r.nextDouble() * 2 - 1)
+  }
+  private def ndv(v: Array[Double], seed: Int): Array[Double] = {
+    val r = new scala.util.Random(seed)
+    v.map(x => x * (1.0 + 0.01 * r.nextDouble()))
+  }
+  private def vecsDf(rs: Seq[(Long, Array[Double])]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rs.map { case (i, v) => Row(i, v.toSeq) }, 1),
+      vecSchema)
+
+  test("vector maintenance: retire + re-embed reshape the next " +
+    "vector-dedup ingest; non-finite re-embeds leave the index") {
+    val v1 = vec(11); val v2 = vec(12); val w = vec(13)
+    val wh = Files.createTempDirectory("graft-vmaint-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("vd")
+    StreamIngest.provisionVectorDedupState(cat, "vd",
+      vecsDf(Seq(1L -> v1, 2L -> v2, 3L -> vec(14))))
+
+    IndexMaintenance.recrawlVectors(cat, "vd", vecsDf(Seq(1L -> w)))
+    IndexMaintenance.retireVectors(cat, "vd",
+      vecsDf(Seq(2L -> Array(0.0))).select("vec_id"))
+    // vector 3 re-embeds to a NaN vector: replaced in the landing
+    // table, RETIRED from the signature index (ingest bypass rule)
+    IndexMaintenance.recrawlVectors(cat, "vd",
+      vecsDf(Seq(3L -> { val a = vec(14); a(0) = Double.NaN; a })))
+
+    assert(idsOf(cat, "vd", "vectors", "vec_id") == Set(1L, 3L))
+    assert(idsOf(cat, "vd", "sigbands", "vec_id") == Set(1L),
+      "only finite-norm current vectors may be indexed")
+
+    //   10 = nd(old v1) → lands (1 re-embedded to w)
+    //   11 = nd(w)      → drops (rebuilt bands live)
+    //   12 = nd(old v2) → lands (2 retired)
+    val dir = Files.createTempDirectory("graft-vmaint-src")
+    vecsDf(Seq(10L -> ndv(v1, 21), 11L -> ndv(w, 22), 12L -> ndv(v2, 23)))
+      .write.parquet(s"$dir/c")
+    val q = StreamIngest.vectorDedupIngest(spark, s"$dir/c", vecSchema,
+      cat, "vd")
+    q.processAllAvailable(); q.stop()
+    assert(idsOf(cat, "vd", "vectors", "vec_id") == Set(1L, 3L, 10L, 12L),
+      s"vectors: ${idsOf(cat, "vd", "vectors", "vec_id")}")
+    assert(idsOf(cat, "vd", "sigbands", "vec_id") == Set(1L, 10L, 12L))
+  }
+
+  test("streaming ingest → compact index tables → ingest: outcomes " +
+    "identical, fewer live files (VERDICT r16 #5)") {
+    val dA = words("kappa"); val n1 = words("lambda"); val n2 = words("mu")
+    val wh = Files.createTempDirectory("graft-cmp-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("nd")
+    StreamIngest.provisionNearDupState(cat, "nd", docSchema,
+      docsDf(Seq(1L -> dA)))
+    val lane = new IngestLane(cat, "nd")
+    // several single-row batches → one file set per micro-batch
+    lane.run(Seq(10L -> n1))
+    lane.run(Seq(11L -> words("nu")))
+    val postBefore = cat.loadTable("nd", "postings").get
+    val filesBefore = postBefore.dataFiles.size
+    assert(filesBefore >= 3, s"expected per-batch file growth, got $filesBefore")
+    val rows = postBefore.read().collect().toSet
+    val res = Procedures.rewriteDataFiles(postBefore,
+      Map("rewrite-all" -> "true"))
+    assert(res.table.dataFiles.size < filesBefore,
+      s"compaction did not shrink the live set " +
+        s"(${res.table.dataFiles.size} vs $filesBefore)")
+    assert(res.table.read().collect().toSet == rows)
+    Procedures.rewriteDataFiles(cat.loadTable("nd", "shingles").get,
+      Map("rewrite-all" -> "true"))
+    // the NEXT ingest behaves identically over the compacted index:
+    // nd(n1) still drops against survivor 10, novel lands
+    lane.run(Seq(20L -> nd(n1), 21L -> n2))
+    val expect = Set(1L, 10L, 11L, 21L)
+    assert(idsOf(cat, "nd", "docs") == expect,
+      s"docs: ${idsOf(cat, "nd", "docs")}")
+    assert(idsOf(cat, "nd", "postings") == expect)
+  }
+}
