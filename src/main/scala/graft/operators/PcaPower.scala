@@ -152,6 +152,65 @@ object PcaPower {
     Stats(mu, pc1, r1, r2, trace)
   }
 
+  final case class TopK(mean: Array[Double], pcs: Array[Array[Double]],
+      lams: Array[Double], trace: Double)
+
+  /** Top-`k` components by repeated power runs with per-component
+    * Rayleigh deflation (VERDICT r16 #6 — the multi-component
+    * all-but-the-top): each component is sign-fixed at its
+    * largest-|entry| (lowest index on ties; sign does not affect the
+    * deflation outer product, so fixing it is output canonicalization,
+    * not a numerical choice), its Rayleigh quotient taken against the
+    * CURRENT deflated matrix, and the matrix deflated by λ·ppᵀ before
+    * the next run. k = 2 reproduces [[analyze]]'s pc1/rayleigh1/
+    * rayleigh2 exactly (same rounds, same decimal device — PcaPowerSpec
+    * pins the equality), so the q171 decision and the q178 application
+    * share one arithmetic. Driver math only; same fixed-round
+    * lower-bound caveat as [[analyze]]. */
+  def analyzeTopK(n: Long, muSum: Array[JBD], mom: Array[Array[JBD]],
+      d: Int, iters: Int, k: Int): TopK = {
+    val mu = Array.tabulate(d)(i => muSum(i).doubleValue / n)
+    var m = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      mom(a)(b).doubleValue / n - mu(a) * mu(b)
+    }
+    def matvecRound(mm: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var acc = JBD.ZERO
+        var j = 0
+        while (j < d) { acc = acc.add(dec12(mm(i)(j) * x(j))); j += 1 }
+        rnd9(acc.doubleValue)
+      }
+    def normalize(w: Array[Double]): Array[Double] = {
+      var acc = JBD.ZERO
+      var i = 0
+      while (i < d) { acc = acc.add(dec12(w(i) * w(i))); i += 1 }
+      val nv = math.sqrt(acc.doubleValue)
+      w.map(x => rnd9(x / nv))
+    }
+    var trAcc = JBD.ZERO
+    for (i <- 0 until d) trAcc = trAcc.add(dec12(m(i)(i)))
+    val trace = trAcc.doubleValue
+    val pcs = Array.ofDim[Array[Double]](k)
+    val lams = new Array[Double](k)
+    for (c <- 0 until k) {
+      var x = Array.fill(d)(0.125)
+      for (_ <- 0 until iters) x = normalize(matvecRound(m, x))
+      var best = 0
+      for (i <- 1 until d) if (math.abs(x(i)) > math.abs(x(best))) best = i
+      val sign = if (x(best) < 0) -1.0 else 1.0
+      val pc = x.map(_ * sign)
+      val y = matvecRound(m, pc)
+      var acc = JBD.ZERO
+      for (i <- 0 until d) acc = acc.add(dec12(pc(i) * y(i)))
+      val lam = rnd9(acc.doubleValue)
+      pcs(c) = pc; lams(c) = lam
+      val prev = m
+      m = Array.tabulate(d, d)((i, j) => prev(i)(j) - lam * pc(i) * pc(j))
+    }
+    TopK(mu, pcs, lams, trace)
+  }
+
   /** ALL-BUT-THE-TOP correction (Mu & Viswanath ICLR'18): x′ = x − μ −
     * ((x − μ)·p)·p — mean-center, then remove the dominant component.
     * ONE map-only corpus pass (no shuffle; μ and p are 2d broadcast
@@ -176,6 +235,48 @@ object PcaPower {
           val out = new Array[Double](lim)
           i = 0
           while (i < lim) { out(i) = rnd9(v(i) - mu(i) - dt * p(i)); i += 1 }
+          (id, out.toSeq)
+        }
+      }.toDF("vec_id", "v")
+  }
+
+  /** Multi-component all-but-the-top: x′ = x − μ − Σ_c ((x−μ)·p_c)·p_c
+    * with ALL coefficients taken against the RAW centered vector (the
+    * components are near-orthogonal after deflation, and the joint rule
+    * is what the oracle can replay as two aggregates: per-component
+    * decimal dot, then a decimal sum of dt_c·p_c[i] per position — one
+    * rounding at the end). Still ONE map-only pass; μ and the k
+    * components are (k+1)·d broadcast doubles. */
+  def projectOutK(s: SparkSession, e: DataFrame,
+      mu: Array[Double], pcs: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val d = mu.length
+    val k = pcs.length
+    e.select(col("vec_id").cast("long"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          val lim = math.min(d, v.length)
+          val dt = new Array[Double](k)
+          var c = 0
+          while (c < k) {
+            var acc = JBD.ZERO
+            var i = 0
+            while (i < lim) {
+              acc = acc.add(dec12((v(i) - mu(i)) * pcs(c)(i))); i += 1
+            }
+            dt(c) = acc.doubleValue
+            c += 1
+          }
+          val out = new Array[Double](lim)
+          var i = 0
+          while (i < lim) {
+            var acc = JBD.ZERO
+            c = 0
+            while (c < k) { acc = acc.add(dec12(dt(c) * pcs(c)(i))); c += 1 }
+            out(i) = rnd9(v(i) - mu(i) - acc.doubleValue)
+            i += 1
+          }
           (id, out.toSeq)
         }
       }.toDF("vec_id", "v")

@@ -4824,6 +4824,96 @@ object LlmQueries {
         .orderBy(col("qid"), col("sim").desc, col("vec_id"))
     })
 
+  // ------------- q178 multi-component all-but-the-top (X46, r17)
+  /** q172 with k = 2 components (VERDICT r16 missing #2): power rounds →
+    * Rayleigh → deflate → power rounds again, BOTH components sign-fixed
+    * and removed jointly against the raw centered vector (per-component
+    * decimal dots, decimal-summed per position, ONE rounding — the rule
+    * [[graft.operators.PcaPower.projectOutK]] and the oracle's
+    * dotq/proj aggregates spell identically). The oracle relearns μ,
+    * component 1, λ1, the deflated matrix, and component 2 through
+    * unrolled MATERIALIZED CTE rounds and rebuilds the corrected table
+    * itself — no pinned constants; exact top-5 retrieval over the
+    * twice-corrected table hashes the whole decide→apply arc.
+    * k = 2 reproduces q171's pc1/rayleigh1/rayleigh2 bit for bit
+    * (PcaPowerSpec pins it), so the decision and application stay one
+    * arithmetic. */
+  private val AbttK = 2
+
+  val q178 = QueryDef(
+    "q178_abtt2_topk",
+    Some {
+      val (it2, v2) = pcaIterSql("covd", "d0", "b", PcaIters)
+      pcaPcSql(EmbDim, PcaIters) + s""",
+        cv1 AS MATERIALIZED (SELECT cf.i AS i,
+            ROUND(CAST(SUM(CAST(cf.c * p.x AS DECIMAL(28,12))) AS DOUBLE), 9) AS y
+          FROM covf cf JOIN pc p ON cf.j = p.i GROUP BY cf.i),
+        lam1 AS MATERIALIZED (SELECT
+            ROUND(CAST(SUM(CAST(p.x * cv1.y AS DECIMAL(28,12))) AS DOUBLE), 9) AS l
+          FROM pc p JOIN cv1 ON p.i = cv1.i),
+        covd AS MATERIALIZED (SELECT cf.i, cf.j,
+            cf.c - (SELECT l FROM lam1) * pa.x * pb.x AS c
+          FROM covf cf JOIN pc pa ON cf.i = pa.i JOIN pc pb ON cf.j = pb.i),
+        d0 AS MATERIALIZED (SELECT i, 0.125::DOUBLE AS x
+          FROM range(1,${EmbDim + 1}) a(i))$it2,
+        sgn2 AS MATERIALIZED (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+          FROM $v2 ORDER BY abs(x) DESC, i LIMIT 1),
+        pc2 AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn2) AS x FROM $v2),
+        pck AS MATERIALIZED (SELECT 1 AS c, i, x FROM pc
+          UNION ALL SELECT 2 AS c, i, x FROM pc2),
+        dotq AS MATERIALIZED (SELECT e.vec_id, p.c,
+            CAST(SUM(CAST((e.v[a.i] - mu.m) * p.x AS DECIMAL(28,12))) AS DOUBLE)
+              AS dt
+          FROM e, range(1,${EmbDim + 1}) a(i), mu, pck p
+          WHERE mu.i = a.i AND p.i = a.i GROUP BY e.vec_id, p.c),
+        proj AS MATERIALIZED (SELECT dotq.vec_id, p.i,
+            CAST(SUM(CAST(dotq.dt * p.x AS DECIMAL(28,12))) AS DOUBLE) AS pr
+          FROM dotq JOIN pck p ON dotq.c = p.c GROUP BY dotq.vec_id, p.i),
+        ec AS MATERIALIZED (SELECT e.vec_id,
+            list(ROUND(e.v[a.i] - mu.m - proj.pr, 9) ORDER BY a.i) AS v
+          FROM e, range(1,${EmbDim + 1}) a(i), mu, proj
+          WHERE mu.i = a.i AND proj.vec_id = e.vec_id AND proj.i = a.i
+          GROUP BY e.vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM ec WHERE vec_id < 4),
+        scored AS (SELECT q.qid AS qid, ec.vec_id AS vec_id,
+                          list_cosine_similarity(ec.v, q.qv) AS sim_raw
+                   FROM ec, q WHERE ec.vec_id <> q.qid),
+        ranked AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+                     PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, vec_id, ROUND(sim_raw, 4) AS sim
+        FROM ranked WHERE rn <= 5 ORDER BY qid, sim DESC, vec_id"""
+    },
+    (s, dir) => {
+      val (n, muSum, mom) = pcaMomentsCache.computeIfAbsent((s, dir), { _ =>
+        val e0 = t(s, dir, "embeddings")
+          .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+          .select(col("v"))
+        graft.operators.PcaPower.moments(s, e0, EmbDim)
+      })
+      val tk = graft.operators.PcaPower.analyzeTopK(
+        n, muSum, mom, EmbDim, PcaIters, AbttK)
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("vec_id"), col("v"))
+      val ec = graft.operators.PcaPower.projectOutK(s, e, tk.mean, tk.pcs)
+        .localCheckpoint(true) // two consumers: corpus side + query batch
+      val queries = ec.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = ec
+        .withColumn("qid",
+          explode(array((0L until 4L).map(lit): _*)))
+        .join(broadcast(queries), "qid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          VectorOps.cosine(col("v"), col("qv")).as("sim_raw"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+        .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+    })
+
   // ----------------- q173 distilled model-based quality filter (X47, r16)
   private val LrSteps = 8
   private val LrRate = 2.0
@@ -5026,5 +5116,5 @@ object LlmQueries {
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177)
+    q172, q173, q174, q175, q176, q177, q178)
 }

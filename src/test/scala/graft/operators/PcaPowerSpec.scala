@@ -101,6 +101,55 @@ class PcaPowerSpec extends SparkSpec {
       s"mean not removed: $meanNormAfter (before $meanNormBefore)")
   }
 
+  test("analyzeTopK(k=2) ≡ analyze bit for bit (pc1, λ1, λ2) — the q171 " +
+    "decision and the q178 application share one arithmetic") {
+    val rnd = new scala.util.Random(59)
+    val d = 10
+    val vecs = Seq.fill(120)(Array.fill(d)(rnd.nextDouble() * 2 - 1))
+    val (n, mu, mom) = PcaPower.moments(spark, toDf(vecs, 4), d)
+    val st = PcaPower.analyze(n, mu, mom, d, iters = 24)
+    val tk = PcaPower.analyzeTopK(n, mu, mom, d, iters = 24, k = 2)
+    assert(tk.pcs(0).sameElements(st.pc1), "pc1 diverged")
+    assert(tk.lams(0) == st.rayleigh1, "λ1 diverged")
+    assert(tk.lams(1) == st.rayleigh2, "λ2 diverged")
+    assert(tk.trace == st.trace, "trace diverged")
+    assert(tk.mean.sameElements(st.mean), "mean diverged")
+  }
+
+  test("two planted orthogonal directions are both recovered and " +
+    "projectOutK removes both") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val d = 12
+    // orthonormal planted pair with well-separated variances (16x, 4x
+    // the 0.01 noise variance)
+    val u1 = Array.tabulate(d)(i => if (i % 2 == 0) 1.0 / math.sqrt(d / 2) else 0.0)
+    val u2 = Array.tabulate(d)(i => if (i % 2 == 1) 1.0 / math.sqrt(d / 2) else 0.0)
+    val vecs = Seq.tabulate(400) { i =>
+      val g1 = rnd.nextGaussian() * 4.0
+      val g2 = rnd.nextGaussian() * 2.0
+      (i.toLong, Array.tabulate(d)(k =>
+        u1(k) * g1 + u2(k) * g2 + rnd.nextGaussian() * 0.1).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "v").repartition(5)
+    val (n, mu, mom) = PcaPower.moments(spark, df.select(col("v")), d)
+    val tk = PcaPower.analyzeTopK(n, mu, mom, d, iters = 24, k = 2)
+    val c1 = tk.pcs(0).zip(u1).map { case (a, b) => a * b }.sum
+    val c2 = tk.pcs(1).zip(u2).map { case (a, b) => a * b }.sum
+    assert(math.abs(c1) > 0.98, s"component 1 misaligned: $c1")
+    assert(math.abs(c2) > 0.98, s"component 2 misaligned: $c2")
+    assert(tk.lams(0) > tk.lams(1) && tk.lams(1) > 10 * 0.01,
+      s"λ ordering lost: ${tk.lams.toSeq}")
+    val corrected = PcaPower.projectOutK(spark, df, tk.mean, tk.pcs)
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    // variance along BOTH planted directions collapses to noise scale
+    for ((u, tag) <- Seq((u1, "u1"), (u2, "u2"))) {
+      val dots = corrected.map(v => v.zip(u).map { case (a, b) => a * b }.sum)
+      val varU = dots.map(x => x * x).sum / dots.length
+      assert(varU < 0.05, s"variance along $tag survives projection: $varU")
+    }
+  }
+
   test("isotropic noise reads as isotropic: evr1 stays near the 1/d floor") {
     val rnd = new scala.util.Random(37)
     val d = 16
