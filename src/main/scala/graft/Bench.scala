@@ -60,17 +60,37 @@ object Bench {
     // sentinels are inflated too is environment. min-of-3 short spins:
     // the min is the machine's floor; even the min inflates only when
     // the cores are genuinely oversubscribed.
+    def spinOnce(iters: Int): Long = {
+      var x = 88172645463325252L; var i = 0
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      x
+    }
     def spinCal(): Double =
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        var x = 88172645463325252L; var i = 0
-        while (i < 100000000) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
-        }
-        if (x == 0) System.err.print("") // defeat dead-code elimination
+        if (spinOnce(100000000) == 0) System.err.print("") // defeat DCE
         (System.nanoTime() - t0) / 1e9
       }.min
+    // the single-thread spin misses memory-bandwidth/SMT contention
+    // that inflates a 32-thread query sweep uniformly (r17 observed
+    // exactly that: flat 0.19 s spin, +24% uniform query drift vs an
+    // earlier window) — so a PARALLEL spin at the bench's thread count
+    // rides along: wall time of all threads spinning together
+    def spinCalPar(): Double = {
+      val nThreads = Runtime.getRuntime.availableProcessors
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ts = (1 to nThreads).map { _ =>
+          new Thread(() => { if (spinOnce(100000000) == 0) System.err.print("") })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     val calBefore = spinCal()
+    val calParBefore = spinCalPar()
 
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q37_ann_topk,q34_… restricts the run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -121,6 +141,7 @@ object Bench {
       n -> (median, best)
     }
     val calAfter = spinCal()
+    val calParAfter = spinCalPar()
 
     def js(s: String): String =
       "\"" + s.flatMap {
@@ -179,7 +200,7 @@ object Bench {
       val qs = entries.map { case (k, med) => s"${js(shortKey(k))}:${r2(med)}" }
         .mkString("{", ",", "}")
       val el = if (elided == 0) "" else s""""q_elided":$elided,"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","tmin":${r3(totalMin)},"sf":"$sfDir","nerr":${errors.size},"cal":[${r2(calBefore)},${r2(calAfter)}],$el"qmin":$qminJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","tmin":${r3(totalMin)},"sf":"$sfDir","nerr":${errors.size},"cal":[${r2(calBefore)},${r2(calAfter)}],"calp":[${r2(calParBefore)},${r2(calParAfter)}],$el"qmin":$qminJson,"queries":$qs}"""
     }
     val all = times.map { case (k, (med, _)) => (k, med) }
     val budget = 1700
@@ -220,7 +241,7 @@ object Bench {
         "(full record in bench_out.json)")
     val lineOut = line(fit, all.size - fit.size, qmin)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cal":[${r3(calBefore)},${r3(calAfter)}],"queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cal":[${r3(calBefore)},${r3(calAfter)}],"calp":[${r3(calParBefore)},${r3(calParAfter)}],"queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
     println(lineOut)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
