@@ -652,6 +652,87 @@ object StreamIngest {
       .start()
   }
 
+  // ---------------------------------- X51: streaming IVF index ingest
+  /** One-time standing state for [[ivfIngest]]: the codebook as a lake
+    * table (cid, cv — the governed artifact a trainer publishes and
+    * every consumer reads), the vector landing table, and the bucket
+    * assignment index. `initial` columns: (vec_id LONG,
+    * v ARRAY<DOUBLE>); `assign(initial)` must return one (vec_id,
+    * bucket) row per input row. */
+  def provisionIvfState(
+      catalog: LakeCatalog,
+      db: String,
+      centroids: Array[Array[Double]],
+      initial: DataFrame,
+      assign: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val s = initial.sparkSession
+    import s.implicits._
+    catalog.createTable(db, "centroids", StructType(Seq(
+        StructField("cid", LongType),
+        StructField("cv", ArrayType(DoubleType)))))
+      .append(centroids.zipWithIndex.toSeq
+        .map { case (cv, i) => (i.toLong, cv.toSeq) }.toDF("cid", "cv"))
+    catalog.createTable(db, "assign", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("bucket", LongType))), props = MorProps)
+      .append(assign(initial)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket")))
+    catalog.createTable(db, "vectors", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))), props = MorProps)
+      .append(initial)
+  }
+
+  /** Bounded driver pull of the stored codebook: K×d doubles by
+    * construction (the q174 budget note). */
+  def loadCentroids(spark: SparkSession, catalog: LakeCatalog,
+      db: String): Array[Array[Double]] = {
+    import spark.implicits._
+    catalog.loadTable(db, "centroids").get.read()
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+  }
+
+  /** STREAMING IVF index ingest (X51 — the CONTINUOUS form of q174's
+    * nightly maintenance): every micro-batch is routed through the
+    * STORED codebook (the caller's compiled nearest-centroid pass — one
+    * O(batch·K·d) scan, never a retrain) and lands in the vectors table
+    * AND the assignment index, each behind its own batch-id-gated
+    * idempotent commit (index first, landing surface last — the
+    * [[nearDupIngest]] crash order). The codebook is read ONCE at query
+    * start: it is versioned state a retrain publishes as a new
+    * snapshot, at which point the stream restarts — mid-stream codebook
+    * drift would make buckets of the same run mutually inconsistent.
+    * Occupancy drift (the retrain trigger) is a q174/q177-style read of
+    * the assign table at any time; retire/re-embed maintenance is
+    * [[graft.operators.IndexMaintenance]] on the same tables. */
+  def ivfIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      assign: (DataFrame, Array[Array[Double]]) => DataFrame,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val cents = loadCentroids(spark, catalog, db)
+    val w = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0
+          .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+          .localCheckpoint(true) // consumed twice: assignment + landing
+        commitBatch(catalog, db, "assign")(
+          assign(batch, cents)
+            .select(col("vec_id"), col("bucket").cast("long").as("bucket")),
+          batchId)
+        commitBatch(catalog, db, "vectors")(batch, batchId)
+      }
+      .start()
+  }
+
   /** The batch minus its cosine-verified near-dups (vs stored state and
     * vs smaller-id batch peers). */
   private def vectorSurvivors(

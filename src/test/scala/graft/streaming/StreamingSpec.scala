@@ -1155,4 +1155,66 @@ class StreamingSpec extends SparkSpec {
     assert(idsOf("sigbands") == expect -- Set(22L, 31L),
       s"sigbands: ${idsOf("sigbands")}")
   }
+
+  test("streaming IVF index ingest (X51): arrivals route through the " +
+    "STORED codebook into the assignment index; state grows; restarts " +
+    "with a persistent checkpoint stay idempotent") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    // two orthogonal centroids; test vectors sit near one or the other,
+    // so expected buckets are unambiguous under cosine
+    def unit(axis: Int): Array[Double] =
+      Array.tabulate(8)(i => if (i == axis) 1.0 else 0.0)
+    def near(axis: Int, eps: Double): Array[Double] =
+      Array.tabulate(8)(i => if (i == axis) 1.0 else eps)
+    val cents = Array(unit(0), unit(1))
+    def rows(rs: Seq[(Long, Array[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rs.map { case (i, v) => Row(i, v.toSeq) }, 1),
+        vecSchema)
+    val assignFn = (df: DataFrame, cs: Array[Array[Double]]) =>
+      graft.queries.LlmQueries.ivfAssignCompiled(
+        spark, df, "vec_id", "v", cs, 1)
+    val wh = Files.createTempDirectory("graft-ivfing-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("ivf")
+    StreamIngest.provisionIvfState(cat, "ivf", cents,
+      rows(Seq(1L -> near(0, 0.01))), df => assignFn(df, cents))
+
+    val src = Files.createTempDirectory("graft-ivfing-src")
+    val ck = Files.createTempDirectory("graft-ivfing-ck")
+    val chunks = Seq(
+      Seq(10L -> near(0, 0.02), 11L -> near(1, 0.02)),
+      Seq(20L -> near(1, 0.03)))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val stage = Files.createTempDirectory(s"graft-ivfing-st$i")
+      rows(chunk).coalesce(1).write.parquet(s"$stage/c")
+      Files.walk(stage).filter(_.toString.endsWith(".parquet")).forEach { pp =>
+        val dst = Files.copy(pp, src.resolve(s"chunk$i-${pp.getFileName}"))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + i * 60_000L))
+      }
+    }
+    val q1 = StreamIngest.ivfIngest(spark, src.toString, vecSchema,
+      cat, "ivf", assignFn, checkpointDir = Some(ck.toString))
+    q1.processAllAvailable(); q1.stop()
+
+    def asg(): Map[Long, Long] =
+      cat.loadTable("ivf", "assign").get.read()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg() == Map(1L -> 0L, 10L -> 0L, 11L -> 1L, 20L -> 1L),
+      s"assignments: ${asg()}")
+    assert(cat.loadTable("ivf", "vectors").get.read().count() == 4L)
+
+    // restart over the SAME source + checkpoint: nothing re-lands (the
+    // batch-id gate + checkpoint make redelivery a no-op)
+    val q2 = StreamIngest.ivfIngest(spark, src.toString, vecSchema,
+      cat, "ivf", assignFn, checkpointDir = Some(ck.toString))
+    q2.processAllAvailable(); q2.stop()
+    assert(cat.loadTable("ivf", "vectors").get.read().count() == 4L,
+      "restart re-landed vectors")
+    assert(asg().size == 4, "restart re-landed assignments")
+  }
 }
