@@ -4135,6 +4135,33 @@ object LlmQueries {
       (shT, postT, headT)
     })
 
+  /** THE incremental near-dup run, factored once (r17) so q167 (pristine
+    * state), q176 (maintained state) and MaintenanceFuzzSpec share one
+    * spelling: shingle ONLY the batch, index its prefixes under the
+    * STORED head order, batch postings × stored postings (new × stored)
+    * plus the batch-only bucket group (new × new), exact verify against
+    * stored shingles ∪ batch shingles with the corpus pre-gate OFF
+    * (O(batch) — a per-run corpus aggregate would break the bill). */
+  private[graft] def incrementalNearDup(
+      s: SparkSession,
+      storedSh: DataFrame,
+      storedPost: DataFrame,
+      head: Map[Long, Long],
+      newDocs: DataFrame): DataFrame = {
+    val newSh = shingledDocs(s, newDocs)
+    val newPost = PrefixIndex.postings(PrefixIndex.hashed(newSh), head)
+      .localCheckpoint(true) // consumed twice: cross equi-join + self
+    val cross = newPost.as("n")
+      .join(storedPost.as("o"), col("n.h") === col("o.h"))
+      .filter(expr(PrefixIndex.pairFilter("n.k", "n.pos", "o.k", "o.pos")))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val cand = cross.union(PrefixIndex.postingsPairs(newPost)).distinct()
+      .localCheckpoint(true)
+    verifyOnShingles(s, storedSh.unionByName(newSh), cand,
+      corpusPreGate = false)
+  }
+
   val q167 = QueryDef(
     "q167_incremental_neardup",
     Some(DuckShingles +
@@ -4150,26 +4177,12 @@ object LlmQueries {
       import s.implicits._
       // the stored head is STATE read back from the lake — a driver
       // pull bounded at DfHeadMax rows by construction (same budget
-      // note as PrefixIndex.dfHead)
+      // note as PrefixIndex.dfHead); stored shingles are fetched
+      // THROUGH the lake table inside the shared run
       val head = headT.read().as[(Long, Long)].collect().toMap
-      val newSh = shingledDocs(s, t(s, dir, "documents")
-        .filter(expr(IncrNewPred)).select("doc_id", "text"))
-      val newPost = PrefixIndex.postings(PrefixIndex.hashed(newSh), head)
-        .localCheckpoint(true) // consumed twice: cross equi-join + self
-      val storedPost = postT.read()
-      val cross = newPost.as("n")
-        .join(storedPost.as("o"), col("n.h") === col("o.h"))
-        .filter(expr(PrefixIndex.pairFilter("n.k", "n.pos", "o.k", "o.pos")))
-        .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-          greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-      val cand = cross.union(PrefixIndex.postingsPairs(newPost)).distinct()
-        .localCheckpoint(true)
-      // verify fetches stored shingles THROUGH the lake table (only
-      // candidate docs survive the id join inside verifyOnShingles);
-      // corpusPreGate = false keeps the run O(batch) — the pre-gate's
-      // whole-table aggregate would scan the standing corpus per run
-      verifyOnShingles(s, shT.read().unionByName(newSh), cand,
-        corpusPreGate = false)
+      incrementalNearDup(s, shT.read(), postT.read(), head,
+        t(s, dir, "documents").filter(expr(IncrNewPred))
+          .select("doc_id", "text"))
     })
 
   // ------ q176 incremental near-dup AFTER standing-state maintenance
@@ -4249,22 +4262,12 @@ object LlmQueries {
        WHERE NOT isnan(jac) AND jac >= 0.8 ORDER BY doc_a, doc_b"""),
     (s, dir) => {
       val cat = recrawlState(s, dir)
-      val head = graft.streaming.StreamIngest.loadHead(s, cat, "nd")
-      val newSh = shingledDocs(s, t(s, dir, "documents")
-        .filter(expr(IncrNewPred)).select("doc_id", "text"))
-      val newPost = PrefixIndex.postings(PrefixIndex.hashed(newSh), head)
-        .localCheckpoint(true) // consumed twice: cross equi-join + self
-      val storedPost = cat.loadTable("nd", "postings").get.read()
-      val cross = newPost.as("n")
-        .join(storedPost.as("o"), col("n.h") === col("o.h"))
-        .filter(expr(PrefixIndex.pairFilter("n.k", "n.pos", "o.k", "o.pos")))
-        .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-          greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-      val cand = cross.union(PrefixIndex.postingsPairs(newPost)).distinct()
-        .localCheckpoint(true)
-      verifyOnShingles(s,
-        cat.loadTable("nd", "shingles").get.read().unionByName(newSh), cand,
-        corpusPreGate = false)
+      incrementalNearDup(s,
+        cat.loadTable("nd", "shingles").get.read(),
+        cat.loadTable("nd", "postings").get.read(),
+        graft.streaming.StreamIngest.loadHead(s, cat, "nd"),
+        t(s, dir, "documents").filter(expr(IncrNewPred))
+          .select("doc_id", "text"))
     })
 
   /** Canonical-representative selection per near-dup cluster (r14) —
