@@ -205,4 +205,44 @@ class MaintenanceSpec extends SparkSpec {
       s"docs: ${idsOf(cat, "nd", "docs")}")
     assert(idsOf(cat, "nd", "postings") == expect)
   }
+
+  test("maintenance lands between micro-batches of a LIVE ingest query: " +
+    "the sink's per-batch reload sees the maintained state without a " +
+    "restart") {
+    val dA = words("rho"); val dB = words("sigma"); val dC = words("tau")
+    val wh = Files.createTempDirectory("graft-live-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("nd")
+    StreamIngest.provisionNearDupState(cat, "nd", docSchema,
+      docsDf(Seq(1L -> dA, 2L -> dB)))
+    val src = Files.createTempDirectory("graft-live-src")
+    val ck = Files.createTempDirectory("graft-live-ck")
+    def addChunk(n: Int, rs: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory(s"graft-live-st$n")
+      docsDf(rs).coalesce(1).write.parquet(s"$stage/c")
+      Files.walk(stage).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val dst = Files.copy(p, src.resolve(s"chunk$n-${p.getFileName}"))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + n * 60_000L))
+      }
+    }
+    addChunk(0, Seq(10L -> nd(dA))) // drops against pristine doc 1
+    val q = StreamIngest.nearDupIngest(spark, src.toString, docSchema,
+      cat, "nd", checkpointDir = Some(ck.toString))
+    q.processAllAvailable()
+    assert(idsOf(cat, "nd", "docs") == Set(1L, 2L))
+
+    // the query is STILL RUNNING while maintenance commits land
+    IndexMaintenance.recrawlDocs(cat, "nd", docsDf(Seq(1L -> dC)))
+    IndexMaintenance.retireDocs(cat, "nd",
+      docsDf(Seq(2L -> "")).select("doc_id"))
+
+    //   20 = nd(old A) → lands, 21 = nd(new C) → drops, 22 = nd(B) → lands
+    addChunk(1, Seq(20L -> nd(dA), 21L -> nd(dC), 22L -> nd(dB)))
+    q.processAllAvailable(); q.stop()
+    val expect = Set(1L, 20L, 22L)
+    assert(idsOf(cat, "nd", "docs") == expect,
+      s"docs: ${idsOf(cat, "nd", "docs")}")
+    assert(idsOf(cat, "nd", "postings") == expect)
+  }
 }
