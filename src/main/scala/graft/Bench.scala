@@ -60,6 +60,18 @@ object Bench {
     // sentinels are inflated too is environment. min-of-3 short spins:
     // the min is the machine's floor; even the min inflates only when
     // the cores are genuinely oversubscribed.
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q37_ann_topk,q34_… restricts the run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // sentinel cost control (ADVICE r17): the full sentinel suite adds
+    // ~2 s of fixed wall; dev-loop BENCH_ONLY runs (records usually
+    // discarded) skip it, and the spin length is env-tunable
+    val calIters = sys.env.getOrElse("SPARK_GRAFT_CAL_ITERS", "100000000").toInt
+    val sentinels = only.isEmpty
     def spinOnce(iters: Int): Long = {
       var x = 88172645463325252L; var i = 0
       while (i < iters) {
@@ -68,9 +80,10 @@ object Bench {
       x
     }
     def spinCal(): Double =
-      (1 to 3).map { _ =>
+      if (!sentinels) -1.0
+      else (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        if (spinOnce(100000000) == 0) System.err.print("") // defeat DCE
+        if (spinOnce(calIters) == 0) System.err.print("") // defeat DCE
         (System.nanoTime() - t0) / 1e9
       }.min
     // the single-thread spin misses memory-bandwidth/SMT contention
@@ -78,26 +91,19 @@ object Bench {
     // exactly that: flat 0.19 s spin, +24% uniform query drift vs an
     // earlier window) — so a PARALLEL spin at the bench's thread count
     // rides along: wall time of all threads spinning together
-    def spinCalPar(): Double = {
+    def spinParOnce(): Double = {
       val nThreads = Runtime.getRuntime.availableProcessors
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ts = (1 to nThreads).map { _ =>
-          new Thread(() => { if (spinOnce(100000000) == 0) System.err.print("") })
-        }
-        ts.foreach(_.start()); ts.foreach(_.join())
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      val t0 = System.nanoTime()
+      val ts = (1 to nThreads).map { _ =>
+        new Thread(() => { if (spinOnce(calIters) == 0) System.err.print("") })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
     }
+    def spinCalPar(): Double =
+      if (!sentinels) -1.0 else (1 to 3).map(_ => spinParOnce()).min
     val calBefore = spinCal()
     val calParBefore = spinCalPar()
-
-    // dev loop: SPARK_GRAFT_BENCH_ONLY=q37_ann_topk,q34_… restricts the run
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // warmup: one untimed pass (JIT/codegen caches, FS cache)
     names.foreach { n =>
@@ -118,7 +124,15 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
-    val times = names.map { n =>
+    // mid-sweep contention samples (VERDICT r17 #5): calp is otherwise
+    // measured only before/after the sweep, so a contention burst in the
+    // middle was unattributable per-query — one single-shot parallel
+    // spin every 20 queries (~0.2 s each) gives each drifted query a
+    // window segment to match against (sample k covers queries
+    // [20k, 20k+20) in sorted order)
+    val calps = scala.collection.mutable.ArrayBuffer[Double]()
+    val times = names.zipWithIndex.map { case (n, qi) =>
+      if (sentinels && qi % 20 == 0) calps += spinParOnce()
       // level the playing field: previous queries' cached relations and
       // garbage must not be charged to this query's samples
       level()
@@ -200,7 +214,8 @@ object Bench {
       val qs = entries.map { case (k, med) => s"${js(shortKey(k))}:${r2(med)}" }
         .mkString("{", ",", "}")
       val el = if (elided == 0) "" else s""""q_elided":$elided,"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","tmin":${r3(totalMin)},"sf":"$sfDir","nerr":${errors.size},"cal":[${r2(calBefore)},${r2(calAfter)}],"calp":[${r2(calParBefore)},${r2(calParAfter)}],$el"qmin":$qminJson,"queries":$qs}"""
+      val calpsJson = calps.map(r2).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","tmin":${r3(totalMin)},"sf":"$sfDir","nerr":${errors.size},"cal":[${r2(calBefore)},${r2(calAfter)}],"calp":[${r2(calParBefore)},${r2(calParAfter)}],"calps":$calpsJson,$el"qmin":$qminJson,"queries":$qs}"""
     }
     val all = times.map { case (k, (med, _)) => (k, med) }
     val budget = 1700
@@ -241,7 +256,7 @@ object Bench {
         "(full record in bench_out.json)")
     val lineOut = line(fit, all.size - fit.size, qmin)
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cal":[${r3(calBefore)},${r3(calAfter)}],"calp":[${r3(calParBefore)},${r3(calParAfter)}],"queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cal":[${r3(calBefore)},${r3(calAfter)}],"calp":[${r3(calParBefore)},${r3(calParAfter)}],"calps":${calps.map(r3).mkString("[", ",", "]")},"queries":$qs,"errors":$errJson,"sf":"$sfDir","queries_min":$qsMin}"""
     println(lineOut)
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     spark.stop()
