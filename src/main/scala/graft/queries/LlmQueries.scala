@@ -4369,17 +4369,22 @@ object LlmQueries {
     * standing slice only); seeds are the k lowest training vec_ids,
     * dense-ranked into bucket ids 0..k−1 — on the full contiguous-id
     * corpus (q169/q170, basePred = TRUE) that is exactly the old
-    * `vec_id < k` spelling. */
+    * `vec_id < k` spelling. `treSql` (r18, q180) overrides the training
+    * CTE body entirely — the rebuild arc trains on a MAINTAINED corpus
+    * whose vectors are transformed, not merely filtered; seeds join
+    * `tre`, not `e`, so transformed seed vectors are honored (identical
+    * for every filter-only caller). */
   private def kmeansRoundsSql(k: Int, iters: Int, dim: Int,
-      basePred: String = "TRUE"): String = {
+      basePred: String = "TRUE", treSql: Option[String] = None): String = {
+    val treBody = treSql.getOrElse(s"SELECT vec_id, v FROM e WHERE $basePred")
     val sb = new StringBuilder(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          tre AS MATERIALIZED (SELECT vec_id, v FROM e WHERE $basePred),
+          tre AS MATERIALIZED ($treBody),
           sd AS MATERIALIZED (SELECT vec_id,
               row_number() OVER (ORDER BY vec_id) - 1 AS cid
             FROM (SELECT vec_id FROM tre ORDER BY vec_id LIMIT $k)),
-          c0 AS (SELECT sd.cid, r.i, e.v[r.i] AS m
-                 FROM sd JOIN e USING (vec_id), range(1, ${dim + 1}) r(i)),
+          c0 AS (SELECT sd.cid, r.i, tre.v[r.i] AS m
+                 FROM sd JOIN tre USING (vec_id), range(1, ${dim + 1}) r(i)),
           c0v AS (SELECT cid, list(m ORDER BY i) AS cv FROM c0 GROUP BY cid)""")
     for (r <- 1 to iters) sb ++= s""",
           a$r AS (SELECT vec_id, cid FROM (
@@ -4645,6 +4650,105 @@ object LlmQueries {
         .groupBy("bucket")
         .agg(sum(when(col("is_new") === 0, 1L).otherwise(0L)).as("n_stored"),
           sum(when(col("is_new") === 1, 1L).otherwise(0L)).as("n_new"))
+        .orderBy("bucket")
+    })
+
+  // ------------- q180 IVF index REBUILD/republish arc (X52, r18)
+  /** The last missing lifecycle stage (VERDICT r17 missing #1): q174
+    * appends the nightly batch under the standing codebook, q177
+    * maintains the assignment rows through retire/re-embed — but the
+    * CODEBOOK itself stays frozen at its training corpus, and the
+    * q170/q174/q177 occupancy audits exist precisely to decide when
+    * that artifact must be retrained. This arc runs the decision:
+    * fixture = the q174 standing state (codebook trained on the
+    * standing slice, vectors + assignments as merge-on-read lake
+    * tables), then the FULL drift — the nightly batch append (q174's
+    * shape) plus maintenance (q177's shape: retire vec_id % 7 = 3 of
+    * the standing slice, re-embed % 7 = 5 to the negated vector) — and
+    * then [[graft.operators.IndexRebuild.rebuildIvf]]: retrain on the
+    * CURRENT corpus read back from the lake (seeds = its 64 lowest
+    * vec_ids), WAP-publish the codebook through a staging branch, and
+    * reassign the whole corpus as ONE overwrite snapshot. The query is
+    * the q170 occupancy audit over the REBUILT lake state (assignments
+    * ⋈ vectors ⋈ published centroids); the oracle relearns the
+    * POST-DRIFT codebook through unrolled CTE rounds over the
+    * maintained corpus and replays the audit — a stale assignment row,
+    * a codebook trained on the wrong corpus, an unpublished branch, or
+    * a missed reassignment all change the hash. */
+  private val ivfRebuildStates = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.lake.LakeCatalog]()
+
+  private def ivfRebuildState(s: SparkSession, dir: String): graft.lake.LakeCatalog =
+    ivfRebuildStates.computeIfAbsent((s, dir), { _ =>
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      val standing = e.filter(!expr(VecNewPred)).localCheckpoint(true)
+      val batch = e.filter(expr(VecNewPred))
+      // pre-drift codebook, trained on the standing slice (q174 posture)
+      val seeds = standing.orderBy("vec_id").limit(IvfK)
+        .collect().map(_.getSeq[Double](1).toArray)
+      val centsOld = graft.operators.KMeansTrainer.train(standing, seeds, KmIters)(
+        (corpus, cs) => ivfAssignCarry(s, corpus, cs))
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfrb-wh")
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      cat.createNamespace("ann")
+      graft.streaming.StreamIngest.provisionIvfState(cat, "ann", centsOld,
+        standing, df => ivfAssignCompiled(s, df, "vec_id", "v", centsOld, 1))
+      // drift 1 — the nightly batch append (M34 ∘ X45, q174's shape)
+      cat.loadTable("ann", "vectors").get.append(batch)
+      cat.loadTable("ann", "assign").get.append(
+        ivfAssignCompiled(s, batch, "vec_id", "v", centsOld, 1)
+          .select(col("vec_id"), col("bucket").cast("long").as("bucket")))
+      // drift 2 — maintenance on the standing slice (X50, q177's shape)
+      val retireIds = standing.filter(expr("vec_id % 7 = 3")).select("vec_id")
+      val reemb = standing.filter(expr("vec_id % 7 = 5"))
+        .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+      cat.loadTable("ann", "vectors").get
+        .addEqualityDeletes(retireIds, Seq("vec_id"))
+      cat.loadTable("ann", "vectors").get.replaceByKey(reemb, Seq("vec_id"))
+      graft.operators.IndexMaintenance.reassign(
+        graft.operators.IndexMaintenance.retireAssignments(
+          cat.loadTable("ann", "assign").get, retireIds),
+        reemb, df => ivfAssignCompiled(s, df, "vec_id", "v", centsOld, 1))
+      // the audit fires → the rebuild (X52): retrain on the CURRENT
+      // corpus, WAP publish, one-snapshot reassignment
+      graft.operators.IndexRebuild.rebuildIvf(cat, "ann", IvfK, KmIters,
+        (corpus, cs) => ivfAssignCarry(s, corpus, cs),
+        (df, cs) => ivfAssignCompiled(s, df, "vec_id", "v", cs, 1))
+      cat
+    })
+
+  val q180 = QueryDef(
+    "q180_ivf_rebuild",
+    Some(kmeansRoundsSql(IvfK, KmIters, EmbDim, treSql = Some(s"""
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 5 AND NOT ($VecNewPred)
+                    THEN list_transform(v, x -> -x) ELSE v END AS v
+        FROM e WHERE NOT (vec_id % 7 = 3 AND NOT ($VecNewPred))""")) + s""",
+        casg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT tre.vec_id, c.cid, row_number() OVER (PARTITION BY tre.vec_id
+            ORDER BY list_cosine_similarity(tre.v, c.cv) DESC, c.cid) AS rn
+          FROM tre, c${KmIters}v c) WHERE rn = 1)
+        SELECT bucket, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(list_cosine_similarity(tre.v, c.cv)
+                      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 4) AS avg_sim
+        FROM casg JOIN tre USING (vec_id)
+        JOIN c${KmIters}v c ON casg.bucket = c.cid
+        GROUP BY bucket ORDER BY bucket"""),
+    (s, dir) => {
+      val cat = ivfRebuildState(s, dir)
+      val cents = broadcast(cat.loadTable("ann", "centroids").get.read()
+        .select(col("cid").as("bucket"), col("cv")))
+      cat.loadTable("ann", "assign").get.read()
+        .join(cat.loadTable("ann", "vectors").get.read(), "vec_id")
+        .join(cents, "bucket")
+        .select(col("bucket"),
+          VectorOps.cosine(col("v"), col("cv")).as("sim_raw"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("sim_raw").cast("decimal(28,12)")).cast("double")
+            / count(lit(1)), 4).as("avg_sim"))
         .orderBy("bucket")
     })
 
@@ -5283,5 +5387,5 @@ object LlmQueries {
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178, q179)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }

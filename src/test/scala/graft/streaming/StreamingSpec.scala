@@ -1216,5 +1216,47 @@ class StreamingSpec extends SparkSpec {
     assert(cat.loadTable("ivf", "vectors").get.read().count() == 4L,
       "restart re-landed vectors")
     assert(asg().size == 4, "restart re-landed assignments")
+
+    // ---- restart ACROSS a retrain (X52 ∘ X51 — VERDICT r17 #1): the
+    // occupancy audit fires, the codebook is rebuilt on the CURRENT
+    // lake corpus and WAP-published, the standing corpus is reassigned
+    // in one snapshot, and the SAME checkpoint resumes the stream
+    // against the NEW codebook — batch ids continue, nothing replays,
+    // and new arrivals route through the retrained centroids.
+    val cents2 = graft.operators.IndexRebuild.rebuildIvf(
+      cat, "ivf", 2, 2,
+      (df, cs) => graft.queries.LlmQueries.ivfAssignCarry(spark, df, cs),
+      assignFn,
+      validate = df => assert(df.count() == 2))
+    // seeds were vecs 1 and 10 (both axis 0) — the retrain is free to
+    // move the codebook; what the stream contract needs is that the
+    // PUBLISHED artifact and the standing assignments agree
+    val pubCents = StreamIngest.loadCentroids(spark, cat, "ivf")
+    assert(pubCents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    val expectStanding = assignFn(
+      cat.loadTable("ivf", "vectors").get.read(), cents2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(asg() == expectStanding,
+      s"standing assignments must be consistent with the new codebook: ${asg()}")
+
+    // resume: one NEW chunk arrives after the retrain
+    val late = Seq(30L -> near(1, 0.01))
+    val stage = Files.createTempDirectory("graft-ivfing-st9")
+    rows(late).coalesce(1).write.parquet(s"$stage/c")
+    Files.walk(stage).filter(_.toString.endsWith(".parquet")).forEach { pp =>
+      val dst = Files.copy(pp, src.resolve(s"chunk9-${pp.getFileName}"))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(2_000_000L))
+    }
+    val q3 = StreamIngest.ivfIngest(spark, src.toString, vecSchema,
+      cat, "ivf", assignFn, checkpointDir = Some(ck.toString))
+    q3.processAllAvailable(); q3.stop()
+    assert(cat.loadTable("ivf", "vectors").get.read().count() == 5L,
+      "resume must land exactly the new chunk (old batches gated)")
+    val expect30 = assignFn(rows(late), cents2)
+      .collect().map(_.getInt(1).toLong).head
+    assert(asg().get(30L).contains(expect30),
+      s"the resumed stream must route arrivals through the NEW codebook: ${asg()}")
+    assert(asg().size == 5, "resume must not duplicate assignments")
   }
 }
