@@ -4209,7 +4209,12 @@ object LlmQueries {
   private val RecrawlPred = "doc_id % 7 = 5"
 
   private def recrawlState(s: SparkSession, dir: String): graft.lake.LakeCatalog =
-    recrawlStates.computeIfAbsent((s, dir), { _ =>
+    recrawlStates.computeIfAbsent((s, dir), { _ => buildRecrawledState(s, dir) })
+
+  /** One maintained standing state (shared fixture steps of q176 and
+    * q181 — each keeps its OWN warehouse so the q181 head rebuild can
+    * never make q176 order-dependent). */
+  private def buildRecrawledState(s: SparkSession, dir: String): graft.lake.LakeCatalog = {
       import org.apache.spark.sql.types._
       val wh = java.nio.file.Files.createTempDirectory("graft-recrawl-wh")
       val cat = new graft.lake.LakeCatalog(s, wh)
@@ -4237,7 +4242,7 @@ object LlmQueries {
           cat.loadTable("nd", tn).get, Map("rewrite-all" -> "true"))
       }
       cat
-    })
+  }
 
   val q176 = QueryDef(
     "q176_maintained_neardup",
@@ -4266,6 +4271,51 @@ object LlmQueries {
         cat.loadTable("nd", "shingles").get.read(),
         cat.loadTable("nd", "postings").get.read(),
         graft.streaming.StreamIngest.loadHead(s, cat, "nd"),
+        t(s, dir, "documents").filter(expr(IncrNewPred))
+          .select("doc_id", "text"))
+    })
+
+  // ------ q181 incremental near-dup AFTER a df-head REBUILD (X53, r18)
+  /** q180's arc on the prefix-index side: the same maintained standing
+    * state as q176, then [[graft.operators.IndexRebuild.rebuildDfHead]]
+    * — the df head is RECOMPUTED on the current (post-maintenance)
+    * shingle corpus and every standing posting row is re-keyed under
+    * the new order through the three-commit lossless-superset swap
+    * (RebuildSpec carries the planted proof that skipping the re-key
+    * MISSES pairs). The query then runs the O(batch) incremental
+    * pipeline under the REBUILT head and postings read back from the
+    * lake; the oracle brute-forces the current corpus, so the hash
+    * gates the whole composition: maintenance, rebuild, and the run —
+    * a lost posting row, a doc keyed under the wrong order, or a stale
+    * head all shift candidate coverage and (on a corpus at this dup
+    * density) the verified pair set. Own warehouse: q176's fixture
+    * stays pre-rebuild. */
+  private val headRebuildStates =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.lake.LakeCatalog]()
+
+  private def headRebuildState(s: SparkSession, dir: String): graft.lake.LakeCatalog =
+    headRebuildStates.computeIfAbsent((s, dir), { _ =>
+      val cat = buildRecrawledState(s, dir)
+      graft.operators.IndexRebuild.rebuildDfHead(cat, "nd")
+      cat
+    })
+
+  val q181 = QueryDef(
+    "q181_rebuilt_head_neardup",
+    q176.oracle, // same brute force over the CURRENT corpus: the
+                    // survivor pair set is head-invariant BECAUSE the
+                    // rebuild keeps order consistency — that invariance
+                    // is exactly what the hash checks
+    (s, dir) => {
+      val cat = headRebuildState(s, dir)
+      import s.implicits._
+      val head = cat.loadTable("nd", "dfhead").get.read()
+        .as[(Long, Long)].collect().toMap
+      incrementalNearDup(s,
+        cat.loadTable("nd", "shingles").get.read(),
+        cat.loadTable("nd", "postings").get.read(),
+        head,
         t(s, dir, "documents").filter(expr(IncrNewPred))
           .select("doc_id", "text"))
     })
@@ -5387,5 +5437,5 @@ object LlmQueries {
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178, q179, q180)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181)
 }
