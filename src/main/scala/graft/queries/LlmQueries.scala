@@ -3866,57 +3866,117 @@ object LlmQueries {
     * (-sim, ib) replays DuckDB's (sim DESC, ib). 100 TB: candidate
     * generation is the BandedAnn plan, re-rank cost is K·|V| cosines,
     * output is 10·|V| edges — each stage linear in the corpus. */
+  /** The SQL prologue shared by q162 and q182: nonzero corpus `e`,
+    * banded candidates, and the RAW-sim top-10 edge CTE `ed` — raw
+    * because q182's pruning rule compares unrounded cosines. */
+  private def knnEdgesSql: String = {
+    val bandHams = (0 until NnBands).map { b =>
+      s"len(list_filter(range(${b * NnBandBits + 1}, ${(b + 1) * NnBandBits + 1}), i -> (a.v[i] >= 0) <> (b.v[i] >= 0)))"
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings
+                 WHERE list_sum(list_transform(embedding::DOUBLE[],
+                         x -> x * x)) > 0),
+      h AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+              len(list_filter(range(1, 65),
+                i -> (a.v[i] >= 0) <> (b.v[i] >= 0))) AS ham,
+              LEAST(${bandHams.mkString(", ")}) AS mbh,
+              list_cosine_similarity(a.v, b.v) AS sim
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      cand AS (SELECT ia, ib, sim, ROW_NUMBER() OVER
+                 (PARTITION BY ia ORDER BY ham, ib) AS rn
+               FROM h WHERE mbh <= $NnProbeRadius),
+      ed AS MATERIALIZED (SELECT ia AS src, CAST(rr AS INTEGER) AS rank,
+               ib AS dst, sim
+             FROM (SELECT ia, ib, sim, ROW_NUMBER() OVER
+                     (PARTITION BY ia ORDER BY sim DESC, ib) AS rr
+                   FROM cand WHERE rn <= 64)
+             WHERE rr <= 10)"""
+  }
+
+  /** q162's construction with RAW sims — shared by q162 (which rounds
+    * at the edge) and q182 (whose pruning rule compares raw cosines). */
+  private def knnEdgesRaw(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
+      .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
+      .withColumn("sig", expr(
+        "aggregate(transform(sequence(0, 63), " +
+          "i -> IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L)), " +
+          "0L, (acc, x) -> acc | x)"))
+    val cand = graft.operators.BandedAnn.candidatesSelf(
+      emb.select(col("vec_id"), col("sig")), "vec_id", "sig",
+      bands = NnBands, bandBits = NnBandBits,
+      radius = NnProbeRadius, k = 64)
+    // re-rank vector fetch through the byte-budget device (q149's
+    // posture — never an unconditional corpus-sized broadcast)
+    graft.operators.VectorJoin.attachPair(
+        cand, emb.select(col("vec_id"), col("v")), "vec_id", "v")
+      .select(col("ia"),
+        struct((-VectorOps.cosine(col("va"), col("vb"))).as("nsim"),
+          col("ib")).as("p"))
+      // ≤64 candidates per anchor: a sorted in-group list IS the
+      // bounded top-10, no window over the candidate stream
+      .groupBy("ia")
+      .agg(slice(sort_array(collect_list(col("p"))), 1, 10).as("top"))
+      .select(col("ia").as("src"), posexplode(col("top")))
+      .select(col("src"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.ib").as("dst"), (-col("col.nsim")).as("sim"))
+  }
+
   val q162 = QueryDef(
-    "q162_knn_graph", {
-      val bandHams = (0 until NnBands).map { b =>
-        s"len(list_filter(range(${b * NnBandBits + 1}, ${(b + 1) * NnBandBits + 1}), i -> (a.v[i] >= 0) <> (b.v[i] >= 0)))"
-      }
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings
-                       WHERE list_sum(list_transform(embedding::DOUBLE[],
-                               x -> x * x)) > 0),
-            h AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-                    len(list_filter(range(1, 65),
-                      i -> (a.v[i] >= 0) <> (b.v[i] >= 0))) AS ham,
-                    LEAST(${bandHams.mkString(", ")}) AS mbh,
-                    list_cosine_similarity(a.v, b.v) AS sim
-                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-            cand AS (SELECT ia, ib, sim, ROW_NUMBER() OVER
-                       (PARTITION BY ia ORDER BY ham, ib) AS rn
-                     FROM h WHERE mbh <= $NnProbeRadius)
-            SELECT ia AS src, CAST(rr AS INTEGER) AS rank, ib AS dst,
-                   ROUND(sim, 4) AS sim
-            FROM (SELECT ia, ib, sim, ROW_NUMBER() OVER
-                    (PARTITION BY ia ORDER BY sim DESC, ib) AS rr
-                  FROM cand WHERE rn <= 64)
-            WHERE rr <= 10 ORDER BY src, rank""")
+    "q162_knn_graph",
+    Some(knnEdgesSql + """
+            SELECT src, rank, dst, ROUND(sim, 4) AS sim
+            FROM ed ORDER BY src, rank"""),
+    (s, dir) => knnEdgesRaw(s, dir)
+      .select(col("src"), col("rank"), col("dst"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("src", "rank"))
+
+  // --------------- q182 k-NN graph degree pruning (X54, r18)
+  /** [[graft.operators.KnnPrune]] over the q162 graph — the HNSW-style
+    * diversification an index build runs once q165's in-degree audit
+    * flags hubness. The oracle replays the greedy kept-set fold as 10
+    * unrolled per-rank MATERIALIZED CTEs (k1..k10): rank r's kept flag
+    * is a NOT EXISTS over the kept prefix joined to the
+    * neighbor-neighbor cosine CTE — every comparison is between raw
+    * cosines both engines compute from the same double arrays, so the
+    * strict `<` rule replays exactly (the q162/q149 precedent). Edges
+    * with `kept = false` stay in the output: the hash then gates BOTH
+    * directions — an edge wrongly pruned and an edge wrongly kept. */
+  val q182 = QueryDef(
+    "q182_knn_prune", {
+      val ks = (2 to 10).map { r =>
+        s""",
+            k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL
+              SELECT e2.src, e2.rank, e2.dst, e2.sim,
+                NOT EXISTS (SELECT 1 FROM k${r - 1} p
+                            JOIN nb ON nb.src = p.src AND nb.ra = p.rank
+                              AND nb.rb = e2.rank
+                            WHERE p.src = e2.src AND p.kept
+                              AND nb.s >= e2.sim) AS kept
+              FROM ed e2 WHERE e2.rank = $r)"""
+      }.mkString
+      Some(knnEdgesSql + s""",
+            nb AS MATERIALIZED (SELECT x.src, x.rank AS ra, y.rank AS rb,
+                    list_cosine_similarity(va.v, vb.v) AS s
+                  FROM ed x JOIN ed y ON x.src = y.src AND x.rank < y.rank
+                  JOIN e va ON va.vec_id = x.dst
+                  JOIN e vb ON vb.vec_id = y.dst),
+            k1 AS MATERIALIZED (SELECT src, rank, dst, sim, TRUE AS kept
+                                FROM ed WHERE rank = 1)$ks
+            SELECT src, rank, dst, ROUND(sim, 4) AS sim, kept
+            FROM k10 ORDER BY src, rank""")
     },
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
         .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
-        .withColumn("sig", expr(
-          "aggregate(transform(sequence(0, 63), " +
-            "i -> IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L)), " +
-            "0L, (acc, x) -> acc | x)"))
-      val cand = graft.operators.BandedAnn.candidatesSelf(
-        emb.select(col("vec_id"), col("sig")), "vec_id", "sig",
-        bands = NnBands, bandBits = NnBandBits,
-        radius = NnProbeRadius, k = 64)
-      // re-rank vector fetch through the byte-budget device (q149's
-      // posture — never an unconditional corpus-sized broadcast)
-      graft.operators.VectorJoin.attachPair(
-          cand, emb.select(col("vec_id"), col("v")), "vec_id", "v")
-        .select(col("ia"),
-          struct((-VectorOps.cosine(col("va"), col("vb"))).as("nsim"),
-            col("ib")).as("p"))
-        // ≤64 candidates per anchor: a sorted in-group list IS the
-        // bounded top-10, no window over the candidate stream
-        .groupBy("ia")
-        .agg(slice(sort_array(collect_list(col("p"))), 1, 10).as("top"))
-        .select(col("ia").as("src"), posexplode(col("top")))
-        .select(col("src"), (col("pos") + 1).cast("int").as("rank"),
-          col("col.ib").as("dst"), round(-col("col.nsim"), 4).as("sim"))
+      graft.operators.KnnPrune.diversify(knnEdgesRaw(s, dir), emb,
+          "vec_id", "v")
+        .select(col("src"), col("rank"), col("dst"),
+          round(col("sim"), 4).as("sim"), col("kept"))
         .orderBy("src", "rank")
     })
 
@@ -5437,5 +5497,5 @@ object LlmQueries {
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

@@ -493,4 +493,64 @@ class ViewSpec extends SparkSpec {
          WHERE t.amount > 20 ORDER BY v.id""").collect().map(_.getInt(0)).toSeq
     assert(j == Seq(3, 9))
   }
+
+  test("incremental MV over a MAINTAINED index table (VERDICT r17 #7): " +
+    "equality-delete and replaceByKey maintenance commits force the " +
+    "full-recompute path — never stale rows — while pure appends stay " +
+    "incremental") {
+    val wh = Files.createTempDirectory("graft-mvmaint-wh")
+    val cat = new LakeCatalog(spark, wh)
+    val sql = new LakeSql(cat)
+    cat.createNamespace("nd")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def docs(rs: (Long, String)*): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.map { case (i, t) => Row(i, t) }, 1),
+        docSchema)
+    def words(tag: String): String =
+      (0 until 60).map(i => s"$tag$i").mkString(" ")
+    graft.streaming.StreamIngest.provisionNearDupState(cat, "nd", docSchema,
+      docs(1L -> words("aa"), 2L -> words("bb")))
+
+    // a selection/projection MV over the postings index — the shape a
+    // serving layer keeps next to the dedup state
+    sql.run("CREATE MATERIALIZED VIEW nd.pmv AS " +
+      "SELECT doc_id, h FROM nd.postings")
+    def mvDocs(): Set[Long] = sql.run("SELECT * FROM nd.pmv").collect()
+      .map(_.getLong(0)).toSet
+    assert(mvDocs() == Set(1L, 2L))
+
+    // append-only growth (a new doc's posting rows) stays incremental
+    val head = graft.streaming.StreamIngest.loadHead(spark, cat, "nd")
+    val sh3 = graft.operators.PrefixIndex.shingled(docs(3L -> words("cc")))
+    cat.loadTable("nd", "postings").get.append(
+      graft.operators.PrefixIndex.postings(
+        graft.operators.PrefixIndex.hashed(sh3), head))
+    val m1 = sql.run("REFRESH MATERIALIZED VIEW nd.pmv").head().getString(0)
+    assert(m1.contains("incrementally"), m1)
+    assert(mvDocs() == Set(1L, 2L, 3L))
+
+    // RETIRE maintenance mints an equality delete → the append-only
+    // walk must reject the commit and take the full path, and the MV
+    // must not serve the retired doc's rows
+    graft.operators.IndexMaintenance.retireDocs(cat, "nd",
+      docs(2L -> "").select("doc_id"))
+    val m2 = sql.run("REFRESH MATERIALIZED VIEW nd.pmv").head().getString(0)
+    assert(m2.contains("full recompute"), m2)
+    assert(mvDocs() == Set(1L, 3L), s"retired rows must leave the MV: ${mvDocs()}")
+
+    // RECRAWL maintenance (replaceByKey upsert commits) → full path,
+    // and the MV serves exactly the rebuilt rows
+    graft.operators.IndexMaintenance.recrawlDocs(cat, "nd",
+      docs(1L -> words("zz")))
+    val m3 = sql.run("REFRESH MATERIALIZED VIEW nd.pmv").head().getString(0)
+    assert(m3.contains("full recompute"), m3)
+    val expect = cat.loadTable("nd", "postings").get.read()
+      .select("doc_id", "h").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = sql.run("SELECT * FROM nd.pmv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, "MV must equal the maintained index exactly")
+  }
 }
