@@ -3980,6 +3980,153 @@ object LlmQueries {
         .orderBy("src", "rank")
     })
 
+  // --------------- q183 graph-navigated ANN search (X55, r18)
+  private val GsBeam = 8 // beam width (HNSW's ef)
+  private val GsHops = 4 // fixed hop budget — what makes the walk replayable
+  /** The capstone of the graph family: build (q162) → prune (q182) →
+    * SEARCH. A fixed-hop best-first beam walk over the PRUNED graph —
+    * HNSW's layer-0 search with the data-dependent convergence loop
+    * replaced by a fixed hop budget, which is what makes the walk
+    * deterministic and oracle-replayable (each hop = one unrolled CTE:
+    * expand the beam along kept edges, score against the query, keep
+    * the top-[[GsBeam]] by (sim DESC, id)). Entry point: the lowest
+    * corpus id (the next-lowest when the query IS that vertex) — the
+    * spelling both engines derive from the data. The output carries an
+    * `in_exact` flag per result — whether the walk's hit is in the true
+    * exact top-5 — computed by RANK-BY-COUNTING (for each of the ≤20
+    * results, count corpus vectors strictly closer to the query): one
+    * map pass over corpus × 4 queries, 20 count groups with map-side
+    * combine — no corpus-sized window partition and no corpus-sized
+    * collect anywhere, which is the 100 TB posture for a recall audit.
+    * So the hash gates navigability itself: a broken prune, a wrong
+    * edge, or a beam tie broken differently changes what the walk finds
+    * AND how it scores against exact truth. */
+  val q183 = QueryDef(
+    "q183_graph_search", {
+      val ks = (2 to 10).map { r =>
+        s""",
+            k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL
+              SELECT e2.src, e2.rank, e2.dst, e2.sim,
+                NOT EXISTS (SELECT 1 FROM k${r - 1} p
+                            JOIN nb ON nb.src = p.src AND nb.ra = p.rank
+                              AND nb.rb = e2.rank
+                            WHERE p.src = e2.src AND p.kept
+                              AND nb.s >= e2.sim) AS kept
+              FROM ed e2 WHERE e2.rank = $r)"""
+      }.mkString
+      val hops = (1 to GsHops).map { h =>
+        s""",
+            x$h AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
+              SELECT qid, vec_id FROM b${h - 1}
+              UNION ALL
+              SELECT b.qid, k.dst AS vec_id
+              FROM b${h - 1} b JOIN ke k ON k.src = b.vec_id)),
+            s$h AS MATERIALIZED (SELECT x.qid, x.vec_id,
+                list_cosine_similarity(e.v, q.qv) AS sim,
+                ROW_NUMBER() OVER (PARTITION BY x.qid
+                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, x.vec_id)
+                  AS rn
+              FROM x$h x JOIN e ON e.vec_id = x.vec_id
+              JOIN q ON q.qid = x.qid WHERE x.vec_id <> x.qid),
+            b$h AS MATERIALIZED (SELECT qid, vec_id FROM s$h
+                                 WHERE rn <= $GsBeam)"""
+      }.mkString
+      Some(knnEdgesSql + s""",
+            nb AS MATERIALIZED (SELECT x.src, x.rank AS ra, y.rank AS rb,
+                    list_cosine_similarity(va.v, vb.v) AS s
+                  FROM ed x JOIN ed y ON x.src = y.src AND x.rank < y.rank
+                  JOIN e va ON va.vec_id = x.dst
+                  JOIN e vb ON vb.vec_id = y.dst),
+            k1 AS MATERIALIZED (SELECT src, rank, dst, sim, TRUE AS kept
+                                FROM ed WHERE rank = 1)$ks,
+            ke AS MATERIALIZED (SELECT src, dst FROM k10 WHERE kept),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+            m1 AS (SELECT MIN(vec_id) AS i FROM e),
+            m2 AS (SELECT MIN(vec_id) AS i FROM e
+                   WHERE vec_id <> (SELECT i FROM m1)),
+            b0 AS (SELECT qid, CASE WHEN qid = (SELECT i FROM m1)
+                     THEN (SELECT i FROM m2) ELSE (SELECT i FROM m1) END
+                     AS vec_id FROM q)$hops,
+            fin AS (SELECT qid, rn, vec_id, sim FROM s$GsHops WHERE rn <= 5),
+            exd AS (SELECT q.qid, e.vec_id AS w,
+                      list_cosine_similarity(e.v, q.qv) AS s
+                    FROM q, e WHERE e.vec_id <> q.qid),
+            bet AS (SELECT f.qid, f.vec_id, COUNT(*) AS nb
+                    FROM fin f JOIN exd d ON d.qid = f.qid
+                      AND (d.s > f.sim OR (d.s = f.sim AND d.w < f.vec_id))
+                    GROUP BY 1, 2)
+            SELECT f.qid AS qid, CAST(f.rn AS INTEGER) AS rank,
+                   f.vec_id AS vec_id, ROUND(f.sim, 4) AS sim,
+                   COALESCE(b.nb, 0) < 5 AS in_exact
+            FROM fin f LEFT JOIN bet b
+              ON b.qid = f.qid AND b.vec_id = f.vec_id
+            ORDER BY f.qid, rank""")
+    },
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
+        .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
+        .localCheckpoint(true) // queries + per-hop scoring + recall audit
+      val kept = graft.operators.KnnPrune
+        .diversify(knnEdgesRaw(s, dir), emb, "vec_id", "v")
+        .filter(col("kept")).select(col("src"), col("dst"))
+        .localCheckpoint(true) // walked once per hop
+      val queries = broadcast(emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      // the deterministic entry vertex — two driver longs
+      val minId = emb.agg(min("vec_id")).head().getLong(0)
+      val sndId = emb.filter(col("vec_id") =!= minId)
+        .agg(min("vec_id")).head().getLong(0)
+      var beam = queries.select(col("qid"),
+        when(col("qid") === minId, sndId).otherwise(minId).as("vec_id"))
+      var scored: DataFrame = null
+      for (_ <- 1 to GsHops) {
+        val x = beam.unionByName(
+            beam.join(kept, beam("vec_id") === kept("src"))
+              .select(beam("qid"), kept("dst").as("vec_id")))
+          .distinct()
+        // ≤ beam·(maxdeg+1) rows per query — bounded by construction,
+        // so the per-qid sorted list IS the top-ef (the q162 idiom)
+        scored = x.join(emb, "vec_id").join(queries, "qid")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosine(col("v"), col("qv")).as("sim"))
+          .localCheckpoint(true) // next hop's beam AND the final cut
+        beam = scored
+          .select(col("qid"), struct((-col("sim")).as("ns"),
+            col("vec_id")).as("p"))
+          .groupBy("qid")
+          .agg(slice(sort_array(collect_list(col("p"))), 1, GsBeam).as("top"))
+          .select(col("qid"), explode(col("top.vec_id")).as("vec_id"))
+      }
+      val fin = scored
+        .select(col("qid"), struct((-col("sim")).as("ns"),
+          col("vec_id")).as("p"))
+        .groupBy("qid")
+        .agg(slice(sort_array(collect_list(col("p"))), 1, 5).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.vec_id").as("vec_id"), (-col("col.ns")).as("sim"))
+        .localCheckpoint(true) // ≤ 20 rows: broadcast to the recall audit
+      // recall audit by rank-counting: one corpus×queries map pass,
+      // ≤ 20 count groups, map-side combine — never a corpus-sized
+      // window partition
+      val exd = emb.join(queries, emb("vec_id") =!= queries("qid"))
+        .select(col("qid"), col("vec_id").as("w"),
+          VectorOps.cosine(col("v"), col("qv")).as("s"))
+      val bet = exd.join(broadcast(fin.select(col("qid"),
+          col("vec_id").as("rid"), col("sim").as("rs"))), "qid")
+        .filter(col("s") > col("rs") ||
+          (col("s") === col("rs") && col("w") < col("rid")))
+        .groupBy(col("qid"), col("rid")).agg(count(lit(1)).as("nb"))
+      fin.join(bet.withColumnRenamed("rid", "vec_id"),
+          Seq("qid", "vec_id"), "left")
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("sim"), 4).as("sim"),
+          (coalesce(col("nb"), lit(0L)) < 5).as("in_exact"))
+        .orderBy("qid", "rank")
+    })
+
   /** k-NN graph HEALTH diagnostics (r15, VERDICT r14 next-step #7) —
     * the checks an ANN index build runs over its neighborhood graph
     * before trusting it: the IN-DEGREE distribution (hubness — a few
@@ -5497,5 +5644,5 @@ object LlmQueries {
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
 }
