@@ -123,6 +123,56 @@ class RebuildSpec extends SparkSpec {
       s"arrival must drop against the rebuilt index: $docIds")
   }
 
+  test("df-head rebuild lands between micro-batches of a LIVE ingest " +
+    "query: the per-batch head reload serves the new order without a " +
+    "restart, and arrivals drop against the re-keyed postings") {
+    val wh = Files.createTempDirectory("graft-rbl-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("nd")
+    val fillers = (100L to 107L).map(i => i -> fillerOld(i.toInt))
+    StreamIngest.provisionNearDupState(cat, "nd", docSchema,
+      docsDf(Seq(1L -> sText) ++ fillers))
+    IndexMaintenance.recrawlDocs(cat, "nd",
+      docsDf((100L to 107L).map(i => i -> fillerNew(i.toInt))))
+
+    val src = Files.createTempDirectory("graft-rbl-src")
+    val ck = Files.createTempDirectory("graft-rbl-ck")
+    def addChunk(n: Int, rs: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory(s"graft-rbl-st$n")
+      docsDf(rs).coalesce(1).write.parquet(s"$stage/c")
+      Files.walk(stage).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val dst = Files.copy(p, src.resolve(s"chunk$n-${p.getFileName}"))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + n * 60_000L))
+      }
+    }
+    addChunk(0, Seq(40L -> (0 until 70).map(i => s"nv$i").mkString(" ")))
+    val q = StreamIngest.nearDupIngest(spark, src.toString, docSchema,
+      cat, "nd", checkpointDir = Some(ck.toString))
+    q.processAllAvailable()
+    def docIds: Set[Long] = cat.loadTable("nd", "docs").get.read()
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docIds.contains(40L), "pre-rebuild novel arrival must land")
+
+    // the query is STILL RUNNING; the rebuild lands between batches —
+    // the documented contract (no overlap with an in-flight batch; no
+    // restart needed, because the sink reloads the head EVERY batch).
+    // Doc 40's postings, keyed under the old head a minute ago, are
+    // re-keyed along with everything else.
+    IndexRebuild.rebuildDfHead(cat, "nd")
+
+    addChunk(1, Seq(50L -> aText,
+      51L -> (0 until 70).map(i => s"nw$i").mkString(" ")))
+    q.processAllAvailable(); q.stop()
+    assert(!docIds.contains(50L),
+      s"arrival near doc 1 must drop under the rebuilt head: $docIds")
+    assert(docIds.contains(51L), "novel arrival must still land")
+    // index lockstep: postings cover exactly the live docs
+    val postDocs = cat.loadTable("nd", "postings").get.read()
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(postDocs == docIds, s"postings $postDocs vs docs $docIds")
+  }
+
   // ------------------------------------------------------------- IVF side
 
   private val vecSchema = StructType(Seq(
