@@ -5009,6 +5009,79 @@ object LlmQueries {
         .orderBy("bucket")
     })
 
+  // ------ q184 IVF search SERVED through the rebuilt index (X52, r18)
+  /** q180 gates the rebuilt index's occupancy AUDIT; this gates its END
+    * USE — the q47 search pipeline run entirely against the REBUILT
+    * lake state: codebook from the WAP-published centroids table,
+    * corpus routing from the reassigned assign table (the search TRUSTS
+    * the standing state — no recomputed corpus assignment), vectors
+    * fetched from the maintained vectors table (negated re-embeds and
+    * all), for a 4-query external batch (raw embedding rows — a query
+    * need not be a corpus member; two of the four queries' corpus
+    * twins were retired by the maintenance). The oracle relearns the
+    * post-drift codebook (q180's CTE chain) and replays the full
+    * route→candidates→exact-re-rank arc over the maintained corpus —
+    * a stale assignment row or a wrong published centroid changes the
+    * candidate sets and the hash. */
+  val q184 = QueryDef(
+    "q184_rebuilt_ivf_search",
+    Some(kmeansRoundsSql(IvfK, KmIters, EmbDim, treSql = Some(s"""
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 5 AND NOT ($VecNewPred)
+                    THEN list_transform(v, x -> -x) ELSE v END AS v
+        FROM e WHERE NOT (vec_id % 7 = 3 AND NOT ($VecNewPred))""")) + s""",
+        casg AS (SELECT vec_id, cid AS bucket FROM (
+          SELECT tre.vec_id, c.cid, row_number() OVER (PARTITION BY tre.vec_id
+            ORDER BY list_cosine_similarity(tre.v, c.cv) DESC, c.cid) AS rn
+          FROM tre, c${KmIters}v c) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        qasg AS (SELECT qid, cid AS bucket FROM (
+          SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+          FROM q, c${KmIters}v c) WHERE rn <= $IvfProbes),
+        cand AS (SELECT DISTINCT qid, vec_id
+                 FROM casg JOIN qasg USING (bucket) WHERE vec_id <> qid),
+        scored AS (SELECT cand.qid AS qid, cand.vec_id AS vec_id,
+                          list_cosine_similarity(tre.v, q.qv) AS sim_raw
+                   FROM cand JOIN tre USING (vec_id) JOIN q USING (qid)),
+        ranked AS (SELECT qid, vec_id, sim_raw, row_number() OVER (
+                     PARTITION BY qid ORDER BY sim_raw DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id,
+               ROUND(sim_raw, 4) AS sim
+        FROM ranked WHERE rn <= 5 ORDER BY qid, rank"""),
+    (s, dir) => {
+      val cat = ivfRebuildState(s, dir)
+      // the published artifact: a bounded K×d driver pull (q174's note)
+      val cents = graft.streaming.StreamIngest.loadCentroids(s, cat, "ann")
+      val queries = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("long").as("qid"), col("v").as("qv"))
+        .localCheckpoint(true) // probed + re-ranked
+      val qProbes = ivfAssignCompiled(s, queries, "qid", "qv", cents, IvfProbes)
+      val cand = cat.loadTable("ann", "assign").get.read()
+        .join(broadcast(qProbes), "bucket")
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      // exactRerank's body with the rank retained — the rank must be
+      // minted over RAW sims (ranking rounded sims could break oracle
+      // ties differently)
+      val scored = cat.loadTable("ann", "vectors").get.read()
+        .select(col("vec_id"), col("v"))
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("vec_id"),
+          VectorOps.cosine(col("v"), col("qv")).as("sim_raw"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim_raw").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("sim_raw"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    })
+
   // --------------------- q171 embedding PCA / anisotropy audit (X46, r16)
   private val PcaIters = 24
 
@@ -5644,5 +5717,6 @@ object LlmQueries {
     q96, q104, q105, q106, q117, q118, q119, q120, q125, q126, q133, q134,
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
+    q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183,
+    q184)
 }
