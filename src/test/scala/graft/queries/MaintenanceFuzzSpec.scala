@@ -22,7 +22,9 @@ import graft.streaming.StreamIngest
   * the stored head order, and maintenance must leave no stale row and
   * miss no rebuilt one, on inputs nobody hand-picked. Every other seed
   * also compacts the maintained tables mid-arc (outcome-neutrality
-  * under fuzz, not just the planted MaintenanceSpec arcs).
+  * under fuzz, not just the planted MaintenanceSpec arcs); the
+  * remaining seeds run a full df-head REBUILD (X53, r18) instead, so
+  * head rotation is fuzzed against the same head-invariant reference.
   *
   * The reference shares only [[TextOps.shingleSet]] with the engine —
   * the machinery under test (hashing, head order, postings, PPJoin
@@ -88,6 +90,12 @@ class MaintenanceFuzzSpec extends SparkSpec {
           Procedures.rewriteDataFiles(cat.loadTable("nd", tn).get,
             Map("rewrite-all" -> "true"))
         }
+      // the other seeds REBUILD the df head (X53, r18) after the
+      // maintenance: the verified pair set is head-invariant, so the
+      // brute-force reference below is unchanged — which is exactly the
+      // invariant the rebuild owes on corpora nobody hand-picked
+      if (seed % 2 == 1)
+        graft.operators.IndexRebuild.rebuildDfHead(cat, "nd")
 
       // engine: the SHARED incremental run over the maintained state
       import spark.implicits._
