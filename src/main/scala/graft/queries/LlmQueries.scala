@@ -5113,10 +5113,15 @@ object LlmQueries {
 
   /** Prologue shared by q171/q172: moments → covariance → `iters` power
     * rounds → the sign-fixed `pc` CTE (and `mu`), everything both the
-    * stats query and the all-but-the-top application build on. */
-  private def pcaPcSql(d: Int, iters: Int): String = {
+    * stats query and the all-but-the-top application build on.
+    * `corpusSql` (r18, q185) overrides the corpus CTE body — the
+    * maintained-moments arc analyzes a corpus that drifted by
+    * maintenance, not the raw embeddings table. */
+  private def pcaPcSql(d: Int, iters: Int,
+      corpusSql: String =
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
     val (it1, v1) = pcaIterSql("covf", "v0", "a", iters)
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS ($corpusSql),
         nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
         mom AS MATERIALIZED (SELECT i, j,
             SUM(CAST(v[i]*v[j] AS DECIMAL(28,12))) AS s
@@ -5138,9 +5143,11 @@ object LlmQueries {
         pc AS MATERIALIZED (SELECT i, x * (SELECT s FROM sgn) AS x FROM $v1)"""
   }
 
-  private def pcaOracleSql(d: Int, iters: Int): String = {
+  private def pcaOracleSql(d: Int, iters: Int,
+      corpusSql: String =
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
     val (it2, v2) = pcaIterSql("covd", "d0", "b", iters)
-    pcaPcSql(d, iters) + s""",
+    pcaPcSql(d, iters, corpusSql) + s""",
         cv1 AS MATERIALIZED (SELECT cf.i AS i,
             ROUND(CAST(SUM(CAST(cf.c * p.x AS DECIMAL(28,12))) AS DOUBLE), 9) AS y
           FROM covf cf JOIN pc p ON cf.j = p.i GROUP BY cf.i),
@@ -5564,6 +5571,81 @@ object LlmQueries {
       rows.toDF("stat", "value").orderBy("stat")
     })
 
+  // -------- q185 PCA audit over MAINTAINED moment state (X56, r18)
+  /** The moment pass is the PCA family's only corpus-scale stage; X56
+    * keeps it as standing lake state — exact decimal sums form a group,
+    * so a batch append ADDS its cells and a retire SUBTRACTS the exact
+    * cells the rows once added (bit-exact cancellation: the same
+    * double→DECIMAL(28,12) cast on both sides). Fixture: provision the
+    * moments over the standing slice, then the full drift — the
+    * nightly batch append, retire `vec_id % 7 = 3`, re-embed
+    * `% 7 = 5` to the negated vector — each folded in as an
+    * O(changed·d²) [[graft.operators.MomentState.applyDelta]] commit.
+    * The query runs the whole q171 analysis ([[graft.operators
+    * .PcaPower.analyze]]) from the MAINTAINED cells; the oracle
+    * relearns it from scratch over the CURRENT corpus — the maintained
+    * sums must be bit-identical to the recompute or the deterministic
+    * power iterations diverge and the hash breaks. Note the negation
+    * symmetry the arc deliberately exposes: a re-embedded vector flips
+    * its first-moment cells but leaves its xᵢxⱼ cells unchanged
+    * ((−a)(−b) = ab), so a maintenance bug that only touched second
+    * moments would still fail on μ. */
+  private val momentStates = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.lake.LakeCatalog]()
+
+  private def momentState(s: SparkSession, dir: String): graft.lake.LakeCatalog =
+    momentStates.computeIfAbsent((s, dir), { _ =>
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+        .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      val standing = e.filter(!expr(VecNewPred)).localCheckpoint(true)
+      val batch = e.filter(expr(VecNewPred))
+      val wh = java.nio.file.Files.createTempDirectory("graft-mom-wh")
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      cat.createNamespace("pca")
+      graft.operators.MomentState.provision(cat, "pca", standing, EmbDim)
+      val empty = standing.filter(lit(false))
+      // drift 1 — the nightly batch arrives
+      graft.operators.MomentState.applyDelta(cat, "pca", empty, batch, EmbDim)
+      // drift 2 — takedowns retire standing rows (their exact cells
+      // subtract back out)
+      graft.operators.MomentState.applyDelta(cat, "pca",
+        standing.filter(expr("vec_id % 7 = 3")), empty, EmbDim)
+      // drift 3 — re-embeds swap old cells for new in one commit
+      val re5 = standing.filter(expr("vec_id % 7 = 5"))
+      graft.operators.MomentState.applyDelta(cat, "pca", re5,
+        re5.select(col("vec_id"), transform(col("v"), x => -x).as("v")),
+        EmbDim)
+      cat
+    })
+
+  val q185 = QueryDef(
+    "q185_maintained_pca",
+    Some(pcaOracleSql(EmbDim, PcaIters, corpusSql = s"""
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 5 AND NOT ($VecNewPred)
+                    THEN list_transform(embedding::DOUBLE[], x -> -x)
+                    ELSE embedding::DOUBLE[] END AS v
+        FROM embeddings
+        WHERE NOT (vec_id % 7 = 3 AND NOT ($VecNewPred))""")),
+    (s, dir) => {
+      import s.implicits._
+      val cat = momentState(s, dir)
+      val (n, muSum, mom) =
+        graft.operators.MomentState.load(cat, "pca", EmbDim)
+      val st = graft.operators.PcaPower.analyze(n, muSum, mom,
+        EmbDim, PcaIters)
+      import graft.operators.PcaPower.rnd
+      val rows = Seq(
+        ("evr1", rnd(st.rayleigh1 / st.trace, 6)),
+        ("evr2", rnd(st.rayleigh2 / st.trace, 6)),
+        ("rayleigh1", rnd(st.rayleigh1, 6)),
+        ("rayleigh2", rnd(st.rayleigh2, 6)),
+        ("trace", rnd(st.trace, 6))) ++
+        st.pc1.zipWithIndex.map { case (x, i) => (f"pc1_$i%02d", rnd(x, 6)) }
+      rows.toDF("stat", "value").orderBy("stat")
+    })
+
   // --------- q179 hashed-bigram features for the quality filter (X47, r17)
   /** fastText's actual trick (VERDICT r16 #7): beyond the 6 engineered
     * ratios, a bag of HASHED word-bigram counts in a fixed bucket space
@@ -5718,5 +5800,5 @@ object LlmQueries {
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183,
-    q184)
+    q184, q185)
 }
