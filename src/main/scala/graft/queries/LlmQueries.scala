@@ -5646,6 +5646,77 @@ object LlmQueries {
       rows.toDF("stat", "value").orderBy("stat")
     })
 
+  // -------- q186 BM25 search over a MAINTAINED inverted index (X57, r18)
+  /** The lexical leg of the standing-state family: q71 recomputes BM25
+    * from raw text per probe — the serving shape reads an INDEX, and
+    * the index must follow the corpus. Fixture: provision
+    * [[graft.operators.Bm25Index]] over the standing slice (inverted
+    * postings + doc lengths + exact (n, Σdl) counters), append the
+    * nightly batch, retire `doc_id % 7 = 3`, re-crawl `% 7 = 5` to
+    * text·' '·text (every tf and dl doubles — the q176 drift device);
+    * the query is a probe-term search served ENTIRELY from the
+    * maintained tables (df derived from the probe terms' posting lists,
+    * avgdl from the delta-maintained counters). The oracle recomputes
+    * q71's exact algebraic form from the CURRENT corpus — a stale
+    * posting, a lingering length row, or a drifted counter shifts
+    * scores and breaks the hash. */
+  private val bm25States = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.lake.LakeCatalog]()
+
+  private def bm25State(s: SparkSession, dir: String): graft.lake.LakeCatalog =
+    bm25States.computeIfAbsent((s, dir), { _ =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val standing = docs.filter(!expr(IncrNewPred)).localCheckpoint(true)
+      val wh = java.nio.file.Files.createTempDirectory("graft-bm25-wh")
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      cat.createNamespace("ix")
+      graft.operators.Bm25Index.provision(cat, "ix", standing)
+      graft.operators.Bm25Index.append(cat, "ix",
+        docs.filter(expr(IncrNewPred)))
+      graft.operators.Bm25Index.retire(cat, "ix",
+        standing.filter(expr(RetirePred)).select("doc_id"))
+      graft.operators.Bm25Index.recrawl(cat, "ix",
+        standing.filter(expr(RecrawlPred)).select(col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+      cat
+    })
+
+  val q186 = QueryDef(
+    "q186_maintained_bm25", {
+      val terms = Bm25Terms.map(w => s"'$w'").mkString(", ")
+      val pivot = Bm25Terms
+        .map(w => s"COALESCE(MAX(CASE WHEN w = '$w' THEN contrib END), 0)")
+        .mkString(" + ")
+      Some(s"""WITH cur AS (SELECT doc_id,
+                 CASE WHEN doc_id % 10 < 8 AND $RecrawlPred
+                      THEN text || ' ' || text ELSE text END AS text
+               FROM documents
+               WHERE NOT (doc_id % 10 < 8 AND $RetirePred)),
+               tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                      FROM cur),
+               l AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk),
+               st AS (SELECT COUNT(*)::DOUBLE AS n,
+                             SUM(len(t))::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+                      FROM tk),
+               tf AS (SELECT doc_id, w, COUNT(*)::DOUBLE AS tf
+                      FROM (SELECT doc_id, unnest(t) AS w FROM tk)
+                      WHERE w IN ($terms) GROUP BY doc_id, w),
+               df AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY w),
+               c AS (SELECT tf.doc_id, tf.w,
+                       ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl))
+                         AS contrib
+                     FROM tf JOIN df USING (w) CROSS JOIN st
+                       JOIN l ON tf.doc_id = l.doc_id),
+               p AS (SELECT doc_id, $pivot AS s FROM c GROUP BY doc_id)
+               SELECT doc_id, ROUND(s, 4) AS score FROM p
+               ORDER BY s DESC, doc_id LIMIT 10""")
+    },
+    (s, dir) => graft.operators.Bm25Index.search(
+      bm25State(s, dir), "ix", Bm25Terms, 10))
+
   // --------- q179 hashed-bigram features for the quality filter (X47, r17)
   /** fastText's actual trick (VERDICT r16 #7): beyond the 6 engineered
     * ratios, a bag of HASHED word-bigram counts in a fixed bucket space
@@ -5800,5 +5871,5 @@ object LlmQueries {
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183,
-    q184, q185)
+    q184, q185, q186)
 }
