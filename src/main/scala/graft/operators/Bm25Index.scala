@@ -36,6 +36,11 @@ import graft.lake.{LakeCatalog, LakeTable}
   * in-flight docs — every score shifts by the same saturation factor,
   * a bounded calibration wobble, never a wrong posting; a retried run
   * converges because deltas are derived from what is actually stored.
+  * Concurrency contract: ONE maintenance writer per index (the nightly
+  * job) — the lake's OCC rebases protect each row commit, but the
+  * counter update is a read-merge-overwrite, and two concurrent
+  * maintainers would lose each other's deltas; same posture as every
+  * X49/X50 maintenance entry point.
   * 100 TB layout note: `tfpost` wants bucketing on `w` (M36) so a
   * search's probe-term fetch prunes to the terms' buckets instead of
   * scanning the index. */

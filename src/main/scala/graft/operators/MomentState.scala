@@ -30,7 +30,13 @@ import graft.lake.{LakeCatalog, LakeTable}
   * decimals minted per (row, i, j) by [[PcaPower.moments]]'s cast. A
   * double-typed running sum would NOT cancel exactly under retire and
   * the maintained state would drift from the recompute; the decimal
-  * device is load-bearing, not a style choice. */
+  * device is load-bearing, not a style choice.
+  *
+  * Concurrency contract: ONE maintenance writer per moments table — the
+  * delta application is a read-merge-overwrite, so concurrent
+  * maintainers would lose each other's deltas (the lake's OCC protects
+  * the commit, not the merge); the nightly-job posture of the whole
+  * X49/X50/X57 maintenance family. */
 object MomentState {
 
   private val schema = StructType(Seq(
