@@ -203,6 +203,67 @@ class RebuildSpec extends SparkSpec {
     cat
   }
 
+  test("IVF rebuild crash window — NEW codebook over OLD assignments: " +
+    "recall may degrade but every returned score is the true cosine " +
+    "(the documented never-correctness claim, proven on the state)") {
+    val cat = provision("mixed")
+    // replicate rebuildIvf's FIRST swap only: publish a retrained
+    // codebook, leave the assignment table untouched — the exact state
+    // a crash between the two swaps exposes to readers
+    val cur = cat.loadTable("ivf", "vectors").get.read()
+    val seeds = cur.orderBy("vec_id").limit(2).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cents = graft.operators.KMeansTrainer.train(cur, seeds, 2)(
+      (df, cs) => carryFn(df, cs))
+    import spark.implicits._
+    val cT = cat.loadTable("ivf", "centroids").get.createBranch("rebuild")
+    cT.onBranch("rebuild").overwrite(
+      cents.zipWithIndex.toSeq.map { case (cv, i) => (i.toLong, cv.toSeq) }
+        .toDF("cid", "cv"))
+    cat.loadTable("ivf", "centroids").get
+      .fastForward("rebuild").dropBranch("rebuild")
+
+    // a q184-style search against the MIXED state: route queries via
+    // the NEW codebook, candidates from the OLD assignment table,
+    // vectors from the landing table, exact re-rank
+    val pub = StreamIngest.loadCentroids(spark, cat, "ivf")
+    val queries = rows(Seq(900L -> near(0, 0.02), 901L -> near(1, 0.03)))
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("v").as("qv"))
+    val qProbes = LlmQueries.ivfAssignCompiled(spark, queries,
+      "qid", "qv", pub, 1)
+    val cand = cat.loadTable("ivf", "assign").get.read()
+      .join(qProbes, "bucket").select("qid", "vec_id")
+    val got = graft.operators.VectorJoin.attachPair(
+        cand.withColumnRenamed("qid", "ia")
+          .withColumnRenamed("vec_id", "ib"),
+        cat.loadTable("ivf", "vectors").get.read()
+          .unionByName(rows(Seq(900L -> near(0, 0.02), 901L -> near(1, 0.03)))),
+        "vec_id", "v")
+      .select(org.apache.spark.sql.functions.col("ia").as("qid"),
+        org.apache.spark.sql.functions.col("ib").as("vec_id"),
+        graft.functions.VectorOps.cosine(
+          org.apache.spark.sql.functions.col("va"),
+          org.apache.spark.sql.functions.col("vb")).as("sim"))
+      .collect()
+    assert(got.nonEmpty, "mixed-state search must still return candidates")
+    // the correctness half: every reported sim is the TRUE cosine of
+    // the actual stored vector against the actual query — mixed routing
+    // can shrink the candidate set, never forge a score
+    val vOf = (cat.loadTable("ivf", "vectors").get.read()
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray) ++
+      Seq(900L -> near(0, 0.02), 901L -> near(1, 0.03))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { r =>
+      val expect = cos(vOf(r.getLong(0)), vOf(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - expect) < 1e-12,
+        s"mixed-state score must be the true cosine: $r vs $expect")
+    }
+  }
+
   test("IVF rebuild (X52): retrain on the current lake corpus, WAP " +
     "publish, one-snapshot reassignment; failed validation leaves main " +
     "untouched; a leftover branch from a crashed run is absorbed") {
