@@ -65,7 +65,15 @@ object KnnPrune {
       val kept = scala.collection.mutable.ArrayBuffer[Int]()
       ns.sortBy(_.getInt(0)).map { n =>
         val r = n.getInt(0)
-        val keep = kept.forall(kr => pair((kr, r)) < n.getDouble(2))
+        val keep = kept.forall { kr =>
+          // a missing pair sim means the vectors frame lacks an edge
+          // endpoint — fail loudly with the contract, not a bare
+          // NoSuchElementException from the map
+          val s = pair.getOrElse((kr, r), throw new IllegalStateException(
+            s"KnnPrune: no neighbor-pair sim for ranks ($kr, $r) — " +
+              "every edge dst must be present in the vectors frame"))
+          s < n.getDouble(2)
+        }
         if (keep) kept += r
         (r, n.getLong(1), n.getDouble(2), keep)
       }
