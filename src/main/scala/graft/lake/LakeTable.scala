@@ -1991,18 +1991,24 @@ class LakeTable(
           "property or use merge() for copy-on-write upserts")
     require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
       s"upsert keys must be schema columns: $keyCols")
+    val written0 = writeDataFiles(rows, 0L, 0L) // stamps re-based per attempt
     // cover guard: an explicit key set that misses a row's key would
-    // silently degrade replace to append for that key. One bounded probe
-    // (both frames are O(changed) maintenance batches by contract).
-    explicitKeys.foreach { ks =>
-      val uncovered = rows.select(keyCols.map(col): _*)
+    // silently degrade replace to append for that key. Validated AFTER
+    // the write against the freshly materialized files (ADVICE r18 #3 —
+    // the old pre-write except-probe re-evaluated the whole replacement
+    // frame, running recrawlDocs' shingling pipeline twice), so the
+    // probe is one bounded key-column scan of O(changed) parquet. A
+    // failed guard aborts before any commit; the orphaned data files
+    // are reclaimed by the age-gated orphan sweep.
+    explicitKeys.filter(_ => written0.nonEmpty).foreach { ks =>
+      val uncovered = spark.read.parquet(written0.map(_.path): _*)
+        .select(keyCols.map(col): _*)
         .except(ks.select(keyCols.map(col): _*))
         .limit(1).count()
       require(uncovered == 0,
         s"$op on ${meta.name}: explicit key set must cover every key in " +
           "the replacement rows (found a row whose key the delete misses)")
     }
-    val written0 = writeDataFiles(rows, 0L, 0L) // stamps re-based per attempt
     val written = written0.map(_.rowCount).sum
     if (written == 0)
       // nothing to add: with explicit keys this is a pure retire — the

@@ -3,6 +3,7 @@ package graft.operators
 import java.math.{BigDecimal => JBD}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.lake.{LakeCatalog, LakeTable}
@@ -46,45 +47,71 @@ object MomentState {
 
   /** Encode [[PcaPower.moments]]' driver arrays as the table rows —
     * (-1,-1) = count, (i,-1) = Σxᵢ, (i,j≥i) = Σxᵢxⱼ (the moment pass's
-    * own cell keys). */
+    * own cell keys), (-2,-2) = the delta WATERMARK (see [[applyDelta]]). */
   private def rows(n: Long, mu: Array[JBD], mom: Array[Array[JBD]],
-      d: Int): Seq[Row] =
-    Seq(Row(-1, -1, JBD.valueOf(n).setScale(12))) ++
+      d: Int, token: Long): Seq[Row] =
+    Seq(Row(-2, -2, JBD.valueOf(token).setScale(12)),
+        Row(-1, -1, JBD.valueOf(n).setScale(12))) ++
       (0 until d).flatMap { i =>
         Seq(Row(i, -1, mu(i).setScale(12))) ++
           (i until d).map(j => Row(i, j, mom(i)(j).setScale(12)))
       }
 
   /** One-time standing build: ONE corpus pass ([[PcaPower.moments]]),
-    * cells landed as the `moments` lake table. */
+    * cells landed as the `moments` lake table (born at watermark
+    * `token`, default 0; carries the [[StandingState.Retention]]
+    * policy — one overwrite snapshot accrues per maintenance event). */
   def provision(catalog: LakeCatalog, db: String, e: DataFrame,
-      d: Int): LakeTable = {
+      d: Int, token: Long = 0L): LakeTable = {
     val s = e.sparkSession
     val (n, mu, mom) = PcaPower.moments(s, e, d)
-    catalog.createTable(db, "moments", schema)
+    catalog.createTable(db, "moments", schema,
+        props = StandingState.Retention)
       .append(s.createDataFrame(
-        s.sparkContext.parallelize(rows(n, mu, mom, d), 1), schema))
+        s.sparkContext.parallelize(rows(n, mu, mom, d, token), 1), schema))
   }
 
   /** Fold a corpus change into the standing cells: `removed` rows
     * subtract the exact cells they once added, `added` rows add theirs
     * — two O(changed) moment passes, one driver-side exact-decimal
     * merge over the 2 145 stored cells, ONE overwrite commit (the
-    * table swap is metadata-scale by construction). */
+    * table swap is metadata-scale by construction).
+    *
+    * `token` is the crash-detection WATERMARK (ADVICE r18 #2): the
+    * moments overwrite commits separately from the corpus-table change
+    * it mirrors, so a crash between them would silently break the
+    * bit-identical-to-recompute contract. The maintainer stamps the
+    * source table's post-change snapshot id (or its own delta sequence
+    * number) here; on resume it compares [[watermark]] against the
+    * corpus — a corpus ahead of the stamp means an unapplied delta
+    * (re-derive it from the corpus diff or re-provision), instead of
+    * trusting the single-writer contract blindly. Default −1 keeps the
+    * pre-r19 sequence-free behavior: it advances the stamp by one, so
+    * even unstamped pipelines get a monotone delta counter. */
   def applyDelta(catalog: LakeCatalog, db: String,
-      removed: DataFrame, added: DataFrame, d: Int): LakeTable = {
+      removed: DataFrame, added: DataFrame, d: Int,
+      token: Long = -1L): LakeTable = {
     val s = removed.sparkSession
     val (rn, rmu, rmom) = PcaPower.moments(s, removed, d)
     val (an, amu, amom) = PcaPower.moments(s, added, d)
     val (n0, mu0, mom0) = load(catalog, db, d)
+    val tok = if (token >= 0) token else watermark(catalog, db) + 1
     val n = n0 - rn + an
     val mu = Array.tabulate(d)(i => mu0(i).subtract(rmu(i)).add(amu(i)))
     val mom = Array.tabulate(d, d)((i, j) =>
       mom0(i)(j).subtract(rmom(i)(j)).add(amom(i)(j)))
     catalog.loadTable(db, "moments").get
       .overwrite(s.createDataFrame(
-        s.sparkContext.parallelize(rows(n, mu, mom, d), 1), schema))
+        s.sparkContext.parallelize(rows(n, mu, mom, d, tok), 1), schema))
   }
+
+  /** The stored watermark — what a resumed maintainer compares against
+    * its source table's snapshot id to detect a half-applied delta. A
+    * pre-watermark table (provisioned before r19) reads as 0. */
+  def watermark(catalog: LakeCatalog, db: String): Long =
+    catalog.loadTable(db, "moments").get.read()
+      .filter(col("i") === -2 && col("j") === -2)
+      .collect().headOption.map(_.getDecimal(2).longValueExact).getOrElse(0L)
 
   /** The standing cells back as [[PcaPower.analyze]]'s inputs — a
     * bounded d²-row driver pull. */
@@ -95,7 +122,8 @@ object MomentState {
     val mom = Array.fill(d, d)(JBD.ZERO)
     catalog.loadTable(db, "moments").get.read().collect().foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDecimal(2))
-      if (i == -1) n = c.longValueExact
+      if (i == -2) () // the delta watermark, not a moment cell
+      else if (i == -1) n = c.longValueExact
       else if (j == -1) mu(i) = c
       else mom(i)(j) = c
     }

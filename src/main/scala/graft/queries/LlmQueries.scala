@@ -5673,12 +5673,13 @@ object LlmQueries {
       cat.createNamespace("ix")
       graft.operators.Bm25Index.provision(cat, "ix", standing)
       graft.operators.Bm25Index.append(cat, "ix",
-        docs.filter(expr(IncrNewPred)))
+        docs.filter(expr(IncrNewPred)), eventId = 1)
       graft.operators.Bm25Index.retire(cat, "ix",
-        standing.filter(expr(RetirePred)).select("doc_id"))
+        standing.filter(expr(RetirePred)).select("doc_id"), eventId = 2)
       graft.operators.Bm25Index.recrawl(cat, "ix",
         standing.filter(expr(RecrawlPred)).select(col("doc_id"),
-          concat(col("text"), lit(" "), col("text")).as("text")))
+          concat(col("text"), lit(" "), col("text")).as("text")),
+        eventId = 3)
       cat
     })
 

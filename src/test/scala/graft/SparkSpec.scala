@@ -30,4 +30,28 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Task input bytes read while `f` runs — the MaintenanceSpec
+    * footprint meter (VERDICT r17 #4), shared so every standing-state
+    * family can gate its O(changed) claim. Polls until the listener
+    * bus drains. */
+  def meteredBytesRead(f: => Unit): Long = {
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      var last = -1L
+      var spins = 0
+      while (bytesRead.get() != last && spins < 50) {
+        last = bytesRead.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    bytesRead.get()
+  }
 }
