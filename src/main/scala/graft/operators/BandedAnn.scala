@@ -55,16 +55,31 @@ object BandedAnn {
     * BY ham, ib) ≤ k` rule selects. */
   def candidatesSelf(df: DataFrame, idCol: String, sigCol: String,
       bands: Int = 8, bandBits: Int = 8, radius: Int = 2, k: Int = 64,
+      maxBroadcastBytes: Long = 512L << 20): DataFrame =
+    candidates(df, df, idCol, sigCol, bands, bandBits, radius, k,
+      maxBroadcastBytes)
+
+  /** The asymmetric form (X58 graph maintenance): per-PROBE-anchor
+    * top-`k` candidates drawn from `index` — the same rule as
+    * [[candidatesSelf]] restricted to probe anchors, so rebuilding an
+    * affected anchor's list against the current corpus reproduces the
+    * self-join build's row set for that anchor exactly. Both frames
+    * carry (`idCol`, `sigCol`); a probe row whose id also appears in
+    * `index` never pairs with itself (the self-exclusion is by ID). */
+  def candidates(probe: DataFrame, index: DataFrame,
+      idCol: String, sigCol: String,
+      bands: Int = 8, bandBits: Int = 8, radius: Int = 2, k: Int = 64,
       maxBroadcastBytes: Long = 512L << 20): DataFrame = {
     require(bands * bandBits <= 64, "signature is one 64-bit word")
     require(bandBits <= 16, s"bandBits $bandBits would explode the key space")
-    val spark = df.sparkSession
+    val spark = probe.sparkSession
     import spark.implicits._
     val bandMask = (1L << bandBits) - 1
     val masks: Array[Int] = (0 until (1 << bandBits))
       .filter(m => Integer.bitCount(m) <= radius).toArray
-    val sigs = df.select(col(idCol).cast("long").as("id"),
+    def norm(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
       col(sigCol).cast("long").as("sig"))
+    val sigs = norm(index)
 
     // budget in ROWS: two longs + row/boxing overhead per corpus entry.
     // The path decision is an aggregate-scale count() (r14 ADVICE #5:
@@ -75,7 +90,7 @@ object BandedAnn {
       (Int.MaxValue - 8).toLong).toInt
     val ds = sigs.as[(Long, Long)]
     if (ds.count() > rowCap)
-      return declarative(sigs, bands, bandBits, radius, k, masks)
+      return declarative(norm(probe), sigs, bands, bandBits, radius, k, masks)
     // the collect is a SEPARATE action over the same plan (r15 ADVICE):
     // cap the pull at rowCap + 1 so an input that grew (or re-ordered
     // nondeterministically) between the two actions fails loudly below
@@ -130,9 +145,10 @@ object BandedAnn {
     val bc = spark.sparkContext.broadcast((ids, sg, starts, bucket))
     val bandsL = bands; val bandBitsL = bandBits; val kL = k
     val masksL = masks; val bandMaskL = bandMask
-    ds
+    norm(probe).as[(Long, Long)]
       // engage every core even when the parquet arrives single-split;
-      // the anchor side passed the byte budget, so this shuffle is tiny
+      // the INDEX side passed the byte budget, so this shuffle is tiny
+      // relative to the probing work (self mode: probe IS the index)
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val (cids, csig, cst, cbk) = bc.value
@@ -180,24 +196,31 @@ object BandedAnn {
       .toDF("ia", "ib")
   }
 
-  /** The identical rule as a distributed equi-join — the past-budget
-    * plan (see object scaladoc). */
-  private def declarative(sigs: DataFrame, bands: Int, bandBits: Int,
-      radius: Int, k: Int, masks: Array[Int]): DataFrame = {
-    val keySpan = 1 << bandBits
-    val bandMask = keySpan - 1
-    // same id-domain guard as the broadcast path, declaratively: the
-    // IF is codegen'd per row (two long compares) and raise_error
-    // fails the job instead of silently corrupting the packed order
-    val guarded = sigs.withColumn("id", expr(
+  // same id-domain guard as the broadcast path, declaratively: the
+  // IF is codegen'd per row (two long compares) and raise_error
+  // fails the job instead of silently corrupting the packed order
+  private def guardIds(sigs: DataFrame): DataFrame =
+    sigs.withColumn("id", expr(
       "IF(id >= 0L AND id < 72057594037927936L, id, " +
         "raise_error(concat('BandedAnn id outside [0, 2^56): ', id)))"))
-    val index = guarded
+
+  private def indexKeyed(indexSigs: DataFrame, bands: Int,
+      bandBits: Int): DataFrame = {
+    val keySpan = 1 << bandBits
+    val bandMask = keySpan - 1
+    guardIds(indexSigs)
       .select(col("id").as("ib"), col("sig").as("sigb"))
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("key", col("band") * keySpan +
         expr(s"shiftright(sigb, band * $bandBits) & $bandMask"))
-    val probe = guarded
+      .select(col("ib"), col("sigb"), col("key"))
+  }
+
+  private def probeKeyed(probeSigs: DataFrame, bands: Int, bandBits: Int,
+      masks: Array[Int]): DataFrame = {
+    val keySpan = 1 << bandBits
+    val bandMask = keySpan - 1
+    guardIds(probeSigs)
       .select(col("id").as("ia"), col("sig").as("siga"))
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("bval", expr(s"shiftright(siga, band * $bandBits) & $bandMask"))
@@ -205,8 +228,15 @@ object BandedAnn {
       .withColumn("key", col("band") * keySpan +
         col("bval").bitwiseXOR(col("mask")))
       .select(col("ia"), col("siga"), col("key"))
-    probe
-      .join(index.select(col("ib"), col("sigb"), col("key")), "key")
+  }
+
+  /** The identical rule as a distributed equi-join — the past-budget
+    * plan (see object scaladoc). */
+  private def declarative(probeSigs: DataFrame, indexSigs: DataFrame,
+      bands: Int, bandBits: Int, radius: Int, k: Int,
+      masks: Array[Int]): DataFrame =
+    probeKeyed(probeSigs, bands, bandBits, masks)
+      .join(indexKeyed(indexSigs, bands, bandBits), "key")
       .filter(col("ia") =!= col("ib"))
       .select(col("ia"), expr(
         "shiftleft(CAST(bit_count(siga ^ sigb) AS BIGINT), 56) | ib")
@@ -215,5 +245,29 @@ object BandedAnn {
       .agg(graft.functions.TopK.smallestKDistinct(k, col("packed")).as("top"))
       .select(col("ia"), explode(expr(
         "transform(top, v -> v & 72057594037927935L)")).as("ib"))
+
+  /** UNCAPPED banded collisions — the affected-anchor detection
+    * primitive behind standing graph maintenance (X58): every DISTINCT
+    * index id whose signature agrees with SOME probe signature on some
+    * band within `radius` bits. No top-k cap: affectedness is a
+    * reachability question, and a cap could hide an anchor whose
+    * candidate set a changed vector perturbs. Declarative only — the
+    * probe side is an O(changed) maintenance batch by contract, so its
+    * bands × masks key expansion stays tiny and AQE broadcasts it
+    * against the index side's linear `bands` keys/row pass (the slim
+    * standing signature table; never the vector payloads). */
+  def collidingIds(probe: DataFrame, index: DataFrame,
+      idCol: String, sigCol: String,
+      bands: Int = 8, bandBits: Int = 8, radius: Int = 2): DataFrame = {
+    require(bands * bandBits <= 64, "signature is one 64-bit word")
+    require(bandBits <= 16, s"bandBits $bandBits would explode the key space")
+    val masks: Array[Int] = (0 until (1 << bandBits))
+      .filter(m => Integer.bitCount(m) <= radius).toArray
+    def norm(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("sig"))
+    probeKeyed(norm(probe), bands, bandBits, masks)
+      .join(indexKeyed(norm(index), bands, bandBits), "key")
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ib").as(idCol)).distinct()
   }
 }

@@ -3866,17 +3866,22 @@ object LlmQueries {
     * (-sim, ib) replays DuckDB's (sim DESC, ib). 100 TB: candidate
     * generation is the BandedAnn plan, re-rank cost is K·|V| cosines,
     * output is 10·|V| edges — each stage linear in the corpus. */
-  /** The SQL prologue shared by q162 and q182: nonzero corpus `e`,
-    * banded candidates, and the RAW-sim top-10 edge CTE `ed` — raw
-    * because q182's pruning rule compares unrounded cosines. */
-  private def knnEdgesSql: String = {
+  /** The default graph corpus: every embedding, doubles. q187/q188
+    * swap in the MAINTAINED corpus (retire/re-embed folded in — the
+    * q185 corpusSql device) to gate the standing graph state. */
+  private val GraphCorpusSql =
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+  /** The SQL prologue shared by the graph family (q162/q182/q183,
+    * q187/q188): nonzero corpus `e` over `corpus`, banded candidates,
+    * and the RAW-sim top-10 edge CTE `ed` — raw because q182's pruning
+    * rule compares unrounded cosines. */
+  private def knnEdgesSql(corpus: String = GraphCorpusSql): String = {
     val bandHams = (0 until NnBands).map { b =>
       s"len(list_filter(range(${b * NnBandBits + 1}, ${(b + 1) * NnBandBits + 1}), i -> (a.v[i] >= 0) <> (b.v[i] >= 0)))"
     }
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                 FROM embeddings
-                 WHERE list_sum(list_transform(embedding::DOUBLE[],
-                         x -> x * x)) > 0),
+    s"""WITH e AS (SELECT vec_id, v FROM ($corpus)
+                 WHERE list_sum(list_transform(v, x -> x * x)) > 0),
       h AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
               len(list_filter(range(1, 65),
                 i -> (a.v[i] >= 0) <> (b.v[i] >= 0))) AS ham,
@@ -3926,7 +3931,7 @@ object LlmQueries {
 
   val q162 = QueryDef(
     "q162_knn_graph",
-    Some(knnEdgesSql + """
+    Some(knnEdgesSql() + """
             SELECT src, rank, dst, ROUND(sim, 4) AS sim
             FROM ed ORDER BY src, rank"""),
     (s, dir) => knnEdgesRaw(s, dir)
@@ -3945,30 +3950,39 @@ object LlmQueries {
     * strict `<` rule replays exactly (the q162/q149 precedent). Edges
     * with `kept = false` stay in the output: the hash then gates BOTH
     * directions — an edge wrongly pruned and an edge wrongly kept. */
-  val q182 = QueryDef(
-    "q182_knn_prune", {
-      val ks = (2 to 10).map { r =>
-        s""",
-            k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL
-              SELECT e2.src, e2.rank, e2.dst, e2.sim,
-                NOT EXISTS (SELECT 1 FROM k${r - 1} p
-                            JOIN nb ON nb.src = p.src AND nb.ra = p.rank
-                              AND nb.rb = e2.rank
-                            WHERE p.src = e2.src AND p.kept
-                              AND nb.s >= e2.sim) AS kept
-              FROM ed e2 WHERE e2.rank = $r)"""
-      }.mkString
-      Some(knnEdgesSql + s""",
-            nb AS MATERIALIZED (SELECT x.src, x.rank AS ra, y.rank AS rb,
-                    list_cosine_similarity(va.v, vb.v) AS s
-                  FROM ed x JOIN ed y ON x.src = y.src AND x.rank < y.rank
-                  JOIN e va ON va.vec_id = x.dst
-                  JOIN e vb ON vb.vec_id = y.dst),
-            k1 AS MATERIALIZED (SELECT src, rank, dst, sim, TRUE AS kept
-                                FROM ed WHERE rank = 1)$ks
+  /** The greedy kept-set fold as 10 unrolled per-rank MATERIALIZED
+    * CTEs — shared by q182/q183 (inline build) and q187/q188 (the
+    * maintained graph, whose oracle recomputes the SAME prune over the
+    * current corpus). */
+  private def pruneCtesSql: String = {
+    val ks = (2 to 10).map { r =>
+      s""",
+          k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL
+            SELECT e2.src, e2.rank, e2.dst, e2.sim,
+              NOT EXISTS (SELECT 1 FROM k${r - 1} p
+                          JOIN nb ON nb.src = p.src AND nb.ra = p.rank
+                            AND nb.rb = e2.rank
+                          WHERE p.src = e2.src AND p.kept
+                            AND nb.s >= e2.sim) AS kept
+            FROM ed e2 WHERE e2.rank = $r)"""
+    }.mkString
+    s""",
+          nb AS MATERIALIZED (SELECT x.src, x.rank AS ra, y.rank AS rb,
+                  list_cosine_similarity(va.v, vb.v) AS s
+                FROM ed x JOIN ed y ON x.src = y.src AND x.rank < y.rank
+                JOIN e va ON va.vec_id = x.dst
+                JOIN e vb ON vb.vec_id = y.dst),
+          k1 AS MATERIALIZED (SELECT src, rank, dst, sim, TRUE AS kept
+                              FROM ed WHERE rank = 1)$ks"""
+  }
+
+  private val PrunedEdgesSelectSql = """
             SELECT src, rank, dst, ROUND(sim, 4) AS sim, kept
-            FROM k10 ORDER BY src, rank""")
-    },
+            FROM k10 ORDER BY src, rank"""
+
+  val q182 = QueryDef(
+    "q182_knn_prune",
+    Some(knnEdgesSql() + pruneCtesSql + PrunedEdgesSelectSql),
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
@@ -4001,67 +4015,55 @@ object LlmQueries {
     * So the hash gates navigability itself: a broken prune, a wrong
     * edge, or a beam tie broken differently changes what the walk finds
     * AND how it scores against exact truth. */
+  /** q183's walk + recall-audit CTEs over the prune chain — shared
+    * with q188, whose oracle replays the SAME walk over the maintained
+    * corpus. Requires `e` and the k10 prune CTEs in scope. */
+  private def beamWalkSql: String = {
+    val hops = (1 to GsHops).map { h =>
+      s""",
+          x$h AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
+            SELECT qid, vec_id FROM b${h - 1}
+            UNION ALL
+            SELECT b.qid, k.dst AS vec_id
+            FROM b${h - 1} b JOIN ke k ON k.src = b.vec_id)),
+          s$h AS MATERIALIZED (SELECT x.qid, x.vec_id,
+              list_cosine_similarity(e.v, q.qv) AS sim,
+              ROW_NUMBER() OVER (PARTITION BY x.qid
+                ORDER BY list_cosine_similarity(e.v, q.qv) DESC, x.vec_id)
+                AS rn
+            FROM x$h x JOIN e ON e.vec_id = x.vec_id
+            JOIN q ON q.qid = x.qid WHERE x.vec_id <> x.qid),
+          b$h AS MATERIALIZED (SELECT qid, vec_id FROM s$h
+                               WHERE rn <= $GsBeam)"""
+    }.mkString
+    s""",
+          ke AS MATERIALIZED (SELECT src, dst FROM k10 WHERE kept),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+          m1 AS (SELECT MIN(vec_id) AS i FROM e),
+          m2 AS (SELECT MIN(vec_id) AS i FROM e
+                 WHERE vec_id <> (SELECT i FROM m1)),
+          b0 AS (SELECT qid, CASE WHEN qid = (SELECT i FROM m1)
+                   THEN (SELECT i FROM m2) ELSE (SELECT i FROM m1) END
+                   AS vec_id FROM q)$hops,
+          fin AS (SELECT qid, rn, vec_id, sim FROM s$GsHops WHERE rn <= 5),
+          exd AS (SELECT q.qid, e.vec_id AS w,
+                    list_cosine_similarity(e.v, q.qv) AS s
+                  FROM q, e WHERE e.vec_id <> q.qid),
+          bet AS (SELECT f.qid, f.vec_id, COUNT(*) AS nb
+                  FROM fin f JOIN exd d ON d.qid = f.qid
+                    AND (d.s > f.sim OR (d.s = f.sim AND d.w < f.vec_id))
+                  GROUP BY 1, 2)
+          SELECT f.qid AS qid, CAST(f.rn AS INTEGER) AS rank,
+                 f.vec_id AS vec_id, ROUND(f.sim, 4) AS sim,
+                 COALESCE(b.nb, 0) < 5 AS in_exact
+          FROM fin f LEFT JOIN bet b
+            ON b.qid = f.qid AND b.vec_id = f.vec_id
+          ORDER BY f.qid, rank"""
+  }
+
   val q183 = QueryDef(
-    "q183_graph_search", {
-      val ks = (2 to 10).map { r =>
-        s""",
-            k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL
-              SELECT e2.src, e2.rank, e2.dst, e2.sim,
-                NOT EXISTS (SELECT 1 FROM k${r - 1} p
-                            JOIN nb ON nb.src = p.src AND nb.ra = p.rank
-                              AND nb.rb = e2.rank
-                            WHERE p.src = e2.src AND p.kept
-                              AND nb.s >= e2.sim) AS kept
-              FROM ed e2 WHERE e2.rank = $r)"""
-      }.mkString
-      val hops = (1 to GsHops).map { h =>
-        s""",
-            x$h AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
-              SELECT qid, vec_id FROM b${h - 1}
-              UNION ALL
-              SELECT b.qid, k.dst AS vec_id
-              FROM b${h - 1} b JOIN ke k ON k.src = b.vec_id)),
-            s$h AS MATERIALIZED (SELECT x.qid, x.vec_id,
-                list_cosine_similarity(e.v, q.qv) AS sim,
-                ROW_NUMBER() OVER (PARTITION BY x.qid
-                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, x.vec_id)
-                  AS rn
-              FROM x$h x JOIN e ON e.vec_id = x.vec_id
-              JOIN q ON q.qid = x.qid WHERE x.vec_id <> x.qid),
-            b$h AS MATERIALIZED (SELECT qid, vec_id FROM s$h
-                                 WHERE rn <= $GsBeam)"""
-      }.mkString
-      Some(knnEdgesSql + s""",
-            nb AS MATERIALIZED (SELECT x.src, x.rank AS ra, y.rank AS rb,
-                    list_cosine_similarity(va.v, vb.v) AS s
-                  FROM ed x JOIN ed y ON x.src = y.src AND x.rank < y.rank
-                  JOIN e va ON va.vec_id = x.dst
-                  JOIN e vb ON vb.vec_id = y.dst),
-            k1 AS MATERIALIZED (SELECT src, rank, dst, sim, TRUE AS kept
-                                FROM ed WHERE rank = 1)$ks,
-            ke AS MATERIALIZED (SELECT src, dst FROM k10 WHERE kept),
-            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
-            m1 AS (SELECT MIN(vec_id) AS i FROM e),
-            m2 AS (SELECT MIN(vec_id) AS i FROM e
-                   WHERE vec_id <> (SELECT i FROM m1)),
-            b0 AS (SELECT qid, CASE WHEN qid = (SELECT i FROM m1)
-                     THEN (SELECT i FROM m2) ELSE (SELECT i FROM m1) END
-                     AS vec_id FROM q)$hops,
-            fin AS (SELECT qid, rn, vec_id, sim FROM s$GsHops WHERE rn <= 5),
-            exd AS (SELECT q.qid, e.vec_id AS w,
-                      list_cosine_similarity(e.v, q.qv) AS s
-                    FROM q, e WHERE e.vec_id <> q.qid),
-            bet AS (SELECT f.qid, f.vec_id, COUNT(*) AS nb
-                    FROM fin f JOIN exd d ON d.qid = f.qid
-                      AND (d.s > f.sim OR (d.s = f.sim AND d.w < f.vec_id))
-                    GROUP BY 1, 2)
-            SELECT f.qid AS qid, CAST(f.rn AS INTEGER) AS rank,
-                   f.vec_id AS vec_id, ROUND(f.sim, 4) AS sim,
-                   COALESCE(b.nb, 0) < 5 AS in_exact
-            FROM fin f LEFT JOIN bet b
-              ON b.qid = f.qid AND b.vec_id = f.vec_id
-            ORDER BY f.qid, rank""")
-    },
+    "q183_graph_search",
+    Some(knnEdgesSql() + pruneCtesSql + beamWalkSql),
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
@@ -4071,60 +4073,10 @@ object LlmQueries {
         .diversify(knnEdgesRaw(s, dir), emb, "vec_id", "v")
         .filter(col("kept")).select(col("src"), col("dst"))
         .localCheckpoint(true) // walked once per hop
-      val queries = broadcast(emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("qid"), col("v").as("qv")))
-      // the deterministic entry vertex — two driver longs
-      val minId = emb.agg(min("vec_id")).head().getLong(0)
-      val sndId = emb.filter(col("vec_id") =!= minId)
-        .agg(min("vec_id")).head().getLong(0)
-      var beam = queries.select(col("qid"),
-        when(col("qid") === minId, sndId).otherwise(minId).as("vec_id"))
-      var scored: DataFrame = null
-      for (_ <- 1 to GsHops) {
-        val x = beam.unionByName(
-            beam.join(kept, beam("vec_id") === kept("src"))
-              .select(beam("qid"), kept("dst").as("vec_id")))
-          .distinct()
-        // ≤ beam·(maxdeg+1) rows per query — bounded by construction,
-        // so the per-qid sorted list IS the top-ef (the q162 idiom)
-        scored = x.join(emb, "vec_id").join(queries, "qid")
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            VectorOps.cosine(col("v"), col("qv")).as("sim"))
-          .localCheckpoint(true) // next hop's beam AND the final cut
-        beam = scored
-          .select(col("qid"), struct((-col("sim")).as("ns"),
-            col("vec_id")).as("p"))
-          .groupBy("qid")
-          .agg(slice(sort_array(collect_list(col("p"))), 1, GsBeam).as("top"))
-          .select(col("qid"), explode(col("top.vec_id")).as("vec_id"))
-      }
-      val fin = scored
-        .select(col("qid"), struct((-col("sim")).as("ns"),
-          col("vec_id")).as("p"))
-        .groupBy("qid")
-        .agg(slice(sort_array(collect_list(col("p"))), 1, 5).as("top"))
-        .select(col("qid"), posexplode(col("top")))
-        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-          col("col.vec_id").as("vec_id"), (-col("col.ns")).as("sim"))
-        .localCheckpoint(true) // ≤ 20 rows: broadcast to the recall audit
-      // recall audit by rank-counting: one corpus×queries map pass,
-      // ≤ 20 count groups, map-side combine — never a corpus-sized
-      // window partition
-      val exd = emb.join(queries, emb("vec_id") =!= queries("qid"))
-        .select(col("qid"), col("vec_id").as("w"),
-          VectorOps.cosine(col("v"), col("qv")).as("s"))
-      val bet = exd.join(broadcast(fin.select(col("qid"),
-          col("vec_id").as("rid"), col("sim").as("rs"))), "qid")
-        .filter(col("s") > col("rs") ||
-          (col("s") === col("rs") && col("w") < col("rid")))
-        .groupBy(col("qid"), col("rid")).agg(count(lit(1)).as("nb"))
-      fin.join(bet.withColumnRenamed("rid", "vec_id"),
-          Seq("qid", "vec_id"), "left")
-        .select(col("qid"), col("rank"), col("vec_id"),
-          round(col("sim"), 4).as("sim"),
-          (coalesce(col("nb"), lit(0L)) < 5).as("in_exact"))
-        .orderBy("qid", "rank")
+      graft.operators.GraphIndex.beamSearch(emb, kept,
+        emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("v").as("qv")),
+        GsBeam, GsHops)
     })
 
   /** k-NN graph HEALTH diagnostics (r15, VERDICT r14 next-step #7) —
@@ -5865,6 +5817,74 @@ object LlmQueries {
       rows.toDF("stat", "value").orderBy("stat")
     })
 
+  // ------ q187 standing k-NN graph state under maintenance (X58, r19)
+  /** VERDICT r18 missing #1: the graph family gets governed standing
+    * state. Fixture: [[graft.operators.GraphIndex]] provisions the
+    * q162+q182 graph (corpus, signatures, pruned edges) over the
+    * standing slice, then the full drift — the nightly batch APPENDS
+    * (new vectors insert their own edge lists AND update every
+    * standing anchor their signatures band-collide with), takedowns
+    * RETIRE `vec_id % 7 = 3` (their lists go; anchors that could have
+    * held them rebuild against the post-delete corpus), re-embeds
+    * REPLACE `% 7 = 5` with the negated vector (old- and new-signature
+    * neighborhoods both rebuild). The query reads the STORED edge
+    * table; the oracle recomputes build+prune from scratch over the
+    * CURRENT corpus — a stale edge, a missed anchor update, a
+    * lingering retired vertex, or a wrong kept flag all break the
+    * hash. */
+  private val GraphMaintCorpusSql = s"""SELECT vec_id,
+        CASE WHEN vec_id % 7 = 5 AND NOT ($VecNewPred)
+             THEN list_transform(embedding::DOUBLE[], x -> -x)
+             ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings
+      WHERE NOT (vec_id % 7 = 3 AND NOT ($VecNewPred))"""
+
+  private val graphStates = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.lake.LakeCatalog]()
+
+  private def graphState(s: SparkSession, dir: String): graft.lake.LakeCatalog =
+    graphStates.computeIfAbsent((s, dir), { _ =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          VectorOps.toDoubleVec(col("embedding")).as("v"))
+      val standing = e.filter(!expr(VecNewPred)).localCheckpoint(true)
+      val batch = e.filter(expr(VecNewPred))
+      val wh = java.nio.file.Files.createTempDirectory("graft-graph-wh")
+      val cat = new graft.lake.LakeCatalog(s, wh)
+      cat.createNamespace("gx")
+      graft.operators.GraphIndex.provision(cat, "gx", standing)
+      graft.operators.GraphIndex.append(cat, "gx", batch)
+      graft.operators.GraphIndex.retire(cat, "gx",
+        standing.filter(expr("vec_id % 7 = 3")).select("vec_id"))
+      graft.operators.GraphIndex.reembed(cat, "gx",
+        standing.filter(expr("vec_id % 7 = 5"))
+          .select(col("vec_id"), transform(col("v"), x => -x).as("v")))
+      cat
+    })
+
+  val q187 = QueryDef(
+    "q187_maintained_knn_graph",
+    Some(knnEdgesSql(GraphMaintCorpusSql) + pruneCtesSql
+      + PrunedEdgesSelectSql),
+    (s, dir) => graphState(s, dir).loadTable("gx", "gedges").get.read()
+      .select(col("src"), col("rank"), col("dst"),
+        round(col("sim"), 4).as("sim"), col("kept"))
+      .orderBy("src", "rank"))
+
+  // ------ q188 graph search SERVED from the maintained index (X58, r19)
+  /** q187 gates the stored edges; this gates their END USE: q183's
+    * beam walk reading the MAINTAINED kept-edge and corpus tables (the
+    * serving shape — no per-query graph build). The oracle rebuilds
+    * the graph from the current corpus and replays the walk, so a
+    * maintained edge that misroutes the beam — or a retired vertex
+    * still navigable — changes what the search finds and how it scores
+    * against exact truth. */
+  val q188 = QueryDef(
+    "q188_graph_index_search",
+    Some(knnEdgesSql(GraphMaintCorpusSql) + pruneCtesSql + beamWalkSql),
+    (s, dir) => graft.operators.GraphIndex.search(
+      graphState(s, dir), "gx", "vec_id < 4", GsBeam, GsHops))
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
@@ -5872,5 +5892,5 @@ object LlmQueries {
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183,
-    q184, q185, q186)
+    q184, q185, q186, q187, q188)
 }
