@@ -1961,8 +1961,9 @@ class LakeTable(
     * rebase/replay convergence as upsertByKey — rows within one batch
     * share the commit's sequence number, so they all survive their own
     * delete. */
-  def replaceByKey(rows: DataFrame, keyCols: Seq[String]): LakeTable =
-    equalityReplace(rows, keyCols, "replaceByKey")
+  def replaceByKey(rows: DataFrame, keyCols: Seq[String],
+      extraProps: Map[String, String] = Map.empty): LakeTable =
+    equalityReplace(rows, keyCols, "replaceByKey", extraProps = extraProps)
 
   /** Explicit-key variant: the equality delete covers `keys` (one column
     * per `keyCols` entry) rather than being derived from `rows`, so a
@@ -1980,9 +1981,19 @@ class LakeTable(
       keys: DataFrame): LakeTable =
     equalityReplace(rows, keyCols, "replaceByKey", Some(keys))
 
+  /** Explicit-key + atomic-props variant: `extraProps` lands in the
+    * SAME commit as the replacement (the [[append]] convention) — the
+    * streaming graph ingest stamps its batch-id gate on the final edge
+    * swap this way, so a crash can never separate the data from the
+    * replay marker. */
+  def replaceByKey(rows: DataFrame, keyCols: Seq[String],
+      keys: DataFrame, extraProps: Map[String, String]): LakeTable =
+    equalityReplace(rows, keyCols, "replaceByKey", Some(keys), extraProps)
+
   private def equalityReplace(
       rows: DataFrame, keyCols: Seq[String], op: String,
-      explicitKeys: Option[DataFrame] = None): LakeTable = {
+      explicitKeys: Option[DataFrame] = None,
+      extraProps: Map[String, String] = Map.empty): LakeTable = {
     if (!isMorDelete)
       throw new IllegalStateException(
         s"$op on ${meta.name}: equality-delete upserts require " +
@@ -2010,14 +2021,20 @@ class LakeTable(
           "the replacement rows (found a row whose key the delete misses)")
     }
     val written = written0.map(_.rowCount).sum
-    if (written == 0)
+    if (written == 0) {
       // nothing to add: with explicit keys this is a pure retire — the
       // single-commit contract still holds (one delete-only commit);
-      // without them the derived key set is empty too, a no-op
-      return explicitKeys match {
+      // without them the derived key set is empty too, a no-op. Any
+      // extraProps land in a follow-up metadata commit here (the
+      // delete-only corner); a crash between the two replays the
+      // retire, which is idempotent by value.
+      val retired = explicitKeys match {
         case Some(ks) => addEqualityDeletes(ks, keyCols)
         case None => this
       }
+      return if (extraProps.isEmpty) retired
+        else retired.setProperties(extraProps)
+    }
     val delDir = location.resolve("deletes")
     Files.createDirectories(delDir)
     val delPath = delDir.resolve(UUID.randomUUID().toString)
@@ -2032,7 +2049,12 @@ class LakeTable(
         h.newSnapshot("upsert", h.dataFiles ++ files, h.deleteFiles ++ delMeta,
           Map("added-records" -> written.toString,
             "equality-delete-records" -> delCount.toString)),
-        m => if (m.nextRowId >= 0) m.copy(nextRowId = start + written) else m)
+        m => {
+          val m2 = if (m.nextRowId >= 0)
+            m.copy(nextRowId = start + written) else m
+          if (extraProps.isEmpty) m2
+          else m2.copy(props = m2.props ++ extraProps)
+        })
     }
   }
 

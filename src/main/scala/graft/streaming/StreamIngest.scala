@@ -733,6 +733,50 @@ object StreamIngest {
       .start()
   }
 
+  /** STREAMING k-NN graph ingest (X58's continuous form — the X51
+    * pattern on the graph family): every micro-batch of (vec_id, v)
+    * arrivals joins the standing graph through
+    * [[graft.operators.GraphIndex]]'s append math — corpus + signature
+    * upserts, then ONE edge swap rebuilding the new anchors AND every
+    * standing anchor their signatures band-collide with. The
+    * [[LastBatchProp]] gate rides the final edge-swap commit
+    * ATOMICALLY (replaceByKey extraProps), so redelivery after any
+    * crash replays the earlier idempotent-by-value commits and the
+    * batch converges exactly-once on the serving surface; a batch
+    * whose gate already advanced is dropped whole. Zero-norm arrivals
+    * bypass (not graph members — the caller's landing table is a
+    * separate concern, X48's convention). Retire/re-embed maintenance
+    * and rebuild remain [[graft.operators.GraphIndex]] batch entries
+    * on the same tables; the stream resumes from its checkpoint across
+    * them (batch ids continue — the StreamingSpec restart arc). */
+  def graphIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        retryingCommit() {
+          val gate = targetTable(catalog, db, "gedges")
+          val alreadyCommitted = gate.meta.props.get(LastBatchProp)
+            .exists(_.toLong >= batchId)
+          if (!alreadyCommitted)
+            graft.operators.GraphIndex.appendVectors(catalog, db,
+              batch0.select(col("vec_id").cast("long").as("vec_id"),
+                col("v")),
+              replay = true,
+              gateProps = Map(LastBatchProp -> batchId.toString))
+        }
+      }
+      .start()
+  }
+
   /** The batch minus its cosine-verified near-dups (vs stored state and
     * vs smaller-id batch peers). */
   private def vectorSurvivors(

@@ -1259,4 +1259,89 @@ class StreamingSpec extends SparkSpec {
       s"the resumed stream must route arrivals through the NEW codebook: ${asg()}")
     assert(asg().size == 5, "resume must not duplicate assignments")
   }
+
+  test("streaming k-NN graph ingest (X58): arrivals join the standing " +
+    "graph (new edge lists + affected standing anchors rebuilt) with " +
+    "the edges always ≡ a from-scratch build; checkpoint restarts stay " +
+    "idempotent and resume across a batch retire") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+    def rows(rs: Seq[(Long, Array[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rs.map { case (i, v) => Row(i, v.toSeq) }, 1),
+        vecSchema)
+    var corpus = (1L to 20L).map(i => i -> vec())
+    val wh = Files.createTempDirectory("graft-ging-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("gx")
+    graft.operators.GraphIndex.provision(cat, "gx", rows(corpus))
+
+    def edgeSet(c: LakeCatalog): Set[(Long, Int, Long, Double, Boolean)] =
+      c.loadTable("gx", "gedges").get.read().collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4))).toSet
+    def freshBuild(cur: Seq[(Long, Array[Double])])
+        : Set[(Long, Int, Long, Double, Boolean)] = {
+      val ref = new LakeCatalog(spark,
+        Files.createTempDirectory("graft-ging-ref"))
+      ref.createNamespace("gx")
+      graft.operators.GraphIndex.provision(ref, "gx", rows(cur))
+      edgeSet(ref)
+    }
+
+    val src = Files.createTempDirectory("graft-ging-src")
+    val ck = Files.createTempDirectory("graft-ging-ck")
+    var n = 0
+    def feed(rs: Seq[(Long, Array[Double])]): Unit = {
+      val stage = Files.createTempDirectory(s"graft-ging-st$n")
+      rows(rs).coalesce(1).write.parquet(s"$stage/c")
+      Files.walk(stage).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val dst = Files.copy(p, src.resolve(s"chunk$n-${p.getFileName}"))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + n * 60_000L))
+        n += 1
+      }
+    }
+    def run(): Unit = {
+      val q = StreamIngest.graphIngest(spark, src.toString, vecSchema,
+        cat, "gx", checkpointDir = Some(ck.toString))
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch 1: two arrivals + a zero-norm bypass
+    val b1 = Seq(101L -> vec(), 102L -> vec())
+    feed(b1 :+ (103L -> Array.fill(64)(0.0)))
+    run()
+    corpus = corpus ++ b1
+    val ids1 = cat.loadTable("gx", "gvec").get.read()
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == corpus.map(_._1).toSet,
+      s"zero-norm arrival must bypass the graph corpus: $ids1")
+    assert(edgeSet(cat) == freshBuild(corpus),
+      "post-ingest edges must equal a from-scratch build")
+
+    // restart with NO new data: the gate drops redelivery whole
+    val head = cat.loadTable("gx", "gedges").get.currentSnapshot.get.id
+    run()
+    assert(cat.loadTable("gx", "gedges").get.currentSnapshot.get.id == head,
+      "an idle restart must not re-commit")
+
+    // maintenance between runs (the rebuild-era restart posture): a
+    // takedown retires a standing vertex, then the stream RESUMES from
+    // the same checkpoint and keeps ingesting against the maintained
+    // graph
+    graft.operators.GraphIndex.retire(cat, "gx",
+      rows(Seq(5L -> Array.empty[Double])).select("vec_id"))
+    corpus = corpus.filterNot(_._1 == 5L)
+    val b2 = Seq(201L -> vec())
+    feed(b2)
+    run()
+    corpus = corpus ++ b2
+    assert(edgeSet(cat) == freshBuild(corpus),
+      "resume across maintenance must keep edges ≡ from-scratch")
+  }
 }
