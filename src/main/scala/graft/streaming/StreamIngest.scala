@@ -777,6 +777,92 @@ object StreamIngest {
       .start()
   }
 
+  /** STREAMING BM25 index ingest (X57's continuous form — the last
+    * index family without one): every micro-batch of (doc_id, text)
+    * arrivals folds into the maintained inverted index through
+    * [[graft.operators.Bm25Index]]'s append math. Exactly-once rides
+    * the family's own mechanisms, layered: the exact (n, Σdl) counter
+    * delta is gated on an `s<batchId>` marker row (the CAS-loop
+    * exactly-once of the batch maintainers, in a DISJOINT marker space
+    * so stream batch ids can never collide with nightly event ids),
+    * the postings commit is replaceByKey-idempotent by value, and the
+    * [[LastBatchProp]] sink gate rides the FINAL (lens) commit
+    * atomically — so any crash point replays convergently and a
+    * fully-committed batch is dropped whole. Batch retire/recrawl
+    * maintenance keeps running against the same tables between
+    * restarts (their own eventId space); the stream resumes from its
+    * checkpoint across them. */
+  def bm25Ingest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        retryingCommit() {
+          val gate = targetTable(catalog, db, "lens")
+          val alreadyCommitted = gate.meta.props.get(LastBatchProp)
+            .exists(_.toLong >= batchId)
+          if (!alreadyCommitted)
+            graft.operators.Bm25Index.appendDocs(catalog, db,
+              batch0.select(col("doc_id").cast("long").as("doc_id"),
+                col("text")),
+              marker = s"s$batchId",
+              gateProps = Map(LastBatchProp -> batchId.toString))
+        }
+      }
+      .start()
+  }
+
+  /** STREAMING moment-state maintenance (X56's continuous form):
+    * arriving embedding batches fold into the standing
+    * (count, Σxᵢ, Σxᵢxⱼ) cells via [[graft.operators.MomentState]]'s
+    * exact-decimal group law — each micro-batch costs one
+    * O(batch·d²) moment pass plus the metadata-scale cell overwrite,
+    * and the maintained cells stay bit-identical to a recompute over
+    * everything ingested. Exactly-once needs NO extra marker: the
+    * moments table's own crash-detection WATERMARK doubles as the
+    * replay gate — the sink stamps `batchId + 1` as the delta token on
+    * the single overwrite commit (data and marker atomic by
+    * construction), so a redelivered batch sees watermark ≥ batchId+1
+    * and is dropped. One stream owns the table's watermark space (the
+    * family's single-writer contract); batch maintainers doing
+    * retire/re-embed deltas between restarts must stamp
+    * monotonically-later tokens, which the default token = watermark+1
+    * already does. */
+  def momentIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      catalog: LakeCatalog,
+      db: String,
+      d: Int,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+    checkpointDir.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        retryingCommit() {
+          val added = batch0.select(col("v"))
+          if (graft.operators.MomentState.watermark(catalog, db) <= batchId) {
+            graft.operators.MomentState.applyDelta(catalog, db,
+              removed = added.limit(0), added = added, d = d,
+              token = batchId + 1)
+            ()
+          }
+        }
+      }
+      .start()
+  }
+
   /** The batch minus its cosine-verified near-dups (vs stored state and
     * vs smaller-id batch peers). */
   private def vectorSurvivors(

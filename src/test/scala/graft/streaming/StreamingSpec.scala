@@ -1344,4 +1344,153 @@ class StreamingSpec extends SparkSpec {
     assert(edgeSet(cat) == freshBuild(corpus),
       "resume across maintenance must keep edges ≡ from-scratch")
   }
+
+  test("streaming BM25 ingest (X57): arrivals fold into the maintained " +
+    "inverted index exactly-once (marker-gated counters, batch-gated " +
+    "final commit) and search stays ≡ a from-scratch index; the stream " +
+    "resumes across a batch retire") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def docsDf(rs: Seq[(Long, String)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.map { case (i, t) => Row(i, t) }, 1),
+        docSchema)
+    val words = Seq("spark", "table", "row", "scan", "hash", "sort", "the")
+    def doc(i: Long): String =
+      (0 until (3 + (i % 5).toInt))
+        .map(j => words(((i + j) % words.length).toInt)).mkString(" ")
+    var corpus = (1L to 15L).map(i => i -> doc(i))
+    val wh = Files.createTempDirectory("graft-bming-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("ix")
+    graft.operators.Bm25Index.provision(cat, "ix", docsDf(corpus))
+
+    val terms = Seq("spark", "hash")
+    def searchRows(c: LakeCatalog): Seq[(Long, Double)] =
+      graft.operators.Bm25Index.search(c, "ix", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def freshSearch(cur: Seq[(Long, String)]): Seq[(Long, Double)] = {
+      val ref = new LakeCatalog(spark,
+        Files.createTempDirectory("graft-bming-ref"))
+      ref.createNamespace("ix")
+      graft.operators.Bm25Index.provision(ref, "ix", docsDf(cur))
+      searchRows(ref)
+    }
+
+    val src = Files.createTempDirectory("graft-bming-src")
+    val ck = Files.createTempDirectory("graft-bming-ck")
+    var n = 0
+    def feed(rs: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory(s"graft-bming-st$n")
+      docsDf(rs).coalesce(1).write.parquet(s"$stage/c")
+      Files.walk(stage).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val dst = Files.copy(p, src.resolve(s"chunk$n-${p.getFileName}"))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + n * 60_000L))
+        n += 1
+      }
+    }
+    def run(): Unit = {
+      val q = StreamIngest.bm25Ingest(spark, src.toString, docSchema,
+        cat, "ix", checkpointDir = Some(ck.toString))
+      q.processAllAvailable(); q.stop()
+    }
+
+    // two streamed batches land as ordinary index maintenance
+    val b1 = Seq(101L -> doc(101L), 102L -> doc(102L))
+    feed(b1); run()
+    corpus = corpus ++ b1
+    assert(searchRows(cat) == freshSearch(corpus),
+      "post-ingest search must equal a from-scratch index")
+
+    // idle restart: the lens-table gate drops redelivery whole
+    val head = cat.loadTable("ix", "lens").get.currentSnapshot.get.id
+    run()
+    assert(cat.loadTable("ix", "lens").get.currentSnapshot.get.id == head,
+      "an idle restart must not re-commit")
+
+    // nightly batch maintenance between restarts (its own eventId
+    // space — markers e<id> vs the stream's s<batchId>): retire one
+    // doc, then the stream resumes from its checkpoint and the index
+    // keeps tracking the merged history
+    graft.operators.Bm25Index.retire(cat, "ix",
+      docsDf(Seq(3L -> "")).select("doc_id"), eventId = 1)
+    corpus = corpus.filterNot(_._1 == 3L)
+    val b2 = Seq(201L -> doc(201L))
+    feed(b2); run()
+    corpus = corpus ++ b2
+    assert(searchRows(cat) == freshSearch(corpus),
+      "resume across batch maintenance must keep search ≡ from-scratch")
+  }
+
+  test("streaming moment-state maintenance (X56): embedding batches fold " +
+    "into the standing cells via the decimal group law, the watermark " +
+    "doubles as the replay gate, and the maintained cells stay " +
+    "bit-identical to a recompute over everything ingested") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val d = 8
+    val rnd = new scala.util.Random(23)
+    def vec(): Array[Double] = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+    def rows(rs: Seq[(Long, Array[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rs.map { case (i, v) => Row(i, v.toSeq) }, 1),
+        vecSchema)
+    val corpus = (1L to 10L).map(i => i -> vec())
+    val wh = Files.createTempDirectory("graft-moming-wh")
+    val cat = new LakeCatalog(spark, wh)
+    cat.createNamespace("mx")
+    graft.operators.MomentState.provision(cat, "mx", rows(corpus), d)
+
+    val src = Files.createTempDirectory("graft-moming-src")
+    val ck = Files.createTempDirectory("graft-moming-ck")
+    var n = 0
+    def feed(rs: Seq[(Long, Array[Double])]): Unit = {
+      val stage = Files.createTempDirectory(s"graft-moming-st$n")
+      rows(rs).coalesce(1).write.parquet(s"$stage/c")
+      Files.walk(stage).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val dst = Files.copy(p, src.resolve(s"chunk$n-${p.getFileName}"))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000L + n * 60_000L))
+        n += 1
+      }
+    }
+    def run(): Unit = {
+      val q = StreamIngest.momentIngest(spark, src.toString, vecSchema,
+        cat, "mx", d, checkpointDir = Some(ck.toString))
+      q.processAllAvailable(); q.stop()
+    }
+
+    feed(Seq(101L -> vec(), 102L -> vec()))
+    feed(Seq(103L -> vec()))
+    run()
+
+    // bit-exact identity vs one recompute over everything ingested:
+    // initial corpus ∪ the fed batches read back from the source dir
+    // (parquet round-trips the doubles exactly)
+    def cells(c: LakeCatalog): (Long, Seq[java.math.BigDecimal]) = {
+      val (cn, mu, mom) = graft.operators.MomentState.load(c, "mx", d)
+      (cn, (mu ++ mom.flatten).toSeq)
+    }
+    val union = rows(corpus).union(
+      spark.read.schema(vecSchema).parquet(src.toString)
+        .select(col("vec_id"), col("v")))
+    val ref = new LakeCatalog(spark,
+      Files.createTempDirectory("graft-moming-ref"))
+    ref.createNamespace("mx")
+    graft.operators.MomentState.provision(ref, "mx", union, d)
+    assert(cells(cat) == cells(ref),
+      "maintained cells must be bit-identical to a recompute over " +
+        "everything ingested")
+    assert(graft.operators.MomentState.watermark(cat, "mx") == 2L,
+      "two micro-batches must advance the watermark to 2")
+
+    // idle restart: the watermark gate drops redelivery whole
+    run()
+    assert(graft.operators.MomentState.watermark(cat, "mx") == 2L,
+      "an idle restart must not re-apply any delta")
+  }
 }
