@@ -5635,13 +5635,15 @@ object LlmQueries {
       cat
     })
 
-  val q186 = QueryDef(
-    "q186_maintained_bm25", {
-      val terms = Bm25Terms.map(w => s"'$w'").mkString(", ")
-      val pivot = Bm25Terms
-        .map(w => s"COALESCE(MAX(CASE WHEN w = '$w' THEN contrib END), 0)")
-        .mkString(" + ")
-      Some(s"""WITH cur AS (SELECT doc_id,
+  /** The q186 oracle's BM25-from-the-current-corpus CTE chain (ends at
+    * `p` = per-doc pivoted score) — shared with q189, whose lexical
+    * leg is the SAME maintained-index search at a deeper k. */
+  private def bm25MaintChainSql: String = {
+    val terms = Bm25Terms.map(w => s"'$w'").mkString(", ")
+    val pivot = Bm25Terms
+      .map(w => s"COALESCE(MAX(CASE WHEN w = '$w' THEN contrib END), 0)")
+      .mkString(" + ")
+    s"""WITH cur AS (SELECT doc_id,
                  CASE WHEN doc_id % 10 < 8 AND $RecrawlPred
                       THEN text || ' ' || text ELSE text END AS text
                FROM documents
@@ -5663,10 +5665,14 @@ object LlmQueries {
                          AS contrib
                      FROM tf JOIN df USING (w) CROSS JOIN st
                        JOIN l ON tf.doc_id = l.doc_id),
-               p AS (SELECT doc_id, $pivot AS s FROM c GROUP BY doc_id)
+               p AS (SELECT doc_id, $pivot AS s FROM c GROUP BY doc_id)"""
+  }
+
+  val q186 = QueryDef(
+    "q186_maintained_bm25",
+    Some(bm25MaintChainSql + """
                SELECT doc_id, ROUND(s, 4) AS score FROM p
-               ORDER BY s DESC, doc_id LIMIT 10""")
-    },
+               ORDER BY s DESC, doc_id LIMIT 10"""),
     (s, dir) => graft.operators.Bm25Index.search(
       bm25State(s, dir), "ix", Bm25Terms, 10))
 
@@ -5885,6 +5891,73 @@ object LlmQueries {
     (s, dir) => graft.operators.GraphIndex.search(
       graphState(s, dir), "gx", "vec_id < 4", GsBeam, GsHops))
 
+  // -- q189 hybrid retrieval served from TWO standing indexes (X63, r19)
+  /** The q119 fusion shape moved onto the standing-state family: the
+    * production RAG stack serves hybrid retrieval from its INDEXES, so
+    * both legs here read maintained tables — the lexical top-20 is
+    * [[graft.operators.Bm25Index.search]] over the q186 fixture's
+    * drift-maintained inverted index, the dense top-20 is an exact
+    * cosine scan of the q187 fixture's maintained graph corpus `gvec`
+    * (one map pass + TakeOrdered against a broadcast one-row probe —
+    * index-scale, no shuffle of the corpus), and RRF(d) =
+    * Σ 1/(60 + rank) fuses them through a FULL OUTER join (a doc in
+    * one list only keeps its single term — the standard Cormack
+    * fusion, unlike q119's both-lists intersection). Determinism:
+    * each leg's top-20 SET comes from raw-score order (the proven
+    * q186/q162 parity) and ranks are ROW_NUMBER over the ROUNDED
+    * scores with id tie-breaks — total orders both engines replay.
+    * The oracle recomputes BOTH standing states from the current
+    * corpus (the q186 BM25 chain + the q187 maintained-corpus CTE),
+    * so a drifted index on EITHER leg reorders the fusion and breaks
+    * the hash. */
+  val q189 = QueryDef(
+    "q189_hybrid_index_search",
+    Some(bm25MaintChainSql + s""",
+               lt AS (SELECT doc_id, ROUND(s, 4) AS score FROM p
+                      ORDER BY s DESC, doc_id LIMIT 20),
+               lr AS (SELECT doc_id, ROW_NUMBER() OVER
+                        (ORDER BY score DESC, doc_id) AS rank_lex FROM lt),
+               gv AS (SELECT vec_id, v FROM ($GraphMaintCorpusSql)
+                      WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+               qx AS (SELECT v AS qv FROM gv WHERE vec_id = 1),
+               vs AS (SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 4)
+                        AS sim
+                      FROM gv, qx WHERE vec_id <> 1),
+               vt AS (SELECT vec_id, sim FROM vs
+                      ORDER BY sim DESC, vec_id LIMIT 20),
+               vr AS (SELECT vec_id, ROW_NUMBER() OVER
+                        (ORDER BY sim DESC, vec_id) AS rank_vec FROM vt)
+               SELECT COALESCE(lr.doc_id, vr.vec_id) AS doc_id,
+                      COALESCE(rank_lex, 0) AS rank_lex,
+                      COALESCE(rank_vec, 0) AS rank_vec,
+                      ROUND(COALESCE(1.0 / (60 + rank_lex), 0)
+                        + COALESCE(1.0 / (60 + rank_vec), 0), 6) AS rrf
+               FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.vec_id
+               ORDER BY rrf DESC, doc_id LIMIT 10"""),
+    (s, dir) => {
+      val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+      val lr = graft.operators.Bm25Index.search(
+          bm25State(s, dir), "ix", Bm25Terms, 20)
+        .withColumn("rank_lex", row_number().over(lexW))
+      val gvec = graphState(s, dir).loadTable("gx", "gvec").get.read()
+      val qv = gvec.filter(col("vec_id") === 1).select(col("v").as("qv"))
+      val vecW = Window.orderBy(col("sim").desc, col("vec_id"))
+      val vr = gvec.filter(col("vec_id") =!= 1)
+        .crossJoin(broadcast(qv)) // one-row probe vector
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("v"), col("qv")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+        .withColumn("rank_vec", row_number().over(vecW))
+      lr.join(vr, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+          coalesce(col("rank_vec"), lit(0)).as("rank_vec"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    })
+
   val defs: Seq[QueryDef] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41,
     q42, q43, q44, q46, q47, q55, q56, q57, q64, q65, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q84, q87, q89, q94,
@@ -5892,5 +5965,5 @@ object LlmQueries {
     q135, q136, q137, q138, q139, q140, q147, q148, q149, q153, q155,
     q156, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183,
-    q184, q185, q186, q187, q188)
+    q184, q185, q186, q187, q188, q189)
 }
