@@ -244,4 +244,29 @@ class RelQueriesSpec extends SparkSpec {
       assert(java.lang.Long.bitCount(sa ^ sb) == expected)
     }
   }
+
+  test("q190/q191/q197 TPC-H plan shapes: dims broadcast, filters reach " +
+    "the scan, top-k fuses, the HAVING subquery plans as one extra " +
+    "fact-scan aggregate (no join explosion)") {
+    val q190 = Registry.queries("q190_shipping_priority")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // customer (segment-filtered) and the order dimension broadcast;
+    // the straddle-date filters reach the parquet scans; top-10 is a
+    // TakeOrdered, never a global sort
+    assert(q190.contains("BroadcastHashJoin"), q190.take(500))
+    assert(q190.contains("PushedFilters") && q190.contains("l_shipdate"),
+      q190.take(500))
+    assert(q190.contains("TakeOrderedAndProject"), q190.take(500))
+    val q191 = Registry.queries("q191_forecast_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q191.contains("l_shipdate") && q191.contains("PushedFilters"),
+      q191.take(500))
+    val q197 = Registry.queries("q197_large_volume_customer")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the qualifying-order set must semi-join (Left Semi somewhere in
+    // the plan), and the whole query reads lineitem at most twice: once
+    // for the HAVING aggregate, once for the fact pass
+    assert(q197.toLowerCase.contains("leftsemi"), q197.take(800))
+    assert("lineitem\\.parquet".r.findAllIn(q197).size <= 2, q197.take(800))
+  }
 }
