@@ -291,9 +291,11 @@ object GraphIndex {
   def beamSearch(emb: DataFrame, kept: DataFrame, queries: DataFrame,
       ef: Int, hops: Int): DataFrame = {
     val q = broadcast(queries)
-    val minId = emb.agg(min("vec_id")).head().getLong(0)
-    val sndId = emb.filter(col("vec_id") =!= minId)
-      .agg(min("vec_id")).head().getLong(0)
+    // ONE TakeOrdered job yields both entry candidates (r19 optimization
+    // round: the min + filtered-min spelling was two driver actions)
+    val two = emb.select(col("vec_id")).orderBy("vec_id").limit(2).collect()
+    val minId = two(0).getLong(0)
+    val sndId = two(1).getLong(0)
     var beam = q.select(col("qid"),
       when(col("qid") === minId, sndId).otherwise(minId).as("vec_id"))
     var scored: DataFrame = null
@@ -308,7 +310,15 @@ object GraphIndex {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           VectorOps.cosine(col("v"), col("qv")).as("sim"))
-        .localCheckpoint(true) // next hop's beam AND the final cut
+        // LAZY lineage cut (r19 optimization round, guide §2.4/§5): the
+        // eager per-hop checkpoint was one full barrier JOB per hop —
+        // 4 serial driver actions of pure fixed overhead. The lazy form
+        // still truncates the logical plan (bounded planning) and still
+        // persists the hop's rows on first compute (the next hop's two
+        // beam references read the persisted blocks, and identical
+        // exchange subtrees dedup via ReuseExchange), but the whole walk
+        // now materializes inside ONE multi-stage job.
+        .localCheckpoint(false)
       beam = scored
         .select(col("qid"), struct((-col("sim")).as("ns"),
           col("vec_id")).as("p"))
@@ -324,7 +334,7 @@ object GraphIndex {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("col.vec_id").as("vec_id"), (-col("col.ns")).as("sim"))
-      .localCheckpoint(true) // ≤ 5·|queries| rows: broadcast to the audit
+      .localCheckpoint(false) // ≤ 5·|queries| rows: broadcast to the audit
     // recall audit by rank-counting: one corpus×queries map pass,
     // bounded count groups, map-side combine — never a corpus-sized
     // window partition
@@ -349,11 +359,14 @@ object GraphIndex {
     * satisfying `queryPred` (q183's rule). */
   def search(catalog: LakeCatalog, db: String, queryPred: String,
       ef: Int, hops: Int): DataFrame = {
+    // lazy cuts (r19 optimization round): persisted on first use — the
+    // entry TakeOrdered materializes emb, hop 1 materializes kept — so
+    // the reuse across hops/audit is kept without two barrier jobs
     val emb = catalog.loadTable(db, "gvec").get.read()
-      .localCheckpoint(true) // queries + per-hop scoring + recall audit
+      .localCheckpoint(false) // queries + per-hop scoring + recall audit
     val kept = catalog.loadTable(db, "gedges").get.read()
       .filter(col("kept")).select("src", "dst")
-      .localCheckpoint(true) // walked once per hop
+      .localCheckpoint(false) // walked once per hop
     beamSearch(emb, kept,
       emb.filter(expr(queryPred))
         .select(col("vec_id").as("qid"), col("v").as("qv")),

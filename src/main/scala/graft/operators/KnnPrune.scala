@@ -43,7 +43,12 @@ object KnnPrune {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("rank").cast("int").as("rank"),
       col("dst"), col("sim").cast("double").as("sim"))
-      .localCheckpoint(true) // consumed twice: self-join + collect
+      // LAZY cut (r19 optimization round): all three consumers (the
+      // self-join's two sides and the nbrs collect) exchange on src, so
+      // ReuseExchange builds the edge shuffle once inside the single
+      // consuming job; the persist catches any miss. The eager form
+      // paid a full barrier job before any consumer ran.
+      .localCheckpoint(false)
     val pairs = e.as("x").join(e.as("y"),
         col("x.src") === col("y.src") && col("x.rank") < col("y.rank"))
       .select(col("x.src").as("psrc"), col("x.rank").as("ra"),

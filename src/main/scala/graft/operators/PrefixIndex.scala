@@ -235,24 +235,29 @@ object PrefixIndex {
     * plain equi-joins. ONE plan joined on both pair sides: aliasing the
     * same relation (instead of renaming columns before the hint) keeps
     * the two exchange subtrees canonically identical, so ReuseExchange
-    * builds the candidate shingle map (or shuffle) once, not twice. */
+    * builds the candidate shingle map (or shuffle) once, not twice.
+    *
+    * The intersection itself is `array_intersect` (r19 optimization
+    * round, guide §4): the previous typed `Dataset.map` paid an
+    * object-deserialization boundary per pair — every shingle
+    * UTF8String copied into a java.lang.String and boxed into a Seq —
+    * before the identical hash-set intersection ran. The shingle
+    * arrays are distinct by construction ([[graft.functions.TextOps.shingleSet]]
+    * and every lake table written from it), so
+    * |A∩B| = size(array_intersect) and |A∪B| = |A|+|B|−|A∩B| exactly,
+    * and the whole verify stays inside one whole-stage-codegen span
+    * (A/B numbers in OPTIMIZATION_r19.md). */
   private def exactJaccard(
       shingledCand: DataFrame, cand: DataFrame, within: Boolean): DataFrame = {
-    val s = shingledCand.sparkSession
-    import s.implicits._
     val b = if (within) broadcast(shingledCand) else shingledCand
     cand.join(b.as("A"), col("doc_a") === col("A.doc_id"))
       .join(b.as("B"), col("doc_b") === col("B.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        col("A.sh").as("sha"), col("B.sh").as("shb"))
-      .as[(Long, Long, Seq[String], Seq[String])]
-      .map { case (da, db, sa, sb) =>
-        val setA = sa.toSet
-        var inter = 0
-        sb.foreach(x => if (setA(x)) inter += 1)
-        (da, db, inter.toDouble / (setA.size + sb.size - inter))
-      }
-      .toDF("doc_a", "doc_b", "jac_raw")
+        size(array_intersect(col("A.sh"), col("B.sh"))).as("inter"),
+        (size(col("A.sh")) + size(col("B.sh"))).as("tot"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("tot") - col("inter")))
+          .as("jac_raw"))
       .filter(col("jac_raw") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
   }

@@ -3909,6 +3909,13 @@ object LlmQueries {
         "aggregate(transform(sequence(0, 63), " +
           "i -> IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L)), " +
           "0L, (acc, x) -> acc | x)"))
+      // LAZY cut (r19 optimization round): the 64-lambda INTERPRETED
+      // signature HOF above was recomputed by every consumer — the
+      // BandedAnn budget count, its collect, the probe side, and both
+      // vector-fetch references — ~5 evaluations of the corpus prep per
+      // query. Persist-on-first-use computes it once with no extra
+      // barrier job.
+      .localCheckpoint(false)
     val cand = graft.operators.BandedAnn.candidatesSelf(
       emb.select(col("vec_id"), col("sig")), "vec_id", "sig",
       bands = NnBands, bandBits = NnBandBits,
@@ -4068,11 +4075,14 @@ object LlmQueries {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDoubleVec(col("embedding")).as("v"))
         .filter(expr("aggregate(v, 0D, (acc, x) -> acc + x * x) > 0D"))
-        .localCheckpoint(true) // queries + per-hop scoring + recall audit
+        // lazy cuts (r19 optimization round): persisted on first use,
+        // reused by queries + per-hop scoring + recall audit / per-hop
+        // walks — without the two up-front barrier jobs
+        .localCheckpoint(false)
       val kept = graft.operators.KnnPrune
         .diversify(knnEdgesRaw(s, dir), emb, "vec_id", "v")
         .filter(col("kept")).select(col("src"), col("dst"))
-        .localCheckpoint(true) // walked once per hop
+        .localCheckpoint(false)
       graft.operators.GraphIndex.beamSearch(emb, kept,
         emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("qid"), col("v").as("qv")),
