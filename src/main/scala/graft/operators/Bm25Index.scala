@@ -265,7 +265,10 @@ object Bm25Index {
       .readPruned(Seq(org.apache.spark.sql.sources.In("w", terms.toArray)))
       .filter(col("w").isin(terms: _*))
       .select(col("w"), col("doc_id"), col("tf").cast("double").as("tf"))
-      .localCheckpoint(true) // df + contributions from one fetch
+      // lazy cut (r19 optimization round): df + contributions read one
+      // persisted fetch; the dfreq broadcast build materializes it —
+      // no separate barrier job
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
     val lens = catalog.loadTable(db, "lens").get.read()
       .select(col("doc_id"), col("dl").cast("double").as("dl"))

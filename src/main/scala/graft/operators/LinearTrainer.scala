@@ -106,4 +106,30 @@ object LinearTrainer {
       }.collect() // one row per partition
     (parts.map(_._1).sum, parts.map(_._2).sum, parts.map(_._3).sum)
   }
+
+  /** [[stats]] for BOTH slices of a train/eval split in ONE pass (r19
+    * optimization round — the held-out queries ran two full-corpus
+    * stats jobs over the same checkpointed feature table). `splitCol`
+    * must be a boolean column: true = train slice. Returns
+    * (train stats, eval stats), each a [[stats]] triple. */
+  def statsSplit(s: SparkSession, feats: DataFrame, splitCol: org.apache.spark.sql.Column,
+      nf: Int, w: Array[Double]): ((Long, Long, Double), (Long, Long, Double)) = {
+    import s.implicits._
+    val parts = feats.select(col("x"), col("y"), splitCol.cast("boolean"))
+      .as[(Seq[Double], Double, Boolean)]
+      .mapPartitions { it =>
+        val k = new Array[Long](2); val a = new Array[Long](2)
+        val tp = new Array[Double](2)
+        it.foreach { case (xSeq, y, tr) =>
+          val i = if (tr) 0 else 1
+          val z = margin(xSeq.toArray, w, nf)
+          if (z >= 0) k(i) += 1
+          if ((z >= 0) == (y == 1.0)) a(i) += 1
+          tp(i) += y
+        }
+        Iterator((k(0), a(0), tp(0), k(1), a(1), tp(1)))
+      }.collect()
+    ((parts.map(_._1).sum, parts.map(_._2).sum, parts.map(_._3).sum),
+      (parts.map(_._4).sum, parts.map(_._5).sum, parts.map(_._6).sum))
+  }
 }

@@ -2035,25 +2035,65 @@ object LlmQueries {
     (s, dir) => winnowPairs(t(s, dir, "documents").select("doc_id", "text")))
 
   /** q76's pipeline over any (doc_id, text) frame — factored out so the
-    * spec can drive the winnowing guarantee on planted fixtures. */
+    * spec can drive the winnowing guarantee on planted fixtures.
+    *
+    * The fingerprint stage is ONE compiled doc-local pass (r19
+    * optimization round, guide §2.4/§4): winnowing is per-document by
+    * definition — gram hashes, the w-wide sliding minimum, and the
+    * distinct — so the old spelling's token-scale explode (≈500 rows ×
+    * 44-char md5 strings per doc) through a doc-keyed Exchange into a
+    * non-codegen WindowExec was three corpus-scale operators for work a
+    * monotonic deque does in O(grams) inside the scan task. The md5-hex
+    * ordering is byte-identical (ASCII lexicographic = Java compareTo),
+    * so the fingerprint set is unchanged; the first shuffle is now the
+    * output-scale distinct-fp trim. */
   def winnowPairs(docs: DataFrame): DataFrame = {
-    val tk = TextOps.tokens(col("text"))
-    val grams = docs
-      .select(col("doc_id"), tk.as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), (size(col("tk")) - 2).as("ng"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 2),
-          i => struct(i.as("pos"),
-            md5(concat_ws(" ", element_at(col("tk"), i),
-              element_at(col("tk"), i + 1),
-              element_at(col("tk"), i + 2))).as("gh")))).as("g"))
-      .select(col("doc_id"), col("ng"), col("g.pos"), col("g.gh"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    val fps = grams
-      .withColumn("fp", min(col("gh")).over(win))
-      .filter(col("pos") + (WinnowW - 1) <= col("ng"))
-      .select(col("doc_id"), col("fp")).distinct()
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = WinnowW
+    val fps = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        // tokens/grams exactly as the declarative twin: split(lower, " ")
+        // regex with trailing empties kept, md5 hex of "t0 t1 t2"
+        val tk = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        val ng = tk.length - 2
+        if (ng < w) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val gh = new Array[String](ng)
+          var i = 0
+          while (i < ng) {
+            val bytes = md.digest(
+              (tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val sb = new java.lang.StringBuilder(32)
+            var bi = 0
+            while (bi < 16) {
+              sb.append(Character.forDigit((bytes(bi) >> 4) & 0xf, 16))
+              sb.append(Character.forDigit(bytes(bi) & 0xf, 16))
+              bi += 1
+            }
+            gh(i) = sb.toString
+            md.reset()
+            i += 1
+          }
+          // sliding min over w consecutive grams: monotonic deque,
+          // O(ng) total comparisons
+          val out = new java.util.HashSet[String]()
+          val dq = new java.util.ArrayDeque[Int]()
+          var p = 0
+          while (p < ng) {
+            while (!dq.isEmpty && gh(dq.peekLast()) >= gh(p)) dq.pollLast()
+            dq.addLast(p)
+            if (dq.peekFirst() <= p - w) dq.pollFirst()
+            if (p >= w - 1) out.add(gh(dq.peekFirst()))
+            p += 1
+          }
+          import scala.jdk.CollectionConverters._
+          out.iterator().asScala.map(fp => (id, fp))
+        }
+      }
+      .toDF("doc_id", "fp")
       .localCheckpoint(true) // feeds the df trim AND both join sides
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf).select("fp")
@@ -2497,7 +2537,12 @@ object LlmQueries {
       // same-length strings sharing a deletion variant at position i
       // are Hamming-1 iff the characters deleted there DIFFER (equal
       // deleted chars ⇒ identical strings) — same exactness, ~18 fewer
-      // string bytes per row on both shuffle sides of the join
+      // string bytes per row on both shuffle sides of the join.
+      // (r19 optimization round: a hash-the-variant + levenshtein-verify
+      // rewrite was A/B'd at 1.59 → 2.49 s and REJECTED — the
+      // interpreted xxhash64-in-lambda per variant costs more than the
+      // string shuffle it saves at every scale where the variant fan-out
+      // dominates; see OPTIMIZATION_r19.md.)
       val variants = c.select(col("id"), col("name"),
           posexplode(expr(
             """transform(sequence(1, length(name)),
@@ -5513,15 +5558,17 @@ object LlmQueries {
       import s.implicits._
       val feats = lrFeats(s, dir)
       val trainF = feats.filter(col("doc_id") % 10 < 8)
-      val evalF = feats.filter(col("doc_id") % 10 >= 8)
-      val nTrain = trainF.count()
+      // one pass counts both slices; one pass scores both slices (r19
+      // optimization round — was four separate corpus jobs)
+      val cnt = feats.groupBy((col("doc_id") % 10 < 8).as("tr"))
+        .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val nTrain = cnt.getOrElse(true, 0L)
+      val nEval = cnt.getOrElse(false, 0L)
       val w = graft.operators.LinearTrainer.fit(
         s, trainF, LrNf, nTrain, LrSteps, LrRate)
-      val (_, trainAgree, _) =
-        graft.operators.LinearTrainer.stats(s, trainF, LrNf, w)
-      val (evalKept, evalAgree, _) =
-        graft.operators.LinearTrainer.stats(s, evalF, LrNf, w)
-      val nEval = evalF.count()
+      val ((_, trainAgree, _), (evalKept, evalAgree, _)) =
+        graft.operators.LinearTrainer.statsSplit(
+          s, feats, col("doc_id") % 10 < 8, LrNf, w)
       import graft.operators.PcaPower.rnd
       val rows = Seq(
         ("eval_agree", evalAgree.toDouble),
@@ -5813,15 +5860,17 @@ object LlmQueries {
       import s.implicits._
       val feats = lrFeatsExt(s, dir)
       val trainF = feats.filter(col("doc_id") % 10 < 8)
-      val evalF = feats.filter(col("doc_id") % 10 >= 8)
-      val nTrain = trainF.count()
+      // one pass counts both slices; one pass scores both slices (r19
+      // optimization round — was four separate corpus jobs)
+      val cnt = feats.groupBy((col("doc_id") % 10 < 8).as("tr"))
+        .count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val nTrain = cnt.getOrElse(true, 0L)
+      val nEval = cnt.getOrElse(false, 0L)
       val w = graft.operators.LinearTrainer.fit(
         s, trainF, LrNfExt, nTrain, LrSteps, LrRate)
-      val (_, trainAgree, _) =
-        graft.operators.LinearTrainer.stats(s, trainF, LrNfExt, w)
-      val (evalKept, evalAgree, _) =
-        graft.operators.LinearTrainer.stats(s, evalF, LrNfExt, w)
-      val nEval = evalF.count()
+      val ((_, trainAgree, _), (evalKept, evalAgree, _)) =
+        graft.operators.LinearTrainer.statsSplit(
+          s, feats, col("doc_id") % 10 < 8, LrNfExt, w)
       import graft.operators.PcaPower.rnd
       val rows = Seq(
         ("eval_agree", evalAgree.toDouble),
