@@ -125,7 +125,8 @@ object LlmQueries {
       val cand = bucketPairs(bands, "q34_lsh_buckets")
         .union(prefixCandidates(shortDocs(docsSh), checkpoint = false))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy cut (r19 opt): both verify
+        // references sit inside the one output action
       expandVerified(verifyOnShinglesUnsorted(s, docsSh, cand),
         members, within)
     })
@@ -155,7 +156,9 @@ object LlmQueries {
       .agg(min(col("doc_id")).as("rep"), first(col("text")).as("text"),
         sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(col("rep"), col("text"), col("ids"))
-      .localCheckpoint(true) // consumed by reps, members AND within
+      // lazy cut (r19 opt): reps feeds the eager shingle pass (which
+      // materializes the persist); members/within then read blocks
+      .localCheckpoint(false)
     val reps = classes.select(col("rep").as("doc_id"), col("text"))
     val members = classes.select(col("rep"), explode(col("ids")).as("doc_id"))
     val within = classes.filter(size(col("ids")) > 1)
@@ -308,7 +311,7 @@ object LlmQueries {
         // argument); extra candidates only ever verify away
         .union(prefixCandidates(shortDocs(docsSh), checkpoint = false))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy cut (r19 opt)
       expandVerified(verifyOnShinglesUnsorted(s, docsSh, cand),
         members, within)
     })
@@ -406,7 +409,10 @@ object LlmQueries {
     val hashed = PrefixIndex.hashed(docs)
     val pairs = PrefixIndex.postingsPairs(
       PrefixIndex.postings(hashed, PrefixIndex.dfHead(hashed, headMax)))
-    if (checkpoint) pairs.localCheckpoint(true) else pairs
+    // lazy cut (r19 opt): every consumer reference sits inside the one
+    // output action; persist-on-first-use keeps the single pair
+    // materialization without the up-front barrier job
+    if (checkpoint) pairs.localCheckpoint(false) else pairs
   }
 
   // ------------------------------------- q36 embedding top pair per label
@@ -3872,7 +3878,10 @@ object LlmQueries {
         .select(col("doc_id"), col("p.i").as("i"),
           xxhash64(col("p.sp")).as("h1"),
           xxhash64(reverse(col("p.sp"))).as("h2"))
-        .localCheckpoint(true)
+        // lazy cut (r19 opt): dup-mining and the position join both sit
+        // inside the one output action; persist-on-first-use keeps the
+        // single span materialization without the barrier job
+        .localCheckpoint(false)
       val dup = spans.select("h1", "h2", "doc_id").distinct()
         .groupBy("h1", "h2").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select("h1", "h2")
@@ -4190,7 +4199,11 @@ object LlmQueries {
             ORDER BY metric, k""")
     },
     (s, dir) => {
-      val edges = q162.run(s, dir).select(col("src"), col("dst"))
+      // knnEdgesRaw directly (r19 opt): the q162.run spelling paid
+      // q162's output ORDER BY (a global sort) and the display rounding
+      // before immediately aggregating — dead work for a health scan
+      // that only consumes the (src, dst) edge set
+      val edges = knnEdgesRaw(s, dir).select(col("src"), col("dst"))
         .localCheckpoint(true) // four consumers, one edge materialization
       val indeg = edges.groupBy("dst").agg(count(lit(1)).as("d"))
       val hist = indeg.groupBy("d").agg(count(lit(1)).as("v"))
@@ -4364,14 +4377,16 @@ object LlmQueries {
       newDocs: DataFrame): DataFrame = {
     val newSh = shingledDocs(s, newDocs)
     val newPost = PrefixIndex.postings(PrefixIndex.hashed(newSh), head)
-      .localCheckpoint(true) // consumed twice: cross equi-join + self
+      .localCheckpoint(false) // lazy cut (r19 opt): cross equi-join +
+      // self both materialize inside the candidate action
     val cross = newPost.as("n")
       .join(storedPost.as("o"), col("n.h") === col("o.h"))
       .filter(expr(PrefixIndex.pairFilter("n.k", "n.pos", "o.k", "o.pos")))
       .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
     val cand = cross.union(PrefixIndex.postingsPairs(newPost)).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the verify id-count action
+      // materializes it; the pair join reads the persisted blocks
     verifyOnShingles(s, storedSh.unionByName(newSh), cand,
       corpusPreGate = false)
   }

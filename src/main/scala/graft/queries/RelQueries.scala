@@ -1213,7 +1213,10 @@ object RelQueries {
       val outd = e.groupBy("src").agg(sum("w").as("od"))
       // the |nations|²-bounded edge list is the loop-invariant — pin it
       // so the 3 rank iterations never re-run the fact-table join
-      val e2 = e.join(outd, "src").localCheckpoint(true)
+      val e2 = e.join(outd, "src").localCheckpoint(false) // lazy cut
+      // (r19 opt): the three rank iterations all exchange e2 the same
+      // way inside the one output action — ReuseExchange + the persist
+      // give one fact-join evaluation without the up-front barrier job
       val nodes = t(s, dir, "nation").select(col("n_nationkey").as("id"))
       var p = nodes.select(col("id"), lit(0.04).as("p"))
       for (_ <- 1 to 3) {
