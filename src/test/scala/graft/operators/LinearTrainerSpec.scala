@@ -151,4 +151,26 @@ class LinearTrainerSpec extends SparkSpec {
       s"hashed features must beat base on the lexical teacher: " +
         s"ext=$extAgree base=$baseAgree (of 48 held-out)")
   }
+
+  test("statsSplit ≡ stats on each slice (r19 optimization round: the " +
+    "fused one-pass split stats must equal two separate passes)") {
+    import spark.implicits._
+    val nf = 4
+    val rows = synth(seed = 23, n = 300, nf = nf)
+    // slice predicate mirrors the held-out queries' doc_id % 10 device
+    val df = rows.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, x.toSeq, y) }.toDF("doc_id", "x", "y")
+      .repartition(5).localCheckpoint(true)
+    val w = LinearTrainer.fit(spark,
+      df.filter(col("doc_id") % 10 < 8), nf,
+      rows.indices.count(_ % 10 < 8), steps = 4, lr = 2.0)
+    val (gotTrain, gotEval) = LinearTrainer.statsSplit(
+      spark, df, col("doc_id") % 10 < 8, nf, w)
+    val wantTrain = LinearTrainer.stats(spark,
+      df.filter(col("doc_id") % 10 < 8), nf, w)
+    val wantEval = LinearTrainer.stats(spark,
+      df.filter(col("doc_id") % 10 >= 8), nf, w)
+    assert(gotTrain == wantTrain, s"train: $gotTrain vs $wantTrain")
+    assert(gotEval == wantEval, s"eval: $gotEval vs $wantEval")
+  }
 }

@@ -565,6 +565,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(jac < 0.8, s"fixture broken: pair is a plain near-dup (jac=$jac)")
   }
 
+  test("q76 winnowing: the compiled doc-local fingerprint pass (r19 " +
+    "optimization round) ≡ the declarative window spelling, pair for pair") {
+    // randomized corpus with planted shared runs of varying lengths so
+    // both the guarantee boundary (≥ w+2 shared words) and the df trim
+    // get exercised; the reference is the ORIGINAL explode → per-doc
+    // window-min → distinct pipeline the compiled pass replaced
+    val rr = new scala.util.Random(42)
+    def words(n: Int) = (0 until n).map(_ => s"w${rr.nextInt(400)}")
+    val shared = (0 until 12).map(i => s"s$i")
+    val rows = (0L until 30L).map { i =>
+      val mid = if (i % 3 == 0) shared else words(12)
+      i -> (words(10 + rr.nextInt(20)) ++ mid ++ words(10)).mkString(" ")
+    } ++ Seq(100L -> "one two", 101L -> "a b c") // sub-w docs: no fps
+    val docs = docsDf(rows)
+    val got = LlmQueries.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: the pre-r19 declarative spelling, verbatim
+    val w = LlmQueries.WinnowW
+    val tk = TextOps.tokens(col("text"))
+    val grams = docs
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), (size(col("tk")) - 2).as("ng"),
+        explode(org.apache.spark.sql.functions.transform(
+          sequence(lit(1), size(col("tk")) - 2),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2))).as("gh")))).as("g"))
+      .select(col("doc_id"), col("ng"), col("g.pos"), col("g.gh"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val fps = grams
+      .withColumn("fp", org.apache.spark.sql.functions.min(col("gh")).over(win))
+      .filter(col("pos") + (w - 1) <= col("ng"))
+      .select(col("doc_id"), col("fp")).distinct()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= LlmQueries.WinnowMaxDf).select("fp")
+    val ff = fps.join(keep, "fp")
+    val want = ff.as("a")
+      .join(ff.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= LlmQueries.WinnowShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture broken: no pairs to compare")
+    assert(got == want, s"compiled vs declarative winnowing diverged: " +
+      s"got ${got.size} want ${want.size}; diff=${(got diff want) ++ (want diff got)}")
+  }
+
   test("q77 SQ8: quantized cosine tracks exact cosine and reaches the " +
     "recall floor") {
     import spark.implicits._
